@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geospatial math as Catalyst *column expressions* (not UDFs): tile
+  * numbering, Morton interleave, haversine. Everything here compiles to
+  * whole-stage-codegen'd built-in expressions, so the hot spatial path stays
+  * vectorized and predicate-pushdown-friendly.
+  *
+  * The operation sequences intentionally mirror [[graft.core.WebMercator]] /
+  * [[graft.core.ZCurve]] and the DuckDB oracle SQL ([[graft.queries.Sql]])
+  * so results are bit-identical across engines.
+  */
+object GeoColumns {
+
+  /** Slippy tile X (LongType) of a longitude column at zoom z. */
+  def tileX(lon: Column, z: Int): Column =
+    floor((lon + 180.0) / 360.0 * (1L << z).toDouble)
+
+  /** Slippy tile Y (LongType) of a latitude column at zoom z. */
+  def tileY(lat: Column, z: Int): Column =
+    floor((lit(1.0) - log(tan(radians(lat)) + lit(1.0) / cos(radians(lat))) / math.Pi)
+      / 2.0 * (1L << z).toDouble)
+
+  /** Morton interleave of two long tile-coordinate columns (exact integer
+    * arithmetic, same per-bit form as [[graft.queries.Sql.interleave]]).
+    */
+  def mortonHash(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).flatMap { k =>
+      Seq(
+        shiftleft(shiftright(x, k).bitwiseAND(lit(1L)), 2 * k),
+        shiftleft(shiftright(y, k).bitwiseAND(lit(1L)), 2 * k + 1))
+    }.reduce(_ + _)
+
+  /** Haversine distance in km to a fixed point (same op order as the oracle). */
+  def haversineKmTo(lat: Column, lon: Column, lat0: Double, lon0: Double): Column = {
+    val a = pow(sin(radians(lat - lat0) / 2), 2) +
+      cos(radians(lit(lat0))) * cos(radians(lat)) * pow(sin(radians(lon - lon0) / 2), 2)
+    lit(2.0) * lit(6371.0) * asin(sqrt(a))
+  }
+}

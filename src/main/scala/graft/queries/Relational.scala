@@ -1,0 +1,565 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.6 Q01–Q22: the relational query surface (scan/filter/agg,
+  * joins of every flavor, windows, sorts, set ops, scalar function batteries,
+  * subqueries). All Spark built-ins — the plans are fully declarative so
+  * Catalyst handles pushdown/pruning/join selection; `broadcast()` hints mark
+  * the small dimensions.
+  */
+object Relational {
+  import Canon.{moneySum, moneyAvg, scaledSum}
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  def defs: Seq[QueryDef] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q08b, q09, q10, q11, q12, q13,
+    q14, q15, q16, q17, q18, q19, q20, q21a, q21b, q22, q22b)
+
+  // ---------------------------------------------------------------- Q01
+  /** TPC-H Q1-style pricing summary: one pruned scan + hash aggregate. */
+  val q01: QueryDef = QueryDef(
+    "q01_agg",
+    Sql.canon(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${Sql.moneySum("l_quantity")} AS sum_qty,
+         |  ${Sql.moneySum("l_extendedprice")} AS sum_base_price,
+         |  ${Sql.scaledSum("l_extendedprice*(1-l_discount)", 10000L)} AS sum_disc_price,
+         |  ${Sql.scaledSum("l_extendedprice*(1-l_discount)*(1+l_tax)", 1000000L)} AS sum_charge,
+         |  ${Sql.moneyAvg("l_quantity")} AS avg_qty,
+         |  ${Sql.moneyAvg("l_extendedprice")} AS avg_price,
+         |  ${Sql.moneyAvg("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+      Seq("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc",
+        "count_order"))) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    Canon(li
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        scaledSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000L).as("sum_disc_price"),
+        scaledSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 1000000L).as("sum_charge"),
+        moneyAvg(col("l_quantity")).as("avg_qty"),
+        moneyAvg(col("l_extendedprice")).as("avg_price"),
+        moneyAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order")))
+  }
+
+  // ---------------------------------------------------------------- Q02
+  /** Projection + predicate; both pushed into the parquet scan. */
+  val q02: QueryDef = QueryDef(
+    "q02_filter",
+    Sql.canon(
+      """SELECT p_partkey, p_name, p_type, p_size
+        |FROM part
+        |WHERE p_size IN (1, 5, 10, 15, 20, 25) AND p_type LIKE 'STA%'""".stripMargin,
+      Seq("p_partkey", "p_name", "p_type", "p_size"))) { (s, d) =>
+    Canon(Tables.part(s, d)
+      .filter(col("p_size").isin(1, 5, 10, 15, 20, 25) && col("p_type").like("STA%"))
+      .select("p_partkey", "p_name", "p_type", "p_size"))
+  }
+
+  // ---------------------------------------------------------------- Q03
+  /** Equi hash join + aggregation (shuffle join on o_custkey). */
+  val q03: QueryDef = QueryDef(
+    "q03_join_agg",
+    Sql.canon(
+      s"""SELECT c.c_mktsegment,
+         |  ${Sql.moneySum("o.o_totalprice")} AS revenue,
+         |  COUNT(*) AS n_orders
+         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY c.c_mktsegment""".stripMargin,
+      Seq("c_mktsegment", "revenue", "n_orders"))) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    Canon(o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders")))
+  }
+
+  // ---------------------------------------------------------------- Q04
+  /** Broadcast join of two small dimensions. */
+  val q04: QueryDef = QueryDef(
+    "q04_broadcast_join",
+    Sql.canon(
+      """SELECT n.n_nationkey, n.n_name, r.r_name
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin,
+      Seq("n_nationkey", "n_name", "r_name"))) { (s, d) =>
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    Canon(n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select("n_nationkey", "n_name", "r_name"))
+  }
+
+  // ---------------------------------------------------------------- Q05
+  /** TPC-H Q5-style 6-table join: big fact tables shuffle-join on their
+    * keys; nation/region ride along broadcast.
+    */
+  val q05: QueryDef = QueryDef(
+    "q05_multijoin",
+    Sql.canon(
+      s"""SELECT n.n_name,
+         |  ${Sql.scaledSum("l.l_extendedprice*(1-l.l_discount)", 10000L)} AS revenue,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |WHERE r.r_name = 'ASIA'
+         |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n.n_name""".stripMargin,
+      Seq("n_name", "revenue", "n_rows"))) { (s, d) =>
+    val l = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+        col("o_orderdate") < lit("1998-01-01 00:00:00").cast(TimestampType))
+    val c = Tables.customer(s, d)
+    val sup = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    Canon(l
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        scaledSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000L).as("revenue"),
+        count(lit(1)).as("n_rows")))
+  }
+
+  // ---------------------------------------------------------------- Q06
+  val q06: QueryDef = QueryDef(
+    "q06_semijoin",
+    Sql.canon(
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+      Seq("c_custkey", "c_name"))) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    Canon(c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name"))
+  }
+
+  // ---------------------------------------------------------------- Q07
+  val q07: QueryDef = QueryDef(
+    "q07_antijoin",
+    Sql.canon(
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')""".stripMargin,
+      Seq("c_custkey", "c_name"))) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("2000-06-01 00:00:00").cast(TimestampType))
+    Canon(c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name"))
+  }
+
+  // ---------------------------------------------------------------- Q08
+  /** LEFT OUTER join keeping customers with zero orders. */
+  val q08: QueryDef = QueryDef(
+    "q08_leftouter",
+    Sql.canon(
+      s"""SELECT c.c_custkey, c.c_name,
+         |  COUNT(o.o_orderkey) AS n_orders,
+         |  COALESCE(${Sql.moneySum("o.o_totalprice")}, 0.0) AS spent
+         |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+         |GROUP BY c.c_custkey, c.c_name""".stripMargin,
+      Seq("c_custkey", "c_name", "n_orders", "spent"))) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    Canon(c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(moneySum(col("o_totalprice")), lit(0.0)).as("spent")))
+  }
+
+  /** FULL OUTER join on a non-unique key (many-to-many), aggregated. */
+  val q08b: QueryDef = QueryDef(
+    "q08b_fullouter",
+    Sql.canon(
+      """SELECT COALESCE(s.s_nationkey, c.c_nationkey) AS nationkey,
+        |  COUNT(s.s_suppkey) AS supp_pairs,
+        |  COUNT(c.c_custkey) AS cust_pairs
+        |FROM supplier s FULL OUTER JOIN customer c ON s.s_nationkey = c.c_nationkey
+        |GROUP BY COALESCE(s.s_nationkey, c.c_nationkey)""".stripMargin,
+      Seq("nationkey", "supp_pairs", "cust_pairs"))) { (s, d) =>
+    val sup = Tables.supplier(s, d)
+    val c = Tables.customer(s, d)
+    Canon(sup.join(c, sup("s_nationkey") === c("c_nationkey"), "full_outer")
+      .groupBy(coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"))
+      .agg(
+        count(col("s_suppkey")).as("supp_pairs"),
+        count(col("c_custkey")).as("cust_pairs")))
+  }
+
+  // ---------------------------------------------------------------- Q09
+  /** Theta join: equi key + range residual (BNLJ residual inside a hash join). */
+  val q09: QueryDef = QueryDef(
+    "q09_rangejoin",
+    Sql.canon(
+      s"""SELECT p.p_brand,
+         |  COUNT(*) AS n_rows,
+         |  ${Sql.moneySum("l.l_extendedprice")} AS revenue
+         |FROM lineitem l JOIN part p
+         |  ON l.l_partkey = p.p_partkey
+         | AND l.l_quantity BETWEEN p.p_size - 5 AND p.p_size + 5
+         |GROUP BY p.p_brand""".stripMargin,
+      Seq("p_brand", "n_rows", "revenue"))) { (s, d) =>
+    val l = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    Canon(l.join(p,
+        l("l_partkey") === p("p_partkey") &&
+          l("l_quantity") >= p("p_size") - 5 && l("l_quantity") <= p("p_size") + 5)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_rows"), moneySum(col("l_extendedprice")).as("revenue")))
+  }
+
+  // ---------------------------------------------------------------- Q10
+  /** As-of join: latest event per order at order time.
+    *
+    * Implemented the scale-friendly way — union both streams, one shuffle by
+    * key, a single running-`last` window — instead of an inequality join that
+    * would explode to |orders| x |events-per-user| intermediate rows
+    * (see [[graft.operators.AsOfJoin]] for the reusable operator).
+    */
+  val q10: QueryDef = QueryDef(
+    "q10_asof",
+    Sql.canon(
+      s"""SELECT o_orderkey, ${Sql.ts("o_orderdate")} AS o_orderdate,
+         |  ${Sql.ts("ts")} AS last_event_ts, event_type AS last_event_type
+         |FROM (
+         |  SELECT o.o_orderkey, o.o_orderdate, e.ts, e.event_type,
+         |    ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+         |                       ORDER BY e.ts DESC, e.event_id DESC) AS rn
+         |  FROM orders o LEFT JOIN events e
+         |    ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+         |) WHERE rn = 1""".stripMargin,
+      Seq("o_orderkey", "o_orderdate", "last_event_ts", "last_event_type"))) { (s, d) =>
+    Canon(graft.operators.AsOfJoin.latestEventPerOrder(
+      Tables.orders(s, d), Tables.events(s, d)))
+  }
+
+  // ---------------------------------------------------------------- Q11
+  val q11: QueryDef = QueryDef(
+    "q11_cross",
+    Sql.canon(
+      "SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n",
+      Seq("r_name", "n_name"))) { (s, d) =>
+    Canon(Tables.region(s, d).crossJoin(Tables.nation(s, d))
+      .select("r_name", "n_name"))
+  }
+
+  // ---------------------------------------------------------------- Q12
+  val q12: QueryDef = QueryDef(
+    "q12_distinct",
+    Sql.canon(
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      Seq("l_returnflag", "n_parts", "n_supps", "n_rows"))) { (s, d) =>
+    Canon(Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows")))
+  }
+
+  // ---------------------------------------------------------------- Q13
+  /** GROUPING SETS with explicit grouping flags (NULL disambiguation). */
+  val q13: QueryDef = QueryDef(
+    "q13_groupingsets",
+    Sql.canon(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+         |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+         |  ${Sql.moneySum("l_extendedprice")} AS revenue,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+      Seq("l_returnflag", "l_linestatus", "g_rf", "g_ls", "revenue", "n_rows"))) { (s, d) =>
+    Canon(Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast(IntegerType).as("g_rf"),
+        grouping(col("l_linestatus")).cast(IntegerType).as("g_ls"),
+        moneySum(col("l_extendedprice")).as("revenue"),
+        count(lit(1)).as("n_rows")))
+  }
+
+  // ---------------------------------------------------------------- Q14
+  /** Ranking windows: top-3 orders per customer, deterministic tie-break. */
+  val q14: QueryDef = QueryDef(
+    "q14_rank",
+    Sql.canon(
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(rn AS INT) AS rn, CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |) WHERE rn <= 3""".stripMargin,
+      Seq("o_custkey", "o_orderkey", "o_totalprice", "rn", "rnk", "drnk"))) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Canon(Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rnk", "drnk"))
+  }
+
+  // ---------------------------------------------------------------- Q15
+  /** Analytic windows with frames: exact running revenue + LAG/LEAD. */
+  val q15: QueryDef = QueryDef(
+    "q15_running",
+    Sql.canon(
+      s"""SELECT o_custkey, o_orderkey, ${Sql.ts("o_orderdate")} AS o_orderdate,
+         |  o_totalprice,
+         |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+         |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0
+         |    AS running_spent,
+         |  LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         |    AS prev_price,
+         |  LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         |    AS next_price
+         |FROM orders""".stripMargin,
+      Seq("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+        "running_spent", "prev_price", "next_price"))) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Canon(Tables.orders(s, d)
+      .withColumn("running_spent",
+        (sum(round(col("o_totalprice") * 100).cast(LongType)).over(wf).cast(DoubleType)) / 100.0)
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+        "running_spent", "prev_price", "next_price"))
+  }
+
+  // ---------------------------------------------------------------- Q16
+  /** Global top-k: Spark plans TakeOrderedAndProject (no full sort at scale). */
+  val q16: QueryDef = QueryDef(
+    "q16_topk",
+    Sql.canon(
+      s"""SELECT l_orderkey, l_linenumber, l_extendedprice, ${Sql.ts("l_shipdate")} AS l_shipdate
+         |FROM lineitem
+         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+      Seq("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"))) { (s, d) =>
+    Canon(Tables.lineitem(s, d)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(100)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"))
+  }
+
+  // ---------------------------------------------------------------- Q17
+  /** Set operations over customer vs supplier nation-key sets. */
+  val q17: QueryDef = QueryDef(
+    "q17_setops",
+    Sql.canon(
+      """SELECT 'union' AS op, k FROM
+        |  (SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'intersect' AS op, k FROM
+        |  (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'except' AS op, k FROM
+        |  (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier)""".stripMargin,
+      Seq("op", "k"))) { (s, d) =>
+    val c = Tables.customer(s, d).select(col("c_nationkey").as("k"))
+    val sup = Tables.supplier(s, d).select(col("s_nationkey").as("k"))
+    val u = c.union(sup).distinct().withColumn("op", lit("union"))
+    val i = c.intersect(sup).withColumn("op", lit("intersect"))
+    val e = c.except(sup).withColumn("op", lit("except"))
+    Canon(u.unionByName(i).unionByName(e).select("op", "k"))
+  }
+
+  // ---------------------------------------------------------------- Q18
+  /** Scalar string-function battery over part. */
+  val q18: QueryDef = QueryDef(
+    "q18_stringfns",
+    Sql.canon(
+      """SELECT p_partkey,
+        |  UPPER(p_name) AS up, LOWER(p_brand) AS lo,
+        |  SUBSTRING(p_name, 1, 5) AS sub5,
+        |  CAST(LENGTH(p_name) AS INT) AS len,
+        |  TRIM(CONCAT('  ', p_name, '  ')) AS trimmed,
+        |  CONCAT(p_name, '-', p_brand) AS joined,
+        |  (p_name LIKE '%widget%') AS has_widget,
+        |  REGEXP_EXTRACT(p_name, '([a-z]+)$', 1) AS last_word,
+        |  REPLACE(p_name, ' ', '_') AS snake,
+        |  CAST(STRPOS(p_name, 'e') AS INT) AS e_pos
+        |FROM part""".stripMargin,
+      Seq("p_partkey", "up", "lo", "sub5", "len", "trimmed", "joined",
+        "has_widget", "last_word", "snake", "e_pos"))) { (s, d) =>
+    Canon(Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("up"),
+      lower(col("p_brand")).as("lo"),
+      substring(col("p_name"), 1, 5).as("sub5"),
+      length(col("p_name")).as("len"),
+      trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+      concat(col("p_name"), lit("-"), col("p_brand")).as("joined"),
+      col("p_name").like("%widget%").as("has_widget"),
+      regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+      regexp_replace(col("p_name"), " ", "_").as("snake"),
+      instr(col("p_name"), "e").as("e_pos")))
+  }
+
+  // ---------------------------------------------------------------- Q19
+  /** Scalar date-function battery over orders. */
+  val q19: QueryDef = QueryDef(
+    "q19_datefns",
+    Sql.canon(
+      s"""SELECT o_orderkey,
+         |  CAST(YEAR(o_orderdate) AS INT) AS y,
+         |  CAST(MONTH(o_orderdate) AS INT) AS m,
+         |  CAST(DAY(o_orderdate) AS INT) AS dom,
+         |  CAST(QUARTER(o_orderdate) AS INT) AS q,
+         |  ${Sql.ts("date_trunc('month', o_orderdate)")} AS month_start,
+         |  CAST(DATEDIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since,
+         |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+         |  CAST(epoch(o_orderdate) AS BIGINT) AS unix_sec
+         |FROM orders""".stripMargin,
+      Seq("o_orderkey", "y", "m", "dom", "q", "month_start", "days_since",
+        "plus30", "unix_sec"))) { (s, d) =>
+    Canon(Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      quarter(col("o_orderdate")).as("q"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      datediff(col("o_orderdate"), lit("1995-01-01").cast(DateType)).as("days_since"),
+      date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+      unix_timestamp(col("o_orderdate")).as("unix_sec")))
+  }
+
+  // ---------------------------------------------------------------- Q20
+  /** Scalar math battery over lineitem; transcendentals rounded to 4dp. */
+  val q20: QueryDef = QueryDef(
+    "q20_mathfns",
+    Sql.canon(
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(SQRT(l_quantity), 4) AS sqrt_qty,
+        |  ROUND(LN(l_extendedprice), 4) AS ln_price,
+        |  ROUND(EXP(l_discount), 4) AS exp_disc,
+        |  ROUND(POWER(l_quantity, 2), 4) AS qty_sq,
+        |  ABS(l_quantity - 25.0) AS dist25,
+        |  CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS price_k,
+        |  CAST(CEIL(l_extendedprice / 1000.0) AS BIGINT) AS price_k_up,
+        |  CAST(ROUND(l_quantity*100) AS BIGINT) % 700 AS qty_mod7,
+        |  CAST(SIGN(l_discount - 0.05) AS INT) AS disc_sign
+        |FROM lineitem""".stripMargin,
+      Seq("l_orderkey", "l_linenumber", "sqrt_qty", "ln_price", "exp_disc",
+        "qty_sq", "dist25", "price_k", "price_k_up", "qty_mod7", "disc_sign"))) { (s, d) =>
+    Canon(Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(sqrt(col("l_quantity")), 4).as("sqrt_qty"),
+      round(log(col("l_extendedprice")), 4).as("ln_price"),
+      round(exp(col("l_discount")), 4).as("exp_disc"),
+      round(pow(col("l_quantity"), 2), 4).as("qty_sq"),
+      abs(col("l_quantity") - 25.0).as("dist25"),
+      floor(col("l_extendedprice") / 1000.0).as("price_k"),
+      ceil(col("l_extendedprice") / 1000.0).as("price_k_up"),
+      (round(col("l_quantity") * 100).cast(LongType) % 700).as("qty_mod7"),
+      signum(col("l_discount") - 0.05).cast(IntegerType).as("disc_sign")))
+  }
+
+  // ---------------------------------------------------------------- Q21
+  /** JSON access over events.props. */
+  val q21a: QueryDef = QueryDef(
+    "q21a_json",
+    Sql.canon(
+      s"""SELECT event_id, event_type,
+         |  CAST(json_extract_string(props, '$$.k') AS INT) AS k
+         |FROM events""".stripMargin,
+      Seq("event_id", "event_type", "k"))) { (s, d) =>
+    Canon(Tables.events(s, d).select(
+      col("event_id"), col("event_type"),
+      get_json_object(col("props"), "$.k").cast(IntegerType).as("k")))
+  }
+
+  /** Array functions over part names + embeddings element access. */
+  val q21b: QueryDef = QueryDef(
+    "q21b_arrays",
+    Sql.canon(
+      """SELECT p_partkey,
+        |  CAST(LEN(string_split(p_name, ' ')) AS INT) AS n_words,
+        |  list_contains(string_split(p_name, ' '), 'widget') AS has_widget,
+        |  array_to_string(list_sort(string_split(p_name, ' ')), '|') AS sorted_words,
+        |  string_split(p_name, ' ')[1] AS first_word
+        |FROM part""".stripMargin,
+      Seq("p_partkey", "n_words", "has_widget", "sorted_words", "first_word"))) { (s, d) =>
+    val words = split(col("p_name"), " ")
+    Canon(Tables.part(s, d).select(
+      col("p_partkey"),
+      size(words).as("n_words"),
+      array_contains(words, "widget").as("has_widget"),
+      concat_ws("|", sort_array(words)).as("sorted_words"),
+      element_at(words, 1).as("first_word")))
+  }
+
+  // ---------------------------------------------------------------- Q22
+  /** Correlated scalar subquery: orders above their customer's exact mean.
+    * Spark side decorrelates by hand (window mean — one shuffle, no join);
+    * the threshold arithmetic is exact so the comparison is deterministic.
+    */
+  val q22: QueryDef = QueryDef(
+    "q22_scalar_subq",
+    Sql.canon(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(ROUND(o2.o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+      Seq("o_orderkey", "o_custkey", "o_totalprice"))) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+    Canon(Tables.orders(s, d)
+      .withColumn("cust_avg",
+        sum(round(col("o_totalprice") * 100).cast(LongType)).over(w).cast(DoubleType) / 100.0 /
+          count(lit(1)).over(w))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .select("o_orderkey", "o_custkey", "o_totalprice"))
+  }
+
+  /** Correlated EXISTS with a predicate on the inner relation. */
+  val q22b: QueryDef = QueryDef(
+    "q22b_exists",
+    Sql.canon(
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)""".stripMargin,
+      Seq("c_custkey", "c_name"))) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+    Canon(c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name"))
+  }
+}

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{WebMercator, ZRange}
+import graft.functions.GeoColumns
+
+/** SURVEY.md §2.6 Q26–Q30: the reference's geospatial capabilities as
+  * declarative Spark queries — slippy tile math, Morton hashing, Z-range
+  * pruning (the reference's partition-pruning strategy,
+  * application.kt:371–400), bbox heatmap (application.kt:522–615) and
+  * haversine KNN.
+  *
+  * Points are derived arithmetically from `customer` (FIXTURES.md §B1) so the
+  * DuckDB oracle can rebuild them in pure SQL. All expressions are Spark
+  * built-ins (codegen, no UDFs).
+  */
+object Spatial {
+
+  val HashLevel = 13
+
+  def defs: Seq[QueryDef] = Seq(q26, q27, q28, q29, q30)
+
+  /** Spark-side synthetic points (B1). */
+  def points(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey").as("id"),
+      ((col("c_custkey") * 37 % 36000) / 100.0 - 180.0).as("lon"),
+      ((col("c_custkey") * 53 % 17000) / 100.0 - 85.0).as("lat"))
+
+  /** Oracle-side twin of [[points]]. */
+  private val PointsSql =
+    """SELECT c_custkey AS id,
+      |  ((c_custkey * 37) % 36000) / 100.0 - 180.0 AS lon,
+      |  ((c_custkey * 53) % 17000) / 100.0 - 85.0 AS lat
+      |FROM customer""".stripMargin
+
+  private def tileXSql(lon: String, z: Int): String =
+    s"CAST(FLOOR((($lon) + 180.0) / 360.0 * ${(1L << z).toDouble}) AS BIGINT)"
+  private def tileYSql(lat: String, z: Int): String =
+    s"CAST(FLOOR((1.0 - LN(TAN(RADIANS($lat)) + 1.0/COS(RADIANS($lat))) / PI()) / 2.0 * ${(1L << z).toDouble}) AS BIGINT)"
+
+  // ---------------------------------------------------------------- Q26
+  /** Slippy tile (x, y) at zoom 13 for every point. */
+  val q26: QueryDef = QueryDef(
+    "q26_tiles",
+    Sql.canon(
+      s"""SELECT id, lon, lat,
+         |  ${tileXSql("lon", HashLevel)} AS tx,
+         |  ${tileYSql("lat", HashLevel)} AS ty
+         |FROM ($PointsSql)""".stripMargin,
+      Seq("id", "lon", "lat", "tx", "ty"))) { (s, d) =>
+    Canon(points(s, d)
+      .withColumn("tx", GeoColumns.tileX(col("lon"), HashLevel))
+      .withColumn("ty", GeoColumns.tileY(col("lat"), HashLevel)))
+  }
+
+  // ---------------------------------------------------------------- Q27
+  /** Morton hash of the zoom-13 tile — the reference's partition key
+    * (Tyler.kt:127–134, zCurve.kt:20–31) as a codegen'd column expression.
+    */
+  val q27: QueryDef = QueryDef(
+    "q27_zcurve",
+    Sql.canon(
+      s"""SELECT id, tx, ty, ${Sql.interleave("tx", "ty", HashLevel)} AS hash
+         |FROM (
+         |  SELECT id,
+         |    ${tileXSql("lon", HashLevel)} AS tx,
+         |    ${tileYSql("lat", HashLevel)} AS ty
+         |  FROM ($PointsSql))""".stripMargin,
+      Seq("id", "tx", "ty", "hash"))) { (s, d) =>
+    Canon(points(s, d)
+      .withColumn("tx", GeoColumns.tileX(col("lon"), HashLevel))
+      .withColumn("ty", GeoColumns.tileY(col("lat"), HashLevel))
+      .withColumn("hash", GeoColumns.mortonHash(col("tx"), col("ty"), HashLevel))
+      .select("id", "tx", "ty", "hash"))
+  }
+
+  // ---------------------------------------------------------------- Q28
+  /** Z-range scan: count the points whose Morton hash falls inside the range
+    * of one z=9 tile — the T2 pruning semantics (application.kt:371–400) as a
+    * plain BETWEEN predicate. On a hash-sorted layout this is pure
+    * file/row-group pruning.
+    */
+  val q28: QueryDef = {
+    // the z=9 tile containing the point of c_custkey = 100
+    val lon = ((100L * 37) % 36000) / 100.0 - 180.0
+    val lat = ((100L * 53) % 17000) / 100.0 - 85.0
+    val (tx9, ty9) = (WebMercator.tileX(lon, 9), WebMercator.tileY(lat, 9))
+    val (lo, hi) = ZRange.rangeOf(9, tx9, ty9, HashLevel)
+    QueryDef(
+      "q28_zrange",
+      Sql.canon(
+        s"""SELECT COUNT(*) AS n_points, CAST(SUM(id) AS BIGINT) AS id_sum
+           |FROM (
+           |  SELECT id, ${Sql.interleave(tileXSql("lon", HashLevel), tileYSql("lat", HashLevel), HashLevel)} AS hash
+           |  FROM ($PointsSql))
+           |WHERE hash BETWEEN $lo AND $hi""".stripMargin,
+        Seq("n_points", "id_sum"))) { (s, d) =>
+      Canon(points(s, d)
+        .withColumn("hash", GeoColumns.mortonHash(
+          GeoColumns.tileX(col("lon"), HashLevel),
+          GeoColumns.tileY(col("lat"), HashLevel), HashLevel))
+        .filter(col("hash").between(lo, hi))
+        .agg(count(lit(1)).as("n_points"), sum(col("id")).as("id_sum")))
+    }
+  }
+
+  // ---------------------------------------------------------------- Q29
+  /** Bbox containment + 16x16 count heatmap — the reference's
+    * n-queries-per-cell heatmap (application.kt:534–599) collapsed into ONE
+    * groupBy (stage H1–H4 of SURVEY §2.3).
+    */
+  val q29: QueryDef = QueryDef(
+    "q29_heatmap",
+    Sql.canon(
+      """SELECT cell_x, cell_y, COUNT(*) AS n FROM (
+        |  SELECT CAST(FLOOR((lon - (-90.0)) / 180.0 * 16.0) AS BIGINT) AS cell_x,
+        |         CAST(FLOOR((lat - (-60.0)) / 120.0 * 16.0) AS BIGINT) AS cell_y
+        |  FROM (SELECT c_custkey AS id,
+        |          ((c_custkey * 37) % 36000) / 100.0 - 180.0 AS lon,
+        |          ((c_custkey * 53) % 17000) / 100.0 - 85.0 AS lat
+        |        FROM customer)
+        |  WHERE lon >= -90.0 AND lon < 90.0 AND lat >= -60.0 AND lat < 60.0
+        |) GROUP BY cell_x, cell_y""".stripMargin,
+      Seq("cell_x", "cell_y", "n"))) { (s, d) =>
+    Canon(points(s, d)
+      .filter(col("lon") >= -90.0 && col("lon") < 90.0 &&
+        col("lat") >= -60.0 && col("lat") < 60.0)
+      .groupBy(
+        floor((col("lon") - (-90.0)) / 180.0 * 16.0).as("cell_x"),
+        floor((col("lat") - (-60.0)) / 120.0 * 16.0).as("cell_y"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  // ---------------------------------------------------------------- Q30
+  /** Haversine top-50 nearest points to a fixed coordinate; ordering and the
+    * top-k cut both happen on the ROUNDED distance (+ id tie-break) so the
+    * selected set is deterministic across engines.
+    */
+  val q30: QueryDef = QueryDef(
+    "q30_haversine",
+    Sql.canon(
+      s"""SELECT id, lon, lat,
+         |  ROUND(2.0 * 6371.0 * ASIN(SQRT(
+         |    POWER(SIN(RADIANS(lat - 52.52) / 2), 2) +
+         |    COS(RADIANS(52.52)) * COS(RADIANS(lat)) * POWER(SIN(RADIANS(lon - 13.405) / 2), 2)
+         |  )), 4) AS dist_km
+         |FROM ($PointsSql)
+         |ORDER BY dist_km, id LIMIT 50""".stripMargin,
+      Seq("id", "lon", "lat", "dist_km"))) { (s, d) =>
+    Canon(points(s, d)
+      .withColumn("dist_km",
+        round(GeoColumns.haversineKmTo(col("lat"), col("lon"), 52.52, 13.405), 4))
+      .orderBy(col("dist_km").asc, col("id").asc)
+      .limit(50))
+  }
+}

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.6 Q31/Q32/Q34 + extensions: LLM-training-data text
+  * operators over `documents` — exact dedup, near-dup candidates with exact
+  * Jaccard verification, token statistics, quality scoring.
+  *
+  * Scale notes: every query is one scan + bounded shuffles. The q32 oracle
+  * query joins shingles inside (lang, length-window) buckets; the unbounded-
+  * scale variant is [[graft.operators.Dedup.minHashNearDups]] (MinHash-LSH
+  * band buckets instead of raw shingle join) — exposed as `x40_minhash_lsh`
+  * with the SAME oracle, since at 128 hashes / 32 bands the probability of
+  * LSH missing a Jaccard>=0.8 pair is ~1e-7.
+  */
+object TextOps {
+
+  def defs: Seq[QueryDef] = Seq(q31, q32, q34, q34b, x41_quality)
+
+  /** Distinct 5-gram character shingles, exploded: (doc_id, lang, n_chars, sh). */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= 5)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))"))).as("sh"))
+
+  /** Oracle twin of [[shingles]] (zipped-UNNEST form: DuckDB 1.0 does not
+    * allow lateral column args to the generate_series table function).
+    */
+  val ShinglesSql: String =
+    """SELECT DISTINCT doc_id, lang, n_chars, substr(text, i, 5) AS sh
+      |FROM (
+      |  SELECT doc_id, lang, n_chars, text,
+      |    UNNEST(generate_series(1, GREATEST(LENGTH(text) - 4, 0))) AS i
+      |  FROM documents)""".stripMargin
+
+  /** Exact Jaccard >= 0.8 pairs among same-lang, similar-length docs.
+    * Shared by q32 (shingle-join plan) and x40 (MinHash-LSH plan).
+    */
+  val NearDupOracle: String = Sql.canon(
+    s"""WITH s AS ($ShinglesSql),
+       |c AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM s a JOIN s b
+       |    ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+       |   AND ABS(a.n_chars - b.n_chars) * 2 <= GREATEST(a.n_chars, b.n_chars)
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+       |FROM p JOIN c ca ON p.doc_a = ca.doc_id JOIN c cb ON p.doc_b = cb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.8""".stripMargin,
+    Seq("doc_a", "doc_b", "jaccard"))
+
+  /** Exact Jaccard from a candidate-pair set (doc_a, doc_b). */
+  def exactJaccard(sh: DataFrame, candidates: DataFrame): DataFrame = {
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = candidates
+      .join(a, "doc_a").join(b, Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard", col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // ---------------------------------------------------------------- Q31
+  /** Exact dedup: group by content hash, keep min doc_id. */
+  val q31: QueryDef = QueryDef(
+    "q31_dedup_exact",
+    Sql.canon(
+      """SELECT md5(text) AS text_hash,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keeper,
+        |  COUNT(*) AS group_size
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+      Seq("text_hash", "keeper", "group_size"))) { (s, d) =>
+    Canon(Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("group_size")))
+  }
+
+  // ---------------------------------------------------------------- Q32
+  /** Near-dup detection, oracle-checkable plan: shingle equi-join inside
+    * (lang, length-window) buckets, then exact Jaccard. (The LSH-pruned
+    * variant is x40.)
+    */
+  val q32: QueryDef = QueryDef("q32_neardup", NearDupOracle) { (s, d) =>
+    val sh = shingles(Tables.documents(s, d)).cache()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("n_chars").as("nc_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("lang"), col("n_chars").as("nc_b"), col("sh"))
+    val inter = a.join(b,
+        a("sh") === b("sh") && a("lang") === b("lang") && a("doc_a") < b("doc_b") &&
+          abs(a("nc_a") - b("nc_b")) * 2 <= greatest(a("nc_a"), b("nc_b")))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val j = inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard", col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+    Canon(j)
+  }
+
+  // ---------------------------------------------------------------- Q34
+  /** Top-20 most frequent lowercase tokens (len >= 4). */
+  val q34: QueryDef = QueryDef(
+    "q34_tokens",
+    Sql.canon(
+      """SELECT tok, COUNT(*) AS n FROM (
+        |  SELECT UNNEST(string_split_regex(LOWER(text), '\s+')) AS tok FROM documents)
+        |WHERE LENGTH(tok) >= 4
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+      Seq("tok", "n"))) { (s, d) =>
+    Canon(Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) >= 4)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(20))
+  }
+
+  /** Per-language corpus statistics (exact integer arithmetic). */
+  val q34b: QueryDef = QueryDef(
+    "q34b_langstats",
+    Sql.canon(
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  CAST(SUM(LEN(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY lang""".stripMargin,
+      Seq("lang", "n_docs", "avg_chars", "total_tokens"))) { (s, d) =>
+    Canon(Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+        sum(size(split(col("text"), "\\s+")).cast(LongType)).as("total_tokens")))
+  }
+
+  // ---------------------------------------------------------------- x41
+  /** Text-quality scoring: punctuation/whitespace/token-length ratios —
+    * exact integer-derived arithmetic, oracle-checkable.
+    */
+  val x41_quality: QueryDef = QueryDef(
+    "x41_quality",
+    Sql.canon(
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(n_tok AS INT) AS n_tokens,
+        |  CAST(n_punct AS DOUBLE) / len AS punct_ratio,
+        |  CAST(n_space AS DOUBLE) / len AS space_ratio,
+        |  CAST(len - n_space AS DOUBLE) / n_tok AS mean_tok_len
+        |FROM (
+        |  SELECT doc_id, lang, n_chars, LENGTH(text) AS len,
+        |    LEN(string_split_regex(text, '\s+')) AS n_tok,
+        |    LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        |    LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_space
+        |  FROM documents)""".stripMargin,
+      Seq("doc_id", "lang", "n_chars", "n_tokens", "punct_ratio", "space_ratio",
+        "mean_tok_len"))) { (s, d) =>
+    Canon(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        length(col("text")).cast(LongType).as("len"),
+        size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+          .cast(LongType).as("n_punct"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+          .cast(LongType).as("n_space"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("n_tok").cast(IntegerType).as("n_tokens"),
+        (col("n_punct").cast(DoubleType) / col("len")).as("punct_ratio"),
+        (col("n_space").cast(DoubleType) / col("len")).as("space_ratio"),
+        ((col("len") - col("n_space")).cast(DoubleType) / col("n_tok")).as("mean_tok_len")))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.6 Q33/Q35 + extensions: similarity search and multimodal
+  * (text + vector) rows over `embeddings`.
+  *
+  * Vector math uses Spark's higher-order array functions (`zip_with` +
+  * `aggregate`) — no UDFs, no driver-side loops; floats are cast to double
+  * before arithmetic on both engines. Cosine scores are transcendental so
+  * they are rounded to 4dp, and every top-k cut orders by the ROUNDED score
+  * with an id tie-break (deterministic across engines).
+  */
+object VectorOps {
+
+  def defs: Seq[QueryDef] = Seq(q33, q35, x42_embed_neardup)
+
+  /** Sum of elementwise products (left-fold, doubles). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  // ---------------------------------------------------------------- Q33
+  /** Brute-force cosine top-10 to vector id 1 — the exact baseline; at scale
+    * this is one scan + TakeOrdered (per-partition top-k, no global sort).
+    * The LSH/IVF candidate-pruned variant is [[x43_ann_buckets]]-style and
+    * lives in [[graft.operators.Similarity]].
+    */
+  val q33: QueryDef = QueryDef(
+    "q33_knn",
+    Sql.canon(
+      """WITH ex AS (
+        |  SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+        |    UNNEST(generate_series(1, LEN(embedding))) AS i
+        |  FROM embeddings),
+        |q AS (SELECT i, x AS qx FROM ex WHERE vec_id = 1),
+        |pr AS (
+        |  SELECT e.vec_id, e.label,
+        |    SUM(e.x * q.qx) AS dt, SUM(e.x * e.x) AS na, SUM(q.qx * q.qx) AS nb
+        |  FROM ex e JOIN q ON e.i = q.i
+        |  WHERE e.vec_id != 1
+        |  GROUP BY e.vec_id, e.label)
+        |SELECT vec_id, label, ROUND(dt / (SQRT(na) * SQRT(nb)), 4) AS cos_sim
+        |FROM pr ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+      Seq("vec_id", "label", "cos_sim"))) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 1).select(col("embedding").as("qe"))
+    Canon(emb.filter(col("vec_id") =!= 1)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim",
+        round(dot(col("embedding"), col("qe")) /
+          (sqrt(norm2(col("embedding"))) * sqrt(norm2(col("qe")))), 4))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "label", "cos_sim"))
+  }
+
+  // ---------------------------------------------------------------- Q35
+  /** Multimodal row: text prefix + vector norm in one result (documents
+    * joined to embeddings on the shared id).
+    */
+  val q35: QueryDef = QueryDef(
+    "q35_multimodal",
+    Sql.canon(
+      """SELECT d.doc_id, d.lang, e.label,
+        |  SUBSTRING(d.text, 1, 40) AS prefix,
+        |  ROUND(SQRT(sq.na), 4) AS emb_norm
+        |FROM documents d
+        |JOIN embeddings e ON d.doc_id = e.vec_id
+        |JOIN (
+        |  SELECT vec_id, SUM(x * x) AS na FROM (
+        |    SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x FROM embeddings)
+        |  GROUP BY vec_id) sq ON sq.vec_id = e.vec_id
+        |WHERE e.label < 3""".stripMargin,
+      Seq("doc_id", "lang", "label", "prefix", "emb_norm"))) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d).filter(col("label") < 3)
+    Canon(docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(col("doc_id"), col("lang"), col("label"),
+        substring(col("text"), 1, 40).as("prefix"),
+        round(sqrt(norm2(col("embedding"))), 4).as("emb_norm")))
+  }
+
+  // ---------------------------------------------------------------- x42
+  /** Embedding near-duplicate pairs: cosine >= 0.95 inside label buckets.
+    * Bucketing bounds the pair explosion (the all-pairs join never leaves a
+    * bucket); the oracle replays the identical bucketed plan.
+    */
+  val x42_embed_neardup: QueryDef = QueryDef(
+    "x42_embed_neardup",
+    Sql.canon(
+      """WITH ex AS (
+        |  SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+        |    UNNEST(generate_series(1, LEN(embedding))) AS i
+        |  FROM embeddings),
+        |nrm AS (SELECT vec_id, SQRT(SUM(x * x)) AS nr FROM ex GROUP BY vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label, SUM(a.x * b.x) AS dt
+        |  FROM ex a JOIN ex b ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id, a.label)
+        |SELECT id_a, id_b, label, ROUND(dt / (na.nr * nb.nr), 4) AS cos_sim
+        |FROM p JOIN nrm na ON p.id_a = na.vec_id JOIN nrm nb ON p.id_b = nb.vec_id
+        |WHERE ROUND(dt / (na.nr * nb.nr), 4) >= 0.95""".stripMargin,
+      Seq("id_a", "id_b", "label", "cos_sim"))) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(norm2(col("embedding"))))
+    val a = emb.select(col("vec_id").as("id_a"), col("label"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("id_b"), col("label"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    Canon(a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+      .filter(col("cos_sim") >= 0.95)
+      .select("id_a", "id_b", "label", "cos_sim"))
+  }
+}
