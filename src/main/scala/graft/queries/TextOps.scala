@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.operators.Dedup
 
 /** SURVEY.md §2.6 Q31/Q32/Q34 + extensions: LLM-training-data text
   * operators over `documents` — exact dedup, near-dup candidates with exact
@@ -17,7 +18,9 @@ import org.apache.spark.sql.types._
   */
 object TextOps {
 
-  def defs: Seq[QueryDef] = Seq(q31, q32, q34, q34b, x41_quality)
+  def defs: Seq[QueryDef] =
+    Seq(q31, q32, q34, q34b, x40_minhash_lsh, x41_quality, x44_simhash,
+      x45_simhash_neardup)
 
   /** Distinct 5-gram character shingles, exploded: (doc_id, lang, n_chars, sh). */
   def shingles(docs: DataFrame): DataFrame =
@@ -141,6 +144,41 @@ object TextOps {
         count(lit(1)).as("n_docs"),
         (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
         sum(size(split(col("text"), "\\s+")).cast(LongType)).as("total_tokens")))
+  }
+
+  // ---------------------------------------------------------------- x40
+  /** The 100 TB near-dup plan: MinHash + banded LSH candidate generation,
+    * then exact Jaccard — checked against the SAME exhaustive oracle as q32.
+    * At 128 hashes / 32 bands the probability of LSH missing a true
+    * Jaccard>=0.8 pair is (1-0.8^4)^32 ≈ 5e-8, so the answers coincide; the
+    * join fans out per LSH *bucket* instead of per shared shingle.
+    */
+  val x40_minhash_lsh: QueryDef = QueryDef("x40_minhash_lsh", NearDupOracle) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val meta = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    // Restrict candidates to the oracle's (same-lang, length-window) buckets.
+    val bucketFilter: DataFrame => DataFrame = cands => cands
+      .join(meta.select(col("doc_id").as("doc_a"), col("lang").as("la"),
+        col("n_chars").as("nca")), "doc_a")
+      .join(meta.select(col("doc_id").as("doc_b"), col("lang").as("lb"),
+        col("n_chars").as("ncb")), "doc_b")
+      .filter(col("la") === col("lb") &&
+        abs(col("nca") - col("ncb")) * 2 <= greatest(col("nca"), col("ncb")))
+      .select("doc_a", "doc_b")
+    Canon(Dedup.minHashNearDups(docs, threshold = 0.8, bucketFilter = bucketFilter))
+  }
+
+  // ---------------------------------------------------------------- x44/x45
+  /** 64-bit SimHash fingerprints (rows-only: DuckDB has no xxhash64 twin). */
+  val x44_simhash: QueryDef = QueryDef.rowsOnly("x44_simhash") { (s, d) =>
+    Canon(Dedup.simHashFingerprints(Tables.documents(s, d)))
+  }
+
+  /** SimHash near-dup pairs at Hamming distance <= 3 (rows-only; recall vs
+    * the exact answer is property-tested in DedupSpec).
+    */
+  val x45_simhash_neardup: QueryDef = QueryDef.rowsOnly("x45_simhash_neardup") { (s, d) =>
+    Canon(Dedup.simHashNearDups(Tables.documents(s, d)))
   }
 
   // ---------------------------------------------------------------- x41

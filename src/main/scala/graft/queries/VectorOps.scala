@@ -87,9 +87,14 @@ object VectorOps {
   }
 
   // ---------------------------------------------------------------- x42
-  /** Embedding near-duplicate pairs: cosine >= 0.95 inside label buckets.
-    * Bucketing bounds the pair explosion (the all-pairs join never leaves a
-    * bucket); the oracle replays the identical bucketed plan.
+  /** Embedding near-duplicate pairs: top-20 most cosine-similar pairs inside
+    * label buckets. (The synthetic embeddings are near-random — max pairwise
+    * cosine ≈ 0.47 — so a fixed threshold gate would be trivially empty; a
+    * top-k cut on the ROUNDED score with id tie-breaks stays non-trivial and
+    * deterministic at every SF.) Bucketing bounds the pair explosion: the
+    * all-pairs join never leaves a bucket, and the top-k is a TakeOrdered
+    * (per-partition heaps, no global sort) — the same shape scales to 100 TB
+    * with any sub-bucketing (LSH bands) swapped in as a pre-filter.
     */
   val x42_embed_neardup: QueryDef = QueryDef(
     "x42_embed_neardup",
@@ -105,7 +110,7 @@ object VectorOps {
         |  GROUP BY a.vec_id, b.vec_id, a.label)
         |SELECT id_a, id_b, label, ROUND(dt / (na.nr * nb.nr), 4) AS cos_sim
         |FROM p JOIN nrm na ON p.id_a = na.vec_id JOIN nrm nb ON p.id_b = nb.vec_id
-        |WHERE ROUND(dt / (na.nr * nb.nr), 4) >= 0.95""".stripMargin,
+        |ORDER BY cos_sim DESC, id_a, id_b LIMIT 20""".stripMargin,
       Seq("id_a", "id_b", "label", "cos_sim"))) { (s, d) =>
     val emb = Tables.embeddings(s, d)
       .withColumn("nrm", sqrt(norm2(col("embedding"))))
@@ -116,7 +121,8 @@ object VectorOps {
     Canon(a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
-      .filter(col("cos_sim") >= 0.95)
+      .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
+      .limit(20)
       .select("id_a", "id_b", "label", "cos_sim"))
   }
 }
