@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`ARRAY<FLOAT>`), three interchangeable plans:
+  *
+  *  - [[bruteForceTopK]] — the exact baseline: one corpus scan, query batch
+  *    broadcast, per-query top-k via window rank (single query → Spark plans
+  *    a TakeOrderedAndProject; no global sort either way).
+  *  - [[annTopK]] — random-hyperplane LSH: 64 deterministic Gaussian planes →
+  *    sign bits → banded bucket join (only same-bucket pairs are scored),
+  *    exact cosine rerank of the candidates. The 100 TB path: corpus
+  *    signatures are computed in the same scan, the join fans out per
+  *    (band, bucket), and recall is tuned by bands x rowsPerBand.
+  *  - [[ivfTopK]] — IVF-style coarse quantization: corpus rows are assigned
+  *    to their nearest centroid cell once (broadcast centroids), queries
+  *    probe the `nprobe` nearest cells. Centroid selection is pluggable
+  *    (deterministic lowest-id sample by default; a k-means fit would slot in
+  *    unchanged) — the partition-by-cell layout is what matters at scale,
+  *    because a probe then touches `nprobe/nlist` of the data.
+  *
+  * All vector math uses codegen'd higher-order array functions (`zip_with` +
+  * `aggregate`), floats cast to double; no UDFs, no driver-side loops.
+  */
+object Similarity {
+
+  /** Sum of elementwise products (left fold over doubles). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Deterministic Gaussian hyperplanes (fixed-seed Box–Muller via
+    * scala.util.Random — same planes on every run and every executor).
+    */
+  def gaussianPlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** One packed bucket id per band: bits are the signs of the plane dots. */
+  def bandBuckets(emb: Column, planes: Array[Array[Double]], bands: Int): Column = {
+    val rows = planes.length / bands
+    val buckets = (0 until bands).map { b =>
+      (0 until rows).map { r =>
+        val plane = typedLit(planes(b * rows + r).toSeq)
+        when(dot(emb, plane) > 0, lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    array(buckets: _*)
+  }
+
+  /** Exact cosine top-k of each query over the whole corpus.
+    * @param corpus (vec_id, embedding, ...) — scanned once
+    * @param queries (query_id, qe) — broadcast
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("cos_sim", cosine(col("embedding"), col("qe")))
+    rank(scored, k)
+  }
+
+  /** LSH-pruned cosine top-k: only candidates sharing at least one
+    * (band, bucket) with the query are scored, then reranked exactly.
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numPlanes: Int = 64, bands: Int = 16, dim: Int = 64,
+              seed: Long = 42L): DataFrame = {
+    val planes = gaussianPlanes(numPlanes, dim, seed)
+    val c = corpus.select(col("vec_id"),
+      posexplode(bandBuckets(col("embedding"), planes, bands)).as(Seq("band", "bucket")))
+    val q = queries.select(col("query_id"),
+      posexplode(bandBuckets(col("qe"), planes, bands)).as(Seq("band", "bucket")))
+    val cands = c.join(broadcast(q), Seq("band", "bucket"))
+      .select("query_id", "vec_id").distinct()
+    val scored = cands
+      .join(corpus, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("cos_sim", cosine(col("embedding"), col("qe")))
+    rank(scored, k)
+  }
+
+  /** IVF coarse-quantized top-k. Corpus is assigned to nearest-centroid
+    * cells once; each query probes its `nprobe` nearest cells.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = corpus.orderBy(col("vec_id").asc).limit(nlist)
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"))
+    val byCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("cell").asc)
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", cosine(col("embedding"), col("ce")))
+      .withColumn("rn", row_number().over(byCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_sim").desc, col("cell").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", cosine(col("qe"), col("ce")))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cell"))
+    val scored = assigned.join(broadcast(probes), "cell")
+      .withColumn("cos_sim", cosine(col("embedding"), col("qe")))
+    rank(scored, k)
+  }
+
+  /** Per-query top-k on (rounded) score with vec_id tie-break; excludes the
+    * query vector itself when ids collide.
+    */
+  private def rank(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"),
+        round(col("cos_sim"), 4).as("cos_sim"), col("rnk"))
+  }
+}

@@ -15,7 +15,28 @@ import org.apache.spark.sql.types._
   */
 object VectorOps {
 
-  def defs: Seq[QueryDef] = Seq(q33, q35, x42_embed_neardup)
+  def defs: Seq[QueryDef] =
+    Seq(q33, q35, x42_embed_neardup, x43_ann_lsh, x43b_ann_ivf)
+
+  // ---------------------------------------------------------------- x43
+  /** ANN top-10 neighbors of vec_id 1 via random-hyperplane LSH buckets with
+    * exact rerank (rows-only: the candidate set is approximate; recall vs the
+    * exact q33 answer is asserted in SimilaritySpec).
+    */
+  val x43_ann_lsh: QueryDef = QueryDef.rowsOnly("x43_ann_lsh") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    Canon(graft.operators.Similarity.annTopK(emb, q, k = 10))
+  }
+
+  /** ANN top-10 via IVF coarse quantization (rows-only, same spec gate). */
+  val x43b_ann_ivf: QueryDef = QueryDef.rowsOnly("x43b_ann_ivf") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    Canon(graft.operators.Similarity.ivfTopK(emb, q, k = 10))
+  }
 
   /** Sum of elementwise products (left-fold, doubles). */
   def dot(a: Column, b: Column): Column =
