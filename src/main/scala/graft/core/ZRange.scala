@@ -42,14 +42,42 @@ object ZRange {
     val x1 = math.min(max, math.floor(((x + 1) + bufferFrac) * scale - 1e-12).toInt)
     val y0 = math.max(0, math.floor((y - bufferFrac) * scale).toInt)
     val y1 = math.min(max, math.floor(((y + 1) + bufferFrac) * scale - 1e-12).toInt)
-    val ranges = for {
-      cy <- y0 to y1
-      cx <- x0 to x1
-    } yield {
-      val h = ZCurve.interleave(cx, cy)
-      (h, h)
+    // granularity cap: quads no finer than 2^5 subdivisions of the tile keep
+    // the range list (and the pruning predicate) small; the ≤3% over-scan is
+    // discarded by the clip / cell-bound filters downstream
+    decompose(x0, x1, y0, y1, hashLevel, math.min(hashLevel, z + 5))
+  }
+
+  /** Morton ranges covering the cell rectangle [x0,x1]×[y0,y1] (inclusive,
+    * hashLevel-cell coords), built by recursive quadtree decomposition into
+    * maximal aligned quads — each aligned quad is ONE contiguous Morton
+    * range, so the output size is O(perimeter · log) instead of O(area):
+    * a z=0 request is exactly one range, not 2^26 singletons.
+    *
+    * `maxLevel` caps the subdivision: intersecting quads at that level are
+    * emitted whole (a bounded over-approximation of the rectangle) — the
+    * standard S2-style max-cells trade of scan precision for predicate size.
+    */
+  def decompose(x0: Int, x1: Int, y0: Int, y1: Int, hashLevel: Int,
+                maxLevel: Int = Int.MaxValue): Seq[(Int, Int)] = {
+    val stop = math.min(hashLevel, maxLevel)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    def rec(qx: Int, qy: Int, level: Int): Unit = {
+      val d = hashLevel - level
+      val cx0 = qx << d; val cx1 = ((qx + 1) << d) - 1
+      val cy0 = qy << d; val cy1 = ((qy + 1) << d) - 1
+      if (cx1 < x0 || cx0 > x1 || cy1 < y0 || cy0 > y1) return // disjoint
+      if ((cx0 >= x0 && cx1 <= x1 && cy0 >= y0 && cy1 <= y1) || level >= stop) {
+        out += ((ZCurve.interleave(cx0, cy0), ZCurve.interleave(cx1, cy1)))
+      } else {
+        rec(qx << 1, qy << 1, level + 1)
+        rec((qx << 1) | 1, qy << 1, level + 1)
+        rec(qx << 1, (qy << 1) | 1, level + 1)
+        rec((qx << 1) | 1, (qy << 1) | 1, level + 1)
+      }
     }
-    mergeRanges(ranges)
+    rec(0, 0, 0)
+    mergeRanges(out.toSeq)
   }
 
   /** Merge sorted-or-unsorted inclusive ranges that touch or overlap. */

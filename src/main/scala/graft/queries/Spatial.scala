@@ -19,7 +19,7 @@ object Spatial {
 
   val HashLevel = 13
 
-  def defs: Seq[QueryDef] = Seq(q26, q27, q28, q29, q30)
+  def defs: Seq[QueryDef] = Seq(q26, q27, q28, q29, q30, x46_tile, x47_heatmap)
 
   /** Spark-side synthetic points (B1). */
   def points(s: SparkSession, d: String): DataFrame =
@@ -131,6 +131,41 @@ object Spatial {
         floor((col("lon") - (-90.0)) / 180.0 * 16.0).as("cell_x"),
         floor((col("lat") - (-60.0)) / 120.0 * 16.0).as("cell_y"))
       .agg(count(lit(1)).as("n")))
+  }
+
+  /** A tank-shaped features table derived from B1 points (WKT geometry +
+    * Morton hash partition key), entirely with codegen'd expressions.
+    */
+  def features(s: SparkSession, d: String): DataFrame =
+    points(s, d).select(
+      GeoColumns.mortonHash(
+        GeoColumns.tileX(col("lon"), HashLevel),
+        GeoColumns.tileY(col("lat"), HashLevel), HashLevel).cast("int").as("hash"),
+      concat(lit("uid-"), col("id")).as("uid"),
+      lit("poi").as("class"),
+      col("id").cast("double").as("value"),
+      concat(lit("POINT ("), col("lon"), lit(" "), col("lat"), lit(")")).as("geometry"))
+
+  // the z=9 tile containing the point of c_custkey = 100 (same as q28)
+  private val (t9x, t9y) = {
+    val lon = ((100L * 37) % 36000) / 100.0 - 180.0
+    val lat = ((100L * 53) % 17000) / 100.0 - 85.0
+    (WebMercator.tileX(lon, 9), WebMercator.tileY(lat, 9))
+  }
+
+  // ---------------------------------------------------------------- x46/x47
+  /** The reference's core read product — the vector-tile query (SURVEY §2.2
+    * T1–T7) — as one pruned scan + clip over the features table (rows-only:
+    * MVT geometry bytes are golden-tested in TileServiceSpec, not
+    * SQL-expressible).
+    */
+  val x46_tile: QueryDef = QueryDef.rowsOnly("x46_tile") { (s, d) =>
+    Canon(graft.tiles.TileService.tileDf(features(s, d), 9, t9x, t9y))
+  }
+
+  /** The count-heatmap query (SURVEY §2.3 H1–H4) as one groupBy. */
+  val x47_heatmap: QueryDef = QueryDef.rowsOnly("x47_heatmap") { (s, d) =>
+    Canon(graft.tiles.TileService.heatmapDf(features(s, d), 9, t9x, t9y))
   }
 
   // ---------------------------------------------------------------- Q30
