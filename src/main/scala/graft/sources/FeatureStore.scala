@@ -1,0 +1,201 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tiles.GeomUdfs
+
+/** Feature ingest + storage: the Spark-native reproduction of the reference's
+  * write path and CRUD surface (SURVEY.md §1.2-§1.3, §2.4):
+  *
+  *  - GeoJSON FeatureCollection and NDJSON readers (A2/A3).
+  *  - The §1.3 lenient coercion matrix with tank's defaults: missing
+  *    property → type default; string in an int field or unparseable number →
+  *    the row goes to the DEAD-LETTER output with its original JSON (the
+  *    Exhauster channel, Tyler.kt:152-169 / Exhauster.kt:28-40), never into
+  *    the table.
+  *  - Key assignment (I4): uid from the feature id (deterministic md5-uuid
+  *    when absent — deviation from tank's random UUID, for replayability),
+  *    Morton `hash` of the geometry centroid at hashLevel, ingest timestamp.
+  *  - Storage layout designed for the 100 TB path: rows range-partitioned
+  *    and sorted by `hash`, so every parquet file covers a narrow Morton
+  *    range and tile reads prune on file-level min/max statistics — the
+  *    moral equivalent of tank's Cassandra partition key.
+  *  - CRUD (A4-A6) + Z-range tile delete (A8) as copy-on-write snapshot
+  *    rewrites (the plain-parquet analog of Delta DELETE/MERGE).
+  *
+  * Attr types supported: int | double | text | date (application.conf:44-54
+  * semantics; `timestamp`/`uuid` are engine-assigned reserved columns).
+  */
+object FeatureStore {
+
+  final case class AttrField(name: String, typ: String)
+
+  final case class StoreConfig(
+      path: String,
+      attrs: Seq[AttrField],
+      hashLevel: Int = 13,
+      targetFileRows: Int = 4 * 1000 * 1000,
+      ingestTime: String = "2026-01-01 00:00:00")
+
+  /** Columns every feature row carries besides user attrs. */
+  private val Reserved = Seq("hash", "uid", "timestamp", "geometry")
+
+  // ------------------------------------------------------------- readers
+
+  /** NDJSON: one GeoJSON feature per line (A3 `geojson=false`). */
+  def readNdjson(spark: SparkSession, path: String, cfg: StoreConfig): Ingested =
+    ingest(spark.read.text(path).select(col("value").as("raw")), cfg)
+
+  /** One whole FeatureCollection document (A3 `geojson=true`). */
+  def readFeatureCollection(spark: SparkSession, path: String, cfg: StoreConfig): Ingested = {
+    val raw = spark.read.option("multiLine", "true").json(path)
+      .select(explode(col("features")).as("f"))
+      .select(to_json(col("f")).as("raw"))
+    ingest(raw, cfg)
+  }
+
+  /** Ingest result: coerced rows ready to write + dead-letter rows. */
+  final case class Ingested(good: DataFrame, rejected: DataFrame)
+
+  /** The coercion matrix over raw feature-JSON rows (column `raw`). */
+  def ingest(raw: DataFrame, cfg: StoreConfig): Ingested = {
+    val geomWkt = udf((g: String) => GeoJson.toWkt(g))
+    val hashUdf = udf((wkt: String) => GeomUdfs.centroidHash(wkt, cfg.hashLevel))
+
+    var df = raw
+      .withColumn("_geomjson", get_json_object(col("raw"), "$.geometry"))
+      .withColumn("_props", get_json_object(col("raw"), "$.properties"))
+      .withColumn("_id", get_json_object(col("raw"), "$.id"))
+      .withColumn("geometry", geomWkt(col("_geomjson")))
+
+    // per-attr: raw JSON text of the property (null if absent), plus a flag
+    // for "was a JSON string" (quotes in the raw JSON) — tank's coercion is
+    // type-directed on the parsed JSON value (Tyler.kt:75-116)
+    val attrChecks: Seq[(Column, Column)] = cfg.attrs.map { a =>
+      val v = get_json_object(col("_props"), s"$$.${a.name}")
+      val wasString = regexp_extract(col("_props"),
+        "\"" + java.util.regex.Pattern.quote(a.name) + "\"\\s*:\\s*\"", 0) =!= ""
+      val (coerced, bad) = a.typ match {
+        case "int" =>
+          // accepts integral JSON numbers only (IntValue, Tyler.kt:76);
+          // strings and non-integral numbers dead-letter
+          (coalesce(try_cast_long(v), lit(0L)).cast("int"),
+            v.isNotNull && (wasString || try_cast_long(v).isNull))
+        case "double" =>
+          // accepts numbers and numeric strings (Tyler.kt:77-87)
+          (coalesce(try_cast_double(v), lit(0.0)),
+            v.isNotNull && try_cast_double(v).isNull)
+        case "date" =>
+          // parsed from the NAMED property (deviation D3: tank hard-codes
+          // `img_date`, Tyler.kt:100-102); default 1970-01-01 (Tyler.kt:111)
+          (coalesce(try_to_date_col(v), to_date(lit("1970-01-01"))),
+            v.isNotNull && try_to_date_col(v).isNull)
+        case _ => // text: lenient from any scalar, default ""
+          (coalesce(v, lit("")), lit(false))
+      }
+      df = df.withColumn(a.name, coerced).withColumn(s"_bad_${a.name}", bad)
+      (coerced, bad)
+    }
+
+    val anyBad = (col("geometry").isNull +: attrChecks.map(_._2))
+      .reduce(_ || _)
+    val withFlags = df.withColumn("_rejected", anyBad)
+
+    val good = withFlags.filter(!col("_rejected"))
+      .withColumn("uid",
+        coalesce(col("_id"),
+          // deterministic uuid-shaped id from the feature body
+          concat_ws("-",
+            substring(md5(col("raw")), 1, 8), substring(md5(col("raw")), 9, 4),
+            substring(md5(col("raw")), 13, 4), substring(md5(col("raw")), 17, 4),
+            substring(md5(col("raw")), 21, 12))))
+      .withColumn("hash", hashUdf(col("geometry")))
+      .withColumn("timestamp", to_timestamp(lit(cfg.ingestTime)))
+      .select((Reserved.map(col) ++ cfg.attrs.map(a => col(a.name))): _*)
+
+    val rejected = withFlags.filter(col("_rejected")).select(col("raw"))
+    Ingested(good, rejected)
+  }
+
+  // try_* helpers (ANSI-safe lenient casts)
+  private def try_cast_long(c: Column): Column = c.try_cast("long")
+  private def try_cast_double(c: Column): Column = c.try_cast("double")
+  private def try_to_date_col(c: Column): Column = try_to_timestamp(c).cast("date")
+
+  // ------------------------------------------------------------- storage
+
+  /** Write/overwrite the store: range-partitioned + sorted by `hash` so file
+    * min/max stats align with Morton ranges (tile reads prune to O(tile)
+    * files at any table size).
+    */
+  def write(df: DataFrame, cfg: StoreConfig, partitions: Int = 0): Unit = {
+    val n = if (partitions > 0) partitions
+      else math.max(1, (df.count() / cfg.targetFileRows).toInt)
+    df.repartitionByRange(n, col("hash"), col("uid"))
+      .sortWithinPartitions("hash")
+      .write.mode(SaveMode.Overwrite).parquet(cfg.path)
+  }
+
+  def read(spark: SparkSession, cfg: StoreConfig): DataFrame =
+    spark.read.parquet(cfg.path)
+
+  /** Dead-letter sink (the Exhauster channel): original JSON only. */
+  def writeRejected(rejected: DataFrame, cfg: StoreConfig): Unit =
+    rejected.write.mode(SaveMode.Append).parquet(s"${cfg.path}_rejected")
+
+  // ------------------------------------------------------------- CRUD
+
+  /** A4: point lookup by uid (plain pushed-down filter). */
+  def lookup(spark: SparkSession, cfg: StoreConfig, uid: String): DataFrame =
+    read(spark, cfg).filter(col("uid") === uid)
+
+  /** A5: delete by uid — copy-on-write snapshot rewrite. */
+  def delete(spark: SparkSession, cfg: StoreConfig, uid: String): Unit =
+    rewrite(spark, cfg, _.filter(col("uid") =!= uid))
+
+  /** A6: update = replace geometry/attrs of one uid, preserving every column
+    * not supplied (tank re-imports the merged feature, application.kt:317-348).
+    */
+  def update(spark: SparkSession, cfg: StoreConfig, uid: String,
+             newGeometryWkt: Option[String],
+             newAttrs: Map[String, Any]): Unit = {
+    val hashUdf = udf((wkt: String) => GeomUdfs.centroidHash(wkt, cfg.hashLevel))
+    rewrite(spark, cfg, df => {
+      val updatedGeom = newGeometryWkt match {
+        case Some(w) =>
+          when(col("uid") === uid, lit(w)).otherwise(col("geometry"))
+        case None => col("geometry")
+      }
+      val withAttrs = newAttrs.foldLeft(df.withColumn("geometry", updatedGeom)) {
+        case (d, (k, v)) =>
+          d.withColumn(k, when(col("uid") === uid, lit(v)).otherwise(col(k)))
+      }
+      withAttrs.withColumn("hash",
+        when(col("uid") === uid, hashUdf(col("geometry"))).otherwise(col("hash")))
+    })
+  }
+
+  /** A8: bulk delete of every feature in a tile's Z-range. */
+  def deleteTile(spark: SparkSession, cfg: StoreConfig, z: Int, x: Int, y: Int): Unit = {
+    val ranges = graft.core.ZRange.coverWithBuffer(z, x, y, cfg.hashLevel, 0.0)
+    val inTile = ranges.map { case (lo, hi) => col("hash").between(lo, hi) }
+      .reduce(_ || _)
+    rewrite(spark, cfg, _.filter(!inTile))
+  }
+
+  /** Copy-on-write snapshot: materialize the transformed table, swap dirs.
+    * (With Delta this is a DELETE/MERGE; plain parquet needs the tmp-swap.)
+    */
+  private def rewrite(spark: SparkSession, cfg: StoreConfig,
+                      f: DataFrame => DataFrame): Unit = {
+    val tmp = cfg.path + "_tmp"
+    val next = f(read(spark, cfg)).cache()
+    next.write.mode(SaveMode.Overwrite).parquet(tmp)
+    next.unpersist()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(cfg.path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+}

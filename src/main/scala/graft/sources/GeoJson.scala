@@ -1,0 +1,42 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Minimal GeoJSON-geometry → WKT converter (Jackson is already on Spark's
+  * classpath; JTS has no GeoJSON reader in jts-core). Covers the geometry
+  * types the reference ingests (`/root/reference/src/main/kotlin/io/marauder/
+  * tank/application.kt:386-392` handles Polygon explicitly; the charged
+  * models cover the rest of the simple-feature set).
+  */
+object GeoJson {
+
+  @transient private lazy val mappers =
+    ThreadLocal.withInitial[ObjectMapper](() => new ObjectMapper())
+
+  def toWkt(geometryJson: String): String = {
+    if (geometryJson == null) return null
+    try {
+      val node = mappers.get.readTree(geometryJson)
+      val t = node.get("type").asText()
+      val c = node.get("coordinates")
+      t match {
+        case "Point" => s"POINT (${pos(c)})"
+        case "MultiPoint" => s"MULTIPOINT (${seq(c, pos)})"
+        case "LineString" => s"LINESTRING (${seq(c, pos)})"
+        case "MultiLineString" => s"MULTILINESTRING (${seq(c, n => s"(${seq(n, pos)})")})"
+        case "Polygon" => s"POLYGON (${seq(c, n => s"(${seq(n, pos)})")})"
+        case "MultiPolygon" =>
+          s"MULTIPOLYGON (${seq(c, p => s"(${seq(p, n => s"(${seq(n, pos)})")})")})"
+        case _ => null
+      }
+    } catch { case _: Exception => null }
+  }
+
+  private def pos(n: JsonNode): String =
+    s"${n.get(0).asDouble()} ${n.get(1).asDouble()}"
+
+  private def seq(n: JsonNode, f: JsonNode => String): String = {
+    val parts = (0 until n.size()).map(i => f(n.get(i)))
+    parts.mkString(", ")
+  }
+}
