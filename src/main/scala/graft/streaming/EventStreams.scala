@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming twins of the engine's event pipelines.
+  *
+  * The reference's only streaming surface is the bulk-ingest file runner
+  * (`/root/reference/src/main/kotlin/io/marauder/tank/FileWaitGroup.kt:19-73`:
+  * poll dir → `.lock` rename → ≤2 concurrent files). [[ingestStream]] is its
+  * Spark-native equivalent (file source with `maxFilesPerTrigger`, exactly-
+  * once bookkeeping via checkpoint instead of rename locks). The windowed
+  * aggregations are the streaming forms of the Q23–Q25 batch queries, with
+  * explicit watermark/late-data policy; [[sessionize]] shows arbitrary
+  * stateful processing (flatMapGroupsWithState) for custom session logic
+  * beyond `session_window`.
+  *
+  * Scale posture: every aggregation keys its state by (window, event_type)
+  * or (user, session) — state size is bounded by the watermark horizon, not
+  * by stream length; no per-event driver work.
+  */
+object EventStreams {
+
+  /** File-source streaming ingest of events-shaped NDJSON (A3's twin). */
+  def ingestStream(spark: SparkSession, dir: String,
+                   maxFilesPerTrigger: Int = 2): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** Per-type counts + value sums in 1-hour tumbling windows (Q23 twin).
+    * Events later than the watermark horizon are dropped; in Append mode a
+    * window emits once, when the watermark passes its end.
+    */
+  def tumblingCounts(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("value_sum"))
+
+  /** 1-hour windows sliding every 15 minutes (Q24 twin). */
+  def slidingCounts(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Per-user session windows with a 30-minute gap (Q25 twin). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"), col("value_sum"))
+
+  // ------------------------------------------------ custom session state
+
+  final case class Ev(ts: java.sql.Timestamp, user_id: Long,
+                      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, sum: Double)
+  final case class SessionOut(user_id: Long, start: java.sql.Timestamp,
+                              end: java.sql.Timestamp, n_events: Int,
+                              value_sum: Double)
+
+  /** Custom sessionization via flatMapGroupsWithState: emits a session when
+    * the gap elapses (event-time timeout), carrying arbitrary per-session
+    * aggregates — the escape hatch `session_window` can't express (e.g.
+    * value-dependent gaps or mid-session triggers).
+    */
+  def sessionize(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (evs.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n, s.sum))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                    sum = s.sum + e.value))
+                case Some(s) =>
+                  closed += SessionOut(user, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+}
