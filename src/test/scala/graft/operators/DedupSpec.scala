@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Small synthetic corpus with exact dups, near-dups and unrelated docs. */
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog in the morning sun"),
+    (2L, "the quick brown fox jumps over the lazy dog in the morning sun"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog in the evening sun"), // near-dup of 1
+    (4L, "completely different content about distributed query processing engines"),
+    (5L, "completely different content about distributed query processing systems"), // near-dup of 4
+    (6L, "zzz unrelated short text qqq")
+  ).toDF("doc_id", "text")
+
+  test("exactDuplicates groups identical texts and keeps the min id") {
+    val g = Dedup.exactDuplicates(docs).collect()
+    val dupGroup = g.find(_.getAs[Long]("group_size") == 2L)
+    assert(dupGroup.isDefined)
+    assert(dupGroup.get.getAs[Long]("keeper") == 1L)
+    assert(g.length == 5) // 6 docs, one pair collapsed
+  }
+
+  test("minHashNearDups finds the true near-dup pairs with exact jaccard") {
+    val pairs = Dedup.minHashNearDups(docs, threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)), s"exact dup pair missed: ${keys}")
+    assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L)), s"near-dup missed: ${keys}")
+    assert(keys.contains((4L, 5L)), s"near-dup missed: ${keys}")
+    assert(!keys.exists { case (a, b) => Set(a, b).contains(6L) }, "false positive with unrelated doc")
+    // exact-dup pair has jaccard exactly 1.0
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 2L))).get._3 == 1.0)
+  }
+
+  test("LSH candidates are a superset of the verified near-dup pairs") {
+    val sh = Dedup.shingle(docs)
+    val cands = Dedup.lshCandidates(Dedup.minHashSignatures(sh))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.minHashNearDups(docs, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(verified.subsetOf(cands))
+  }
+
+  test("simhash: exact dups collide, near-dups are close, unrelated are far") {
+    val fp = Dedup.simHashFingerprints(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(fp(1L) == fp(2L), "identical docs must have identical simhash")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(3L)) < ham(fp(1L), fp(6L)),
+      "near-dup should be closer than unrelated doc")
+  }
+
+  test("simHashNearDups at distance<=3 returns the exact-dup pair") {
+    val pairs = Dedup.simHashNearDups(docs, maxDist = 3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}
