@@ -20,7 +20,7 @@ object TextOps {
 
   def defs: Seq[QueryDef] =
     Seq(q31, q32, q34, q34b, x40_minhash_lsh, x41_quality, x44_simhash,
-      x45_simhash_neardup)
+      x45_simhash_neardup, x48_langid, x49_fingerprint, x50_bpe_tokens)
 
   /** Distinct 5-gram character shingles, exploded: (doc_id, lang, n_chars, sh). */
   def shingles(docs: DataFrame): DataFrame =
@@ -179,6 +179,55 @@ object TextOps {
     */
   val x45_simhash_neardup: QueryDef = QueryDef.rowsOnly("x45_simhash_neardup") { (s, d) =>
     Canon(Dedup.simHashNearDups(Tables.documents(s, d)))
+  }
+
+  // ---------------------------------------------------------------- x48
+  /** Stopword-profile language ID ([[graft.operators.TextAnalysis]]); the
+    * oracle replays the identical marker counting + first-wins argmax, so
+    * the prediction is deterministic and hash-checkable.
+    */
+  val x48_langid: QueryDef = {
+    val profiles = graft.operators.TextAnalysis.LangProfiles
+    def scoreSql(markers: Seq[String]): String =
+      s"LEN(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> t IN (${markers.map(m => s"'$m'").mkString(",")})))"
+    val scoreCols = profiles.map { case (l, m) => s"${scoreSql(m)} AS s_$l" }
+    val mx = s"GREATEST(${profiles.map(p => s"s_${p._1}").mkString(",")})"
+    val pred = profiles.reverse.foldLeft("CAST(NULL AS VARCHAR)") {
+      case (els, (lang, _)) => s"CASE WHEN s_$lang = $mx THEN '$lang' ELSE $els END"
+    }
+    QueryDef(
+      "x48_langid",
+      Sql.canon(
+        s"""SELECT doc_id, $pred AS pred_lang, CAST($mx AS INT) AS score
+           |FROM (SELECT doc_id, ${scoreCols.mkString(", ")} FROM documents)""".stripMargin,
+        Seq("doc_id", "pred_lang", "score"))) { (s, d) =>
+      Canon(graft.operators.TextAnalysis.languageId(Tables.documents(s, d)))
+    }
+  }
+
+  // ---------------------------------------------------------------- x49
+  /** Winnowing fingerprint summary (rows-only: xxhash64 has no DuckDB twin;
+    * set semantics are property-tested in TextAnalysisSpec).
+    */
+  val x49_fingerprint: QueryDef = QueryDef.rowsOnly("x49_fingerprint") { (s, d) =>
+    Canon(graft.operators.TextAnalysis.fingerprintSummary(Tables.documents(s, d)))
+  }
+
+  // ---------------------------------------------------------------- x50
+  /** BPE-ish regex token statistics; the oracle tokenizes with the same
+    * RE2/Java-compatible pattern.
+    */
+  val x50_bpe_tokens: QueryDef = QueryDef(
+    "x50_bpe_tokens",
+    Sql.canon(
+      s"""SELECT doc_id,
+         |  CAST(LEN(toks) AS INT) AS n_tokens,
+         |  CAST(LEN(LIST_DISTINCT(toks)) AS INT) AS n_unique
+         |FROM (SELECT doc_id,
+         |  regexp_extract_all(text, '${graft.operators.TextAnalysis.BpeTokenPattern}') AS toks
+         |  FROM documents)""".stripMargin,
+      Seq("doc_id", "n_tokens", "n_unique"))) { (s, d) =>
+    Canon(graft.operators.TextAnalysis.bpeTokenStats(Tables.documents(s, d)))
   }
 
   // ---------------------------------------------------------------- x41
