@@ -16,7 +16,21 @@ import org.apache.spark.sql.types._
 object VectorOps {
 
   def defs: Seq[QueryDef] =
-    Seq(q33, q35, x42_embed_neardup, x43_ann_lsh, x43b_ann_ivf)
+    Seq(q33, q35, x42_embed_neardup, x43_ann_lsh, x43b_ann_ivf,
+      x51_multimodal_features)
+
+  /** Multimodal plumbing on the driver surface: synthetic binary media from
+    * `documents` → batched (stub-)decode → fixed-dim features (rows-only;
+    * kernel semantics are property-tested in MultimodalSpec).
+    */
+  val x51_multimodal_features: QueryDef =
+    QueryDef.rowsOnly("x51_multimodal_features") { (s, d) =>
+      import graft.operators.Multimodal
+      val feats = Multimodal.extractFeatures(
+        Multimodal.syntheticMedia(Tables.documents(s, d)))
+      Canon(feats.select(col("media_id"), col("kind"),
+        round(sqrt(norm2(col("feature"))), 4).as("feature_norm")))
+    }
 
   // ---------------------------------------------------------------- x43
   /** ANN top-10 neighbors of vec_id 1 via random-hyperplane LSH buckets with
