@@ -18,7 +18,20 @@ object Relational {
 
   def defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q08b, q09, q10, q11, q12, q13,
-    q14, q15, q16, q17, q18, q19, q20, q21a, q21b, q22, q22b)
+    q14, q15, q16, q17, q18, q19, q20, q21a, q21b, q22, q22b,
+    x52_approx_distinct)
+
+  /** HyperLogLog approximate distinct counts per group (rows-only: DuckDB's
+    * approx_count_distinct uses a different sketch, so values differ; the
+    * ±5%-of-exact bound is asserted in ApproxSpec).
+    */
+  val x52_approx_distinct: QueryDef =
+    QueryDef.rowsOnly("x52_approx_distinct") { (s, d) =>
+      Canon(Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("approx_supps")))
+    }
 
   // ---------------------------------------------------------------- Q01
   /** TPC-H Q1-style pricing summary: one pruned scan + hash aggregate. */

@@ -1,0 +1,66 @@
+package graft.tiles
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+import graft.core.{ZCurve, ZRange}
+
+/** Serving-layer tile cache with spatial invalidation — the engine-side
+  * equivalent of the reference's memcached + RegionManager pair
+  * (`/root/reference/src/main/kotlin/io/marauder/tank/application.kt:358-362,
+  * 469-471` and `cache/RegionManager.kt:25-177`): tank tracks bbox "regions"
+  * of recent inserts and walks a quadtree from the root, invalidating every
+  * cached tile whose node intersects a region (`coveredBy` → whole subtree,
+  * `intersects` → recurse).
+  *
+  * Here the write path already knows exactly which Morton cells a commit
+  * touched (the `hash` column of the written rows), so invalidation is
+  * precise: a cached tile (z,x,y) dies iff its own cell cover intersects the
+  * touched hash set. Tiles at z <= hashLevel map to ONE contiguous Morton
+  * range (quad alignment), so the check is a sorted-range intersection — no
+  * geometry, no recursion.
+  */
+final class TileCache(hashLevel: Int = 13,
+                      cacheZoomMin: Int = 2, cacheZoomMax: Int = 15) {
+
+  private val store = new ConcurrentHashMap[(String, Int, Int, Int), Array[Byte]]()
+
+  def key(kind: String, z: Int, x: Int, y: Int): (String, Int, Int, Int) =
+    (kind, z, x, y)
+
+  def get(kind: String, z: Int, x: Int, y: Int): Option[Array[Byte]] =
+    Option(store.get(key(kind, z, x, y)))
+
+  /** Store only inside the cached zoom window (application.conf:14-17). */
+  def put(kind: String, z: Int, x: Int, y: Int, bytes: Array[Byte]): Unit =
+    if (z >= cacheZoomMin && z <= cacheZoomMax)
+      store.put(key(kind, z, x, y), bytes)
+
+  def size: Int = store.size()
+
+  /** Invalidate every cached tile whose hash-cell cover intersects any of
+    * the touched Morton cells (e.g. `df.select("hash").distinct().collect()`
+    * of a write batch).
+    */
+  def invalidateTouched(touchedHashes: Iterable[Int]): Int = {
+    if (touchedHashes.isEmpty) return 0
+    val sorted = touchedHashes.toArray.sorted
+    var removed = 0
+    store.keySet().asScala.toSeq.foreach { case k @ (_, z, x, y) =>
+      val ranges: Seq[(Int, Int)] =
+        if (z <= hashLevel) Seq(ZRange.rangeOf(z, x, y, hashLevel))
+        else {
+          // the tile nests inside one hash cell
+          val d = z - hashLevel
+          val h = ZCurve.interleave(x >> d, y >> d)
+          Seq((h, h))
+        }
+      val hit = ranges.exists { case (lo, hi) =>
+        val i = java.util.Arrays.binarySearch(sorted, lo)
+        val at = if (i >= 0) i else -i - 1
+        at < sorted.length && sorted(at) <= hi
+      }
+      if (hit && store.remove(k) != null) removed += 1
+    }
+    removed
+  }
+}
