@@ -70,14 +70,37 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Distinct word n-gram shingles: (doc_id, sh). Far more selective than
+    * character grams on natural text (the standard unit for corpus dedup).
+    */
+  def wordShingle(docs: DataFrame, n: Int = 3, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val grams = (0 until n).map(j => s"element_at(_toks, i + $j)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks"))
+      .filter(size(col("_toks")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          s"transform(sequence(1, size(_toks) - ${n - 1}), i -> $grams)"))).as("sh"))
+  }
+
   /** Full pipeline: shingle -> MinHash -> LSH candidates -> bucket filters ->
     * exact Jaccard >= `threshold`. `bucketFilter` optionally restricts pairs
     * (e.g. same language / similar length) to mirror an oracle's plan.
     */
   def minHashNearDups(docs: DataFrame, threshold: Double = 0.8, k: Int = 5,
                       numHashes: Int = 128, bands: Int = 32,
-                      bucketFilter: DataFrame => DataFrame = identity): DataFrame = {
-    val sh = shingle(docs, k).cache()
+                      bucketFilter: DataFrame => DataFrame = identity): DataFrame =
+    minHashNearDupsFromShingles(shingle(docs, k), threshold, numHashes, bands,
+      bucketFilter)
+
+  /** As [[minHashNearDups]] but over a caller-chosen shingle relation
+    * (char k-grams, word n-grams, ...): (doc_id, sh).
+    */
+  def minHashNearDupsFromShingles(shingles: DataFrame, threshold: Double = 0.8,
+                                  numHashes: Int = 128, bands: Int = 32,
+                                  bucketFilter: DataFrame => DataFrame = identity): DataFrame = {
+    val sh = shingles.cache()
     val cands = bucketFilter(lshCandidates(minHashSignatures(sh, numHashes), bands))
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("sh"))

@@ -22,22 +22,31 @@ object TextOps {
     Seq(q31, q32, q34, q34b, x40_minhash_lsh, x41_quality, x44_simhash,
       x45_simhash_neardup, x48_langid, x49_fingerprint, x50_bpe_tokens)
 
-  /** Distinct 5-gram character shingles, exploded: (doc_id, lang, n_chars, sh). */
+  /** Distinct word-trigram shingles, exploded: (doc_id, lang, n_chars, sh).
+    * Word n-grams (not character grams) are the dedup unit: on natural text
+    * they are selective enough that the shingle join fans out per true
+    * near-dup pair instead of per shared substring.
+    */
   def shingles(docs: DataFrame): DataFrame =
-    docs.filter(length(col("text")) >= 5)
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        split(col("text"), " ").as("_toks"))
+      .filter(size(col("_toks")) >= 3)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         explode(array_distinct(expr(
-          "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))"))).as("sh"))
+          "transform(sequence(1, size(_toks) - 2), i -> concat_ws(' ', element_at(_toks, i), element_at(_toks, i + 1), element_at(_toks, i + 2)))"))).as("sh"))
 
   /** Oracle twin of [[shingles]] (zipped-UNNEST form: DuckDB 1.0 does not
     * allow lateral column args to the generate_series table function).
     */
   val ShinglesSql: String =
-    """SELECT DISTINCT doc_id, lang, n_chars, substr(text, i, 5) AS sh
+    """SELECT DISTINCT doc_id, lang, n_chars,
+      |  toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
       |FROM (
-      |  SELECT doc_id, lang, n_chars, text,
-      |    UNNEST(generate_series(1, GREATEST(LENGTH(text) - 4, 0))) AS i
-      |  FROM documents)""".stripMargin
+      |  SELECT doc_id, lang, n_chars, toks,
+      |    UNNEST(generate_series(1, GREATEST(LEN(toks) - 2, 0))) AS i
+      |  FROM (SELECT doc_id, lang, n_chars, STR_SPLIT(text, ' ') AS toks
+      |        FROM documents)
+      |  WHERE LEN(toks) >= 3)""".stripMargin
 
   /** Exact Jaccard >= 0.8 pairs among same-lang, similar-length docs.
     * Shared by q32 (shingle-join plan) and x40 (MinHash-LSH plan).
@@ -165,7 +174,9 @@ object TextOps {
       .filter(col("la") === col("lb") &&
         abs(col("nca") - col("ncb")) * 2 <= greatest(col("nca"), col("ncb")))
       .select("doc_a", "doc_b")
-    Canon(Dedup.minHashNearDups(docs, threshold = 0.8, bucketFilter = bucketFilter))
+    Canon(Dedup.minHashNearDupsFromShingles(
+      shingles(docs).select("doc_id", "sh"), threshold = 0.8,
+      bucketFilter = bucketFilter))
   }
 
   // ---------------------------------------------------------------- x44/x45
