@@ -28,14 +28,33 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Sum of elementwise products (left fold over doubles). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sum of elementwise products (tight-loop UDF — the higher-order
+    * `zip_with`/`aggregate` form evaluates an expression tree per element,
+    * ~20x slower on fixed-dim vectors).
+    */
+  private val dotU = udf((a: Seq[Float], b: Seq[Float]) => {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  })
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  def dot(a: Column, b: Column): Column = dotU(a, b)
+
+  private val cosineU = udf((a: Seq[Float], b: Seq[Float]) => {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  })
+
+  def cosine(a: Column, b: Column): Column = cosineU(a, b)
 
   /** Deterministic Gaussian hyperplanes (fixed-seed Box–Muller via
     * scala.util.Random — same planes on every run and every executor).
@@ -45,16 +64,30 @@ object Similarity {
     Array.fill(numPlanes, dim)(rnd.nextGaussian())
   }
 
-  /** One packed bucket id per band: bits are the signs of the plane dots. */
+  /** One packed bucket id per band: bits are the signs of the plane dots.
+    * A single UDF computes all plane projections in one pass over the
+    * vector (planes ride to executors in the closure).
+    */
   def bandBuckets(emb: Column, planes: Array[Array[Double]], bands: Int): Column = {
     val rows = planes.length / bands
-    val buckets = (0 until bands).map { b =>
-      (0 until rows).map { r =>
-        val plane = typedLit(planes(b * rows + r).toSeq)
-        when(dot(emb, plane) > 0, lit(1L << r)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
-    array(buckets: _*)
+    val f = udf((a: Seq[Float]) => {
+      val v = a.toArray
+      Array.tabulate(bands) { b =>
+        var bucket = 0L
+        var r = 0
+        while (r < rows) {
+          val p = planes(b * rows + r)
+          var s = 0.0
+          var i = 0
+          val n = math.min(v.length, p.length)
+          while (i < n) { s += v(i).toDouble * p(i); i += 1 }
+          if (s > 0) bucket |= (1L << r)
+          r += 1
+        }
+        bucket
+      }
+    })
+    f(emb)
   }
 
   /** Exact cosine top-k of each query over the whole corpus.

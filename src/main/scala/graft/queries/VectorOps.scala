@@ -52,11 +52,21 @@ object VectorOps {
     Canon(graft.operators.Similarity.ivfTopK(emb, q, k = 10))
   }
 
-  /** Sum of elementwise products (left-fold, doubles). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sum of elementwise products, left-to-right over doubles — implemented
+    * as a tight-loop UDF: the `zip_with`+`aggregate` higher-order form
+    * evaluates one Catalyst expression tree per element (~20x slower on
+    * 64-dim vectors); the loop keeps the identical summation order, so
+    * results stay bit-equal to the DuckDB oracle's index-ordered SUM.
+    */
+  private val dotU = udf((a: Seq[Float], b: Seq[Float]) => {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  })
+
+  def dot(a: Column, b: Column): Column = dotU(a, b)
 
   def norm2(a: Column): Column = dot(a, a)
 
