@@ -163,7 +163,12 @@ object VectorOps {
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = emb.select(col("vec_id").as("id_b"), col("label"),
       col("embedding").as("eb"), col("nrm").as("nb"))
-    Canon(a.join(b, Seq("label"))
+    // broadcast the (small) right side and pre-spread the left: a shuffle
+    // join on 10 label keys lands all pairs in 10 skewed tasks, while the
+    // broadcast form generates pairs in every partition (at larger scale the
+    // right side becomes per-label blocks, same plan shape)
+    Canon(a.repartition(col("id_a"))
+      .join(broadcast(b), Seq("label"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
       .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
