@@ -39,4 +39,10 @@ object ZCurve {
 
   /** Inverse of [[interleave]]. */
   def deinterleave(z: Int): (Int, Int) = (compact(z), compact(z >> 1))
+
+  /** Long-typed interleave of the low 16 bits of each input — the form
+    * called from generated code ([[graft.functions.MortonHashExpr]]).
+    */
+  def interleaveLong(x: Long, y: Long): Long =
+    interleave((x & 0xffffL).toInt, (y & 0xffffL).toInt).toLong & 0xffffffffL
 }

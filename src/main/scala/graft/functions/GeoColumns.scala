@@ -23,15 +23,18 @@ object GeoColumns {
     floor((lit(1.0) - log(tan(radians(lat)) + lit(1.0) / cos(radians(lat))) / math.Pi)
       / 2.0 * (1L << z).toDouble)
 
-  /** Morton interleave of two long tile-coordinate columns (exact integer
-    * arithmetic, same per-bit form as [[graft.queries.Sql.interleave]]).
+  /** Morton interleave of two long tile-coordinate columns, as the native
+    * codegen'd [[MortonHashExpr]] (one plan node; the equivalent built-in
+    * expression tree is ~130 nodes and gets re-inlined per use site). Result
+    * equals [[graft.queries.Sql.interleave]] for coords < 2^16.
     */
-  def mortonHash(x: Column, y: Column, bits: Int = 16): Column =
-    (0 until bits).flatMap { k =>
-      Seq(
-        shiftleft(shiftright(x, k).bitwiseAND(lit(1L)), 2 * k),
-        shiftleft(shiftright(y, k).bitwiseAND(lit(1L)), 2 * k + 1))
-    }.reduce(_ + _)
+  def mortonHash(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits <= 16, "MortonHashExpr interleaves the low 16 bits")
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(MortonHashExpr(
+      GraftBridge.expression(x.cast("long")),
+      GraftBridge.expression(y.cast("long"))))
+  }
 
   /** Haversine distance in km to a fixed point (same op order as the oracle). */
   def haversineKmTo(lat: Column, lon: Column, lat0: Double, lon0: Double): Column = {

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.core.{GeoHash, WebMercator}
+
+/** SQL-surface registration of the engine's spatial functions.
+  *
+  * Two equivalent entry points share one definition table:
+  *  - [[GraftExtensions]] for `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (the production path — functions exist in every session of the
+  *    context);
+  *  - [[GraftFunctions.register]] for an already-running session (tests,
+  *    notebooks).
+  *
+  * `zcurve_hash` is the native codegen'd [[MortonHashExpr]]; the rest are
+  * scalar helpers where a plain UDF is adequate (not on any pruning path).
+  */
+object GraftFunctions {
+
+  /** Native-expression functions: name -> (info, builder). */
+  val expressions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("zcurve_hash"),
+      new ExpressionInfo(classOf[MortonHashExpr].getName, "zcurve_hash"),
+      (children: Seq[Expression]) => MortonHashExpr(children(0), children(1))))
+
+  /** Register everything on a live session. */
+  def register(spark: SparkSession): Unit = {
+    expressions.foreach { case (ident, info, builder) =>
+      org.apache.spark.sql.GraftBridge.registerFunction(spark, ident, info, builder)
+    }
+    spark.udf.register("haversine_km",
+      (lat1: Double, lon1: Double, lat2: Double, lon2: Double) =>
+        WebMercator.haversineKm(lat1, lon1, lat2, lon2))
+    spark.udf.register("tile_x", (lon: Double, z: Int) => WebMercator.tileX(lon, z))
+    spark.udf.register("tile_y", (lat: Double, z: Int) => WebMercator.tileY(lat, z))
+    spark.udf.register("geohash_encode",
+      (lat: Double, lon: Double, precision: Int) => GeoHash.encode(lat, lon, precision))
+  }
+}
+
+/** `spark.sql.extensions` entry point injecting the native expressions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.expressions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}

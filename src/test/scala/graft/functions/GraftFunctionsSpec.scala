@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.core.{GeoHash, WebMercator, ZCurve}
+
+class GraftFunctionsSpec extends SparkSpec {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftFunctions.register(spark)
+  }
+
+  test("zcurve_hash is callable from SQL and matches the Scala core") {
+    val rows = spark.sql(
+      "SELECT zcurve_hash(3L, 5L) AS a, zcurve_hash(100L, 200L) AS b").collect().head
+    assert(rows.getLong(0) == ZCurve.interleave(3, 5).toLong)
+    assert(rows.getLong(1) == ZCurve.interleave(100, 200).toLong)
+  }
+
+  test("zcurve_hash participates in whole-stage codegen over a parquet scan") {
+    val df = spark.read.parquet(s"$Sf/customer.parquet")
+      .selectExpr("c_custkey AS x", "zcurve_hash(c_custkey % 8192, (c_custkey * 7) % 8192) AS h")
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (x, h) =>
+      assert(h == ZCurve.interleaveLong(x % 8192, (x * 7) % 8192))
+    }
+    // the plan stays inside WholeStageCodegen (no fallback to interpreted)
+    val wsc = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty, df.queryExecution.executedPlan.toString)
+  }
+
+  test("scalar helper functions are registered") {
+    val r = spark.sql(
+      """SELECT haversine_km(52.52D, 13.405D, 48.8566D, 2.3522D) AS d,
+        |       tile_x(10.0D, 13) AS tx, tile_y(50.0D, 13) AS ty,
+        |       geohash_encode(57.64911D, 10.40744D, 11) AS gh""".stripMargin)
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 878) < 5)
+    assert(r.getInt(1) == WebMercator.tileX(10.0, 13))
+    assert(r.getInt(2) == WebMercator.tileY(50.0, 13))
+    assert(r.getString(3) == GeoHash.encode(57.64911, 10.40744, 11))
+  }
+
+  test("null inputs propagate null") {
+    val r = spark.sql("SELECT zcurve_hash(CAST(NULL AS BIGINT), 5L) AS h").collect().head
+    assert(r.isNullAt(0))
+  }
+}
