@@ -19,7 +19,40 @@ object Relational {
   def defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q08b, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21a, q21b, q22, q22b,
-    x52_approx_distinct)
+    x52_approx_distinct, x53_pivot, x54_unpivot)
+
+  /** Pivot: returnflag columns of per-linestatus quantity sums (the oracle
+    * replays it as conditional aggregation).
+    */
+  val x53_pivot: QueryDef = QueryDef(
+    "x53_pivot",
+    Sql.canon(
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN l_returnflag='A' THEN CAST(ROUND(l_quantity*100) AS BIGINT) END) AS DOUBLE)/100.0 AS A,
+        |  CAST(SUM(CASE WHEN l_returnflag='N' THEN CAST(ROUND(l_quantity*100) AS BIGINT) END) AS DOUBLE)/100.0 AS N,
+        |  CAST(SUM(CASE WHEN l_returnflag='R' THEN CAST(ROUND(l_quantity*100) AS BIGINT) END) AS DOUBLE)/100.0 AS R
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+      Seq("l_linestatus", "A", "N", "R"))) { (s, d) =>
+    Canon(Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(moneySum(col("l_quantity"))))
+  }
+
+  /** Unpivot: melt two part measures into (attr, val) rows. */
+  val x54_unpivot: QueryDef = QueryDef(
+    "x54_unpivot",
+    Sql.canon(
+      """SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part""".stripMargin,
+      Seq("p_partkey", "attr", "val"))) { (s, d) =>
+    Canon(Tables.part(s, d)
+      .select(col("p_partkey"),
+        col("p_size").cast(DoubleType).as("p_size"), col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")), "attr", "val"))
+  }
 
   /** HyperLogLog approximate distinct counts per group (rows-only: DuckDB's
     * approx_count_distinct uses a different sketch, so values differ; the

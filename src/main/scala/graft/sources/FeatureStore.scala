@@ -46,6 +46,39 @@ object FeatureStore {
   def readNdjson(spark: SparkSession, path: String, cfg: StoreConfig): Ingested =
     ingest(spark.read.text(path).select(col("value").as("raw")), cfg)
 
+  /** Streaming NDJSON ingest (A3's true streaming twin, replacing the
+    * reference's poll-dir + `.lock`-rename runner, FileWaitGroup.kt:19-73):
+    * the file source tracks processed files in the checkpoint (exactly-once),
+    * `maxFilesPerTrigger` bounds ingest concurrency like tank's 2-runner cap,
+    * and every microbatch appends BOTH outputs — coerced rows into the
+    * hash-sorted store, dead-letter rows with their original JSON.
+    * Returns the started query (await/stop is the caller's business).
+    */
+  def startIngestStream(spark: SparkSession, srcDir: String, cfg: StoreConfig,
+                        checkpoint: String,
+                        maxFilesPerTrigger: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(srcDir)
+      .select(col("value").as("raw"))
+    ingestStream(raw, cfg, checkpoint)
+  }
+
+  /** foreachBatch split-sink for an already-built raw feature stream. */
+  def ingestStream(raw: DataFrame, cfg: StoreConfig,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    raw.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val r = ingest(batch, cfg)
+        r.good.sortWithinPartitions("hash")
+          .write.mode(SaveMode.Append).parquet(cfg.path)
+        val rej = r.rejected
+        if (!rej.isEmpty)
+          rej.write.mode(SaveMode.Append).parquet(s"${cfg.path}_rejected")
+      }
+      .start()
+
   /** One whole FeatureCollection document (A3 `geojson=true`). */
   def readFeatureCollection(spark: SparkSession, path: String, cfg: StoreConfig): Ingested = {
     val raw = spark.read.option("multiLine", "true").json(path)

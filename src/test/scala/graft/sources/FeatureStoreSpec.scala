@@ -89,6 +89,29 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fcIds.filter(_.length == 1) == ndIds.filter(_.length == 1))
   }
 
+  test("streaming NDJSON ingest appends good rows to the store and bad rows to dead-letter") {
+    val dir = tmpDir()
+    val src = s"$dir/incoming"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val cfg = cfg0.copy(path = s"$dir/store")
+    val q = FeatureStore.startIngestStream(spark, src, cfg, s"$dir/ckpt")
+    try {
+      Files.writeString(java.nio.file.Paths.get(s"$src/batch1.ndjson"),
+        Seq(lines(0), lines(1)).mkString("\n"))
+      q.processAllAvailable()
+      assert(FeatureStore.read(spark, cfg).count() == 2)
+      // second batch: one good row, one dead-letter row
+      Files.writeString(java.nio.file.Paths.get(s"$src/batch2.ndjson"),
+        Seq(lines(2), lines(3)).mkString("\n"))
+      q.processAllAvailable()
+      assert(FeatureStore.read(spark, cfg).count() == 3)
+      assert(spark.read.parquet(s"${cfg.path}_rejected").count() == 1)
+      // exactly-once: reprocessing adds nothing
+      q.processAllAvailable()
+      assert(FeatureStore.read(spark, cfg).count() == 3)
+    } finally q.stop()
+  }
+
   test("write/read roundtrip: hash-sorted layout, lookup, delete, update, tile delete") {
     val dir = tmpDir()
     val cfg = cfg0.copy(path = s"$dir/store")
