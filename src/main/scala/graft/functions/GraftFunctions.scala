@@ -23,13 +23,19 @@ object GraftFunctions {
   val expressions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("zcurve_hash"),
       new ExpressionInfo(classOf[MortonHashExpr].getName, "zcurve_hash"),
-      (children: Seq[Expression]) => MortonHashExpr(children(0), children(1))))
+      (children: Seq[Expression]) => MortonHashExpr(children(0), children(1))),
+    (FunctionIdentifier("in_tile"),
+      new ExpressionInfo(classOf[InTileExpr].getName, "in_tile"),
+      (children: Seq[Expression]) => InTileExpr(children)))
 
   /** Register everything on a live session. */
   def register(spark: SparkSession): Unit = {
     expressions.foreach { case (ident, info, builder) =>
       org.apache.spark.sql.GraftBridge.registerFunction(spark, ident, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(TilePredicateRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TilePredicateRewrite
     spark.udf.register("haversine_km",
       (lat1: Double, lon1: Double, lat2: Double, lon2: Double) =>
         WebMercator.haversineKm(lat1, lon1, lat2, lon2))
@@ -40,10 +46,14 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions` entry point injecting the native expressions. */
+/** `spark.sql.extensions` entry point injecting the native expressions and
+  * the tile-predicate lowering rule.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.expressions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    ext.injectOptimizerRule(_ => TilePredicateRewrite)
+  }
 }

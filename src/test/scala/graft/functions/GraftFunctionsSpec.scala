@@ -47,4 +47,39 @@ class GraftFunctionsSpec extends SparkSpec {
     val r = spark.sql("SELECT zcurve_hash(CAST(NULL AS BIGINT), 5L) AS h").collect().head
     assert(r.isNullAt(0))
   }
+
+  test("in_tile predicate is rewritten to pushed-down hash ranges") {
+    import graft.queries.Spatial
+    val stored = Spatial.featuresStored(spark, Sf)
+    stored.createOrReplaceTempView("features_stored")
+    // the z=9 tile containing customer 100's point (same as q28/x46)
+    val lon = ((100L * 37) % 36000) / 100.0 - 180.0
+    val lat = ((100L * 53) % 17000) / 100.0 - 85.0
+    val (tx, ty) = (WebMercator.tileX(lon, 9), WebMercator.tileY(lat, 9))
+    val df = spark.sql(
+      s"SELECT uid FROM features_stored WHERE in_tile(hash, 9, $tx, $ty)")
+    val viaRule = df.collect().map(_.getString(0)).sorted
+    // equals the hand-built range predicate of TileService
+    val direct = stored.filter(
+        graft.tiles.TileService.hashPredicate(9, tx, ty,
+          graft.tiles.TileService.TileConfig()))
+      .select("uid").collect().map(_.getString(0)).sorted
+    assert(viaRule.nonEmpty && viaRule.toSeq == direct.toSeq)
+    // and the ranges reached the parquet scan as pushed filters (the plan
+    // display truncates the filter list, so match the leading Or tree)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [Or("), plan.take(2000))
+    // the rewrite happened: no in_tile call survives in the physical plan
+    assert(!plan.contains("in_tile"), plan.take(2000))
+  }
+
+  test("in_tile with non-literal coords still evaluates (interpreted fallback)") {
+    import graft.queries.Spatial
+    val stored = Spatial.featuresStored(spark, Sf)
+    stored.createOrReplaceTempView("features_stored2")
+    val df = spark.sql(
+      """SELECT COUNT(*) AS n FROM features_stored2
+        |WHERE in_tile(hash, 9, CAST(hash % 512 AS INT), CAST(hash % 512 AS INT))""".stripMargin)
+    assert(df.collect().head.getLong(0) >= 0) // no exception = fallback works
+  }
 }
