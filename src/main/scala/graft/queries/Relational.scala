@@ -19,7 +19,52 @@ object Relational {
   def defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q08b, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21a, q21b, q22, q22b,
-    x52_approx_distinct, x53_pivot, x54_unpivot)
+    x52_approx_distinct, x53_pivot, x54_unpivot, x55_percentiles,
+    x56_range_window)
+
+  /** Exact interpolated percentiles per group (Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition).
+    */
+  val x55_percentiles: QueryDef = QueryDef(
+    "x55_percentiles",
+    Sql.canon(
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      Seq("l_returnflag", "p50", "p90", "p99"))) { (s, d) =>
+    Canon(Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99")))
+  }
+
+  /** Calendar-interval RANGE frame: per-customer 30-day trailing revenue
+    * (event-time window over an irregular time series — inexpressible with
+    * a ROWS frame).
+    */
+  val x56_range_window: QueryDef = QueryDef(
+    "x56_range_window",
+    Sql.canon(
+      s"""SELECT o_orderkey, o_custkey, ${Sql.ts("o_orderdate")} AS o_orderdate,
+         |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+         |    PARTITION BY o_custkey ORDER BY o_orderdate
+         |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+         |  ) AS DOUBLE)/100.0 AS rev_30d
+         |FROM orders""".stripMargin,
+      Seq("o_orderkey", "o_custkey", "o_orderdate", "rev_30d"))) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders_x56")
+    Canon(s.sql(
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+        |  ) AS DOUBLE)/100.0 AS rev_30d
+        |FROM orders_x56""".stripMargin))
+  }
 
   /** Pivot: returnflag columns of per-linestatus quantity sums (the oracle
     * replays it as conditional aggregation).
