@@ -37,6 +37,26 @@ final class TileCache(hashLevel: Int = 13,
 
   def size: Int = store.size()
 
+  /** Invalidate every cached tile whose subtree intersects the bbox of a
+    * write region — the reference's RegionManager walk as a direct call
+    * (useful when only a geometry bbox is known, e.g. external writers).
+    */
+  def invalidateRegion(lonMin: Double, latMin: Double,
+                       lonMax: Double, latMax: Double): Int = {
+    val cov = graft.core.TileCover.cover(lonMin, latMin, lonMax, latMax, cacheZoomMax)
+    var removed = 0
+    store.keySet().asScala.toSeq.foreach { case k @ (_, z, x, y) =>
+      // hit iff the tile is inside a cover subtree OR an ancestor of a cover
+      // tile (its area contains part of the region)
+      val hit = graft.core.TileCover.contains(cov, z, x, y) ||
+        cov.exists { case (cz, cx, cy) =>
+          cz > z && (cx >> (cz - z)) == x && (cy >> (cz - z)) == y
+        }
+      if (hit && store.remove(k) != null) removed += 1
+    }
+    removed
+  }
+
   /** Invalidate every cached tile whose hash-cell cover intersects any of
     * the touched Morton cells (e.g. `df.select("hash").distinct().collect()`
     * of a write batch).

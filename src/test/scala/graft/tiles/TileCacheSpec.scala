@@ -38,6 +38,33 @@ class TileCacheSpec extends AnyFunSuite {
     assert(c.get("heatmap", 13, 100, 200).isEmpty)
   }
 
+  test("region invalidation kills tiles covering the bbox at every zoom") {
+    import graft.core.WebMercator
+    val c = new TileCache()
+    val (lon, lat) = (10.0, 50.0)
+    val (x13, y13) = (WebMercator.tileX(lon, 13), WebMercator.tileY(lat, 13))
+    c.put("tile", 13, x13, y13, Array(1))
+    c.put("tile", 5, x13 >> 8, y13 >> 8, Array(1)) // ancestor
+    c.put("tile", 13, x13 + 50, y13, Array(1)) // far away - survives
+    val removed = c.invalidateRegion(lon - 0.001, lat - 0.001, lon + 0.001, lat + 0.001)
+    assert(removed == 2, s"removed $removed")
+    assert(c.get("tile", 13, x13 + 50, y13).isDefined)
+  }
+
+  test("tile cover: covered quads collapse to single tiles and contains() nests") {
+    import graft.core.TileCover
+    val cov = TileCover.cover(9.5, 49.5, 10.5, 50.5, 10)
+    assert(cov.nonEmpty && cov.forall(_._1 <= 10))
+    // some tile strictly inside the region should be represented
+    import graft.core.WebMercator
+    val (x10, y10) = (WebMercator.tileX(10.0, 10), WebMercator.tileY(50.0, 10))
+    assert(TileCover.contains(cov, 10, x10, y10))
+    // descendants of covered tiles are contained implicitly
+    assert(TileCover.contains(cov, 12, x10 << 2, y10 << 2))
+    // a far-away tile is not
+    assert(!TileCover.contains(cov, 10, x10 + 100, y10))
+  }
+
   test("invalidation with many touched cells uses range intersection correctly") {
     val c = new TileCache()
     (0 until 16).foreach(x => c.put("tile", 13, x, 0, Array(1)))
