@@ -39,4 +39,29 @@ object GeoJson {
     val parts = (0 until n.size()).map(i => f(n.get(i)))
     parts.mkString(", ")
   }
+
+  /** WKT → GeoJSON geometry (the read-path inverse, for A4-style feature
+    * responses). Uses JTS for parsing; emits plain JSON text.
+    */
+  def fromWkt(wkt: String): String = {
+    import org.locationtech.jts.geom._
+    if (wkt == null) return null
+    val g = graft.tiles.GeomUdfs.parse(wkt)
+    def p(c: Coordinate): String = s"[${c.getX},${c.getY}]"
+    def ring(cs: Array[Coordinate]): String = cs.map(p).mkString("[", ",", "]")
+    def polyCoords(poly: Polygon): String =
+      (ring(poly.getExteriorRing.getCoordinates) +:
+        (0 until poly.getNumInteriorRing)
+          .map(i => ring(poly.getInteriorRingN(i).getCoordinates)))
+        .mkString("[", ",", "]")
+    def coords(g: Geometry): String = g match {
+      case pt: Point => p(pt.getCoordinate)
+      case l: LineString => ring(l.getCoordinates)
+      case poly: Polygon => polyCoords(poly)
+      case multi: GeometryCollection =>
+        (0 until multi.getNumGeometries).map(i => coords(multi.getGeometryN(i)))
+          .mkString("[", ",", "]")
+    }
+    s"""{"type":"${g.getGeometryType}","coordinates":${coords(g)}}"""
+  }
 }
