@@ -172,6 +172,30 @@ object FeatureStore {
   def read(spark: SparkSession, cfg: StoreConfig): DataFrame =
     spark.read.parquet(cfg.path)
 
+  /** Compact the store back into the hash-sorted target layout. Streaming
+    * ingest appends one (or more) small files per microbatch, which erodes
+    * both scan efficiency and hash-range pruning precision over time; a
+    * periodic compaction (e.g. from the maintenance side of a foreachBatch)
+    * restores O(tile) file reads. Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, cfg: StoreConfig,
+              partitions: Int = 0): (Int, Int) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def parquetCount(): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(cfg.path))
+        .count(_.getPath.getName.endsWith(".parquet"))
+    val before = parquetCount()
+    rewrite(spark, cfg, df => {
+      val n = if (partitions > 0) partitions
+        else math.max(1, (df.count() / cfg.targetFileRows).toInt)
+      df.repartitionByRange(n, org.apache.spark.sql.functions.col("hash"),
+          org.apache.spark.sql.functions.col("uid"))
+        .sortWithinPartitions("hash")
+    })
+    (before, parquetCount())
+  }
+
   /** Dead-letter sink (the Exhauster channel): original JSON only. */
   def writeRejected(rejected: DataFrame, cfg: StoreConfig): Unit =
     rejected.write.mode(SaveMode.Append).parquet(s"${cfg.path}_rejected")

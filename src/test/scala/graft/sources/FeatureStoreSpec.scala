@@ -110,6 +110,11 @@ class FeatureStoreSpec extends SparkSpec {
       q.processAllAvailable()
       assert(FeatureStore.read(spark, cfg).count() == 3)
     } finally q.stop()
+
+    // compaction merges the per-microbatch small files, preserving rows
+    val (before, after) = FeatureStore.compact(spark, cfg)
+    assert(after < before, s"no compaction: $before -> $after")
+    assert(FeatureStore.read(spark, cfg).count() == 3)
   }
 
   test("write/read roundtrip: hash-sorted layout, lookup, delete, update, tile delete") {
