@@ -13,7 +13,10 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect() // session/JIT warmup
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // builders may cache intermediates for within-query reuse; drop them so
       // one query's working set can't degrade the next one's run
