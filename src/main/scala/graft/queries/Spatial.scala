@@ -19,7 +19,8 @@ object Spatial {
 
   val HashLevel = 13
 
-  def defs: Seq[QueryDef] = Seq(q26, q27, q28, q29, q30, x46_tile, x47_heatmap)
+  def defs: Seq[QueryDef] =
+    Seq(q26, q27, q28, q29, q30, x46_tile, x47_heatmap, x57_spatial_join)
 
   /** Spark-side synthetic points (B1). */
   def points(s: SparkSession, d: String): DataFrame =
@@ -209,5 +210,37 @@ object Spatial {
         round(GeoColumns.haversineKmTo(col("lat"), col("lon"), 52.52, 13.405), 4))
       .orderBy(col("dist_km").asc, col("id").asc)
       .limit(50))
+  }
+
+  // ---------------------------------------------------------------- x57
+  /** Point-in-polygon spatial join ([[graft.operators.SpatialJoin]]) against
+    * region-derived bboxes. Edges sit at x.xx5 so no 2-decimal B1 point can
+    * land on a boundary (where JTS `contains` excludes but SQL `>=` would
+    * include); the oracle replays the containment arithmetically.
+    */
+  val x57_spatial_join: QueryDef = QueryDef(
+    "x57_spatial_join",
+    Sql.canon(
+      s"""SELECT p.id, r.r_regionkey AS poly_id
+         |FROM ($PointsSql) p JOIN region r
+         |  ON p.lon >= -170.005 + 62*r.r_regionkey
+         | AND p.lon <  -170.005 + 62*r.r_regionkey + 50.01
+         | AND p.lat >= -70.005 + 25*r.r_regionkey
+         | AND p.lat <  -70.005 + 25*r.r_regionkey + 35.01""".stripMargin,
+      Seq("id", "poly_id"))) { (s, d) =>
+    val x0 = lit(-170.005) + col("r_regionkey") * 62
+    val y0 = lit(-70.005) + col("r_regionkey") * 25
+    val x1 = x0 + 50.01
+    val y1 = y0 + 35.01
+    val polys = Tables.region(s, d).select(
+      col("r_regionkey").as("poly_id"),
+      concat(lit("POLYGON (("),
+        concat_ws(", ",
+          concat(x0, lit(" "), y0), concat(x1, lit(" "), y0),
+          concat(x1, lit(" "), y1), concat(x0, lit(" "), y1),
+          concat(x0, lit(" "), y0)),
+        lit("))")).as("wkt"))
+    Canon(graft.operators.SpatialJoin.pointInPolygon(points(s, d), polys)
+      .select(col("id"), col("poly_id")))
   }
 }
