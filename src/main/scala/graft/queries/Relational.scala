@@ -20,7 +20,45 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q08b, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21a, q21b, q22, q22b,
     x52_approx_distinct, x53_pivot, x54_unpivot, x55_percentiles,
-    x56_range_window)
+    x56_range_window, x59_stringagg, x60_argmax)
+
+  /** Ordered string aggregation per group (collect_list + sort on the Spark
+    * side; ORDER BY inside string_agg on the oracle side — both total
+    * orders, so the concatenation is deterministic).
+    */
+  val x59_stringagg: QueryDef = QueryDef(
+    "x59_stringagg",
+    Sql.canon(
+      """SELECT r_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_regionkey""".stripMargin,
+      Seq("r_regionkey", "nations"))) { (s, d) =>
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    Canon(n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_regionkey"))
+      .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations")))
+  }
+
+  /** Arg-max per group: the status and date of each customer's latest order
+    * (max_by on the unique o_orderkey — tie-free, so deterministic in both
+    * engines).
+    */
+  val x60_argmax: QueryDef = QueryDef(
+    "x60_argmax",
+    Sql.canon(
+      s"""SELECT o_custkey,
+         |  MAX(o_orderkey) AS last_orderkey,
+         |  max_by(o_orderstatus, o_orderkey) AS last_status,
+         |  ${Sql.ts("max_by(o_orderdate, o_orderkey)")} AS last_date
+         |FROM orders GROUP BY o_custkey""".stripMargin,
+      Seq("o_custkey", "last_orderkey", "last_status", "last_date"))) { (s, d) =>
+    Canon(Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderkey")).as("last_orderkey"),
+        max_by(col("o_orderstatus"), col("o_orderkey")).as("last_status"),
+        max_by(col("o_orderdate"), col("o_orderkey")).as("last_date")))
+  }
 
   /** Exact interpolated percentiles per group (Spark `percentile` and
     * DuckDB `quantile_cont` share the linear-interpolation definition).

@@ -20,7 +20,8 @@ object Spatial {
   val HashLevel = 13
 
   def defs: Seq[QueryDef] =
-    Seq(q26, q27, q28, q29, q30, x46_tile, x47_heatmap, x57_spatial_join)
+    Seq(q26, q27, q28, q29, q30, x46_tile, x47_heatmap, x57_spatial_join,
+      x58_bbox_agg)
 
   /** Spark-side synthetic points (B1). */
   def points(s: SparkSession, d: String): DataFrame =
@@ -242,5 +243,29 @@ object Spatial {
         lit("))")).as("wkt"))
     Canon(graft.operators.SpatialJoin.pointInPolygon(points(s, d), polys)
       .select(col("id"), col("poly_id")))
+  }
+
+  // ---------------------------------------------------------------- x58
+  /** Per-group bbox union via the custom typed Aggregator
+    * ([[graft.functions.BBoxAgg]]); the oracle reduces to MIN/MAX because
+    * the fixture geometries are points — which is exactly what makes the
+    * custom aggregate hash-checkable.
+    */
+  val x58_bbox_agg: QueryDef = QueryDef(
+    "x58_bbox_agg",
+    Sql.canon(
+      s"""SELECT id % 7 AS grp, MIN(lon) AS min_x, MIN(lat) AS min_y,
+         |  MAX(lon) AS max_x, MAX(lat) AS max_y, COUNT(*) AS n
+         |FROM ($PointsSql) GROUP BY id % 7""".stripMargin,
+      Seq("grp", "min_x", "min_y", "max_x", "max_y", "n"))) { (s, d) =>
+    val pts = points(s, d).select(
+      (col("id") % 7).as("grp"),
+      concat(lit("POINT ("), col("lon"), lit(" "), col("lat"), lit(")")).as("geometry"))
+    Canon(pts.groupBy(col("grp"))
+      .agg(graft.functions.BBoxAgg.bbox(col("geometry")).as("bb"),
+        count(lit(1)).as("n"))
+      .select(col("grp"),
+        col("bb.minX").as("min_x"), col("bb.minY").as("min_y"),
+        col("bb.maxX").as("max_x"), col("bb.maxY").as("max_y"), col("n")))
   }
 }
