@@ -32,33 +32,50 @@ object Dedup {
   /** Distinct character k-gram shingles: (doc_id, sh). */
   def shingle(docs: DataFrame, k: Int = 5, textCol: String = "text",
               idCol: String = "doc_id"): DataFrame =
+    shingleArrays(docs, k, textCol, idCol)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+
+  /** Distinct character k-gram shingles as one array row per doc:
+    * (doc_id, shs ARRAY<STRING>). The array form feeds the per-doc MinHash
+    * kernel and the candidate-pair verify without ever exploding the corpus.
+    */
+  def shingleArrays(docs: DataFrame, k: Int = 5, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame =
     docs.filter(length(col(textCol)) >= k)
       .select(col(idCol).as("doc_id"),
-        explode(array_distinct(expr(
-          s"transform(sequence(1, length($textCol) - ${k - 1}), i -> substring($textCol, i, $k))"))).as("sh"))
+        array_distinct(expr(
+          s"transform(sequence(1, length($textCol) - ${k - 1}), i -> substring($textCol, i, $k))")).as("shs"))
 
   /** MinHash signature per doc: (doc_id, sig ARRAY<BIGINT>[numHashes]).
-    * One aggregation; the i-th hash family member is `xxhash64(i, shingle)`
-    * (seeded rehash rather than an affine permutation of one hash — equally
-    * deterministic, and safe under Spark 4's default ANSI mode where a
-    * wrapping `a*h+b` would raise ARITHMETIC_OVERFLOW).
+    * The i-th hash family member is `xxhash64(i, shingle)` (seeded rehash
+    * rather than an affine permutation of one hash — equally deterministic,
+    * and safe under Spark 4's default ANSI mode where a wrapping `a*h+b`
+    * would raise ARITHMETIC_OVERFLOW). Exploded-input form; the scale path
+    * is [[minHashSignaturesFromArrays]], which computes the whole signature
+    * in one per-doc kernel pass with no shuffle.
     */
-  def minHashSignatures(shingles: DataFrame, numHashes: Int = 128): DataFrame = {
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"_m$i"))
-    shingles.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
+  def minHashSignatures(shingles: DataFrame, numHashes: Int = 128): DataFrame =
+    minHashSignaturesFromArrays(
+      shingles.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shs")),
+      numHashes)
+
+  /** MinHash signatures from per-doc distinct-shingle arrays — a map-only
+    * plan (no explode, no aggregation shuffle).
+    */
+  def minHashSignaturesFromArrays(arrs: DataFrame, numHashes: Int = 128): DataFrame = {
+    val sigU = udf((shs: Array[String]) => Kernels.minHashSig(shs, numHashes))
+    arrs.select(col("doc_id"), sigU(col("shs")).as("sig"))
   }
 
   /** LSH candidate pairs (doc_a < doc_b) from banded signatures: docs whose
     * signatures agree on ALL rows of at least one band land in the same
-    * bucket; the bucket join is the only fan-out.
+    * bucket; the bucket join is the only fan-out. `numHashes` must match the
+    * signature length (passed by the caller — no driver-side job to infer it,
+    * and no crash on an empty corpus).
     */
-  def lshCandidates(sigs: DataFrame, bands: Int = 32): DataFrame = {
-    val n = sigs.select(size(col("sig"))).first().getInt(0)
-    val rows = n / bands
+  def lshCandidates(sigs: DataFrame, bands: Int = 32,
+                    numHashes: Int = 128): DataFrame = {
+    val rows = numHashes / bands
     val banded = sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit(b) +: (0 until rows).map(r => col("sig")(b * rows + r)): _*)): _*))
@@ -91,47 +108,55 @@ object Dedup {
   def minHashNearDups(docs: DataFrame, threshold: Double = 0.8, k: Int = 5,
                       numHashes: Int = 128, bands: Int = 32,
                       bucketFilter: DataFrame => DataFrame = identity): DataFrame =
-    minHashNearDupsFromShingles(shingle(docs, k), threshold, numHashes, bands,
-      bucketFilter)
+    minHashNearDupsFromShingleArrays(shingleArrays(docs, k), threshold,
+      numHashes, bands, bucketFilter)
 
-  /** As [[minHashNearDups]] but over a caller-chosen shingle relation
-    * (char k-grams, word n-grams, ...): (doc_id, sh).
+  /** As [[minHashNearDups]] but over a caller-chosen exploded shingle
+    * relation (doc_id, sh) — regrouped to arrays, then the array path.
     */
   def minHashNearDupsFromShingles(shingles: DataFrame, threshold: Double = 0.8,
                                   numHashes: Int = 128, bands: Int = 32,
-                                  bucketFilter: DataFrame => DataFrame = identity): DataFrame = {
-    val sh = shingles.cache()
-    val cands = bucketFilter(lshCandidates(minHashSignatures(sh, numHashes), bands))
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
-    cands.join(a, "doc_a").join(b, Seq("doc_b", "sh"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("jaccard", col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+                                  bucketFilter: DataFrame => DataFrame = identity): DataFrame =
+    minHashNearDupsFromShingleArrays(
+      shingles.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shs")),
+      threshold, numHashes, bands, bucketFilter)
+
+  /** The scale path, over per-doc distinct-shingle arrays (doc_id, shs):
+    * signatures and banding are map-only over the array column; only the
+    * LSH-candidate pairs are ever joined, and the exact-Jaccard verify is a
+    * per-pair set intersection of the two arrays (no shingle explode, no
+    * per-shingle join fan-out). At 100 TB the only shuffles are the banded
+    * bucket self-join (per-bucket fan-out) and the two array lookups for the
+    * surviving candidate pairs.
+    */
+  def minHashNearDupsFromShingleArrays(arrs0: DataFrame, threshold: Double = 0.8,
+                                       numHashes: Int = 128, bands: Int = 32,
+                                       bucketFilter: DataFrame => DataFrame = identity): DataFrame = {
+    val arrs = arrs0.select(col("doc_id"), col("shs"))
+    val cands = bucketFilter(
+      lshCandidates(minHashSignaturesFromArrays(arrs, numHashes), bands, numHashes))
+    val interU = udf((a: Array[String], b: Array[String]) => Kernels.intersectCount(a, b))
+    cands
+      .join(arrs.select(col("doc_id").as("doc_a"), col("shs").as("_sha")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("shs").as("_shb")), "doc_b")
+      .withColumn("inter", interU(col("_sha"), col("_shb")).cast(LongType))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (size(col("_sha")).cast(LongType) + size(col("_shb")).cast(LongType) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
 
   /** 64-bit SimHash per doc over whitespace tokens: per bit, sum +-1 weighted
-    * by token frequency; bit set iff the sum is positive.
+    * by token frequency; bit set iff the sum is positive. A pure per-doc
+    * kernel ([[Kernels.simHash64]]) — one scan, no token explode, no
+    * 64-column aggregation shuffle; values bit-identical to the exploded
+    * plan (same `xxhash64` token hashes).
     */
   def simHashFingerprints(docs: DataFrame, textCol: String = "text",
                           idCol: String = "doc_id"): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { k =>
-      sum(shiftright(col("h"), k).bitwiseAND(lit(1L)) * 2 - 1).as(s"_b$k")
-    }
-    toks.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(k =>
-          when(col(s"_b$k") > 0, lit(1L << k)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+    val shU = udf((text: String) => Kernels.simHash64(text))
+    docs.filter(col(textCol).rlike("\\S")) // docs with >=1 token, like the
+      .select(col(idCol).as("doc_id"), shU(col(textCol)).as("simhash")) // exploded form
   }
 
   /** Near-dup pairs by SimHash Hamming distance <= maxDist, banded on 16-bit

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop per-document kernels backing the text/vector operators.
+  *
+  * Each kernel is a pure function of ONE document (no cross-row state), so
+  * the enclosing Spark plan stays a single scan with no explode fan-out, no
+  * shuffle and no window pass — the row-count-preserving shape that scales
+  * linearly to 100 TB. Replaces round-1 plans that exploded every character
+  * k-gram (~n_chars rows per doc) into a window aggregation (x49: 23.6s →
+  * per-doc loop) or ran a 64-column shuffle aggregation (x44/x45).
+  *
+  * Hash compatibility: every hash below reproduces Spark's `xxhash64(...)`
+  * bit-for-bit (XXH64 with seed 42, chained left-to-right across arguments),
+  * so outputs are byte-identical to the round-1 Catalyst plans — golden
+  * files and recall property tests carry over unchanged.
+  */
+object Kernels extends Serializable {
+
+  /** Seed used by Spark's `xxhash64` expression. */
+  final val SparkSeed = 42L
+
+  /** `xxhash64(s)` twin. */
+  def xx64(s: UTF8String): Long = XXH64.hashUTF8String(s, SparkSeed)
+
+  /** `xxhash64(lit(i), s)` twin: the int literal is hashed first, its result
+    * seeds the string hash (Spark chains child hashes left-to-right).
+    */
+  def xx64Seeded(intSeed: Int, s: UTF8String): Long =
+    XXH64.hashUTF8String(s, XXH64.hashInt(intSeed, SparkSeed))
+
+  /** Byte offsets of the UTF-8 code-point starts of `bytes`, plus one final
+    * entry = bytes.length (so char i spans offsets(i) until offsets(i+1)).
+    * Matches Spark's `substring`/`length` semantics, which count code points.
+    */
+  private def charOffsets(bytes: Array[Byte]): Array[Int] = {
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) n += 1
+      i += 1
+    }
+    val arr = new Array[Int](n + 1)
+    var j = 0
+    i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) { arr(j) = i; j += 1 }
+      i += 1
+    }
+    arr(n) = bytes.length
+    arr
+  }
+
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken) of one document:
+    * hash every character k-gram with `xxhash64`, take the min hash of each
+    * sliding window of w consecutive k-grams, return the DISTINCT kept
+    * hashes. Returns an empty array when the document has fewer than
+    * k + w - 1 characters (no full window).
+    *
+    * Bit-identical to the round-1 explode + window plan: grams are hashed as
+    * the UTF-8 bytes of `substring(text, i, k)`.
+    */
+  def winnowFps(text: String, k: Int, w: Int): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val off = charOffsets(bytes)
+    val nChars = off.length - 1
+    val nGrams = nChars - k + 1
+    if (nGrams < w) return Array.emptyLongArray
+    val h = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      h(i) = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off(i),
+        off(i + k) - off(i), SparkSeed)
+      i += 1
+    }
+    val kept = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    val nWindows = nGrams - w + 1
+    while (j < nWindows) {
+      var m = h(j)
+      var t = 1
+      while (t < w) { if (h(j + t) < m) m = h(j + t); t += 1 }
+      kept.add(m)
+      j += 1
+    }
+    val out = new Array[Long](kept.size)
+    val it = kept.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
+  }
+
+  /** 64-bit SimHash of one document over lowercase whitespace tokens: per
+    * bit, sum ±1 over token OCCURRENCES (frequency-weighted); bit set iff
+    * the sum is positive. Token hash = `xxhash64(token)`.
+    * Bit-identical to the round-1 explode + 64-sum-columns plan.
+    */
+  def simHash64(text: String): Long = {
+    if (text == null) return 0L
+    // UTF8String.toLowerCase matches Spark's `lower`; Java regex split
+    // matches Spark's `split(col, "\\s+")` on the resulting string
+    val lowered = UTF8String.fromString(text).toLowerCase.toString
+    val toks = lowered.split("\\s+")
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      if (tok.nonEmpty) {
+        val h = xx64(UTF8String.fromString(tok))
+        var b = 0
+        while (b < 64) {
+          counts(b) += (((h >>> b) & 1L).toInt * 2 - 1)
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  /** MinHash signature of one document's distinct-shingle array: the i-th
+    * slot is min over shingles of `xxhash64(lit(i), shingle)`. One pass per
+    * hash family member; per-`i` seeds are precomputed once per JVM.
+    */
+  def minHashSig(shingles: Array[String], numHashes: Int): Array[Long] = {
+    val seeds = minhashSeeds(numHashes)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    while (s < shingles.length) {
+      val u = UTF8String.fromString(shingles(s))
+      var i = 0
+      while (i < numHashes) {
+        val h = XXH64.hashUTF8String(u, seeds(i))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
+  private val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+
+  private def minhashSeeds(numHashes: Int): Array[Long] =
+    seedCache.computeIfAbsent(numHashes,
+      n => Array.tabulate(n)(i => XXH64.hashInt(i, SparkSeed)))
+
+  /** Intersection size of two string arrays treated as sets (inputs are
+    * already distinct per construction).
+    */
+  def intersectCount(a: Array[String], b: Array[String]): Int = {
+    val (small, large) = if (a.length <= b.length) (a, b) else (b, a)
+    val set = new java.util.HashSet[String](small.length * 2)
+    var i = 0
+    while (i < small.length) { set.add(small(i)); i += 1 }
+    var n = 0
+    var j = 0
+    while (j < large.length) { if (set.contains(large(j))) n += 1; j += 1 }
+    n
+  }
+
+  /** Spark's `round(x, scale)` twin for doubles (HALF_UP over the decimal
+    * string representation; NaN/Inf pass through like Spark's guard).
+    */
+  def roundHalfUp(x: Double, scale: Int): Double =
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+}

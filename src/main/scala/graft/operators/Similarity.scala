@@ -146,6 +146,74 @@ object Similarity {
     rank(scored, k)
   }
 
+  /** Exact top-k most-similar pairs WITHIN one bucket (e.g. a label group),
+    * as a tight-loop kernel over the bucket's vectors: all O(n²) cosine
+    * scores are computed in primitive arrays, but only a k-element heap is
+    * ever materialized — no pair rows, no broadcast, no per-pair UDF boxing.
+    *
+    * Scores are rounded HALF_UP to 4dp BEFORE the cut and ranked by
+    * (cos desc, id_a asc, id_b asc) — the same total order as the SQL
+    * oracle's ORDER BY ... LIMIT, so the selected set is deterministic.
+    *
+    * Why not an LSH pre-filter here: exact top-k pairs over near-isotropic
+    * embeddings (this corpus: max pairwise cosine ≈ 0.47 vs a random
+    * baseline per-hyperplane collision rate of 0.5) is information-
+    * theoretically outside LSH's regime — amplifying the 0.65-vs-0.50
+    * per-bit gap to a useful candidate filter needs ~30-bit bands and
+    * millions of them. LSH/IVF remain the *approximate* paths ([[annTopK]],
+    * [[ivfTopK]]); the exact path is this blocked kernel, which at 100 TB
+    * becomes per-bucket sub-blocks (chunk-pair tasks) with the identical
+    * inner loop and heap.
+    */
+  def topPairsInBucket(vecs: Array[(Long, Array[Float])], k: Int): Iterator[(Long, Long, Double)] = {
+    val vs = vecs.sortBy(_._1)
+    val n = vs.length
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val v = vs(i)._2
+      var s = 0.0
+      var t = 0
+      while (t < v.length) { val x = v(t).toDouble; s += x * x; t += 1 }
+      norms(i) = math.sqrt(s)
+      i += 1
+    }
+    // worst-first heap: the head is the entry to evict (smallest rounded
+    // score, then largest id_a, then largest id_b)
+    val worstFirst = new Ordering[(Double, Long, Long)] {
+      def compare(x: (Double, Long, Long), y: (Double, Long, Long)): Int = {
+        val c = java.lang.Double.compare(y._1, x._1)
+        if (c != 0) c
+        else {
+          val a = java.lang.Long.compare(x._2, y._2)
+          if (a != 0) a else java.lang.Long.compare(x._3, y._3)
+        }
+      }
+    }
+    val heap = new scala.collection.mutable.PriorityQueue[(Double, Long, Long)]()(worstFirst)
+    i = 0
+    while (i < n) {
+      val a = vs(i)._2
+      var j = i + 1
+      while (j < n) {
+        val b = vs(j)._2
+        var d = 0.0
+        var t = 0
+        val m = math.min(a.length, b.length)
+        while (t < m) { d += a(t).toDouble * b(t).toDouble; t += 1 }
+        val cos = Kernels.roundHalfUp(d / (norms(i) * norms(j)), 4)
+        val cand = (cos, vs(i)._1, vs(j)._1)
+        if (heap.size < k) heap.enqueue(cand)
+        else if (worstFirst.compare(cand, heap.head) < 0) { // cand beats current worst
+          heap.dequeue(); heap.enqueue(cand)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    heap.iterator.map { case (cos, ida, idb) => (ida, idb, cos) }
+  }
+
   /** Per-query top-k on (rounded) score with vec_id tie-break; excludes the
     * query vector itself when ids collide.
     */

@@ -1,14 +1,13 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Text-analysis operators for training-data pipelines: stopword-profile
   * language identification, winnowing document fingerprints, and BPE-style
-  * regex tokenization — all single-scan, codegen'd column expressions (the
-  * fingerprint op adds one bounded window).
+  * regex tokenization — all single-scan plans (language-ID/tokenization as
+  * codegen'd column expressions, fingerprints as a per-doc kernel).
   */
 object TextAnalysis {
 
@@ -46,34 +45,38 @@ object TextAnalysis {
   /** Winnowing fingerprints (Schleimer-Wilkerson-Aiken): hash every k-gram,
     * then keep the minimum hash of each sliding window of w consecutive
     * k-grams; the distinct kept hashes are the document's fingerprint set.
-    * One explode + one bounded window + one distinct — no cross-doc work,
-    * so the plan scales linearly with corpus size.
+    *
+    * Fingerprinting is a pure per-document function, so it runs as ONE
+    * tight-loop kernel inside the scan ([[Kernels.winnowFps]]) — no k-gram
+    * explode (~n_chars rows per doc), no shuffle, no window pass. Values are
+    * bit-identical to an `xxhash64`-per-gram plan (same hash, same windows).
     * Output: (doc_id, fp) exploded fingerprint rows.
     */
   def winnowingFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4,
                             textCol: String = "text",
-                            idCol: String = "doc_id"): DataFrame = {
-    val grams = docs.filter(length(col(textCol)) >= k)
-      .select(col(idCol).as("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(1, length($textCol) - ${k - 1}), i -> substring($textCol, i, $k))"))
-          .as(Seq("pos", "gram")))
-      .withColumn("h", xxhash64(col("gram")))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(0, w - 1)
-    grams
-      .withColumn("wmin", min(col("h")).over(win))
-      .withColumn("maxpos", max(col("pos")).over(Window.partitionBy(col("doc_id"))))
-      .filter(col("pos") <= col("maxpos") - (w - 1)) // only full windows
-      .select(col("doc_id"), col("wmin").as("fp"))
-      .distinct()
+                            idCol: String = "doc_id"): DataFrame =
+    fingerprintArrays(docs, k, w, textCol, idCol)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+
+  /** (doc_id, fps ARRAY<BIGINT>) distinct winnowing fingerprints per doc;
+    * docs with no full gram window produce no row (matching the exploded
+    * form's semantics).
+    */
+  def fingerprintArrays(docs: DataFrame, k: Int = 8, w: Int = 4,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val fpU = udf((text: String) => Kernels.winnowFps(text, k, w))
+    docs.select(col(idCol).as("doc_id"), fpU(col(textCol)).as("fps"))
+      .filter(size(col("fps")) > 0)
   }
 
-  /** Aggregate fingerprint summary (bounded output for the driver gate). */
+  /** Aggregate fingerprint summary (bounded output for the driver gate) —
+    * computed from the per-doc array with NO shuffle at all.
+    */
   def fingerprintSummary(docs: DataFrame): DataFrame =
-    winnowingFingerprints(docs)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"), max("fp").as("max_fp"))
+    fingerprintArrays(docs)
+      .select(col("doc_id"), size(col("fps")).cast(LongType).as("n_fp"),
+        array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
 
   /** GPT-2-flavoured pretokenizer regex, restricted to constructs whose
     * semantics match between Java regex (Spark) and RE2 (DuckDB oracle).

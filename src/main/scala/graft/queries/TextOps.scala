@@ -35,6 +35,18 @@ object TextOps {
         explode(array_distinct(expr(
           "transform(sequence(1, size(_toks) - 2), i -> concat_ws(' ', element_at(_toks, i), element_at(_toks, i + 1), element_at(_toks, i + 2)))"))).as("sh"))
 
+  /** Distinct word-trigram shingles as ONE array row per doc — the input
+    * shape for the per-doc MinHash kernel: the whole signature pipeline is
+    * then map-only (no corpus-wide explode).
+    */
+  def shingleArrays(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        split(col("text"), " ").as("_toks"))
+      .filter(size(col("_toks")) >= 3)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_distinct(expr(
+          "transform(sequence(1, size(_toks) - 2), i -> concat_ws(' ', element_at(_toks, i), element_at(_toks, i + 1), element_at(_toks, i + 2)))")).as("shs"))
+
   /** Oracle twin of [[shingles]] (zipped-UNNEST form: DuckDB 1.0 does not
     * allow lateral column args to the generate_series table function).
     */
@@ -174,8 +186,8 @@ object TextOps {
       .filter(col("la") === col("lb") &&
         abs(col("nca") - col("ncb")) * 2 <= greatest(col("nca"), col("ncb")))
       .select("doc_a", "doc_b")
-    Canon(Dedup.minHashNearDupsFromShingles(
-      shingles(docs).select("doc_id", "sh"), threshold = 0.8,
+    Canon(Dedup.minHashNearDupsFromShingleArrays(
+      shingleArrays(docs).select("doc_id", "shs"), threshold = 0.8,
       bucketFilter = bucketFilter))
   }
 

@@ -136,10 +136,15 @@ object VectorOps {
     * label buckets. (The synthetic embeddings are near-random — max pairwise
     * cosine ≈ 0.47 — so a fixed threshold gate would be trivially empty; a
     * top-k cut on the ROUNDED score with id tie-breaks stays non-trivial and
-    * deterministic at every SF.) Bucketing bounds the pair explosion: the
-    * all-pairs join never leaves a bucket, and the top-k is a TakeOrdered
-    * (per-partition heaps, no global sort) — the same shape scales to 100 TB
-    * with any sub-bucketing (LSH bands) swapped in as a pre-filter.
+    * deterministic at every SF.)
+    *
+    * Plan: one shuffle groups vectors by label, then
+    * [[graft.operators.Similarity.topPairsInBucket]] scores each bucket's
+    * pairs in a primitive-array loop holding only a 20-element heap — no
+    * pair rows are ever materialized, no broadcast, no per-pair UDF boxing
+    * (the round-1 broadcast-join form spent 13.9s mostly in GC). Exact top-k
+    * over these near-isotropic embeddings is outside LSH's useful regime
+    * (see the kernel's scaladoc); the approximate ANN paths are x43/x43b.
     */
   val x42_embed_neardup: QueryDef = QueryDef(
     "x42_embed_neardup",
@@ -157,20 +162,19 @@ object VectorOps {
         |FROM p JOIN nrm na ON p.id_a = na.vec_id JOIN nrm nb ON p.id_b = nb.vec_id
         |ORDER BY cos_sim DESC, id_a, id_b LIMIT 20""".stripMargin,
       Seq("id_a", "id_b", "label", "cos_sim"))) { (s, d) =>
+    import s.implicits._
     val emb = Tables.embeddings(s, d)
-      .withColumn("nrm", sqrt(norm2(col("embedding"))))
-    val a = emb.select(col("vec_id").as("id_a"), col("label"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val b = emb.select(col("vec_id").as("id_b"), col("label"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    // broadcast the (small) right side and pre-spread the left: a shuffle
-    // join on 10 label keys lands all pairs in 10 skewed tasks, while the
-    // broadcast form generates pairs in every partition (at larger scale the
-    // right side becomes per-label blocks, same plan shape)
-    Canon(a.repartition(col("id_a"))
-      .join(broadcast(b), Seq("label"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+      .select(col("vec_id").cast(LongType), col("label").cast(IntegerType),
+        col("embedding"))
+      .as[(Long, Int, Array[Float])]
+    val perLabel = emb.groupByKey(_._2)
+      .flatMapGroups { (label: Int, it: Iterator[(Long, Int, Array[Float])]) =>
+        graft.operators.Similarity
+          .topPairsInBucket(it.map(v => (v._1, v._3)).toArray, 20)
+          .map { case (ida, idb, cos) => (ida, idb, label, cos) }
+      }
+      .toDF("id_a", "id_b", "label", "cos_sim")
+    Canon(perLabel
       .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
       .limit(20)
       .select("id_a", "id_b", "label", "cos_sim"))

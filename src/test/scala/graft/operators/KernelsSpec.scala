@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Bit-equality gates for the per-doc kernels against the Catalyst
+  * expressions they replace: if any of these drift, golden files and the
+  * round-1 outputs drift with them.
+  */
+class KernelsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val samples = Seq(
+    "hello world", "", "a", "The quick brown fox", "tab\tand\nnewline",
+    "ünïcödé tæxt ünd größe", "日本語のテキストです", "mixed 日本 and ascii",
+    "x" * 500)
+
+  test("xx64 matches Spark's xxhash64 on strings (incl. multi-byte)") {
+    // parquet round-trip forces a real scan (local Seqs constant-fold)
+    val dir = java.nio.file.Files.createTempDirectory("kern").toString
+    samples.toDF("s").write.mode("overwrite").parquet(dir)
+    val got = spark.read.parquet(dir).select(col("s"), xxhash64(col("s")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    samples.foreach { s =>
+      assert(got(s) == Kernels.xx64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)),
+        s"xx64 mismatch for '$s'")
+    }
+  }
+
+  test("xx64Seeded matches xxhash64(lit(i), s)") {
+    val dir = java.nio.file.Files.createTempDirectory("kern").toString
+    samples.toDF("s").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    Seq(0, 1, 7, 127).foreach { i =>
+      val got = df.select(col("s"), xxhash64(lit(i), col("s")))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      samples.foreach { s =>
+        assert(got(s) == Kernels.xx64Seeded(i,
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)),
+          s"xx64Seeded($i) mismatch for '$s'")
+      }
+    }
+  }
+
+  test("winnowFps matches the explode+window reference plan bit-for-bit") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "abcdefghijklmnopqrstuvwxyz0123456789",
+      "ünïcödé tæxt with münich and zürich in it",
+      "short", "exactly8", "exactly8chars!!")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val k = 8; val w = 4
+    // reference plan (round-1 shape)
+    val grams = docs.filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, length(text) - ${k - 1}), i -> substring(text, i, $k))"))
+          .as(Seq("pos", "gram")))
+      .withColumn("h", xxhash64(col("gram")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, w - 1)
+    val ref = grams
+      .withColumn("wmin", min(col("h")).over(win))
+      .withColumn("maxpos", max(col("pos")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .filter(col("pos") <= col("maxpos") - (w - 1))
+      .select(col("doc_id"), col("wmin")).distinct()
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    val got = texts.zipWithIndex.map { case (t, i) =>
+      i.toLong -> Kernels.winnowFps(t, k, w).toSet
+    }.filter(_._2.nonEmpty).toMap
+    assert(got == ref)
+  }
+
+  test("simHash64 matches the explode+64-sums reference plan") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "The QUICK brown FOX  jumps\tover  newlines\ntoo",
+      "singletoken", "a b a b a", "ünïcödé tæxt")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"_b$b")
+    }
+    val ref = toks.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"_b$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(Kernels.simHash64(t) == ref(i.toLong), s"simhash mismatch: '$t'")
+    }
+  }
+
+  test("minHashSig matches the explode+min-columns reference plan") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content here")).toDF("doc_id", "text")
+    val numHashes = 16
+    val sh = Dedup.shingle(docs)
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"_m$i"))
+    val ref = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .collect().map(r => r.getLong(0) ->
+        (0 until numHashes).map(i => r.getLong(i + 1)).toArray).toMap
+    val arrs = Dedup.shingleArrays(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toArray).toMap
+    arrs.foreach { case (id, shs) =>
+      assert(Kernels.minHashSig(shs, numHashes).toSeq == ref(id).toSeq)
+    }
+  }
+
+  test("roundHalfUp matches Spark round(x, 4)") {
+    val xs = Seq(0.12345, 0.12344999, -0.98765, 0.5e-4, -0.5e-4, 1.0,
+      0.00005, -0.00005, 123.456789, 1e-10, 0.46875)
+    val dir = java.nio.file.Files.createTempDirectory("kern").toString
+    xs.toDF("x").write.mode("overwrite").parquet(dir)
+    val got = spark.read.parquet(dir).select(col("x"), round(col("x"), 4))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    xs.foreach { x =>
+      assert(got(x) == Kernels.roundHalfUp(x, 4), s"round mismatch for $x")
+    }
+  }
+}
