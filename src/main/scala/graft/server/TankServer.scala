@@ -143,7 +143,7 @@ final class TankServer(spark: SparkSession, cfg: StoreConfig,
   private def deleteFeature(ex: HttpExchange, uid: String): Unit = {
     val hashes = FeatureStore.lookup(spark, cfg, uid)
       .select("hash").collect().map(_.getInt(0))
-    FeatureStore.delete(spark, cfg, uid)
+    FeatureStore.delete(spark, cfg, uid, hashes.headOption)
     cache.invalidateTouched(hashes)
     respond(ex, 200, "{}".getBytes, "application/json")
   }
@@ -165,7 +165,7 @@ final class TankServer(spark: SparkSession, cfg: StoreConfig,
     }.getOrElse(Map.empty[String, Any])
     val oldHashes = FeatureStore.lookup(spark, cfg, uid)
       .select("hash").collect().map(_.getInt(0))
-    FeatureStore.update(spark, cfg, uid, geomWkt, props)
+    FeatureStore.update(spark, cfg, uid, geomWkt, props, oldHashes.headOption)
     val newHashes = FeatureStore.lookup(spark, cfg, uid)
       .select("hash").collect().map(_.getInt(0))
     cache.invalidateTouched(oldHashes ++ newHashes)

@@ -206,18 +206,36 @@ object FeatureStore {
   def lookup(spark: SparkSession, cfg: StoreConfig, uid: String): DataFrame =
     read(spark, cfg).filter(col("uid") === uid)
 
-  /** A5: delete by uid — copy-on-write snapshot rewrite. */
-  def delete(spark: SparkSession, cfg: StoreConfig, uid: String): Unit =
-    rewrite(spark, cfg, _.filter(col("uid") =!= uid))
+  /** A5: delete by uid — rewrites ONLY the parquet files containing the uid
+    * (found via a pushed-down filter over `_metadata.file_path`); every
+    * other file stays byte-identical on disk. Pass `knownHash` (e.g. from a
+    * prior lookup) to prune the touched-file probe to the O(1) files whose
+    * hash min/max covers it instead of scanning uid stats table-wide.
+    */
+  def delete(spark: SparkSession, cfg: StoreConfig, uid: String,
+             knownHash: Option[Int] = None): Unit = {
+    val touches = knownHash
+      .map(h => col("hash") === h && col("uid") === uid)
+      .getOrElse(col("uid") === uid)
+    rewriteTouched(spark, cfg, touches, _.filter(col("uid") =!= uid))
+  }
 
   /** A6: update = replace geometry/attrs of one uid, preserving every column
     * not supplied (tank re-imports the merged feature, application.kt:317-348).
+    * Only the file(s) holding the uid are rewritten; if the new geometry
+    * moves the row to a different Morton cell, the rewritten file simply
+    * covers a wider hash range (pruning stays correct — ranges are read from
+    * actual file stats).
     */
   def update(spark: SparkSession, cfg: StoreConfig, uid: String,
              newGeometryWkt: Option[String],
-             newAttrs: Map[String, Any]): Unit = {
+             newAttrs: Map[String, Any],
+             knownHash: Option[Int] = None): Unit = {
     val hashUdf = udf((wkt: String) => GeomUdfs.centroidHash(wkt, cfg.hashLevel))
-    rewrite(spark, cfg, df => {
+    val touches = knownHash
+      .map(h => col("hash") === h && col("uid") === uid)
+      .getOrElse(col("uid") === uid)
+    rewriteTouched(spark, cfg, touches, df => {
       val updatedGeom = newGeometryWkt match {
         case Some(w) =>
           when(col("uid") === uid, lit(w)).otherwise(col("geometry"))
@@ -232,16 +250,59 @@ object FeatureStore {
     })
   }
 
-  /** A8: bulk delete of every feature in a tile's Z-range. */
+  /** A8: bulk delete of every feature in a tile's Z-range. The hash-range
+    * predicate prunes the touched-file probe via parquet min/max stats, so
+    * only the O(tile) files overlapping the tile's Morton ranges are read
+    * or rewritten.
+    */
   def deleteTile(spark: SparkSession, cfg: StoreConfig, z: Int, x: Int, y: Int): Unit = {
     val ranges = graft.core.ZRange.coverWithBuffer(z, x, y, cfg.hashLevel, 0.0)
     val inTile = ranges.map { case (lo, hi) => col("hash").between(lo, hi) }
       .reduce(_ || _)
-    rewrite(spark, cfg, _.filter(!inTile))
+    rewriteTouched(spark, cfg, inTile, _.filter(!inTile))
   }
 
-  /** Copy-on-write snapshot: materialize the transformed table, swap dirs.
-    * (With Delta this is a DELETE/MERGE; plain parquet needs the tmp-swap.)
+  /** Targeted copy-on-write: rewrite ONLY the parquet files that contain at
+    * least one row matching `touches`; untouched files are never read twice,
+    * never rewritten, and stay byte-identical. This is the file-level-delete
+    * shape of a table format (Delta/Iceberg) on plain parquet: a single-uid
+    * DELETE touches O(1) files instead of rewriting the table — the round-1
+    * full-table rewrite could not run at 100 TB.
+    *
+    * The probe scan benefits from pushdown: a hash-range `touches` predicate
+    * prunes on file min/max stats (the store is hash-range-partitioned and
+    * hash-sorted), so for tile deletes only O(tile) files are opened at all.
+    * The swap (delete touched + move replacements in) is not atomic for
+    * concurrent readers — snapshot isolation is a table format's job; the
+    * reference's Cassandra store has the same read-uncommitted semantics.
+    */
+  private def rewriteTouched(spark: SparkSession, cfg: StoreConfig,
+                             touches: Column,
+                             f: DataFrame => DataFrame): Unit = {
+    val touched = read(spark, cfg)
+      .filter(touches)
+      .select(col("_metadata.file_path").as("_file"))
+      .distinct().collect().map(_.getString(0))
+    if (touched.isEmpty) return
+    val next = f(spark.read.parquet(touched.toIndexedSeq: _*)).cache()
+    val tmp = cfg.path + "_rw_tmp"
+    next.write.mode(SaveMode.Overwrite).parquet(tmp)
+    next.unpersist()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    touched.foreach { fp =>
+      fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(fp)), false)
+    }
+    val dstDir = new org.apache.hadoop.fs.Path(cfg.path)
+    fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(st => fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(dstDir, st.getPath.getName)))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  /** Full copy-on-write snapshot (compaction path): materialize the
+    * transformed table, swap dirs.
     */
   private def rewrite(spark: SparkSession, cfg: StoreConfig,
                       f: DataFrame => DataFrame): Unit = {

@@ -155,4 +155,46 @@ class FeatureStoreSpec extends SparkSpec {
     val left = FeatureStore.read(spark, cfg).select("uid").collect().map(_.getString(0))
     assert(!left.contains("c"), s"tile delete left $left")
   }
+
+  test("delete/update rewrite only the touched files; others stay byte-identical") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val cfg = StoreConfig(path = s"$dir/store", attrs = Seq(AttrField("v", "int")))
+    // 40 well-spread points -> 8 range-partitioned files with disjoint hash ranges
+    val ls = (0 until 40).map { i =>
+      featureJson(s"u$i", -170.0 + i * 8.4, -80.0 + i * 4.0, s"""{"v":$i}""")
+    }
+    FeatureStore.write(FeatureStore.ingest(ls.toDF("raw"), cfg).good, cfg, partitions = 8)
+
+    def snapshot(): Map[String, (Long, Long)] = {
+      val d = new java.io.File(cfg.path)
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val before = snapshot()
+    assert(before.size >= 4, s"need multiple files, got ${before.size}")
+
+    val h = FeatureStore.lookup(spark, cfg, "u7").collect().head.getAs[Int]("hash")
+    FeatureStore.delete(spark, cfg, "u7", Some(h))
+    assert(FeatureStore.lookup(spark, cfg, "u7").count() == 0)
+    assert(FeatureStore.read(spark, cfg).count() == 39)
+
+    val after = snapshot()
+    val untouched = before.keySet.intersect(after.keySet)
+    // exactly one file replaced; the surviving originals are bit-identical
+    assert(untouched.size == before.size - 1,
+      s"expected 1 rewritten file, got ${before.size - untouched.size}")
+    untouched.foreach { name =>
+      assert(before(name) == after(name), s"$name was modified in place")
+    }
+
+    // update: same contract
+    FeatureStore.update(spark, cfg, "u3", None, Map("v" -> 999))
+    val after2 = snapshot()
+    val untouched2 = after.keySet.intersect(after2.keySet)
+    assert(untouched2.size == after.size - 1)
+    untouched2.foreach { name => assert(after(name) == after2(name)) }
+    assert(FeatureStore.lookup(spark, cfg, "u3").collect().head.getAs[Int]("v") == 999)
+    assert(FeatureStore.read(spark, cfg).count() == 39)
+  }
 }
