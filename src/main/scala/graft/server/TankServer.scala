@@ -16,14 +16,25 @@ import graft.tiles.TileService.TileConfig
   * library, this is serving glue.
   *
   *   GET  /                     liveness text                (A1)
-  *   POST /                     ingest one GeoJSON feature   (A2)
-  *   POST /_bulk                ingest NDJSON body           (A3, sync form)
+  *   POST /[{layer}]            ingest one GeoJSON feature   (A2)
+  *   POST /_bulk[/{layer}]      ingest NDJSON body; `?geojson=true` parses
+  *                              the body as one FeatureCollection (A3)
   *   GET  /{uid}                feature as GeoJSON           (A4)
   *   DELETE /{uid}              delete by uid                (A5)
   *   PUT  /{uid}                update (preserves attrs)     (A6)
   *   GET  /tile/{z}/{x}/{y}?filter={"attr":v}  MVT bytes     (A7)
   *   DELETE /tile/{z}/{x}/{y}   bulk delete tile             (A8)
   *   GET  /heatmap/{z}/{x}/{y}  count-grid MVT               (A9)
+  *   GET  /static/...           demo map viewer page         (A10)
+  *   OPTIONS *                  CORS preflight, 204          (A13)
+  *
+  * A13 also covers the reference's cross-cutting concerns: CORS headers on
+  * every response (application.kt:207-213), gzip/deflate response
+  * compression negotiated from Accept-Encoding (application.kt:192-203),
+  * and structured error mapping (application.kt:620-649). The `{layer}`
+  * route segments mirror application.kt:230-251 — the reference validates
+  * layer non-emptiness but its single-table store ignores the value, and so
+  * do we.
   *
   * The tile/heatmap cache (A11/O5) invalidates by the Morton cells each
   * write touches. Single-threaded executor: request handling is Spark-job
@@ -34,6 +45,9 @@ final class TankServer(spark: SparkSession, cfg: StoreConfig,
 
   private val cache = new TileCache(tileCfg.hashLevel)
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def jsonStr(s: String): String = mapper.writeValueAsString(s)
 
   private def features: DataFrame = FeatureStore.read(spark, cfg)
 
@@ -51,22 +65,49 @@ final class TankServer(spark: SparkSession, cfg: StoreConfig,
     val path = ex.getRequestURI.getPath.stripSuffix("/")
     val parts = path.split("/").toList.filter(_.nonEmpty)
     (ex.getRequestMethod, parts) match {
+      case ("OPTIONS", _) => // CORS preflight (application.kt:228-234)
+        respond(ex, 204, Array.empty, "text/plain")
       case ("GET", Nil) =>
         respond(ex, 200, "tankspark: Spark-native tank engine\n".getBytes, "text/plain")
-      case ("POST", Nil) => postFeature(ex)
-      case ("POST", List("_bulk")) => postBulk(ex)
+      case ("POST", Nil) => postFeature(ex, layer = "")
+      case ("POST", List("_bulk")) => postBulk(ex, layer = "")
+      case ("POST", List("_bulk", layer)) => postBulk(ex, layer)
+      case ("GET", "static" :: _) =>
+        respond(ex, 200, mapViewerHtml.getBytes("UTF-8"), "text/html")
       case ("GET", List("tile", z, x, y)) => tile(ex, z.toInt, x.toInt, y.toInt)
       case ("DELETE", List("tile", z, x, y)) => deleteTile(ex, z.toInt, x.toInt, y.toInt)
       case ("GET", List("heatmap", z, x, y)) => heatmap(ex, z.toInt, x.toInt, y.toInt)
       case ("GET", List(uid)) => getFeature(ex, uid)
       case ("DELETE", List(uid)) => deleteFeature(ex, uid)
       case ("PUT", List(uid)) => putFeature(ex, uid)
-      case _ => respond(ex, 404, "not found\n".getBytes, "text/plain")
+      case ("POST", List(layer)) => postFeature(ex, layer)
+      case _ => respond(ex, 404, """{"msg": "not found"}""".getBytes, "application/json")
     }
-  } catch {
+  } catch { // structured error mapping (application.kt:620-649)
+    case _: NoSuchElementException =>
+      respond(ex, 404, """{"msg": "item not found"}""".getBytes, "application/json")
+    case e: IllegalArgumentException =>
+      respond(ex, 400,
+        s"""{"msg": "illegal argument", "cause": ${jsonStr(String.valueOf(e.getMessage))}}""".getBytes,
+        "application/json")
+    case _: NotImplementedError =>
+      respond(ex, 500, """{"msg": "Not Implemented Yet, contact administrator"}""".getBytes,
+        "application/json")
+    case _: OutOfMemoryError =>
+      respond(ex, 500, """{"msg": "Out of memory: reduce file/bulk size"}""".getBytes,
+        "application/json")
     case e: Exception =>
-      respond(ex, 500, s"error: ${e.getMessage}\n".getBytes, "text/plain")
+      respond(ex, 500,
+        s"""{"msg": ${jsonStr(String.valueOf(e.getMessage))}}""".getBytes, "application/json")
   }
+
+  /** Layer must be non-empty once combined with the configured base layer
+    * (application.kt:231-233,246-250; the combined name is otherwise unused
+    * — the store is single-table in the reference too).
+    */
+  private def requireLayer(layer: String): Unit =
+    if (tileCfg.baseLayer.isEmpty && layer.isEmpty)
+      throw new IllegalArgumentException("Import layer must not be an empty string")
 
   // ------------------------------------------------------------- reads
 
@@ -98,7 +139,7 @@ final class TankServer(spark: SparkSession, cfg: StoreConfig,
     val props = cfg.attrs.map { a =>
       val v = r.getAs[Any](a.name)
       val json = v match {
-        case s: String => "\"" + s + "\""
+        case s: String => jsonStr(s) // escapes quotes/backslashes/control chars
         case d: java.sql.Date => "\"" + d + "\""
         case other => String.valueOf(other)
       }
@@ -111,16 +152,28 @@ final class TankServer(spark: SparkSession, cfg: StoreConfig,
 
   // ------------------------------------------------------------- writes
 
-  private def postFeature(ex: HttpExchange): Unit = {
+  private def postFeature(ex: HttpExchange, layer: String): Unit = {
+    requireLayer(layer)
     val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
     val n = ingestRaw(Seq(body))
     respond(ex, if (n == 1) 200 else 400,
       s"""{"ingested":$n}""".getBytes, "application/json")
   }
 
-  private def postBulk(ex: HttpExchange): Unit = {
+  /** NDJSON body by default; `?geojson=true` parses the whole body as one
+    * FeatureCollection (application.kt:257-262).
+    */
+  private def postBulk(ex: HttpExchange, layer: String): Unit = {
+    requireLayer(layer)
     val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-    val n = ingestRaw(body.linesIterator.filter(_.nonEmpty).toSeq)
+    val lines =
+      if (queryParam(ex, "geojson").contains("true")) {
+        val root = mapper.readTree(body)
+        val feats = Option(root.get("features"))
+          .getOrElse(throw new IllegalArgumentException("not a FeatureCollection"))
+        (0 until feats.size).map(i => feats.get(i).toString)
+      } else body.linesIterator.filter(_.nonEmpty).toSeq
+    val n = ingestRaw(lines)
     respond(ex, 200, s"""{"ingested":$n}""".getBytes, "application/json")
   }
 
@@ -182,29 +235,119 @@ final class TankServer(spark: SparkSession, cfg: StoreConfig,
 
   // ------------------------------------------------------------- helpers
 
-  private def parseFilter(ex: HttpExchange): Option[(String, Any)] = {
+  private def queryParam(ex: HttpExchange, name: String): Option[String] = {
     val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-    q.split("&").find(_.startsWith("filter=")).flatMap { kv =>
-      val json = java.net.URLDecoder.decode(kv.drop("filter=".length), "UTF-8")
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    q.split("&").find(_.startsWith(name + "=")).map(kv =>
+      java.net.URLDecoder.decode(kv.drop(name.length + 1), "UTF-8"))
+  }
+
+  /** Filter value is bound by the ATTRIBUTE's configured type, not the JSON
+    * literal's shape — int/double/date/text (application.kt:405-416; date is
+    * a "YYYY-MM-DD" string in the filter JSON).
+    */
+  private def parseFilter(ex: HttpExchange): Option[(String, Any)] = {
+    queryParam(ex, "filter").flatMap { json =>
+      val node = mapper.readTree(json)
       val fields = node.fields()
       if (fields.hasNext) {
         val e = fields.next()
-        val v: Any =
-          if (e.getValue.isInt) e.getValue.asInt()
-          else if (e.getValue.isDouble) e.getValue.asDouble()
-          else e.getValue.asText()
+        val v: Any = cfg.attrs.find(_.name == e.getKey).map(_.typ) match {
+          case Some("int") => e.getValue.asInt()
+          case Some("double") => e.getValue.asDouble()
+          case Some("date") => java.sql.Date.valueOf(e.getValue.asText())
+          case Some(_) => e.getValue.asText()
+          case None => // unconfigured attr: fall back to the literal's shape
+            if (e.getValue.isInt) e.getValue.asInt()
+            else if (e.getValue.isDouble) e.getValue.asDouble()
+            else e.getValue.asText()
+        }
         Some(e.getKey -> v)
       } else None
     }
   }
 
+  /** All responses carry the reference's CORS + engine headers
+    * (application.kt:206-213) and honor Accept-Encoding: gzip always wins
+    * when accepted; deflate only for bodies >= 1 KiB (application.kt:192-203).
+    */
   private def respond(ex: HttpExchange, code: Int, body: Array[Byte],
                       contentType: String): Unit = {
-    ex.getResponseHeaders.set("Content-Type", contentType)
-    ex.sendResponseHeaders(code, body.length.toLong)
+    val h = ex.getResponseHeaders
+    h.set("Content-Type", contentType)
+    h.set("X-Engine", "Spark")
+    h.set("Access-Control-Allow-Origin", "*")
+    h.set("Access-Control-Allow-Methods", "GET, POST, OPTIONS, DELETE")
+    h.set("Access-Control-Allow-Headers",
+      "X-Engine,DNT,User-Agent,X-Requested-With,If-Modified-Since,Cache-Control,Content-Type,Range")
+    h.set("Access-Control-Expose-Headers", "Content-Length,Content-Range")
+    val accept = Option(ex.getRequestHeaders.getFirst("Accept-Encoding")).getOrElse("")
+    val out =
+      if (body.isEmpty) body
+      else if (accept.contains("gzip")) {
+        h.set("Content-Encoding", "gzip")
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(body); gz.close()
+        bos.toByteArray
+      } else if (accept.contains("deflate") && body.length >= 1024) {
+        h.set("Content-Encoding", "deflate")
+        val bos = new java.io.ByteArrayOutputStream()
+        val df = new java.util.zip.DeflaterOutputStream(bos)
+        df.write(body); df.close()
+        bos.toByteArray
+      } else body
+    ex.sendResponseHeaders(code, if (out.isEmpty) -1L else out.length.toLong)
     val os = ex.getResponseBody
-    os.write(body)
+    os.write(out)
     os.close()
+  }
+
+  /** Demo map viewer (A10) — our own page in the shape of the reference's
+    * static resource (resources/static/index.html: a vector-tile map over
+    * the /tile and /heatmap endpoints on an OSM raster background).
+    */
+  private def mapViewerHtml: String = {
+    val layer = tileCfg.baseLayer
+    s"""<!DOCTYPE html>
+       |<html lang="en">
+       |<head>
+       |  <meta charset="UTF-8">
+       |  <title>tankspark map</title>
+       |  <meta name="viewport" content="initial-scale=1,maximum-scale=1,user-scalable=no"/>
+       |  <script src="https://unpkg.com/maplibre-gl@3/dist/maplibre-gl.js"></script>
+       |  <link href="https://unpkg.com/maplibre-gl@3/dist/maplibre-gl.css" rel="stylesheet"/>
+       |  <style>body{margin:0;padding:0}#map{position:absolute;top:0;bottom:0;width:100%}</style>
+       |</head>
+       |<body>
+       |<div id="map"></div>
+       |<script>
+       |  new maplibregl.Map({
+       |    container: 'map', minZoom: 2, zoom: 4, center: [-95.7129, 37.0902],
+       |    style: {
+       |      version: 8,
+       |      sources: {
+       |        tank: {type: 'vector',
+       |               tiles: [location.protocol + '//' + location.host + '/tile/{z}/{x}/{y}'],
+       |               minzoom: 9},
+       |        heat: {type: 'vector',
+       |               tiles: [location.protocol + '//' + location.host + '/heatmap/{z}/{x}/{y}'],
+       |               minzoom: 2, maxzoom: 12},
+       |        osm: {type: 'raster', tileSize: 256,
+       |              tiles: ['https://tile.openstreetmap.org/{z}/{x}/{y}.png']}
+       |      },
+       |      layers: [
+       |        {id: 'osm', source: 'osm', type: 'raster'},
+       |        {id: 'geo', source: 'tank', 'source-layer': '$layer', type: 'line',
+       |         paint: {'line-color': '#000000'}},
+       |        {id: 'heat', source: 'heat', 'source-layer': '$layer', type: 'fill',
+       |         paint: {'fill-color': ['interpolate', ['linear'], ['get', 'count'],
+       |                 0, 'rgba(0,255,0,0.1)', 1000, 'rgba(0,255,0,0.5)']}}
+       |      ]
+       |    }
+       |  });
+       |</script>
+       |</body>
+       |</html>
+       |""".stripMargin
   }
 }

@@ -13,7 +13,8 @@ class TankServerSpec extends SparkSpec {
 
   private val cfg = StoreConfig(
     path = java.nio.file.Files.createTempDirectory("graft-srv").toString + "/store",
-    attrs = Seq(AttrField("class", "text"), AttrField("value", "double")))
+    attrs = Seq(AttrField("class", "text"), AttrField("value", "double"),
+      AttrField("day", "date")))
   private val tileCfg = TileService.TileConfig(
     mainAttr = "class", attributes = Seq("class", "value"))
 
@@ -22,11 +23,20 @@ class TankServerSpec extends SparkSpec {
 
   override def afterAll(): Unit = { server.stop(); super.afterAll() }
 
-  private def http(method: String, path: String, body: Option[String] = None)
+  private def http(method: String, path: String, body: Option[String] = None,
+                   headers: Map[String, String] = Map.empty)
       : (Int, Array[Byte]) = {
+    val (code, bytes, _) = httpFull(method, path, body, headers)
+    (code, bytes)
+  }
+
+  private def httpFull(method: String, path: String, body: Option[String] = None,
+                       headers: Map[String, String] = Map.empty)
+      : (Int, Array[Byte], Map[String, String]) = {
     val conn = new URI(s"http://localhost:$port$path").toURL
       .openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod(method)
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
     body.foreach { b =>
       conn.setDoOutput(true)
       val os = conn.getOutputStream
@@ -35,8 +45,15 @@ class TankServerSpec extends SparkSpec {
     val code = conn.getResponseCode
     val is = if (code < 400) conn.getInputStream else conn.getErrorStream
     val bytes = if (is != null) is.readAllBytes() else Array.empty[Byte]
+    val respHeaders = {
+      import scala.jdk.CollectionConverters._
+      // the JDK server normalizes header casing; compare lowercased
+      conn.getHeaderFields.asScala.collect {
+        case (k, vs) if k != null => k.toLowerCase -> vs.get(0)
+      }.toMap
+    }
     conn.disconnect()
-    (code, bytes)
+    (code, bytes, respHeaders)
   }
 
   private def feature(id: String, lon: Double, lat: Double, cls: String): String =
@@ -121,5 +138,99 @@ class TankServerSpec extends SparkSpec {
 
   test("unknown route is a 404") {
     assert(http("GET", "/no/such/route/x")._1 == 404)
+  }
+
+  // -------- A13/A10/A3-variant surface (post-round-1 verdict items) --------
+
+  // fresh location: tile 13/(tx2,ty2) untouched by the delete tests above
+  private val (lon2, lat2) = (11.0, 51.0)
+  private val (tx2, ty2) = (WebMercator.tileX(lon2, 13), WebMercator.tileY(lat2, 13))
+
+  test("A13: OPTIONS preflight is 204 with CORS headers") {
+    val (code, body, hdrs) = httpFull("OPTIONS", "/tile/13/0/0")
+    assert(code == 204 && body.isEmpty, new String(body))
+    assert(hdrs.get("access-control-allow-origin").contains("*"), hdrs)
+    assert(hdrs("access-control-allow-methods").contains("OPTIONS"))
+  }
+
+  test("A13: CORS headers ride every response") {
+    val (_, _, hdrs) = httpFull("GET", "/")
+    assert(hdrs.get("access-control-allow-origin").contains("*"), hdrs)
+  }
+
+  test("A13: gzip response when Accept-Encoding: gzip") {
+    http("POST", "/", Some(feature("g1", lon2, lat2, "roads")))
+    val (code, body, hdrs) =
+      httpFull("GET", s"/tile/13/$tx2/$ty2", headers = Map("Accept-Encoding" -> "gzip"))
+    assert(code == 200 && hdrs.get("content-encoding").contains("gzip"), hdrs)
+    val raw = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(body)).readAllBytes()
+    assert(Mvt.decode(raw).head.features.exists(_.props.get("class").contains("roads")))
+  }
+
+  test("A3: FeatureCollection bulk via ?geojson=true") {
+    val fc =
+      s"""{"type":"FeatureCollection","features":[${feature("fc1", lon2 + 0.001, lat2, "fcA")},${feature("fc2", lon2 + 0.002, lat2, "fcB")}]}"""
+    val (code, body) = http("POST", "/_bulk?geojson=true", Some(fc))
+    assert(code == 200 && new String(body) == """{"ingested":2}""", new String(body))
+    val (gc, gb) = http("GET", "/fc1")
+    assert(gc == 200 && new String(gb).contains(""""class":"fcA""""))
+  }
+
+  test("A2/A3: {layer} route variants accepted") {
+    val (c1, b1) = http("POST", "/roads", Some(feature("ly1", lon2 + 0.003, lat2, "lyr")))
+    assert(c1 == 200 && new String(b1) == """{"ingested":1}""", new String(b1))
+    val (c2, _) = http("POST", "/_bulk/roads", Some(feature("ly2", lon2 + 0.004, lat2, "lyr")))
+    assert(c2 == 200)
+  }
+
+  test("A7: typed date filter binds by the attribute's configured type") {
+    val withDay =
+      s"""{"type":"Feature","id":"d1","geometry":{"type":"Point","coordinates":[${lon2 + 0.005},$lat2]},"properties":{"class":"dated","value":2.0,"day":"2026-01-05"}}"""
+    http("POST", "/", Some(withDay))
+    val hit = http("GET",
+      s"/tile/13/$tx2/$ty2?filter=%7B%22day%22%3A%222026-01-05%22%7D")._2
+    assert(Mvt.decode(hit).head.features.exists(_.props.get("class").contains("dated")))
+    val miss = http("GET",
+      s"/tile/13/$tx2/$ty2?filter=%7B%22day%22%3A%222026-01-06%22%7D")._2
+    assert(Mvt.decode(miss).head.features.isEmpty)
+  }
+
+  test("A10: static map viewer page served") {
+    val (code, body) = http("GET", "/static/index.html")
+    val html = new String(body)
+    assert(code == 200 && html.contains("maplibre") &&
+      html.contains(tileCfg.baseLayer), html.take(200))
+  }
+
+  test("A4: string attrs with quotes/backslashes produce valid JSON") {
+    val tricky = """he said \"hi\" \\ there"""
+    val f =
+      s"""{"type":"Feature","id":"esc1","geometry":{"type":"Point","coordinates":[${lon2 + 0.006},$lat2]},"properties":{"class":"$tricky","value":1.0}}"""
+    http("POST", "/", Some(f))
+    val (gc, gb) = http("GET", "/esc1")
+    assert(gc == 200)
+    // must parse as JSON and round-trip the raw value
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(gb)
+    assert(node.get("properties").get("class").asText() == """he said "hi" \ there""",
+      new String(gb))
+  }
+
+  test("A2: empty layer on an empty base layer is a 400") {
+    val cfg2 = StoreConfig(
+      path = java.nio.file.Files.createTempDirectory("graft-srv2").toString + "/store",
+      attrs = Seq(AttrField("class", "text")))
+    val srv2 = new TankServer(spark, cfg2, tileCfg.copy(baseLayer = ""))
+    val port2 = srv2.start()
+    try {
+      val conn = new URI(s"http://localhost:$port2/").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      os.write(feature("z1", lon2, lat2, "x").getBytes("UTF-8")); os.close()
+      assert(conn.getResponseCode == 400)
+      conn.disconnect()
+    } finally srv2.stop()
   }
 }
