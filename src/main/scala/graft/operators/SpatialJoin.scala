@@ -45,9 +45,11 @@ object SpatialJoin {
         s"$z/${WebMercator.tileX(lo, z)}/${WebMercator.tileY(la, z)}"
       }
     })
+    // prepared-geometry cache: each polygon is parsed + indexed once per
+    // task thread, then probed with an O(log n) point-in-prepared test
     val containsUdf = udf((w: String, lo: Double, la: Double) => {
-      val g = GeomUdfs.parse(w)
-      g.contains(g.getFactory.createPoint(
+      val g = GeomUdfs.prepared(w)
+      g.contains(g.getGeometry.getFactory.createPoint(
         new org.locationtech.jts.geom.Coordinate(lo, la)))
     })
 

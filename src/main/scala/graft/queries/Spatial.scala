@@ -159,13 +159,25 @@ object Spatial {
   def featuresStored(s: SparkSession, d: String): DataFrame = {
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
     val dir = s"/tmp/graft_store/features_v1_$tag"
-    if (!new java.io.File(dir).exists()) {
+    // rebuild unless a COMPLETE store is present: Spark's _SUCCESS marker
+    // only lands after the job commits, and the write goes to a temp dir
+    // renamed into place — a crashed build can never be half-read
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val tmp = dir + "_build_" + java.util.UUID.randomUUID().toString.take(8)
       features(s, d)
         .repartitionByRange(8, col("hash"))
         .sortWithinPartitions("hash")
-        .write.mode("overwrite").parquet(dir)
+        .write.mode("overwrite").parquet(tmp)
+      deleteRecursively(new java.io.File(dir))
+      if (!new java.io.File(tmp).renameTo(new java.io.File(dir)))
+        throw new java.io.IOException(s"could not publish feature store to $dir")
     }
     s.read.parquet(dir)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
   }
 
   // the z=9 tile containing the point of c_custkey = 100 (same as q28)

@@ -43,7 +43,8 @@ import graft.tiles.TileService.TileConfig
 final class TankServer(spark: SparkSession, cfg: StoreConfig,
                        tileCfg: TileConfig = TileConfig(), port: Int = 0) {
 
-  private val cache = new TileCache(tileCfg.hashLevel)
+  private val cache = new TileCache(tileCfg.hashLevel,
+    bufferFrac = 0.5 * tileCfg.buffer.toDouble / tileCfg.extent.toDouble)
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 

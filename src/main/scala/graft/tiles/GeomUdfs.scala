@@ -27,6 +27,30 @@ object GeomUdfs extends Serializable {
   def parse(wkt: String): Geometry = readers.get.read(wkt)
   def write(g: Geometry): String = writers.get.write(g)
 
+  /** Executor-local LRU of prepared geometries keyed by WKT. A spatial join
+    * probes the same polygon against millions of candidate points; parsing
+    * and re-indexing it per pair dominates the verify cost. Per-thread maps
+    * sidestep PreparedGeometry's thread-safety caveats; 256 entries bounds
+    * memory when a task sees many distinct polygons.
+    */
+  @transient private lazy val preparedCache =
+    ThreadLocal.withInitial[java.util.LinkedHashMap[String, org.locationtech.jts.geom.prep.PreparedGeometry]](() =>
+      new java.util.LinkedHashMap[String, org.locationtech.jts.geom.prep.PreparedGeometry](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, org.locationtech.jts.geom.prep.PreparedGeometry]): Boolean =
+          size > 256
+      })
+
+  def prepared(wkt: String): org.locationtech.jts.geom.prep.PreparedGeometry = {
+    val m = preparedCache.get
+    var g = m.get(wkt)
+    if (g == null) {
+      g = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(parse(wkt))
+      m.put(wkt, g)
+    }
+    g
+  }
+
   /** Morton hash (at `hashLevel`) of the geometry centroid's slippy tile —
     * the reference's partition key (Tyler.kt:127-134).
     */
@@ -74,6 +98,16 @@ object GeomUdfs extends Serializable {
     * what clipping a single-type geometry can produce).
     */
   def toMvtRings(wkt: String): (Int, Seq[Seq[(Int, Int)]]) = {
+    val (gt, rings, _) = toMvtRingsRoles(wkt)
+    (gt, rings)
+  }
+
+  /** Like [[toMvtRings]] but also returns each ring's role from JTS —
+    * true = exterior, false = hole. A flattened MultiPolygon has several
+    * exterior rings; the MVT encoder must wind each by its role, not by
+    * its position in the flat list.
+    */
+  def toMvtRingsRoles(wkt: String): (Int, Seq[Seq[(Int, Int)]], Seq[Boolean]) = {
     val g = parse(wkt)
     def ringOf(cs: Array[Coordinate]): Seq[(Int, Int)] =
       cs.map(c => (math.round(c.getX).toInt, math.round(c.getY).toInt)).toSeq
@@ -82,17 +116,18 @@ object GeomUdfs extends Serializable {
       .filter(_.getDimension == dim)
     dim match {
       case 0 =>
-        (1, Seq(parts.flatMap(p => ringOf(p.getCoordinates))))
+        (1, Seq(parts.flatMap(p => ringOf(p.getCoordinates))), Seq(true))
       case 1 =>
-        (2, parts.map(p => ringOf(p.getCoordinates)))
+        (2, parts.map(p => ringOf(p.getCoordinates)), parts.map(_ => true))
       case _ =>
-        (3, parts.flatMap {
+        val ringsWithRoles = parts.flatMap {
           case poly: org.locationtech.jts.geom.Polygon =>
-            ringOf(poly.getExteriorRing.getCoordinates) +:
+            (ringOf(poly.getExteriorRing.getCoordinates), true) +:
               (0 until poly.getNumInteriorRing)
-                .map(i => ringOf(poly.getInteriorRingN(i).getCoordinates))
-          case other => Seq(ringOf(other.getCoordinates))
-        })
+                .map(i => (ringOf(poly.getInteriorRingN(i).getCoordinates), false))
+          case other => Seq((ringOf(other.getCoordinates), true))
+        }
+        (3, ringsWithRoles.map(_._1), ringsWithRoles.map(_._2))
     }
   }
 

@@ -21,12 +21,16 @@ object Mvt {
   /** One feature ready to encode: geomType 1=POINT 2=LINESTRING 3=POLYGON;
     * `rings` is: points → one seq of coords; linestring → one seq per part;
     * polygon → one seq per ring (exterior first, then holes, per polygon).
+    * `exteriors(i)` says whether polygon ring i is an exterior (true) or a
+    * hole — required when a MultiPolygon is flattened, where "ring 0 is the
+    * only exterior" no longer holds. None = single polygon (ring 0 exterior).
     */
   final case class Feature(
       id: Option[Long],
       geomType: Int,
       rings: Seq[Seq[(Int, Int)]],
-      props: Seq[(String, Any)])
+      props: Seq[(String, Any)],
+      exteriors: Option[Seq[Boolean]] = None)
 
   // ------------------------------------------------------------- low level
 
@@ -94,8 +98,11 @@ object Mvt {
     if (cw == clockwise) ring else ring.reverse
   }
 
-  /** Geometry command stream: MoveTo=1, LineTo=2, ClosePath=7. */
-  def geometryCommands(geomType: Int, rings: Seq[Seq[(Int, Int)]]): Seq[Long] = {
+  /** Geometry command stream: MoveTo=1, LineTo=2, ClosePath=7. `exterior`
+    * gives each polygon ring's role (default: only ring 0 is an exterior).
+    */
+  def geometryCommands(geomType: Int, rings: Seq[Seq[(Int, Int)]],
+                       exterior: Int => Boolean = _ == 0): Seq[Long] = {
     val out = ArrayBuffer[Long]()
     var cx = 0
     var cy = 0
@@ -119,7 +126,7 @@ object Mvt {
         rings.zipWithIndex.foreach { case (ring0, i) =>
           // drop the duplicated closing vertex if present; ClosePath implies it
           val open = if (ring0.length > 1 && ring0.head == ring0.last) ring0.dropRight(1) else ring0
-          val ring = orient(open, clockwise = i == 0)
+          val ring = orient(open, clockwise = exterior(i))
           emitMove(ring.take(1))
           out += (((ring.length - 1).toLong << 3) | 2)
           ring.drop(1).foreach { case (x, y) =>
@@ -151,7 +158,8 @@ object Mvt {
       }
       fw.packed(2, tags)
       fw.uint(3, f.geomType.toLong)
-      fw.packed(4, geometryCommands(f.geomType, f.rings))
+      fw.packed(4, geometryCommands(f.geomType, f.rings,
+        i => f.exteriors.map(_(i)).getOrElse(i == 0)))
       layer.msg(2, fw)
     }
     keys.foreach(layer.str(3, _))

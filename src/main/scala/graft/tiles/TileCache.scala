@@ -2,7 +2,7 @@ package graft.tiles
 
 import java.util.concurrent.ConcurrentHashMap
 import scala.jdk.CollectionConverters._
-import graft.core.{ZCurve, ZRange}
+import graft.core.ZRange
 
 /** Serving-layer tile cache with spatial invalidation — the engine-side
   * equivalent of the reference's memcached + RegionManager pair
@@ -20,7 +20,8 @@ import graft.core.{ZCurve, ZRange}
   * geometry, no recursion.
   */
 final class TileCache(hashLevel: Int = 13,
-                      cacheZoomMin: Int = 2, cacheZoomMax: Int = 15) {
+                      cacheZoomMin: Int = 2, cacheZoomMax: Int = 15,
+                      bufferFrac: Double = 1.0 / 128.0) {
 
   private val store = new ConcurrentHashMap[(String, Int, Int, Int), Array[Byte]]()
 
@@ -60,20 +61,18 @@ final class TileCache(hashLevel: Int = 13,
   /** Invalidate every cached tile whose hash-cell cover intersects any of
     * the touched Morton cells (e.g. `df.select("hash").distinct().collect()`
     * of a write batch).
+    *
+    * Uses the SAME buffered cover the renderer reads from
+    * (ZRange.coverWithBuffer, cf. TileService.hashPredicate): a cached tile
+    * includes features from its clip-buffer halo, so a write landing only in
+    * a neighboring cell that feeds that halo must still kill the tile.
     */
   def invalidateTouched(touchedHashes: Iterable[Int]): Int = {
     if (touchedHashes.isEmpty) return 0
     val sorted = touchedHashes.toArray.sorted
     var removed = 0
     store.keySet().asScala.toSeq.foreach { case k @ (_, z, x, y) =>
-      val ranges: Seq[(Int, Int)] =
-        if (z <= hashLevel) Seq(ZRange.rangeOf(z, x, y, hashLevel))
-        else {
-          // the tile nests inside one hash cell
-          val d = z - hashLevel
-          val h = ZCurve.interleave(x >> d, y >> d)
-          Seq((h, h))
-        }
+      val ranges = ZRange.coverWithBuffer(z, x, y, hashLevel, bufferFrac)
       val hit = ranges.exists { case (lo, hi) =>
         val i = java.util.Arrays.binarySearch(sorted, lo)
         val at = if (i >= 0) i else -i - 1

@@ -79,11 +79,11 @@ object TileService {
            cfg: TileConfig = TileConfig()): Array[Byte] = {
     val rows = tileDf(features, z, x, y, filter, cfg).collect()
     val feats = rows.toSeq.map { r =>
-      val (gt, rings) = GeomUdfs.toMvtRings(r.getAs[String]("tgeom"))
+      val (gt, rings, roles) = GeomUdfs.toMvtRingsRoles(r.getAs[String]("tgeom"))
       val props = cfg.attributes.flatMap { a =>
         Option(r.getAs[Any](a)).map(a -> _)
       }
-      Mvt.Feature(None, gt, rings, props)
+      Mvt.Feature(None, gt, rings, props, exteriors = Some(roles))
     }
     Mvt.encode(feats, cfg.baseLayer, cfg.extent)
   }

@@ -75,5 +75,59 @@ class MvtSpec extends AnyFunSuite {
     val f = Mvt.Feature(None, 3, Seq(shell, hole), Nil)
     val d = Mvt.decode(Mvt.encode(Seq(f), "p")).head.features.head
     assert(d.commands.count(_ == 7L) == 2) // two ClosePath commands
+    assert(ringScreenAreas(d.commands).map(_ > 0) == Seq(true, false))
+  }
+
+  /** Walk a polygon command stream; screen-space signed area per ring
+    * (positive = clockwise on screen = MVT exterior).
+    */
+  private def ringScreenAreas(cmds: Seq[Long]): Seq[Long] = {
+    val areas = scala.collection.mutable.ArrayBuffer[Long]()
+    val ring = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var i = 0; var cx = 0; var cy = 0
+    while (i < cmds.length) {
+      val cmd = cmds(i); val id = (cmd & 7).toInt; val cnt = (cmd >> 3).toInt
+      i += 1
+      if (id == 1 || id == 2) {
+        for (_ <- 0 until cnt) {
+          cx += Mvt.unzigzag(cmds(i)); cy += Mvt.unzigzag(cmds(i + 1))
+          ring += ((cx, cy)); i += 2
+        }
+      } else if (id == 7) {
+        val closed = ring.toSeq :+ ring.head
+        areas += -closed.sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
+          x1.toLong * y2 - x2.toLong * y1
+        }.sum
+        ring.clear()
+      }
+    }
+    areas.toSeq
+  }
+
+  test("MultiPolygon: every exterior winds clockwise, holes counter (role-carried)") {
+    // polygon 1 has a hole; polygon 2 is a plain square. Flattened ring list
+    // = ext1, hole1, ext2 — ext2 must still wind as an exterior.
+    val wkt = "MULTIPOLYGON (((0 0, 40 0, 40 40, 0 40, 0 0), " +
+      "(10 10, 20 10, 20 20, 10 20, 10 10)), " +
+      "((100 100, 140 100, 140 140, 100 140, 100 100)))"
+    val (gt, rings, roles) = GeomUdfs.toMvtRingsRoles(wkt)
+    assert(gt == 3 && roles == Seq(true, false, true))
+    val f = Mvt.Feature(None, 3, rings, Nil, exteriors = Some(roles))
+    val d = Mvt.decode(Mvt.encode(Seq(f), "p")).head.features.head
+    val areas = ringScreenAreas(d.commands)
+    assert(areas.length == 3)
+    assert(areas(0) > 0 && areas(2) > 0,
+      s"exterior rings must be clockwise on screen: $areas")
+    assert(areas(1) < 0, s"hole must be counter-clockwise: $areas")
+  }
+
+  test("MultiPolygon without roles would mis-wind (guards the default)") {
+    // same geometry driven through the old default: ring 2 becomes a "hole"
+    val rings = Seq(
+      Seq((0, 0), (40, 0), (40, 40), (0, 40), (0, 0)),
+      Seq((100, 100), (140, 100), (140, 140), (100, 140), (100, 100)))
+    val withRoles = Mvt.Feature(None, 3, rings, Nil, exteriors = Some(Seq(true, true)))
+    val d = Mvt.decode(Mvt.encode(Seq(withRoles), "p")).head.features.head
+    assert(ringScreenAreas(d.commands).forall(_ > 0))
   }
 }

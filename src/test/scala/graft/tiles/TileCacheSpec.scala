@@ -26,13 +26,17 @@ class TileCacheSpec extends AnyFunSuite {
     c.put("tile", 13, 100, 200, Array(1))
     c.put("tile", 15, 100 << 2, 200 << 2, Array(1))
     c.put("heatmap", 13, 100, 200, Array(1))
-    c.put("tile", 13, 101, 200, Array(1)) // neighbor cell - survives
+    // the DIRECT neighbor dies too: its clip-buffer halo reads cell (100,200)
+    c.put("tile", 13, 101, 200, Array(1))
+    c.put("tile", 13, 103, 200, Array(1)) // beyond the halo - survives
 
     val removed = c.invalidateTouched(Seq(h))
-    // z9 ancestor + z13 + z15 descendant + heatmap twin
-    assert(removed == 4, s"removed $removed")
+    // z9 ancestor + z13 + z15 descendant + heatmap twin + buffered neighbor
+    assert(removed == 5, s"removed $removed")
     assert(c.get("tile", 9, (100 >> 4) + 5, 200 >> 4).isDefined)
-    assert(c.get("tile", 13, 101, 200).isDefined)
+    assert(c.get("tile", 13, 103, 200).isDefined)
+    assert(c.get("tile", 13, 101, 200).isEmpty,
+      "neighbor whose clip buffer overlaps the touched cell must be invalidated")
     assert(c.get("tile", 13, 100, 200).isEmpty)
     assert(c.get("tile", 15, 100 << 2, 200 << 2).isEmpty)
     assert(c.get("heatmap", 13, 100, 200).isEmpty)
@@ -68,9 +72,10 @@ class TileCacheSpec extends AnyFunSuite {
   test("invalidation with many touched cells uses range intersection correctly") {
     val c = new TileCache()
     (0 until 16).foreach(x => c.put("tile", 13, x, 0, Array(1)))
-    // touch cells x=0..7, y=0 -> kills tiles x=0..7 only
+    // touch cells x=0..7, y=0 -> kills tiles x=0..7 plus x=8 (its buffered
+    // halo reads cell x=7); x=9..15 survive
     val touched = (0 until 8).map(x => ZCurve.interleave(x, 0))
-    assert(c.invalidateTouched(touched) == 8)
-    assert(c.size == 8)
+    assert(c.invalidateTouched(touched) == 9)
+    assert(c.size == 7)
   }
 }
