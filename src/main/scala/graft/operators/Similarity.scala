@@ -16,12 +16,11 @@ import org.apache.spark.sql.types._
   *    exact cosine rerank of the candidates. The 100 TB path: corpus
   *    signatures are computed in the same scan, the join fans out per
   *    (band, bucket), and recall is tuned by bands x rowsPerBand.
-  *  - [[ivfTopK]] — IVF-style coarse quantization: corpus rows are assigned
-  *    to their nearest centroid cell once (broadcast centroids), queries
-  *    probe the `nprobe` nearest cells. Centroid selection is pluggable
-  *    (deterministic lowest-id sample by default; a k-means fit would slot in
-  *    unchanged) — the partition-by-cell layout is what matters at scale,
-  *    because a probe then touches `nprobe/nlist` of the data.
+  *  - [[ivfTopK]] — IVF coarse quantization: centroids fitted by
+  *    deterministic spherical k-means ([[kmeansCentroids]]: farthest-point
+  *    seeding + distributed Lloyd passes), corpus rows assigned to their
+  *    nearest cell once (broadcast centroids), queries probe the `nprobe`
+  *    nearest cells — a probe touches `nprobe/nlist` of the data.
   *
   * All vector math uses codegen'd higher-order array functions (`zip_with` +
   * `aggregate`), floats cast to double; no UDFs, no driver-side loops.
@@ -120,13 +119,107 @@ object Similarity {
     rank(scored, k)
   }
 
+  /** Deterministic spherical k-means centroids for IVF:
+    * farthest-point (k-means++-style, greedy max-min) seeding over a bounded
+    * lowest-id sample, then `iters` Lloyd passes computed DISTRIBUTED — one
+    * corpus scan per pass accumulating per-partition (sum, count) arrays,
+    * merged on the driver in partition order so float summation is
+    * reproducible. Driver traffic is O(numPartitions * nlist * dim), never
+    * O(rows): the shape that holds at 100 TB.
+    */
+  def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int = 2,
+                      sampleSize: Int = 256): Array[Array[Double]] = {
+    def unit(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val sample: Array[Array[Double]] = corpus.orderBy(col("vec_id").asc)
+      .limit(sampleSize).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "kmeansCentroids: empty corpus")
+    val normed = sample.map(unit)
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // greedy max-min-distance seeding, ties to the lowest sample index
+    val seedIdx = scala.collection.mutable.ArrayBuffer(0)
+    while (seedIdx.length < math.min(nlist, normed.length)) {
+      var best = -1; var bestD = -1.0
+      var i = 0
+      while (i < normed.length) {
+        if (!seedIdx.contains(i)) {
+          val minD = seedIdx.map(s => 1.0 - dotd(normed(i), normed(s))).min
+          if (minD > bestD) { bestD = minD; best = i }
+        }
+        i += 1
+      }
+      seedIdx += best
+    }
+    var cents = seedIdx.map(normed).toArray
+
+    for (_ <- 0 until iters) {
+      val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+      val parts = corpus.select("embedding").rdd.mapPartitionsWithIndex { (pid, it) =>
+        val cs = bc.value
+        val dim = cs(0).length
+        val sums = Array.fill(cs.length)(new Array[Double](dim))
+        val counts = new Array[Long](cs.length)
+        it.foreach { row =>
+          val e = row.getSeq[Float](0)
+          // centroids are unit vectors, so cosine argmax == dot argmax
+          var best = 0; var bestS = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            var s = 0.0; var i = 0
+            val n = math.min(e.length, cs(c).length)
+            while (i < n) { s += e(i).toDouble * cs(c)(i); i += 1 }
+            if (s > bestS) { bestS = s; best = c }
+            c += 1
+          }
+          val acc = sums(best)
+          var i = 0
+          val n = math.min(e.length, acc.length)
+          while (i < n) { acc(i) += e(i).toDouble; i += 1 }
+          counts(best) += 1
+        }
+        Iterator((pid, sums, counts))
+      }.collect().sortBy(_._1)
+      val dim = cents(0).length
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      parts.foreach { case (_, ps, pc) =>
+        var c = 0
+        while (c < cents.length) {
+          var i = 0
+          while (i < dim) { sums(c)(i) += ps(c)(i); i += 1 }
+          counts(c) += pc(c)
+          c += 1
+        }
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0L) cents(c) // empty cell keeps its seed
+        else unit(sums(c))
+      }.toArray
+    }
+    cents
+  }
+
   /** IVF coarse-quantized top-k. Corpus is assigned to nearest-centroid
-    * cells once; each query probes its `nprobe` nearest cells.
+    * cells once; each query probes its `nprobe` nearest cells. Centroids
+    * come from [[kmeansCentroids]] (deterministic spherical k-means).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids = corpus.orderBy(col("vec_id").asc).limit(nlist)
-      .select(col("vec_id").as("cell"), col("embedding").as("ce"))
+              nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = kmeansCentroids(corpus, nlist, kmeansIters).zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat).toSeq) }
+      .toSeq.toDF("cell", "ce")
     val byCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_sim").desc, col("cell").asc)
     val assigned = corpus.crossJoin(broadcast(centroids))
