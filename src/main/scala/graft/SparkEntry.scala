@@ -13,7 +13,7 @@ object SparkEntry {
     */
   val registry: Seq[QueryDef] =
     Relational.defs ++ EventWindows.defs ++ Spatial.defs ++
-      TextOps.defs ++ VectorOps.defs ++ Crud.defs
+      TextOps.defs ++ VectorOps.defs ++ CurationOps.defs ++ Crud.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

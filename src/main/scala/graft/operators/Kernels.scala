@@ -156,6 +156,71 @@ object Kernels extends Serializable {
     seedCache.computeIfAbsent(numHashes,
       n => Array.tabulate(n)(i => XXH64.hashInt(i, SparkSeed)))
 
+  /** Per-document token frequency map over whitespace tokens of length >=
+    * `minLen` CODE POINTS (matching Spark's `length`). Input should already
+    * be lowercased by a Spark `lower` expression so case semantics stay
+    * Catalyst's. Emitting (token -> count) per doc instead of one row per
+    * token occurrence cuts the downstream explode + shuffle from
+    * total-token-count rows to distinct-tokens-per-doc rows.
+    */
+  def tokenCounts(text: String, minLen: Int): Map[String, Long] = {
+    if (text == null) return Map.empty
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    val toks = text.split("\\s+")
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.length >= minLen && t.codePointCount(0, t.length) >= minLen)
+        m.merge(t, 1L, (a, b) => a + b)
+      i += 1
+    }
+    import scala.jdk.CollectionConverters._
+    m.asScala.view.mapValues(_.longValue()).toMap
+  }
+
+  /** Word-trigram repetition stats of one document: Array(total, distinct)
+    * over space-split trigrams, or an empty array when the doc has fewer
+    * than 3 tokens. Split on a single space to match [[graft.queries.TextOps
+    * .shingles]] (Spark `split(text, " ")`).
+    */
+  def triStats(text: String): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val toks = text.split(" ", -1)
+    val n = toks.length - 2
+    if (n < 1) return Array.emptyLongArray
+    val seen = new java.util.HashSet[String](n * 2)
+    var i = 0
+    while (i < n) {
+      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    Array(n.toLong, seen.size.toLong)
+  }
+
+  /** Symmetric int8 quantization of one embedding: scale by 127/max|x| and
+    * round via floor(x+0.5) (deterministic, engine-agnostic — NOT Java's
+    * Math.round on negative halves). All-zero vectors quantize to zeros.
+    * Floats are widened to double BEFORE any arithmetic so the DuckDB twin
+    * (`CAST(x AS DOUBLE)`) sees bit-identical inputs.
+    */
+  def quantizeInt8(v: Array[Float]): Array[Int] = {
+    var m = 0.0
+    var i = 0
+    while (i < v.length) {
+      val a = math.abs(v(i).toDouble)
+      if (a > m) m = a
+      i += 1
+    }
+    val out = new Array[Int](v.length)
+    if (m == 0.0) return out
+    i = 0
+    while (i < v.length) {
+      out(i) = math.floor(v(i).toDouble / m * 127 + 0.5).toInt
+      i += 1
+    }
+    out
+  }
+
   /** Intersection size of two string arrays treated as sets (inputs are
     * already distinct per construction).
     */

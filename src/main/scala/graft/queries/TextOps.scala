@@ -142,10 +142,12 @@ object TextOps {
         |WHERE LENGTH(tok) >= 4
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
       Seq("tok", "n"))) { (s, d) =>
+    // per-doc token-count maps collapse the explode from one row per token
+    // OCCURRENCE to one row per distinct token per doc before the shuffle
+    val tokCounts = udf((t: String) => graft.operators.Kernels.tokenCounts(t, 4))
     Canon(Tables.documents(s, d)
-      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
-      .filter(length(col("tok")) >= 4)
-      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .select(explode(tokCounts(lower(col("text")))).as(Seq("tok", "c")))
+      .groupBy(col("tok")).agg(sum(col("c")).as("n"))
       .orderBy(col("n").desc, col("tok").asc)
       .limit(20))
   }

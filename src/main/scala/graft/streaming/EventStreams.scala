@@ -58,6 +58,18 @@ object EventStreams {
         col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"), col("value_sum"))
 
+  /** Streaming exact dedup (q31's streaming twin): drop rows whose key was
+    * already seen within the watermark horizon. State is bounded by event
+    * time via `dropDuplicatesWithinWatermark` — the only viable dedup shape
+    * on an unbounded stream (an unwindowed `dropDuplicates` would grow its
+    * state forever). A duplicate arriving after its key's state has expired
+    * is re-emitted: cross-horizon dedup belongs to the batch layer (q31).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // ------------------------------------------------ custom session state
 
   final case class Ev(ts: java.sql.Timestamp, user_id: Long,

@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.operators.Kernels
+
+class CurationOpsSpec extends SparkSpec {
+
+  test("x61: NFC composes, whitespace collapses, hash is over normalized text") {
+    val rows = CurationOps.x61_normalize.build(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nRaw = r.getAs[Int]("n_raw")
+      val nNorm = r.getAs[Int]("n_norm")
+      // leading "  \t" collapses, NBSP collapses into the joining space,
+      // e+combining-acute composes to one code point: strictly shorter
+      assert(nNorm < nRaw, s"norm $nNorm !< raw $nRaw")
+    }
+  }
+
+  test("x62: every doc has exactly one synthetic email/ip/phone redacted") {
+    val rows = CurationOps.x62_redact.build(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_email") == 1)
+      assert(r.getAs[Int]("n_ip") == 1)
+      assert(r.getAs[Int]("n_phone") == 1)
+    }
+  }
+
+  test("x63 kernel: repeated trigrams measured, short docs excluded") {
+    assert(Kernels.triStats("a b").isEmpty)
+    assert(Kernels.triStats("a b c").sameElements(Array(1L, 1L)))
+    // "a b c a b c a b c": 7 trigrams, 3 distinct
+    assert(Kernels.triStats("a b c a b c a b c").sameElements(Array(7L, 3L)))
+    val rows = CurationOps.x63_repetition.build(spark, Sf).collect()
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("rep_ratio")
+      assert(ratio >= 0.0 && ratio < 1.0)
+      assert(r.getAs[Long]("n_uniq") <= r.getAs[Long]("n_tri"))
+    }
+  }
+
+  test("x64: both injected URLs extracted; domains carry source/lang") {
+    val rows = CurationOps.x64_urls.build(spark, Sf).collect()
+    val domains = rows.map(_.getAs[String]("domain")).toSet
+    assert(domains.exists(_.endsWith(".example.com")))
+    assert(domains.exists(_.startsWith("mirror-")))
+    val urlTotal = rows.map(_.getAs[Long]("n_urls")).sum
+    val docCount = Tables.documents(spark, Sf).count()
+    assert(urlTotal == 2 * docCount, s"expected 2 URLs/doc, got $urlTotal for $docCount docs")
+  }
+
+  test("x65: one centroid row per (label, dim); components bounded by data") {
+    val rows = CurationOps.x65_label_centroids.build(spark, Sf).collect()
+    val labels = Tables.embeddings(spark, Sf).select("label").distinct().count()
+    assert(rows.length == labels * 64)
+    assert(rows.forall(r => math.abs(r.getAs[Double]("centroid")) < 10.0))
+  }
+
+  test("x66 kernel: int8 range, max component hits ±127, zeros stay zero") {
+    assert(Kernels.quantizeInt8(Array(0f, 0f)).sameElements(Array(0, 0)))
+    val q = Kernels.quantizeInt8(Array(1.0f, -0.5f, 0.25f))
+    assert(q(0) == 127 && q(1) == -63 && q(2) == 32) // floor(x+0.5) rounding
+    val rows = CurationOps.x66_quantize.build(spark, Sf)
+      .agg(org.apache.spark.sql.functions.min("q"),
+        org.apache.spark.sql.functions.max("q")).collect()(0)
+    assert(rows.getInt(0) >= -127 && rows.getInt(1) <= 127)
+  }
+
+  test("q34 per-doc token-count kernel matches the explode plan") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, Sf)
+    val explodePlan = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) >= 4)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val kernelPlan = {
+      val tokCounts = udf((t: String) => Kernels.tokenCounts(t, 4))
+      docs.select(explode(tokCounts(lower(col("text")))).as(Seq("tok", "c")))
+        .groupBy(col("tok")).agg(sum(col("c")).as("n"))
+    }
+    assert(explodePlan.except(kernelPlan).isEmpty && kernelPlan.except(explodePlan).isEmpty)
+  }
+}

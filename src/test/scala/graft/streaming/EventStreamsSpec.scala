@@ -120,4 +120,24 @@ class EventStreamsSpec extends SparkSpec {
     val got = spark.table("ingested").select("event_id").as[Long].collect().sorted
     assert(got.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("streaming dedup drops within-watermark duplicates, re-admits after expiry") {
+    val rows = drive("dedup",
+      EventStreams.dedupStream(_, Seq("user_id", "event_type"), "30 minutes"), Seq(
+        // duplicate key (1, click) within one batch -> one survivor
+        Seq(Ev(ts("10:00"), 1, "click", 1.0), Ev(ts("10:05"), 1, "click", 2.0),
+          Ev(ts("10:10"), 2, "view", 3.0)),
+        // same key again while its state is live -> dropped
+        Seq(Ev(ts("10:20"), 1, "click", 4.0)),
+        // advance watermark far past 10:05 + 30min so (1, click) expires
+        Seq(Ev(ts("12:00"), 3, "click", 5.0)),
+        // expired key re-admitted (cross-horizon dedup is the batch layer's job)
+        Seq(Ev(ts("12:10"), 1, "click", 6.0))))
+    val perKey = rows.groupBy(r => (r.getLong(1), r.getString(2)))
+      .view.mapValues(_.size).toMap
+    assert(perKey((2L, "view")) == 1)
+    assert(perKey((3L, "click")) == 1)
+    assert(perKey((1L, "click")) == 2, // one per watermark horizon
+      s"expected within-horizon dedup + post-expiry re-admit, got $rows")
+  }
 }
