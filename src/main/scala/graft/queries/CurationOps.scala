@@ -26,7 +26,8 @@ object CurationOps {
 
   def defs: Seq[QueryDef] =
     Seq(x61_normalize, x62_redact, x63_repetition, x64_urls,
-      x65_label_centroids, x66_quantize)
+      x65_label_centroids, x66_quantize, x67_split, x68_balance,
+      x69_pack, x70_decontaminate)
 
   // ---------------------------------------------------------------- x61
   /** Unicode NFC + whitespace normalization. The messy input wraps `text`
@@ -210,5 +211,138 @@ object CurationOps {
     val qz = udf((e: Seq[Float]) => Kernels.quantizeInt8(e.toArray))
     Canon(Tables.embeddings(s, d)
       .select(col("vec_id"), posexplode(qz(col("embedding"))).as(Seq("pos", "q"))))
+  }
+
+  // ---------------------------------------------------------------- x67
+  /** Deterministic train/val/test split (80/10/10) keyed by an md5 bucket
+    * of doc_id — stable under re-runs, re-partitioning and corpus growth
+    * (a doc's split never changes when other docs are added), which random
+    * splits are not. Pure per-row arithmetic: one scan, no shuffle.
+    */
+  val x67_split: QueryDef = QueryDef(
+    "x67_split",
+    Sql.canon(
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |       AS BIGINT) % 100 AS INT) AS bucket
+        |  FROM documents)""".stripMargin,
+      Seq("doc_id", "bucket", "split"))) { (s, d) =>
+    val bucket = (conv(substring(md5(col("doc_id").cast(StringType)), 1, 8),
+      16, 10).cast(LongType) % 100).cast(IntegerType)
+    Canon(Tables.documents(s, d)
+      .select(col("doc_id"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test")))
+  }
+
+  // ---------------------------------------------------------------- x68
+  /** Per-language balanced downsample: keep K docs per lang, selected by a
+    * deterministic hash order (not head-of-table order, which would bias
+    * toward low doc_ids). One shuffle on lang; rank state per partition.
+    */
+  val x68_balance: QueryDef = QueryDef(
+    "x68_balance",
+    Sql.canon(
+      """SELECT doc_id, lang, CAST(rn AS INT) AS rn
+        |FROM (SELECT doc_id, lang,
+        |  ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 50""".stripMargin,
+      Seq("doc_id", "lang", "rn"))) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+    Canon(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 50))
+  }
+
+  // ---------------------------------------------------------------- x69
+  /** Greedy sequence packing into 2048-token bins, sequential WITHIN each
+    * source partition (the scale-correct shape: a single global pack order
+    * would serialize the whole corpus through one window partition; packing
+    * per source keeps every partition independent). Emits each doc's bin id
+    * and start offset; docs may straddle bins (sequential-fill model).
+    */
+  val x69_pack: QueryDef = QueryDef(
+    "x69_pack",
+    Sql.canon(
+      """SELECT source, doc_id, CAST(n_tok AS INT) AS n_tok,
+        |  CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / 2048) AS BIGINT) AS bin,
+        |  CAST((cum - n_tok) % 2048 AS BIGINT) AS off
+        |FROM (
+        |  SELECT source, doc_id, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT source, doc_id, LEN(STR_SPLIT(text, ' ')) AS n_tok
+        |        FROM documents))""".stripMargin,
+      Seq("source", "doc_id", "n_tok", "bin", "off"))) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val before = col("cum") - col("n_tok")
+    Canon(Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        floor(before.cast(DoubleType) / 2048).cast(LongType).as("bin"),
+        (before % 2048).as("off")))
+  }
+
+  // ---------------------------------------------------------------- x70
+  /** Benchmark decontamination: per corpus doc, count of distinct word
+    * trigrams shared with the benchmark set (source = 'src0' stands in for
+    * the eval suite), flag docs at >= 5 overlaps. The benchmark side is
+    * DISTINCT shingles BEFORE the join, so fan-out is bounded by the corpus
+    * shingle count (never corpus-docs x bench-docs per common trigram).
+    */
+  val x70_decontaminate: QueryDef = QueryDef(
+    "x70_decontaminate",
+    Sql.canon(
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+        |  FROM (
+        |    SELECT doc_id, source, toks,
+        |      UNNEST(generate_series(1, GREATEST(LEN(toks) - 2, 0))) AS i
+        |    FROM (SELECT doc_id, source, STR_SPLIT(text, ' ') AS toks
+        |          FROM documents)
+        |    WHERE LEN(toks) >= 3)),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'),
+        |overlap AS (
+        |  SELECT s.doc_id, COUNT(*) AS n_overlap
+        |  FROM sh s JOIN bench b ON s.sh = b.sh
+        |  WHERE s.source <> 'src0'
+        |  GROUP BY s.doc_id)
+        |SELECT d.doc_id, COALESCE(o.n_overlap, 0) AS n_overlap,
+        |  CAST(CASE WHEN COALESCE(o.n_overlap, 0) >= 5 THEN 1 ELSE 0 END
+        |       AS INT) AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+        |LEFT JOIN overlap o ON d.doc_id = o.doc_id""".stripMargin,
+      Seq("doc_id", "n_overlap", "contaminated"))) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val sh = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("_toks"))
+      .filter(size(col("_toks")) >= 3)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, size(_toks) - 2), i -> concat_ws(' ', element_at(_toks, i), element_at(_toks, i + 1), element_at(_toks, i + 2)))"))).as("sh"))
+    val bench = sh.filter(col("source") === "src0").select(col("sh")).distinct()
+    val overlap = sh.filter(col("source") =!= "src0")
+      .join(bench, "sh")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    Canon(docs.filter(col("source") =!= "src0").select(col("doc_id"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated",
+        when(col("n_overlap") >= 5, 1).otherwise(0)))
   }
 }

@@ -67,6 +67,52 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.getInt(0) >= -127 && rows.getInt(1) <= 127)
   }
 
+  test("x67: split is a partition of the corpus and stable across runs") {
+    val rows = CurationOps.x67_split.build(spark, Sf).collect()
+    val docs = Tables.documents(spark, Sf).count()
+    assert(rows.length == docs)
+    val bySplit = rows.groupBy(_.getAs[String]("split")).view.mapValues(_.size).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") + bySplit("test")) // ~80/10/10
+    val again = CurationOps.x67_split.build(spark, Sf).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("x68: every language capped at K, selection is hash-ordered") {
+    val rows = CurationOps.x68_balance.build(spark, Sf).collect()
+    val perLang = rows.groupBy(_.getAs[String]("lang")).view.mapValues(_.size)
+    assert(perLang.values.forall(_ <= 50))
+    assert(rows.forall(r => r.getAs[Int]("rn") >= 1 && r.getAs[Int]("rn") <= 50))
+  }
+
+  test("x69: offsets stay inside the bin; bins fill sequentially per source") {
+    val rows = CurationOps.x69_pack.build(spark, Sf).collect()
+    rows.foreach { r =>
+      val off = r.getAs[Long]("off")
+      assert(off >= 0 && off < 2048)
+    }
+    // within one source, cumulative reconstruction: bin*2048 + off is the
+    // running token count before the doc — strictly non-decreasing by doc_id
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      val starts = sorted.map(r => r.getAs[Long]("bin") * 2048 + r.getAs[Long]("off"))
+      assert(starts.zip(starts.drop(1)).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("x70: benchmark docs excluded; self-contaminated corpus docs flagged") {
+    val rows = CurationOps.x70_decontaminate.build(spark, Sf).collect()
+    val benchIds = Tables.documents(spark, Sf)
+      .filter(org.apache.spark.sql.functions.col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => !benchIds.contains(r.getAs[Long]("doc_id"))))
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_overlap")
+      val flag = r.getAs[Int]("contaminated")
+      assert(flag == (if (n >= 5) 1 else 0))
+    }
+  }
+
   test("q34 per-doc token-count kernel matches the explode plan") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, Sf)
