@@ -25,21 +25,26 @@ object TextAnalysis {
   private def langScore(textCol: Column, markers: Seq[String]): Column =
     size(filter(split(lower(textCol), " "), t => t.isin(markers: _*)))
 
-  /** Language-ID: argmax of profile scores with first-profile-wins tie-break
-    * (profiles are scored in sorted language order). Output:
-    * (doc_id, pred_lang, score).
+  /** (pred_lang, score) columns for any text column — the stateless form,
+    * reusable in batch and streaming plans alike. Argmax of profile scores
+    * with first-profile-wins tie-break (profiles scored in declared order).
     */
+  def langColumns(textCol: Column): (Column, Column) = {
+    val scores = LangProfiles.map { case (lang, markers) =>
+      lang -> langScore(textCol, markers)
+    }
+    val mx = greatest(scores.map(_._2): _*)
+    val pred = scores.foldRight(lit(null).cast(StringType): Column) {
+      case ((lang, sc), elseCol) => when(sc === mx, lit(lang)).otherwise(elseCol)
+    }
+    (pred, mx)
+  }
+
+  /** Language-ID: output (doc_id, pred_lang, score). */
   def languageId(docs: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame = {
-    val scored = LangProfiles.foldLeft(docs) { case (d, (lang, markers)) =>
-      d.withColumn(s"_s_$lang", langScore(col(textCol), markers))
-    }
-    val mx = greatest(LangProfiles.map { case (l, _) => col(s"_s_$l") }: _*)
-    val pred = LangProfiles.foldRight(lit(null).cast(StringType): Column) {
-      case ((lang, _), elseCol) =>
-        when(col(s"_s_$lang") === mx, lit(lang)).otherwise(elseCol)
-    }
-    scored.select(col(idCol), pred.as("pred_lang"), mx.as("score"))
+    val (pred, mx) = langColumns(col(textCol))
+    docs.select(col(idCol), pred.as("pred_lang"), mx.as("score"))
   }
 
   /** Winnowing fingerprints (Schleimer-Wilkerson-Aiken): hash every k-gram,

@@ -43,6 +43,24 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getString(3) == GeoHash.encode(57.64911, 10.40744, 11))
   }
 
+  test("curation kernels are callable from SQL") {
+    import graft.operators.Kernels
+    val r = spark.sql(
+      """SELECT simhash64('a b a') AS sh,
+        |       winnow_fps('abcdefgh', 4, 3) AS fps,
+        |       minhash_sig(array('a b c', 'b c d'), 8) AS sig,
+        |       token_counts('the quick the', 4) AS tc,
+        |       tri_stats('a b c a b c a b c') AS ts,
+        |       quantize_int8(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT))) AS q""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == Kernels.simHash64("a b a"))
+    assert(r.getSeq[Long](1) == Kernels.winnowFps("abcdefgh", 4, 3).toSeq)
+    assert(r.getSeq[Long](2) == Kernels.minHashSig(Array("a b c", "b c d"), 8).toSeq)
+    assert(r.getMap[String, Long](3) == Map("quick" -> 1L))
+    assert(r.getSeq[Long](4) == Seq(7L, 3L))
+    assert(r.getSeq[Int](5) == Seq(127, -63))
+  }
+
   test("null inputs propagate null") {
     val r = spark.sql("SELECT zcurve_hash(CAST(NULL AS BIGINT), 5L) AS h").collect().head
     assert(r.isNullAt(0))
