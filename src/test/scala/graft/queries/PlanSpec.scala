@@ -65,4 +65,31 @@ class PlanSpec extends SparkSpec {
     val shuffles = "Exchange".r.findAllIn(plan).length
     assert(shuffles <= 3, s"$shuffles exchanges:\n$plan")
   }
+
+  private def exchanges(plan: String): Int =
+    "Exchange (range|hash|SinglePartition)".r.findAllIn(plan).length
+
+  test("x61/x62/x63/x66/x67: per-row curation ops are scan + canon sort only") {
+    // the ONLY exchange each plan may contain is the canonical ORDER BY's
+    // range partitioning (a driver-compare artifact, not operator semantics)
+    Seq("x61_normalize", "x62_redact", "x63_repetition", "x66_quantize",
+      "x67_split").foreach { name =>
+      val (_, plan) = planOf(name)
+      assert(exchanges(plan) == 1, s"$name not shuffle-free:\n$plan")
+    }
+  }
+
+  test("x68/x69: windowed curation ops shuffle once on the partition key") {
+    Seq("x68_balance", "x69_pack").foreach { name =>
+      val (_, plan) = planOf(name)
+      assert(plan.contains("Window"), s"$name lost its window:\n$plan")
+      assert(exchanges(plan) <= 2, s"$name over-shuffles:\n$plan")
+    }
+  }
+
+  test("x70: decontamination joins without a cartesian product") {
+    val (_, plan) = planOf("x70_decontaminate")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
 }
