@@ -27,7 +27,7 @@ object CurationOps {
   def defs: Seq[QueryDef] =
     Seq(x61_normalize, x62_redact, x63_repetition, x64_urls,
       x65_label_centroids, x66_quantize, x67_split, x68_balance,
-      x69_pack, x70_decontaminate)
+      x69_pack, x70_decontaminate, x71_tfidf)
 
   // ---------------------------------------------------------------- x61
   /** Unicode NFC + whitespace normalization. The messy input wraps `text`
@@ -344,5 +344,55 @@ object CurationOps {
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
       .withColumn("contaminated",
         when(col("n_overlap") >= 5, 1).otherwise(0)))
+  }
+
+  // ---------------------------------------------------------------- x71
+  /** TF-IDF top-5 terms per document. tf comes from the per-doc token-count
+    * kernel (distinct-token rows, not token occurrences, cross the shuffle);
+    * idf joins the document-frequency relation back — two map-side-combined
+    * aggregations and one equi-join. Scores are rounded to 4dp BEFORE the
+    * per-doc rank so the top-5 cut is identical cross-engine (ln is
+    * transcendental; ranking raw doubles could cut differently at a ULP).
+    */
+  val x71_tfidf: QueryDef = QueryDef(
+    "x71_tfidf",
+    Sql.canon(
+      """WITH tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          UNNEST(string_split_regex(LOWER(text), '\s+')) AS tok
+        |        FROM documents)
+        |  WHERE LENGTH(tok) >= 4
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |    ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS tfidf
+        |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, tok, tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, tok) AS rn
+        |  FROM scored)
+        |SELECT doc_id, tok, tfidf, CAST(rn AS INT) AS rn
+        |FROM ranked WHERE rn <= 5""".stripMargin,
+      Seq("doc_id", "tok", "tfidf", "rn"))) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val tokCounts = udf((t: String) => Kernels.tokenCounts(t, 4))
+    val tf = docs
+      .select(col("doc_id"), explode(tokCounts(lower(col("text")))).as(Seq("tok", "tf")))
+    val dfRel = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfRel, "tok").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("tok"),
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4)
+          .as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("tok"))
+    Canon(scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5))
   }
 }

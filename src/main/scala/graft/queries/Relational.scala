@@ -20,7 +20,7 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q08b, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21a, q21b, q22, q22b,
     x52_approx_distinct, x53_pivot, x54_unpivot, x55_percentiles,
-    x56_range_window, x59_stringagg, x60_argmax)
+    x56_range_window, x59_stringagg, x60_argmax, x72_window_battery)
 
   /** Ordered string aggregation per group (collect_list + sort on the Spark
     * side; ORDER BY inside string_agg on the oracle side — both total
@@ -102,6 +102,45 @@ object Relational {
         |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
         |  ) AS DOUBLE)/100.0 AS rev_30d
         |FROM orders_x56""".stripMargin))
+  }
+
+  /** The remaining SQL window battery: ntile / percent_rank / cume_dist /
+    * nth_value / first_value / last_value per customer by price. The
+    * value-positional functions pin an explicit ROWS UNBOUNDED..UNBOUNDED
+    * frame on both sides (engine default frames end at CURRENT ROW, which
+    * would make nth/last partial); rank ratios are integer divisions —
+    * deterministic cross-engine.
+    */
+  val x72_window_battery: QueryDef = QueryDef(
+    "x72_window_battery",
+    Sql.canon(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd,
+        |  NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price,
+        |  FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+        |  LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+      Seq("o_custkey", "o_orderkey", "quartile", "pr", "cd", "second_price",
+        "cheapest_key", "priciest_key"))) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Canon(Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"),
+      nth_value(col("o_totalprice"), 2).over(wFull).as("second_price"),
+      first_value(col("o_orderkey")).over(w).as("cheapest_key"),
+      last_value(col("o_orderkey")).over(wFull).as("priciest_key")))
   }
 
   /** Pivot: returnflag columns of per-linestatus quantity sums (the oracle

@@ -113,6 +113,18 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("x71: five top terms per doc, ranked by rounded score then token") {
+    val rows = CurationOps.x71_tfidf.build(spark, Sf).collect()
+    val perDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(perDoc.values.forall(_.length <= 5))
+    perDoc.values.foreach { rs =>
+      val ordered = rs.sortBy(_.getAs[Int]("rn"))
+      val scores = ordered.map(_.getAs[Double]("tfidf"))
+      assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b },
+        s"rank order broken: ${ordered.mkString(", ")}")
+    }
+  }
+
   test("q34 per-doc token-count kernel matches the explode plan") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, Sf)
