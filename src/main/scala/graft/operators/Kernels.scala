@@ -235,6 +235,33 @@ object Kernels extends Serializable {
     n
   }
 
+  /** Nearest-centroid assignment (k-means E-step) for one vector. Distances
+    * are sums of per-dimension integer-scaled squared differences
+    * (`round(diff² * 1e9)` as long) — exact, order-independent, identical to
+    * a SQL twin that sums the same scaled terms, so argmin never flips on a
+    * ULP. Ties break toward the lowest label. `labels`/`cents` are parallel
+    * arrays sorted by label ascending. Returns Array(label, distScaled).
+    */
+  def assignNearest(v: Array[Float], labels: Array[Int],
+                    cents: Array[Array[Double]]): Array[Long] = {
+    var bestLabel = -1
+    var bestDist = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d2 = 0L
+      var i = 0
+      while (i < v.length) {
+        val diff = v(i).toDouble - cent(i)
+        d2 += math.round(diff * diff * 1e9)
+        i += 1
+      }
+      if (d2 < bestDist) { bestDist = d2; bestLabel = labels(c) }
+      c += 1
+    }
+    Array(bestLabel.toLong, bestDist)
+  }
+
   /** Spark's `round(x, scale)` twin for doubles (HALF_UP over the decimal
     * string representation; NaN/Inf pass through like Spark's guard).
     */

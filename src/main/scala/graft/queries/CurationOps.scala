@@ -27,7 +27,7 @@ object CurationOps {
   def defs: Seq[QueryDef] =
     Seq(x61_normalize, x62_redact, x63_repetition, x64_urls,
       x65_label_centroids, x66_quantize, x67_split, x68_balance,
-      x69_pack, x70_decontaminate, x71_tfidf)
+      x69_pack, x70_decontaminate, x71_tfidf, x73_cluster_assign)
 
   // ---------------------------------------------------------------- x61
   /** Unicode NFC + whitespace normalization. The messy input wraps `text`
@@ -394,5 +394,64 @@ object CurationOps {
     Canon(scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5))
+  }
+
+  // ---------------------------------------------------------------- x73
+  /** Nearest-centroid assignment (the k-means E-step over x65's centroids).
+    * The scale shape: centroids are a k x d driver-side array broadcast into
+    * a per-row kernel — assignment is map-only regardless of corpus size
+    * (the oracle replays it as a vec x centroid x dim join, viable only at
+    * oracle scale). Distances are integer-scaled exact sums so the argmin is
+    * ULP-proof; ties break toward the lowest label.
+    */
+  val x73_cluster_assign: QueryDef = QueryDef(
+    "x73_cluster_assign",
+    Sql.canon(
+      s"""WITH cent AS (
+         |  SELECT label, i AS dim,
+         |    ${Sql.scaledSum("CAST(embedding[i] AS DOUBLE)", 1000000L)}/COUNT(*) AS c
+         |  FROM (SELECT label, embedding, UNNEST(generate_series(1,64)) AS i
+         |        FROM embeddings)
+         |  GROUP BY label, i),
+         |vd AS (SELECT vec_id, embedding, UNNEST(generate_series(1,64)) AS i
+         |       FROM embeddings),
+         |terms AS (
+         |  SELECT v.vec_id, c.label,
+         |    CAST(ROUND((CAST(v.embedding[v.i] AS DOUBLE) - c.c) *
+         |               (CAST(v.embedding[v.i] AS DOUBLE) - c.c) *
+         |               1000000000) AS BIGINT) AS t
+         |  FROM vd v JOIN cent c ON c.dim = v.i),
+         |dist AS (SELECT vec_id, label, CAST(SUM(t) AS BIGINT) AS d2
+         |         FROM terms GROUP BY vec_id, label),
+         |ranked AS (SELECT vec_id, label, d2,
+         |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+         |  FROM dist)
+         |SELECT vec_id, CAST(label AS INT) AS assigned, d2 AS dist_scaled
+         |FROM ranked WHERE rn = 1""".stripMargin,
+      Seq("vec_id", "assigned", "dist_scaled"))) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    // M-step result (x65's exact formula), k x d — tiny, collected + closed
+    // over by the kernel; Spark serializes it to each task like a broadcast
+    val centRows = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((Canon.scaledSum(col("v").cast(DoubleType), 1000000L) /
+        count(lit(1))).as("c"))
+      .collect()
+    val dims = centRows.map(_.getInt(1)).max + 1
+    val byLabel = centRows.groupBy(_.getInt(0)).toArray.sortBy(_._1)
+    val labels = byLabel.map(_._1)
+    val cents = byLabel.map { case (_, rs) =>
+      val arr = new Array[Double](dims)
+      rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+      arr
+    }
+    val assign = udf((v: Seq[Float]) =>
+      Kernels.assignNearest(v.toArray, labels, cents))
+    Canon(emb
+      .select(col("vec_id"), assign(col("embedding")).as("a"))
+      .select(col("vec_id"),
+        col("a").getItem(0).cast(IntegerType).as("assigned"),
+        col("a").getItem(1).as("dist_scaled")))
   }
 }

@@ -125,6 +125,18 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("x73: every vector assigned to exactly one centroid; self-consistent") {
+    val rows = CurationOps.x73_cluster_assign.build(spark, Sf).collect()
+    val vecs = Tables.embeddings(spark, Sf).count()
+    assert(rows.length == vecs)
+    assert(rows.forall(_.getAs[Long]("dist_scaled") >= 0))
+    // kernel tie-break: equidistant centroids pick the lowest label
+    val a = graft.operators.Kernels.assignNearest(
+      Array(0f, 0f), Array(3, 7),
+      Array(Array(1.0, 0.0), Array(-1.0, 0.0)))
+    assert(a(0) == 3L && a(1) == math.round(1e9))
+  }
+
   test("q34 per-doc token-count kernel matches the explode plan") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, Sf)
