@@ -149,6 +149,43 @@ object Kernels extends Serializable {
     sig
   }
 
+  /** Distinct word trigrams of one document, first-occurrence order (the
+    * per-doc form of the corpus shingle relation: split on a single space,
+    * grams joined with spaces). Empty for docs under 3 tokens.
+    */
+  def wordTrigramSet(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    val toks = text.split(" ", -1)
+    val n = toks.length - 2
+    if (n < 1) return Array.empty
+    val seen = new java.util.LinkedHashSet[String](n * 2)
+    var i = 0
+    while (i < n) {
+      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** LSH band buckets of one document's shingle set: MinHash signature,
+    * then per band the chained hash of (band index, its signature rows) —
+    * bit-identical to the batch plan's `xxhash64(lit(b), sig[..])` column
+    * (Spark chains child hashes left-to-right from seed 42), so streaming
+    * and batch candidates land in the same buckets.
+    */
+  def minHashBandBuckets(shingles: Array[String], numHashes: Int,
+                         bands: Int): Array[Long] = {
+    if (shingles.isEmpty) return Array.emptyLongArray
+    val sig = minHashSig(shingles, numHashes)
+    val rows = numHashes / bands
+    Array.tabulate(bands) { b =>
+      var h = XXH64.hashInt(b, SparkSeed)
+      var r = 0
+      while (r < rows) { h = XXH64.hashLong(sig(b * rows + r), h); r += 1 }
+      h
+    }
+  }
+
   private val seedCache =
     new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
 

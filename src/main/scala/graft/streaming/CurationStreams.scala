@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.TextAnalysis
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.operators.{Kernels, TextAnalysis}
 
 /** Streaming twin of the batch curation surface (x41/x48/q31): documents
   * arrive as an unbounded stream and pass through quality gates, language
@@ -53,5 +54,70 @@ object CurationStreams {
       .withColumn("content_hash", md5(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+  }
+
+  // ------------------------------------------------ streaming near-dup LSH
+
+  final case class BucketHit(band: Int, bucket: Long, doc_id: Long,
+                             ts: java.sql.Timestamp)
+  final case class CandidatePair(doc_a: Long, doc_b: Long, band: Int,
+                                 ts: java.sql.Timestamp)
+  final case class BucketState(docs: List[(Long, Long)]) // (doc_id, tsMillis)
+
+  /** Streaming MinHash-LSH near-dup candidates — x40's streaming twin.
+    *
+    * Stage 1 is map-only: a per-doc kernel computes the band buckets
+    * (bit-identical to the batch `lshCandidates` buckets, so streaming and
+    * batch agree on candidates), exploded to one row per (band, bucket).
+    * Stage 2 keys state by (band, bucket) via flatMapGroupsWithState: each
+    * arriving doc pairs with the docs already seen in its bucket, then
+    * joins the state. State is evicted by event-time timeout once the
+    * watermark passes the bucket's last activity + the horizon, and capped
+    * at `maxPerBucket` (newest kept) so one degenerate bucket cannot grow
+    * unboundedly. A pair sharing several bands is emitted once per band —
+    * exact-Jaccard verification (and cross-band dedup) is the downstream
+    * batch join's job, exactly as in the batch pipeline.
+    */
+  def nearDupCandidates(docs: DataFrame,
+                        watermark: String = "30 minutes",
+                        horizonMs: Long = 30 * 60 * 1000L,
+                        numHashes: Int = 128, bands: Int = 32,
+                        maxPerBucket: Int = 64): Dataset[CandidatePair] = {
+    import docs.sparkSession.implicits._
+    val bucketsU = udf((t: String) =>
+      Kernels.minHashBandBuckets(Kernels.wordTrigramSet(t), numHashes, bands))
+    docs
+      .select(col("doc_id"), col("ts"),
+        posexplode(bucketsU(col("text"))).as(Seq("band", "bucket")))
+      .withWatermark("ts", watermark)
+      .as[BucketHit]
+      .groupByKey(h => (h.band, h.bucket))
+      .flatMapGroupsWithState[BucketState, CandidatePair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long), hits: Iterator[BucketHit], state: GroupState[BucketState]) =>
+          if (hits.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = hits.toSeq.sortBy(h => (h.ts.getTime, h.doc_id))
+            if (sorted.isEmpty) Iterator.empty else {
+            var seen = state.getOption.map(_.docs).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer[CandidatePair]()
+            sorted.foreach { h =>
+              if (!seen.exists(_._1 == h.doc_id)) {
+                seen.foreach { case (other, _) =>
+                  out += CandidatePair(math.min(h.doc_id, other),
+                    math.max(h.doc_id, other), h.band, h.ts)
+                }
+                seen = ((h.doc_id, h.ts.getTime) :: seen).take(maxPerBucket)
+              }
+            }
+            val lastTs = sorted.map(_.ts.getTime).max
+            state.update(BucketState(seen))
+            state.setTimeoutTimestamp(lastTs + horizonMs)
+            out.iterator
+            }
+          }
+      }
   }
 }

@@ -46,6 +46,46 @@ class CurationStreamsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("doc_id")).toSet.contains(4L))
   }
 
+  test("streaming LSH pairs near-dup docs across batches, skips unrelated") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok7", "tokX") // ~90% shingle overlap
+    val unrelated = (1 to 40).map(i => s"other$i").mkString(" ")
+    val mem = MemoryStream[Doc]
+    val q = CurationStreams.nearDupCandidates(mem.toDF())
+      .writeStream.format("memory").queryName("cands")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(Doc(1, ts("10:00"), base, "en", "s")))
+      q.processAllAvailable()
+      mem.addData(Seq(Doc(2, ts("10:05"), nearDup, "en", "s"),
+        Doc(3, ts("10:06"), unrelated, "en", "s")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("cands")
+      .select("doc_a", "doc_b").distinct().as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc paired: $pairs")
+  }
+
+  test("streaming band buckets are bit-identical to the batch LSH buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val shingles = graft.operators.Kernels.wordTrigramSet(text)
+    val sig = graft.operators.Kernels.minHashSig(shingles, 128)
+    // the batch plan's bucket column: xxhash64(lit(b), sig[b*4] .. sig[b*4+3])
+    val df = Seq(Tuple1(sig.toSeq)).toDF("sig")
+    val batchBuckets = df.select((0 until 32).map(b =>
+      xxhash64(lit(b) +: (0 until 4).map(r => col("sig")(b * 4 + r)): _*)
+        .as(s"b$b")): _*).collect().head.toSeq.map(_.asInstanceOf[Long])
+    val kernelBuckets =
+      graft.operators.Kernels.minHashBandBuckets(shingles, 128, 32).toSeq
+    assert(batchBuckets == kernelBuckets)
+  }
+
   test("pred_lang and stats columns are attached") {
     val rows = drive(Seq(Seq(Doc(1, ts("10:00"), good, "en", "s"))))
     val r = rows.head
