@@ -328,12 +328,9 @@ object CurationOps {
         |LEFT JOIN overlap o ON d.doc_id = o.doc_id""".stripMargin,
       Seq("doc_id", "n_overlap", "contaminated"))) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val sh = docs
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("_toks"))
-      .filter(size(col("_toks")) >= 3)
-      .select(col("doc_id"), col("source"),
-        explode(array_distinct(expr(
-          "transform(sequence(1, size(_toks) - 2), i -> concat_ws(' ', element_at(_toks, i), element_at(_toks, i + 1), element_at(_toks, i + 2)))"))).as("sh"))
+    val trigU = udf((t: String) => Kernels.wordTrigramSet(t))
+    val sh = docs.select(col("doc_id"), col("source"),
+      explode(trigU(col("text"))).as("sh"))
     val bench = sh.filter(col("source") === "src0").select(col("sh")).distinct()
     val overlap = sh.filter(col("source") =!= "src0")
       .join(bench, "sh")

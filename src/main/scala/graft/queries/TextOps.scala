@@ -27,25 +27,25 @@ object TextOps {
     * they are selective enough that the shingle join fans out per true
     * near-dup pair instead of per shared substring.
     */
-  def shingles(docs: DataFrame): DataFrame =
+  def shingles(docs: DataFrame): DataFrame = {
+    // per-doc kernel (same distinct-trigram set as the transform() HOF it
+    // replaces, without the interpreted-HOF cost; <3-token docs yield an
+    // empty array, i.e. no rows — identical to the old size filter)
+    val trigU = udf((t: String) => graft.operators.Kernels.wordTrigramSet(t))
     docs.select(col("doc_id"), col("lang"), col("n_chars"),
-        split(col("text"), " ").as("_toks"))
-      .filter(size(col("_toks")) >= 3)
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        explode(array_distinct(expr(
-          "transform(sequence(1, size(_toks) - 2), i -> concat_ws(' ', element_at(_toks, i), element_at(_toks, i + 1), element_at(_toks, i + 2)))"))).as("sh"))
+      explode(trigU(col("text"))).as("sh"))
+  }
 
   /** Distinct word-trigram shingles as ONE array row per doc — the input
     * shape for the per-doc MinHash kernel: the whole signature pipeline is
     * then map-only (no corpus-wide explode).
     */
-  def shingleArrays(docs: DataFrame): DataFrame =
+  def shingleArrays(docs: DataFrame): DataFrame = {
+    val trigU = udf((t: String) => graft.operators.Kernels.wordTrigramSet(t))
     docs.select(col("doc_id"), col("lang"), col("n_chars"),
-        split(col("text"), " ").as("_toks"))
-      .filter(size(col("_toks")) >= 3)
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        array_distinct(expr(
-          "transform(sequence(1, size(_toks) - 2), i -> concat_ws(' ', element_at(_toks, i), element_at(_toks, i + 1), element_at(_toks, i + 2)))")).as("shs"))
+        trigU(col("text")).as("shs"))
+      .filter(size(col("shs")) > 0)
+  }
 
   /** Oracle twin of [[shingles]] (zipped-UNNEST form: DuckDB 1.0 does not
     * allow lateral column args to the generate_series table function).
