@@ -138,7 +138,7 @@ object Similarity {
     val sample: Array[Array[Double]] = corpus.orderBy(col("vec_id").asc)
       .limit(sampleSize).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-    require(sample.nonEmpty, "kmeansCentroids: empty corpus")
+    if (sample.isEmpty) return Array.empty // empty corpus -> no cells, empty result downstream
     val normed = sample.map(unit)
     def dotd(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0

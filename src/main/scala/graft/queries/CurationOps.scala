@@ -435,20 +435,26 @@ object CurationOps {
       .agg((Canon.scaledSum(col("v").cast(DoubleType), 1000000L) /
         count(lit(1))).as("c"))
       .collect()
-    val dims = centRows.map(_.getInt(1)).max + 1
-    val byLabel = centRows.groupBy(_.getInt(0)).toArray.sortBy(_._1)
-    val labels = byLabel.map(_._1)
-    val cents = byLabel.map { case (_, rs) =>
-      val arr = new Array[Double](dims)
-      rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
-      arr
+    if (centRows.isEmpty) { // empty corpus: keep the schema, emit nothing
+      Canon(emb.select(col("vec_id"),
+        lit(0).cast(IntegerType).as("assigned"), lit(0L).as("dist_scaled"))
+        .filter(lit(false)))
+    } else {
+      val dims = centRows.map(_.getInt(1)).max + 1
+      val byLabel = centRows.groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      val labels = byLabel.map(_._1)
+      val cents = byLabel.map { case (_, rs) =>
+        val arr = new Array[Double](dims)
+        rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        arr
+      }
+      val assign = udf((v: Seq[Float]) =>
+        Kernels.assignNearest(v.toArray, labels, cents))
+      Canon(emb
+        .select(col("vec_id"), assign(col("embedding")).as("a"))
+        .select(col("vec_id"),
+          col("a").getItem(0).cast(IntegerType).as("assigned"),
+          col("a").getItem(1).as("dist_scaled")))
     }
-    val assign = udf((v: Seq[Float]) =>
-      Kernels.assignNearest(v.toArray, labels, cents))
-    Canon(emb
-      .select(col("vec_id"), assign(col("embedding")).as("a"))
-      .select(col("vec_id"),
-        col("a").getItem(0).cast(IntegerType).as("assigned"),
-        col("a").getItem(1).as("dist_scaled")))
   }
 }
