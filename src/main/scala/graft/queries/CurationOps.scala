@@ -27,7 +27,8 @@ object CurationOps {
   def defs: Seq[QueryDef] =
     Seq(x61_normalize, x62_redact, x63_repetition, x64_urls,
       x65_label_centroids, x66_quantize, x67_split, x68_balance,
-      x69_pack, x70_decontaminate, x71_tfidf, x73_cluster_assign)
+      x69_pack, x70_decontaminate, x71_tfidf, x73_cluster_assign,
+      x74_pipeline)
 
   // ---------------------------------------------------------------- x61
   /** Unicode NFC + whitespace normalization. The messy input wraps `text`
@@ -456,5 +457,53 @@ object CurationOps {
           col("a").getItem(0).cast(IntegerType).as("assigned"),
           col("a").getItem(1).as("dist_scaled")))
     }
+  }
+
+  // ---------------------------------------------------------------- x74
+  /** The end-to-end curation pipeline as ONE composed DAG: quality gate →
+    * exact dedup (keep min doc_id per content hash) → deterministic split →
+    * per-(split, lang) corpus summary. Proves the curation ops compose
+    * without materialization barriers — Catalyst plans the whole flow as a
+    * scan, one dedup aggregation + self-semi-join, and one final groupBy.
+    */
+  val x74_pipeline: QueryDef = QueryDef(
+    "x74_pipeline",
+    Sql.canon(
+      """WITH q AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(LEN(STR_SPLIT(text, ' ')) AS INT) AS n_tok
+        |  FROM documents
+        |  WHERE LEN(STR_SPLIT(text, ' ')) >= 20),
+        |k AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY MD5(text)),
+        |kept AS (SELECT q.doc_id, q.lang, q.n_tok
+        |         FROM q JOIN k ON q.doc_id = k.doc_id),
+        |s AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    CASE WHEN bucket < 80 THEN 'train'
+        |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, lang, n_tok,
+        |    CAST(CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |         AS BIGINT) % 100 AS INT) AS bucket
+        |    FROM kept))
+        |SELECT split, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+        |FROM s GROUP BY split, lang""".stripMargin,
+      Seq("split", "lang", "n_docs", "total_tokens"))) { (s, d) =>
+    val q = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(split(col("text"), " ")).as("n_tok"))
+      .filter(col("n_tok") >= 20)
+    val keepers = q.groupBy(md5(col("text")).as("_h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val kept = q.join(keepers, Seq("doc_id"), "left_semi")
+    val bucket = (conv(substring(md5(col("doc_id").cast(StringType)), 1, 8),
+      16, 10).cast(LongType) % 100).cast(IntegerType)
+    Canon(kept
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast(LongType).as("total_tokens")))
   }
 }

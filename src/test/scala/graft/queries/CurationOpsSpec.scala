@@ -137,6 +137,18 @@ class CurationOpsSpec extends SparkSpec {
     assert(a(0) == 3L && a(1) == math.round(1e9))
   }
 
+  test("x74: pipeline summary conserves the deduped, gated doc count") {
+    import org.apache.spark.sql.functions._
+    val rows = CurationOps.x74_pipeline.build(spark, Sf).collect()
+    val docs = Tables.documents(spark, Sf)
+      .filter(size(split(col("text"), " ")) >= 20)
+      .groupBy(md5(col("text"))).agg(min(col("doc_id")))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs)
+    assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(
+      Set("train", "val", "test")))
+  }
+
   test("q34 per-doc token-count kernel matches the explode plan") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, Sf)
