@@ -20,7 +20,8 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q08b, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21a, q21b, q22, q22b,
     x52_approx_distinct, x53_pivot, x54_unpivot, x55_percentiles,
-    x56_range_window, x59_stringagg, x60_argmax, x72_window_battery)
+    x56_range_window, x59_stringagg, x60_argmax, x72_window_battery,
+    x75_null_semantics)
 
   /** Ordered string aggregation per group (collect_list + sort on the Spark
     * side; ORDER BY inside string_agg on the oracle side — both total
@@ -141,6 +142,37 @@ object Relational {
       nth_value(col("o_totalprice"), 2).over(wFull).as("second_price"),
       first_value(col("o_orderkey")).over(w).as("cheapest_key"),
       last_value(col("o_orderkey")).over(wFull).as("priciest_key")))
+  }
+
+  /** Null-semantics battery: NULLIF/COALESCE, null-safe equality
+    * (`<=>` / IS NOT DISTINCT FROM), null flags, and GREATEST/LEAST null
+    * skipping — the corners where engines classically disagree, pinned by
+    * the oracle. (Both Spark and DuckDB skip NULLs in greatest/least.)
+    */
+  val x75_null_semantics: QueryDef = QueryDef(
+    "x75_null_semantics",
+    Sql.canon(
+      """SELECT p_partkey,
+        |  NULLIF(p_size, 15) AS size_or_null,
+        |  COALESCE(NULLIF(p_size, 15), -1) AS size_dflt,
+        |  CAST(NULLIF(p_size, 15) IS NOT DISTINCT FROM NULLIF(p_size - 10, 5)
+        |       AS INT) AS nsafe_eq,
+        |  CAST(NULLIF(p_size, 15) IS NOT NULL AS INT) AS not_null_flag,
+        |  CAST(GREATEST(NULLIF(p_size, 15), 20) AS INT) AS g,
+        |  CAST(LEAST(NULLIF(p_size, 15), 20) AS INT) AS l
+        |FROM part""".stripMargin,
+      Seq("p_partkey", "size_or_null", "size_dflt", "nsafe_eq",
+        "not_null_flag", "g", "l"))) { (s, d) =>
+    val u = nullif(col("p_size"), lit(15))
+    val v = nullif(col("p_size") - 10, lit(5))
+    Canon(Tables.part(s, d).select(
+      col("p_partkey"),
+      u.as("size_or_null"),
+      coalesce(u, lit(-1)).as("size_dflt"),
+      (u <=> v).cast(IntegerType).as("nsafe_eq"),
+      u.isNotNull.cast(IntegerType).as("not_null_flag"),
+      greatest(u, lit(20)).as("g"),
+      least(u, lit(20)).as("l")))
   }
 
   /** Pivot: returnflag columns of per-linestatus quantity sums (the oracle
