@@ -58,6 +58,39 @@ object EventStreams {
         col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"), col("value_sum"))
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * views within the following `interval`. Both sides carry watermarks and
+    * the join condition bounds event-time distance, so each side's buffered
+    * state is evicted once the watermark passes its join horizon — the only
+    * state-bounded shape for joining two unbounded streams.
+    */
+  def clickViewJoin(events: DataFrame, watermark: String = "30 minutes",
+                    interval: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermark)
+    clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("v_ts") >= col("c_ts") &&
+        col("v_ts") <= col("c_ts") + expr(s"INTERVAL $interval"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("c_ts"), col("v_ts"))
+  }
+
+  /** Stream-static enrichment: a dimension DataFrame (bounded, e.g. the
+    * customer table) joined onto the stream. The static side is re-read per
+    * micro-batch by Spark; broadcast keeps the join shuffle-free on the
+    * stream side — the standard dimension-enrichment shape.
+    */
+  def enrich(events: DataFrame, dim: DataFrame,
+             eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
   /** Streaming exact dedup (q31's streaming twin): drop rows whose key was
     * already seen within the watermark horizon. State is bounded by event
     * time via `dropDuplicatesWithinWatermark` — the only viable dedup shape

@@ -121,6 +121,52 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream interval join pairs clicks with following views only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    // Ev has no event_id; build the join input from a synthetic frame
+    val evDf = mem.toDF()
+      .withColumn("event_id",
+        org.apache.spark.sql.functions.expr("CAST(user_id * 1000 + unix_timestamp(ts) % 1000 AS LONG)"))
+    val q = EventStreams.clickViewJoin(evDf)
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(
+        Ev(ts("10:00"), 1, "click", 0),
+        Ev(ts("10:05"), 1, "view", 0),  // within 10 min -> joins
+        Ev(ts("10:20"), 1, "view", 0),  // 20 min later -> outside interval
+        Ev(ts("10:04"), 2, "view", 0))) // other user -> no join
+      q.processAllAvailable()
+      // advance watermark so results finalize
+      mem.addData(Seq(Ev(ts("12:00"), 9, "click", 0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssjoin").collect()
+    assert(rows.length == 1, s"expected one click-view pair, got ${rows.toSeq}")
+    assert(rows.head.getAs[Long]("user_id") == 1L)
+  }
+
+  test("stream-static enrichment attaches dimension attributes per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("cust_id", "tier")
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.enrich(mem.toDF(), dim, "user_id", "cust_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(Ev(ts("10:00"), 1, "click", 1.0),
+        Ev(ts("10:01"), 3, "view", 2.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("enriched").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("tier")).toMap
+    assert(rows(1L) == "gold")
+    assert(rows(3L) == null) // left join keeps unmatched stream rows
+  }
+
   test("streaming dedup drops within-watermark duplicates, re-admits after expiry") {
     val rows = drive("dedup",
       EventStreams.dedupStream(_, Seq("user_id", "event_type"), "30 minutes"), Seq(
