@@ -132,7 +132,16 @@ object Dedup {
   def minHashNearDupsFromShingleArrays(arrs0: DataFrame, threshold: Double = 0.8,
                                        numHashes: Int = 128, bands: Int = 32,
                                        bucketFilter: DataFrame => DataFrame = identity): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands)")
+    // empty-shingle docs would all share the identity signature (every slot
+    // Long.MaxValue), collide in every band (O(m²) pairs) and then divide
+    // 0/0 in the Jaccard — they can never reach a positive threshold, drop
+    // them up front. Cached: this relation feeds the signature pass AND
+    // both sides of the verify join.
     val arrs = arrs0.select(col("doc_id"), col("shs"))
+      .filter(size(col("shs")) > 0)
+      .cache()
     val cands = bucketFilter(
       lshCandidates(minHashSignaturesFromArrays(arrs, numHashes), bands, numHashes))
     val interU = udf((a: Array[String], b: Array[String]) => Kernels.intersectCount(a, b))

@@ -156,14 +156,8 @@ object Kernels extends Serializable {
   def wordTrigramSet(text: String): Array[String] = {
     if (text == null) return Array.empty
     val toks = text.split(" ", -1)
-    val n = toks.length - 2
-    if (n < 1) return Array.empty
-    val seen = new java.util.LinkedHashSet[String](n * 2)
-    var i = 0
-    while (i < n) {
-      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
-      i += 1
-    }
+    if (toks.length < 3) return Array.empty
+    val seen = trigramSetOf(toks)
     seen.toArray(new Array[String](seen.size))
   }
 
@@ -225,13 +219,22 @@ object Kernels extends Serializable {
     val toks = text.split(" ", -1)
     val n = toks.length - 2
     if (n < 1) return Array.emptyLongArray
-    val seen = new java.util.HashSet[String](n * 2)
+    Array(n.toLong, trigramSetOf(toks).size.toLong)
+  }
+
+  /** Single definition of the trigram enumeration shared by [[triStats]]
+    * and [[wordTrigramSet]] — a tokenization change stays consistent across
+    * every operator built on word trigrams (x63, x70, q32, x40).
+    */
+  private def trigramSetOf(toks: Array[String]): java.util.LinkedHashSet[String] = {
+    val n = toks.length - 2
+    val seen = new java.util.LinkedHashSet[String](math.max(n, 1) * 2)
     var i = 0
     while (i < n) {
       seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
       i += 1
     }
-    Array(n.toLong, seen.size.toLong)
+    seen
   }
 
   /** Symmetric int8 quantization of one embedding: scale by 127/max|x| and

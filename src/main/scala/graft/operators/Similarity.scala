@@ -290,15 +290,18 @@ object Similarity {
       var j = i + 1
       while (j < n) {
         val b = vs(j)._2
-        var d = 0.0
-        var t = 0
-        val m = math.min(a.length, b.length)
-        while (t < m) { d += a(t).toDouble * b(t).toDouble; t += 1 }
-        val cos = Kernels.roundHalfUp(d / (norms(i) * norms(j)), 4)
-        val cand = (cos, vs(i)._1, vs(j)._1)
-        if (heap.size < k) heap.enqueue(cand)
-        else if (worstFirst.compare(cand, heap.head) < 0) { // cand beats current worst
-          heap.dequeue(); heap.enqueue(cand)
+        val nn = norms(i) * norms(j)
+        if (nn > 0.0) { // zero-norm vectors have no cosine; a NaN score would outrank every real pair
+          var d = 0.0
+          var t = 0
+          val m = math.min(a.length, b.length)
+          while (t < m) { d += a(t).toDouble * b(t).toDouble; t += 1 }
+          val cos = Kernels.roundHalfUp(d / nn, 4)
+          val cand = (cos, vs(i)._1, vs(j)._1)
+          if (heap.size < k) heap.enqueue(cand)
+          else if (worstFirst.compare(cand, heap.head) < 0) { // cand beats current worst
+            heap.dequeue(); heap.enqueue(cand)
+          }
         }
         j += 1
       }

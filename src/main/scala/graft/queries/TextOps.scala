@@ -188,15 +188,9 @@ object TextOps {
       .filter(col("la") === col("lb") &&
         abs(col("nca") - col("ncb")) * 2 <= greatest(col("nca"), col("ncb")))
       .select("doc_a", "doc_b")
-    // per-doc kernel trigram set (same set as the HOF shingleArrays, minus
-    // the interpreted-transform cost), cached: the relation feeds the
-    // signature path AND both sides of the exact-Jaccard verify join
-    val trigU = udf((t: String) => graft.operators.Kernels.wordTrigramSet(t))
-    val arrs = docs.select(col("doc_id"), trigU(col("text")).as("shs"))
-      .filter(size(col("shs")) > 0)
-      .cache()
     Canon(Dedup.minHashNearDupsFromShingleArrays(
-      arrs, threshold = 0.8, bucketFilter = bucketFilter))
+      shingleArrays(docs).select("doc_id", "shs"),
+      threshold = 0.8, bucketFilter = bucketFilter))
   }
 
   // ---------------------------------------------------------------- x44/x45

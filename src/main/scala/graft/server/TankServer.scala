@@ -197,7 +197,7 @@ final class TankServer(spark: SparkSession, cfg: StoreConfig,
   private def deleteFeature(ex: HttpExchange, uid: String): Unit = {
     val hashes = FeatureStore.lookup(spark, cfg, uid)
       .select("hash").collect().map(_.getInt(0))
-    FeatureStore.delete(spark, cfg, uid, hashes.headOption)
+    FeatureStore.delete(spark, cfg, uid, hashes.toIndexedSeq)
     cache.invalidateTouched(hashes)
     respond(ex, 200, "{}".getBytes, "application/json")
   }
@@ -219,7 +219,7 @@ final class TankServer(spark: SparkSession, cfg: StoreConfig,
     }.getOrElse(Map.empty[String, Any])
     val oldHashes = FeatureStore.lookup(spark, cfg, uid)
       .select("hash").collect().map(_.getInt(0))
-    FeatureStore.update(spark, cfg, uid, geomWkt, props, oldHashes.headOption)
+    FeatureStore.update(spark, cfg, uid, geomWkt, props, oldHashes.toIndexedSeq)
     val newHashes = FeatureStore.lookup(spark, cfg, uid)
       .select("hash").collect().map(_.getInt(0))
     cache.invalidateTouched(oldHashes ++ newHashes)

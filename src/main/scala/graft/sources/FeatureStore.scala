@@ -213,10 +213,14 @@ object FeatureStore {
     * hash min/max covers it instead of scanning uid stats table-wide.
     */
   def delete(spark: SparkSession, cfg: StoreConfig, uid: String,
-             knownHash: Option[Int] = None): Unit = {
-    val touches = knownHash
-      .map(h => col("hash") === h && col("uid") === uid)
-      .getOrElse(col("uid") === uid)
+             knownHashes: Seq[Int] = Nil): Unit = {
+    // ALL the uid's hashes must prune the probe — a uid ingested twice with
+    // different geometry legitimately holds rows in different hash cells,
+    // and restricting to the first would leave the others undeleted
+    val touches =
+      if (knownHashes.nonEmpty)
+        col("hash").isin(knownHashes: _*) && col("uid") === uid
+      else col("uid") === uid
     rewriteTouched(spark, cfg, touches, _.filter(col("uid") =!= uid))
   }
 
@@ -230,11 +234,12 @@ object FeatureStore {
   def update(spark: SparkSession, cfg: StoreConfig, uid: String,
              newGeometryWkt: Option[String],
              newAttrs: Map[String, Any],
-             knownHash: Option[Int] = None): Unit = {
+             knownHashes: Seq[Int] = Nil): Unit = {
     val hashUdf = udf((wkt: String) => GeomUdfs.centroidHash(wkt, cfg.hashLevel))
-    val touches = knownHash
-      .map(h => col("hash") === h && col("uid") === uid)
-      .getOrElse(col("uid") === uid)
+    val touches =
+      if (knownHashes.nonEmpty)
+        col("hash").isin(knownHashes: _*) && col("uid") === uid
+      else col("uid") === uid
     rewriteTouched(spark, cfg, touches, df => {
       val updatedGeom = newGeometryWkt match {
         case Some(w) =>

@@ -42,8 +42,11 @@ object CurationStreams {
              maxPunctRatio: Double = 0.2): DataFrame = {
     val len = length(col("text"))
     val nTok = size(split(col("text"), "\\s+"))
-    val punct = (len - length(regexp_replace(col("text"), "[.,!?;:]", "")))
-      .cast("double") / len
+    // nullif guards ANSI divide-by-zero on empty text; coalesce(…, 1.0)
+    // treats an empty doc as all-punctuation so the gate drops it
+    val punct = coalesce(
+      (len - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+        .cast("double") / nullif(len, lit(0)), lit(1.0))
     val (pred, _) = TextAnalysis.langColumns(col("text"))
     docs
       .withColumn("n_tokens", nTok)

@@ -175,7 +175,7 @@ class FeatureStoreSpec extends SparkSpec {
     assert(before.size >= 4, s"need multiple files, got ${before.size}")
 
     val h = FeatureStore.lookup(spark, cfg, "u7").collect().head.getAs[Int]("hash")
-    FeatureStore.delete(spark, cfg, "u7", Some(h))
+    FeatureStore.delete(spark, cfg, "u7", Seq(h))
     assert(FeatureStore.lookup(spark, cfg, "u7").count() == 0)
     assert(FeatureStore.read(spark, cfg).count() == 39)
 
@@ -196,5 +196,25 @@ class FeatureStoreSpec extends SparkSpec {
     untouched2.foreach { name => assert(after(name) == after2(name)) }
     assert(FeatureStore.lookup(spark, cfg, "u3").collect().head.getAs[Int]("v") == 999)
     assert(FeatureStore.read(spark, cfg).count() == 39)
+  }
+
+  test("delete with multiple known hashes removes a uid present in two cells") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val cfg = StoreConfig(path = s"$dir/store", attrs = Seq(AttrField("v", "int")))
+    // same uid ingested twice with far-apart geometry -> two rows whose
+    // Morton hashes differ (the duplicate-uid state a double POST creates)
+    val ls = Seq(
+      featureJson("dup", -170.0, -80.0, """{"v":1}"""),
+      featureJson("dup", 170.0, 80.0, """{"v":2}""")) ++
+      (0 until 10).map(i => featureJson(s"u$i", -100.0 + i * 20.0, 0.0, s"""{"v":$i}"""))
+    FeatureStore.write(FeatureStore.ingest(ls.toDF("raw"), cfg).good, cfg, partitions = 4)
+    val hashes = FeatureStore.lookup(spark, cfg, "dup")
+      .select("hash").collect().map(_.getInt(0)).toIndexedSeq
+    assert(hashes.distinct.size == 2, s"fixture needs two cells, got $hashes")
+    FeatureStore.delete(spark, cfg, "dup", hashes)
+    assert(FeatureStore.lookup(spark, cfg, "dup").count() == 0,
+      "a hash-pruned delete must remove EVERY row of the uid")
+    assert(FeatureStore.read(spark, cfg).count() == 10)
   }
 }

@@ -35,6 +35,23 @@ class CurationStreamsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L))
   }
 
+  test("empty text survives the gate expressions (no ANSI divide-by-zero)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Doc]
+    // minTokens = 0 forces the punct_ratio expression to evaluate on len 0
+    val q = CurationStreams.curate(mem.toDF(), minTokens = 0)
+      .writeStream.format("memory").queryName("curated_empty")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(Doc(1, ts("10:00"), "", "en", "s"),
+        Doc(2, ts("10:01"), good, "en", "s")))
+      q.processAllAvailable() // would throw DIVIDE_BY_ZERO without the guard
+    } finally q.stop()
+    val ids = spark.table("curated_empty").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(2L)) // empty doc scored as all-punct and dropped
+  }
+
   test("within-watermark duplicates collapse to one admitted doc") {
     val rows = drive(Seq(
       Seq(Doc(1, ts("10:00"), good, "en", "s"),
