@@ -131,4 +131,66 @@ class KernelsSpec extends SparkSpec {
       assert(got(x) == Kernels.roundHalfUp(x, 4), s"round mismatch for $x")
     }
   }
+
+  // ---------------------------------------------- curation kernel properties
+  // (seeded generator loop — the scalatest/scalacheck bridge is not in the
+  // offline cache; same device as CoreGeoSpec)
+
+  private def forSeeded(n: Int)(body: scala.util.Random => Unit): Unit = {
+    val rnd = new scala.util.Random(42)
+    (1 to n).foreach(_ => body(rnd))
+  }
+
+  private def randText(r: scala.util.Random): String =
+    Seq.fill(r.nextInt(12))(
+      Seq.fill(1 + r.nextInt(7))(('a' + r.nextInt(4)).toChar).mkString
+    ).mkString(" ")
+
+  test("tokenCounts sums to the number of qualifying tokens (property)") {
+    forSeeded(300) { r =>
+      val text = randText(r)
+      val counts = Kernels.tokenCounts(text, 4)
+      val expected = text.split("\\s+").count(t => t.length >= 4)
+      assert(counts.values.sum == expected, s"'$text'")
+      assert(counts.keys.forall(_.length >= 4))
+    }
+  }
+
+  test("triStats: distinct <= total and agrees with wordTrigramSet (property)") {
+    forSeeded(300) { r =>
+      val text = randText(r)
+      val st = Kernels.triStats(text)
+      val set = Kernels.wordTrigramSet(text)
+      if (st.isEmpty) assert(set.isEmpty)
+      else {
+        assert(st(1) == set.length, s"'$text'") // same distinct, same tokenizer
+        assert(st(1) <= st(0))
+      }
+    }
+  }
+
+  test("quantizeInt8: range bound, scale invariance, argmax hits ±127 (property)") {
+    forSeeded(300) { r =>
+      val v = Array.fill(1 + r.nextInt(32))(r.nextFloat() * 2f - 1f)
+      val q = Kernels.quantizeInt8(v)
+      assert(q.forall(x => x >= -127 && x <= 127))
+      if (v.exists(_ != 0f)) {
+        val i = v.indices.maxBy(i => math.abs(v(i).toDouble))
+        assert(math.abs(q(i)) == 127)
+        // positive scaling leaves the quantization unchanged
+        assert(Kernels.quantizeInt8(v.map(_ * 2f)).sameElements(q))
+      }
+    }
+  }
+
+  test("minHashBandBuckets is permutation-invariant in the shingle set (property)") {
+    forSeeded(200) { r =>
+      val shs = Kernels.wordTrigramSet(randText(r))
+      if (shs.nonEmpty) {
+        val a = Kernels.minHashBandBuckets(shs, 64, 16)
+        val b = Kernels.minHashBandBuckets(shs.reverse, 64, 16)
+        assert(a.sameElements(b)) // min-hash is order-free
+      }
+    }
+  }
 }
