@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.6 Q23–Q25: time-window aggregations over `events`, run as
   * batch here (their Structured Streaming twins with watermarks live in
-  * [[graft.streaming.StreamOps]] — same groupBy expressions, so batch
+  * [[graft.streaming.EventStreams]] — same groupBy expressions, so batch
   * correctness transfers).
   */
 object EventWindows {

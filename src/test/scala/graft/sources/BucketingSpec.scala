@@ -47,4 +47,35 @@ class BucketingSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan)
   }
+
+  test("zorderWrite: every file covers a narrow quad of BOTH columns") {
+    val li = graft.queries.Tables.lineitem(spark, Sf)
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString + "/li"
+    Bucketing.zorderWrite(li, "l_orderkey", "l_partkey", dir, files = 8)
+
+    val z = spark.read.parquet(dir)
+    assert(z.count() == li.count(), "rows must survive the layout change")
+    val g = li.agg(min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_partkey")), max(col("l_partkey"))).collect()(0)
+    val span1 = (g.getLong(1) - g.getLong(0)).toDouble
+    val span2 = (g.getLong(3) - g.getLong(2)).toDouble
+    val files = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length == 8, s"expected 8 files, got ${files.length}")
+    // a z-ordered file covers a quad region: its min/max footer stats on
+    // EACH column span a fraction of the global range — that narrowness is
+    // exactly what parquet row-group pruning / a stats-aware reader exploits
+    // (a single-column sort would leave the OTHER column's span at ~100%)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        min(col("l_orderkey")), max(col("l_orderkey")),
+        min(col("l_partkey")), max(col("l_partkey"))).collect()(0)
+      ((r.getLong(1) - r.getLong(0)) / span1, (r.getLong(3) - r.getLong(2)) / span2)
+    }
+    val mean1 = spans.map(_._1).sum / spans.length
+    val mean2 = spans.map(_._2).sum / spans.length
+    assert(mean1 <= 0.75 && mean2 <= 0.75,
+      s"files not clustered: mean spans $mean1 / $mean2 of global, " +
+        spans.map { case (a, b) => f"($a%.2f,$b%.2f)" }.mkString(" "))
+  }
 }
