@@ -17,7 +17,41 @@ object VectorOps {
 
   def defs: Seq[QueryDef] =
     Seq(q33, q35, x42_embed_neardup, x43_ann_lsh, x43b_ann_ivf,
-      x51_multimodal_features)
+      x51_multimodal_features, x79_media_meta)
+
+  /** Oracle-checked half of the multimodal surface: the synthetic-media
+    * metadata derivation and binary-column plumbing (payload byte length
+    * via the BINARY column, typed metadata struct fields) aggregated per
+    * kind — pure integer arithmetic, so DuckDB replays it exactly. Only the
+    * stub decode kernel itself stays outside the oracle (x51, rows-only +
+    * property-tested).
+    */
+  val x79_media_meta: QueryDef = QueryDef(
+    "x79_media_meta",
+    Sql.canon(
+      """SELECT kind, COUNT(*) AS n,
+        |  CAST(SUM(width) AS BIGINT) AS sum_w,
+        |  CAST(SUM(height) AS BIGINT) AS sum_h,
+        |  CAST(SUM(n_frames) AS BIGINT) AS sum_frames,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes
+        |FROM (
+        |  SELECT (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |    CAST(n_chars % 640 + 1 AS INT) AS width,
+        |    CAST(n_chars % 480 + 1 AS INT) AS height,
+        |    CAST(n_chars % 30 + 1 AS INT) AS n_frames,
+        |    STRLEN(text) AS n_bytes
+        |  FROM documents)
+        |GROUP BY kind""".stripMargin,
+      Seq("kind", "n", "sum_w", "sum_h", "sum_frames", "sum_bytes"))) { (s, d) =>
+    import graft.operators.Multimodal
+    val media = Multimodal.syntheticMedia(Tables.documents(s, d))
+    Canon(media.groupBy(col("kind")).agg(
+      count(lit(1)).as("n"),
+      sum(col("meta.width")).cast("long").as("sum_w"),
+      sum(col("meta.height")).cast("long").as("sum_h"),
+      sum(col("meta.nFrames")).cast("long").as("sum_frames"),
+      sum(length(col("content"))).cast("long").as("sum_bytes")))
+  }
 
   /** Multimodal plumbing on the driver surface: synthetic binary media from
     * `documents` → batched (stub-)decode → fixed-dim features (rows-only;
