@@ -64,8 +64,14 @@ object EventStreams {
     * state is evicted once the watermark passes its join horizon — the only
     * state-bounded shape for joining two unbounded streams.
     */
+  /** With `joinType = "left_outer"`, a click with no view in its interval
+    * is still emitted (null view columns) — but only once the watermark
+    * proves no matching view can arrive, which is exactly the semantics a
+    * "clicks that never converted" stream needs.
+    */
   def clickViewJoin(events: DataFrame, watermark: String = "30 minutes",
-                    interval: String = "10 minutes"): DataFrame = {
+                    interval: String = "10 minutes",
+                    joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("click_id"))
@@ -77,7 +83,8 @@ object EventStreams {
     clicks.join(views,
       col("c_user") === col("v_user") &&
         col("v_ts") >= col("c_ts") &&
-        col("v_ts") <= col("c_ts") + expr(s"INTERVAL $interval"))
+        col("v_ts") <= col("c_ts") + expr(s"INTERVAL $interval"),
+      joinType)
       .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
         col("c_ts"), col("v_ts"))
   }

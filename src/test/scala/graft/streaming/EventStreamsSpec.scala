@@ -148,6 +148,36 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("user_id") == 1L)
   }
 
+  test("left-outer interval join emits unmatched clicks after the watermark closes them") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val evDf = mem.toDF()
+      .withColumn("event_id",
+        org.apache.spark.sql.functions.expr("CAST(user_id * 1000 + unix_timestamp(ts) % 1000 AS LONG)"))
+    val q = EventStreams.clickViewJoin(evDf, joinType = "left_outer")
+      .writeStream.format("memory").queryName("lojoin")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(
+        Ev(ts("10:00"), 1, "click", 0), // will match
+        Ev(ts("10:05"), 1, "view", 0),
+        Ev(ts("10:00"), 2, "click", 0))) // never matches
+      q.processAllAvailable()
+      // the global watermark is the MIN across both inputs — advance event
+      // time on BOTH the click and the view side so user 2's state closes
+      mem.addData(Seq(Ev(ts("13:00"), 9, "view", 0), Ev(ts("13:00"), 9, "click", 0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Ev(ts("15:00"), 9, "view", 0), Ev(ts("15:00"), 9, "click", 0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byUser = spark.table("lojoin").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    assert(byUser(1L).exists(r => !r.isNullAt(r.fieldIndex("view_id"))))
+    assert(byUser(2L).exists(r => r.isNullAt(r.fieldIndex("view_id"))),
+      s"unmatched click not emitted with null view: ${spark.table("lojoin").collect().toSeq}")
+  }
+
   test("stream-static enrichment attaches dimension attributes per batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
