@@ -58,17 +58,22 @@ object Bucketing {
   def zorderWrite(df: DataFrame, c1: String, c2: String, path: String,
                   files: Int = 8, bits: Int = 8): Unit = {
     import org.apache.spark.sql.functions._
+    require(bits >= 1 && bits <= 16,
+      s"bits=$bits: the Morton interleave covers the low 16 bits per dim")
     val nBins = 1 << bits
     val probes = (1 until nBins).map(_.toDouble / nBins).toArray
-    val cuts1 = df.stat.approxQuantile(c1, probes, 0.001)
-    val cuts2 = df.stat.approxQuantile(c2, probes, 0.001)
+    // one sketch pass computes both columns' cuts
+    val Array(cuts1, cuts2) =
+      df.stat.approxQuantile(Array(c1, c2), probes, 0.001)
     def binU(cuts: Array[Double]) = udf((x: Double) => {
       val i = java.util.Arrays.binarySearch(cuts, x)
       if (i >= 0) i + 1 else -(i + 1) // insertion point = bin index
     })
-    val z = udf((b1: Int, b2: Int) => graft.core.ZCurve.interleave(b1, b2))
-    df.withColumn("_z",
-        z(binU(cuts1)(col(c1).cast("double")), binU(cuts2)(col(c2).cast("double"))))
+    // codegen'd interleave (MortonHashExpr), not an interpreted UDF
+    val z = graft.functions.GeoColumns.mortonHash(
+      binU(cuts1)(col(c1).cast("double")),
+      binU(cuts2)(col(c2).cast("double")), bits)
+    df.withColumn("_z", z)
       .repartitionByRange(files, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")

@@ -63,8 +63,8 @@ object EventStreams {
     * the join condition bounds event-time distance, so each side's buffered
     * state is evicted once the watermark passes its join horizon — the only
     * state-bounded shape for joining two unbounded streams.
-    */
-  /** With `joinType = "left_outer"`, a click with no view in its interval
+    *
+    * With `joinType = "left_outer"`, a click with no view in its interval
     * is still emitted (null view columns) — but only once the watermark
     * proves no matching view can arrive, which is exactly the semantics a
     * "clicks that never converted" stream needs.
