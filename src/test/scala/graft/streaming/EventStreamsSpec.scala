@@ -197,6 +197,32 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows(3L) == null) // left join keeps unmatched stream rows
   }
 
+  test("ingest restart from checkpoint is exactly-once (no re-read, no loss)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-eo")
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    new java.io.File(src).mkdirs()
+    def startQuery() = EventStreams.ingestStream(spark, src)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    def addFile(name: String, ids: Seq[Long]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$src/$name"),
+        ids.map(i => s"""{"event_id":$i,"ts":"2026-03-01T10:0$i:00Z","user_id":$i,"event_type":"click","value":1.0,"props":"{}"}""")
+          .mkString("\n"))
+
+    val q1 = startQuery()
+    try { addFile("b1.json", Seq(1, 2)); q1.processAllAvailable() }
+    finally q1.stop()
+    // restart from the same checkpoint: b1 must NOT be re-ingested, b2 must be
+    addFile("b2.json", Seq(3))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out).select("event_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L),
+      s"checkpoint recovery broke exactly-once: ${got.toSeq}")
+  }
+
   test("streaming dedup drops within-watermark duplicates, re-admits after expiry") {
     val rows = drive("dedup",
       EventStreams.dedupStream(_, Seq("user_id", "event_type"), "30 minutes"), Seq(
