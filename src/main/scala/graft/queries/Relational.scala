@@ -21,7 +21,7 @@ object Relational {
     q14, q15, q16, q17, q18, q19, q20, q21a, q21b, q22, q22b,
     x52_approx_distinct, x53_pivot, x54_unpivot, x55_percentiles,
     x56_range_window, x59_stringagg, x60_argmax, x72_window_battery,
-    x75_null_semantics)
+    x75_null_semantics, x78_salted_agg)
 
   /** Ordered string aggregation per group (collect_list + sort on the Spark
     * side; ORDER BY inside string_agg on the oracle side — both total
@@ -142,6 +142,33 @@ object Relational {
       nth_value(col("o_totalprice"), 2).over(wFull).as("second_price"),
       first_value(col("o_orderkey")).over(w).as("cheapest_key"),
       last_value(col("o_orderkey")).over(wFull).as("priciest_key")))
+  }
+
+  /** Salted two-phase aggregation — the hot-key mitigation as a first-class
+    * query: `l_returnflag` has only 3 values, so a direct groupBy lands the
+    * whole table in 3 reducer tasks; salting by a hash of a high-cardinality
+    * column fans the partial aggregation across 16x the tasks, and the tiny
+    * final merge regroups per key. Integer-scaled partials make the two-
+    * phase sum EXACTLY equal to the oracle's single-phase one, so the
+    * rewrite is provably result-identical — the property that makes it safe
+    * to apply mechanically at 100 TB.
+    */
+  val x78_salted_agg: QueryDef = QueryDef(
+    "x78_salted_agg",
+    Sql.canon(
+      s"""SELECT l_returnflag, ${Sql.moneySum("l_quantity")} AS sum_qty,
+         |  COUNT(*) AS n
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      Seq("l_returnflag", "sum_qty", "n"))) { (s, d) =>
+    val partials = Tables.lineitem(s, d)
+      .withColumn("_salt", pmod(xxhash64(col("l_orderkey")), lit(16)))
+      .groupBy(col("l_returnflag"), col("_salt"))
+      .agg(sum(round(col("l_quantity") * 100).cast(LongType)).as("_scaled"),
+        count(lit(1)).as("_n"))
+    Canon(partials
+      .groupBy(col("l_returnflag"))
+      .agg((sum(col("_scaled")).cast(DoubleType) / 100.0).as("sum_qty"),
+        sum(col("_n")).as("n")))
   }
 
   /** Null-semantics battery: NULLIF/COALESCE, null-safe equality
