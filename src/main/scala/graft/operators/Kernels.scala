@@ -169,7 +169,7 @@ object Kernels extends Serializable {
     */
   def minHashBandBuckets(shingles: Array[String], numHashes: Int,
                          bands: Int): Array[Long] = {
-    if (shingles.isEmpty) return Array.emptyLongArray
+    if (shingles == null || shingles.isEmpty) return Array.emptyLongArray
     val sig = minHashSig(shingles, numHashes)
     val rows = numHashes / bands
     Array.tabulate(bands) { b =>
@@ -244,6 +244,7 @@ object Kernels extends Serializable {
     * (`CAST(x AS DOUBLE)`) sees bit-identical inputs.
     */
   def quantizeInt8(v: Array[Float]): Array[Int] = {
+    if (v == null) return Array.empty
     var m = 0.0
     var i = 0
     while (i < v.length) {

@@ -209,7 +209,8 @@ object CurationOps {
         |    UNNEST(generate_series(1, 64)) AS i
         |  FROM embeddings)""".stripMargin,
       Seq("vec_id", "pos", "q"))) { (s, d) =>
-    val qz = udf((e: Seq[Float]) => Kernels.quantizeInt8(e.toArray))
+    val qz = udf((e: Seq[Float]) =>
+      Kernels.quantizeInt8(if (e == null) null else e.toArray))
     Canon(Tables.embeddings(s, d)
       .select(col("vec_id"), posexplode(qz(col("embedding"))).as(Seq("pos", "q"))))
   }
@@ -450,7 +451,8 @@ object CurationOps {
         arr
       }
       val assign = udf((v: Seq[Float]) =>
-        Kernels.assignNearest(v.toArray, labels, cents))
+        if (v == null) null
+        else Kernels.assignNearest(v.toArray, labels, cents))
       Canon(emb
         .select(col("vec_id"), assign(col("embedding")).as("a"))
         .select(col("vec_id"),
