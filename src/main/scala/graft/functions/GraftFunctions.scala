@@ -43,18 +43,22 @@ object GraftFunctions {
     spark.udf.register("tile_y", (lat: Double, z: Int) => WebMercator.tileY(lat, z))
     spark.udf.register("geohash_encode",
       (lat: Double, lon: Double, precision: Int) => GeoHash.encode(lat, lon, precision))
-    // curation kernels (operators.Kernels) — the per-doc tight-loop surface
+    // curation kernels (operators.Kernels) — the per-doc tight-loop surface.
+    // NULL inputs propagate null (Option return / explicit guards): Spark
+    // does NOT null-check reference-typed UDF params for us
     import graft.operators.Kernels
-    spark.udf.register("simhash64", (t: String) => Kernels.simHash64(t))
+    spark.udf.register("simhash64",
+      (t: String) => Option(t).map(Kernels.simHash64))
     spark.udf.register("winnow_fps",
       (t: String, k: Int, w: Int) => Kernels.winnowFps(t, k, w))
     spark.udf.register("minhash_sig",
-      (shs: Seq[String], n: Int) => Kernels.minHashSig(shs.toArray, n))
+      (shs: Seq[String], n: Int) =>
+        if (shs == null) null else Kernels.minHashSig(shs.toArray, n))
     spark.udf.register("token_counts",
       (t: String, minLen: Int) => Kernels.tokenCounts(t, minLen))
     spark.udf.register("tri_stats", (t: String) => Kernels.triStats(t))
     spark.udf.register("quantize_int8",
-      (v: Seq[Float]) => Kernels.quantizeInt8(v.toArray))
+      (v: Seq[Float]) => if (v == null) null else Kernels.quantizeInt8(v.toArray))
   }
 }
 

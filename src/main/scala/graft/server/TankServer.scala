@@ -170,7 +170,7 @@ final class TankServer(spark: SparkSession, cfg: StoreConfig,
     val lines =
       if (queryParam(ex, "geojson").contains("true")) {
         val root = mapper.readTree(body)
-        val feats = Option(root.get("features"))
+        val feats = Option(root.get("features")).filter(_.isArray)
           .getOrElse(throw new IllegalArgumentException("not a FeatureCollection"))
         (0 until feats.size).map(i => feats.get(i).toString)
       } else body.linesIterator.filter(_.nonEmpty).toSeq
@@ -228,9 +228,16 @@ final class TankServer(spark: SparkSession, cfg: StoreConfig,
 
   private def deleteTile(ex: HttpExchange, z: Int, x: Int, y: Int): Unit = {
     FeatureStore.deleteTile(spark, cfg, z, x, y)
-    cache.invalidateRegion(
-      graft.core.WebMercator.tileLon(x, z), graft.core.WebMercator.tileLat(y + 1, z),
-      graft.core.WebMercator.tileLon(x + 1, z), graft.core.WebMercator.tileLat(y, z))
+    // expand the invalidated region by the clip-buffer halo: neighbor tiles
+    // render features from inside this tile's edge, so the exact bbox would
+    // leave them stale (same reasoning as TileCache.invalidateTouched)
+    val bufFrac = 0.5 * tileCfg.buffer.toDouble / tileCfg.extent.toDouble
+    val (lo0, hi0) = (graft.core.WebMercator.tileLon(x, z),
+      graft.core.WebMercator.tileLon(x + 1, z))
+    val (la0, la1) = (graft.core.WebMercator.tileLat(y + 1, z),
+      graft.core.WebMercator.tileLat(y, z))
+    val (dLon, dLat) = ((hi0 - lo0) * bufFrac, (la1 - la0) * bufFrac)
+    cache.invalidateRegion(lo0 - dLon, la0 - dLat, hi0 + dLon, la1 + dLat)
     respond(ex, 200, "{}".getBytes, "application/json")
   }
 

@@ -293,8 +293,10 @@ object FeatureStore {
     val tmp = cfg.path + "_rw_tmp"
     next.write.mode(SaveMode.Overwrite).parquet(tmp)
     next.unpersist()
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // resolve the filesystem FROM the store path — FileSystem.get(default)
+    // throws "Wrong FS" whenever cfg.path lives on s3a://, hdfs://, …
+    val fs = new org.apache.hadoop.fs.Path(cfg.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     touched.foreach { fp =>
       fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(fp)), false)
     }
@@ -315,8 +317,8 @@ object FeatureStore {
     val next = f(read(spark, cfg)).cache()
     next.write.mode(SaveMode.Overwrite).parquet(tmp)
     next.unpersist()
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(cfg.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(cfg.path)
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)

@@ -64,6 +64,12 @@ class GraftFunctionsSpec extends SparkSpec {
   test("null inputs propagate null") {
     val r = spark.sql("SELECT zcurve_hash(CAST(NULL AS BIGINT), 5L) AS h").collect().head
     assert(r.isNullAt(0))
+    val k = spark.sql(
+      """SELECT simhash64(CAST(NULL AS STRING)) AS a,
+        |       minhash_sig(CAST(NULL AS ARRAY<STRING>), 8) AS b,
+        |       quantize_int8(CAST(NULL AS ARRAY<FLOAT>)) AS c""".stripMargin)
+      .collect().head
+    assert(k.isNullAt(0) && k.isNullAt(1) && k.isNullAt(2))
   }
 
   test("in_tile predicate is rewritten to pushed-down hash ranges") {

@@ -136,6 +136,26 @@ class TankServerSpec extends SparkSpec {
     assert(Mvt.decode(tb).head.features.isEmpty)
   }
 
+  test("A8: tile delete also invalidates neighbors rendering the halo") {
+    // a feature just inside tile (tx2, ty2)'s west edge sits in the clip
+    // buffer of the WESTERN neighbor tile, which therefore renders it
+    val z = 13
+    val tx2 = WebMercator.tileX(-20.0, z) // far from the other fixtures
+    val ty2 = WebMercator.tileY(-30.0, z)
+    val edgeLon = WebMercator.tileLon(tx2, z) + 1e-7 // just inside west edge
+    val midLat = (WebMercator.tileLat(ty2, z) + WebMercator.tileLat(ty2 + 1, z)) / 2
+    http("POST", "/", Some(feature("halo1", edgeLon, midLat, "poi")))
+    def nFeats(b: Array[Byte]): Int =
+      Mvt.decode(b).headOption.map(_.features.size).getOrElse(0)
+    val (_, westBytes) = http("GET", s"/tile/$z/${tx2 - 1}/$ty2")
+    assert(nFeats(westBytes) == 1,
+      "fixture broken: neighbor tile must render the halo feature")
+    http("DELETE", s"/tile/$z/$tx2/$ty2")
+    val (_, westAfter) = http("GET", s"/tile/$z/${tx2 - 1}/$ty2")
+    assert(nFeats(westAfter) == 0,
+      "stale cached neighbor tile still renders the deleted halo feature")
+  }
+
   test("unknown route is a 404") {
     assert(http("GET", "/no/such/route/x")._1 == 404)
   }
