@@ -35,4 +35,25 @@ class EmptyInputSpec extends SparkSpec {
       assert(n >= 0)
     }
   }
+
+  // single-row twins hit a different edge set: window frames of one,
+  // self-joins with one candidate, argmax/percentile on singletons,
+  // divisions whose denominators come from a lone row
+  private lazy val oneRowDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-one").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$Sf/$t.parquet").limit(1)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  SparkEntry.queries.keys.filterNot(skip).foreach { name =>
+    test(s"$name runs on single-row tables") {
+      val n = SparkEntry.queries(name)(spark, oneRowDir).count()
+      assert(n >= 0)
+    }
+  }
 }
