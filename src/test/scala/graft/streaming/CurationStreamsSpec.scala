@@ -87,6 +87,37 @@ class CurationStreamsSpec extends SparkSpec {
       s"unrelated doc paired: $pairs")
   }
 
+  test("streaming LSH recall: every true near-dup pair surfaces as a candidate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 60 base docs of seeded word soup; every third gets a near-dup twin
+    // (one word changed out of 40 -> trigram Jaccard ~0.93)
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "omega", "sigma",
+      "kappa", "lambda", "theta", "zeta")
+    val bases = (0 until 60).map { i =>
+      i.toLong -> Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val twins = bases.collect { case (id, text) if id % 3 == 0 =>
+      (id + 1000L) -> text.replaceFirst("\\w+", "changed")
+    }
+    val truePairs = twins.map { case (tid, _) => (tid - 1000L, tid) }.toSet
+    val all = rnd.shuffle(bases ++ twins).zipWithIndex.map { case ((id, t), i) =>
+      Doc(id, ts(f"10:${i % 60}%02d"), t, "en", "s")
+    }
+    val mem = MemoryStream[Doc]
+    val q = CurationStreams.nearDupCandidates(mem.toDF(), watermark = "4 hours",
+      horizonMs = 4 * 3600 * 1000L)
+      .writeStream.format("memory").queryName("recall")
+      .outputMode("append").start()
+    try all.grouped(30).foreach { b => mem.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val cands = spark.table("recall").select("doc_a", "doc_b")
+      .distinct().as[(Long, Long)].collect().toSet
+    val missed = truePairs.diff(cands)
+    assert(missed.isEmpty, s"streaming LSH missed ${missed.size}/${truePairs.size}: $missed")
+  }
+
   test("streaming band buckets are bit-identical to the batch LSH buckets") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
