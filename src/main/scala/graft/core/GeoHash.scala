@@ -38,12 +38,17 @@ object GeoHash {
     ((latLo + latHi) / 2, (lonLo + lonHi) / 2)
   }
 
-  /** (latMin, latMax, lonMin, lonMax) of the geohash cell. */
+  /** (latMin, latMax, lonMin, lonMax) of the geohash cell. Geohashes are
+    * conventionally case-insensitive; invalid characters get a descriptive
+    * error instead of a bare key-lookup failure.
+    */
   def bounds(hash: String): (Double, Double, Double, Double) = {
     var latLo = -90.0; var latHi = 90.0
     var lonLo = -180.0; var lonHi = 180.0
     var evenBit = true
-    for (c <- hash; i <- 4 to 0 by -1) {
+    for (c0 <- hash; i <- 4 to 0 by -1) {
+      val c = Character.toLowerCase(c0)
+      require(Decode.contains(c), s"invalid geohash character '$c0' in '$hash'")
       val b = (Decode(c) >> i) & 1
       if (evenBit) { val mid = (lonLo + lonHi) / 2; if (b == 1) lonLo = mid else lonHi = mid }
       else { val mid = (latLo + latHi) / 2; if (b == 1) latLo = mid else latHi = mid }

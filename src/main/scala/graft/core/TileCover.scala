@@ -20,9 +20,15 @@ object TileCover {
   def cover(lonMin: Double, latMin: Double, lonMax: Double, latMax: Double,
             maxZoom: Int): Seq[(Int, Int, Int)] = {
     val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
-    // region in world-fraction coords (y down)
-    val rx0 = WebMercator.projX(lonMin); val rx1 = WebMercator.projX(lonMax)
-    val ry0 = WebMercator.projY(latMax); val ry1 = WebMercator.projY(latMin)
+    // region in world-fraction coords (y down); zero-extent (point/line)
+    // regions are widened by an epsilon so a region lying exactly on a tile
+    // boundary still intersects its neighbors (strict tests below would
+    // otherwise classify it disjoint from EVERY tile)
+    val eps = 1e-12
+    var rx0 = WebMercator.projX(lonMin); var rx1 = WebMercator.projX(lonMax)
+    var ry0 = WebMercator.projY(latMax); var ry1 = WebMercator.projY(latMin)
+    if (rx1 - rx0 < eps) { rx0 -= eps; rx1 += eps }
+    if (ry1 - ry0 < eps) { ry0 -= eps; ry1 += eps }
     def rec(z: Int, x: Int, y: Int): Unit = {
       val n = (1L << z).toDouble
       val tx0 = x / n; val tx1 = (x + 1) / n

@@ -75,9 +75,15 @@ final class TankServer(spark: SparkSession, cfg: StoreConfig,
       case ("POST", List("_bulk", layer)) => postBulk(ex, layer)
       case ("GET", "static" :: _) =>
         respond(ex, 200, mapViewerHtml.getBytes("UTF-8"), "text/html")
-      case ("GET", List("tile", z, x, y)) => tile(ex, z.toInt, x.toInt, y.toInt)
-      case ("DELETE", List("tile", z, x, y)) => deleteTile(ex, z.toInt, x.toInt, y.toInt)
-      case ("GET", List("heatmap", z, x, y)) => heatmap(ex, z.toInt, x.toInt, y.toInt)
+      case ("GET", List("tile", z, x, y)) =>
+        val (zi, xi, yi) = tileCoords(z, x, y)
+        tile(ex, zi, xi, yi)
+      case ("DELETE", List("tile", z, x, y)) =>
+        val (zi, xi, yi) = tileCoords(z, x, y)
+        deleteTile(ex, zi, xi, yi)
+      case ("GET", List("heatmap", z, x, y)) =>
+        val (zi, xi, yi) = tileCoords(z, x, y)
+        heatmap(ex, zi, xi, yi)
       case ("GET", List(uid)) => getFeature(ex, uid)
       case ("DELETE", List(uid)) => deleteFeature(ex, uid)
       case ("PUT", List(uid)) => putFeature(ex, uid)
@@ -228,20 +234,30 @@ final class TankServer(spark: SparkSession, cfg: StoreConfig,
 
   private def deleteTile(ex: HttpExchange, z: Int, x: Int, y: Int): Unit = {
     FeatureStore.deleteTile(spark, cfg, z, x, y)
-    // expand the invalidated region by the clip-buffer halo: neighbor tiles
-    // render features from inside this tile's edge, so the exact bbox would
-    // leave them stale (same reasoning as TileCache.invalidateTouched)
-    val bufFrac = 0.5 * tileCfg.buffer.toDouble / tileCfg.extent.toDouble
-    val (lo0, hi0) = (graft.core.WebMercator.tileLon(x, z),
-      graft.core.WebMercator.tileLon(x + 1, z))
-    val (la0, la1) = (graft.core.WebMercator.tileLat(y + 1, z),
-      graft.core.WebMercator.tileLat(y, z))
-    val (dLon, dLat) = ((hi0 - lo0) * bufFrac, (la1 - la0) * bufFrac)
-    cache.invalidateRegion(lo0 - dLon, la0 - dLat, hi0 + dLon, la1 + dLat)
+    // the cache applies each cached tile's clip-buffer halo itself, so the
+    // raw bbox suffices: neighbors rendering this tile's edge features die
+    cache.invalidateRegion(
+      graft.core.WebMercator.tileLon(x, z), graft.core.WebMercator.tileLat(y + 1, z),
+      graft.core.WebMercator.tileLon(x + 1, z), graft.core.WebMercator.tileLat(y, z))
     respond(ex, 200, "{}".getBytes, "application/json")
   }
 
   // ------------------------------------------------------------- helpers
+
+  /** Parse + bounds-check slippy coordinates: z in [0, 22], x/y in
+    * [0, 2^z). Out-of-range values map to 400 (IllegalArgumentException),
+    * never a degenerate empty Morton cover downstream.
+    */
+  private def tileCoords(z: String, x: String, y: String): (Int, Int, Int) = {
+    val (zi, xi, yi) =
+      try (z.toInt, x.toInt, y.toInt)
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"bad tile coords $z/$x/$y")
+      }
+    require(zi >= 0 && zi <= 22 && xi >= 0 && yi >= 0 &&
+      xi < (1 << zi) && yi < (1 << zi), s"tile $zi/$xi/$yi out of range")
+    (zi, xi, yi)
+  }
 
   private def queryParam(ex: HttpExchange, name: String): Option[String] = {
     val q = Option(ex.getRequestURI.getQuery).getOrElse("")

@@ -79,7 +79,12 @@ object Mvt {
     w
   }
 
-  /** Signed area in screen coords (y down): > 0 means clockwise on screen. */
+  /** Signed surveyor's-formula area over tile coordinates, as MVT 2.1
+    * §4.3.3.3 prescribes: in the y-down tile system a POSITIVE sum is a
+    * clockwise-on-screen ring — the spec's exterior orientation. (No sign
+    * flip: the spec applies the formula to tile coords directly; e.g. the
+    * screen-CW square (0,0)→(10,0)→(10,10)→(0,10) sums to +200.)
+    */
   private def screenArea(ring: Seq[(Int, Int)]): Long = {
     var a = 0L
     var i = 0
@@ -90,7 +95,7 @@ object Mvt {
       a += x1.toLong * y2 - x2.toLong * y1
       i += 1
     }
-    -a // y-down flips the sign of the standard shoelace formula
+    a
   }
 
   private def orient(ring: Seq[(Int, Int)], clockwise: Boolean): Seq[(Int, Int)] = {
@@ -115,7 +120,9 @@ object Mvt {
     geomType match {
       case 1 => emitMove(rings.flatten)
       case 2 =>
-        rings.foreach { part =>
+        // a LineTo count must be >= 1 (MVT 2.1 §4.3.2): parts with fewer
+        // than two points cannot form a linestring and are skipped
+        rings.filter(_.length >= 2).foreach { part =>
           emitMove(part.take(1))
           out += (((part.length - 1).toLong << 3) | 2)
           part.drop(1).foreach { case (x, y) =>

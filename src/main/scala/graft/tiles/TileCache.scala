@@ -1,8 +1,8 @@
 package graft.tiles
 
-import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
 import scala.jdk.CollectionConverters._
-import graft.core.ZRange
+import graft.core.{WebMercator, ZRange}
 
 /** Serving-layer tile cache with spatial invalidation — the engine-side
   * equivalent of the reference's memcached + RegionManager pair
@@ -15,70 +15,97 @@ import graft.core.ZRange
   * Here the write path already knows exactly which Morton cells a commit
   * touched (the `hash` column of the written rows), so invalidation is
   * precise: a cached tile (z,x,y) dies iff its own cell cover intersects the
-  * touched hash set. Tiles at z <= hashLevel map to ONE contiguous Morton
-  * range (quad alignment), so the check is a sorted-range intersection — no
-  * geometry, no recursion.
+  * touched hash set. Each entry's buffered cell cover is computed ONCE at
+  * `put` (it is a pure function of the key) so invalidation is a sorted-range
+  * intersection per entry — no per-write quadtree work.
+  *
+  * Capacity is bounded (`maxEntries`, FIFO eviction) — the reference's
+  * memcached is size-bounded too; an unbounded map would let a tile crawler
+  * OOM the server.
   */
 final class TileCache(hashLevel: Int = 13,
                       cacheZoomMin: Int = 2, cacheZoomMax: Int = 15,
-                      bufferFrac: Double = 1.0 / 128.0) {
+                      bufferFrac: Double = 1.0 / 128.0,
+                      maxEntries: Int = 65536) {
 
-  private val store = new ConcurrentHashMap[(String, Int, Int, Int), Array[Byte]]()
+  private final case class Entry(bytes: Array[Byte], ranges: Array[Int])
+
+  private val store = new ConcurrentHashMap[(String, Int, Int, Int), Entry]()
+  private val fifo = new ConcurrentLinkedQueue[(String, Int, Int, Int)]()
 
   def key(kind: String, z: Int, x: Int, y: Int): (String, Int, Int, Int) =
     (kind, z, x, y)
 
   def get(kind: String, z: Int, x: Int, y: Int): Option[Array[Byte]] =
-    Option(store.get(key(kind, z, x, y)))
+    Option(store.get(key(kind, z, x, y))).map(_.bytes)
 
-  /** Store only inside the cached zoom window (application.conf:14-17). */
+  /** Store only inside the cached zoom window (application.conf:14-17);
+    * the entry carries its buffered Morton cover (lo0,hi0,lo1,hi1,…) so
+    * writes never recompute it.
+    */
   def put(kind: String, z: Int, x: Int, y: Int, bytes: Array[Byte]): Unit =
-    if (z >= cacheZoomMin && z <= cacheZoomMax)
-      store.put(key(kind, z, x, y), bytes)
+    if (z >= cacheZoomMin && z <= cacheZoomMax) {
+      val ranges = ZRange.coverWithBuffer(z, x, y, hashLevel, bufferFrac)
+        .flatMap { case (lo, hi) => Seq(lo, hi) }.toArray
+      val k = key(kind, z, x, y)
+      if (store.put(k, Entry(bytes, ranges)) == null) fifo.add(k)
+      while (store.size() > maxEntries) {
+        val victim = fifo.poll()
+        if (victim == null) return
+        store.remove(victim)
+      }
+    }
 
   def size: Int = store.size()
 
-  /** Invalidate every cached tile whose subtree intersects the bbox of a
-    * write region — the reference's RegionManager walk as a direct call
-    * (useful when only a geometry bbox is known, e.g. external writers).
+  def remove(kind: String, z: Int, x: Int, y: Int): Boolean =
+    store.remove(key(kind, z, x, y)) != null
+
+  /** Invalidate every cached tile whose bbox — expanded by its own
+    * clip-buffer halo — intersects the region bbox. Closed-interval
+    * comparison, so degenerate (point) regions on a tile boundary hit BOTH
+    * neighbors, and a write landing only in a tile's halo still kills it.
+    * Useful when only a geometry bbox is known (e.g. external writers);
+    * the write path proper uses [[invalidateTouched]].
     */
   def invalidateRegion(lonMin: Double, latMin: Double,
                        lonMax: Double, latMax: Double): Int = {
-    val cov = graft.core.TileCover.cover(lonMin, latMin, lonMax, latMax, cacheZoomMax)
+    val rx0 = WebMercator.projX(lonMin); val rx1 = WebMercator.projX(lonMax)
+    val ry0 = WebMercator.projY(latMax); val ry1 = WebMercator.projY(latMin)
     var removed = 0
     store.keySet().asScala.toSeq.foreach { case k @ (_, z, x, y) =>
-      // hit iff the tile is inside a cover subtree OR an ancestor of a cover
-      // tile (its area contains part of the region)
-      val hit = graft.core.TileCover.contains(cov, z, x, y) ||
-        cov.exists { case (cz, cx, cy) =>
-          cz > z && (cx >> (cz - z)) == x && (cy >> (cz - z)) == y
-        }
+      val n = (1L << z).toDouble
+      val halo = bufferFrac / n
+      val tx0 = x / n - halo; val tx1 = (x + 1) / n + halo
+      val ty0 = y / n - halo; val ty1 = (y + 1) / n + halo
+      val hit = tx1 >= rx0 && tx0 <= rx1 && ty1 >= ry0 && ty0 <= ry1
       if (hit && store.remove(k) != null) removed += 1
     }
     removed
   }
 
-  /** Invalidate every cached tile whose hash-cell cover intersects any of
-    * the touched Morton cells (e.g. `df.select("hash").distinct().collect()`
-    * of a write batch).
-    *
-    * Uses the SAME buffered cover the renderer reads from
-    * (ZRange.coverWithBuffer, cf. TileService.hashPredicate): a cached tile
-    * includes features from its clip-buffer halo, so a write landing only in
-    * a neighboring cell that feeds that halo must still kill the tile.
+  /** Invalidate every cached tile whose (entry-memoized) buffered cell
+    * cover intersects any of the touched Morton cells (e.g.
+    * `df.select("hash").distinct().collect()` of a write batch). A cached
+    * tile includes features from its clip-buffer halo, so a write landing
+    * only in a neighboring cell that feeds that halo still kills the tile.
     */
   def invalidateTouched(touchedHashes: Iterable[Int]): Int = {
     if (touchedHashes.isEmpty) return 0
     val sorted = touchedHashes.toArray.sorted
     var removed = 0
-    store.keySet().asScala.toSeq.foreach { case k @ (_, z, x, y) =>
-      val ranges = ZRange.coverWithBuffer(z, x, y, hashLevel, bufferFrac)
-      val hit = ranges.exists { case (lo, hi) =>
-        val i = java.util.Arrays.binarySearch(sorted, lo)
-        val at = if (i >= 0) i else -i - 1
-        at < sorted.length && sorted(at) <= hi
+    store.entrySet().asScala.toSeq.foreach { e =>
+      val r = e.getValue.ranges
+      var hit = false
+      var i = 0
+      while (!hit && i < r.length) {
+        val lo = r(i); val hi = r(i + 1)
+        val j = java.util.Arrays.binarySearch(sorted, lo)
+        val at = if (j >= 0) j else -j - 1
+        hit = at < sorted.length && sorted(at) <= hi
+        i += 2
       }
-      if (hit && store.remove(k) != null) removed += 1
+      if (hit && store.remove(e.getKey) != null) removed += 1
     }
     removed
   }

@@ -44,10 +44,13 @@ object TileService {
   }
 
   /** OR with a log-depth tree — a left-deep reduce over many ranges
-    * overflows Catalyst's column-conversion recursion.
+    * overflows Catalyst's column-conversion recursion. An empty cover (an
+    * out-of-range tile yields no Morton ranges) is simply an empty result,
+    * never a recursion.
     */
   private def balancedOr(cs: Seq[Column]): Column =
-    if (cs.size == 1) cs.head
+    if (cs.isEmpty) lit(false)
+    else if (cs.size == 1) cs.head
     else {
       val (l, r) = cs.splitAt(cs.size / 2)
       balancedOr(l) || balancedOr(r)

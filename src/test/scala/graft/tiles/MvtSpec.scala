@@ -33,8 +33,9 @@ class MvtSpec extends AnyFunSuite {
   }
 
   test("polygon exterior ring is emitted clockwise in screen coords and closed") {
-    // counter-clockwise input (screen coords) must be reversed by the encoder
-    val ccwOnScreen = Seq((0, 0), (10, 0), (10, 10), (0, 10), (0, 0))
+    // counter-clockwise input (negative surveyor area in y-down tile
+    // coords) must be reversed by the encoder to the spec's CW exterior
+    val ccwOnScreen = Seq((0, 0), (0, 10), (10, 10), (10, 0), (0, 0))
     val f = Mvt.Feature(None, 3, Seq(ccwOnScreen), Nil)
     val d = Mvt.decode(Mvt.encode(Seq(f), "p")).head.features.head
     assert(d.commands.last == 7L) // ClosePath
@@ -51,9 +52,10 @@ class MvtSpec extends AnyFunSuite {
         }
       }
     }
-    // shoelace in screen coords (y down): clockwise => positive
+    // MVT 2.1 §4.3.3.3 surveyor's formula over tile coords directly:
+    // positive = clockwise on screen = exterior
     val ring = coords.toSeq :+ coords.head
-    val area = -ring.sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
+    val area = ring.sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
       x1.toLong * y2 - x2.toLong * y1
     }.sum
     assert(area > 0, s"exterior ring not clockwise on screen (area=$area)")
@@ -95,7 +97,8 @@ class MvtSpec extends AnyFunSuite {
         }
       } else if (id == 7) {
         val closed = ring.toSeq :+ ring.head
-        areas += -closed.sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
+        // spec formula over tile coords directly: positive = CW = exterior
+        areas += closed.sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
           x1.toLong * y2 - x2.toLong * y1
         }.sum
         ring.clear()

@@ -78,4 +78,25 @@ class TileCacheSpec extends AnyFunSuite {
     assert(c.invalidateTouched(touched) == 9)
     assert(c.size == 7)
   }
+
+  test("capacity cap evicts oldest entries instead of growing unboundedly") {
+    val c = new TileCache(maxEntries = 4)
+    (0 until 10).foreach(x => c.put("tile", 13, x, 0, Array(x.toByte)))
+    assert(c.size <= 4, s"cap not enforced: ${c.size}")
+    assert(c.get("tile", 13, 9, 0).isDefined, "newest entry must survive")
+    assert(c.get("tile", 13, 0, 0).isEmpty, "oldest entry must be evicted")
+  }
+
+  test("a point region on a tile boundary invalidates both neighbors") {
+    val c = new TileCache()
+    // lon=0 is the exact boundary between tiles x=2^(z-1)-1 and x=2^(z-1)
+    val z = 10
+    val half = 1 << (z - 1)
+    val lat = 45.0
+    val ty = graft.core.WebMercator.tileY(lat, z)
+    c.put("tile", z, half - 1, ty, Array(1))
+    c.put("tile", z, half, ty, Array(2))
+    assert(c.invalidateRegion(0.0, lat, 0.0, lat) == 2,
+      "degenerate region on the boundary must hit BOTH adjacent tiles")
+  }
 }
