@@ -22,7 +22,14 @@ object BBoxAgg {
     override def zero: BBox = Empty
     override def reduce(b: BBox, wkt: String): BBox = {
       if (wkt == null) return b
-      val env = graft.tiles.GeomUdfs.parse(wkt).getEnvelopeInternal
+      // skip unparseable WKT (one bad row must not kill the aggregate) and
+      // EMPTY geometries (JTS null-envelope is (0,-1,0,-1) — folding it in
+      // would drag the group's bbox toward the origin)
+      val geom =
+        try graft.tiles.GeomUdfs.parse(wkt)
+        catch { case _: Exception => return b }
+      if (geom.isEmpty) return b
+      val env = geom.getEnvelopeInternal
       BBox(math.min(b.minX, env.getMinX), math.min(b.minY, env.getMinY),
         math.max(b.maxX, env.getMaxX), math.max(b.maxY, env.getMaxY))
     }

@@ -14,14 +14,24 @@ import org.apache.spark.sql.functions._
   */
 object GeoColumns {
 
-  /** Slippy tile X (LongType) of a longitude column at zoom z. */
+  /** Slippy tile X (LongType) of a longitude column at zoom z, clamped to
+    * [0, 2^z - 1] exactly like the scalar [[graft.core.WebMercator.tileX]]
+    * (lon = 180.0 would otherwise index tile 2^z, outside the level).
+    */
   def tileX(lon: Column, z: Int): Column =
-    floor((lon + 180.0) / 360.0 * (1L << z).toDouble)
+    greatest(lit(0L), least(lit((1L << z) - 1),
+      floor((lon + 180.0) / 360.0 * (1L << z).toDouble)))
 
-  /** Slippy tile Y (LongType) of a latitude column at zoom z. */
-  def tileY(lat: Column, z: Int): Column =
-    floor((lit(1.0) - log(tan(radians(lat)) + lit(1.0) / cos(radians(lat))) / math.Pi)
-      / 2.0 * (1L << z).toDouble)
+  /** Slippy tile Y (LongType) of a latitude column at zoom z, clamped like
+    * the scalar twin (poles/NaN would otherwise escape the level range).
+    */
+  def tileY(lat: Column, z: Int): Column = {
+    val rawD = (lit(1.0) - log(tan(radians(lat)) + lit(1.0) / cos(radians(lat))) / math.Pi) /
+      2.0 * (1L << z).toDouble
+    // NaN (|lat| >= 90) clamps to 0 like the scalar's floor(NaN).toInt
+    greatest(lit(0L), least(lit((1L << z) - 1),
+      floor(when(rawD.isNaN, lit(0.0)).otherwise(rawD))))
+  }
 
   /** Morton interleave of two long tile-coordinate columns, as the native
     * codegen'd [[MortonHashExpr]] (one plan node; the equivalent built-in

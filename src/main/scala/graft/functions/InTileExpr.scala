@@ -23,7 +23,7 @@ case class InTileExpr(children: Seq[Expression])
   extends Expression with CodegenFallback {
 
   override def dataType: DataType = BooleanType
-  override def nullable: Boolean = children.head.nullable
+  override def nullable: Boolean = children.exists(_.nullable)
   override def prettyName: String = "in_tile"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -37,9 +37,15 @@ case class InTileExpr(children: Seq[Expression])
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val h = children(0).eval(input)
     if (h == null) return null
-    val z = children(1).eval(input).asInstanceOf[Int]
-    val x = children(2).eval(input).asInstanceOf[Int]
-    val y = children(3).eval(input).asInstanceOf[Int]
+    // null z/x/y must null-propagate: a bare asInstanceOf[Int] on null
+    // yields 0 and would silently test tile (z, x, 0)
+    val zv = children(1).eval(input)
+    val xv = children(2).eval(input)
+    val yv = children(3).eval(input)
+    if (zv == null || xv == null || yv == null) return null
+    val z = zv.asInstanceOf[Int]
+    val x = xv.asInstanceOf[Int]
+    val y = yv.asInstanceOf[Int]
     val hv = h match {
       case i: Int => i.toLong
       case l: Long => l

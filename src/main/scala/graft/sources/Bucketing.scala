@@ -20,8 +20,15 @@ object Bucketing {
                     buckets: Int = 8): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir") + s"/$table")
+    // managed location: <warehouse>[/<db>.db]/<table>, lowercased — the
+    // verbatim name would miss db-qualified or mixed-case leftovers
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val rel = table.toLowerCase.split('.') match {
+      case Array(db, t) => s"$db.db/$t"
+      case Array(t) => t
+      case _ => throw new IllegalArgumentException(s"bad table name: $table")
+    }
+    val loc = new org.apache.hadoop.fs.Path(s"$wh/$rel")
     loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)

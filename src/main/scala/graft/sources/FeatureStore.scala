@@ -64,27 +64,54 @@ object FeatureStore {
     ingestStream(raw, cfg, checkpoint)
   }
 
-  /** foreachBatch split-sink for an already-built raw feature stream. */
+  /** foreachBatch split-sink for an already-built raw feature stream.
+    *
+    * Replay semantics: a restarted query re-invokes the last uncommitted
+    * batchId; the per-batch marker file makes the re-run a no-op, so a
+    * replay after a completed batch never duplicates rows. The residual
+    * window is a crash BETWEEN the appends and the marker write (same
+    * at-least-once boundary as any non-transactional two-sink foreachBatch
+    * — full exactly-once across two sinks needs a table format).
+    */
   def ingestStream(raw: DataFrame, cfg: StoreConfig,
                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     raw.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val r = ingest(batch, cfg)
-        r.good.sortWithinPartitions("hash")
-          .write.mode(SaveMode.Append).parquet(cfg.path)
-        val rej = r.rejected
-        if (!rej.isEmpty)
-          rej.write.mode(SaveMode.Append).parquet(s"${cfg.path}_rejected")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(
+          s"${cfg.path}_batches/$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          val r = ingest(batch, cfg)
+          r.good.sortWithinPartitions("hash")
+            .write.mode(SaveMode.Append).parquet(cfg.path)
+          val rej = r.rejected
+          if (!rej.isEmpty)
+            rej.write.mode(SaveMode.Append).parquet(s"${cfg.path}_rejected")
+          fs.create(marker, true).close()
+        }
       }
       .start()
 
-  /** One whole FeatureCollection document (A3 `geojson=true`). */
+  /** One whole FeatureCollection document (A3 `geojson=true`). The features
+    * array is split with Jackson on the driver (the reference's own
+    * whole-file import loop, Tyler.kt:49-58) — NOT via Spark JSON schema
+    * inference, which would unify property types ACROSS features (one
+    * string-typed value stringifies the column for every feature, mass
+    * dead-lettering valid rows) and re-serialize `raw`, changing derived
+    * md5 uids vs NDJSON ingest of the identical features.
+    */
   def readFeatureCollection(spark: SparkSession, path: String, cfg: StoreConfig): Ingested = {
-    val raw = spark.read.option("multiLine", "true").json(path)
-      .select(explode(col("features")).as("f"))
-      .select(to_json(col("f")).as("raw"))
-    ingest(raw, cfg)
+    import spark.implicits._
+    val text = spark.read.option("wholetext", "true").text(path)
+      .collect().map(_.getString(0)).mkString
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(text)
+    val feats = Option(root.get("features")).filter(_.isArray)
+      .getOrElse(throw new IllegalArgumentException("not a FeatureCollection"))
+    val rows = (0 until feats.size).map(i => feats.get(i).toString)
+    ingest(rows.toDF("raw"), cfg)
   }
 
   /** Ingest result: coerced rows ready to write + dead-letter rows. */
@@ -95,19 +122,26 @@ object FeatureStore {
     val geomWkt = udf((g: String) => GeoJson.toWkt(g))
     val hashUdf = udf((wkt: String) => GeomUdfs.centroidHash(wkt, cfg.hashLevel))
 
+    val attrNames = cfg.attrs.map(_.name)
+    val propsU = udf((p: String) => PropsParser.parse(p, attrNames))
     var df = raw
       .withColumn("_geomjson", get_json_object(col("raw"), "$.geometry"))
       .withColumn("_props", get_json_object(col("raw"), "$.properties"))
       .withColumn("_id", get_json_object(col("raw"), "$.id"))
       .withColumn("geometry", geomWkt(col("_geomjson")))
+      // ONE real JSON parse per row yields every attr's raw text + its
+      // was-a-JSON-string flag. (A regex probe over the properties text
+      // would false-positive on nested objects containing the same key,
+      // and per-attr get_json_object re-parses the JSON per call.)
+      .withColumn("_propvals", propsU(col("_props")))
 
-    // per-attr: raw JSON text of the property (null if absent), plus a flag
-    // for "was a JSON string" (quotes in the raw JSON) — tank's coercion is
-    // type-directed on the parsed JSON value (Tyler.kt:75-116)
+    // per-attr: raw JSON text of the property (null if absent), plus the
+    // string flag — tank's coercion is type-directed on the parsed JSON
+    // value (Tyler.kt:75-116)
     val attrChecks: Seq[(Column, Column)] = cfg.attrs.map { a =>
-      val v = get_json_object(col("_props"), s"$$.${a.name}")
-      val wasString = regexp_extract(col("_props"),
-        "\"" + java.util.regex.Pattern.quote(a.name) + "\"\\s*:\\s*\"", 0) =!= ""
+      val entry = col("_propvals").getItem(a.name)
+      val v = entry.getItem(0)
+      val wasString = entry.getItem(1) === "1"
       val (coerced, bad) = a.typ match {
         case "int" =>
           // accepts integral JSON numbers only (IntValue, Tyler.kt:76);
@@ -150,6 +184,30 @@ object FeatureStore {
     Ingested(good, rejected)
   }
 
+  /** Executor-side single-parse property extractor: attr name ->
+    * (raw text matching get_json_object semantics — unquoted for strings,
+    * JSON text otherwise — and a "1"/"0" was-a-JSON-string flag).
+    * Malformed / non-object properties yield no entries (every present
+    * attr then reads null, exactly like the per-path probes did).
+    */
+  private object PropsParser extends Serializable {
+    @transient private lazy val mapper =
+      new com.fasterxml.jackson.databind.ObjectMapper()
+    def parse(props: String, names: Seq[String]): Map[String, Seq[String]] = {
+      if (props == null) return Map.empty
+      val node =
+        try mapper.readTree(props)
+        catch { case _: Exception => return Map.empty }
+      if (node == null || !node.isObject) return Map.empty
+      names.flatMap { n =>
+        Option(node.get(n)).map { v =>
+          val text = if (v.isTextual) v.textValue else v.toString
+          n -> Seq(text, if (v.isTextual) "1" else "0")
+        }
+      }.toMap
+    }
+  }
+
   // try_* helpers (ANSI-safe lenient casts)
   private def try_cast_long(c: Column): Column = c.try_cast("long")
   private def try_cast_double(c: Column): Column = c.try_cast("double")
@@ -180,8 +238,8 @@ object FeatureStore {
     */
   def compact(spark: SparkSession, cfg: StoreConfig,
               partitions: Int = 0): (Int, Int) = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(cfg.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def parquetCount(): Int =
       fs.listStatus(new org.apache.hadoop.fs.Path(cfg.path))
         .count(_.getPath.getName.endsWith(".parquet"))
@@ -248,7 +306,12 @@ object FeatureStore {
       }
       val withAttrs = newAttrs.foldLeft(df.withColumn("geometry", updatedGeom)) {
         case (d, (k, v)) =>
-          d.withColumn(k, when(col("uid") === uid, lit(v)).otherwise(col(k)))
+          // pin the replacement to the column's EXISTING type: a bare lit
+          // would coerce the whole column (e.g. int -> string), leaving the
+          // rewritten file's schema diverging from every untouched file
+          d.withColumn(k,
+            when(col("uid") === uid, lit(v).cast(d.schema(k).dataType))
+              .otherwise(col(k)))
       }
       withAttrs.withColumn("hash",
         when(col("uid") === uid, hashUdf(col("geometry"))).otherwise(col("hash")))

@@ -54,14 +54,25 @@ object GeoJson {
         (0 until poly.getNumInteriorRing)
           .map(i => ring(poly.getInteriorRingN(i).getCoordinates)))
         .mkString("[", ",", "]")
+    def geomJson(g: Geometry): String = g match {
+      // a true GEOMETRYCOLLECTION needs RFC 7946's "geometries" array of
+      // geometry OBJECTS (Multi* types still use "coordinates")
+      case gc: GeometryCollection if g.getGeometryType == "GeometryCollection" =>
+        val members = (0 until gc.getNumGeometries)
+          .map(i => geomJson(gc.getGeometryN(i))).mkString("[", ",", "]")
+        s"""{"type":"GeometryCollection","geometries":$members}"""
+      case _ =>
+        s"""{"type":"${g.getGeometryType}","coordinates":${coords(g)}}"""
+    }
     def coords(g: Geometry): String = g match {
-      case pt: Point => p(pt.getCoordinate)
+      case pt: Point =>
+        Option(pt.getCoordinate).map(p).getOrElse("[]") // POINT EMPTY
       case l: LineString => ring(l.getCoordinates)
       case poly: Polygon => polyCoords(poly)
       case multi: GeometryCollection =>
         (0 until multi.getNumGeometries).map(i => coords(multi.getGeometryN(i)))
           .mkString("[", ",", "]")
     }
-    s"""{"type":"${g.getGeometryType}","coordinates":${coords(g)}}"""
+    geomJson(g)
   }
 }
