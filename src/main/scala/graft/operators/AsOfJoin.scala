@@ -17,6 +17,15 @@ import org.apache.spark.sql.types._
   * running `last(..., ignoreNulls)` window. Cost: one shuffle + one sort,
   * output exactly |left| rows.
   *
+  * The carried value is ONE STRUCT of the whole right payload — per-column
+  * carries would tear rows whenever a payload value is legitimately null
+  * (stitching fields from different right rows); the struct is null exactly
+  * when the row is a left row, so ignoreNulls skips left rows atomically.
+  *
+  * Null keys follow JOIN equality semantics (the oracle's `ON` clause):
+  * null-keyed right rows match nothing and are dropped; null-keyed left
+  * rows come back with null asof columns.
+  *
   * Tie rule: a right row at exactly `leftTime` matches (<=); ties among right
   * rows at the same time resolve to the greatest `rightTieBreak`.
   */
@@ -31,32 +40,32 @@ object AsOfJoin {
       payload: Seq[String]): DataFrame = {
 
     val leftCols = left.columns.toSeq
-    val nullOf: Map[String, Column] =
-      right.schema.fields.map(f => f.name -> lit(null).cast(f.dataType)).toMap
+    val carryCols = (rightTime +: payload).distinct
 
+    val rStructType = StructType(carryCols.map(c => right.schema(c)))
     val l = left.select(
       (Seq(col(leftKey).as("_k"), col(leftTime).as("_t"), lit(1).as("_side"),
         lit(null).cast(right.schema(rightTieBreak).dataType).as("_tie")) ++
-        leftCols.map(col) ++
-        (rightTime +: payload).map(c => nullOf(c).as(s"_r_$c"))): _*)
+        leftCols.map(col) :+
+        lit(null).cast(rStructType).as("_r")): _*)
 
-    val r = right.select(
-      (Seq(col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_side"),
-        col(rightTieBreak).as("_tie")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        (rightTime +: payload).map(c => col(c).as(s"_r_$c"))): _*)
+    val r = right
+      .filter(col(rightKey).isNotNull) // null keys join nothing
+      .select(
+        (Seq(col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_side"),
+          col(rightTieBreak).as("_tie")) ++
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct(carryCols.map(col): _*).as("_r")): _*)
 
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t").asc, col("_side").asc, col("_tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = (rightTime +: payload).foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"_last_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
-
-    carried.filter(col("_side") === 1)
+    l.unionByName(r)
+      .withColumn("_last", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
       .select((leftCols.map(col) ++
-        (rightTime +: payload).map(c => col(s"_last_$c").as(s"asof_$c"))): _*)
+        carryCols.map(c => col(s"_last.$c").as(s"asof_$c"))): _*)
   }
 
   /** Q10 shape: latest event per order at order time. */

@@ -63,9 +63,10 @@ object Multimodal {
       */
     def decodeToFloats(batch: Seq[MediaRow]): Seq[MediaFeature] =
       batch.map { r =>
+        val content = if (r.content == null) Array.emptyByteArray else r.content
         val hist = new Array[Float](FeatureDim)
-        r.content.foreach(b => hist((b & 0xff) / FeatureDim) += 1f)
-        val n = math.max(1, r.content.length).toFloat
+        content.foreach(b => hist((b & 0xff) / FeatureDim) += 1f)
+        val n = math.max(1, content.length).toFloat
         MediaFeature(r.media_id, r.kind, hist.map(_ / n))
       }
 
@@ -74,7 +75,8 @@ object Multimodal {
       */
     def resize(r: MediaRow, w: Int, h: Int): MediaRow = {
       val target = w * h
-      val out = java.util.Arrays.copyOf(r.content, target)
+      val content = if (r.content == null) Array.emptyByteArray else r.content
+      val out = java.util.Arrays.copyOf(content, target)
       r.copy(content = out, meta = r.meta.copy(width = w, height = h))
     }
 
@@ -82,10 +84,11 @@ object Multimodal {
       * "frame" (a real kernel would demux the container).
       */
     def sampleFrames(r: MediaRow, stride: Int): Seq[Array[Byte]] = {
+      val content = if (r.content == null) Array.emptyByteArray else r.content
       val n = r.meta.nFrames
-      val frameLen = math.max(1, r.content.length / math.max(1, n))
+      val frameLen = math.max(1, content.length / math.max(1, n))
       (0 until n by stride).map { i =>
-        r.content.slice(i * frameLen, math.min((i + 1) * frameLen, r.content.length))
+        content.slice(i * frameLen, math.min((i + 1) * frameLen, content.length))
       }
     }
   }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, MapType}
 
 /** Deliberate skew mitigation for hot keys, complementing AQE's runtime
   * skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`) for the cases
@@ -19,12 +20,23 @@ object SkewJoin {
     * over `buckets` tasks; right-side duplication is bounded by
     * |right| × buckets (keep the right side the smaller relation).
     */
+  /** Deterministic salt source: every hashable column. MapType is not a
+    * valid xxhash64 input (analysis error) and binary payloads would hash
+    * megabytes per row just to pick a bucket — both excluded.
+    */
+  private def saltSource(df: DataFrame): Seq[Column] =
+    df.schema.fields
+      .filterNot(f => f.dataType.isInstanceOf[MapType] || f.dataType == BinaryType)
+      .map(f => col(f.name)).toSeq match {
+      case Nil => Seq(lit(0L)) // nothing hashable: degenerate single bucket
+      case cs => cs
+    }
+
   def saltedJoin(left: DataFrame, right: DataFrame,
                  leftKey: String, rightKey: String,
                  buckets: Int = 8): DataFrame = {
-    val saltSrc = left.columns.map(col)
     val l = left.withColumn("_salt",
-      pmod(xxhash64(saltSrc: _*), lit(buckets.toLong)).cast("int"))
+      pmod(xxhash64(saltSource(left): _*), lit(buckets.toLong)).cast("int"))
     val r = right.withColumn("_salt",
       explode(typedLit((0 until buckets).toList)))
     l.join(r, l(leftKey) === r(rightKey) && l("_salt") === r("_salt"))
@@ -39,7 +51,7 @@ object SkewJoin {
     */
   def saltedCount(df: DataFrame, keyCols: Seq[String],
                   buckets: Int = 8): DataFrame = {
-    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong))
+    val salt = pmod(xxhash64(saltSource(df): _*), lit(buckets.toLong))
     df.withColumn("_salt", salt)
       .groupBy((keyCols.map(col) :+ col("_salt")): _*)
       .agg(count(lit(1)).as("_partial"))

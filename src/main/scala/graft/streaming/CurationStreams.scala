@@ -65,7 +65,7 @@ object CurationStreams {
                              ts: java.sql.Timestamp)
   final case class CandidatePair(doc_a: Long, doc_b: Long, band: Int,
                                  ts: java.sql.Timestamp)
-  final case class BucketState(docs: List[(Long, Long)]) // (doc_id, tsMillis)
+  final case class BucketState(docs: List[Long]) // doc_ids, newest first
 
   /** Streaming MinHash-LSH near-dup candidates — x40's streaming twin.
     *
@@ -107,12 +107,12 @@ object CurationStreams {
             var seen = state.getOption.map(_.docs).getOrElse(Nil)
             val out = scala.collection.mutable.ArrayBuffer[CandidatePair]()
             sorted.foreach { h =>
-              if (!seen.exists(_._1 == h.doc_id)) {
-                seen.foreach { case (other, _) =>
+              if (!seen.contains(h.doc_id)) {
+                seen.foreach { other =>
                   out += CandidatePair(math.min(h.doc_id, other),
                     math.max(h.doc_id, other), h.band, h.ts)
                 }
-                seen = ((h.doc_id, h.ts.getTime) :: seen).take(maxPerBucket)
+                seen = (h.doc_id :: seen).take(maxPerBucket)
               }
             }
             val lastTs = sorted.map(_.ts.getTime).max

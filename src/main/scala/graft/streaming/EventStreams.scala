@@ -96,7 +96,9 @@ object EventStreams {
     */
   def enrich(events: DataFrame, dim: DataFrame,
              eventKey: String, dimKey: String): DataFrame =
-    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+    // dataframe-qualified refs: bare col() is ambiguous when both sides
+    // share the key column name (the usual same-named dimension key)
+    events.join(broadcast(dim), events(eventKey) === dim(dimKey), "left")
 
   /** Streaming exact dedup (q31's streaming twin): drop rows whose key was
     * already seen within the watermark horizon. State is bounded by event
@@ -123,6 +125,15 @@ object EventStreams {
     * the gap elapses (event-time timeout), carrying arbitrary per-session
     * aggregates — the escape hatch `session_window` can't express (e.g.
     * value-dependent gaps or mid-session triggers).
+    *
+    * Semantics note (eager split): a within-batch gap closes the earlier
+    * session IMMEDIATELY rather than waiting for the watermark, so a late
+    * event that would bridge two sessions after an in-batch split yields
+    * two emitted sessions where `session_window` would merge to one.
+    * Exact watermark-deferred merging needs the full session list held in
+    * state until the horizon passes — use the built-in [[sessionCounts]]
+    * when bridge-exactness matters; this operator trades it for O(1) state
+    * per (user, open session).
     */
   def sessionize(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -145,7 +156,11 @@ object EventStreams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                  // a late-but-admitted event can precede the open session:
+                  // extend BOTH ends, or the emitted [start, end] disagrees
+                  // with the n/sum it claims to cover
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1,
                     sum = s.sum + e.value))
                 case Some(s) =>
                   closed += SessionOut(user, new java.sql.Timestamp(s.start),

@@ -66,4 +66,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty,
       "merge-based as-of disagrees with naive formulation")
   }
+
+  test("null payload values carry atomically; null keys join nothing") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 5L), (2L, 10L, 5L))
+      .toDF("lid", "k", "lt")
+      .withColumn("k", when(col("lid") === 2L, lit(null)).otherwise(col("k")))
+    val right = Seq(
+      (100L, 10L, 1L, Some("a")), // older row with a real payload
+      (101L, 10L, 2L, None))      // NEWEST row whose payload is null
+      .toDF("rid", "k2", "rt", "payload")
+    val got = AsOfJoin.asof(left, right, "k", "k2", "lt", "rt", "rid",
+      Seq("payload")).collect().map(r =>
+      r.getAs[Long]("lid") -> (Option(r.get(r.fieldIndex("asof_rt"))),
+        Option(r.getAs[String]("asof_payload")))).toMap
+    // the match is the rt=2 row WITH its null payload — per-column carries
+    // would resurrect 'a' from the older row (a row that never existed)
+    assert(got(1L) == (Some(2L), None), s"payload torn: ${got(1L)}")
+    // a null-keyed left row matches nothing (JOIN equality semantics)
+    assert(got(2L) == (None, None), s"null key matched: ${got(2L)}")
+  }
 }
