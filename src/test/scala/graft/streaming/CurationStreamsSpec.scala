@@ -118,6 +118,52 @@ class CurationStreamsSpec extends SparkSpec {
     assert(missed.isEmpty, s"streaming LSH missed ${missed.size}/${truePairs.size}: $missed")
   }
 
+  test("streaming verified pairs equal the batch x40 pairs on the 80-doc corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the recall corpus: 60 word-soup bases, every third with a near-dup twin
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "omega", "sigma",
+      "kappa", "lambda", "theta", "zeta")
+    val bases = (0 until 60).map { i =>
+      i.toLong -> Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val twins = bases.collect { case (id, text) if id % 3 == 0 =>
+      (id + 1000L) -> text.replaceFirst("\\w+", "changed")
+    }
+    val corpus = (bases ++ twins).map { case (id, t) => (id, t, "en", t.length) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    // batch truth: the x40 plan (MinHash-LSH -> exact Jaccard), no bucket filter
+    val batchPairs = graft.operators.Dedup.minHashNearDupsFromShingleArrays(
+        graft.queries.TextOps.shingleArrays(corpus).select("doc_id", "shs"),
+        threshold = 0.8)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+      .toSet
+    assert(batchPairs.nonEmpty)
+    // streaming replay of the same corpus through the verified-pair loop
+    val collected = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val all = rnd.shuffle(bases ++ twins).zipWithIndex.map { case ((id, t), i) =>
+      Doc(id, ts(f"10:${i % 60}%02d"), t, "en", "s")
+    }
+    val mem = MemoryStream[Doc]
+    val q = CurationStreams.verifiedNearDups(
+        mem.toDF(),
+        seenDocs = () => corpus,
+        sink = vf => collected.synchronized {
+          collected ++= vf.collect().map(r =>
+            (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+        },
+        watermark = "4 hours", horizonMs = 4 * 3600 * 1000L)
+      .outputMode("append").start()
+    try all.grouped(30).foreach { b => mem.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    assert(collected.toSet == batchPairs,
+      s"streaming=${collected.toSet.size} batch=${batchPairs.size}; " +
+        s"missing=${batchPairs -- collected}; extra=${collected.toSet -- batchPairs}")
+  }
+
   test("streaming band buckets are bit-identical to the batch LSH buckets") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
