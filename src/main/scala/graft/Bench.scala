@@ -15,17 +15,24 @@ object Bench {
     // (~2s); warm it on the smallest table so no timed query absorbs it
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
+    // median of 3 runs per query: single runs at the sub-2s scale carry
+    // ±3% session variance plus occasional GC/JIT outliers, which made
+    // round-over-round ratios on cheap queries look like regressions
+    val runs = 3
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // builders may cache intermediates for within-query reuse; drop them so
-      // one query's working set can't degrade the next one's run
-      spark.catalog.clearCache()
-      name -> dt
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // builders may cache intermediates for within-query reuse; drop them
+        // so one run's working set can't degrade the next one's
+        spark.catalog.clearCache()
+        dt
+      }.sorted
+      name -> times(runs / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

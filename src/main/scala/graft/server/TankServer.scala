@@ -2,7 +2,7 @@ package graft.server
 
 import java.net.InetSocketAddress
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.{FeatureStore, GeoJson}
 import graft.sources.FeatureStore.StoreConfig
@@ -41,10 +41,13 @@ import graft.tiles.TileService.TileConfig
   * bound anyway; scale-out is more servers over the same store.
   */
 final class TankServer(spark: SparkSession, cfg: StoreConfig,
-                       tileCfg: TileConfig = TileConfig(), port: Int = 0) {
+                       tileCfg: TileConfig = TileConfig(), port: Int = 0,
+                       staticDir: Option[String] = None) {
 
+  // the cache halo must match the tile query's (full clip-buffer fraction),
+  // or invalidation would miss tiles the query would now include
   private val cache = new TileCache(tileCfg.hashLevel,
-    bufferFrac = 0.5 * tileCfg.buffer.toDouble / tileCfg.extent.toDouble)
+    bufferFrac = tileCfg.buffer.toDouble / tileCfg.extent.toDouble)
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -73,8 +76,7 @@ final class TankServer(spark: SparkSession, cfg: StoreConfig,
       case ("POST", Nil) => postFeature(ex, layer = "")
       case ("POST", List("_bulk")) => postBulk(ex, layer = "")
       case ("POST", List("_bulk", layer)) => postBulk(ex, layer)
-      case ("GET", "static" :: _) =>
-        respond(ex, 200, mapViewerHtml.getBytes("UTF-8"), "text/html")
+      case ("GET", "static" :: rest) => serveStatic(ex, rest)
       case ("GET", List("tile", z, x, y)) =>
         val (zi, xi, yi) = tileCoords(z, x, y)
         tile(ex, zi, xi, yi)
@@ -190,7 +192,7 @@ final class TankServer(spark: SparkSession, cfg: StoreConfig,
     val good = r.good.cache()
     val n = good.count()
     if (n > 0) {
-      good.write.mode(SaveMode.Append).parquet(cfg.path)
+      FeatureStore.append(good, cfg) // manifest-committed (snapshot-atomic)
       cache.invalidateTouched(
         good.select("hash").distinct().collect().map(_.getInt(0)))
     }
@@ -324,6 +326,45 @@ final class TankServer(spark: SparkSession, cfg: StoreConfig,
     val os = ex.getResponseBody
     os.write(out)
     os.close()
+  }
+
+  /** A10: serve files from the configured static asset dir (the reference
+    * serves a `static/` resources folder, application.kt:617-619), with the
+    * generated map-viewer page as the index fallback so the demo works with
+    * no assets installed. Traversal-safe: a resolved path escaping the
+    * asset dir is a 404.
+    */
+  private def serveStatic(ex: HttpExchange, rest: List[String]): Unit = {
+    val rel = if (rest.isEmpty) "index.html" else rest.mkString("/")
+    val fromDisk = staticDir.flatMap { d =>
+      val base = java.nio.file.Paths.get(d).toAbsolutePath.normalize
+      val f = base.resolve(rel).normalize
+      if (f.startsWith(base) && java.nio.file.Files.isRegularFile(f))
+        Some(java.nio.file.Files.readAllBytes(f) -> contentTypeFor(rel))
+      else None
+    }
+    fromDisk match {
+      case Some((bytes, ctype)) => respond(ex, 200, bytes, ctype)
+      case None if rel == "index.html" =>
+        respond(ex, 200, mapViewerHtml.getBytes("UTF-8"), "text/html")
+      case None =>
+        respond(ex, 404, """{"msg": "not found"}""".getBytes, "application/json")
+    }
+  }
+
+  private def contentTypeFor(name: String): String = {
+    val ext = name.substring(name.lastIndexOf('.') + 1).toLowerCase
+    ext match {
+      case "html" | "htm" => "text/html"
+      case "css" => "text/css"
+      case "js" => "application/javascript"
+      case "json" | "geojson" => "application/json"
+      case "png" => "image/png"
+      case "jpg" | "jpeg" => "image/jpeg"
+      case "svg" => "image/svg+xml"
+      case "ico" => "image/x-icon"
+      case _ => "application/octet-stream"
+    }
   }
 
   /** Demo map viewer (A10) — our own page in the shape of the reference's

@@ -19,16 +19,13 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int = 8): Unit = {
     val spark = df.sparkSession
+    // resolve the REAL location from the catalog (before the drop, so an
+    // existing table's custom location is honored) — a reconstructed
+    // <warehouse>/<db>.db/<table> guess misses databases created with a
+    // custom LOCATION and breaks on catalog-qualified names
+    val loc = new org.apache.hadoop.fs.Path(
+      org.apache.spark.sql.GraftBridge.tableLocation(spark, table))
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    // managed location: <warehouse>[/<db>.db]/<table>, lowercased — the
-    // verbatim name would miss db-qualified or mixed-case leftovers
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val rel = table.toLowerCase.split('.') match {
-      case Array(db, t) => s"$db.db/$t"
-      case Array(t) => t
-      case _ => throw new IllegalArgumentException(s"bad table name: $table")
-    }
-    val loc = new org.apache.hadoop.fs.Path(s"$wh/$rel")
     loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
@@ -72,14 +69,16 @@ object Bucketing {
     // one sketch pass computes both columns' cuts
     val Array(cuts1, cuts2) =
       df.stat.approxQuantile(Array(c1, c2), probes, 0.001)
-    def binU(cuts: Array[Double]) = udf((x: Double) => {
-      val i = java.util.Arrays.binarySearch(cuts, x)
-      if (i >= 0) i + 1 else -(i + 1) // insertion point = bin index
-    })
-    // codegen'd interleave (MortonHashExpr), not an interpreted UDF
+    // fully codegen'd z column: native bin lookup (QuantileBinExpr) into the
+    // native interleave (MortonHashExpr) — no interpreted UDF on the write path
+    def bin(cuts: Array[Double], c: org.apache.spark.sql.Column) = {
+      import org.apache.spark.sql.GraftBridge
+      GraftBridge.column(graft.functions.QuantileBinExpr(
+        GraftBridge.expression(c), cuts))
+    }
     val z = graft.functions.GeoColumns.mortonHash(
-      binU(cuts1)(col(c1).cast("double")),
-      binU(cuts2)(col(c2).cast("double")), bits)
+      bin(cuts1, col(c1).cast("double")),
+      bin(cuts2, col(c2).cast("double")), bits)
     df.withColumn("_z", z)
       .repartitionByRange(files, col("_z"))
       .sortWithinPartitions("_z")

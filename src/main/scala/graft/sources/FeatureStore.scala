@@ -84,8 +84,9 @@ object FeatureStore {
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker)) {
           val r = ingest(batch, cfg)
-          r.good.sortWithinPartitions("hash")
-            .write.mode(SaveMode.Append).parquet(cfg.path)
+          // manifest-committed append: concurrent tile readers see the batch
+          // atomically or not at all
+          append(r.good.sortWithinPartitions("hash"), cfg)
           val rej = r.rejected
           if (!rej.isEmpty)
             rej.write.mode(SaveMode.Append).parquet(s"${cfg.path}_rejected")
@@ -101,17 +102,79 @@ object FeatureStore {
     * string-typed value stringifies the column for every feature, mass
     * dead-lettering valid rows) and re-serialize `raw`, changing derived
     * md5 uids vs NDJSON ingest of the identical features.
+    *
+    * The parse is an INCREMENTAL Jackson `JsonParser` walk: the driver holds
+    * one feature tree at a time (never the document tree, never the file
+    * text), spilling features to a temp NDJSON file that the distributed
+    * [[readNdjson]] path then ingests — a multi-GB collection streams
+    * through bounded driver memory. Feature serialization is
+    * `JsonNode.toString` per feature, identical to the NDJSON path's raw
+    * lines for the same canonical text, so derived md5 uids match.
     */
   def readFeatureCollection(spark: SparkSession, path: String, cfg: StoreConfig): Ingested = {
-    import spark.implicits._
-    val text = spark.read.option("wholetext", "true").text(path)
-      .collect().map(_.getString(0)).mkString
+    val src = new org.apache.hadoop.fs.Path(path)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inputs: Seq[org.apache.hadoop.fs.Path] =
+      if (fs.getFileStatus(src).isDirectory)
+        fs.listStatus(src).filter(_.isFile).map(_.getPath).sortBy(_.getName).toIndexedSeq
+      else Seq(src)
+    // temp NDJSON lives next to the store when configured, else next to the
+    // source document (unique name per call — concurrent imports don't race)
+    val tmpBase = if (cfg.path.nonEmpty) new org.apache.hadoop.fs.Path(cfg.path).getParent
+      else src.getParent
+    val tmpDir = new org.apache.hadoop.fs.Path(tmpBase,
+      s"_fc_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readTree(text)
-    val feats = Option(root.get("features")).filter(_.isArray)
-      .getOrElse(throw new IllegalArgumentException("not a FeatureCollection"))
-    val rows = (0 until feats.size).map(i => feats.get(i).toString)
-    ingest(rows.toDF("raw"), cfg)
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmpDir, "features.ndjson"), true)
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      var sawFeatures = false
+      inputs.foreach { in =>
+        val parser = mapper.getFactory.createParser(
+          new java.io.InputStreamReader(fs.open(in), java.nio.charset.StandardCharsets.UTF_8))
+        try {
+          import com.fasterxml.jackson.core.JsonToken
+          if (parser.nextToken() != JsonToken.START_OBJECT)
+            throw new IllegalArgumentException("not a FeatureCollection")
+          var done = false
+          while (!done) {
+            parser.nextToken() match {
+              case JsonToken.FIELD_NAME if parser.currentName == "features" =>
+                if (parser.nextToken() != JsonToken.START_ARRAY)
+                  throw new IllegalArgumentException("not a FeatureCollection")
+                sawFeatures = true
+                while (parser.nextToken() != JsonToken.END_ARRAY) {
+                  val feat: com.fasterxml.jackson.databind.JsonNode =
+                    mapper.readTree(parser)
+                  w.write(feat.toString)
+                  w.newLine()
+                }
+              case JsonToken.FIELD_NAME =>
+                parser.nextToken() // value of an uninteresting top-level field
+                parser.skipChildren()
+              case JsonToken.END_OBJECT | null => done = true
+              case _ => ()
+            }
+          }
+        } finally parser.close()
+      }
+      if (!sawFeatures)
+        throw new IllegalArgumentException("not a FeatureCollection")
+      w.close()
+      // the temp file backs LAZY DataFrames; materialize both outputs so the
+      // temp can be deleted before returning (results live in executor
+      // storage, bounded by the ingested rows, not by the source document)
+      val ing = readNdjson(spark, new org.apache.hadoop.fs.Path(tmpDir, "features.ndjson").toString, cfg)
+      val res = Ingested(ing.good.localCheckpoint(true), ing.rejected.localCheckpoint(true))
+      fs.delete(tmpDir, true)
+      res
+    } catch {
+      case e: Throwable =>
+        try { w.close() } catch { case _: Exception => () }
+        fs.delete(tmpDir, true)
+        throw e
+    }
   }
 
   /** Ingest result: coerced rows ready to write + dead-letter rows. */
@@ -215,9 +278,105 @@ object FeatureStore {
 
   // ------------------------------------------------------------- storage
 
+  /** Snapshot manifests — the store's committed file sets (the plain-parquet
+    * core of a table format's commit log). Manifest `m_<n>` in the
+    * `<path>_manifests` sibling dir lists the data-file NAMES composing
+    * snapshot n; the CURRENT snapshot is the highest n. A commit writes the
+    * next manifest to a temp name and renames it in (atomic on local/HDFS),
+    * so a concurrent reader resolves either snapshot n or n+1 — never a
+    * half-swapped file set. Replaced data files are retained until they fall
+    * out of the newest `RetainManifests` snapshots ([[vacuum]]), so a reader
+    * one commit behind still finds every file it resolved. Single-writer by
+    * contract (like the reference's single Tank server); multi-writer needs
+    * a real table format.
+    */
+  private[sources] object Manifests {
+    val RetainManifests = 2
+
+    private def dir(cfg: StoreConfig) =
+      new org.apache.hadoop.fs.Path(cfg.path + "_manifests")
+
+    private def id(p: org.apache.hadoop.fs.Path): Long =
+      p.getName.stripPrefix("m_").toLong
+
+    private def listManifests(fs: org.apache.hadoop.fs.FileSystem,
+                              cfg: StoreConfig): Seq[org.apache.hadoop.fs.Path] =
+      if (!fs.exists(dir(cfg))) Nil
+      else fs.listStatus(dir(cfg)).map(_.getPath)
+        .filter(_.getName.matches("m_\\d+")).sortBy(id).toIndexedSeq
+
+    private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path): Seq[String] = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    }
+
+    /** (snapshot id, data-file names) of the current snapshot, if any. */
+    def latest(fs: org.apache.hadoop.fs.FileSystem,
+               cfg: StoreConfig): Option[(Long, Seq[String])] =
+      listManifests(fs, cfg).lastOption.map(p => (id(p), readManifest(fs, p)))
+
+    private def storeListing(fs: org.apache.hadoop.fs.FileSystem,
+                             cfg: StoreConfig): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(cfg.path)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).sorted.toIndexedSeq
+    }
+
+    /** Commit snapshot n+1 = `update`(current file set). Bootstraps the
+      * first manifest from the physical listing (legacy stores).
+      */
+    def commit(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig,
+               update: Seq[String] => Seq[String]): Unit = {
+      val cur = latest(fs, cfg)
+      val base = cur.map(_._2).getOrElse(storeListing(fs, cfg))
+      val next = update(base).distinct.sorted
+      val n = cur.map(_._1).getOrElse(0L) + 1
+      fs.mkdirs(dir(cfg))
+      val tmp = new org.apache.hadoop.fs.Path(dir(cfg),
+        s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(next.mkString("\n").getBytes("UTF-8")) finally out.close()
+      fs.rename(tmp, new org.apache.hadoop.fs.Path(dir(cfg), s"m_$n"))
+    }
+
+    /** Drop every manifest and start a fresh history at snapshot 1 (full
+      * overwrite path — the store dir was just rewritten in place).
+      */
+    def reset(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig): Unit = {
+      fs.delete(dir(cfg), true)
+      commit(fs, cfg, identity)
+    }
+
+    /** Delete data files referenced by NO retained manifest, then the
+      * expired manifests themselves. Run after a commit: files the new
+      * snapshot dropped survive until `RetainManifests` newer snapshots
+      * exist, so in-flight readers of recent snapshots never lose a file.
+      */
+    def vacuum(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig): Unit = {
+      val ms = listManifests(fs, cfg)
+      if (ms.size <= RetainManifests) return
+      val (expired, retained) = ms.splitAt(ms.size - RetainManifests)
+      val referenced = retained.flatMap(readManifest(fs, _)).toSet
+      storeListing(fs, cfg).filterNot(referenced).foreach { name =>
+        fs.delete(new org.apache.hadoop.fs.Path(cfg.path, name), false)
+      }
+      expired.foreach(fs.delete(_, false))
+    }
+  }
+
+  private def storeFs(spark: SparkSession, cfg: StoreConfig) =
+    new org.apache.hadoop.fs.Path(cfg.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /** Write/overwrite the store: range-partitioned + sorted by `hash` so file
     * min/max stats align with Morton ranges (tile reads prune to O(tile)
-    * files at any table size).
+    * files at any table size). A full overwrite rewrites the directory in
+    * place (initial-load path — NOT snapshot-isolated; incremental paths
+    * are) and restarts the manifest history.
     */
   def write(df: DataFrame, cfg: StoreConfig, partitions: Int = 0): Unit = {
     val n = if (partitions > 0) partitions
@@ -225,10 +384,56 @@ object FeatureStore {
     df.repartitionByRange(n, col("hash"), col("uid"))
       .sortWithinPartitions("hash")
       .write.mode(SaveMode.Overwrite).parquet(cfg.path)
+    Manifests.reset(storeFs(df.sparkSession, cfg), cfg)
   }
 
-  def read(spark: SparkSession, cfg: StoreConfig): DataFrame =
-    spark.read.parquet(cfg.path)
+  /** The current committed snapshot. Resolves the manifest (falling back to
+    * the physical listing for stores never written through this API) so
+    * concurrent rewrites are invisible until their commit.
+    */
+  def read(spark: SparkSession, cfg: StoreConfig): DataFrame = {
+    val fs = storeFs(spark, cfg)
+    Manifests.latest(fs, cfg) match {
+      case Some((_, names)) if names.nonEmpty =>
+        spark.read.parquet(names.map(n =>
+          new org.apache.hadoop.fs.Path(cfg.path, n).toString): _*)
+      case Some(_) => // empty snapshot: schema from any lingering file
+        spark.read.parquet(cfg.path).limit(0)
+      case None => spark.read.parquet(cfg.path)
+    }
+  }
+
+  /** Append rows as new data files + a manifest commit: the snapshot-atomic
+    * ingest path (REST single/bulk ingest and the streaming sink). The
+    * files land under the store dir first, the commit makes them visible,
+    * retention vacuuming never touches files a recent snapshot references.
+    */
+  def append(df: DataFrame, cfg: StoreConfig): Unit = {
+    val spark = df.sparkSession
+    val fs = storeFs(spark, cfg)
+    val tmp = new org.apache.hadoop.fs.Path(
+      cfg.path + s"_ap_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val moved = moveDataFilesIn(fs, tmp, cfg)
+    Manifests.commit(fs, cfg, base => base ++ moved)
+    Manifests.vacuum(fs, cfg)
+    fs.delete(tmp, true)
+  }
+
+  /** Move every data file of `tmp` into the store dir (part-file names are
+    * UUID-unique, so no collisions); returns the moved names.
+    */
+  private def moveDataFilesIn(fs: org.apache.hadoop.fs.FileSystem,
+                              tmp: org.apache.hadoop.fs.Path,
+                              cfg: StoreConfig): Seq[String] = {
+    val dst = new org.apache.hadoop.fs.Path(cfg.path)
+    fs.mkdirs(dst)
+    fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dst, st.getPath.getName))
+        st.getPath.getName
+      }.toIndexedSeq
+  }
 
   /** Compact the store back into the hash-sorted target layout. Streaming
     * ingest appends one (or more) small files per microbatch, which erodes
@@ -238,11 +443,15 @@ object FeatureStore {
     */
   def compact(spark: SparkSession, cfg: StoreConfig,
               partitions: Int = 0): (Int, Int) = {
-    val fs = new org.apache.hadoop.fs.Path(cfg.path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def parquetCount(): Int =
-      fs.listStatus(new org.apache.hadoop.fs.Path(cfg.path))
-        .count(_.getPath.getName.endsWith(".parquet"))
+    val fs = storeFs(spark, cfg)
+    // count the SNAPSHOT's files (replaced files linger physically until
+    // they leave the manifest retention window)
+    def parquetCount(): Int = Manifests.latest(fs, cfg) match {
+      case Some((_, names)) => names.size
+      case None =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(cfg.path))
+          .count(_.getPath.getName.endsWith(".parquet"))
+    }
     val before = parquetCount()
     rewrite(spark, cfg, df => {
       val n = if (partitions > 0) partitions
@@ -340,9 +549,14 @@ object FeatureStore {
     * The probe scan benefits from pushdown: a hash-range `touches` predicate
     * prunes on file min/max stats (the store is hash-range-partitioned and
     * hash-sorted), so for tile deletes only O(tile) files are opened at all.
-    * The swap (delete touched + move replacements in) is not atomic for
-    * concurrent readers — snapshot isolation is a table format's job; the
-    * reference's Cassandra store has the same read-uncommitted semantics.
+    *
+    * The swap is SNAPSHOT-ATOMIC for concurrent readers: replacement files
+    * move in first (unique names — invisible to the current manifest), one
+    * manifest rename commits the new file set, and the replaced files are
+    * only vacuumed once they fall out of the manifest retention window. A
+    * crash at any point leaves either the old snapshot (commit not reached;
+    * orphaned replacements are vacuumed later) or the new one — never a
+    * store missing surviving rows.
     */
   private def rewriteTouched(spark: SparkSession, cfg: StoreConfig,
                              touches: Column,
@@ -353,37 +567,36 @@ object FeatureStore {
       .distinct().collect().map(_.getString(0))
     if (touched.isEmpty) return
     val next = f(spark.read.parquet(touched.toIndexedSeq: _*)).cache()
-    val tmp = cfg.path + "_rw_tmp"
-    next.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val tmp = new org.apache.hadoop.fs.Path(
+      cfg.path + s"_rw_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    next.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     next.unpersist()
     // resolve the filesystem FROM the store path — FileSystem.get(default)
     // throws "Wrong FS" whenever cfg.path lives on s3a://, hdfs://, …
-    val fs = new org.apache.hadoop.fs.Path(cfg.path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.foreach { fp =>
-      fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(fp)), false)
-    }
-    val dstDir = new org.apache.hadoop.fs.Path(cfg.path)
-    fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .foreach(st => fs.rename(st.getPath,
-        new org.apache.hadoop.fs.Path(dstDir, st.getPath.getName)))
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val fs = storeFs(spark, cfg)
+    val touchedNames = touched.map(fp =>
+      new org.apache.hadoop.fs.Path(new java.net.URI(fp)).getName).toSet
+    val moved = moveDataFilesIn(fs, tmp, cfg)
+    Manifests.commit(fs, cfg,
+      base => base.filterNot(touchedNames) ++ moved)
+    Manifests.vacuum(fs, cfg)
+    fs.delete(tmp, true)
   }
 
   /** Full copy-on-write snapshot (compaction path): materialize the
-    * transformed table, swap dirs.
+    * transformed table as new files, commit them as the next snapshot.
     */
   private def rewrite(spark: SparkSession, cfg: StoreConfig,
                       f: DataFrame => DataFrame): Unit = {
-    val tmp = cfg.path + "_tmp"
+    val tmp = new org.apache.hadoop.fs.Path(
+      cfg.path + s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val next = f(read(spark, cfg)).cache()
-    next.write.mode(SaveMode.Overwrite).parquet(tmp)
+    next.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     next.unpersist()
-    val fs = new org.apache.hadoop.fs.Path(cfg.path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(cfg.path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val fs = storeFs(spark, cfg)
+    val moved = moveDataFilesIn(fs, tmp, cfg)
+    Manifests.commit(fs, cfg, _ => moved)
+    Manifests.vacuum(fs, cfg)
+    fs.delete(tmp, true)
   }
 }

@@ -25,13 +25,25 @@ import graft.core.{WebMercator, ZRange}
   */
 final class TileCache(hashLevel: Int = 13,
                       cacheZoomMin: Int = 2, cacheZoomMax: Int = 15,
-                      bufferFrac: Double = 1.0 / 128.0,
+                      bufferFrac: Double = 1.0 / 64.0,
                       maxEntries: Int = 65536) {
 
   private final case class Entry(bytes: Array[Byte], ranges: Array[Int])
 
   private val store = new ConcurrentHashMap[(String, Int, Int, Int), Entry]()
   private val fifo = new ConcurrentLinkedQueue[(String, Int, Int, Int)]()
+
+  /** Drop queue entries for keys no longer cached. Called by every bulk
+    * invalidation: without it, invalidate/re-put churn on a long-lived
+    * server grows the queue unboundedly (entries left the store but not
+    * the queue, and a re-put enqueues the key AGAIN while store.size stays
+    * under maxEntries). O(queue) — the same order as the store walk the
+    * invalidation itself does. The benign race (a concurrent re-put's fresh
+    * enqueue swept together with the stale one) only makes that entry
+    * evict-early, never leak.
+    */
+  private def sweepQueue(): Unit =
+    fifo.removeIf(k => !store.containsKey(k))
 
   def key(kind: String, z: Int, x: Int, y: Int): (String, Int, Int, Int) =
     (kind, z, x, y)
@@ -58,8 +70,14 @@ final class TileCache(hashLevel: Int = 13,
 
   def size: Int = store.size()
 
-  def remove(kind: String, z: Int, x: Int, y: Int): Boolean =
-    store.remove(key(kind, z, x, y)) != null
+  private[tiles] def queueSize: Int = fifo.size()
+
+  def remove(kind: String, z: Int, x: Int, y: Int): Boolean = {
+    val k = key(kind, z, x, y)
+    val hit = store.remove(k) != null
+    if (hit) fifo.remove(k)
+    hit
+  }
 
   /** Invalidate every cached tile whose bbox — expanded by its own
     * clip-buffer halo — intersects the region bbox. Closed-interval
@@ -81,6 +99,7 @@ final class TileCache(hashLevel: Int = 13,
       val hit = tx1 >= rx0 && tx0 <= rx1 && ty1 >= ry0 && ty0 <= ry1
       if (hit && store.remove(k) != null) removed += 1
     }
+    if (removed > 0) sweepQueue()
     removed
   }
 
@@ -107,6 +126,7 @@ final class TileCache(hashLevel: Int = 13,
       }
       if (hit && store.remove(e.getKey) != null) removed += 1
     }
+    if (removed > 0) sweepQueue()
     removed
   }
 }

@@ -36,9 +36,13 @@ object TileService {
 
   /** Hash-range predicate covering tile (z,x,y) + clip buffer (fixes the
     * reference's z>hashLevel centroid-cell recall bug — deviation D1).
+    * The halo is the FULL buffer/extent fraction — the clip envelope's own
+    * reach — so a feature whose centroid sits anywhere in the clip-buffer
+    * zone is in the query and can render into the tile's buffer (a halved
+    * halo silently dropped edge features from the outer half of the zone).
     */
   def hashPredicate(z: Int, x: Int, y: Int, cfg: TileConfig): Column = {
-    val bufFrac = 0.5 * cfg.buffer.toDouble / cfg.extent.toDouble
+    val bufFrac = cfg.buffer.toDouble / cfg.extent.toDouble
     balancedOr(ZRange.coverWithBuffer(z, x, y, cfg.hashLevel, bufFrac)
       .map { case (lo, hi) => col("hash").between(lo, hi) })
   }

@@ -10,6 +10,30 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** The physical location the session catalog resolves `table` to: the
+    * existing table's ACTUAL location when it exists (correct for databases
+    * created with a custom LOCATION), else the catalog's default path for
+    * the identifier. Accepts 1-, 2-, and `spark_catalog.`-prefixed 3-part
+    * names.
+    */
+  def tableLocation(spark: SparkSession, table: String): java.net.URI = {
+    val ss = spark.asInstanceOf[classic.SparkSession]
+    val parts0 = ss.sessionState.sqlParser.parseMultipartIdentifier(table)
+    val parts =
+      if (parts0.length == 3 && parts0.head.equalsIgnoreCase("spark_catalog"))
+        parts0.tail
+      else parts0
+    require(parts.length <= 2 && parts.nonEmpty,
+      s"cannot resolve a session-catalog location for '$table'")
+    val ident = parts match {
+      case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
+      case Seq(db, t) => org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+    }
+    val cat = ss.sessionState.catalog
+    if (cat.tableExists(ident)) cat.getTableMetadata(ident).location
+    else cat.defaultTablePath(ident)
+  }
+
   /** Register a native-expression function on a live session (the
     * config-time path is [[graft.functions.GraftExtensions]]).
     */

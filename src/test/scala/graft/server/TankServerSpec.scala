@@ -223,6 +223,41 @@ class TankServerSpec extends SparkSpec {
       html.contains(tileCfg.baseLayer), html.take(200))
   }
 
+  test("A10: extra assets served from a real static dir; index falls back; traversal is 404") {
+    val assets = java.nio.file.Files.createTempDirectory("graft-static")
+    java.nio.file.Files.writeString(assets.resolve("app.css"), "body{color:red}")
+    java.nio.file.Files.writeString(assets.resolve("data.json"), """{"k":1}""")
+    val cfgS = StoreConfig(
+      path = java.nio.file.Files.createTempDirectory("graft-srv-static").toString + "/store",
+      attrs = Seq(AttrField("class", "text")))
+    val srv = new TankServer(spark, cfgS, tileCfg, staticDir = Some(assets.toString))
+    val p = srv.start()
+    def get(path: String): (Int, String, String) = {
+      val conn = new URI(s"http://localhost:$p$path").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("GET")
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = new String(Option(is).map(_.readAllBytes()).getOrElse(Array.empty))
+      val ct = Option(conn.getHeaderField("Content-Type")).getOrElse("")
+      conn.disconnect()
+      (code, body, ct)
+    }
+    try {
+      val (c1, b1, t1) = get("/static/app.css")
+      assert(c1 == 200 && b1 == "body{color:red}" && t1.startsWith("text/css"))
+      val (c2, b2, t2) = get("/static/data.json")
+      assert(c2 == 200 && b2 == """{"k":1}""" && t2.startsWith("application/json"))
+      // no index.html on disk -> generated viewer fallback
+      val (c3, b3, _) = get("/static/index.html")
+      assert(c3 == 200 && b3.contains("maplibre"))
+      val (c4, _, _) = get("/static/missing.js")
+      assert(c4 == 404)
+      val (c5, _, _) = get("/static/..%2Fsecret")
+      assert(c5 == 404)
+    } finally srv.stop()
+  }
+
   test("A4: string attrs with quotes/backslashes produce valid JSON") {
     val tricky = """he said \"hi\" \\ there"""
     val f =

@@ -78,4 +78,47 @@ class BucketingSpec extends SparkSpec {
       s"files not clustered: mean spans $mean1 / $mean2 of global, " +
         spans.map { case (a, b) => f"($a%.2f,$b%.2f)" }.mkString(" "))
   }
+
+  test("zorder bin lookup is codegen'd: no interpreted UDF in the write-side plan") {
+    import org.apache.spark.sql.GraftBridge
+    val li = graft.queries.Tables.lineitem(spark, Sf).limit(1000)
+    val Array(cuts1, cuts2) = li.stat.approxQuantile(
+      Array("l_orderkey", "l_partkey"), Array(0.25, 0.5, 0.75), 0.001)
+    def bin(cuts: Array[Double], c: org.apache.spark.sql.Column) =
+      GraftBridge.column(graft.functions.QuantileBinExpr(
+        GraftBridge.expression(c), cuts))
+    val z = li.withColumn("_z", graft.functions.GeoColumns.mortonHash(
+      bin(cuts1, col("l_orderkey").cast("double")),
+      bin(cuts2, col("l_partkey").cast("double")), 8))
+    val plan = z.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"interpreted UDF in the z-order projection:\n$plan")
+    // semantics: the expression equals the plain binary-search bin per row
+    val rows = z.select(col("l_orderkey").cast("double"), col("_z")).collect()
+    rows.take(50).foreach { r =>
+      val b1 = graft.functions.QuantileBinExpr.bin(cuts1, r.getDouble(0))
+      assert(b1 >= 0 && b1 <= cuts1.length)
+    }
+  }
+
+  test("writeBucketed honors a database created with a custom LOCATION") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-customdb").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS customloc LOCATION '$dbDir'")
+    try {
+      Bucketing.writeBucketed(Tables.region(spark, Sf), "customloc.region_b", "r_regionkey", buckets = 2)
+      assert(spark.table("customloc.region_b").count() == 5)
+      // the data landed under the DB's custom location, not the warehouse guess
+      val files = new java.io.File(s"$dbDir/region_b").listFiles()
+      assert(files != null && files.exists(_.getName.endsWith(".parquet")),
+        s"table files not under custom location $dbDir")
+      // idempotent re-write cleans the REAL location (stale files would
+      // double the row count under a wrong-location cleanup)
+      Bucketing.writeBucketed(Tables.region(spark, Sf), "customloc.region_b", "r_regionkey", buckets = 2)
+      assert(spark.table("customloc.region_b").count() == 5)
+      // 3-part session-catalog name resolves too
+      Bucketing.writeBucketed(Tables.region(spark, Sf),
+        "spark_catalog.customloc.region_b", "r_regionkey", buckets = 2)
+      assert(spark.table("customloc.region_b").count() == 5)
+    } finally spark.sql("DROP DATABASE IF EXISTS customloc CASCADE")
+  }
 }

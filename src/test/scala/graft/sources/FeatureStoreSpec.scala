@@ -89,6 +89,41 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fcIds.filter(_.length == 1) == ndIds.filter(_.length == 1))
   }
 
+  test("FeatureCollection parse streams: big collection, uids identical to NDJSON") {
+    val dir = tmpDir()
+    val fcPath = s"$dir/big_fc.json"
+    val ndPath = s"$dir/big_nd.json"
+    // 5k id-less features -> every uid is the md5 of the feature text, so
+    // any serialization drift between the two ingest paths would show up
+    val feats = (0 until 5000).map { i =>
+      s"""{"type":"Feature","geometry":{"type":"Point","coordinates":[${10.0 + i * 0.001},50.0]},"properties":{"size":$i,"name":"f$i"}}"""
+    }
+    // features is NOT the first field, and trailing fields follow the array
+    // (the incremental parser must skip both without buffering the document)
+    Files.writeString(java.nio.file.Paths.get(fcPath),
+      s"""{"type":"FeatureCollection","bbox":[0,0,90,90],"features":[${feats.mkString(",")}],"meta":{"n":5000}}""")
+    Files.writeString(java.nio.file.Paths.get(ndPath), feats.mkString("\n"))
+    val fc = FeatureStore.readFeatureCollection(spark, fcPath, cfg0)
+    val nd = FeatureStore.readNdjson(spark, ndPath, cfg0)
+    val fcIds = fc.good.select("uid").collect().map(_.getString(0)).toSet
+    val ndIds = nd.good.select("uid").collect().map(_.getString(0)).toSet
+    assert(fcIds.size == 5000 && fcIds == ndIds)
+    assert(fc.rejected.isEmpty)
+    // the temp spill is cleaned up
+    val leftovers = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_fc_tmp_"))
+    assert(leftovers.isEmpty, s"temp not cleaned: ${leftovers.mkString(",")}")
+  }
+
+  test("FeatureCollection parse rejects a non-collection document") {
+    val dir = tmpDir()
+    val p = s"$dir/notfc.json"
+    Files.writeString(java.nio.file.Paths.get(p), """{"type":"Feature","geometry":null}""")
+    intercept[IllegalArgumentException] {
+      FeatureStore.readFeatureCollection(spark, p, cfg0)
+    }
+  }
+
   test("streaming NDJSON ingest appends good rows to the store and bad rows to dead-letter") {
     val dir = tmpDir()
     val src = s"$dir/incoming"
@@ -180,22 +215,55 @@ class FeatureStoreSpec extends SparkSpec {
     assert(FeatureStore.read(spark, cfg).count() == 39)
 
     val after = snapshot()
-    val untouched = before.keySet.intersect(after.keySet)
-    // exactly one file replaced; the surviving originals are bit-identical
-    assert(untouched.size == before.size - 1,
-      s"expected 1 rewritten file, got ${before.size - untouched.size}")
-    untouched.foreach { name =>
+    // no original is ever modified in place, and exactly one replacement
+    // file appeared; the replaced original LINGERS until it leaves the
+    // manifest retention window (so a reader one snapshot behind still
+    // finds it)
+    assert(before.keySet.subsetOf(after.keySet),
+      s"an original vanished before retention expired")
+    before.keySet.foreach { name =>
       assert(before(name) == after(name), s"$name was modified in place")
     }
+    assert(after.size == before.size + 1,
+      s"expected 1 replacement file, got ${after.size - before.size}")
 
-    // update: same contract
+    // update: same contract, and the file replaced by the EARLIER delete
+    // has now aged out of retention and been vacuumed
     FeatureStore.update(spark, cfg, "u3", None, Map("v" -> 999))
     val after2 = snapshot()
-    val untouched2 = after.keySet.intersect(after2.keySet)
-    assert(untouched2.size == after.size - 1)
-    untouched2.foreach { name => assert(after(name) == after2(name)) }
+    val survivors = before.keySet.intersect(after2.keySet)
+    assert(survivors.size == before.size - 1,
+      s"first delete's replaced file not vacuumed: ${after2.keySet}")
+    survivors.foreach { name => assert(before(name) == after2(name)) }
     assert(FeatureStore.lookup(spark, cfg, "u3").collect().head.getAs[Int]("v") == 999)
     assert(FeatureStore.read(spark, cfg).count() == 39)
+  }
+
+  test("concurrent reader during a delete sees old or new snapshot, never partial") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val cfg = StoreConfig(path = s"$dir/store", attrs = Seq(AttrField("v", "int")))
+    val ls = (0 until 30).map { i =>
+      featureJson(s"u$i", -170.0 + i * 11.2, -80.0 + i * 5.3, s"""{"v":$i}""")
+    }
+    FeatureStore.write(FeatureStore.ingest(ls.toDF("raw"), cfg).good, cfg, partitions = 6)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val n = FeatureStore.read(spark, cfg).count()
+          if (n != 30L && n != 29L) errors.add(s"partial snapshot: $n rows")
+        } catch { case e: Exception => errors.add(s"read failed: ${e.getMessage}") }
+      }
+    })
+    reader.start()
+    try {
+      val h = FeatureStore.lookup(spark, cfg, "u7").collect().head.getAs[Int]("hash")
+      FeatureStore.delete(spark, cfg, "u7", Seq(h))
+    } finally { stop = true; reader.join(30000) }
+    assert(errors.isEmpty, s"reader saw: ${errors.toArray.mkString("; ")}")
+    assert(FeatureStore.read(spark, cfg).count() == 29)
   }
 
   test("delete with multiple known hashes removes a uid present in two cells") {

@@ -87,6 +87,26 @@ class TileCacheSpec extends AnyFunSuite {
     assert(c.get("tile", 13, 0, 0).isEmpty, "oldest entry must be evicted")
   }
 
+  test("invalidate/re-put churn does not grow the eviction queue") {
+    val c = new TileCache()
+    val z = 12
+    // same small key set put and invalidated over and over: before the
+    // queue sweep, every cycle leaked one stale queue entry per key
+    (0 until 500).foreach { _ =>
+      (0 until 4).foreach(x => c.put("tile", z, x, 0, Array(1.toByte)))
+      val touched = (0 until 4).flatMap { x =>
+        graft.core.ZRange.coverWithBuffer(z, x, 0, 13, 0.0).map(_._1)
+      }
+      c.invalidateTouched(touched)
+    }
+    assert(c.size == 0)
+    assert(c.queueSize <= 8, s"eviction queue leaked: ${c.queueSize} entries")
+    // single-key remove also drops the queue entry
+    c.put("tile", z, 9, 9, Array(1.toByte))
+    c.remove("tile", z, 9, 9)
+    assert(c.queueSize == 0, s"remove left a stale queue entry: ${c.queueSize}")
+  }
+
   test("a point region on a tile boundary invalidates both neighbors") {
     val c = new TileCache()
     // lon=0 is the exact boundary between tiles x=2^(z-1)-1 and x=2^(z-1)
