@@ -98,11 +98,32 @@ object Dedup {
             .partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))))
         .filter(col("_r") <= maxPerBucket)
         .drop("_r")
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    // pairs are generated INSIDE the per-bucket aggregation, not by a
+    // self-join: a join would recompute the whole signature pipeline on
+    // both sides (Spark does not share subplans across join inputs) and
+    // shuffle the banded relation twice. Here the window's (band, bucket)
+    // exchange is the ONLY wide op over the corpus — the capped rank even
+    // truncates map-side (WindowGroupLimit), so at most `maxPerBucket`
+    // rows per bucket per input partition ever cross the wire — and the
+    // groupBy reuses that partitioning with no further exchange. Post-cap
+    // bucket arrays are <= maxPerBucket elements, so the pair kernel is
+    // bounded. doc_id is BIGINT (the engine-wide id type).
+    val pairsU = udf((ids: Seq[Long]) => {
+      val n = ids.length
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](n * math.max(n - 1, 0) / 2)
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { out += ((ids(i), ids(j))); j += 1 }
+        i += 1
+      }
+      out
+    })
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id").cast(LongType))).as("_ids"))
+      .select(explode(pairsU(col("_ids"))).as("_p"))
+      .select(col("_p._1").as("doc_a"), col("_p._2").as("doc_b"))
+      .distinct()
   }
 
   /** (band, bucket) membership rows for each doc: one row per band. */

@@ -129,7 +129,12 @@ object TextOps {
       .withColumn("jaccard", col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "jaccard")
-    Canon(j)
+    // materialize the (small) pair result eagerly so the cached shingle
+    // relation is released here, not leaked for the session lifetime
+    // (order-preserving: localCheckpoint stores partitions as-is)
+    val out = Canon(j).localCheckpoint(true)
+    sh.unpersist(false)
+    out
   }
 
   // ---------------------------------------------------------------- Q34

@@ -35,7 +35,8 @@ object FeatureStore {
       attrs: Seq[AttrField],
       hashLevel: Int = 13,
       targetFileRows: Int = 4 * 1000 * 1000,
-      ingestTime: String = "2026-01-01 00:00:00")
+      ingestTime: String = "2026-01-01 00:00:00",
+      exhausterUrl: Option[String] = None)
 
   /** Columns every feature row carries besides user attrs. */
   private val Reserved = Seq("hash", "uid", "timestamp", "geometry")
@@ -88,8 +89,7 @@ object FeatureStore {
           // atomically or not at all
           append(r.good.sortWithinPartitions("hash"), cfg)
           val rej = r.rejected
-          if (!rej.isEmpty)
-            rej.write.mode(SaveMode.Append).parquet(s"${cfg.path}_rejected")
+          if (!rej.isEmpty) writeRejected(rej, cfg)
           fs.create(marker, true).close()
         }
       }
@@ -463,9 +463,15 @@ object FeatureStore {
     (before, parquetCount())
   }
 
-  /** Dead-letter sink (the Exhauster channel): original JSON only. */
-  def writeRejected(rejected: DataFrame, cfg: StoreConfig): Unit =
+  /** Dead-letter sink (the Exhauster channel): original JSON to the durable
+    * parquet side-sink, plus the optional live HTTP fan-out when
+    * `cfg.exhausterUrl` is set ([[Exhauster.post]] — best-effort, from the
+    * executors, after the durable write).
+    */
+  def writeRejected(rejected: DataFrame, cfg: StoreConfig): Unit = {
     rejected.write.mode(SaveMode.Append).parquet(s"${cfg.path}_rejected")
+    cfg.exhausterUrl.foreach(url => Exhauster.post(rejected, url))
+  }
 
   // ------------------------------------------------------------- CRUD
 

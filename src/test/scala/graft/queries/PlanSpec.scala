@@ -87,6 +87,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x42: blocked pair search — no cartesian, bounded shuffles, TakeOrdered merge") {
+    val (_, plan) = planOf("x42_embed_neardup")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // one shuffle groups the chunk-pair tasks, the global top-k merge is a
+    // TakeOrdered (never a full sort); AQE may add one coalesce read
+    assert(exchanges(plan) <= 2, s"x42 over-shuffles:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("x40 candidate generation: one corpus shuffle, no join, map-side bucket cap") {
+    // gate the INNER pipeline (x40's returned frame is checkpoint-backed):
+    // banding + hot-bucket rank + in-aggregation pair generation. The
+    // (band, bucket) window exchange must be the only wide op over the
+    // corpus (the groupBy reuses its partitioning; distinct shuffles only
+    // the candidate PAIRS), the cap must truncate map-side, and there must
+    // be no self-join recomputing the signature pipeline twice.
+    val docs = Tables.documents(spark, Sf)
+    val arrs = graft.queries.TextOps.shingleArrays(docs).select("doc_id", "shs")
+    val sigs = graft.operators.Dedup.minHashSignaturesFromArrays(arrs)
+    val cands = graft.operators.Dedup.lshCandidates(sigs)
+    cands.count()
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"pair generation must not join:\n$plan")
+    assert(exchanges(plan) <= 2, s"lshCandidates over-shuffles:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), s"cap not map-side-truncated:\n$plan")
+  }
+
   test("x70: decontamination joins without a cartesian product") {
     val (_, plan) = planOf("x70_decontaminate")
     assert(!plan.contains("CartesianProduct"), plan)
