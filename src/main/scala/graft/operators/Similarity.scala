@@ -222,16 +222,37 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = kmeansCentroids(corpus, nlist, kmeansIters).zipWithIndex
+    val cents = kmeansCentroids(corpus, nlist, kmeansIters)
+    if (cents.isEmpty) return bruteForceTopK(corpus, queries, k) // empty corpus
+    // corpus assignment is MAP-ONLY: the k×d centroids ride to executors in
+    // a broadcast and a kernel argmaxes the dot per row — no corpus×nlist
+    // row blowup, no window shuffle of it (the crossJoin+row_number form
+    // shuffled n·nlist scored rows just to keep n). Centroids are unit
+    // vectors, so dot argmax == cosine argmax; first-wins on ties == the
+    // window's (sim desc, cell asc) order. Same loop as the Lloyd pass, so
+    // serving assignment is identical to the fit's final assignment.
+    val bcC = spark.sparkContext.broadcast(cents)
+    val assignU = udf((e: Seq[Float]) => {
+      val cs = bcC.value
+      var best = 0
+      var bestS = Double.NegativeInfinity
+      var c = 0
+      while (c < cs.length) {
+        var s = 0.0
+        var i = 0
+        val n = math.min(e.length, cs(c).length)
+        while (i < n) { s += e(i).toDouble * cs(c)(i); i += 1 }
+        if (s > bestS) { bestS = s; best = c }
+        c += 1
+      }
+      best.toLong
+    })
+    val assigned = corpus.select(col("vec_id"), col("embedding"),
+      assignU(col("embedding")).as("cell"))
+    // query probes stay on the tiny side: nq×nlist rows, broadcast onward
+    val centroids = cents.zipWithIndex
       .map { case (c, i) => (i.toLong, c.map(_.toFloat).toSeq) }
       .toSeq.toDF("cell", "ce")
-    val byCell = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc, col("cell").asc)
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .withColumn("c_sim", cosine(col("embedding"), col("ce")))
-      .withColumn("rn", row_number().over(byCell))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
     val byQuery = Window.partitionBy(col("query_id"))
       .orderBy(col("c_sim").desc, col("cell").asc)
     val probes = queries.crossJoin(broadcast(centroids))

@@ -357,6 +357,15 @@ object FeatureStore {
       * exist, so in-flight readers of recent snapshots never lose a file.
       */
     def vacuum(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig): Unit = {
+      // crash debris: an interrupted append/rewrite leaves an orphaned tmp
+      // spill dir (its surviving parquet was either moved in before the
+      // crash or never committed). The single-writer contract makes this
+      // sweep safe — no other writer can own a live tmp for this store.
+      Seq("_ap_tmp_*", "_rw_tmp_*", "_tmp_*").foreach { pat =>
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(cfg.path + pat)))
+          .getOrElse(Array.empty)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
       val ms = listManifests(fs, cfg)
       if (ms.size <= RetainManifests) return
       val (expired, retained) = ms.splitAt(ms.size - RetainManifests)

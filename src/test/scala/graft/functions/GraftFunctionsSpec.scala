@@ -10,6 +10,31 @@ class GraftFunctionsSpec extends SparkSpec {
     GraftFunctions.register(spark)
   }
 
+  test("quantile_bin matches a scalar model over random cuts and probes") {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(3)
+    (0 until 5).foreach { trial =>
+      val cuts = Array.fill(1 + rnd.nextInt(40))(rnd.nextDouble() * 200 - 100).sorted
+      val probes = Array.fill(200)(rnd.nextDouble() * 240 - 120) ++
+        cuts.take(5) // exact-hit edge: bin ABOVE the cut
+      // evaluate through the engine over a real scan shape (codegen path)
+      import spark.implicits._
+      val df = probes.toSeq.toDF("x")
+      val got = df.select(col("x"),
+          GraftBridge.column(QuantileBinExpr(GraftBridge.expression(col("x")), cuts)).as("b"))
+        .collect().map(r => r.getDouble(0) -> r.getInt(1)).toMap
+      probes.foreach { p =>
+        val model = cuts.count(_ <= p) // # cuts at or below p = insertion point (post-dup collapse)
+        val viaSearch = QuantileBinExpr.bin(cuts, p)
+        assert(got(p) == viaSearch, s"trial $trial: engine ${got(p)} != kernel $viaSearch at $p")
+        assert(viaSearch >= 0 && viaSearch <= cuts.length)
+        if (!cuts.contains(p)) // binarySearch picks SOME index among dup cuts
+          assert(viaSearch == model, s"trial $trial: $viaSearch != model $model at $p")
+      }
+    }
+  }
+
   test("zcurve_hash is callable from SQL and matches the Scala core") {
     val rows = spark.sql(
       "SELECT zcurve_hash(3L, 5L) AS a, zcurve_hash(100L, 200L) AS b").collect().head

@@ -266,6 +266,47 @@ class FeatureStoreSpec extends SparkSpec {
     assert(FeatureStore.read(spark, cfg).count() == 29)
   }
 
+  test("vacuum sweeps orphaned tmp spill dirs from interrupted writes") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val cfg = StoreConfig(path = s"$dir/store", attrs = Seq(AttrField("v", "int")))
+    val ls = (0 until 8).map(i =>
+      featureJson(s"u$i", -100.0 + i * 20.0, 10.0, s"""{"v":$i}"""))
+    FeatureStore.write(FeatureStore.ingest(ls.toDF("raw"), cfg).good, cfg, partitions = 2)
+    // simulate a crashed append: an orphaned spill dir next to the store
+    val orphan = java.nio.file.Paths.get(s"$dir/store_ap_tmp_dead")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("part-junk.parquet"), "x")
+    // any committing write triggers the sweep
+    FeatureStore.delete(spark, cfg, "u3")
+    assert(!java.nio.file.Files.exists(orphan), "orphan tmp dir not swept")
+    assert(FeatureStore.read(spark, cfg).count() == 7)
+  }
+
+  test("a crash between file move-in and manifest commit leaves the old snapshot intact") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val cfg = StoreConfig(path = s"$dir/store", attrs = Seq(AttrField("v", "int")))
+    val ls = (0 until 8).map(i =>
+      featureJson(s"u$i", -100.0 + i * 20.0, 10.0, s"""{"v":$i}"""))
+    FeatureStore.write(FeatureStore.ingest(ls.toDF("raw"), cfg).good, cfg, partitions = 2)
+    assert(FeatureStore.read(spark, cfg).count() == 8)
+    // simulate the crash window: replacement files landed in the store dir
+    // but the manifest commit never happened — readers must not see them
+    val stray = java.nio.file.Paths.get(cfg.path, "part-uncommitted-crash.parquet")
+    val donor = new java.io.File(cfg.path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(donor.toPath, stray)
+    assert(FeatureStore.read(spark, cfg).count() == 8,
+      "uncommitted data file leaked into the snapshot")
+    // the next committed write sweeps the orphan out of the store
+    FeatureStore.delete(spark, cfg, "u0")
+    FeatureStore.delete(spark, cfg, "u1") // ages the orphan past retention
+    assert(FeatureStore.read(spark, cfg).count() == 6)
+    assert(!java.nio.file.Files.exists(stray),
+      "uncommitted orphan file survived vacuum")
+  }
+
   test("delete with multiple known hashes removes a uid present in two cells") {
     import spark.implicits._
     val dir = tmpDir()

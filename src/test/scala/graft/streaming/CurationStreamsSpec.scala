@@ -164,6 +164,46 @@ class CurationStreamsSpec extends SparkSpec {
         s"missing=${batchPairs -- collected}; extra=${collected.toSet -- batchPairs}")
   }
 
+  test("verified pairs against a GROWING persisted doc store (production wiring)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // production wiring: the doc store commits BEFORE the candidate stream
+    // processes the batch (candidates only reference admitted docs). The
+    // verify stream runs as AvailableNow restarts over ONE checkpoint, so
+    // bucket state survives restarts — this also exercises checkpoint
+    // recovery of the flatMapGroupsWithState state between rounds.
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-store")
+    val storePath = s"$dir/docs"
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val rounds = Seq(
+      Seq(Doc(1, ts("10:00"), base, "en", "s")),
+      Seq(Doc(2, ts("10:05"), base.replace("word7", "wordX"), "en", "s"),
+        Doc(3, ts("10:06"), (1 to 40).map(i => s"other$i").mkString(" "), "en", "s")))
+    val collected = scala.collection.mutable.Set[(Long, Long)]()
+    val mem = MemoryStream[Doc]
+    rounds.foreach { b =>
+      // the admitted-docs store commits first (the doc sink's job upstream)
+      b.map(d => (d.doc_id, d.text, d.lang, d.text.length))
+        .toDF("doc_id", "text", "lang", "n_chars")
+        .write.mode("append").parquet(storePath)
+      mem.addData(b)
+      val q = CurationStreams.verifiedNearDups(
+          mem.toDF(),
+          seenDocs = () => spark.read.parquet(storePath),
+          sink = vf => collected.synchronized {
+            collected ++= vf.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+          })
+        .option("checkpointLocation", s"$dir/ckp_cands")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000), "verify stream round timed out")
+    }
+    assert(collected.toSet == Set((1L, 2L)),
+      s"expected exactly the true near-dup pair, got $collected")
+  }
+
   test("streaming band buckets are bit-identical to the batch LSH buckets") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
