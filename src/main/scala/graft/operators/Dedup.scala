@@ -83,9 +83,12 @@ object Dedup {
     * colliding bands; near-identical docs collide in all `bands` buckets, so
     * what the cap drops is exactly the redundant tail of a duplicate
     * *clique* — its lowest-id members still pair up and witness the clique.
-    * Pass `maxPerBucket = 0` to disable. [[lshBucketOverflow]] reports what
-    * was truncated (count it to log dropped rows — same observability as the
-    * streaming path's per-bucket cap).
+    * Pass `maxPerBucket = 0` to disable (tests/diagnostics only: the
+    * uncapped path materializes each bucket's pair array in the
+    * aggregation, so a degenerate bucket costs O(m²) MEMORY there, not
+    * just O(m²) rows). [[lshBucketOverflow]] reports what was truncated
+    * (count it to log dropped rows — same observability as the streaming
+    * path's per-bucket cap).
     */
   def lshCandidates(sigs: DataFrame, bands: Int = 32,
                     numHashes: Int = 128, maxPerBucket: Int = 64): DataFrame = {

@@ -340,7 +340,10 @@ object FeatureStore {
         s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
       val out = fs.create(tmp, true)
       try out.write(next.mkString("\n").getBytes("UTF-8")) finally out.close()
-      fs.rename(tmp, new org.apache.hadoop.fs.Path(dir(cfg), s"m_$n"))
+      // rename refuses an existing target: a second writer racing this
+      // commit surfaces as a loud failure, never a silently-lost snapshot
+      require(fs.rename(tmp, new org.apache.hadoop.fs.Path(dir(cfg), s"m_$n")),
+        s"manifest commit m_$n failed (concurrent writer?): ${cfg.path}")
     }
 
     /** Drop every manifest and start a fresh history at snapshot 1 (full
