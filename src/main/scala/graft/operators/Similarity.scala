@@ -445,12 +445,50 @@ object Similarity {
 
   /** Per-query top-k on (rounded) score with vec_id tie-break; excludes the
     * query vector itself when ids collide.
+    *
+    * Two phases: a partition-local bounded-heap pass first reduces each
+    * input partition to at most |queries|·k survivor rows (a global top-k
+    * row is top-k within its partition, so no true neighbor can be lost),
+    * THEN the row_number window ranks the tiny survivor set. Without the
+    * local pass, the window shuffles every scored row (corpus × queries for
+    * the brute-force path) into just |queries| tasks — the straggler shape
+    * at 100 TB. Heap order matches the window exactly: unrounded score
+    * desc, then vec_id asc (Double.compare ranks NaN above all reals, same
+    * as Spark's descending sort).
     */
   private def rank(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val slim = scored
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id").cast(LongType), col("vec_id").cast(LongType),
+        col("cos_sim").cast(DoubleType))
+      .as[(Long, Long, Double)]
+    val survivors = slim.mapPartitions { it =>
+      // worst-first heap per query: head is the entry to evict
+      // (smallest score, then largest vec_id)
+      val worst = new Ordering[(Double, Long)] {
+        def compare(x: (Double, Long), y: (Double, Long)): Int = {
+          val c = java.lang.Double.compare(y._1, x._1)
+          if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+        }
+      }
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      it.foreach { case (q, v, s) =>
+        val h = heaps.getOrElseUpdate(q,
+          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worst))
+        val cand = (s, v)
+        if (h.size < k) h.enqueue(cand)
+        else if (worst.compare(cand, h.head) < 0) { h.dequeue(); h.enqueue(cand) }
+      }
+      heaps.iterator.flatMap { case (q, h) =>
+        h.iterator.map { case (s, v) => (q, v, s) }
+      }
+    }.toDF("query_id", "vec_id", "cos_sim")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    scored
-      .filter(col("vec_id") =!= col("query_id"))
+    survivors
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id"),

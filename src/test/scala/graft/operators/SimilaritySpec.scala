@@ -31,6 +31,36 @@ class SimilaritySpec extends SparkSpec {
     assert(r1.toSeq == r1.sortBy(-_).toSeq)
   }
 
+  test("two-phase top-k rank equals a naive driver-side model") {
+    import spark.implicits._
+    val (emb, q) = queriesDf(Seq(1L, 7L))
+    val got = Similarity.bruteForceTopK(emb, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val all = emb.select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y; i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = all.toMap
+    val expected = Seq(1L, 7L).flatMap { qid =>
+      all.filter(_._1 != qid)
+        .map { case (v, e) => (v, cos(byId(qid), e)) }
+        .sortBy { case (v, s) => (-s, v) }
+        .take(5).zipWithIndex
+        .map { case ((v, s), i) =>
+          (qid, v, BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, i + 1)
+        }
+    }.toSet
+    assert(got == expected, s"got=$got\nexpected=$expected")
+  }
+
   test("LSH ANN reaches recall@10 >= 0.8 vs exact on sf0.001") {
     val (emb, q) = queriesDf(Seq(1L, 7L, 99L))
     val exact = neighborSets(Similarity.bruteForceTopK(emb, q, k = 10))
