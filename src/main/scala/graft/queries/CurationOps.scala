@@ -28,7 +28,43 @@ object CurationOps {
     Seq(x61_normalize, x62_redact, x63_repetition, x64_urls,
       x65_label_centroids, x66_quantize, x67_split, x68_balance,
       x69_pack, x70_decontaminate, x71_tfidf, x73_cluster_assign,
-      x74_pipeline)
+      x74_pipeline, x80_source_mix)
+
+  // ---------------------------------------------------------------- x80
+  /** Training-mix downsampling: each source is kept at its own target rate
+    * (basis points out of 10,000) by a deterministic per-doc hash
+    * threshold — the standard way to hit a domain-mixture recipe (e.g.
+    * upweight books, downweight boilerplate web) without a shuffle: the
+    * keep decision is a map-side expression, reproducible across runs and
+    * cluster sizes, and composable with the dedup/quality gates. Here the
+    * rate derives from the source number (2000/4500/7000 bps cycling) so
+    * the oracle replays it exactly; production passes a real weights map.
+    */
+  val x80_source_mix: QueryDef = QueryDef(
+    "x80_source_mix",
+    Sql.canon(
+      """SELECT source, CAST(keep_bps AS INT) AS keep_bps,
+        |  CAST(COUNT(*) AS BIGINT) AS n_kept
+        |FROM (
+        |  SELECT source,
+        |    CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      % 10000 AS h,
+        |    CAST(SUBSTRING(source, 4) AS INT) % 3 * 2500 + 2000 AS keep_bps
+        |  FROM documents)
+        |WHERE h < keep_bps
+        |GROUP BY source, keep_bps""".stripMargin,
+      Seq("source", "keep_bps", "n_kept"))) { (s, d) =>
+    val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType) % 10000
+    val bps = substring(col("source"), 4, 10).cast(IntegerType) % 3 * 2500 + 2000
+    Canon(Tables.documents(s, d)
+      .withColumn("h", h)
+      .withColumn("keep_bps", bps)
+      .filter(col("h") < col("keep_bps"))
+      .groupBy(col("source"), col("keep_bps"))
+      .agg(count(lit(1)).as("n_kept"))
+      .select(col("source"), col("keep_bps").cast(IntegerType), col("n_kept")))
+  }
 
   // ---------------------------------------------------------------- x61
   /** Unicode NFC + whitespace normalization. The messy input wraps `text`

@@ -109,6 +109,27 @@ class CurationOpsSpec extends SparkSpec {
       s"sources not sharded: ${shardsPerSource.toMap}")
   }
 
+  test("x80: per-source keep rates track their basis points; decision is deterministic") {
+    val rows = CurationOps.x80_source_mix.build(spark, Sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("keep_bps"), r.getAs[Long]("n_kept")))
+    assert(rows.nonEmpty)
+    val totals = Tables.documents(spark, Sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    rows.foreach { case (src, bps, kept) =>
+      assert(Set(2000, 4500, 7000).contains(bps), s"$src bps=$bps")
+      val frac = kept.toDouble / totals(src)
+      // hash threshold is uniform: observed rate within a generous CLT band
+      val target = bps / 10000.0
+      assert(math.abs(frac - target) < 0.35,
+        s"$src kept $frac, target $target")
+    }
+    // deterministic: a second build yields the identical result
+    val again = CurationOps.x80_source_mix.build(spark, Sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("keep_bps"), r.getAs[Long]("n_kept")))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("x70: benchmark docs excluded; self-contaminated corpus docs flagged") {
     val rows = CurationOps.x70_decontaminate.build(spark, Sf).collect()
     val benchIds = Tables.documents(spark, Sf)
