@@ -246,23 +246,49 @@ object Dedup {
 
   /** Near-dup pairs by SimHash Hamming distance <= maxDist, banded on 16-bit
     * chunks (a pair within distance d <= 3 must agree exactly on at least one
-    * of the 4 chunks — pigeonhole), so the join is per-chunk-bucket.
+    * of the 4 chunks — pigeonhole). Same plan shape as [[lshCandidates]]:
+    * pairs + Hamming distances are generated INSIDE the per-bucket
+    * aggregation (a self-join would recompute the fingerprint pipeline on
+    * both inputs and shuffle the chunked relation twice), hot buckets are
+    * truncated map-side to their `maxPerBucket` lowest doc_ids
+    * (boilerplate corpora put thousands of identical fingerprints in one
+    * bucket; the kept clique members still witness every duplicate group).
     */
-  def simHashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simHashNearDups(docs: DataFrame, maxDist: Int = 3,
+                      maxPerBucket: Int = 64): DataFrame = {
     require(maxDist <= 3, "4-chunk banding is only complete for maxDist <= 3")
     val fp = simHashFingerprints(docs)
     val chunked = fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("chunk", "ck")))
-    val a = chunked.select(col("chunk"), col("ck"),
-      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = chunked.select(col("chunk"), col("ck"),
-      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("chunk", "ck"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+    val capped =
+      if (maxPerBucket <= 0) chunked
+      else chunked
+        .withColumn("_r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("chunk"), col("ck")).orderBy(col("doc_id"))))
+        .filter(col("_r") <= maxPerBucket)
+        .drop("_r")
+    val pairsU = udf((ids: Seq[Long], hs: Seq[Long]) => {
+      val n = ids.length
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Int)](n * math.max(n - 1, 0) / 2)
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          out += ((ids(i), ids(j), java.lang.Long.bitCount(hs(i) ^ hs(j))))
+          j += 1
+        }
+        i += 1
+      }
+      out
+    })
+    capped.groupBy(col("chunk"), col("ck"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("_m"))
+      .select(explode(pairsU(col("_m.doc_id"), col("_m.simhash"))).as("_p"))
+      .select(col("_p._1").as("doc_a"), col("_p._2").as("doc_b"),
+        col("_p._3").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

@@ -88,6 +88,20 @@ class DedupSpec extends SparkSpec {
     assert(verified.count() == cap.toLong * (cap - 1) / 2)
   }
 
+  test("simhash hot bucket is capped like the LSH path") {
+    // 500 identical docs -> identical simhash -> every chunk bucket holds
+    // all of them; capped, each contributes C(64,2) zero-distance pairs
+    val boiler = (1L to 500L)
+      .map(i => (i, "identical boilerplate text shared by every file in the corpus"))
+      .toDF("doc_id", "text")
+    val cap = 64
+    val pairs = Dedup.simHashNearDups(boiler, maxDist = 3, maxPerBucket = cap)
+    assert(pairs.count() == cap.toLong * (cap - 1) / 2)
+    val ids = pairs.select("doc_a").union(pairs.select("doc_b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == (1L to cap.toLong).toSet, "kept members must be the lowest doc_ids")
+  }
+
   test("minHashNearDups with maxPerBucket=0 keeps the uncapped behavior") {
     val pairs = Dedup.minHashNearDups(docs, threshold = 0.5, maxPerBucket = 0)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
