@@ -381,9 +381,19 @@ object Similarity {
     heap.iterator.map { case (cos, ida, idb) => (ida, idb, cos) }
   }
 
+  /** Per-label chunk size: at least `targetChunk`, but grows as ceil(√n) for
+    * big labels. A row is replicated to C = ceil(n / chunk) chunk-pair tasks,
+    * so a fixed chunk size makes shuffle replication LINEAR in label size
+    * (n = 10⁷ at chunk 256 → each row shuffled ~39 000×, ≈ 4×10¹¹ rows on the
+    * wire); √n-scaled chunks keep C ≈ √n — replication sublinear, tasks still
+    * bounded (a task holds ≤ 2·chunk rows and does chunk² ≈ n multiply-adds).
+    */
+  private[graft] def chunkSize(n: Long, targetChunk: Int): Int =
+    math.max(targetChunk, math.ceil(math.sqrt(n.toDouble)).toInt)
+
   /** Replicate each (id, label, vec) row to every chunk-pair task of its
     * label bucket. A label with n rows is hash-split into
-    * C = ceil(n / targetChunk) chunks; task key (label, lo, hi) receives the
+    * C = ceil(n / chunkSize(n)) chunks; task key (label, lo, hi) receives the
     * rows of chunks lo and hi (the boolean marks the lo side). Each unordered
     * pair of rows lands in EXACTLY one task, so downstream kernels enumerate
     * all pairs once. Per-label counts are a map-side-combined agg with
@@ -395,7 +405,10 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val chunks: Map[Int, Int] = emb.groupByKey(_._2).count().collect()
-      .map { case (l, n) => l -> math.max(1, ((n + targetChunk - 1) / targetChunk).toInt) }
+      .map { case (l, n) =>
+        val t = chunkSize(n, targetChunk)
+        l -> math.max(1, ((n + t - 1) / t).toInt)
+      }
       .toMap
     val bc = spark.sparkContext.broadcast(chunks)
     emb.flatMap { case (id, label, v) =>
@@ -411,14 +424,16 @@ object Similarity {
 
   /** Exact top-k most-similar pairs within each label bucket, sub-blocked:
     * instead of one O(n²) task per label ([[topPairsInBucket]] alone), each
-    * label is split into C = ceil(n / targetChunk) hash-chunks and every
-    * (chunk_i <= chunk_j) pair becomes its own task running the identical
-    * inner loop + k-element heap — so one hot label with 10⁷ rows fans out
-    * to ~(10⁷/targetChunk)²/2 bounded tasks instead of serializing 10¹⁴
-    * multiply-adds into a single straggler. Per-task top-k keeps every
-    * globally-top-k pair (a task's local cut can only drop pairs that are
-    * beaten k times within that task), so the tiny global merge — the
-    * caller's ORDER BY/LIMIT — is exact.
+    * label is split into C = ceil(n / chunkSize(n)) hash-chunks — chunk size
+    * auto-scales as max(targetChunk, ceil(√n)) — and every (chunk_i <=
+    * chunk_j) pair becomes its own task running the identical inner loop +
+    * k-element heap. One hot label with 10⁷ rows fans out to bounded ~n/2
+    * tasks with ~√n-fold shuffle replication, instead of serializing 10¹⁴
+    * multiply-adds into a single straggler (or, with a fixed chunk knob,
+    * shuffling n²/chunk rows). Per-task top-k keeps every globally-top-k
+    * pair (a task's local cut can only drop pairs that are beaten k times
+    * within that task), so the tiny global merge — the caller's
+    * ORDER BY/LIMIT — is exact.
     *
     * Output: (id_a, id_b, label, cos_sim) with cos rounded HALF_UP to 4dp
     * BEFORE the cut and ties broken (cos desc, id_a asc, id_b asc), same as
@@ -455,8 +470,18 @@ object Similarity {
     * at 100 TB. Heap order matches the window exactly: unrounded score
     * desc, then vec_id asc (Double.compare ranks NaN above all reals, same
     * as Spark's descending sort).
+    *
+    * Memory guard for huge query batches: the per-partition heap map holds
+    * O(min(|queries|, flushQueries)·k) entries — whenever the map reaches
+    * `flushQueries` distinct queries it is FLUSHED (current heap contents
+    * emitted as survivors, map cleared) instead of growing unbounded.
+    * Correctness is unchanged: a row dropped by a segment's heap was beaten
+    * by k rows of the same query WITHIN that segment, so every global
+    * top-k row still survives to the window; the window just ranks at most
+    * (#flushes)·k rows per query instead of exactly k.
     */
-  private def rank(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def rank(scored: DataFrame, k: Int,
+                          flushQueries: Int = 1 << 16): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     val slim = scored
@@ -473,17 +498,40 @@ object Similarity {
           if (c != 0) c else java.lang.Long.compare(x._2, y._2)
         }
       }
+      val bound = math.max(flushQueries, 1)
       val heaps = scala.collection.mutable.HashMap
         .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
-      it.foreach { case (q, v, s) =>
-        val h = heaps.getOrElseUpdate(q,
-          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worst))
-        val cand = (s, v)
-        if (h.size < k) h.enqueue(cand)
-        else if (worst.compare(cand, h.head) < 0) { h.dequeue(); h.enqueue(cand) }
-      }
-      heaps.iterator.flatMap { case (q, h) =>
-        h.iterator.map { case (s, v) => (q, v, s) }
+      val in = it.buffered
+      // segmented consumption: each segment holds at most `bound` distinct
+      // queries' heaps, then streams them out before the next segment —
+      // live memory never exceeds bound·k entries regardless of batch size
+      new Iterator[(Long, Long, Double)] {
+        private var cur: Iterator[(Long, Long, Double)] = Iterator.empty
+        private def advance(): Boolean = {
+          while (!cur.hasNext && in.hasNext) {
+            heaps.clear()
+            while (in.hasNext &&
+              (heaps.size < bound || heaps.contains(in.head._1))) {
+              val (q, v, s) = in.next()
+              val h = heaps.getOrElseUpdate(q,
+                new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worst))
+              val cand = (s, v)
+              if (h.size < k) h.enqueue(cand)
+              else if (worst.compare(cand, h.head) < 0) {
+                h.dequeue(); h.enqueue(cand)
+              }
+            }
+            cur = heaps.toArray.iterator.flatMap { case (q, h) =>
+              h.iterator.map { case (s, v) => (q, v, s) }
+            }
+          }
+          cur.hasNext
+        }
+        def hasNext: Boolean = advance()
+        def next(): (Long, Long, Double) = {
+          if (!advance()) throw new NoSuchElementException("empty partition")
+          cur.next()
+        }
       }
     }.toDF("query_id", "vec_id", "cos_sim")
     val w = Window.partitionBy(col("query_id"))

@@ -32,11 +32,16 @@ object SkewJoin {
       case cs => cs
     }
 
+  /** The deterministic salt a row of `df` gets in [[saltedJoin]] — exposed
+    * so callers/tests can observe how a hot key spreads over sub-keys.
+    */
+  private[graft] def saltColumn(df: DataFrame, buckets: Int): Column =
+    pmod(xxhash64(saltSource(df): _*), lit(buckets.toLong)).cast("int")
+
   def saltedJoin(left: DataFrame, right: DataFrame,
                  leftKey: String, rightKey: String,
                  buckets: Int = 8): DataFrame = {
-    val l = left.withColumn("_salt",
-      pmod(xxhash64(saltSource(left): _*), lit(buckets.toLong)).cast("int"))
+    val l = left.withColumn("_salt", saltColumn(left, buckets))
     val r = right.withColumn("_salt",
       explode(typedLit((0 until buckets).toList)))
     l.join(r, l(leftKey) === r(rightKey) && l("_salt") === r("_salt"))

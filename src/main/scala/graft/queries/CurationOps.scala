@@ -302,39 +302,69 @@ object CurationOps {
   }
 
   // ---------------------------------------------------------------- x69
+  /** Docs-per-shard target for x69's pack sharding. Small here so the
+    * derivation is exercised at every verify SF (25-docs-per-source at
+    * sf0.01 already fans out to 2 shards); a production corpus would use
+    * ~10⁵ docs/shard — the point is that shard COUNT derives from data, not
+    * a hard-coded knob.
+    */
+  private[graft] val PackShardDocs = 16
+
+  /** Shard assignment for sequence packing: each source gets
+    * ceil(n_source / perShard) shards and every doc picks one by md5 hash —
+    * deterministic, oracle-replayable, and sized by the DATA (a source
+    * holding most of a 100 TB corpus fans out to proportionally many
+    * independent pack streams instead of a fixed 8). The per-source counts
+    * are a map-side-combined agg broadcast back onto the scan.
+    */
+  private[graft] def packShards(docs: org.apache.spark.sql.DataFrame,
+                                perShard: Int): org.apache.spark.sql.DataFrame = {
+    val counts = docs.groupBy(col("source"))
+      .agg(ceil(count(lit(1)).cast(DoubleType) / perShard).as("_n_shards"))
+    docs.join(broadcast(counts), "source")
+      .withColumn("shard",
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+          .cast(LongType) % col("_n_shards"))
+      .drop("_n_shards")
+  }
+
   /** Greedy sequence packing into 2048-token bins, sequential WITHIN each
-    * (source, shard) partition, where shard = md5-hash(doc_id) % 8 — a
-    * deterministic sub-key so a corpus with a handful of sources never
-    * serializes through one window partition's sort (each source fans out
-    * to 8 independent pack streams; raise the shard count with corpus
-    * size). Emits each doc's shard, bin id within the shard, and start
-    * offset; docs may straddle bins (sequential-fill model).
+    * (source, shard) partition, where each source's shard count derives
+    * from its doc count ([[packShards]]: ceil(n/perShard), doc → shard by
+    * md5 hash) — a deterministic sub-key so a corpus with a handful of hot
+    * sources never serializes through one window partition's sort, and the
+    * fan-out GROWS with the source instead of capping at a fixed knob.
+    * Emits each doc's shard, bin id within the shard, and start offset;
+    * docs may straddle bins (sequential-fill model).
     */
   val x69_pack: QueryDef = QueryDef(
     "x69_pack",
     Sql.canon(
-      """SELECT source, shard, doc_id, CAST(n_tok AS INT) AS n_tok,
+      s"""WITH c AS (
+        |  SELECT source,
+        |    CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / $PackShardDocs) AS BIGINT)
+        |      AS n_shards
+        |  FROM documents GROUP BY source)
+        |SELECT source, shard, doc_id, CAST(n_tok AS INT) AS n_tok,
         |  CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / 2048) AS BIGINT) AS bin,
         |  CAST((cum - n_tok) % 2048 AS BIGINT) AS off
         |FROM (
         |  SELECT source, shard, doc_id, n_tok,
         |    SUM(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM (SELECT source, doc_id,
-        |          CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
-        |               AS BIGINT) % 8 AS shard,
-        |          LEN(STR_SPLIT(text, ' ')) AS n_tok
-        |        FROM documents))""".stripMargin,
+        |  FROM (SELECT d.source, d.doc_id,
+        |          CAST('0x' || SUBSTRING(MD5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |               AS BIGINT) % c.n_shards AS shard,
+        |          LEN(STR_SPLIT(d.text, ' ')) AS n_tok
+        |        FROM documents d JOIN c ON d.source = c.source))""".stripMargin,
       Seq("source", "shard", "doc_id", "n_tok", "bin", "off"))) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source"), col("shard"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val before = col("cum") - col("n_tok")
-    Canon(Tables.documents(s, d)
-      .select(col("source"), col("doc_id"),
-        (conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
-          .cast(LongType) % 8).as("shard"),
+    Canon(packShards(Tables.documents(s, d), PackShardDocs)
+      .select(col("source"), col("doc_id"), col("shard"),
         size(split(col("text"), " ")).as("n_tok"))
       .withColumn("cum", sum(col("n_tok")).over(w))
       .select(col("source"), col("shard"), col("doc_id"), col("n_tok"),
@@ -348,6 +378,16 @@ object CurationOps {
     * the eval suite), flag docs at >= 5 overlaps. The benchmark side is
     * DISTINCT shingles BEFORE the join, so fan-out is bounded by the corpus
     * shingle count (never corpus-docs x bench-docs per common trigram).
+    *
+    * The corpus side is BLOOM-PRUNED before the join: a bloom filter over
+    * the (small, eval-suite-sized) benchmark trigrams rides to the mappers
+    * in a broadcast and drops non-matching corpus trigrams BEFORE the join
+    * exchange — at 100 TB the shuffle carries only probable matches (~1%
+    * false positives), not every trigram of the corpus. False positives are
+    * harmless: the exact equi-join behind the filter still decides
+    * membership, so the result is bit-identical to the unpruned plan.
+    * Building the filter makes this builder eager (two small jobs over the
+    * benchmark side at construction).
     */
   val x70_decontaminate: QueryDef = QueryDef(
     "x70_decontaminate",
@@ -378,7 +418,19 @@ object CurationOps {
     val sh = docs.select(col("doc_id"), col("source"),
       explode(trigU(col("text"))).as("sh"))
     val bench = sh.filter(col("source") === "src0").select(col("sh")).distinct()
-    val overlap = sh.filter(col("source") =!= "src0")
+      .cache() // reused by the bloom build, the count, and the join side
+    val nBench = bench.count()
+    val corpusSh = sh.filter(col("source") =!= "src0")
+    val prunedSh =
+      if (nBench == 0L) corpusSh // empty eval suite: Spark's sketch agg yields a null buffer
+      else {
+        val bloom = bench.stat.bloomFilter(col("sh"), nBench, 0.01)
+        val bcBloom = s.sparkContext.broadcast(bloom)
+        val mightContain =
+          udf((t: String) => t != null && bcBloom.value.mightContainString(t))
+        corpusSh.filter(mightContain(col("sh"))) // map-side prune BEFORE the exchange
+      }
+    val overlap = prunedSh
       .join(bench, "sh")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
     Canon(docs.filter(col("source") =!= "src0").select(col("doc_id"))
@@ -396,6 +448,15 @@ object CurationOps {
     * aggregations and one equi-join. Scores are rounded to 4dp BEFORE the
     * per-doc rank so the top-5 cut is identical cross-engine (ln is
     * transcendental; ranking raw doubles could cut differently at a ULP).
+    *
+    * The tf⋈df join is SALTED ([[graft.operators.SkewJoin.saltedJoin]]): a
+    * corpus-common token ("information", any stopword-adjacent 4+-char term)
+    * appears in a large fraction of ALL documents, so a plain token-keyed
+    * shuffle funnels a corpus-sized row set into the one reducer owning that
+    * key — the single-hot-key shape AQE's skew splitting cannot fix.
+    * Salting spreads each token's tf rows over 8 deterministic sub-keys and
+    * replicates only the tiny unique-per-token df side 8×; semantics are
+    * exactly the inner equi-join's.
     */
   val x71_tfidf: QueryDef = QueryDef(
     "x71_tfidf",
@@ -427,8 +488,11 @@ object CurationOps {
     val tf = docs
       .select(col("doc_id"), explode(tokCounts(lower(col("text")))).as(Seq("tok", "tf")))
     val dfRel = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumnRenamed("tok", "_tok_df")
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfRel, "tok").crossJoin(broadcast(nDocs))
+    val scored = graft.operators.SkewJoin
+      .saltedJoin(tf, dfRel, "tok", "_tok_df")
+      .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("tok"),
         round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4)
           .as("tfidf"))

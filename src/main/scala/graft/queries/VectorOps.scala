@@ -173,7 +173,9 @@ object VectorOps {
     * deterministic at every SF.)
     *
     * Plan: [[graft.operators.Similarity.topPairsByLabel]] — each label is
-    * hash-split into ceil(n/256) chunks and every (chunk_i <= chunk_j) pair
+    * hash-split into ceil(n / max(256, ceil(√n))) chunks (chunk size scales
+    * with label size, keeping shuffle replication ~√n) and every
+    * (chunk_i <= chunk_j) pair
     * is its own task running a primitive-array loop holding only a
     * 20-element heap, so a hot label fans out to bounded tasks instead of
     * serializing O(n²) multiply-adds into one straggler (and no pair rows

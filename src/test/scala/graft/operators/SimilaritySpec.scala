@@ -61,6 +61,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected, s"got=$got\nexpected=$expected")
   }
 
+  test("rank memory guard: a tiny flush bound on a huge query batch is exact") {
+    import spark.implicits._
+    // 500 queries × 80 candidates in ONE partition: with flushQueries = 4
+    // the heap map is flushed ~125 times; the result must still equal the
+    // unguarded (effectively unbounded) pass row for row
+    val rnd = new scala.util.Random(3)
+    val scored = (for {
+      q <- 1L to 500L
+      v <- 1001L to 1080L
+    } yield (q, v, rnd.nextDouble())).toSeq
+      .toDF("query_id", "vec_id", "cos_sim")
+      .coalesce(1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val guarded = rows(Similarity.rank(scored, k = 7, flushQueries = 4))
+    val unguarded = rows(Similarity.rank(scored, k = 7))
+    assert(guarded == unguarded)
+    assert(guarded.groupBy(_._1).forall(_._2.size == 7))
+  }
+
   test("LSH ANN reaches recall@10 >= 0.8 vs exact on sf0.001") {
     val (emb, q) = queriesDf(Seq(1L, 7L, 99L))
     val exact = neighborSets(Similarity.bruteForceTopK(emb, q, k = 10))
@@ -164,6 +185,26 @@ class SimilaritySpec extends SparkSpec {
     // 40 rows / chunk 8 -> C=5 chunks -> C(C+1)/2 = 15 tasks, all label 0
     assert(keys.length == 15, s"expected 15 chunk-pair tasks, got ${keys.length}")
     assert(keys.forall(_._1 == 0))
+  }
+
+  test("chunk size auto-scales ~sqrt(n): replication stays sublinear on a hot label") {
+    // unit: the knob floors small labels, sqrt-scales big ones
+    assert(Similarity.chunkSize(40, 8) == 8)
+    assert(Similarity.chunkSize(2500, 4) == 50)
+    assert(Similarity.chunkSize(10L * 1000 * 1000, 256) == 3163)
+    // end-to-end: one hot label of n=2500 at targetChunk=4 must replicate
+    // each row ceil(sqrt(n)) = 50x (the fixed-knob plan would replicate
+    // n/4 = 625x — linear in label size)
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val emb = (0 until 2500).map { i =>
+      (i.toLong, 0, Array.fill(4)(rnd.nextFloat()))
+    }.toDS()
+    val tasks = Similarity.chunkPairTasks(emb, targetChunk = 4)
+    val total = tasks.count()
+    assert(total == 2500L * 50, s"replication ${total / 2500.0}x, expected 50x")
+    val chunks = tasks.map(_._1._2).distinct().count()
+    assert(chunks == 50, s"expected 50 chunks, got $chunks")
   }
 
   test("blocked pair search matches the single-bucket kernel on a skewed label") {

@@ -87,11 +87,16 @@ class CurationOpsSpec extends SparkSpec {
 
   test("x69: offsets stay inside the bin; bins fill sequentially per (source, shard)") {
     val rows = CurationOps.x69_pack.build(spark, Sf).collect()
+    val perSourceDocs = rows.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.length).toMap
     rows.foreach { r =>
       val off = r.getAs[Long]("off")
       assert(off >= 0 && off < 2048)
       val sh = r.getAs[Long]("shard")
-      assert(sh >= 0 && sh < 8)
+      val bound = math.ceil(
+        perSourceDocs(r.getAs[String]("source")).toDouble /
+          CurationOps.PackShardDocs).toLong
+      assert(sh >= 0 && sh < bound, s"shard $sh outside [0, $bound)")
     }
     // within one (source, shard) pack stream, cumulative reconstruction:
     // bin*2048 + off is the running token count before the doc — strictly
@@ -107,6 +112,23 @@ class CurationOpsSpec extends SparkSpec {
       .view.mapValues(_.map(_.getAs[Long]("shard")).distinct.size)
     assert(shardsPerSource.values.forall(_ > 1),
       s"sources not sharded: ${shardsPerSource.toMap}")
+  }
+
+  test("x69: shard count derives from per-source doc counts on a skewed mix") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // hot source with 200 docs, cold source with 10: the hot one must fan
+    // out to ceil(200/16) = 13 shards while the cold one stays at 1
+    val docs = ((1L to 200L).map(i => ("hot", i)) ++
+      (201L to 210L).map(i => ("cold", i))).toDF("source", "doc_id")
+    val sharded = CurationOps.packShards(docs, CurationOps.PackShardDocs)
+    val perSource = sharded.groupBy("source")
+      .agg(countDistinct(col("shard")).as("n"), max(col("shard")).as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(perSource("cold")._1 == 1 && perSource("cold")._2 == 0L)
+    val (hotShards, hotMax) = perSource("hot")
+    assert(hotMax <= 12L, s"hot shard ids must stay below ceil(200/16)=13, max=$hotMax")
+    assert(hotShards >= 10, s"hot source only spread over $hotShards shards")
   }
 
   test("x80: per-source keep rates track their basis points; decision is deterministic") {
@@ -141,6 +163,34 @@ class CurationOpsSpec extends SparkSpec {
       val flag = r.getAs[Int]("contaminated")
       assert(flag == (if (n >= 5) 1 else 0))
     }
+  }
+
+  test("x71: a token present in EVERY doc spreads over >1 salted sub-key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the hot-key shape: "information" appears in all 200 docs, so an
+    // unsalted tf⋈df shuffle would funnel all 200 tf rows of that token into
+    // the single reducer owning the key
+    val docs = (1L to 200L)
+      .map(i => (i, s"information shared everywhere unique$i token$i"))
+      .toDF("doc_id", "text")
+    val tokCounts = udf((t: String) => Kernels.tokenCounts(t, 4))
+    val tf = docs.select(col("doc_id"),
+      explode(tokCounts(lower(col("text")))).as(Seq("tok", "tf")))
+    val salts = tf.withColumn("_salt",
+        graft.operators.SkewJoin.saltColumn(tf, 8))
+      .filter(col("tok") === "information")
+      .select("_salt").distinct().count()
+    assert(salts > 1, s"hot token carried by only $salts sub-key(s)")
+    // and the salted join is still exactly the inner equi-join
+    val dfRel = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumnRenamed("tok", "_tok_df")
+    val salted = graft.operators.SkewJoin
+      .saltedJoin(tf, dfRel, "tok", "_tok_df")
+      .select("doc_id", "tok", "tf", "df")
+    val plain = tf.join(dfRel, col("tok") === col("_tok_df"))
+      .select("doc_id", "tok", "tf", "df")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
   test("x71: five top terms per doc, ranked by rounded score then token") {

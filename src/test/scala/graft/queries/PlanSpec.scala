@@ -80,11 +80,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("x68/x69: windowed curation ops shuffle once on the partition key") {
-    Seq("x68_balance", "x69_pack").foreach { name =>
-      val (_, plan) = planOf(name)
-      assert(plan.contains("Window"), s"$name lost its window:\n$plan")
-      assert(exchanges(plan) <= 2, s"$name over-shuffles:\n$plan")
-    }
+    val (_, p68) = planOf("x68_balance")
+    assert(p68.contains("Window"), s"x68 lost its window:\n$p68")
+    assert(exchanges(p68) <= 2, s"x68 over-shuffles:\n$p68")
+    // x69 carries one extra exchange: the per-source shard-count agg
+    // (O(#sources) rows, broadcast back onto the scan — not a corpus shuffle)
+    val (_, p69) = planOf("x69_pack")
+    assert(p69.contains("Window"), s"x69 lost its window:\n$p69")
+    assert(p69.contains("BroadcastHashJoin"), s"x69 counts not broadcast:\n$p69")
+    assert(exchanges(p69) <= 3, s"x69 over-shuffles:\n$p69")
   }
 
   test("x42: blocked pair search — no cartesian, bounded shuffles, TakeOrdered merge") {
@@ -114,9 +118,32 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"cap not map-side-truncated:\n$plan")
   }
 
+  test("x71: the tf⋈df join is salted — no raw token-keyed exchange") {
+    val (_, plan) = planOf("x71_tfidf")
+    // the join keys must carry the _salt sub-key (hot tokens spread over
+    // `buckets` reducers) and the tiny df side must be exploded per salt
+    assert(plan.contains("_salt"), s"tf⋈df join not salted:\n$plan")
+    assert(plan.contains("xxhash64"), s"salt not deterministic:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("x70: decontamination joins without a cartesian product") {
     val (_, plan) = planOf("x70_decontaminate")
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("x70: the corpus side is bloom-pruned BELOW the join (before its exchange)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val df = graft.SparkEntry.queries("x70_decontaminate")(spark, Sf)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    // the bloom probe must sit in a Filter CONDITION inside a join input —
+    // i.e. it runs map-side, before the join's shuffle (the trigram kernel
+    // UDF lives in a Generate, so a Filter-condition UDF is the bloom alone)
+    val pruned = joins.exists(_.children.exists(_.collectFirst {
+      case f: Filter if f.condition.exists(_.isInstanceOf[ScalaUDF]) => f
+    }.isDefined))
+    assert(pruned, s"no bloom filter below a join:\n${df.queryExecution.optimizedPlan}")
   }
 }
