@@ -36,7 +36,12 @@ object FeatureStore {
       hashLevel: Int = 13,
       targetFileRows: Int = 4 * 1000 * 1000,
       ingestTime: String = "2026-01-01 00:00:00",
-      exhausterUrl: Option[String] = None)
+      exhausterUrl: Option[String] = None,
+      // writer-lease knobs: how long a second writer waits for the lease
+      // before failing loudly, and how stale a lease must be before it is
+      // considered abandoned and stealable
+      leaseWaitMillis: Long = 30 * 1000L,
+      leaseTtlMillis: Long = 10 * 60 * 1000L)
 
   /** Columns every feature row carries besides user attrs. */
   private val Reserved = Seq("hash", "uid", "timestamp", "geometry")
@@ -278,6 +283,111 @@ object FeatureStore {
 
   // ------------------------------------------------------------- storage
 
+  /** Writer lease — enforces the store's single-writer contract instead of
+    * merely documenting it. Every mutating path (append / write / compact /
+    * CRUD rewrite) holds the lease from its first probe to its manifest
+    * commit, so two writers can no longer interleave probe→rewrite work and
+    * then race the commit: the second writer fails LOUDLY at acquire (after
+    * a bounded wait), not with a confusing mid-write FileNotFound.
+    *
+    * Mechanics: `<path>_lease` holds one line `epoch holder expiresAt`.
+    * Acquire creates it with overwrite=false (the existence check is the
+    * mutual exclusion; same filesystem primitive the manifest commit's
+    * rename relies on). A lease older than its TTL is considered abandoned
+    * (crashed writer) and is STOLEN: the thief deletes it and writes
+    * epoch+1. A slow writer that outlives its TTL and gets stolen from
+    * fails loudly at commit time — [[Manifests.commit]] re-reads the lease
+    * and requires (epoch, holder) unchanged before renaming the manifest —
+    * leaving the store on the thief's snapshot, never on a torn one.
+    */
+  private[sources] object Lease {
+    final case class Token(epoch: Long, holder: String)
+
+    private def path(cfg: StoreConfig) =
+      new org.apache.hadoop.fs.Path(cfg.path + "_lease")
+
+    private def readLease(fs: org.apache.hadoop.fs.FileSystem,
+                          cfg: StoreConfig): Option[(Long, String, Long)] = {
+      val p = path(cfg)
+      if (!fs.exists(p)) None
+      else
+        try {
+          val in = fs.open(p)
+          val line =
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+              .find(_.nonEmpty).getOrElse("")
+            finally in.close()
+          line.split("\\s+") match {
+            case Array(e, h, x) => Some((e.toLong, h, x.toLong))
+            case _ => None // torn/garbage lease: treat as absent (stealable)
+          }
+        } catch { case _: java.io.IOException => None }
+    }
+
+    /** Take the lease, waiting up to `cfg.leaseWaitMillis` for the current
+      * holder, stealing only leases older than `cfg.leaseTtlMillis`.
+      */
+    def acquire(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig): Token = {
+      val deadline = System.currentTimeMillis + math.max(cfg.leaseWaitMillis, 0L)
+      var lastHolder = "none"
+      while (true) {
+        val now = System.currentTimeMillis
+        readLease(fs, cfg) match {
+          case Some((epoch, holder, expiresAt)) if expiresAt >= now =>
+            lastHolder = s"$holder (epoch $epoch)"
+          case cur =>
+            // absent, expired, or torn: clear and try to take epoch+1
+            cur.foreach(_ => fs.delete(path(cfg), false))
+            val epoch = cur.map(_._1).getOrElse(0L) + 1
+            val holder = java.util.UUID.randomUUID().toString
+            try {
+              val out = fs.create(path(cfg), false) // refuses an existing file
+              try out.write(
+                s"$epoch $holder ${now + cfg.leaseTtlMillis}".getBytes("UTF-8"))
+              finally out.close()
+              return Token(epoch, holder)
+            } catch {
+              case _: java.io.IOException => () // lost the creation race; retry
+            }
+        }
+        if (System.currentTimeMillis >= deadline)
+          throw new IllegalStateException(
+            s"writer lease for ${cfg.path} held by $lastHolder after " +
+              s"${cfg.leaseWaitMillis} ms wait — concurrent writer? " +
+              "(single-writer contract; stale leases steal after " +
+              s"${cfg.leaseTtlMillis} ms)")
+        Thread.sleep(50)
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    /** Fencing check: the token must still BE the lease on disk. */
+    def verify(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig,
+               token: Token): Unit = {
+      val ok = readLease(fs, cfg)
+        .exists(l => l._1 == token.epoch && l._2 == token.holder)
+      require(ok,
+        s"writer lease for ${cfg.path} lost (epoch ${token.epoch} stolen " +
+          "after TTL expiry?) — aborting commit; the store remains on the " +
+          "current holder's snapshot")
+    }
+
+    /** Drop the lease iff we still hold it (a stolen lease is the thief's). */
+    def release(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig,
+                token: Token): Unit =
+      if (readLease(fs, cfg)
+            .exists(l => l._1 == token.epoch && l._2 == token.holder))
+        fs.delete(path(cfg), false)
+  }
+
+  /** Run `body` holding the store's writer lease; always released on exit. */
+  private def withLease[A](fs: org.apache.hadoop.fs.FileSystem,
+                           cfg: StoreConfig)(body: Lease.Token => A): A = {
+    val token = Lease.acquire(fs, cfg)
+    try body(token)
+    finally Lease.release(fs, cfg, token)
+  }
+
   /** Snapshot manifests — the store's committed file sets (the plain-parquet
     * core of a table format's commit log). Manifest `m_<n>` in the
     * `<path>_manifests` sibling dir lists the data-file NAMES composing
@@ -287,8 +397,10 @@ object FeatureStore {
     * half-swapped file set. Replaced data files are retained until they fall
     * out of the newest `RetainManifests` snapshots ([[vacuum]]), so a reader
     * one commit behind still finds every file it resolved. Single-writer by
-    * contract (like the reference's single Tank server); multi-writer needs
-    * a real table format.
+    * contract (like the reference's single Tank server), ENFORCED by the
+    * [[Lease]]: mutators hold the lease across probe→rewrite→commit, and the
+    * commit re-verifies it before the rename; true multi-writer concurrency
+    * still needs a real table format.
     */
   private[sources] object Manifests {
     val RetainManifests = 2
@@ -330,7 +442,11 @@ object FeatureStore {
       * first manifest from the physical listing (legacy stores).
       */
     def commit(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig,
-               update: Seq[String] => Seq[String]): Unit = {
+               update: Seq[String] => Seq[String],
+               lease: Option[Lease.Token] = None): Unit = {
+      // fencing: a writer whose lease was stolen (TTL outlived) must not
+      // commit — verify ownership as late as possible, just before the rename
+      lease.foreach(Lease.verify(fs, cfg, _))
       val cur = latest(fs, cfg)
       val base = cur.map(_._2).getOrElse(storeListing(fs, cfg))
       val next = update(base).distinct.sorted
@@ -349,9 +465,10 @@ object FeatureStore {
     /** Drop every manifest and start a fresh history at snapshot 1 (full
       * overwrite path — the store dir was just rewritten in place).
       */
-    def reset(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig): Unit = {
+    def reset(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig,
+              lease: Option[Lease.Token] = None): Unit = {
       fs.delete(dir(cfg), true)
-      commit(fs, cfg, identity)
+      commit(fs, cfg, identity, lease)
     }
 
     /** Delete data files referenced by NO retained manifest, then the
@@ -359,14 +476,24 @@ object FeatureStore {
       * snapshot dropped survive until `RetainManifests` newer snapshots
       * exist, so in-flight readers of recent snapshots never lose a file.
       */
+    /** Debris younger than this survives the sweep: belt-and-braces under
+      * the lease (a writer whose lease was stolen mid-write may still own a
+      * live spill dir; its commit will fail the fence, but its files should
+      * not vanish under it and turn the loud failure into a confusing
+      * FileNotFound).
+      */
+    val DebrisGraceMillis: Long = 15 * 60 * 1000L
+
     def vacuum(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig): Unit = {
       // crash debris: an interrupted append/rewrite leaves an orphaned tmp
       // spill dir (its surviving parquet was either moved in before the
-      // crash or never committed). The single-writer contract makes this
-      // sweep safe — no other writer can own a live tmp for this store.
+      // crash or never committed). Only dirs past the grace period go — a
+      // live writer's spill is never hours old.
+      val cutoff = System.currentTimeMillis - DebrisGraceMillis
       Seq("_ap_tmp_*", "_rw_tmp_*", "_tmp_*").foreach { pat =>
         Option(fs.globStatus(new org.apache.hadoop.fs.Path(cfg.path + pat)))
           .getOrElse(Array.empty)
+          .filter(_.getModificationTime < cutoff)
           .foreach(st => fs.delete(st.getPath, true))
       }
       val ms = listManifests(fs, cfg)
@@ -391,12 +518,15 @@ object FeatureStore {
     * are) and restarts the manifest history.
     */
   def write(df: DataFrame, cfg: StoreConfig, partitions: Int = 0): Unit = {
-    val n = if (partitions > 0) partitions
-      else math.max(1, (df.count() / cfg.targetFileRows).toInt)
-    df.repartitionByRange(n, col("hash"), col("uid"))
-      .sortWithinPartitions("hash")
-      .write.mode(SaveMode.Overwrite).parquet(cfg.path)
-    Manifests.reset(storeFs(df.sparkSession, cfg), cfg)
+    val fs = storeFs(df.sparkSession, cfg)
+    withLease(fs, cfg) { token =>
+      val n = if (partitions > 0) partitions
+        else math.max(1, (df.count() / cfg.targetFileRows).toInt)
+      df.repartitionByRange(n, col("hash"), col("uid"))
+        .sortWithinPartitions("hash")
+        .write.mode(SaveMode.Overwrite).parquet(cfg.path)
+      Manifests.reset(fs, cfg, Some(token))
+    }
   }
 
   /** The current committed snapshot. Resolves the manifest (falling back to
@@ -423,13 +553,15 @@ object FeatureStore {
   def append(df: DataFrame, cfg: StoreConfig): Unit = {
     val spark = df.sparkSession
     val fs = storeFs(spark, cfg)
-    val tmp = new org.apache.hadoop.fs.Path(
-      cfg.path + s"_ap_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val moved = moveDataFilesIn(fs, tmp, cfg)
-    Manifests.commit(fs, cfg, base => base ++ moved)
-    Manifests.vacuum(fs, cfg)
-    fs.delete(tmp, true)
+    withLease(fs, cfg) { token =>
+      val tmp = new org.apache.hadoop.fs.Path(
+        cfg.path + s"_ap_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val moved = moveDataFilesIn(fs, tmp, cfg)
+      Manifests.commit(fs, cfg, base => base ++ moved, Some(token))
+      Manifests.vacuum(fs, cfg)
+      fs.delete(tmp, true)
+    }
   }
 
   /** Move every data file of `tmp` into the store dir (part-file names are
@@ -579,26 +711,31 @@ object FeatureStore {
   private def rewriteTouched(spark: SparkSession, cfg: StoreConfig,
                              touches: Column,
                              f: DataFrame => DataFrame): Unit = {
-    val touched = read(spark, cfg)
-      .filter(touches)
-      .select(col("_metadata.file_path").as("_file"))
-      .distinct().collect().map(_.getString(0))
-    if (touched.isEmpty) return
-    val next = f(spark.read.parquet(touched.toIndexedSeq: _*)).cache()
-    val tmp = new org.apache.hadoop.fs.Path(
-      cfg.path + s"_rw_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-    next.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    next.unpersist()
     // resolve the filesystem FROM the store path — FileSystem.get(default)
     // throws "Wrong FS" whenever cfg.path lives on s3a://, hdfs://, …
     val fs = storeFs(spark, cfg)
-    val touchedNames = touched.map(fp =>
-      new org.apache.hadoop.fs.Path(new java.net.URI(fp)).getName).toSet
-    val moved = moveDataFilesIn(fs, tmp, cfg)
-    Manifests.commit(fs, cfg,
-      base => base.filterNot(touchedNames) ++ moved)
-    Manifests.vacuum(fs, cfg)
-    fs.delete(tmp, true)
+    withLease(fs, cfg) { token =>
+      // the probe runs INSIDE the lease: the touched-file set must be from
+      // the snapshot this writer will commit against
+      val touched = read(spark, cfg)
+        .filter(touches)
+        .select(col("_metadata.file_path").as("_file"))
+        .distinct().collect().map(_.getString(0))
+      if (touched.nonEmpty) {
+        val next = f(spark.read.parquet(touched.toIndexedSeq: _*)).cache()
+        val tmp = new org.apache.hadoop.fs.Path(
+          cfg.path + s"_rw_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+        next.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        next.unpersist()
+        val touchedNames = touched.map(fp =>
+          new org.apache.hadoop.fs.Path(new java.net.URI(fp)).getName).toSet
+        val moved = moveDataFilesIn(fs, tmp, cfg)
+        Manifests.commit(fs, cfg,
+          base => base.filterNot(touchedNames) ++ moved, Some(token))
+        Manifests.vacuum(fs, cfg)
+        fs.delete(tmp, true)
+      }
+    }
   }
 
   /** Full copy-on-write snapshot (compaction path): materialize the
@@ -606,15 +743,17 @@ object FeatureStore {
     */
   private def rewrite(spark: SparkSession, cfg: StoreConfig,
                       f: DataFrame => DataFrame): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(
-      cfg.path + s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-    val next = f(read(spark, cfg)).cache()
-    next.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    next.unpersist()
     val fs = storeFs(spark, cfg)
-    val moved = moveDataFilesIn(fs, tmp, cfg)
-    Manifests.commit(fs, cfg, _ => moved)
-    Manifests.vacuum(fs, cfg)
-    fs.delete(tmp, true)
+    withLease(fs, cfg) { token =>
+      val tmp = new org.apache.hadoop.fs.Path(
+        cfg.path + s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      val next = f(read(spark, cfg)).cache()
+      next.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      next.unpersist()
+      val moved = moveDataFilesIn(fs, tmp, cfg)
+      Manifests.commit(fs, cfg, _ => moved, Some(token))
+      Manifests.vacuum(fs, cfg)
+      fs.delete(tmp, true)
+    }
   }
 }

@@ -266,21 +266,82 @@ class FeatureStoreSpec extends SparkSpec {
     assert(FeatureStore.read(spark, cfg).count() == 29)
   }
 
-  test("vacuum sweeps orphaned tmp spill dirs from interrupted writes") {
+  test("vacuum sweeps aged orphan tmp dirs but spares fresh ones (grace period)") {
     import spark.implicits._
     val dir = tmpDir()
     val cfg = StoreConfig(path = s"$dir/store", attrs = Seq(AttrField("v", "int")))
     val ls = (0 until 8).map(i =>
       featureJson(s"u$i", -100.0 + i * 20.0, 10.0, s"""{"v":$i}"""))
     FeatureStore.write(FeatureStore.ingest(ls.toDF("raw"), cfg).good, cfg, partitions = 2)
-    // simulate a crashed append: an orphaned spill dir next to the store
-    val orphan = java.nio.file.Paths.get(s"$dir/store_ap_tmp_dead")
-    java.nio.file.Files.createDirectories(orphan)
-    java.nio.file.Files.writeString(orphan.resolve("part-junk.parquet"), "x")
+    // a crashed append from long ago: an aged orphan spill dir
+    val aged = java.nio.file.Paths.get(s"$dir/store_ap_tmp_dead")
+    java.nio.file.Files.createDirectories(aged)
+    java.nio.file.Files.writeString(aged.resolve("part-junk.parquet"), "x")
+    java.nio.file.Files.setLastModifiedTime(aged,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - FeatureStore.Manifests.DebrisGraceMillis - 60000))
+    // a spill dir written moments ago (possibly a live writer's): must survive
+    val fresh = java.nio.file.Paths.get(s"$dir/store_ap_tmp_live")
+    java.nio.file.Files.createDirectories(fresh)
+    java.nio.file.Files.writeString(fresh.resolve("part-inflight.parquet"), "x")
     // any committing write triggers the sweep
     FeatureStore.delete(spark, cfg, "u3")
-    assert(!java.nio.file.Files.exists(orphan), "orphan tmp dir not swept")
+    assert(!java.nio.file.Files.exists(aged), "aged orphan tmp dir not swept")
+    assert(java.nio.file.Files.exists(fresh),
+      "fresh (possibly in-flight) tmp dir swept inside the grace period")
     assert(FeatureStore.read(spark, cfg).count() == 7)
+  }
+
+  test("writer lease: a second writer fails loudly while the lease is held, store intact") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val cfg = StoreConfig(path = s"$dir/store", attrs = Seq(AttrField("v", "int")),
+      leaseWaitMillis = 300)
+    val ls = (0 until 8).map(i =>
+      featureJson(s"u$i", -100.0 + i * 20.0, 10.0, s"""{"v":$i}"""))
+    val good = FeatureStore.ingest(ls.toDF("raw"), cfg).good
+    FeatureStore.write(good, cfg, partitions = 2)
+    val fs = new org.apache.hadoop.fs.Path(cfg.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // writer A holds the lease (mid-operation)
+    val tokenA = FeatureStore.Lease.acquire(fs, cfg)
+    // writer B: every mutating path must fail loudly after the bounded wait
+    val e = intercept[IllegalStateException] {
+      FeatureStore.delete(spark, cfg, "u3")
+    }
+    assert(e.getMessage.contains("writer lease"), e.getMessage)
+    // the store is untouched by the failed writer
+    assert(FeatureStore.read(spark, cfg).count() == 8)
+    // A releases; the same mutation now succeeds
+    FeatureStore.Lease.release(fs, cfg, tokenA)
+    FeatureStore.delete(spark, cfg, "u3")
+    assert(FeatureStore.read(spark, cfg).count() == 7)
+  }
+
+  test("writer lease: a stale lease is stolen, and the stale holder's commit is fenced") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // TTL of 1 ms: any lease is immediately stale
+    val cfg = StoreConfig(path = s"$dir/store", attrs = Seq(AttrField("v", "int")),
+      leaseWaitMillis = 300, leaseTtlMillis = 1)
+    val ls = (0 until 8).map(i =>
+      featureJson(s"u$i", -100.0 + i * 20.0, 10.0, s"""{"v":$i}"""))
+    FeatureStore.write(FeatureStore.ingest(ls.toDF("raw"), cfg).good, cfg, partitions = 2)
+    val fs = new org.apache.hadoop.fs.Path(cfg.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val crashed = FeatureStore.Lease.acquire(fs, cfg)
+    Thread.sleep(5) // the crashed writer's lease expires
+    // a new writer steals the stale lease at the next epoch...
+    val thief = FeatureStore.Lease.acquire(fs, cfg)
+    assert(thief.epoch == crashed.epoch + 1)
+    // ...and the stale holder can no longer commit: the fence trips
+    val e = intercept[IllegalArgumentException] {
+      FeatureStore.Manifests.commit(fs, cfg, identity, Some(crashed))
+    }
+    assert(e.getMessage.contains("lease"), e.getMessage)
+    // the store still reads fine on the committed snapshot
+    assert(FeatureStore.read(spark, cfg).count() == 8)
+    FeatureStore.Lease.release(fs, cfg, thief)
   }
 
   test("a crash between file move-in and manifest commit leaves the old snapshot intact") {
