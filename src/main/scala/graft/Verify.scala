@@ -39,8 +39,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracles may reference THIS run's persisted results (e.g. x45 replays
+    // SimHash banding over the x44 fingerprints, which DuckDB cannot
+    // recompute) via the __VERIFY_OUT__ placeholder — resolve it to the
+    // actual out dir so the dumped SQL is runnable as-is
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__VERIFY_OUT__", outAbs))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

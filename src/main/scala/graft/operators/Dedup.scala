@@ -77,18 +77,23 @@ object Dedup {
     * twin [[graft.streaming.CurationStreams]]): a degenerate bucket
     * (boilerplate corpus: thousands of near-identical signatures) would
     * otherwise emit O(m²) candidate pairs from ONE bucket. Buckets are
-    * truncated to their `maxPerBucket` lowest doc_ids, so any one bucket
-    * contributes at most C(maxPerBucket, 2) pairs. Recall note: a pair
-    * dropped here is only LOST if it exceeds the cap in EVERY one of its
-    * colliding bands; near-identical docs collide in all `bands` buckets, so
-    * what the cap drops is exactly the redundant tail of a duplicate
-    * *clique* — its lowest-id members still pair up and witness the clique.
-    * Pass `maxPerBucket = 0` to disable (tests/diagnostics only: the
-    * uncapped path materializes each bucket's pair array in the
-    * aggregation, so a degenerate bucket costs O(m²) MEMORY there, not
-    * just O(m²) rows). [[lshBucketOverflow]] reports what was truncated
-    * (count it to log dropped rows — same observability as the streaming
-    * path's per-bucket cap).
+    * truncated to `maxPerBucket` members chosen by a doc-id-INDEPENDENT
+    * hash order (`xxhash64(doc_id)`), so any one bucket contributes at most
+    * C(maxPerBucket, 2) pairs and the drop is UNBIASED — no systematic loss
+    * of high doc_ids (late-ingested documents, in id-assigning pipelines).
+    * Recall notes: a pair dropped here is only LOST if it exceeds the cap
+    * in EVERY one of its colliding bands. Near-identical docs collide in
+    * all `bands` buckets and the hash order ranks a clique's members
+    * identically in each, so a duplicate clique's kept members still pair
+    * up and witness the clique. A BORDERLINE pair (Jaccard near the
+    * threshold) colliding in only a few bands can be lost when a hot bucket
+    * mixes several groups — which is why the batch entry points surface the
+    * truncation: [[minHashNearDupsFromShingleArrays]] logs a warning with
+    * the dropped-row count whenever the cap bit, and [[lshBucketOverflow]]
+    * gives the full per-bucket report. Pass `maxPerBucket = 0` to disable
+    * (exact recall; the uncapped path materializes each bucket's pair array
+    * in the aggregation, so a degenerate bucket costs O(m²) MEMORY there,
+    * not just O(m²) rows).
     */
   def lshCandidates(sigs: DataFrame, bands: Int = 32,
                     numHashes: Int = 128, maxPerBucket: Int = 64): DataFrame = {
@@ -98,7 +103,10 @@ object Dedup {
       else banded0
         .withColumn("_r", row_number().over(
           org.apache.spark.sql.expressions.Window
-            .partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))))
+            .partitionBy(col("band"), col("bucket"))
+            // doc-id-independent hash order: truncation drops an unbiased
+            // sample, not systematically the high (= recent) doc_ids
+            .orderBy(xxhash64(col("doc_id")), col("doc_id"))))
         .filter(col("_r") <= maxPerBucket)
         .drop("_r")
     // pairs are generated INSIDE the per-bucket aggregation, not by a
@@ -209,9 +217,12 @@ object Dedup {
     val arrs = arrs0.select(col("doc_id"), col("shs"))
       .filter(size(col("shs")) > 0)
       .cache()
+    // signatures cached too (~1 KB/doc, MEMORY_AND_DISK): the candidate plan
+    // and the truncation report below both read them, and the 128-hash
+    // kernel is the expensive part worth computing once
+    val sigs = minHashSignaturesFromArrays(arrs, numHashes).cache()
     val cands = bucketFilter(
-      lshCandidates(minHashSignaturesFromArrays(arrs, numHashes), bands,
-        numHashes, maxPerBucket))
+      lshCandidates(sigs, bands, numHashes, maxPerBucket))
     val interU = udf((a: Array[String], b: Array[String]) => Kernels.intersectCount(a, b))
     val out = cands
       .join(arrs.select(col("doc_id").as("doc_a"), col("shs").as("_sha")), "doc_a")
@@ -225,8 +236,25 @@ object Dedup {
     // lineage, so the big cached shingle relation can be released right here
     // instead of leaking executor storage for the session lifetime (repeated
     // REST/streaming invocations would otherwise accumulate one pinned
-    // relation per call)
-    val materialized = out.localCheckpoint(true)
+    // relation per call). Materialize.eager uses a RELIABLE checkpoint when
+    // the session has a checkpoint dir (executor-loss-safe on clusters);
+    // localCheckpoint otherwise.
+    val materialized = graft.util.Materialize.eager(out)
+    // surface the hot-bucket truncation in the main path: a capped run that
+    // actually dropped rows is a recall hazard the caller should SEE, not
+    // discover via the opt-in lshBucketOverflow query. One cheap
+    // map-side-combined aggregation over the cached signatures.
+    if (maxPerBucket > 0) {
+      val dropped = lshBucketOverflow(sigs, bands, numHashes, maxPerBucket)
+        .agg(sum(col("dropped"))).collect().head
+      if (!dropped.isNullAt(0) && dropped.getLong(0) > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"minHashNearDups: hot-bucket cap ($maxPerBucket) truncated " +
+            s"${dropped.getLong(0)} bucket rows; borderline pairs may be " +
+            "lost — see Dedup.lshBucketOverflow for the per-bucket report " +
+            "or rerun with maxPerBucket=0 for exact recall")
+    }
+    sigs.unpersist(false)
     arrs.unpersist(false)
     materialized
   }
@@ -250,9 +278,12 @@ object Dedup {
     * pairs + Hamming distances are generated INSIDE the per-bucket
     * aggregation (a self-join would recompute the fingerprint pipeline on
     * both inputs and shuffle the chunked relation twice), hot buckets are
-    * truncated map-side to their `maxPerBucket` lowest doc_ids
-    * (boilerplate corpora put thousands of identical fingerprints in one
-    * bucket; the kept clique members still witness every duplicate group).
+    * truncated map-side to `maxPerBucket` members in doc-id-independent
+    * hash order (boilerplate corpora put thousands of identical
+    * fingerprints in one bucket; identical fingerprints rank identically
+    * in every chunk, so the kept clique members still witness every
+    * duplicate group, and the drop is unbiased). [[simHashBucketOverflow]]
+    * reports what a given corpus would truncate.
     */
   def simHashNearDups(docs: DataFrame, maxDist: Int = 3,
                       maxPerBucket: Int = 64): DataFrame = {
@@ -267,7 +298,9 @@ object Dedup {
       else chunked
         .withColumn("_r", row_number().over(
           org.apache.spark.sql.expressions.Window
-            .partitionBy(col("chunk"), col("ck")).orderBy(col("doc_id"))))
+            .partitionBy(col("chunk"), col("ck"))
+            // unbiased truncation, same rationale as [[lshCandidates]]
+            .orderBy(xxhash64(col("doc_id")), col("doc_id"))))
         .filter(col("_r") <= maxPerBucket)
         .drop("_r")
     val pairsU = udf((ids: Seq[Long], hs: Seq[Long]) => {
@@ -292,4 +325,21 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Per-bucket truncation report for [[simHashNearDups]]'s hot-bucket
+    * bound: (chunk, ck, bucket_size, dropped) for every 16-bit-chunk bucket
+    * whose membership exceeds `maxPerBucket` (parity with
+    * [[lshBucketOverflow]]).
+    */
+  def simHashBucketOverflow(docs: DataFrame,
+                            maxPerBucket: Int = 64): DataFrame =
+    simHashFingerprints(docs)
+      .select(col("doc_id"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("chunk", "ck")))
+      .groupBy(col("chunk"), col("ck"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxPerBucket)
+      .withColumn("dropped", col("bucket_size") - maxPerBucket)
 }

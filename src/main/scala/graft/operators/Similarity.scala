@@ -128,7 +128,8 @@ object Similarity {
     * O(rows): the shape that holds at 100 TB.
     */
   def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int = 2,
-                      sampleSize: Int = 256): Array[Array[Double]] = {
+                      sampleSize: Int = 256,
+                      hashOrderedSample: Boolean = true): Array[Array[Double]] = {
     def unit(v: Array[Double]): Array[Double] = {
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i) * v(i); i += 1 }
@@ -138,9 +139,14 @@ object Similarity {
     // deterministic hash-ordered sample: unbiased even when low vec_ids
     // correlate with ingest order/content (a lowest-id sample would then
     // seed all centroids in one corner of the space); same cost, same
-    // reproducibility (xxhash64 is stable across runs/cluster sizes)
+    // reproducibility (xxhash64 is stable across runs/cluster sizes).
+    // hashOrderedSample=false restores the lowest-id sample — kept for
+    // A/B recall measurement in graft.tools.IvfTune, not for production.
+    val order =
+      if (hashOrderedSample) Seq(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      else Seq(col("vec_id").asc)
     val sample: Array[Array[Double]] = corpus
-      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .orderBy(order: _*)
       .limit(sampleSize).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     if (sample.isEmpty) return Array.empty // empty corpus -> no cells, empty result downstream
@@ -219,10 +225,18 @@ object Similarity {
     * come from [[kmeansCentroids]] (deterministic spherical k-means).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 2): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 2): DataFrame =
+    ivfTopKWithCentroids(corpus, queries, k,
+      kmeansCentroids(corpus, nlist, kmeansIters), nprobe)
+
+  /** [[ivfTopK]] with a precomputed/offline-fit centroid set (also the
+    * A/B-measurement entry for [[graft.tools.IvfTune]]).
+    */
+  def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame, k: Int,
+                           cents: Array[Array[Double]],
+                           nprobe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = kmeansCentroids(corpus, nlist, kmeansIters)
     if (cents.isEmpty) return bruteForceTopK(corpus, queries, k) // empty corpus
     // corpus assignment is MAP-ONLY: the k×d centroids ride to executors in
     // a broadcast and a kernel argmaxes the dot per row — no corpus×nlist

@@ -131,8 +131,9 @@ object TextOps {
       .select("doc_a", "doc_b", "jaccard")
     // materialize the (small) pair result eagerly so the cached shingle
     // relation is released here, not leaked for the session lifetime
-    // (order-preserving: localCheckpoint stores partitions as-is)
-    val out = Canon(j).localCheckpoint(true)
+    // (order-preserving; reliable checkpoint when a checkpoint dir is set —
+    // see graft.util.Materialize)
+    val out = graft.util.Materialize.eager(Canon(j))
     sh.unpersist(false)
     out
   }
@@ -204,11 +205,44 @@ object TextOps {
     Canon(Dedup.simHashFingerprints(Tables.documents(s, d)))
   }
 
-  /** SimHash near-dup pairs at Hamming distance <= 3 (rows-only; recall vs
-    * the exact answer is property-tested in DedupSpec).
+  /** SimHash near-dup pairs at Hamming distance <= 3.
+    *
+    * Oracle: `xxhash64` has no DuckDB twin, so the fingerprint VALUES stay
+    * covered by x44's rows gate + DedupSpec properties — but the
+    * banding/pair/Hamming step (the part with real plan risk: the 16-bit
+    * chunk pigeonhole, the per-bucket pair generation, the distance cut) IS
+    * plain SQL given fingerprints. The oracle therefore reads the
+    * fingerprints the SAME Verify run persisted as x44's parquet output
+    * (`__VERIFY_OUT__` is substituted with the actual out dir by
+    * [[graft.Verify]] when it dumps oracle_sql.json) and replays the
+    * banding exactly: any divergence in the candidate/pair plan shows up as
+    * a hash mismatch even though the hash function itself is not
+    * replicated. `(x >> k) & 65535` is shift-direction-safe cross-engine:
+    * the mask keeps only the low 16 bits, identical under arithmetic or
+    * logical shift semantics.
+    *
+    * The registry entry runs UNCAPPED (`maxPerBucket = 0`, exact recall —
+    * the oracle knows nothing of the hot-bucket cap, and at sf0.1 the cap
+    * genuinely binds: 488 vs 525 pairs). The capped production default is
+    * covered where it belongs: DedupSpec's hot-bucket tests pin the
+    * truncation semantics and PlanSpec gates the map-side plan shape.
     */
-  val x45_simhash_neardup: QueryDef = QueryDef.rowsOnly("x45_simhash_neardup") { (s, d) =>
-    Canon(Dedup.simHashNearDups(Tables.documents(s, d)))
+  val x45_simhash_neardup: QueryDef = QueryDef(
+    "x45_simhash_neardup",
+    Sql.canon(
+      """WITH fp AS (SELECT doc_id, simhash
+        |            FROM read_parquet('__VERIFY_OUT__/x44_simhash/*.parquet')),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    bit_count(xor(a.simhash, b.simhash)) AS h
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |  WHERE ((a.simhash >> 0) & 65535) = ((b.simhash >> 0) & 65535)
+        |     OR ((a.simhash >> 16) & 65535) = ((b.simhash >> 16) & 65535)
+        |     OR ((a.simhash >> 32) & 65535) = ((b.simhash >> 32) & 65535)
+        |     OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535))
+        |SELECT doc_a, doc_b, CAST(h AS INT) AS hamming FROM p WHERE h <= 3""".stripMargin,
+      Seq("doc_a", "doc_b", "hamming"))) { (s, d) =>
+    Canon(Dedup.simHashNearDups(Tables.documents(s, d), maxPerBucket = 0))
   }
 
   // ---------------------------------------------------------------- x48

@@ -78,12 +78,24 @@ object VectorOps {
     Canon(graft.operators.Similarity.annTopK(emb, q, k = 10))
   }
 
-  /** ANN top-10 via IVF coarse quantization (rows-only, same spec gate). */
+  /** ANN top-10 via IVF coarse quantization (rows-only, same spec gate).
+    *
+    * Config is the IvfTune-measured sweet spot on the near-isotropic
+    * synthetic embeddings (mean recall@10 0.80 over the 8 tune queries,
+    * vs 0.46 at the raw defaults): 3 Lloyd passes over a 512-vector
+    * hash-ordered sample, 8 of 16 cells probed. Synthetic isotropy is the
+    * worst case for coarse quantization — real embedding corpora cluster,
+    * and nprobe/nlist scale with corpus size; the registry entry records
+    * the tuned demo config, not universal defaults.
+    */
   val x43b_ann_ivf: QueryDef = QueryDef.rowsOnly("x43b_ann_ivf") { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") === 1)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    Canon(graft.operators.Similarity.ivfTopK(emb, q, k = 10))
+    val cents = graft.operators.Similarity.kmeansCentroids(
+      emb, nlist = 16, iters = 3, sampleSize = 512)
+    Canon(graft.operators.Similarity.ivfTopKWithCentroids(
+      emb, q, k = 10, cents, nprobe = 8))
   }
 
   /** Sum of elementwise products, left-to-right over doubles — implemented

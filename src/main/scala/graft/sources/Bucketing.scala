@@ -14,11 +14,26 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketing {
 
   /** Write a DataFrame as a bucketed+sorted managed table (idempotent:
-    * drops any previous table AND its leftover location first).
+    * drops any previous MANAGED table AND its leftover location first).
+    *
+    * An existing EXTERNAL table is REFUSED by default: its location is
+    * caller-owned — often the shared source-data directory the table was
+    * registered over — and deleting it would destroy data the catalog never
+    * managed (`DROP TABLE` alone preserves an external table's files).
+    * Pass `replaceExternal = true` only when the external location really
+    * is disposable; the table is then dropped, its location deleted, and
+    * the bucketed table written to the catalog's default managed path.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int = 8): Unit = {
+                    buckets: Int = 8, replaceExternal: Boolean = false): Unit = {
     val spark = df.sparkSession
+    if (org.apache.spark.sql.GraftBridge.isExternalTable(spark, table) &&
+        !replaceExternal)
+      throw new IllegalArgumentException(
+        s"writeBucketed: '$table' is an EXTERNAL table — refusing to delete " +
+          "its caller-owned location (likely shared source data). Either " +
+          "DROP TABLE it yourself (preserves the files) and re-call, or pass " +
+          "replaceExternal=true to destroy the location too.")
     // resolve the REAL location from the catalog (before the drop, so an
     // existing table's custom location is honored) — a reconstructed
     // <warehouse>/<db>.db/<table> guess misses databases created with a

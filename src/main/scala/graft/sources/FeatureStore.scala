@@ -168,10 +168,12 @@ object FeatureStore {
         throw new IllegalArgumentException("not a FeatureCollection")
       w.close()
       // the temp file backs LAZY DataFrames; materialize both outputs so the
-      // temp can be deleted before returning (results live in executor
-      // storage, bounded by the ingested rows, not by the source document)
+      // temp can be deleted before returning (results bounded by the
+      // ingested rows, not the source document; executor-loss-safe when a
+      // checkpoint dir is configured — see graft.util.Materialize)
       val ing = readNdjson(spark, new org.apache.hadoop.fs.Path(tmpDir, "features.ndjson").toString, cfg)
-      val res = Ingested(ing.good.localCheckpoint(true), ing.rejected.localCheckpoint(true))
+      val res = Ingested(graft.util.Materialize.eager(ing.good),
+        graft.util.Materialize.eager(ing.rejected))
       fs.delete(tmpDir, true)
       res
     } catch {

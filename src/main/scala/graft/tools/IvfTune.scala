@@ -27,10 +27,21 @@ object IvfTune {
         got.getOrElse(k, Set.empty[Long]).intersect(ex).size.toDouble / ex.size }
       rs.sum / rs.size
     }
-    for (iters <- Seq(2, 3, 4); np <- Seq(4, 8)) {
-      val r = recall(graft.operators.Similarity.ivfTopK(emb, q, 10,
-        nlist = 16, nprobe = np, kmeansIters = iters))
-      println(f"[ivftune] iters=$iters nprobe=$np recall=$r%.4f")
+    // seeding A/B at the defaults: hash-ordered vs lowest-id kmeans sample
+    for (hash <- Seq(true, false)) {
+      val cents = graft.operators.Similarity.kmeansCentroids(emb, 16,
+        iters = 2, hashOrderedSample = hash)
+      val r = recall(graft.operators.Similarity.ivfTopKWithCentroids(
+        emb, q, 10, cents, nprobe = 4))
+      println(f"[ivftune] seeding=${if (hash) "hash" else "lowest-id"} " +
+        f"iters=2 nprobe=4 recall=$r%.4f")
+    }
+    for (iters <- Seq(2, 3, 4); np <- Seq(4, 6, 8); ss <- Seq(256, 500)) {
+      val cents = graft.operators.Similarity.kmeansCentroids(emb, 16,
+        iters = iters, sampleSize = ss)
+      val r = recall(graft.operators.Similarity.ivfTopKWithCentroids(
+        emb, q, 10, cents, nprobe = np))
+      println(f"[ivftune] iters=$iters nprobe=$np sample=$ss recall=$r%.4f")
     }
     spark.stop()
   }

@@ -1,0 +1,119 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-scale perf probe: benchmark the heaviest curation/dedup/ANN
+  * registry queries at sf0.1 AND on a synthetically scaled ~Nx corpus, and
+  * report the per-query growth ratio. Sub-2s numbers at one SF cannot
+  * falsify a scaling claim; one measured 10x point can — a "linear" plan
+  * whose ratio lands far above the data growth has a hidden superlinear
+  * stage (the results are recorded in BASELINE.md).
+  *
+  * The scaled corpus multiplies documents/embeddings by `factor` with
+  * DETERMINISTIC per-replica perturbation chosen so the problem SHAPE is
+  * preserved rather than degenerated:
+  *  - documents: every token of replica r>0 is prefixed `r<r>_`, so a
+  *    replica is NOT a near-dup of its source (shingles disjoint) while the
+  *    within-replica near-dup structure replicates exactly — near-dup pairs
+  *    grow linearly, like a real 10x corpus, instead of quadratically like
+  *    naive duplication (which would turn the corpus into one giant clique
+  *    and measure the wrong regime). n_chars is recomputed from the new
+  *    text; doc_ids are offset by r*10^9.
+  *  - embeddings: replica r rotates the vector left by r positions —
+  *    norm-preserving, direction-changing, so ANN/pair geometry stays
+  *    isotropic and no artificial duplicate pairs appear; labels keep their
+  *    distribution (per-label group sizes grow by the factor, exercising
+  *    the chunked pair kernels' auto-sizing).
+  *
+  * Expected ratios at factor F: linear single-scan ops ~F; x40/x45
+  * (bucketed LSH) ~F with constant-bounded buckets; x42's exact per-label
+  * pair search is O(n^2) BY DESIGN within labels, so its compute ratio is
+  * ~F^2 (wall-clock less where parallelism absorbs it) — reported, not
+  * hidden. Usage: runMain graft.tools.ScaleProbe [baseSf] [scaledDir] [factor]
+  */
+object ScaleProbe {
+
+  val ProbeQueries: Seq[String] = Seq(
+    "q31_dedup_exact", "x40_minhash_lsh", "x45_simhash_neardup",
+    "x48_langid", "x49_fingerprint", "x66_quantize", "x69_pack",
+    "x70_decontaminate", "x71_tfidf",
+    "q33_knn", "x43b_ann_ivf", "x42_embed_neardup")
+
+  def generate(spark: SparkSession, baseSf: String, outDir: String,
+               factor: Int): Unit = {
+    val reps = spark.range(factor.toLong).select(col("id").as("rep"))
+    val docs = spark.read.parquet(s"$baseSf/documents.parquet")
+    docs.crossJoin(reps)
+      .select(
+        (col("doc_id") + col("rep") * lit(1000000000L)).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "),
+              t => concat(lit("r"), col("rep"), lit("_"), t)), " "))
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val emb = spark.read.parquet(s"$baseSf/embeddings.parquet")
+    emb.crossJoin(reps)
+      .select(
+        (col("vec_id") + col("rep") * lit(1000000000L)).as("vec_id"),
+        when(col("rep") === 0, col("embedding"))
+          .otherwise(concat(
+            slice(col("embedding"), col("rep").cast("int") + lit(1),
+              size(col("embedding")) - col("rep").cast("int")),
+            slice(col("embedding"), lit(1), col("rep").cast("int"))))
+          .as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  private def bench(spark: SparkSession, dir: String, runs: Int): Map[String, Double] =
+    ProbeQueries.map { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }.sorted
+      name -> times(runs / 2)
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val baseSf = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale10"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val marker = new java.io.File(s"$outDir/embeddings.parquet/_SUCCESS")
+    if (!marker.exists()) {
+      println(s"[scaleprobe] generating ${factor}x corpus at $outDir")
+      generate(spark, baseSf, outDir, factor)
+    }
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$baseSf/documents.parquet").count() // warm datasource
+    println(s"[scaleprobe] benching base $baseSf (median of 3)")
+    val base = bench(spark, baseSf, runs = 3)
+    println(s"[scaleprobe] benching scaled $outDir (median of 3)")
+    val scaled = bench(spark, outDir, runs = 3)
+    ProbeQueries.foreach { q =>
+      val r = scaled(q) / base(q)
+      println(f"[scaleprobe] $q%-22s base=${base(q)}%7.2fs scaled=${scaled(q)}%8.2fs ratio=$r%6.2f")
+    }
+    val json = ProbeQueries.map(q =>
+      s"""\"$q\":{\"base\":${base(q)},\"scaled\":${scaled(q)},\"ratio\":${scaled(q) / base(q)}}""")
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scaleprobe","factor":$factor,"queries":$json}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,31 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+/** Eager materialization with an explicit fault-tolerance contract.
+  *
+  * Several builder APIs materialize a SMALL result eagerly so a large cached
+  * upstream relation (shingle arrays, a spilled temp file) can be released
+  * immediately instead of pinning executor storage for the session lifetime.
+  * Doing that with `localCheckpoint` alone stores the result in
+  * executor-LOCAL blocks: on a cluster losing an executor afterwards
+  * (dynamic allocation, spot nodes — part of the 100 TB design target) the
+  * DataFrame becomes permanently unrecoverable, because the lineage was
+  * truncated too.
+  *
+  * [[eager]] therefore prefers a RELIABLE checkpoint whenever the session
+  * has a checkpoint directory configured
+  * (`spark.sparkContext.setCheckpointDir(...)` — on a cluster, point it at
+  * the durable FS): the result is written there and survives any executor
+  * loss. Without a configured directory it falls back to `localCheckpoint`,
+  * which is exactly right for local[] runs and tests. Both forms store
+  * partitions as-is (order-preserving) and both are EAGER — calling this
+  * triggers a job, which is the documented cost of the builder APIs that
+  * use it.
+  */
+object Materialize {
+  def eager(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+}

@@ -17,6 +17,24 @@ object GraftBridge {
     * names.
     */
   def tableLocation(spark: SparkSession, table: String): java.net.URI = {
+    val (cat, ident) = resolve(spark, table)
+    if (cat.tableExists(ident)) cat.getTableMetadata(ident).location
+    else cat.defaultTablePath(ident)
+  }
+
+  /** True iff `table` exists and is an EXTERNAL table — i.e. its location
+    * is caller-owned data the catalog does NOT manage (dropping the table
+    * keeps the files; deleting the location destroys shared source data).
+    */
+  def isExternalTable(spark: SparkSession, table: String): Boolean = {
+    val (cat, ident) = resolve(spark, table)
+    cat.tableExists(ident) && cat.getTableMetadata(ident).tableType ==
+      org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL
+  }
+
+  private def resolve(spark: SparkSession, table: String)
+      : (org.apache.spark.sql.catalyst.catalog.SessionCatalog,
+         org.apache.spark.sql.catalyst.TableIdentifier) = {
     val ss = spark.asInstanceOf[classic.SparkSession]
     val parts0 = ss.sessionState.sqlParser.parseMultipartIdentifier(table)
     val parts =
@@ -29,9 +47,7 @@ object GraftBridge {
       case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
       case Seq(db, t) => org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
     }
-    val cat = ss.sessionState.catalog
-    if (cat.tableExists(ident)) cat.getTableMetadata(ident).location
-    else cat.defaultTablePath(ident)
+    (ss.sessionState.catalog, ident)
   }
 
   /** Register a native-expression function on a live session (the

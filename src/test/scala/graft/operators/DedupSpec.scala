@@ -75,10 +75,20 @@ class DedupSpec extends SparkSpec {
     val n = cands.count()
     assert(n == cap.toLong * (cap - 1) / 2,
       s"expected C($cap,2)=${cap * (cap - 1) / 2} candidate pairs, got $n")
-    // kept members are the lowest doc_ids, so the clique is still witnessed
+    // kept members: exactly `cap` docs, chosen by the doc-id-independent
+    // hash order — the SAME set in every band (ordering depends only on
+    // doc_id), so the clique is still witnessed, and the selection is
+    // UNBIASED: it must not be simply the lowest (or highest) id prefix
     val ids = cands.select("doc_a").union(cands.select("doc_b")).distinct()
       .collect().map(_.getLong(0)).toSet
-    assert(ids == (1L to cap.toLong).toSet)
+    assert(ids.size == cap)
+    assert(ids != (1L to cap.toLong).toSet && ids != (937L to 1000L).toSet,
+      "truncation should sample by hash, not by id order")
+    // deterministic: a second run keeps the identical member set
+    val cands2 = Dedup.lshCandidates(sigs, maxPerBucket = cap)
+    val ids2 = cands2.select("doc_a").union(cands2.select("doc_b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids2 == ids)
     // the truncation is observable: every band reports its overflow
     val over = Dedup.lshBucketOverflow(sigs, maxPerBucket = cap).collect()
     assert(over.length == 32, s"expected 32 overflowing buckets, got ${over.length}")
@@ -99,7 +109,13 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() == cap.toLong * (cap - 1) / 2)
     val ids = pairs.select("doc_a").union(pairs.select("doc_b")).distinct()
       .collect().map(_.getLong(0)).toSet
-    assert(ids == (1L to cap.toLong).toSet, "kept members must be the lowest doc_ids")
+    assert(ids.size == cap, "exactly cap members must be kept")
+    assert(ids != (1L to cap.toLong).toSet,
+      "truncation should sample by hash, not by id order")
+    // the truncation is observable: all 4 chunk buckets report overflow
+    val over = Dedup.simHashBucketOverflow(boiler, maxPerBucket = cap).collect()
+    assert(over.length == 4, s"expected 4 overflowing buckets, got ${over.length}")
+    assert(over.forall(_.getAs[Long]("dropped") == 500L - cap))
   }
 
   test("minHashNearDups with maxPerBucket=0 keeps the uncapped behavior") {

@@ -121,4 +121,26 @@ class BucketingSpec extends SparkSpec {
       assert(spark.table("customloc.region_b").count() == 5)
     } finally spark.sql("DROP DATABASE IF EXISTS customloc CASCADE")
   }
+
+  test("writeBucketed refuses to destroy an EXTERNAL table's location by default") {
+    // register an external table OVER a shared source-data directory — the
+    // exact setup where deleting the resolved location would destroy data
+    // the catalog never managed
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-extsrc").toString
+    Tables.region(spark, Sf).write.mode("overwrite").parquet(srcDir)
+    spark.sql(s"CREATE TABLE region_ext USING parquet LOCATION '$srcDir'")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Bucketing.writeBucketed(Tables.region(spark, Sf), "region_ext", "r_regionkey", buckets = 2)
+      }
+      assert(e.getMessage.contains("EXTERNAL"), e.getMessage)
+      // the source data is intact and the table still reads
+      assert(spark.read.parquet(srcDir).count() == 5)
+      assert(spark.table("region_ext").count() == 5)
+      // the explicit escape hatch still works (location then disposable)
+      Bucketing.writeBucketed(Tables.region(spark, Sf), "region_ext",
+        "r_regionkey", buckets = 2, replaceExternal = true)
+      assert(spark.table("region_ext").count() == 5)
+    } finally spark.sql("DROP TABLE IF EXISTS region_ext")
+  }
 }
