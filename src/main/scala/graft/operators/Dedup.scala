@@ -96,29 +96,25 @@ object Dedup {
     * not just O(m²) rows).
     */
   def lshCandidates(sigs: DataFrame, bands: Int = 32,
-                    numHashes: Int = 128, maxPerBucket: Int = 64): DataFrame = {
-    val banded0 = bandedBuckets(sigs, bands, numHashes)
-    val banded =
-      if (maxPerBucket <= 0) banded0
-      else banded0
-        .withColumn("_r", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("band"), col("bucket"))
-            // doc-id-independent hash order: truncation drops an unbiased
-            // sample, not systematically the high (= recent) doc_ids
-            .orderBy(xxhash64(col("doc_id")), col("doc_id"))))
-        .filter(col("_r") <= maxPerBucket)
-        .drop("_r")
+                    numHashes: Int = 128, maxPerBucket: Int = 64,
+                    droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val banded = bandedBuckets(sigs, bands, numHashes)
     // pairs are generated INSIDE the per-bucket aggregation, not by a
     // self-join: a join would recompute the whole signature pipeline on
     // both sides (Spark does not share subplans across join inputs) and
-    // shuffle the banded relation twice. Here the window's (band, bucket)
-    // exchange is the ONLY wide op over the corpus — the capped rank even
-    // truncates map-side (WindowGroupLimit), so at most `maxPerBucket`
-    // rows per bucket per input partition ever cross the wire — and the
-    // groupBy reuses that partitioning with no further exchange. Post-cap
-    // bucket arrays are <= maxPerBucket elements, so the pair kernel is
-    // bounded. doc_id is BIGINT (the engine-wide id type).
+    // shuffle the banded relation twice. The (band, bucket) aggregation
+    // exchange is the ONLY wide op over the corpus. The hot-bucket cap is
+    // the [[graft.functions.CappedMembersAgg]] aggregate: its PARTIAL
+    // buffers never exceed `maxPerBucket` entries, so at most that many
+    // rows per bucket per input partition cross the wire (the old
+    // rank-window's WindowGroupLimit property, without the window's
+    // partition sort), total membership is counted in the same pass
+    // (`droppedAcc` receives the truncated-row count — no second scan for
+    // observability), and the kept set — the cap smallest by
+    // (xxhash64(doc_id), doc_id) — is bit-identical to the former
+    // ORDER BY hash ROW_NUMBER()<=cap form. Post-cap bucket arrays are
+    // <= maxPerBucket elements, so the pair kernel is bounded. doc_id is
+    // BIGINT (the engine-wide id type).
     val pairsU = udf((ids: Seq[Long]) => {
       val n = ids.length
       val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](n * math.max(n - 1, 0) / 2)
@@ -130,8 +126,17 @@ object Dedup {
       }
       out
     })
-    banded.groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col("doc_id").cast(LongType))).as("_ids"))
+    val members =
+      if (maxPerBucket <= 0)
+        banded.groupBy(col("band"), col("bucket"))
+          .agg(sort_array(collect_list(col("doc_id").cast(LongType))).as("_ids"))
+      else
+        banded.groupBy(col("band"), col("bucket"))
+          .agg(graft.functions.CappedMembersAgg.cappedMembers(
+            xxhash64(col("doc_id")), col("doc_id").cast(LongType), lit(0L),
+            maxPerBucket, droppedAcc).as("_m"))
+          .select(col("band"), col("bucket"), col("_m.ids").as("_ids"))
+    members
       .select(explode(pairsU(col("_ids"))).as("_p"))
       .select(col("_p._1").as("doc_a"), col("_p._2").as("doc_b"))
       .distinct()
@@ -217,13 +222,13 @@ object Dedup {
     val arrs = arrs0.select(col("doc_id"), col("shs"))
       .filter(size(col("shs")) > 0)
       .cache()
-    // signatures cached too (~1 KB/doc, MEMORY_AND_DISK): the candidate plan
-    // and the truncation report below both read them, and the 128-hash
-    // kernel is the expensive part worth computing once — measured at
-    // sf0.1, recomputing it for the report costs ~2x what the cache does
-    val sigs = minHashSignaturesFromArrays(arrs, numHashes).cache()
+    // the capped-bucket aggregate counts truncation IN the candidate pass —
+    // observability costs no signature cache and no second corpus scan
+    val droppedAcc = arrs.sparkSession.sparkContext
+      .longAccumulator("lshBucketOverflowDropped")
     val cands = bucketFilter(
-      lshCandidates(sigs, bands, numHashes, maxPerBucket))
+      lshCandidates(minHashSignaturesFromArrays(arrs, numHashes), bands,
+        numHashes, maxPerBucket, Some(droppedAcc)))
     val interU = udf((a: Array[String], b: Array[String]) => Kernels.intersectCount(a, b))
     val out = cands
       .join(arrs.select(col("doc_id").as("doc_a"), col("shs").as("_sha")), "doc_a")
@@ -243,19 +248,16 @@ object Dedup {
     val materialized = graft.util.Materialize.eager(out)
     // surface the hot-bucket truncation in the main path: a capped run that
     // actually dropped rows is a recall hazard the caller should SEE, not
-    // discover via the opt-in lshBucketOverflow query. One cheap
-    // map-side-combined aggregation over the cached signatures.
-    if (maxPerBucket > 0) {
-      val dropped = lshBucketOverflow(sigs, bands, numHashes, maxPerBucket)
-        .agg(sum(col("dropped"))).collect().head
-      if (!dropped.isNullAt(0) && dropped.getLong(0) > 0)
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"minHashNearDups: hot-bucket cap ($maxPerBucket) truncated " +
-            s"${dropped.getLong(0)} bucket rows; borderline pairs may be " +
-            "lost — see Dedup.lshBucketOverflow for the per-bucket report " +
-            "or rerun with maxPerBucket=0 for exact recall")
-    }
-    sigs.unpersist(false)
+    // discover via the opt-in lshBucketOverflow query. The count rode the
+    // candidate pass in an accumulator (approximate only under task
+    // retries/speculation — it feeds this WARN; lshBucketOverflow is the
+    // exact per-bucket report).
+    if (maxPerBucket > 0 && droppedAcc.value > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"minHashNearDups: hot-bucket cap ($maxPerBucket) truncated " +
+          s"~${droppedAcc.value} bucket rows; borderline pairs may be " +
+          "lost — see Dedup.lshBucketOverflow for the per-bucket report " +
+          "or rerun with maxPerBucket=0 for exact recall")
     arrs.unpersist(false)
     materialized
   }
@@ -287,23 +289,14 @@ object Dedup {
     * reports what a given corpus would truncate.
     */
   def simHashNearDups(docs: DataFrame, maxDist: Int = 3,
-                      maxPerBucket: Int = 64): DataFrame = {
+                      maxPerBucket: Int = 64,
+                      droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     require(maxDist <= 3, "4-chunk banding is only complete for maxDist <= 3")
     val fp = simHashFingerprints(docs)
     val chunked = fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("chunk", "ck")))
-    val capped =
-      if (maxPerBucket <= 0) chunked
-      else chunked
-        .withColumn("_r", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("chunk"), col("ck"))
-            // unbiased truncation, same rationale as [[lshCandidates]]
-            .orderBy(xxhash64(col("doc_id")), col("doc_id"))))
-        .filter(col("_r") <= maxPerBucket)
-        .drop("_r")
     val pairsU = udf((ids: Seq[Long], hs: Seq[Long]) => {
       val n = ids.length
       val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Int)](n * math.max(n - 1, 0) / 2)
@@ -318,9 +311,24 @@ object Dedup {
       }
       out
     })
-    capped.groupBy(col("chunk"), col("ck"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("_m"))
-      .select(explode(pairsU(col("_m.doc_id"), col("_m.simhash"))).as("_p"))
+    // same single-pass capped-bucket aggregate as [[lshCandidates]]: bounded
+    // partial buffers, unbiased hash-ordered truncation, overflow counted
+    // in-pass; the fingerprint rides as the member payload
+    val members =
+      if (maxPerBucket <= 0)
+        chunked.groupBy(col("chunk"), col("ck"))
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("_m"))
+          .select(col("chunk"), col("ck"),
+            col("_m.doc_id").as("_ids"), col("_m.simhash").as("_hs"))
+      else
+        chunked.groupBy(col("chunk"), col("ck"))
+          .agg(graft.functions.CappedMembersAgg.cappedMembers(
+            xxhash64(col("doc_id")), col("doc_id"), col("simhash"),
+            maxPerBucket, droppedAcc).as("_m"))
+          .select(col("chunk"), col("ck"),
+            col("_m.ids").as("_ids"), col("_m.ps").as("_hs"))
+    members
+      .select(explode(pairsU(col("_ids"), col("_hs"))).as("_p"))
       .select(col("_p._1").as("doc_a"), col("_p._2").as("doc_b"),
         col("_p._3").as("hamming"))
       .distinct()

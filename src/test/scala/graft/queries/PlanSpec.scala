@@ -102,11 +102,14 @@ class PlanSpec extends SparkSpec {
 
   test("x40 candidate generation: one corpus shuffle, no join, map-side bucket cap") {
     // gate the INNER pipeline (x40's returned frame is checkpoint-backed):
-    // banding + hot-bucket rank + in-aggregation pair generation. The
-    // (band, bucket) window exchange must be the only wide op over the
-    // corpus (the groupBy reuses its partitioning; distinct shuffles only
-    // the candidate PAIRS), the cap must truncate map-side, and there must
-    // be no self-join recomputing the signature pipeline twice.
+    // banding + capped-members aggregation + in-aggregation pair
+    // generation. The (band, bucket) aggregation exchange must be the only
+    // wide op over the corpus (distinct shuffles only the candidate
+    // PAIRS), the cap must truncate map-side — the CappedMembersAgg
+    // aggregate runs a PARTIAL pass before the exchange, bounding what a
+    // hot bucket ships per input partition — and there must be no
+    // self-join recomputing the signature pipeline twice, and no window
+    // pass (the old rank-based cap sorted every bucket's rows first).
     val docs = Tables.documents(spark, Sf)
     val arrs = graft.queries.TextOps.shingleArrays(docs).select("doc_id", "shs")
     val sigs = graft.operators.Dedup.minHashSignaturesFromArrays(arrs)
@@ -115,7 +118,12 @@ class PlanSpec extends SparkSpec {
     val plan = cands.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"pair generation must not join:\n$plan")
     assert(exchanges(plan) <= 2, s"lshCandidates over-shuffles:\n$plan")
-    assert(plan.contains("WindowGroupLimit"), s"cap not map-side-truncated:\n$plan")
+    assert(!plan.contains("Window"), s"cap must not need a window pass:\n$plan")
+    // partial + final object-hash aggregate nodes around the exchange: the
+    // partial (map-side) pass is what bounds a hot bucket's shuffle volume
+    val objAggs = "ObjectHashAggregate".r.findAllIn(plan).size
+    assert(objAggs >= 2,
+      s"expected partial+final capped-members aggregates, found $objAggs:\n$plan")
   }
 
   test("x71: the tf⋈df join is salted — no raw token-keyed exchange") {
