@@ -26,7 +26,13 @@ object GraftFunctions {
       (children: Seq[Expression]) => MortonHashExpr(children(0), children(1))),
     (FunctionIdentifier("in_tile"),
       new ExpressionInfo(classOf[InTileExpr].getName, "in_tile"),
-      (children: Seq[Expression]) => InTileExpr(children)))
+      (children: Seq[Expression]) => InTileExpr(children)),
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSimExpr(children(0), children(1))),
+    (FunctionIdentifier("dot_f"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_f"),
+      (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
 
   /** Register everything on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -22,38 +22,32 @@ import org.apache.spark.sql.types._
   *    nearest cell once (broadcast centroids), queries probe the `nprobe`
   *    nearest cells — a probe touches `nprobe/nlist` of the data.
   *
-  * All vector math uses codegen'd higher-order array functions (`zip_with` +
-  * `aggregate`), floats cast to double; no UDFs, no driver-side loops.
+  * Scalar vector math (dot/cosine) runs as native codegen'd Catalyst
+  * expressions over ArrayData ([[graft.functions.DotProductExpr]] /
+  * [[graft.functions.CosineSimExpr]]); floats cast to double left-to-right,
+  * so scores are bit-stable. No driver-side loops.
   */
 object Similarity {
 
-  /** Sum of elementwise products (tight-loop UDF — the higher-order
-    * `zip_with`/`aggregate` form evaluates an expression tree per element,
-    * ~20x slower on fixed-dim vectors).
+  /** Sum of elementwise products — a native codegen'd Catalyst expression
+    * ([[graft.functions.DotProductExpr]]): reads ArrayData in place (no
+    * Seq[Float] boxing like the UDF it replaces, no per-element expression
+    * tree like the `zip_with`/`aggregate` form before that) and keeps the
+    * scoring projection inside whole-stage codegen. Summation order is
+    * unchanged, so scores stay bit-equal to the oracles.
     */
-  private val dotU = udf((a: Seq[Float], b: Seq[Float]) => {
-    var s = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  })
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.DotProductExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
 
-  def dot(a: Column, b: Column): Column = dotU(a, b)
-
-  private val cosineU = udf((a: Seq[Float], b: Seq[Float]) => {
-    var d = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      d += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    d / (math.sqrt(na) * math.sqrt(nb))
-  })
-
-  def cosine(a: Column, b: Column): Column = cosineU(a, b)
+  /** Cosine similarity (native expression; see [[dot]]). */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.CosineSimExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
 
   /** Deterministic Gaussian hyperplanes (fixed-seed Box–Muller via
     * scala.util.Random — same planes on every run and every executor).

@@ -98,21 +98,14 @@ object VectorOps {
       emb, q, k = 10, cents, nprobe = 8))
   }
 
-  /** Sum of elementwise products, left-to-right over doubles — implemented
-    * as a tight-loop UDF: the `zip_with`+`aggregate` higher-order form
-    * evaluates one Catalyst expression tree per element (~20x slower on
-    * 64-dim vectors); the loop keeps the identical summation order, so
-    * results stay bit-equal to the DuckDB oracle's index-ordered SUM.
+  /** Sum of elementwise products, left-to-right over doubles — the native
+    * codegen'd [[graft.functions.DotProductExpr]]: reads ArrayData in place
+    * (no Seq[Float] boxing like the UDF it replaces; no per-element
+    * expression tree like the `zip_with`+`aggregate` form before that) and
+    * keeps the identical summation order, so results stay bit-equal to the
+    * DuckDB oracle's index-ordered SUM.
     */
-  private val dotU = udf((a: Seq[Float], b: Seq[Float]) => {
-    var s = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  })
-
-  def dot(a: Column, b: Column): Column = dotU(a, b)
+  def dot(a: Column, b: Column): Column = graft.operators.Similarity.dot(a, b)
 
   def norm2(a: Column): Column = dot(a, a)
 

@@ -56,6 +56,48 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(wsc.nonEmpty, df.queryExecution.executedPlan.toString)
   }
 
+  test("cosine_sim/dot_f are bit-equal to the scalar model, codegen'd, null-safe") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val vecs = (1L to 50L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2f - 1f))).toDF("id", "v")
+    val q = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val df = vecs.crossJoin(
+        org.apache.spark.sql.functions.broadcast(
+          Seq(Tuple1(q)).toDF("q")))
+      .select($"id", $"v", $"q",
+        graft.operators.Similarity.cosine($"v", $"q").as("cos"),
+        graft.operators.Similarity.dot($"v", $"q").as("dt"))
+    // bit-equality vs the reference left-to-right double loop
+    df.collect().foreach { r =>
+      val v = r.getSeq[Float](1); val qq = r.getSeq[Float](2)
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < 64) {
+        val x = v(i).toDouble; val y = qq(i).toDouble
+        d += x * y; na += x * x; nb += y * y; i += 1
+      }
+      assert(r.getDouble(4) == d, "dot not bit-equal")
+      assert(r.getDouble(3) == d / (math.sqrt(na) * math.sqrt(nb)),
+        "cosine not bit-equal")
+    }
+    // the scoring projection stays inside whole-stage codegen — no ScalaUDF
+    // (AQE wraps the stages, so assert on the plan string's `*(n)` spans
+    // rather than collecting WholeStageCodegenExec nodes)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"vector math fell back to a UDF:\n$plan")
+    assert(plan.contains("*(1) Project") && plan.contains("cosine_sim"),
+      s"scoring projection not in a codegen span:\n$plan")
+    // SQL surface + null propagation
+    val r2 = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+        |       dot_f(CAST(NULL AS ARRAY<FLOAT>),
+        |             array(CAST(1.0 AS FLOAT))) AS n""".stripMargin).collect().head
+    assert(r2.getDouble(0) == 1.0)
+    assert(r2.isNullAt(1))
+  }
+
   test("scalar helper functions are registered") {
     val r = spark.sql(
       """SELECT haversine_km(52.52D, 13.405D, 48.8566D, 2.3522D) AS d,

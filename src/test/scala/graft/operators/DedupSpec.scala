@@ -118,6 +118,50 @@ class DedupSpec extends SparkSpec {
     assert(over.forall(_.getAs[Long]("dropped") == 500L - cap))
   }
 
+  test("capped-aggregate candidates equal the rank-window reference on random corpora") {
+    // property: for random corpora and several caps, the CappedMembersAgg
+    // plan yields EXACTLY the candidate set of the reference
+    // ROW_NUMBER() OVER (PARTITION BY band,bucket ORDER BY xxhash64(id), id)
+    // form it replaced — the same (unbiased, deterministic) member
+    // selection, just computed in one bounded-buffer pass
+    val rnd = new scala.util.Random(20260812L)
+    val words = Vector("alpha", "beta", "gamma", "delta", "code", "data",
+      "query", "spark", "shuffle", "join", "plan", "text")
+    def corpus(n: Int) = (1L to n.toLong).map { i =>
+      // mix: ~1/3 boilerplate (hot buckets), rest random word soup
+      val t =
+        if (i % 3 == 0) "the same boilerplate licence header repeated verbatim"
+        else (0 until 10).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+      (i, t)
+    }.toDF("doc_id", "text")
+    for (n <- Seq(40, 120); cap <- Seq(2, 5, 64)) {
+      val arrs = Dedup.shingleArrays(corpus(n)).filter(size(col("shs")) > 0)
+      val sigs = Dedup.minHashSignaturesFromArrays(arrs).cache()
+      val got = Dedup.lshCandidates(sigs, maxPerBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // reference implementation: the old window form, inline
+      val banded = sigs.select(col("doc_id"),
+        posexplode(array((0 until 32).map(b =>
+          xxhash64((lit(b) +: (0 until 4).map(r => col("sig")(b * 4 + r))): _*)): _*))
+          .as(Seq("band", "bucket")))
+      val capped = banded
+        .withColumn("_r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("bucket"))
+            .orderBy(xxhash64(col("doc_id")), col("doc_id"))))
+        .filter(col("_r") <= cap)
+      val a = capped.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+      val b = capped.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+      val want = a.join(b, Seq("band", "bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      sigs.unpersist()
+      assert(got == want,
+        s"n=$n cap=$cap: aggregate![${(got -- want).take(5)}] window![${(want -- got).take(5)}]")
+    }
+  }
+
   test("minHashNearDups with maxPerBucket=0 keeps the uncapped behavior") {
     val pairs = Dedup.minHashNearDups(docs, threshold = 0.5, maxPerBucket = 0)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
