@@ -335,12 +335,12 @@ object FeatureStore {
       */
     def acquire(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig): Token = {
       val deadline = System.currentTimeMillis + math.max(cfg.leaseWaitMillis, 0L)
-      var lastHolder = "none"
+      var blocker = "none" // what the last attempt saw, for the error message
       while (true) {
         val now = System.currentTimeMillis
         readLease(fs, cfg) match {
           case Some((epoch, holder, expiresAt)) if expiresAt >= now =>
-            lastHolder = s"$holder (epoch $epoch)"
+            blocker = s"holder $holder (epoch $epoch)"
           case cur =>
             // absent, expired, or torn: clear and try to take epoch+1
             cur.foreach(_ => fs.delete(path(cfg), false))
@@ -353,13 +353,16 @@ object FeatureStore {
               finally out.close()
               return Token(epoch, holder)
             } catch {
-              case _: java.io.IOException => () // lost the creation race; retry
+              // a racing creator, OR a persistent FS problem (permissions,
+              // quota): either way retry until deadline, reporting the cause
+              case e: java.io.IOException =>
+                blocker = s"lease-file create failing (${e.getMessage})"
             }
         }
         if (System.currentTimeMillis >= deadline)
           throw new IllegalStateException(
-            s"writer lease for ${cfg.path} held by $lastHolder after " +
-              s"${cfg.leaseWaitMillis} ms wait — concurrent writer? " +
+            s"writer lease for ${cfg.path} not acquired after " +
+              s"${cfg.leaseWaitMillis} ms: $blocker — concurrent writer? " +
               "(single-writer contract; stale leases steal after " +
               s"${cfg.leaseTtlMillis} ms)")
         Thread.sleep(50)
@@ -378,7 +381,14 @@ object FeatureStore {
           "current holder's snapshot")
     }
 
-    /** Drop the lease iff we still hold it (a stolen lease is the thief's). */
+    /** Drop the lease iff we still hold it (a stolen lease is the thief's).
+      *
+      * The read-check-then-delete is not atomic: if OUR lease already
+      * expired and a thief replaces it between the check and the delete, we
+      * delete the thief's lease. That window only opens on the
+      * already-degraded slow-writer path, and the failure stays LOUD, never
+      * torn — the thief's commit re-verifies the lease and aborts cleanly.
+      */
     def release(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig,
                 token: Token): Unit =
       if (readLease(fs, cfg)

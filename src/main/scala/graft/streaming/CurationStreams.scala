@@ -124,6 +124,81 @@ object CurationStreams {
       }
   }
 
+  // --------------------------------------------- streaming SimHash near-dup
+
+  final case class ChunkHit(chunk: Int, ck: Long, doc_id: Long, simhash: Long,
+                            ts: java.sql.Timestamp)
+  final case class HammingPair(doc_a: Long, doc_b: Long, hamming: Int,
+                               ts: java.sql.Timestamp)
+  final case class ChunkState(ids: List[Long], fps: List[Long]) // newest first
+
+  /** Streaming SimHash near-dup pairs — x45's streaming twin, completing
+    * the dedup parity story (every batch near-dup plan has a streaming
+    * form: exact dedup ≙ [[curate]]'s within-watermark hash dedup,
+    * MinHash-LSH ≙ [[nearDupCandidates]], SimHash ≙ this).
+    *
+    * Stage 1 is map-only: the SAME per-doc [[Kernels.simHash64]] kernel as
+    * the batch path (fingerprints bit-identical), exploded to the four
+    * 16-bit chunk buckets (pigeonhole-complete for Hamming distance <= 3).
+    * Stage 2 keys state by (chunk, ck): each arriving doc pairs with the
+    * fingerprints already seen in its bucket and the Hamming cut is applied
+    * IN the state function — unlike LSH, the fingerprint IS the verifier,
+    * so this stream emits final pairs, no downstream join. State is
+    * watermark-evicted and capped at `maxPerBucket` (newest kept), same
+    * bounds as the LSH twin. A pair agreeing on several chunks is emitted
+    * once per chunk; dedup across chunks is the consumer's keying (same
+    * contract as the LSH twin's per-band emission).
+    */
+  def simHashNearDupPairs(docs: DataFrame,
+                          watermark: String = "30 minutes",
+                          horizonMs: Long = 30 * 60 * 1000L,
+                          maxDist: Int = 3,
+                          maxPerBucket: Int = 64): Dataset[HammingPair] = {
+    require(maxDist <= 3, "4-chunk banding is only complete for maxDist <= 3")
+    import docs.sparkSession.implicits._
+    val fpU = udf((t: String) => Kernels.simHash64(t))
+    docs
+      .filter(col("text").rlike("\\S")) // same >=1-token gate as batch
+      .select(col("doc_id"), col("ts"), fpU(col("text")).as("simhash"))
+      .select(col("doc_id"), col("ts"), col("simhash"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("chunk", "ck")))
+      .withWatermark("ts", watermark)
+      .as[ChunkHit]
+      .groupByKey(h => (h.chunk, h.ck))
+      .flatMapGroupsWithState[ChunkState, HammingPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long), hits: Iterator[ChunkHit], state: GroupState[ChunkState]) =>
+          if (hits.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = hits.toSeq.sortBy(h => (h.ts.getTime, h.doc_id))
+            if (sorted.isEmpty) Iterator.empty else {
+              var st = state.getOption.getOrElse(ChunkState(Nil, Nil))
+              val out = scala.collection.mutable.ArrayBuffer[HammingPair]()
+              sorted.foreach { h =>
+                if (!st.ids.contains(h.doc_id)) {
+                  st.ids.iterator.zip(st.fps.iterator).foreach { case (id, fp) =>
+                    val d = java.lang.Long.bitCount(fp ^ h.simhash)
+                    if (d <= maxDist)
+                      out += HammingPair(math.min(h.doc_id, id),
+                        math.max(h.doc_id, id), d, h.ts)
+                  }
+                  st = ChunkState((h.doc_id :: st.ids).take(maxPerBucket),
+                    (h.simhash :: st.fps).take(maxPerBucket))
+                }
+              }
+              val lastTs = sorted.map(_.ts.getTime).max
+              state.update(st)
+              state.setTimeoutTimestamp(lastTs + horizonMs)
+              out.iterator
+            }
+          }
+      }
+  }
+
   /** The loop CLOSED: [[nearDupCandidates]] fed through the batch
     * exact-Jaccard verify ([[graft.queries.TextOps.exactJaccard]] — the
     * identical join x40 runs) inside a `foreachBatch`, so the streaming

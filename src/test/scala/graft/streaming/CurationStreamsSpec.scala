@@ -87,6 +87,42 @@ class CurationStreamsSpec extends SparkSpec {
       s"unrelated doc paired: $pairs")
   }
 
+  test("streaming simhash pairs equal the batch x45 pairs across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // exact dup + one-word variant + unrelated docs, split across batches
+    // so cross-batch state pairing is exercised
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val variant = base.replace("tok7", "tokX")
+    val unrelated = (1 to 40).map(i => s"other$i word$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, variant), (4L, unrelated), (5L, base))
+    val mem = MemoryStream[Doc]
+    val q = CurationStreams.simHashNearDupPairs(mem.toDF())
+      .writeStream.format("memory").queryName("shpairs")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(2).zipWithIndex.map { case ((id, t), i) =>
+        Doc(id, ts(f"10:0$i"), t, "en", "s") })
+      q.processAllAvailable()
+      mem.addData(docs.drop(2).zipWithIndex.map { case ((id, t), i) =>
+        Doc(id, ts(f"10:1$i"), t, "en", "s") })
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("shpairs")
+      .select("doc_a", "doc_b", "hamming").distinct()
+      .as[(Long, Long, Int)].collect().toSet
+    // the batch plan on the same corpus (uncapped = exact banding)
+    val batch = graft.operators.Dedup.simHashNearDups(
+        docs.toDF("doc_id", "text"), maxPerBucket = 0)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(streamed == batch,
+      s"stream-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
+    // sanity on content: exact dups pair at distance 0, unrelated never pairs
+    assert(streamed.contains((1L, 2L, 0)) && streamed.contains((1L, 5L, 0)))
+    assert(!streamed.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("streaming LSH recall: every true near-dup pair surfaces as a candidate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
