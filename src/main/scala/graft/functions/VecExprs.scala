@@ -16,11 +16,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * NPE'd on them too).
   */
 object VecKernels {
+  // a null SLOT would read as 0.0f through getFloat — a silently-wrong
+  // similarity score. Fail loudly instead (the Seq[Float] UDFs these
+  // kernels replaced NPE'd on the same input; parquet embedding columns
+  // arrive as containsNull=true even when dense, so the type check alone
+  // cannot reject this).
+  private def badNull(i: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"null element at index $i in a float vector — dense embeddings " +
+        "required (cosine_sim/dot_f would otherwise score it as 0.0)")
+
   def dotF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) badNull(i)
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
     s
   }
 
@@ -29,6 +43,7 @@ object VecKernels {
     var d = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) badNull(i)
       val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
       d += x * y; na += x * x; nb += y * y
       i += 1

@@ -418,7 +418,7 @@ object CurationOps {
     val sh = docs.select(col("doc_id"), col("source"),
       explode(trigU(col("text"))).as("sh"))
     val bench = sh.filter(col("source") === "src0").select(col("sh")).distinct()
-      .cache() // reused by the bloom build, the count, and the join side
+      .cache() // serves the count + bloom build; released below
     val nBench = bench.count()
     val corpusSh = sh.filter(col("source") =!= "src0")
     val prunedSh =
@@ -430,6 +430,11 @@ object CurationOps {
           udf((t: String) => t != null && bcBloom.value.mightContainString(t))
         corpusSh.filter(mightContain(col("sh"))) // map-side prune BEFORE the exchange
       }
+    // release the cache now that count + bloom are built: the returned LAZY
+    // plan recomputes the (small, eval-suite-sized) bench side at execution
+    // instead of pinning cached blocks for the session lifetime (this
+    // builder has no eager materialization point to hook an unpersist on)
+    bench.unpersist(false)
     val overlap = prunedSh
       .join(bench, "sh")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))

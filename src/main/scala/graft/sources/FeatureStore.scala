@@ -296,65 +296,97 @@ object FeatureStore {
     * then race the commit: the second writer fails LOUDLY at acquire (after
     * a bounded wait), not with a confusing mid-write FileNotFound.
     *
-    * Mechanics: `<path>_lease` holds one line `epoch holder expiresAt`.
-    * Acquire creates it with overwrite=false (the existence check is the
-    * mutual exclusion; same filesystem primitive the manifest commit's
-    * rename relies on). A lease older than its TTL is considered abandoned
-    * (crashed writer) and is STOLEN: the thief deletes it and writes
-    * epoch+1. A slow writer that outlives its TTL and gets stolen from
-    * fails loudly at commit time — [[Manifests.commit]] re-reads the lease
-    * and requires (epoch, holder) unchanged before renaming the manifest —
+    * Mechanics: epoch-NAMED lease files, `<path>_lease_e<epoch>`, the same
+    * scheme as the `m_<n>` manifests. The CURRENT lease is the highest
+    * epoch; its content (`holder expiresAt`) says who holds it and until
+    * when. Acquiring epoch e+1 is ONE `create(overwrite=false)` — atomic
+    * winner, no delete-then-create window, so two concurrent stealers of an
+    * expired lease can never both win (the loser's create throws and it
+    * re-reads e+1 as the new valid lease). A lease past its TTL — or one
+    * whose content is torn/unreadable (a creator that crashed mid-write;
+    * the epoch still reads from the NAME, so a torn file can never wedge
+    * the store) — is considered abandoned and stealable at the next epoch.
+    * A slow writer that outlives its TTL and gets stolen from fails loudly
+    * at commit time: [[Manifests.commit]] re-reads the current lease and
+    * requires (epoch, holder) unchanged before any destructive step,
     * leaving the store on the thief's snapshot, never on a torn one.
+    * Stale epoch files below the current one are dead by construction and
+    * swept on acquire.
     */
   private[sources] object Lease {
     final case class Token(epoch: Long, holder: String)
 
-    private def path(cfg: StoreConfig) =
-      new org.apache.hadoop.fs.Path(cfg.path + "_lease")
+    private def leaseDirGlob(cfg: StoreConfig) =
+      new org.apache.hadoop.fs.Path(cfg.path + "_lease_e*")
 
-    private def readLease(fs: org.apache.hadoop.fs.FileSystem,
-                          cfg: StoreConfig): Option[(Long, String, Long)] = {
-      val p = path(cfg)
-      if (!fs.exists(p)) None
-      else
-        try {
-          val in = fs.open(p)
-          val line =
-            try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-              .find(_.nonEmpty).getOrElse("")
-            finally in.close()
-          line.split("\\s+") match {
-            case Array(e, h, x) => Some((e.toLong, h, x.toLong))
-            case _ => None // torn/garbage lease: treat as absent (stealable)
+    private def path(cfg: StoreConfig, epoch: Long) =
+      new org.apache.hadoop.fs.Path(cfg.path + s"_lease_e$epoch")
+
+    private def epochOf(p: org.apache.hadoop.fs.Path): Long =
+      p.getName.substring(p.getName.lastIndexOf("_e") + 2).toLong
+
+    /** All lease files, ascending epoch. */
+    private def listLeases(fs: org.apache.hadoop.fs.FileSystem,
+                           cfg: StoreConfig): Seq[org.apache.hadoop.fs.Path] =
+      Option(fs.globStatus(leaseDirGlob(cfg))).getOrElse(Array.empty)
+        .map(_.getPath).filter(_.getName.matches(".*_e\\d+$"))
+        .sortBy(epochOf).toIndexedSeq
+
+    /** (epoch, holder, expiresAt) of the highest-epoch lease; holder/expiry
+      * None when the content is torn (crashed creator) — the epoch itself
+      * always reads from the file name.
+      */
+    private def current(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig)
+        : Option[(Long, Option[(String, Long)])] =
+      listLeases(fs, cfg).lastOption.map { p =>
+        val content =
+          try {
+            val in = fs.open(p)
+            val line =
+              try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+                .find(_.nonEmpty).getOrElse("")
+              finally in.close()
+            line.split("\\s+") match {
+              case Array(h, x) => Some((h, x.toLong))
+              case _ => None // torn: creator crashed between create and write
+            }
+          } catch {
+            case _: java.io.IOException | _: NumberFormatException => None
           }
-        } catch { case _: java.io.IOException => None }
-    }
+        (epochOf(p), content)
+      }
 
     /** Take the lease, waiting up to `cfg.leaseWaitMillis` for the current
-      * holder, stealing only leases older than `cfg.leaseTtlMillis`.
+      * holder; expired/torn leases are stolen at the next epoch.
       */
     def acquire(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig): Token = {
       val deadline = System.currentTimeMillis + math.max(cfg.leaseWaitMillis, 0L)
       var blocker = "none" // what the last attempt saw, for the error message
       while (true) {
         val now = System.currentTimeMillis
-        readLease(fs, cfg) match {
-          case Some((epoch, holder, expiresAt)) if expiresAt >= now =>
+        val cur = current(fs, cfg)
+        cur match {
+          case Some((epoch, Some((holder, expiresAt)))) if expiresAt >= now =>
             blocker = s"holder $holder (epoch $epoch)"
-          case cur =>
-            // absent, expired, or torn: clear and try to take epoch+1
-            cur.foreach(_ => fs.delete(path(cfg), false))
+          case _ =>
+            // absent, expired, or torn: race to CREATE the next epoch —
+            // exactly one concurrent acquirer wins; nothing is deleted, so
+            // a loser can never remove a winner's valid lease
             val epoch = cur.map(_._1).getOrElse(0L) + 1
             val holder = java.util.UUID.randomUUID().toString
             try {
-              val out = fs.create(path(cfg), false) // refuses an existing file
+              val out = fs.create(path(cfg, epoch), false)
               try out.write(
-                s"$epoch $holder ${now + cfg.leaseTtlMillis}".getBytes("UTF-8"))
+                s"$holder ${now + cfg.leaseTtlMillis}".getBytes("UTF-8"))
               finally out.close()
+              // won: sweep the dead lower epochs (safe — a file below the
+              // current epoch can never become current again)
+              listLeases(fs, cfg).filter(epochOf(_) < epoch)
+                .foreach(fs.delete(_, false))
               return Token(epoch, holder)
             } catch {
-              // a racing creator, OR a persistent FS problem (permissions,
-              // quota): either way retry until deadline, reporting the cause
+              // a racing creator won this epoch, OR a persistent FS problem
+              // (permissions, quota): retry until deadline, reporting why
               case e: java.io.IOException =>
                 blocker = s"lease-file create failing (${e.getMessage})"
             }
@@ -370,30 +402,28 @@ object FeatureStore {
       throw new IllegalStateException("unreachable")
     }
 
-    /** Fencing check: the token must still BE the lease on disk. */
+    /** Fencing check: the token's epoch must still be the CURRENT lease and
+      * carry the token's holder.
+      */
     def verify(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig,
                token: Token): Unit = {
-      val ok = readLease(fs, cfg)
-        .exists(l => l._1 == token.epoch && l._2 == token.holder)
+      val ok = current(fs, cfg).exists {
+        case (e, Some((h, _))) => e == token.epoch && h == token.holder
+        case _ => false
+      }
       require(ok,
         s"writer lease for ${cfg.path} lost (epoch ${token.epoch} stolen " +
-          "after TTL expiry?) — aborting commit; the store remains on the " +
+          "after TTL expiry?) — aborting; the store remains on the " +
           "current holder's snapshot")
     }
 
-    /** Drop the lease iff we still hold it (a stolen lease is the thief's).
-      *
-      * The read-check-then-delete is not atomic: if OUR lease already
-      * expired and a thief replaces it between the check and the delete, we
-      * delete the thief's lease. That window only opens on the
-      * already-degraded slow-writer path, and the failure stays LOUD, never
-      * torn — the thief's commit re-verifies the lease and aborts cleanly.
+    /** Drop our own epoch file. Deleting by EPOCH NAME makes this safe even
+      * when a thief has already taken a higher epoch: we can only ever
+      * remove our own dead file, never the current lease.
       */
     def release(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig,
                 token: Token): Unit =
-      if (readLease(fs, cfg)
-            .exists(l => l._1 == token.epoch && l._2 == token.holder))
-        fs.delete(path(cfg), false)
+      fs.delete(path(cfg, token.epoch), false)
   }
 
   /** Run `body` holding the store's writer lease; always released on exit. */
@@ -483,6 +513,11 @@ object FeatureStore {
       */
     def reset(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig,
               lease: Option[Lease.Token] = None): Unit = {
+      // fence BEFORE the destructive delete: a stolen-from writer must not
+      // wipe the thief's committed manifest history on its way to the loud
+      // commit failure (the commit re-verifies, but by then the history
+      // would already be gone)
+      lease.foreach(Lease.verify(fs, cfg, _))
       fs.delete(dir(cfg), true)
       commit(fs, cfg, identity, lease)
     }
@@ -538,6 +573,11 @@ object FeatureStore {
     withLease(fs, cfg) { token =>
       val n = if (partitions > 0) partitions
         else math.max(1, (df.count() / cfg.targetFileRows).toInt)
+      // the in-place Overwrite is destructive BEFORE any commit (the
+      // documented initial-load trade-off) — fence as late as possible so a
+      // writer whose lease was stolen during the count aborts here instead
+      // of clobbering the thief's store
+      Lease.verify(fs, cfg, token)
       df.repartitionByRange(n, col("hash"), col("uid"))
         .sortWithinPartitions("hash")
         .write.mode(SaveMode.Overwrite).parquet(cfg.path)

@@ -57,14 +57,18 @@ object ScaleProbe {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     val emb = spark.read.parquet(s"$baseSf/embeddings.parquet")
+    // rotate by rep MOD dim so factors beyond the vector dimension stay
+    // valid (slice length would go negative otherwise); doc/vec id offsets
+    // of rep*10^9 assume base ids < 10^9 (true for every testdata SF)
+    val rot = pmod(col("rep").cast("int"), size(col("embedding")))
     emb.crossJoin(reps)
       .select(
         (col("vec_id") + col("rep") * lit(1000000000L)).as("vec_id"),
         when(col("rep") === 0, col("embedding"))
           .otherwise(concat(
-            slice(col("embedding"), col("rep").cast("int") + lit(1),
-              size(col("embedding")) - col("rep").cast("int")),
-            slice(col("embedding"), lit(1), col("rep").cast("int"))))
+            slice(col("embedding"), rot + lit(1),
+              size(col("embedding")) - rot),
+            slice(col("embedding"), lit(1), rot)))
           .as("embedding"),
         col("label"))
       .repartition(32)

@@ -24,8 +24,21 @@ import org.apache.spark.sql.DataFrame
   * use it.
   */
 object Materialize {
+  /** Checkpoint-dir deployments should also set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (or sweep the
+    * directory periodically): Spark does not delete reliable-checkpoint
+    * data by default, and repeated eager() calls otherwise accumulate it.
+    */
   def eager(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      // checkpoint(eager) runs the materializing action AND a second job
+      // that writes the checkpoint files; without a persist that second job
+      // recomputes the entire upstream lineage (doubling the pipeline cost
+      // and re-firing any diagnostic accumulators). Persist so the write
+      // job reads the cached blocks, then drop the cache — the checkpoint
+      // files carry the data from here on.
+      df.persist()
+      try df.checkpoint(eager = true)
+      finally df.unpersist(false)
+    } else df.localCheckpoint(eager = true)
 }

@@ -344,6 +344,31 @@ class FeatureStoreSpec extends SparkSpec {
     FeatureStore.Lease.release(fs, cfg, thief)
   }
 
+  test("writer lease: a torn lease file (crashed creator) is stolen, never wedges the store") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val cfg = StoreConfig(path = s"$dir/store", attrs = Seq(AttrField("v", "int")),
+      leaseWaitMillis = 500)
+    val ls = (0 until 8).map(i =>
+      featureJson(s"u$i", -100.0 + i * 20.0, 10.0, s"""{"v":$i}"""))
+    FeatureStore.write(FeatureStore.ingest(ls.toDF("raw"), cfg).good, cfg, partitions = 2)
+    // a creator that crashed between create and write leaves an EMPTY lease
+    // file; one that crashed mid-write leaves garbage. Both must be
+    // stealable (the epoch reads from the NAME), not a permanent wedge.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/store_lease_e7"), "")
+    FeatureStore.delete(spark, cfg, "u3") // must acquire e8 over the torn e7
+    assert(FeatureStore.read(spark, cfg).count() == 7)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/store_lease_e9"), "garbage not-a-number")
+    FeatureStore.delete(spark, cfg, "u4")
+    assert(FeatureStore.read(spark, cfg).count() == 6)
+    // dead lower-epoch files were swept by the successful acquires
+    val leases = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("store_lease_e")).map(_.getName)
+    assert(leases.isEmpty, s"stale lease files not swept: ${leases.mkString(",")}")
+  }
+
   test("a crash between file move-in and manifest commit leaves the old snapshot intact") {
     import spark.implicits._
     val dir = tmpDir()
