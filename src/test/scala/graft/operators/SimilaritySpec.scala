@@ -123,6 +123,20 @@ class SimilaritySpec extends SparkSpec {
     assert(r8 >= 0.71, s"recall@10 nprobe=8 $r8 < 0.71")
   }
 
+  test("x43b's tuned IVF config holds recall@10 >= 0.78 (IvfTune sweet spot)") {
+    // the registry entry's config (3 Lloyd passes over a 512-vector
+    // hash-ordered sample, nprobe 8/16) measured 0.80 in IvfTune; gate a
+    // hair below so the tuning can't silently regress (e.g. a seeding or
+    // assignment change re-baking a worse golden, the round-3 escape)
+    val (emb, q) = queriesDf(ivfQids)
+    val exact = neighborSets(Similarity.bruteForceTopK(emb, q, k = 10))
+    val cents = Similarity.kmeansCentroids(emb, nlist = 16, iters = 3,
+      sampleSize = 512)
+    val r = meanRecall(exact, neighborSets(
+      Similarity.ivfTopKWithCentroids(emb, q, k = 10, cents, nprobe = 8)))
+    assert(r >= 0.78, s"tuned-config recall@10 $r < 0.78")
+  }
+
   test("k-means Lloyd passes beat unfitted farthest-point seeding") {
     val (emb, q) = queriesDf(ivfQids)
     val exact = neighborSets(Similarity.bruteForceTopK(emb, q, k = 10))
