@@ -332,12 +332,21 @@ object FeatureStore {
         .map(_.getPath).filter(_.getName.matches(".*_e\\d+$"))
         .sortBy(epochOf).toIndexedSeq
 
-    /** (epoch, holder, expiresAt) of the highest-epoch lease; holder/expiry
-      * None when the content is torn (crashed creator) — the epoch itself
-      * always reads from the file name.
+    /** A torn lease file (name present, content unreadable) younger than
+      * this is an IN-FLIGHT creator between its create and write, not a
+      * crash — stealing it instantly would let the creator and the thief
+      * both believe they won. Older than this, it is a genuine crash.
       */
-    private def current(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig)
-        : Option[(Long, Option[(String, Long)])] =
+    val TornGraceMillis: Long = 10 * 1000L
+
+    private final case class LeaseFile(epoch: Long, mtime: Long,
+                                       content: Option[(String, Long)])
+
+    /** The highest-epoch lease; `content` is None when torn (crashed or
+      * in-flight creator) — the epoch always reads from the file NAME.
+      */
+    private def current(fs: org.apache.hadoop.fs.FileSystem,
+                        cfg: StoreConfig): Option[LeaseFile] =
       listLeases(fs, cfg).lastOption.map { p =>
         val content =
           try {
@@ -348,16 +357,29 @@ object FeatureStore {
               finally in.close()
             line.split("\\s+") match {
               case Array(h, x) => Some((h, x.toLong))
-              case _ => None // torn: creator crashed between create and write
+              case _ => None // torn: empty or partial content
             }
           } catch {
             case _: java.io.IOException | _: NumberFormatException => None
           }
-        (epochOf(p), content)
+        val mtime =
+          try fs.getFileStatus(p).getModificationTime
+          catch { case _: java.io.IOException => 0L }
+        LeaseFile(epochOf(p), mtime, content)
       }
 
+    /** Is (epoch, holder) the current lease on disk? The ONE fencing
+      * predicate, shared by [[verify]] and acquire's post-create
+      * confirmation so the two fences can never diverge.
+      */
+    private def holds(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig,
+                      epoch: Long, holder: String): Boolean =
+      current(fs, cfg).exists(l =>
+        l.epoch == epoch && l.content.exists(_._1 == holder))
+
     /** Take the lease, waiting up to `cfg.leaseWaitMillis` for the current
-      * holder; expired/torn leases are stolen at the next epoch.
+      * holder; expired leases — and torn ones past [[TornGraceMillis]] —
+      * are stolen at the next epoch.
       */
     def acquire(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig): Token = {
       val deadline = System.currentTimeMillis + math.max(cfg.leaseWaitMillis, 0L)
@@ -365,31 +387,60 @@ object FeatureStore {
       while (true) {
         val now = System.currentTimeMillis
         val cur = current(fs, cfg)
-        cur match {
-          case Some((epoch, Some((holder, expiresAt)))) if expiresAt >= now =>
-            blocker = s"holder $holder (epoch $epoch)"
-          case _ =>
-            // absent, expired, or torn: race to CREATE the next epoch —
-            // exactly one concurrent acquirer wins; nothing is deleted, so
-            // a loser can never remove a winner's valid lease
-            val epoch = cur.map(_._1).getOrElse(0L) + 1
-            val holder = java.util.UUID.randomUUID().toString
-            try {
-              val out = fs.create(path(cfg, epoch), false)
-              try out.write(
-                s"$holder ${now + cfg.leaseTtlMillis}".getBytes("UTF-8"))
-              finally out.close()
-              // won: sweep the dead lower epochs (safe — a file below the
-              // current epoch can never become current again)
-              listLeases(fs, cfg).filter(epochOf(_) < epoch)
-                .foreach(fs.delete(_, false))
+        val takeable = cur match {
+          case None => true
+          case Some(LeaseFile(epoch, _, Some((holder, expiresAt)))) =>
+            if (expiresAt >= now) { blocker = s"holder $holder (epoch $epoch)"; false }
+            else true // expired (or a release tombstone): stealable
+          case Some(LeaseFile(epoch, mtime, None)) =>
+            // torn content: only steal once the grace says it is a CRASHED
+            // creator, not one mid-write — instant stealing would let the
+            // creator's own post-create confirmation and the thief both win
+            if (now - mtime <= TornGraceMillis) {
+              blocker = s"epoch $epoch mid-creation (torn, within grace)"; false
+            } else true
+        }
+        if (takeable) {
+          // race to CREATE the next epoch — exactly one concurrent
+          // acquirer wins; nothing is deleted on this path, so a loser can
+          // never remove a winner's valid lease
+          val epoch = cur.map(_.epoch).getOrElse(0L) + 1
+          val holder = java.util.UUID.randomUUID().toString
+          var created = false
+          try {
+            val out = fs.create(path(cfg, epoch), false)
+            try out.write(
+              s"$holder ${now + cfg.leaseTtlMillis}".getBytes("UTF-8"))
+            finally out.close()
+            created = true
+          } catch {
+            // a racing creator won this epoch, OR a persistent FS problem
+            // (permissions, quota): retry until deadline, reporting why
+            case e: java.io.IOException =>
+              blocker = s"lease-file create failing (${e.getMessage})"
+          }
+          // post-create work runs OUTSIDE the create try-block: a transient
+          // failure here must not read as "create failed" and abandon a
+          // valid on-disk lease (which would block every writer for a TTL)
+          if (created) {
+            val won =
+              try holds(fs, cfg, epoch, holder)
+              catch { case _: java.io.IOException => true } // ours unless proven stolen
+            if (won) {
+              // best-effort sweep of the dead lower epochs (a file below
+              // the current epoch can never become current again) and of
+              // any pre-epoch-scheme `<path>_lease` single file
+              try {
+                listLeases(fs, cfg).filter(epochOf(_) < epoch)
+                  .foreach(fs.delete(_, false))
+                fs.delete(new org.apache.hadoop.fs.Path(cfg.path + "_lease"), false)
+              } catch { case _: java.io.IOException => () }
               return Token(epoch, holder)
-            } catch {
-              // a racing creator won this epoch, OR a persistent FS problem
-              // (permissions, quota): retry until deadline, reporting why
-              case e: java.io.IOException =>
-                blocker = s"lease-file create failing (${e.getMessage})"
             }
+            try fs.delete(path(cfg, epoch), false) // dead below the thief's
+            catch { case _: java.io.IOException => () }
+            blocker = s"epoch $epoch stolen during creation"
+          }
         }
         if (System.currentTimeMillis >= deadline)
           throw new IllegalStateException(
@@ -406,24 +457,29 @@ object FeatureStore {
       * carry the token's holder.
       */
     def verify(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig,
-               token: Token): Unit = {
-      val ok = current(fs, cfg).exists {
-        case (e, Some((h, _))) => e == token.epoch && h == token.holder
-        case _ => false
-      }
-      require(ok,
+               token: Token): Unit =
+      require(holds(fs, cfg, token.epoch, token.holder),
         s"writer lease for ${cfg.path} lost (epoch ${token.epoch} stolen " +
           "after TTL expiry?) — aborting; the store remains on the " +
           "current holder's snapshot")
-    }
 
-    /** Drop our own epoch file. Deleting by EPOCH NAME makes this safe even
-      * when a thief has already taken a higher epoch: we can only ever
-      * remove our own dead file, never the current lease.
+    /** Release = overwrite our own epoch file with an EXPIRED tombstone
+      * (expiresAt 0), never a delete. The highest epoch file therefore
+      * persists until a successor sweeps it from above, keeping epochs
+      * MONOTONE for the store's lifetime — so a slow stolen-from writer's
+      * late release can never remove a successor's live lease (epoch names
+      * are never reused while their tombstone exists). The next acquirer
+      * reads the tombstone as expired and steals epoch+1 immediately.
       */
     def release(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig,
                 token: Token): Unit =
-      fs.delete(path(cfg, token.epoch), false)
+      try {
+        val out = fs.create(path(cfg, token.epoch), true)
+        try out.write(s"${token.holder} 0".getBytes("UTF-8"))
+        finally out.close()
+      } catch {
+        case _: java.io.IOException => () // best-effort; TTL is the backstop
+      }
   }
 
   /** Run `body` holding the store's writer lease; always released on exit. */
@@ -513,10 +569,11 @@ object FeatureStore {
       */
     def reset(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig,
               lease: Option[Lease.Token] = None): Unit = {
-      // fence BEFORE the destructive delete: a stolen-from writer must not
-      // wipe the thief's committed manifest history on its way to the loud
-      // commit failure (the commit re-verifies, but by then the history
-      // would already be gone)
+      // fence BEFORE the destructive delete: check-then-act, so a steal
+      // landing in the instant between this verify and the delete can still
+      // slip through — but it moves the common stolen-lease case (TTL
+      // outlived long ago) from "wipe the thief's manifest history, then
+      // fail" to "fail before touching anything"
       lease.foreach(Lease.verify(fs, cfg, _))
       fs.delete(dir(cfg), true)
       commit(fs, cfg, identity, lease)
@@ -575,8 +632,10 @@ object FeatureStore {
         else math.max(1, (df.count() / cfg.targetFileRows).toInt)
       // the in-place Overwrite is destructive BEFORE any commit (the
       // documented initial-load trade-off) — fence as late as possible so a
-      // writer whose lease was stolen during the count aborts here instead
-      // of clobbering the thief's store
+      // writer whose lease was stolen during the count usually aborts here
+      // instead of clobbering the thief's store (check-then-act: a steal
+      // landing after this line can still interleave; write() remains the
+      // one path without full snapshot isolation)
       Lease.verify(fs, cfg, token)
       df.repartitionByRange(n, col("hash"), col("uid"))
         .sortWithinPartitions("hash")

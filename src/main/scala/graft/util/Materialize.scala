@@ -36,9 +36,13 @@ object Materialize {
       // recomputes the entire upstream lineage (doubling the pipeline cost
       // and re-firing any diagnostic accumulators). Persist so the write
       // job reads the cached blocks, then drop the cache — the checkpoint
-      // files carry the data from here on.
-      df.persist()
+      // files carry the data from here on. A caller that ALREADY cached
+      // this plan keeps its cache: unpersisting here would silently evict
+      // the caller's entry (cache registration is plan-keyed).
+      val alreadyCached =
+        df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+      if (!alreadyCached) df.persist()
       try df.checkpoint(eager = true)
-      finally df.unpersist(false)
+      finally if (!alreadyCached) df.unpersist(false)
     } else df.localCheckpoint(eager = true)
 }

@@ -354,19 +354,37 @@ class FeatureStoreSpec extends SparkSpec {
     FeatureStore.write(FeatureStore.ingest(ls.toDF("raw"), cfg).good, cfg, partitions = 2)
     // a creator that crashed between create and write leaves an EMPTY lease
     // file; one that crashed mid-write leaves garbage. Both must be
-    // stealable (the epoch reads from the NAME), not a permanent wedge.
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/store_lease_e7"), "")
+    // stealable once PAST the torn grace (the epoch reads from the NAME),
+    // not a permanent wedge. mtime is aged so the grace treats them as
+    // crashes, not in-flight creators.
+    def tornLease(epoch: Int, content: String): Unit = {
+      val p = java.nio.file.Paths.get(s"$dir/store_lease_e$epoch")
+      java.nio.file.Files.writeString(p, content)
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis - FeatureStore.Lease.TornGraceMillis - 60000))
+    }
+    tornLease(7, "")
     FeatureStore.delete(spark, cfg, "u3") // must acquire e8 over the torn e7
     assert(FeatureStore.read(spark, cfg).count() == 7)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/store_lease_e9"), "garbage not-a-number")
+    tornLease(9, "garbage not-a-number")
     FeatureStore.delete(spark, cfg, "u4")
     assert(FeatureStore.read(spark, cfg).count() == 6)
-    // dead lower-epoch files were swept by the successful acquires
+    // dead lower-epoch files were swept by the successful acquires; only
+    // the latest holder's release TOMBSTONE may remain (epochs stay
+    // monotone so a late release can never delete a successor's lease)
     val leases = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("store_lease_e")).map(_.getName)
-    assert(leases.isEmpty, s"stale lease files not swept: ${leases.mkString(",")}")
+    assert(leases.length <= 1, s"stale lease files not swept: ${leases.mkString(",")}")
+    // a fresh torn file (an in-flight creator) is NOT stealable: the next
+    // writer must wait out the grace and fail loudly within its bounded wait
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/store_lease_e99"), "")
+    val e = intercept[IllegalStateException] {
+      FeatureStore.delete(spark, cfg, "u5")
+    }
+    assert(e.getMessage.contains("torn, within grace"), e.getMessage)
+    assert(FeatureStore.read(spark, cfg).count() == 6, "blocked writer mutated")
   }
 
   test("a crash between file move-in and manifest commit leaves the old snapshot intact") {
