@@ -75,8 +75,9 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
-  private def bench(spark: SparkSession, dir: String, runs: Int): Map[String, Double] =
-    ProbeQueries.map { name =>
+  private def bench(spark: SparkSession, dir: String, runs: Int,
+                    queries: Seq[String]): Map[String, Double] =
+    queries.map { name =>
       val fn = graft.SparkEntry.queries(name)
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -92,6 +93,10 @@ object ScaleProbe {
     val baseSf = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale10"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: comma-separated subset of ProbeQueries to run
+    val queries =
+      if (args.length > 3) args(3).split(",").toSeq.filter(ProbeQueries.contains)
+      else ProbeQueries
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -107,14 +112,14 @@ object ScaleProbe {
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$baseSf/documents.parquet").count() // warm datasource
     println(s"[scaleprobe] benching base $baseSf (median of 3)")
-    val base = bench(spark, baseSf, runs = 3)
+    val base = bench(spark, baseSf, runs = 3, queries)
     println(s"[scaleprobe] benching scaled $outDir (median of 3)")
-    val scaled = bench(spark, outDir, runs = 3)
-    ProbeQueries.foreach { q =>
+    val scaled = bench(spark, outDir, runs = 3, queries)
+    queries.foreach { q =>
       val r = scaled(q) / base(q)
       println(f"[scaleprobe] $q%-22s base=${base(q)}%7.2fs scaled=${scaled(q)}%8.2fs ratio=$r%6.2f")
     }
-    val json = ProbeQueries.map(q =>
+    val json = queries.map(q =>
       s"""\"$q\":{\"base\":${base(q)},\"scaled\":${scaled(q)},\"ratio\":${scaled(q) / base(q)}}""")
       .mkString("{", ",", "}")
     println(s"""{"metric":"scaleprobe","factor":$factor,"queries":$json}""")
