@@ -43,9 +43,14 @@ object FeatureStore {
       // the longest co-scheduled mutation — e.g. a streaming sink appending
       // while a maintenance compact() runs needs waits that outlast the
       // compaction (or compaction scheduled in quiet windows), else the
-      // blocked append fails loudly and the streaming query with it
+      // blocked append fails loudly and the streaming query with it.
+      // leaseTornGraceMillis: how old a TORN lease file (created, content
+      // never written) must be before it is treated as a crashed — not
+      // in-flight — creator; it compares the local clock to the filesystem
+      // mtime clock, so keep it well above any cross-clock skew
       leaseWaitMillis: Long = 30 * 1000L,
-      leaseTtlMillis: Long = 10 * 60 * 1000L)
+      leaseTtlMillis: Long = 10 * 60 * 1000L,
+      leaseTornGraceMillis: Long = 10 * 1000L)
 
   /** Columns every feature row carries besides user attrs. */
   private val Reserved = Seq("hash", "uid", "timestamp", "geometry")
@@ -332,14 +337,16 @@ object FeatureStore {
         .map(_.getPath).filter(_.getName.matches(".*_e\\d+$"))
         .sortBy(epochOf).toIndexedSeq
 
-    /** A torn lease file (name present, content unreadable) younger than
-      * this is an IN-FLIGHT creator between its create and write, not a
-      * crash — stealing it instantly would let the creator and the thief
-      * both believe they won. Older than this, it is a genuine crash.
+    /** Release marker for an epoch: EXISTENCE is the signal (content
+      * irrelevant), so releasing is one atomic create — no truncate-rewrite
+      * window that could leave the current lease file torn mid-release.
+      * The name deliberately fails [[listLeases]]' `_e\d+$` filter.
       */
-    val TornGraceMillis: Long = 10 * 1000L
+    private def releasedMarker(cfg: StoreConfig, epoch: Long) =
+      new org.apache.hadoop.fs.Path(cfg.path + s"_lease_e${epoch}_released")
 
     private final case class LeaseFile(epoch: Long, mtime: Long,
+                                       released: Boolean,
                                        content: Option[(String, Long)])
 
     /** The highest-epoch lease; `content` is None when torn (crashed or
@@ -362,24 +369,44 @@ object FeatureStore {
           } catch {
             case _: java.io.IOException | _: NumberFormatException => None
           }
+        // unreadable mtime reads as FRESH (now), not ancient: the fallback
+        // decides whether a torn lease is instantly stealable, and the safe
+        // error is delaying a steal by the grace, not re-opening the
+        // instant-steal race on an in-flight creator
         val mtime =
           try fs.getFileStatus(p).getModificationTime
-          catch { case _: java.io.IOException => 0L }
-        LeaseFile(epochOf(p), mtime, content)
+          catch { case _: java.io.IOException => System.currentTimeMillis }
+        val released =
+          try fs.exists(releasedMarker(cfg, epochOf(p)))
+          catch { case _: java.io.IOException => false }
+        LeaseFile(epochOf(p), mtime, released, content)
       }
 
-    /** Is (epoch, holder) the current lease on disk? The ONE fencing
-      * predicate, shared by [[verify]] and acquire's post-create
-      * confirmation so the two fences can never diverge.
+    /** STRICT fencing predicate ([[verify]] / commit-time): (epoch, holder)
+      * must be the current lease, content readable, not released.
       */
     private def holds(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig,
                       epoch: Long, holder: String): Boolean =
       current(fs, cfg).exists(l =>
-        l.epoch == epoch && l.content.exists(_._1 == holder))
+        l.epoch == epoch && !l.released && l.content.exists(_._1 == holder))
+
+    /** TOLERANT ownership predicate for acquire-time self-checks: an epoch
+      * file can only ever be created ONCE (create-no-overwrite; tombstoned
+      * epochs are never reused), so if the current epoch is the one WE just
+      * created, the file is ours even when its content reads torn — a
+      * transient content-read failure must not make a winner delete its own
+      * valid lease and churn epochs. (If our content write genuinely tore,
+      * we hold a torn lease: others grace-wait on it and our own commit
+      * fence will fail loudly — degraded, never silent.)
+      */
+    private def ownsEpoch(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig,
+                          epoch: Long, holder: String): Boolean =
+      current(fs, cfg).exists(l =>
+        l.epoch == epoch && l.content.forall(_._1 == holder))
 
     /** Take the lease, waiting up to `cfg.leaseWaitMillis` for the current
-      * holder; expired leases — and torn ones past [[TornGraceMillis]] —
-      * are stolen at the next epoch.
+      * holder; released, expired — and torn-past-grace — leases are stolen
+      * at the next epoch.
       */
     def acquire(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig): Token = {
       val deadline = System.currentTimeMillis + math.max(cfg.leaseWaitMillis, 0L)
@@ -389,14 +416,15 @@ object FeatureStore {
         val cur = current(fs, cfg)
         val takeable = cur match {
           case None => true
-          case Some(LeaseFile(epoch, _, Some((holder, expiresAt)))) =>
+          case Some(l) if l.released => true // holder finished; marker is atomic
+          case Some(LeaseFile(epoch, _, _, Some((holder, expiresAt)))) =>
             if (expiresAt >= now) { blocker = s"holder $holder (epoch $epoch)"; false }
-            else true // expired (or a release tombstone): stealable
-          case Some(LeaseFile(epoch, mtime, None)) =>
+            else true // expired: crashed holder, stealable
+          case Some(LeaseFile(epoch, mtime, _, None)) =>
             // torn content: only steal once the grace says it is a CRASHED
             // creator, not one mid-write — instant stealing would let the
             // creator's own post-create confirmation and the thief both win
-            if (now - mtime <= TornGraceMillis) {
+            if (now - mtime <= cfg.leaseTornGraceMillis) {
               blocker = s"epoch $epoch mid-creation (torn, within grace)"; false
             } else true
         }
@@ -414,25 +442,49 @@ object FeatureStore {
             finally out.close()
             created = true
           } catch {
-            // a racing creator won this epoch, OR a persistent FS problem
-            // (permissions, quota): retry until deadline, reporting why
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                 _: java.nio.file.FileAlreadyExistsException =>
+              // a racing creator won this epoch — unambiguous loss, and we
+              // must NOT touch the file (it is the winner's live lease)
+              blocker = s"epoch $epoch taken by a racing writer"
             case e: java.io.IOException =>
-              blocker = s"lease-file create failing (${e.getMessage})"
+              // ambiguous: the CREATE may have succeeded with the failure
+              // landing on write/close. If our file is on disk we won (or
+              // hold a torn lease that would wedge everyone for the grace/
+              // TTL if abandoned); only when nothing landed is this a pure
+              // create failure (permissions, quota).
+              if (try ownsEpoch(fs, cfg, epoch, holder)
+                  catch { case _: java.io.IOException => false }) {
+                created = true
+              } else {
+                // no cleanup here: we cannot distinguish "our create never
+                // materialized" from "a racer owns this epoch on an FS
+                // that signals create-exists as a plain IOException", and
+                // deleting a racer's live lease is far worse than leaving
+                // our own possible torn debris (which others steal past
+                // after the bounded torn grace)
+                blocker = s"lease-file create failing (${e.getMessage})"
+              }
           }
           // post-create work runs OUTSIDE the create try-block: a transient
           // failure here must not read as "create failed" and abandon a
           // valid on-disk lease (which would block every writer for a TTL)
           if (created) {
+            // tolerant self-check: our epoch number proves ownership even
+            // when the content read is transiently unreadable — never
+            // delete our own possibly-valid lease over a read hiccup
             val won =
-              try holds(fs, cfg, epoch, holder)
+              try ownsEpoch(fs, cfg, epoch, holder)
               catch { case _: java.io.IOException => true } // ours unless proven stolen
             if (won) {
-              // best-effort sweep of the dead lower epochs (a file below
-              // the current epoch can never become current again) and of
-              // any pre-epoch-scheme `<path>_lease` single file
+              // best-effort sweep of the dead lower epochs + their release
+              // markers (a file below the current epoch can never become
+              // current again) and of any pre-epoch-scheme `<path>_lease`
               try {
-                listLeases(fs, cfg).filter(epochOf(_) < epoch)
-                  .foreach(fs.delete(_, false))
+                listLeases(fs, cfg).filter(epochOf(_) < epoch).foreach { p =>
+                  fs.delete(p, false)
+                  fs.delete(releasedMarker(cfg, epochOf(p)), false)
+                }
                 fs.delete(new org.apache.hadoop.fs.Path(cfg.path + "_lease"), false)
               } catch { case _: java.io.IOException => () }
               return Token(epoch, holder)
@@ -463,21 +515,21 @@ object FeatureStore {
           "after TTL expiry?) — aborting; the store remains on the " +
           "current holder's snapshot")
 
-    /** Release = overwrite our own epoch file with an EXPIRED tombstone
-      * (expiresAt 0), never a delete. The highest epoch file therefore
-      * persists until a successor sweeps it from above, keeping epochs
-      * MONOTONE for the store's lifetime — so a slow stolen-from writer's
-      * late release can never remove a successor's live lease (epoch names
-      * are never reused while their tombstone exists). The next acquirer
-      * reads the tombstone as expired and steals epoch+1 immediately.
+    /** Release = CREATE the epoch's `_released` marker, never a delete and
+      * never a rewrite of the lease file itself. Marker existence is the
+      * whole signal, so the release is one atomic create (a truncate-
+      * rewrite of the lease file would have a torn window that grace-stalls
+      * the next writer). The lease file + marker persist until a successor
+      * sweeps them from above, keeping epochs MONOTONE for the store's
+      * lifetime — a slow stolen-from writer's late release can never remove
+      * a successor's live lease (epoch names are never reused while their
+      * files exist). The next acquirer reads the marker and steals epoch+1
+      * immediately.
       */
     def release(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig,
                 token: Token): Unit =
-      try {
-        val out = fs.create(path(cfg, token.epoch), true)
-        try out.write(s"${token.holder} 0".getBytes("UTF-8"))
-        finally out.close()
-      } catch {
+      try fs.create(releasedMarker(cfg, token.epoch), true).close()
+      catch {
         case _: java.io.IOException => () // best-effort; TTL is the backstop
       }
   }

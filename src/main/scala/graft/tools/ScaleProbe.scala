@@ -93,10 +93,17 @@ object ScaleProbe {
     val baseSf = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale10"
     val factor = if (args.length > 2) args(2).toInt else 10
-    // optional 4th arg: comma-separated subset of ProbeQueries to run
+    // optional 4th arg: comma-separated subset of ProbeQueries to run —
+    // unknown names fail loudly (a typo must not silently bench nothing)
     val queries =
-      if (args.length > 3) args(3).split(",").toSeq.filter(ProbeQueries.contains)
-      else ProbeQueries
+      if (args.length > 3) {
+        val asked = args(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val unknown = asked.filterNot(ProbeQueries.contains)
+        require(unknown.isEmpty,
+          s"unknown probe queries: ${unknown.mkString(",")} " +
+            s"(valid: ${ProbeQueries.mkString(",")})")
+        asked
+      } else ProbeQueries
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

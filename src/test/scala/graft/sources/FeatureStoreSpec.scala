@@ -362,7 +362,7 @@ class FeatureStoreSpec extends SparkSpec {
       java.nio.file.Files.writeString(p, content)
       java.nio.file.Files.setLastModifiedTime(p,
         java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis - FeatureStore.Lease.TornGraceMillis - 60000))
+          System.currentTimeMillis - cfg.leaseTornGraceMillis - 60000))
     }
     tornLease(7, "")
     FeatureStore.delete(spark, cfg, "u3") // must acquire e8 over the torn e7
@@ -371,11 +371,12 @@ class FeatureStoreSpec extends SparkSpec {
     FeatureStore.delete(spark, cfg, "u4")
     assert(FeatureStore.read(spark, cfg).count() == 6)
     // dead lower-epoch files were swept by the successful acquires; only
-    // the latest holder's release TOMBSTONE may remain (epochs stay
-    // monotone so a late release can never delete a successor's lease)
+    // the latest holder's lease file + its release marker may remain
+    // (epochs stay monotone so a late release can never delete a
+    // successor's lease)
     val leases = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("store_lease_e")).map(_.getName)
-    assert(leases.length <= 1, s"stale lease files not swept: ${leases.mkString(",")}")
+    assert(leases.length <= 2, s"stale lease files not swept: ${leases.mkString(",")}")
     // a fresh torn file (an in-flight creator) is NOT stealable: the next
     // writer must wait out the grace and fail loudly within its bounded wait
     java.nio.file.Files.writeString(
