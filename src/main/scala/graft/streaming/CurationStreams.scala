@@ -199,6 +199,43 @@ object CurationStreams {
       }
   }
 
+  // ---------------------------------------------- streaming decontamination
+
+  /** Streaming benchmark decontamination — x70's streaming twin: every
+    * arriving document is scored for word-trigram overlap with the eval
+    * suite and flagged at `threshold` overlaps, all MAP-ONLY.
+    *
+    * The benchmark side is a broadcast SET of its distinct trigrams (the
+    * eval-suite is bounded — the same smallness x70's batch plan exploits
+    * by broadcasting its bloom + join side), so the stream needs no join,
+    * no state, no watermark: overlap counting is exact per document in one
+    * kernel pass, and results are identical to the batch x70 relation for
+    * the same inputs. Build the broadcast once from the batch side
+    * ([[benchTrigrams]]) and reuse it across the query's lifetime;
+    * refreshing the suite means restarting the query with a new broadcast.
+    */
+  def benchTrigrams(bench: DataFrame,
+                    textCol: String = "text"): scala.collection.Set[String] = {
+    val trigU = udf((t: String) => Kernels.wordTrigramSet(t))
+    bench.select(explode(trigU(col(textCol))).as("sh"))
+      .distinct().collect().map(_.getString(0)).toSet
+  }
+
+  def decontaminate(docs: DataFrame, bench: scala.collection.Set[String],
+                    threshold: Int = 5): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(bench)
+    val overlapU = udf((t: String) => {
+      val b = bc.value
+      var n = 0
+      Kernels.wordTrigramSet(t).foreach(sh => if (b.contains(sh)) n += 1)
+      n.toLong
+    })
+    docs
+      .withColumn("n_overlap", overlapU(col("text")))
+      .withColumn("contaminated",
+        when(col("n_overlap") >= threshold, 1).otherwise(0))
+  }
+
   /** The loop CLOSED: [[nearDupCandidates]] fed through the batch
     * exact-Jaccard verify ([[graft.queries.TextOps.exactJaccard]] — the
     * identical join x40 runs) inside a `foreachBatch`, so the streaming

@@ -318,6 +318,32 @@ class FeatureStoreSpec extends SparkSpec {
     assert(FeatureStore.read(spark, cfg).count() == 7)
   }
 
+  test("writer lease: a second writer WAITS for release, then proceeds (no failure)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val cfg = StoreConfig(path = s"$dir/store", attrs = Seq(AttrField("v", "int")),
+      leaseWaitMillis = 15000)
+    val ls = (0 until 8).map(i =>
+      featureJson(s"u$i", -100.0 + i * 20.0, 10.0, s"""{"v":$i}"""))
+    FeatureStore.write(FeatureStore.ingest(ls.toDF("raw"), cfg).good, cfg, partitions = 2)
+    val fs = new org.apache.hadoop.fs.Path(cfg.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // writer A holds the lease briefly; B's mutation must SERIALIZE behind
+    // it (acquire retries within the wait) — this is how concurrent REST
+    // mutations queue instead of failing, as long as waits cover op length
+    val tokenA = FeatureStore.Lease.acquire(fs, cfg)
+    val releaser = new Thread(() => {
+      Thread.sleep(700)
+      FeatureStore.Lease.release(fs, cfg, tokenA)
+    })
+    releaser.start()
+    val t0 = System.nanoTime()
+    FeatureStore.delete(spark, cfg, "u3") // blocks ~700ms, then proceeds
+    releaser.join()
+    assert((System.nanoTime() - t0) / 1e6 >= 500, "delete did not wait for the lease")
+    assert(FeatureStore.read(spark, cfg).count() == 7)
+  }
+
   test("writer lease: a stale lease is stolen, and the stale holder's commit is fenced") {
     import spark.implicits._
     val dir = tmpDir()

@@ -123,6 +123,39 @@ class CurationStreamsSpec extends SparkSpec {
     assert(!streamed.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("streaming decontamination equals the batch x70 scoring, map-only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // eval-suite doc shares a 5-trigram span with doc 2; doc 3 is clean
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta"
+    val overlapping = "intro words then alpha beta gamma delta epsilon zeta eta closing"
+    val clean = (1 to 12).map(i => s"clean$i").mkString(" ")
+    val bench = CurationStreams.benchTrigrams(Seq(benchText).toDF("text"))
+    val mem = MemoryStream[Doc]
+    val stream = CurationStreams.decontaminate(mem.toDF(), bench, threshold = 5)
+    // map-only contract: the streaming plan must carry no stateful op
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("decon")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(Doc(2, ts("10:00"), overlapping, "en", "s"),
+        Doc(3, ts("10:01"), clean, "en", "s")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("decon")
+      .select("doc_id", "n_overlap", "contaminated")
+      .as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // batch twin on identical inputs: same kernel, same threshold
+    val batchOverlap = {
+      val trigs = graft.operators.Kernels.wordTrigramSet(overlapping)
+      trigs.count(bench.contains)
+    }
+    assert(rows(2L) == (batchOverlap.toLong, if (batchOverlap >= 5) 1 else 0))
+    assert(rows(2L)._2 == 1, s"overlapping doc not flagged: ${rows(2L)}")
+    assert(rows(3L) == (0L, 0))
+  }
+
   test("streaming LSH recall: every true near-dup pair surfaces as a candidate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
