@@ -449,20 +449,19 @@ object FeatureStore {
               blocker = s"epoch $epoch taken by a racing writer"
             case e: java.io.IOException =>
               // ambiguous: the CREATE may have succeeded with the failure
-              // landing on write/close. If our file is on disk we won (or
-              // hold a torn lease that would wedge everyone for the grace/
-              // TTL if abandoned); only when nothing landed is this a pure
-              // create failure (permissions, quota).
-              if (try ownsEpoch(fs, cfg, epoch, holder)
+              // landing on write/close. Claim the epoch ONLY on STRICT
+              // affirmative evidence — our holder readable in the current
+              // epoch's content. The tolerant torn-counts-as-ours predicate
+              // is WRONG here: on an FS signalling create-exists as a plain
+              // IOException, a torn file at this epoch may be a RACER
+              // mid-write, and claiming it would later delete their live
+              // lease and reuse the epoch. Failing strict, do no cleanup
+              // either (our possible torn debris is stolen past the
+              // bounded grace; deleting a racer's lease is far worse).
+              if (try holds(fs, cfg, epoch, holder)
                   catch { case _: java.io.IOException => false }) {
                 created = true
               } else {
-                // no cleanup here: we cannot distinguish "our create never
-                // materialized" from "a racer owns this epoch on an FS
-                // that signals create-exists as a plain IOException", and
-                // deleting a racer's live lease is far worse than leaving
-                // our own possible torn debris (which others steal past
-                // after the bounded torn grace)
                 blocker = s"lease-file create failing (${e.getMessage})"
               }
           }
@@ -477,14 +476,19 @@ object FeatureStore {
               try ownsEpoch(fs, cfg, epoch, holder)
               catch { case _: java.io.IOException => true } // ours unless proven stolen
             if (won) {
-              // best-effort sweep of the dead lower epochs + their release
-              // markers (a file below the current epoch can never become
-              // current again) and of any pre-epoch-scheme `<path>_lease`
+              // best-effort sweep of EVERYTHING below the current epoch —
+              // lease files AND release markers, including orphan markers
+              // whose lease file a previous sweep already removed (a
+              // fenced holder's late release creates one per steal; left
+              // alone they accumulate and inflate every acquire's glob) —
+              // plus any pre-epoch-scheme `<path>_lease` single file
               try {
-                listLeases(fs, cfg).filter(epochOf(_) < epoch).foreach { p =>
-                  fs.delete(p, false)
-                  fs.delete(releasedMarker(cfg, epochOf(p)), false)
-                }
+                val eRe = "_e(\\d+)".r
+                Option(fs.globStatus(leaseDirGlob(cfg))).getOrElse(Array.empty)
+                  .map(_.getPath)
+                  .filter(p => eRe.findFirstMatchIn(p.getName)
+                    .exists(_.group(1).toLong < epoch))
+                  .foreach(fs.delete(_, false))
                 fs.delete(new org.apache.hadoop.fs.Path(cfg.path + "_lease"), false)
               } catch { case _: java.io.IOException => () }
               return Token(epoch, holder)

@@ -209,10 +209,15 @@ object CurationStreams {
     * eval-suite is bounded — the same smallness x70's batch plan exploits
     * by broadcasting its bloom + join side), so the stream needs no join,
     * no state, no watermark: overlap counting is exact per document in one
-    * kernel pass, and results are identical to the batch x70 relation for
-    * the same inputs. Build the broadcast once from the batch side
-    * ([[benchTrigrams]]) and reuse it across the query's lifetime;
-    * refreshing the suite means restarting the query with a new broadcast.
+    * kernel pass, and the SCORES equal the batch x70 relation's for the
+    * same corpus documents. Contract: feed the CORPUS stream — the batch
+    * query excludes the eval-suite's own rows (`source <> 'src0'`) before
+    * scoring, so a stream still carrying eval docs must filter them
+    * upstream (they would otherwise self-overlap as trivially
+    * contaminated rows the batch relation does not contain). Build the
+    * broadcast once from the batch side ([[benchTrigrams]]) and reuse it
+    * across the query's lifetime; refreshing the suite means restarting
+    * the query with a new broadcast.
     */
   def benchTrigrams(bench: DataFrame,
                     textCol: String = "text"): scala.collection.Set[String] = {

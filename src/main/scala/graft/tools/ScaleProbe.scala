@@ -98,6 +98,9 @@ object ScaleProbe {
     val queries =
       if (args.length > 3) {
         val asked = args(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(asked.nonEmpty,
+          "empty query-subset argument — omit it to run every probe query " +
+            s"(valid: ${ProbeQueries.mkString(",")})")
         val unknown = asked.filterNot(ProbeQueries.contains)
         require(unknown.isEmpty,
           s"unknown probe queries: ${unknown.mkString(",")} " +

@@ -133,8 +133,17 @@ class CurationStreamsSpec extends SparkSpec {
     val bench = CurationStreams.benchTrigrams(Seq(benchText).toDF("text"))
     val mem = MemoryStream[Doc]
     val stream = CurationStreams.decontaminate(mem.toDF(), bench, threshold = 5)
-    // map-only contract: the streaming plan must carry no stateful op
+    // map-only contract: the streaming plan must carry no join, no
+    // aggregation, no arbitrary state — a broadcast-set rewrite into any of
+    // those would silently change the scaling class
     assert(stream.isStreaming)
+    val stateful = stream.queryExecution.analyzed.collect {
+      case n: org.apache.spark.sql.catalyst.plans.logical.Join => n
+      case n: org.apache.spark.sql.catalyst.plans.logical.Aggregate => n
+      case n: org.apache.spark.sql.catalyst.plans.logical.FlatMapGroupsWithState => n
+      case n: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => n
+    }
+    assert(stateful.isEmpty, s"decontaminate must stay map-only: $stateful")
     val q = stream.writeStream.format("memory").queryName("decon")
       .outputMode("append").start()
     try {
