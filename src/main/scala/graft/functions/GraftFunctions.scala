@@ -19,20 +19,42 @@ import graft.core.{GeoHash, WebMercator}
   */
 object GraftFunctions {
 
+  /** Arity guard for the SQL builders: a wrong-arity call must surface as a
+    * proper analysis-time error naming the function, not an
+    * IndexOutOfBoundsException from inside the builder.
+    */
+  private def arity2(name: String)(build: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { children =>
+    if (children.length != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name, "expectedNum" -> "2",
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    build(children(0), children(1))
+  }
+
   /** Native-expression functions: name -> (info, builder). */
   val expressions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("zcurve_hash"),
-      new ExpressionInfo(classOf[MortonHashExpr].getName, "zcurve_hash"),
-      (children: Seq[Expression]) => MortonHashExpr(children(0), children(1))),
+      new ExpressionInfo(classOf[MortonHashExpr].getName, null, "zcurve_hash",
+        "zcurve_hash(lon, lat) - 64-bit Morton (Z-order) hash of a WGS84 point.",
+        "", "", "", "", "", "", "scala_udf"),
+      arity2("zcurve_hash")(MortonHashExpr(_, _))),
     (FunctionIdentifier("in_tile"),
       new ExpressionInfo(classOf[InTileExpr].getName, "in_tile"),
       (children: Seq[Expression]) => InTileExpr(children)),
     (FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimExpr(children(0), children(1))),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, null, "cosine_sim",
+        "cosine_sim(a, b) - cosine similarity of two float vectors.",
+        "", "", "", "", "", "", "scala_udf"),
+      arity2("cosine_sim")(CosineSimExpr(_, _))),
     (FunctionIdentifier("dot_f"),
-      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_f"),
-      (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
+      new ExpressionInfo(classOf[DotProductExpr].getName, null, "dot_f",
+        "dot_f(a, b) - dot product of two float vectors.",
+        "", "", "", "", "", "", "scala_udf"),
+      arity2("dot_f")(DotProductExpr(_, _))))
 
   /** Register everything on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -483,7 +483,12 @@ object FeatureStore {
               // alone they accumulate and inflate every acquire's glob) —
               // plus any pre-epoch-scheme `<path>_lease` single file
               try {
-                val eRe = "_e(\\d+)".r
+                // anchored to the LEASE suffix: a store basename that itself
+                // contains `_e<digits>` (e.g. `corpus_e2`) must not parse as
+                // the epoch, or the sweep would read every file — including
+                // the winner's just-created lease — as below-current and
+                // delete it
+                val eRe = "_lease_e(\\d+)(_released)?$".r
                 Option(fs.globStatus(leaseDirGlob(cfg))).getOrElse(Array.empty)
                   .map(_.getPath)
                   .filter(p => eRe.findFirstMatchIn(p.getName)
@@ -640,20 +645,27 @@ object FeatureStore {
       * snapshot dropped survive until `RetainManifests` newer snapshots
       * exist, so in-flight readers of recent snapshots never lose a file.
       */
-    /** Debris younger than this survives the sweep: belt-and-braces under
-      * the lease (a writer whose lease was stolen mid-write may still own a
-      * live spill dir; its commit will fail the fence, but its files should
-      * not vanish under it and turn the loud failure into a confusing
-      * FileNotFound).
+    /** Floor for the debris grace: belt-and-braces under the lease (a writer
+      * whose lease was stolen mid-write may still own a live spill dir; its
+      * commit will fail the fence, but its files should not vanish under it
+      * and turn the loud failure into a confusing FileNotFound).
       */
     val DebrisGraceMillis: Long = 15 * 60 * 1000L
+
+    /** Effective grace: a slow writer can legitimately hold a spill dir for
+      * a full lease TTL before its steal, so the grace must always exceed
+      * the TTL — deriving it (rather than two independent constants) keeps
+      * the protection positive when a store raises leaseTtlMillis.
+      */
+    private[sources] def debrisGraceMillis(cfg: StoreConfig): Long =
+      math.max(DebrisGraceMillis, cfg.leaseTtlMillis + 5 * 60 * 1000L)
 
     def vacuum(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig): Unit = {
       // crash debris: an interrupted append/rewrite leaves an orphaned tmp
       // spill dir (its surviving parquet was either moved in before the
       // crash or never committed). Only dirs past the grace period go — a
       // live writer's spill is never hours old.
-      val cutoff = System.currentTimeMillis - DebrisGraceMillis
+      val cutoff = System.currentTimeMillis - debrisGraceMillis(cfg)
       Seq("_ap_tmp_*", "_rw_tmp_*", "_tmp_*").foreach { pat =>
         Option(fs.globStatus(new org.apache.hadoop.fs.Path(cfg.path + pat)))
           .getOrElse(Array.empty)

@@ -164,6 +164,17 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(!plan.contains("in_tile"), plan.take(2000))
   }
 
+  test("wrong arity on SQL vector/zcurve functions raises an analysis error, not IOOBE") {
+    Seq("SELECT cosine_sim(array(CAST(1.0 AS FLOAT)))",
+        "SELECT dot_f(array(CAST(1.0 AS FLOAT)))",
+        "SELECT zcurve_hash(1L)",
+        "SELECT cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)), 3)")
+      .foreach { sql =>
+        val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(sql))
+        assert(e.getMessage.contains("2"), s"$sql -> ${e.getMessage}")
+      }
+  }
+
   test("in_tile with non-literal coords still evaluates (interpreted fallback)") {
     import graft.queries.Spatial
     val stored = Spatial.featuresStored(spark, Sf)

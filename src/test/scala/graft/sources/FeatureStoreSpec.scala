@@ -414,6 +414,44 @@ class FeatureStoreSpec extends SparkSpec {
     assert(FeatureStore.read(spark, cfg).count() == 6, "blocked writer mutated")
   }
 
+  test("writer lease: a store basename containing _e<digits> never confuses the epoch sweep") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // the basename itself matches `_e\d+` — an UNANCHORED sweep regex would
+    // parse every lease file's epoch from the basename (always 2), read the
+    // winner's own current lease as below-epoch, delete it, and wedge every
+    // later commit on the fence
+    val cfg = StoreConfig(path = s"$dir/corpus_e2", attrs = Seq(AttrField("v", "int")))
+    val ls = (0 until 8).map(i =>
+      featureJson(s"u$i", -100.0 + i * 20.0, 10.0, s"""{"v":$i}"""))
+    FeatureStore.write(FeatureStore.ingest(ls.toDF("raw"), cfg).good, cfg, partitions = 2)
+    // three mutations push the lease epoch past the basename's "2"; with the
+    // unanchored regex the third acquire's sweep deletes its own lease and
+    // the commit fence fails — with the fix all succeed
+    FeatureStore.delete(spark, cfg, "u0")
+    FeatureStore.delete(spark, cfg, "u1")
+    FeatureStore.update(spark, cfg, "u2", None, Map("v" -> 99))
+    assert(FeatureStore.read(spark, cfg).count() == 6)
+    assert(FeatureStore.lookup(spark, cfg, "u2").collect().head.getAs[Int]("v") == 99)
+    // the sweep still works: at most current lease + its marker remain
+    val leases = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.contains("_lease_e") && !f.getName.startsWith("."))
+      .map(_.getName)
+    assert(leases.length <= 2, s"stale lease files not swept: ${leases.mkString(",")}")
+  }
+
+  test("vacuum debris grace always exceeds the lease TTL (derived, not fixed)") {
+    // a slow writer can hold a live spill dir for a full TTL before being
+    // stolen from; the sweep cutoff must cover that window even when a
+    // store raises leaseTtlMillis past the fixed floor
+    val base = cfg0.copy(path = "/tmp/x")
+    assert(FeatureStore.Manifests.debrisGraceMillis(base) ==
+      FeatureStore.Manifests.DebrisGraceMillis)
+    val slow = base.copy(leaseTtlMillis = 60 * 60 * 1000L) // 1 h TTL
+    assert(FeatureStore.Manifests.debrisGraceMillis(slow) > slow.leaseTtlMillis,
+      "grace did not scale with the TTL")
+  }
+
   test("a crash between file move-in and manifest commit leaves the old snapshot intact") {
     import spark.implicits._
     val dir = tmpDir()
