@@ -187,7 +187,13 @@ object Dedup {
                       bucketFilter: DataFrame => DataFrame = identity,
                       maxPerBucket: Int = 64): DataFrame =
     minHashNearDupsFromShingleArrays(shingleArrays(docs, k), threshold,
-      numHashes, bands, bucketFilter, maxPerBucket)
+      numHashes, bands, bucketFilter, maxPerBucket,
+      // verify fetch from the RAW docs: semi-join on doc_id BELOW the
+      // shingle projection, so survivor arrays are recomputed for candidate
+      // docs only (Catalyst does not sink a LeftSemi through a Project, so
+      // the narrowing must be structural)
+      verifyFetch = Some(ids => shingleArrays(
+        docs.join(ids, Seq("doc_id"), "left_semi"), k)))
 
   /** As [[minHashNearDups]] but over a caller-chosen exploded shingle
     * relation (doc_id, sh) — regrouped to arrays, then the array path.
@@ -211,41 +217,32 @@ object Dedup {
   def minHashNearDupsFromShingleArrays(arrs0: DataFrame, threshold: Double = 0.8,
                                        numHashes: Int = 128, bands: Int = 32,
                                        bucketFilter: DataFrame => DataFrame = identity,
-                                       maxPerBucket: Int = 64): DataFrame = {
+                                       maxPerBucket: Int = 64,
+                                       verifyFetch: Option[DataFrame => DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be a multiple of bands ($bands)")
     // empty-shingle docs would all share the identity signature (every slot
     // Long.MaxValue), collide in every band (O(m²) pairs) and then divide
     // 0/0 in the Jaccard — they can never reach a positive threshold, drop
-    // them up front. Cached: this relation feeds the signature pass AND
-    // both sides of the verify join.
+    // them up front
     val arrs = arrs0.select(col("doc_id"), col("shs"))
       .filter(size(col("shs")) > 0)
-      .cache()
     // the capped-bucket aggregate counts truncation IN the candidate pass —
     // observability costs no signature cache and no second corpus scan
     val droppedAcc = arrs.sparkSession.sparkContext
       .longAccumulator("lshBucketOverflowDropped")
-    val cands = bucketFilter(
+    // Candidate pairs are bounded (<= C(cap,2) per bucket) — candidates-
+    // sized, never corpus-sized. Materialized EAGERLY so the signature
+    // pipeline runs once (each verify-join side and the semi-join below
+    // would otherwise each recompute it: Spark shares no subplans across
+    // join inputs). Nothing corpus-scale is pinned for this: the old plan
+    // cached the full shingle-array relation across the candidate+verify
+    // window — at 100 TB the arrays are roughly the text itself, so that
+    // pinned/spilled a corpus-scale intermediate. The price of releasing
+    // it is ONE extra (narrowed) scan for the verify fetch below.
+    val cands = graft.util.Materialize.eager(bucketFilter(
       lshCandidates(minHashSignaturesFromArrays(arrs, numHashes), bands,
-        numHashes, maxPerBucket, Some(droppedAcc)))
-    val interU = udf((a: Array[String], b: Array[String]) => Kernels.intersectCount(a, b))
-    val out = cands
-      .join(arrs.select(col("doc_id").as("doc_a"), col("shs").as("_sha")), "doc_a")
-      .join(arrs.select(col("doc_id").as("doc_b"), col("shs").as("_shb")), "doc_b")
-      .withColumn("inter", interU(col("_sha"), col("_shb")).cast(LongType))
-      .withColumn("jaccard", col("inter").cast(DoubleType) /
-        (size(col("_sha")).cast(LongType) + size(col("_shb")).cast(LongType) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-    // materialize the (small) verified-pair result eagerly, truncating its
-    // lineage, so the big cached shingle relation can be released right here
-    // instead of leaking executor storage for the session lifetime (repeated
-    // REST/streaming invocations would otherwise accumulate one pinned
-    // relation per call). Materialize.eager uses a RELIABLE checkpoint when
-    // the session has a checkpoint dir (executor-loss-safe on clusters);
-    // localCheckpoint otherwise.
-    val materialized = graft.util.Materialize.eager(out)
+        numHashes, maxPerBucket, Some(droppedAcc))))
     // surface the hot-bucket truncation in the main path: a capped run that
     // actually dropped rows is a recall hazard the caller should SEE, not
     // discover via the opt-in lshBucketOverflow query. The count rode the
@@ -258,8 +255,57 @@ object Dedup {
           s"~${droppedAcc.value} bucket rows; borderline pairs may be " +
           "lost — see Dedup.lshBucketOverflow for the per-bucket report " +
           "or rerun with maxPerBucket=0 for exact recall")
-    arrs.unpersist(false)
+    // the verify join only needs arrays for docs that APPEAR in a candidate
+    // pair — cache that candidates-sized slice, not the corpus. `verifyFetch`
+    // (given the distinct candidate ids) lets callers holding the RAW docs
+    // semi-join BELOW the shingle projection, so survivor arrays are
+    // recomputed for candidate docs only; the fallback semi-joins the array
+    // relation itself (same candidates-sized CACHE, but the projection runs
+    // corpus-wide once more — Catalyst does not sink a LeftSemi through a
+    // Project)
+    val candIds = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id")))
+      .distinct()
+    // no size(shs)>0 filter on the fetched slice: empty-shingle docs never
+    // reach a candidate pair (filtered before signatures), the verify joins
+    // are inner on doc_a/doc_b anyway, and the filter would be predicate-
+    // pushed below the fetch's semi-join — re-running the shingle kernel
+    // corpus-wide for the size check alone
+    val narrowed = verifyFetch
+      .map(f => f(candIds).select(col("doc_id"), col("shs")))
+      .getOrElse(arrs.join(candIds, Seq("doc_id"), "left_semi"))
+      .cache()
+    val interU = udf((a: Array[String], b: Array[String]) => Kernels.intersectCount(a, b))
+    val out = cands
+      .join(narrowed.select(col("doc_id").as("doc_a"), col("shs").as("_sha")), "doc_a")
+      .join(narrowed.select(col("doc_id").as("doc_b"), col("shs").as("_shb")), "doc_b")
+      .withColumn("inter", interU(col("_sha"), col("_shb")).cast(LongType))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (size(col("_sha")).cast(LongType) + size(col("_shb")).cast(LongType) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+    // materialize the (small) verified-pair result eagerly, truncating its
+    // lineage, so the cached candidate-slice relation can be released right
+    // here instead of leaking executor storage for the session lifetime
+    // (repeated REST/streaming invocations would otherwise accumulate one
+    // pinned relation per call). Materialize.eager uses a RELIABLE
+    // checkpoint when the session has a checkpoint dir (executor-loss-safe
+    // on clusters); localCheckpoint otherwise.
+    val materialized = graft.util.Materialize.eager(out)
+    narrowed.unpersist(false)
     materialized
+  }
+
+  /** Restrict a (doc_id, ...) relation to docs appearing on either side of
+    * the candidate pairs — the verify join's input set, candidates-sized
+    * rather than corpus-sized. A LEFT SEMI on doc_id; the small side
+    * broadcasts when candidates are few.
+    */
+  private[graft] def narrowToCandidates(arrs: DataFrame, cands: DataFrame): DataFrame = {
+    val candIds = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id")))
+      .distinct()
+    arrs.join(candIds, Seq("doc_id"), "left_semi")
   }
 
   /** 64-bit SimHash per doc over whitespace tokens: per bit, sum +-1 weighted

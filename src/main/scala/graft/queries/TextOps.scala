@@ -47,6 +47,17 @@ object TextOps {
       .filter(size(col("shs")) > 0)
   }
 
+  /** As [[shingleArrays]] but WITHOUT the non-empty filter — the x40
+    * verify-fetch shape. Candidate docs always have shingles (empty-array
+    * docs never reach a candidate pair), and the filter would be
+    * predicate-pushed below the fetch's semi-join, re-running the trigram
+    * kernel corpus-wide for the size check alone.
+    */
+  def shingleArraysUnfiltered(docs: DataFrame): DataFrame = {
+    val trigU = udf((t: String) => graft.operators.Kernels.wordTrigramSet(t))
+    docs.select(col("doc_id"), trigU(col("text")).as("shs"))
+  }
+
   /** Oracle twin of [[shingles]] (zipped-UNNEST form: DuckDB 1.0 does not
     * allow lateral column args to the generate_series table function).
     */
@@ -196,7 +207,12 @@ object TextOps {
       .select("doc_a", "doc_b")
     Canon(Dedup.minHashNearDupsFromShingleArrays(
       shingleArrays(docs).select("doc_id", "shs"),
-      threshold = 0.8, bucketFilter = bucketFilter))
+      threshold = 0.8, bucketFilter = bucketFilter,
+      // verify fetch: semi-join the RAW docs on the candidate ids BELOW the
+      // trigram projection, so survivor shingle arrays are recomputed for
+      // candidate docs only — the fetch (and its cache) is candidates-sized
+      verifyFetch = Some(ids => shingleArraysUnfiltered(
+        docs.join(ids, Seq("doc_id"), "left_semi")))))
   }
 
   // ---------------------------------------------------------------- x44/x45

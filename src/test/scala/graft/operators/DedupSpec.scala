@@ -162,6 +162,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("verify fetch is candidates-sized, not corpus-sized") {
+    // 200 gibberish docs (no near-dups) + one 4-doc near-dup clique: the
+    // narrowed verify input must hold exactly the docs appearing in some
+    // candidate pair — a handful — never the 204-doc corpus
+    val rnd = new scala.util.Random(42)
+    def gibberish() = (0 until 80).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = gibberish() + " " + gibberish()
+    val corpus = ((1L to 200L).map(i => (i, gibberish())) ++
+      (201L to 204L).map(i => (i, s"$shared $i"))).toDF("doc_id", "text")
+    val arrs = Dedup.shingleArrays(corpus).filter(size(col("shs")) > 0)
+    val cands = Dedup.lshCandidates(Dedup.minHashSignaturesFromArrays(arrs))
+    val candIds = cands.select("doc_a").union(cands.select("doc_b"))
+      .distinct().count()
+    val narrowed = Dedup.narrowToCandidates(arrs, cands)
+    assert(narrowed.count() == candIds,
+      "narrowed fetch must hold exactly the candidate-pair docs")
+    assert(narrowed.count() <= 20,
+      s"fetch not candidates-sized: ${narrowed.count()} of 204 docs fetched")
+    // end-to-end: the clique's pairs all survive with exact jaccard
+    val pairs = Dedup.minHashNearDups(corpus, threshold = 0.8)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    (201L to 204L).toSeq.combinations(2).foreach { c =>
+      assert(pairs.contains((c(0), c(1))), s"clique pair ${c} lost")
+    }
+  }
+
   test("minHashNearDups with maxPerBucket=0 keeps the uncapped behavior") {
     val pairs = Dedup.minHashNearDups(docs, threshold = 0.5, maxPerBucket = 0)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet

@@ -126,6 +126,33 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final capped-members aggregates, found $objAggs:\n$plan")
   }
 
+  test("x40 verify fetch: the candidate semi-join sits below the shingle projection") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    // the verify join's input must be candidates-sized: the semi-join on
+    // doc_id has to reach the scan BELOW the expensive shingle kernel, so
+    // arrays are computed only for docs appearing in a candidate pair —
+    // never materializing (or caching) the corpus-scale array relation.
+    // This is the exact fetch shape x40 passes as `verifyFetch` (Catalyst
+    // does not sink a LeftSemi through a Project, so it must be structural).
+    val docs = Tables.documents(spark, Sf)
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L).toDF("doc_id")
+    val fetch = graft.queries.TextOps.shingleArraysUnfiltered(
+      docs.join(ids, Seq("doc_id"), "left_semi"))
+    val optimized = fetch.queryExecution.optimizedPlan
+    val semis = optimized.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semis.nonEmpty, s"no semi join in the verify fetch:\n$optimized")
+    // the shingle kernel is a ScalaUDF — it must appear only ABOVE the semi
+    // join (the join subtree holds just the scan and the id set)
+    semis.foreach { j =>
+      assert(!j.toString.contains("UDF("),
+        s"shingle kernel still below the semi join (fetch is corpus-sized):\n$j")
+    }
+    assert(optimized.toString.contains("UDF("),
+      s"shingle kernel vanished entirely:\n$optimized")
+  }
+
   test("x71: the tf⋈df join is salted — no raw token-keyed exchange") {
     val (_, plan) = planOf("x71_tfidf")
     // the join keys must carry the _salt sub-key (hot tokens spread over
