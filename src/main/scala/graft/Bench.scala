@@ -1,9 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute load average, or -1 where /proc is unavailable. Recorded in
+    * the bench artifact: per-query wall times on a co-tenant box inflate
+    * 2-8x non-uniformly under load, so a number without its load context
+    * can read as (or hide) a plan regression.
+    */
+  private[graft] def loadAvg(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Exception => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val loadStart = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -37,7 +48,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val loadEnd = loadAvg()
+    if (math.max(loadStart, loadEnd) > 2.0)
+      System.err.println(f"[bench] WARNING: 1-min loadavg $loadStart%.2f -> " +
+        f"$loadEnd%.2f during the run — timings on this box are only " +
+        "comparable near-zero load; treat regressions as noise until " +
+        "reproduced quiet")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","load_start":$loadStart,"load_end":$loadEnd""" +
+      s""","cpus":${Runtime.getRuntime.availableProcessors}}""")
     spark.stop()
   }
 }

@@ -10,6 +10,11 @@ object Verify {
       sys.exit(2)
     }
     val Array(sfDir, outDir) = args
+    val load0 = Bench.loadAvg()
+    if (load0 > 2.0)
+      System.err.println(f"[verify] WARNING: 1-min loadavg $load0%.2f at " +
+        "start — correctness is unaffected, but do not read this run's " +
+        "wall-clock as performance signal")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
