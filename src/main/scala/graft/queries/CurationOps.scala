@@ -414,36 +414,17 @@ object CurationOps {
         |LEFT JOIN overlap o ON d.doc_id = o.doc_id""".stripMargin,
       Seq("doc_id", "n_overlap", "contaminated"))) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val trigU = udf((t: String) => Kernels.wordTrigramSet(t))
-    val sh = docs.select(col("doc_id"), col("source"),
-      explode(trigU(col("text"))).as("sh"))
-    val bench = sh.filter(col("source") === "src0").select(col("sh")).distinct()
-      .cache() // serves the count + bloom build; released below
-    val nBench = bench.count()
-    val corpusSh = sh.filter(col("source") =!= "src0")
-    val prunedSh =
-      if (nBench == 0L) corpusSh // empty eval suite: Spark's sketch agg yields a null buffer
-      else {
-        val bloom = bench.stat.bloomFilter(col("sh"), nBench, 0.01)
-        val bcBloom = s.sparkContext.broadcast(bloom)
-        val mightContain =
-          udf((t: String) => t != null && bcBloom.value.mightContainString(t))
-        corpusSh.filter(mightContain(col("sh"))) // map-side prune BEFORE the exchange
-      }
-    // release the cache now that count + bloom are built: the returned LAZY
-    // plan recomputes the (small, eval-suite-sized) bench side at execution
+    // the bloom-prune + exact-join core is shared verbatim with the
+    // streaming twin (graft.streaming.CurationStreams.decontaminate)
+    val bench = graft.operators.Decontaminate.benchSide(
+      docs.filter(col("source") === "src0"))
+    // release the suite-sized cache now that count + bloom are built: the
+    // returned LAZY plan recomputes the (small) bench side at execution
     // instead of pinning cached blocks for the session lifetime (this
     // builder has no eager materialization point to hook an unpersist on)
-    bench.unpersist(false)
-    val overlap = prunedSh
-      .join(bench, "sh")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
-    Canon(docs.filter(col("source") =!= "src0").select(col("doc_id"))
-      .join(overlap, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
-      .withColumn("contaminated",
-        when(col("n_overlap") >= 5, 1).otherwise(0)))
+    bench.release()
+    Canon(graft.operators.Decontaminate.score(
+      docs.filter(col("source") =!= "src0"), bench, threshold = 5))
   }
 
   // ---------------------------------------------------------------- x71

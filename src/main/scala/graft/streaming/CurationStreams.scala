@@ -201,45 +201,38 @@ object CurationStreams {
 
   // ---------------------------------------------- streaming decontamination
 
-  /** Streaming benchmark decontamination — x70's streaming twin: every
-    * arriving document is scored for word-trigram overlap with the eval
-    * suite and flagged at `threshold` overlaps, all MAP-ONLY.
+  /** Streaming benchmark decontamination — x70's streaming twin, sharing
+    * the batch plan's EXACT shape ([[graft.operators.Decontaminate]]):
+    * each micro-batch is scored by the same broadcast-bloom map-side prune
+    * + exact equi-join with the suite's distinct-trigram relation + per-doc
+    * count that the batch x70 query runs, via `foreachBatch`.
     *
-    * The benchmark side is a broadcast SET of its distinct trigrams (the
-    * eval-suite is bounded — the same smallness x70's batch plan exploits
-    * by broadcasting its bloom + join side), so the stream needs no join,
-    * no state, no watermark: overlap counting is exact per document in one
-    * kernel pass, and the SCORES equal the batch x70 relation's for the
-    * same corpus documents. Contract: feed the CORPUS stream — the batch
-    * query excludes the eval-suite's own rows (`source <> 'src0'`) before
-    * scoring, so a stream still carrying eval docs must filter them
-    * upstream (they would otherwise self-overlap as trivially
-    * contaminated rows the batch relation does not contain). Build the
-    * broadcast once from the batch side ([[benchTrigrams]]) and reuse it
-    * across the query's lifetime; refreshing the suite means restarting
-    * the query with a new broadcast.
+    * Scale contract: nothing suite-sized ever lands in driver memory (the
+    * driver holds only the bloom's ~12 MB-at-1%-FPP bits; the trigram
+    * relation stays distributed — the previous driver-Set design tied
+    * driver heap to suite size), per-batch work is bounded by that batch's
+    * rows (join+agg over a micro-batch with a broadcast bench side), and
+    * the stream keeps NO cross-batch state: each doc is scored within the
+    * batch that carries it, so there is no watermark and no state store.
+    *
+    * Feed the CORPUS stream — the batch query excludes the eval-suite's
+    * own rows (`source <> 'src0'`) before scoring, so a stream still
+    * carrying eval docs must filter them upstream (they would otherwise
+    * self-overlap as trivially contaminated rows the batch relation does
+    * not contain). Build the side once ([[Decontaminate.benchSide]] —
+    * keep its cache for the query's lifetime) and restart the query with
+    * a new side to refresh the suite. `sink` receives each micro-batch's
+    * (doc_id, n_overlap, contaminated) rows — x70's exact schema.
+    *
+    * Returns the un-started writer so the caller picks trigger/checkpoint.
     */
-  def benchTrigrams(bench: DataFrame,
-                    textCol: String = "text"): scala.collection.Set[String] = {
-    val trigU = udf((t: String) => Kernels.wordTrigramSet(t))
-    bench.select(explode(trigU(col(textCol))).as("sh"))
-      .distinct().collect().map(_.getString(0)).toSet
-  }
-
-  def decontaminate(docs: DataFrame, bench: scala.collection.Set[String],
-                    threshold: Int = 5): DataFrame = {
-    val bc = docs.sparkSession.sparkContext.broadcast(bench)
-    val overlapU = udf((t: String) => {
-      val b = bc.value
-      var n = 0
-      Kernels.wordTrigramSet(t).foreach(sh => if (b.contains(sh)) n += 1)
-      n.toLong
-    })
-    docs
-      .withColumn("n_overlap", overlapU(col("text")))
-      .withColumn("contaminated",
-        when(col("n_overlap") >= threshold, 1).otherwise(0))
-  }
+  def decontaminate(docs: DataFrame,
+                    bench: graft.operators.Decontaminate.BenchSide,
+                    sink: DataFrame => Unit, threshold: Int = 5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.operators.Decontaminate.score(batch, bench, threshold))
+    }
 
   /** The loop CLOSED: [[nearDupCandidates]] fed through the batch
     * exact-Jaccard verify ([[graft.queries.TextOps.exactJaccard]] — the

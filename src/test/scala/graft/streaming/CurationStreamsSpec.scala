@@ -123,46 +123,42 @@ class CurationStreamsSpec extends SparkSpec {
     assert(!streamed.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
-  test("streaming decontamination equals the batch x70 scoring, map-only") {
+  test("streaming decontamination equals batch x70 on the x70 fixture, stateless, bloom-shaped") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    // eval-suite doc shares a 5-trigram span with doc 2; doc 3 is clean
-    val benchText = "alpha beta gamma delta epsilon zeta eta theta"
-    val overlapping = "intro words then alpha beta gamma delta epsilon zeta eta closing"
-    val clean = (1 to 12).map(i => s"clean$i").mkString(" ")
-    val bench = CurationStreams.benchTrigrams(Seq(benchText).toDF("text"))
-    val mem = MemoryStream[Doc]
-    val stream = CurationStreams.decontaminate(mem.toDF(), bench, threshold = 5)
-    // map-only contract: the streaming plan must carry no join, no
-    // aggregation, no arbitrary state — a broadcast-set rewrite into any of
-    // those would silently change the scaling class
-    assert(stream.isStreaming)
-    val stateful = stream.queryExecution.analyzed.collect {
-      case n: org.apache.spark.sql.catalyst.plans.logical.Join => n
-      case n: org.apache.spark.sql.catalyst.plans.logical.Aggregate => n
-      case n: org.apache.spark.sql.catalyst.plans.logical.FlatMapGroupsWithState => n
-      case n: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => n
-    }
-    assert(stateful.isEmpty, s"decontaminate must stay map-only: $stateful")
-    val q = stream.writeStream.format("memory").queryName("decon")
-      .outputMode("append").start()
+    import org.apache.spark.sql.functions.col
+    // the REAL x70 fixture: documents' src0 rows are the eval suite, the
+    // rest are the corpus — stream the corpus through in two micro-batches
+    // and require bit-identical scores to the batch x70 relation
+    val documents = graft.queries.Tables.documents(spark, Sf)
+    val bench = graft.operators.Decontaminate.benchSide(
+      documents.filter(col("source") === "src0"))
+    val corpus = documents.filter(col("source") =!= "src0")
+      .select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (firstHalf, secondHalf) = corpus.splitAt(corpus.length / 2)
+    val collected = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+    val mem = MemoryStream[(Long, String)]
+    val q = CurationStreams.decontaminate(
+        mem.toDF().toDF("doc_id", "text"), bench,
+        sink = b => collected ++= b.as[(Long, Long, Int)].collect())
+      .start()
     try {
-      mem.addData(Seq(Doc(2, ts("10:00"), overlapping, "en", "s"),
-        Doc(3, ts("10:01"), clean, "en", "s")))
-      q.processAllAvailable()
+      mem.addData(firstHalf.toIndexedSeq); q.processAllAvailable()
+      mem.addData(secondHalf.toIndexedSeq); q.processAllAvailable()
+      // stateless contract: scoring keeps no cross-batch streaming state
+      // (no state store rows, no watermark) — per-batch join+agg only
+      val stateOps = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+      assert(stateOps.isEmpty || stateOps.forall(_.numRowsTotal == 0L),
+        s"decontamination must be stateless: ${stateOps.mkString(",")}")
     } finally q.stop()
-    val rows = spark.table("decon")
+    val batch = graft.SparkEntry.queries("x70_decontaminate")(spark, Sf)
       .select("doc_id", "n_overlap", "contaminated")
-      .as[(Long, Long, Int)].collect()
-      .map(r => r._1 -> (r._2, r._3)).toMap
-    // batch twin on identical inputs: same kernel, same threshold
-    val batchOverlap = {
-      val trigs = graft.operators.Kernels.wordTrigramSet(overlapping)
-      trigs.count(bench.contains)
-    }
-    assert(rows(2L) == (batchOverlap.toLong, if (batchOverlap >= 5) 1 else 0))
-    assert(rows(2L)._2 == 1, s"overlapping doc not flagged: ${rows(2L)}")
-    assert(rows(3L) == (0L, 0))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(collected.nonEmpty && collected.toSet == batch,
+      s"stream-only: ${collected.toSet -- batch take 5}; " +
+        s"batch-only: ${batch -- collected.toSet take 5}")
+    bench.release()
   }
 
   test("streaming LSH recall: every true near-dup pair surfaces as a candidate") {
