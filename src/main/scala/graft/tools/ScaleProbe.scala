@@ -75,6 +75,41 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
+  /** Fixed query-id panel for the recall dimension: present at every SF and
+    * in every scaled corpus (replica 0 preserves base vectors verbatim).
+    */
+  val RecallQids: Seq[Long] = Seq(1L, 7L, 99L, 150L, 230L, 301L, 404L, 480L)
+
+  /** ANN recall@10 of the registry configs vs brute force on `dir`'s
+    * embeddings: x43's LSH (64 planes / 16 bands) and x43b's tuned IVF
+    * (3 Lloyd passes over a 512-vector hash-ordered sample, nprobe 8/16).
+    * Wall-time ratios alone cannot catch an approximate index going BAD as
+    * the corpus grows (e.g. nlist=16 cells at 30x density) — this measures
+    * whether the indexes stay GOOD, not just fast.
+    */
+  def annRecall(spark: SparkSession, dir: String): Map[String, Double] = {
+    import graft.operators.Similarity
+    val emb = graft.queries.Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id").isin(RecallQids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    def sets(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    val exact = sets(Similarity.bruteForceTopK(emb, q, k = 10))
+    def mean(got: Map[Long, Set[Long]]): Double = {
+      val rs = exact.map { case (qid, ex) =>
+        got.getOrElse(qid, Set.empty).intersect(ex).size.toDouble / ex.size
+      }
+      rs.sum / rs.size
+    }
+    val lsh = mean(sets(Similarity.annTopK(emb, q, k = 10)))
+    val cents = Similarity.kmeansCentroids(emb, nlist = 16, iters = 3,
+      sampleSize = 512)
+    val ivf = mean(sets(
+      Similarity.ivfTopKWithCentroids(emb, q, k = 10, cents, nprobe = 8)))
+    Map("x43_ann_lsh" -> lsh, "x43b_ann_ivf" -> ivf)
+  }
+
   private def bench(spark: SparkSession, dir: String, runs: Int,
                     queries: Seq[String]): Map[String, Double] =
     queries.map { name =>
@@ -94,9 +129,13 @@ object ScaleProbe {
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale10"
     val factor = if (args.length > 2) args(2).toInt else 10
     // optional 4th arg: comma-separated subset of ProbeQueries to run —
-    // unknown names fail loudly (a typo must not silently bench nothing)
+    // unknown names fail loudly (a typo must not silently bench nothing).
+    // "-" skips the wall-time bench entirely (recall-only mode: recall is
+    // deterministic, so it stays meaningful on a loaded box where wall
+    // ratios are noise)
     val queries =
-      if (args.length > 3) {
+      if (args.length > 3 && args(3) == "-") Seq.empty[String]
+      else if (args.length > 3) {
         val asked = args(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         require(asked.nonEmpty,
           "empty query-subset argument — omit it to run every probe query " +
@@ -129,10 +168,31 @@ object ScaleProbe {
       val r = scaled(q) / base(q)
       println(f"[scaleprobe] $q%-22s base=${base(q)}%7.2fs scaled=${scaled(q)}%8.2fs ratio=$r%6.2f")
     }
+    // recall dimension: the approximate indexes must stay GOOD at scale,
+    // not merely fast — measured with the exact registry configs
+    println(s"[scaleprobe] measuring ANN recall@10 base vs scaled")
+    val recallBase = annRecall(spark, baseSf)
+    val recallScaled = annRecall(spark, outDir)
+    recallBase.keys.toSeq.sorted.foreach { k =>
+      println(f"[scaleprobe] recall@10 $k%-14s base=${recallBase(k)}%5.3f scaled=${recallScaled(k)}%5.3f")
+    }
     val json = queries.map(q =>
       s"""\"$q\":{\"base\":${base(q)},\"scaled\":${scaled(q)},\"ratio\":${scaled(q) / base(q)}}""")
       .mkString("{", ",", "}")
-    println(s"""{"metric":"scaleprobe","factor":$factor,"queries":$json}""")
+    val recallJson = recallBase.keys.toSeq.sorted.map(k =>
+      s"""\"$k\":{\"base\":${recallBase(k)},\"scaled\":${recallScaled(k)}}""")
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scaleprobe","factor":$factor,"queries":$json,"recall_at_10":$recallJson}""")
+    // gate AFTER printing (the numbers must survive a failed gate): the
+    // sf0.001 spec thresholds (LSH >= 0.8, tuned IVF >= 0.78) must hold on
+    // the scaled corpus — a quality cliff here means the index config
+    // (bands / nlist / nprobe) needs to grow with the corpus
+    require(recallScaled("x43_ann_lsh") >= 0.8,
+      f"LSH recall@10 ${recallScaled("x43_ann_lsh")}%.3f < 0.8 at ${factor}x " +
+        "— grow bands/numPlanes with corpus size")
+    require(recallScaled("x43b_ann_ivf") >= 0.78,
+      f"IVF recall@10 ${recallScaled("x43b_ann_ivf")}%.3f < 0.78 at ${factor}x " +
+        "— grow nlist/nprobe with corpus size")
     spark.stop()
   }
 }
