@@ -162,6 +162,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("rank-limited queries carry the map-side WindowGroupLimit") {
+    // every `row_number() <= k` query must keep Spark's group-limit node:
+    // the partial (map-side) pass bounds each partition's contribution to k
+    // rows per group BEFORE the window exchange, so a hot group (one lang
+    // can be half a real corpus) never funnels its full membership through
+    // one reducer's sort. A query-shape edit that breaks the
+    // InferWindowGroupLimit pattern (e.g. filtering on a derived column or
+    // mixing specs) would silently reintroduce the full partition sort —
+    // this gate makes that loud.
+    Seq("q14_rank", "x68_balance", "x71_tfidf").foreach { name =>
+      val (_, plan) = planOf(name)
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name lost its WindowGroupLimit (full per-group sort at scale):\n$plan")
+    }
+  }
+
   test("x70: decontamination joins without a cartesian product") {
     val (_, plan) = planOf("x70_decontaminate")
     assert(!plan.contains("CartesianProduct"), plan)
