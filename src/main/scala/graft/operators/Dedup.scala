@@ -181,6 +181,8 @@ object Dedup {
   /** Full pipeline: shingle -> MinHash -> LSH candidates -> bucket filters ->
     * exact Jaccard >= `threshold`. `bucketFilter` optionally restricts pairs
     * (e.g. same language / similar length) to mirror an oracle's plan.
+    * Knob derivation (numHashes/bands from a target recall, maxPerBucket
+    * from the corpus duplicate profile): see DEDUP_TUNING.md §1.
     */
   def minHashNearDups(docs: DataFrame, threshold: Double = 0.8, k: Int = 5,
                       numHashes: Int = 128, bands: Int = 32,
@@ -332,7 +334,8 @@ object Dedup {
     * fingerprints in one bucket; identical fingerprints rank identically
     * in every chunk, so the kept clique members still witness every
     * duplicate group, and the drop is unbiased). [[simHashBucketOverflow]]
-    * reports what a given corpus would truncate.
+    * reports what a given corpus would truncate. Chunk-count/cap derivation
+    * (c >= maxDist+1 completeness, occupancy arithmetic): DEDUP_TUNING.md §2.
     */
   def simHashNearDups(docs: DataFrame, maxDist: Int = 3,
                       maxPerBucket: Int = 64,
