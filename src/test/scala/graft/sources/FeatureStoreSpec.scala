@@ -452,6 +452,74 @@ class FeatureStoreSpec extends SparkSpec {
       "grace did not scale with the TTL")
   }
 
+  test("lease storm: concurrent writers with random crashes — liveness and integrity") {
+    // N threads x M lease-guarded commits; ~25% of ops "crash" after
+    // acquiring (no commit, no release) so successors must STEAL after the
+    // TTL. Asserts: (1) liveness — no thread wedges, every acquire
+    // eventually succeeds within its bounded wait; (2) integrity — the
+    // final manifest contains EVERY committed name (no lost update) and NO
+    // crashed op's name; commits interrupted by a steal fail loudly
+    // (fence/rename), never silently. The lease's 300+ lines of edge-case
+    // handling evolve — this storm keeps them honest.
+    val dir = tmpDir()
+    val cfg = StoreConfig(path = s"$dir/store", attrs = Seq(AttrField("v", "int")),
+      leaseWaitMillis = 30000, leaseTtlMillis = 200, leaseTornGraceMillis = 100)
+    val fs = new org.apache.hadoop.fs.Path(cfg.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val threads = 4; val opsPerThread = 6
+    val committed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val crashed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fenced = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        val rnd = new scala.util.Random(1000 + t) // deterministic storm
+        (0 until opsPerThread).foreach { i =>
+          val name = s"part-t$t-o$i.parquet"
+          try {
+            val token = FeatureStore.Lease.acquire(fs, cfg)
+            if (rnd.nextDouble() < 0.25) {
+              crashed.add(name) // crashed holder: successors steal after TTL
+            } else {
+              try {
+                FeatureStore.Manifests.commit(fs, cfg, _ :+ name, Some(token))
+                committed.add(name)
+              } catch {
+                // stolen mid-commit: the fence (verify) or the m_<n> rename
+                // refuses — loud, and the name must NOT reach the manifest
+                case e: IllegalArgumentException => fenced.add(name)
+              } finally FeatureStore.Lease.release(fs, cfg, token)
+            }
+          } catch {
+            case e: Exception =>
+              errors.add(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(90)}")
+          }
+        }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    assert(ts.forall(!_.isAlive), "a writer thread is still wedged after the storm")
+    assert(errors.isEmpty, s"liveness violated: ${errors.toArray.mkString("; ")}")
+    val fin = FeatureStore.Manifests.latest(fs, cfg).map(_._2).getOrElse(Nil).toSet
+    val committedNames = committed.toArray(Array.empty[String])
+    assert(committedNames.nonEmpty, "storm committed nothing — fixture broken")
+    committedNames.foreach { n =>
+      assert(fin.contains(n), s"committed $n lost from the final snapshot")
+    }
+    crashed.toArray(Array.empty[String]).foreach { n =>
+      assert(!fin.contains(n), s"crashed op's $n leaked into the snapshot")
+    }
+    fenced.toArray(Array.empty[String]).foreach { n =>
+      assert(!fin.contains(n), s"fenced op's $n reached the snapshot anyway")
+    }
+    // post-storm health: a fresh writer acquires (stealing any crashed
+    // holder's stale lease) and commits normally
+    val after = FeatureStore.Lease.acquire(fs, cfg)
+    FeatureStore.Manifests.commit(fs, cfg, _ :+ "part-post.parquet", Some(after))
+    FeatureStore.Lease.release(fs, cfg, after)
+    assert(FeatureStore.Manifests.latest(fs, cfg).get._2.contains("part-post.parquet"))
+  }
+
   test("a crash between file move-in and manifest commit leaves the old snapshot intact") {
     import spark.implicits._
     val dir = tmpDir()
