@@ -83,6 +83,39 @@ object TextAnalysis {
       .select(col("doc_id"), size(col("fps")).cast(LongType).as("n_fp"),
         array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
 
+  /** Cross-document shared-span (boilerplate) statistics from winnowing
+    * fingerprints: a fingerprint appearing in >= `minDocs` distinct docs
+    * marks a SHARED span (license headers, templated pages, repeated
+    * disclaimers — the substring-level duplication that document-level
+    * dedup never sees). Output per doc:
+    * (doc_id, n_fp, n_shared, shared_ratio) — the fraction of a document's
+    * fingerprints lying on shared spans, the standard drop/trim signal for
+    * substring-level curation.
+    *
+    * Plan shape at scale: fingerprints are a per-doc kernel (no gram
+    * explode); the shared-fingerprint vocabulary is ONE map-combined
+    * aggregation ((doc_id, fp) is distinct within a doc, so plain COUNT
+    * counts distinct docs); marking is a broadcast join — the shared set
+    * is the corpus's boilerplate vocabulary, bounded in practice (drop the
+    * broadcast hint for a corpus where it is not); per-doc stats are a
+    * second map-combined aggregation. `shared_ratio` is 4dp-rounded (the
+    * division is the one non-integral output).
+    */
+  def sharedSpanStats(docs: DataFrame, minDocs: Int = 2,
+                      k: Int = 8, w: Int = 4): DataFrame = {
+    val fps = winnowingFingerprints(docs, k, w)
+    val shared = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("fp"), lit(1).as("_sh"))
+    fps.join(broadcast(shared), Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_fp"),
+        sum(coalesce(col("_sh"), lit(0))).cast(IntegerType).as("n_shared"))
+      .withColumn("shared_ratio",
+        round(col("n_shared").cast(DoubleType) / col("n_fp"), 4))
+  }
+
   /** GPT-2-flavoured pretokenizer regex, restricted to constructs whose
     * semantics match between Java regex (Spark) and RE2 (DuckDB oracle).
     */

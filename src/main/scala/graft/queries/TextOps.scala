@@ -20,7 +20,8 @@ object TextOps {
 
   def defs: Seq[QueryDef] =
     Seq(q31, q32, q34, q34b, x40_minhash_lsh, x41_quality, x44_simhash,
-      x45_simhash_neardup, x48_langid, x49_fingerprint, x50_bpe_tokens)
+      x45_simhash_neardup, x48_langid, x49_fingerprint, x50_bpe_tokens,
+      x81_winnow_fps, x82_shared_spans)
 
   /** Distinct word-trigram shingles, exploded: (doc_id, lang, n_chars, sh).
     * Word n-grams (not character grams) are the dedup unit: on natural text
@@ -291,6 +292,40 @@ object TextOps {
     */
   val x49_fingerprint: QueryDef = QueryDef.rowsOnly("x49_fingerprint") { (s, d) =>
     Canon(graft.operators.TextAnalysis.fingerprintSummary(Tables.documents(s, d)))
+  }
+
+  // ---------------------------------------------------------------- x81/x82
+  /** The full per-doc winnowing fingerprint relation (doc_id, fp) — x49's
+    * underlying values, persisted so x82's oracle can replay over them
+    * (rows-only itself: xxhash64 has no DuckDB twin).
+    */
+  val x81_winnow_fps: QueryDef = QueryDef.rowsOnly("x81_winnow_fps") { (s, d) =>
+    Canon(graft.operators.TextAnalysis.winnowingFingerprints(Tables.documents(s, d)))
+  }
+
+  /** Cross-doc shared-span (boilerplate) statistics — substring-level
+    * duplication that document-level dedup never sees.
+    *
+    * Oracle: same `__VERIFY_OUT__` pattern as x45 — the hash kernel has no
+    * DuckDB twin, but the part with plan risk (shared-vocabulary grouping,
+    * the mark join, the per-doc ratio) IS plain SQL given the fingerprints
+    * the SAME Verify run persisted as x81's output. This also anchors
+    * x49/x81's fingerprint VALUES: a kernel drift changes the persisted
+    * relation and the replayed stats with it.
+    */
+  val x82_shared_spans: QueryDef = QueryDef(
+    "x82_shared_spans",
+    Sql.canon(
+      """WITH fp AS (SELECT doc_id, fp
+        |            FROM read_parquet('__VERIFY_OUT__/x81_winnow_fps/*.parquet')),
+        |sh AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) >= 2)
+        |SELECT f.doc_id, CAST(COUNT(*) AS INT) AS n_fp,
+        |  CAST(COUNT(s.fp) AS INT) AS n_shared,
+        |  ROUND(CAST(COUNT(s.fp) AS DOUBLE) / COUNT(*), 4) AS shared_ratio
+        |FROM fp f LEFT JOIN sh s ON f.fp = s.fp
+        |GROUP BY f.doc_id""".stripMargin,
+      Seq("doc_id", "n_fp", "n_shared", "shared_ratio"))) { (s, d) =>
+    Canon(graft.operators.TextAnalysis.sharedSpanStats(Tables.documents(s, d)))
   }
 
   // ---------------------------------------------------------------- x50

@@ -51,6 +51,34 @@ class TextAnalysisSpec extends SparkSpec {
       s"${fps.size} fingerprints for $nWindows windows")
   }
 
+  test("sharedSpanStats matches a scalar model built from the fingerprint relation") {
+    // two docs sharing a long boilerplate header + unique tails, one doc of
+    // entirely unique text: the boilerplate docs must score a high
+    // shared_ratio, the unique doc zero
+    val header = "this software is provided as is without warranty of any kind express or implied"
+    val docs = Seq(
+      (1L, header + " alpha beta gamma delta epsilon unique tail one here"),
+      (2L, header + " totally different second document continuation text"),
+      (3L, "completely standalone content about distributed analytics engines and storage")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.sharedSpanStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    // scalar model over the SAME fingerprint relation
+    val fps = TextAnalysis.winnowingFingerprints(docs).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val sharedVocab = fps.values.flatten.groupBy(identity)
+      .collect { case (fp, occ) if occ.size >= 2 => fp }.toSet
+    fps.foreach { case (id, set) =>
+      val nShared = set.count(sharedVocab)
+      val want = (set.size, nShared,
+        BigDecimal(nShared.toDouble / set.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(got(id) == want, s"doc $id: got ${got(id)}, want $want")
+    }
+    assert(got(1L)._3 > 0.4, s"boilerplate doc scored low: ${got(1L)}")
+    assert(got(3L)._2 == 0, s"unique doc has shared spans: ${got(3L)}")
+  }
+
   test("bpeTokenStats counts regex pretokens") {
     val docs = Seq((1L, "hello world42 foo-bar!")).toDF("doc_id", "text")
     val r = TextAnalysis.bpeTokenStats(docs).collect().head

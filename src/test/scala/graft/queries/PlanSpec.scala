@@ -162,6 +162,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x82: boilerplate mark join broadcasts; aggregations partial+final") {
+    val (_, plan) = planOf("x82_shared_spans")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"shared-vocabulary mark join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("rank-limited queries carry the map-side WindowGroupLimit") {
     // every `row_number() <= k` query must keep Spark's group-limit node:
     // the partial (map-side) pass bounds each partition's contribution to k
