@@ -38,7 +38,7 @@ object ScaleProbe {
     "q31_dedup_exact", "x40_minhash_lsh", "x45_simhash_neardup",
     "x48_langid", "x49_fingerprint", "x66_quantize", "x69_pack",
     "x70_decontaminate", "x71_tfidf",
-    "q33_knn", "x43b_ann_ivf", "x42_embed_neardup")
+    "q33_knn", "x43b_ann_ivf", "x42_embed_neardup", "x82_shared_spans")
 
   def generate(spark: SparkSession, baseSf: String, outDir: String,
                factor: Int): Unit = {
