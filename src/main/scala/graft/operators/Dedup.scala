@@ -265,17 +265,19 @@ object Dedup {
     // relation itself (same candidates-sized CACHE, but the projection runs
     // corpus-wide once more — Catalyst does not sink a LeftSemi through a
     // Project)
-    val candIds = cands.select(col("doc_a").as("doc_id"))
-      .union(cands.select(col("doc_b").as("doc_id")))
-      .distinct()
     // no size(shs)>0 filter on the fetched slice: empty-shingle docs never
     // reach a candidate pair (filtered before signatures), the verify joins
     // are inner on doc_a/doc_b anyway, and the filter would be predicate-
     // pushed below the fetch's semi-join — re-running the shingle kernel
     // corpus-wide for the size check alone
     val narrowed = verifyFetch
-      .map(f => f(candIds).select(col("doc_id"), col("shs")))
-      .getOrElse(arrs.join(candIds, Seq("doc_id"), "left_semi"))
+      .map { f =>
+        val candIds = cands.select(col("doc_a").as("doc_id"))
+          .union(cands.select(col("doc_b").as("doc_id")))
+          .distinct()
+        f(candIds).select(col("doc_id"), col("shs"))
+      }
+      .getOrElse(narrowToCandidates(arrs, cands))
       .cache()
     val interU = udf((a: Array[String], b: Array[String]) => Kernels.intersectCount(a, b))
     val out = cands
