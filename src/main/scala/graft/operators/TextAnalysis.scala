@@ -102,19 +102,39 @@ object TextAnalysis {
     * division is the one non-integral output).
     */
   def sharedSpanStats(docs: DataFrame, minDocs: Int = 2,
-                      k: Int = 8, w: Int = 4): DataFrame = {
-    val fps = winnowingFingerprints(docs, k, w)
-    val shared = fps.groupBy(col("fp"))
+                      k: Int = 8, w: Int = 4): DataFrame =
+    scoreAgainstVocab(docs, sharedSpanVocab(docs, minDocs, k, w), k, w)
+
+  /** The shared-fingerprint vocabulary of a (reference) corpus: every
+    * fingerprint appearing in >= `minDocs` distinct docs, as (fp, _sh=1)
+    * rows ready for [[scoreAgainstVocab]]'s mark join. One map-combined
+    * aggregation ((doc_id, fp) is distinct within a doc, so plain COUNT
+    * counts distinct docs). For the streaming twin
+    * ([[graft.streaming.CurationStreams.sharedSpans]]) build this ONCE
+    * from the frozen reference corpus and reuse across micro-batches.
+    */
+  def sharedSpanVocab(refDocs: DataFrame, minDocs: Int = 2,
+                      k: Int = 8, w: Int = 4): DataFrame =
+    winnowingFingerprints(refDocs, k, w)
+      .groupBy(col("fp"))
       .agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("fp"), lit(1).as("_sh"))
-    fps.join(broadcast(shared), Seq("fp"), "left")
+
+  /** Score `docs` against a shared-span vocabulary: the mark join + per-doc
+    * ratio shared VERBATIM by batch x82 and the streaming twin (`docs` may
+    * be one micro-batch). Docs with no full gram window produce no row —
+    * the fingerprint relation's own semantics.
+    */
+  def scoreAgainstVocab(docs: DataFrame, vocab: DataFrame,
+                        k: Int = 8, w: Int = 4): DataFrame =
+    winnowingFingerprints(docs, k, w)
+      .join(broadcast(vocab), Seq("fp"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast(IntegerType).as("n_fp"),
         sum(coalesce(col("_sh"), lit(0))).cast(IntegerType).as("n_shared"))
       .withColumn("shared_ratio",
         round(col("n_shared").cast(DoubleType) / col("n_fp"), 4))
-  }
 
   /** GPT-2-flavoured pretokenizer regex, restricted to constructs whose
     * semantics match between Java regex (Spark) and RE2 (DuckDB oracle).

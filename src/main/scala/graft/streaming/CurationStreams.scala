@@ -234,6 +234,37 @@ object CurationStreams {
       sink(graft.operators.Decontaminate.score(batch, bench, threshold))
     }
 
+  // ---------------------------------------------- streaming shared spans
+
+  /** Streaming boilerplate scoring — x82's streaming twin: each arriving
+    * document's winnowing fingerprints are marked against a FROZEN
+    * shared-span vocabulary and scored per doc, with the exact batch plan
+    * ([[graft.operators.TextAnalysis.scoreAgainstVocab]]) run per
+    * micro-batch via `foreachBatch`.
+    *
+    * Contract: batch x82's vocabulary is self-referential (built from the
+    * same corpus it scores) — a stream cannot replicate that incrementally
+    * without unbounded state, so the streaming twin scores against a
+    * vocabulary SNAPSHOT built batch-side
+    * ([[graft.operators.TextAnalysis.sharedSpanVocab]] over the reference
+    * corpus, e.g. the persisted store this stream appends to; keep its
+    * cache for the query's lifetime, restart with a new side to refresh).
+    * Scoring a corpus against a vocabulary built from that same corpus is
+    * bit-identical to batch x82 — the spec asserts exactly that. Scale
+    * shape: the vocabulary is the boilerplate lexicon (bounded, broadcast);
+    * per-batch work is batch-sized; no cross-batch streaming state.
+    *
+    * `sink` receives each micro-batch's (doc_id, n_fp, n_shared,
+    * shared_ratio) rows — x82's exact schema. Returns the un-started
+    * writer so the caller picks trigger/checkpoint.
+    */
+  def sharedSpans(docs: DataFrame, vocab: DataFrame,
+                  sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.operators.TextAnalysis.scoreAgainstVocab(batch, vocab))
+    }
+
   /** The loop CLOSED: [[nearDupCandidates]] fed through the batch
     * exact-Jaccard verify ([[graft.queries.TextOps.exactJaccard]] — the
     * identical join x40 runs) inside a `foreachBatch`, so the streaming

@@ -161,6 +161,40 @@ class CurationStreamsSpec extends SparkSpec {
     bench.release()
   }
 
+  test("streaming shared-span scoring equals batch x82 against the same frozen vocabulary") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // the x82 fixture: vocabulary frozen from the full documents corpus,
+    // the same corpus streamed through in two micro-batches — per-doc
+    // scores must be bit-identical to the batch x82 relation
+    val documents = graft.queries.Tables.documents(spark, Sf)
+    val vocab = TextAnalysis.sharedSpanVocab(documents).cache()
+    vocab.count()
+    val corpus = documents.select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (a, b) = corpus.splitAt(corpus.length / 2)
+    val collected = scala.collection.mutable.ArrayBuffer[(Long, Int, Int, Double)]()
+    val mem = MemoryStream[(Long, String)]
+    val q = CurationStreams.sharedSpans(
+        mem.toDF().toDF("doc_id", "text"), vocab,
+        sink = r => collected ++= r.as[(Long, Int, Int, Double)].collect())
+      .start()
+    try {
+      mem.addData(a.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b.toIndexedSeq); q.processAllAvailable()
+      val stateOps = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+      assert(stateOps.isEmpty || stateOps.forall(_.numRowsTotal == 0L),
+        s"shared-span scoring must be stateless: ${stateOps.mkString(",")}")
+    } finally q.stop()
+    val batch = graft.SparkEntry.queries("x82_shared_spans")(spark, Sf)
+      .as[(Long, Int, Int, Double)].collect().toSet
+    assert(collected.nonEmpty && collected.toSet == batch,
+      s"stream-only: ${collected.toSet -- batch take 5}; " +
+        s"batch-only: ${batch -- collected.toSet take 5}")
+    vocab.unpersist()
+  }
+
   test("streaming LSH recall: every true near-dup pair surfaces as a candidate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
