@@ -48,15 +48,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // load_start (read BEFORE the session spun up) is the co-tenancy
+    // signal; load_end is stamped for completeness but INCLUDES the
+    // bench's own local[N] threads (a quiet box still ends near N), so it
+    // must not drive the warning
     val loadEnd = loadAvg()
-    if (math.max(loadStart, loadEnd) > 2.0)
-      System.err.println(f"[bench] WARNING: 1-min loadavg $loadStart%.2f -> " +
-        f"$loadEnd%.2f during the run — timings on this box are only " +
-        "comparable near-zero load; treat regressions as noise until " +
-        "reproduced quiet")
+    if (loadStart > 2.0)
+      System.err.println(f"[bench] WARNING: 1-min loadavg $loadStart%.2f at " +
+        "start — timings on this box are only comparable near-zero load; " +
+        "treat regressions as noise until reproduced quiet")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","load_start":$loadStart,"load_end":$loadEnd""" +
-      s""","cpus":${Runtime.getRuntime.availableProcessors}}""")
+      s""","cpus":$cpus,"machine_cpus":${Runtime.getRuntime.availableProcessors}}""")
     spark.stop()
   }
 }

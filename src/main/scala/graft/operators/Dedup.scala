@@ -271,12 +271,7 @@ object Dedup {
     // pushed below the fetch's semi-join — re-running the shingle kernel
     // corpus-wide for the size check alone
     val narrowed = verifyFetch
-      .map { f =>
-        val candIds = cands.select(col("doc_a").as("doc_id"))
-          .union(cands.select(col("doc_b").as("doc_id")))
-          .distinct()
-        f(candIds).select(col("doc_id"), col("shs"))
-      }
+      .map(f => f(candidateIds(cands)).select(col("doc_id"), col("shs")))
       .getOrElse(narrowToCandidates(arrs, cands))
       .cache()
     val interU = udf((a: Array[String], b: Array[String]) => Kernels.intersectCount(a, b))
@@ -300,17 +295,19 @@ object Dedup {
     materialized
   }
 
+  /** Distinct doc ids appearing on either side of the candidate pairs. */
+  private[graft] def candidateIds(cands: DataFrame): DataFrame =
+    cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id")))
+      .distinct()
+
   /** Restrict a (doc_id, ...) relation to docs appearing on either side of
     * the candidate pairs — the verify join's input set, candidates-sized
     * rather than corpus-sized. A LEFT SEMI on doc_id; the small side
     * broadcasts when candidates are few.
     */
-  private[graft] def narrowToCandidates(arrs: DataFrame, cands: DataFrame): DataFrame = {
-    val candIds = cands.select(col("doc_a").as("doc_id"))
-      .union(cands.select(col("doc_b").as("doc_id")))
-      .distinct()
-    arrs.join(candIds, Seq("doc_id"), "left_semi")
-  }
+  private[graft] def narrowToCandidates(arrs: DataFrame, cands: DataFrame): DataFrame =
+    arrs.join(candidateIds(cands), Seq("doc_id"), "left_semi")
 
   /** 64-bit SimHash per doc over whitespace tokens: per bit, sum +-1 weighted
     * by token frequency; bit set iff the sum is positive. A pure per-doc

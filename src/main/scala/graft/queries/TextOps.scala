@@ -209,12 +209,17 @@ object TextOps {
     Canon(Dedup.minHashNearDupsFromShingleArrays(
       shingleArrays(docs).select("doc_id", "shs"),
       threshold = 0.8, bucketFilter = bucketFilter,
-      // verify fetch: semi-join the RAW docs on the candidate ids BELOW the
-      // trigram projection, so survivor shingle arrays are recomputed for
-      // candidate docs only — the fetch (and its cache) is candidates-sized
-      verifyFetch = Some(ids => shingleArraysUnfiltered(
-        docs.join(ids, Seq("doc_id"), "left_semi")))))
+      verifyFetch = Some(x40VerifyFetch(docs))))
   }
+
+  /** x40's verify fetch: semi-join the RAW docs on the candidate ids BELOW
+    * the trigram projection, so survivor shingle arrays are recomputed for
+    * candidate docs only — the fetch (and its cache) is candidates-sized.
+    * Named (not inlined in the QueryDef) so PlanSpec gates the PRODUCTION
+    * fetch shape, not a reconstruction.
+    */
+  def x40VerifyFetch(docs: DataFrame)(ids: DataFrame): DataFrame =
+    shingleArraysUnfiltered(docs.join(ids, Seq("doc_id"), "left_semi"))
 
   // ---------------------------------------------------------------- x44/x45
   /** 64-bit SimHash fingerprints (rows-only: DuckDB has no xxhash64 twin). */

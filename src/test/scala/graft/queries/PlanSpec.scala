@@ -138,8 +138,9 @@ class PlanSpec extends SparkSpec {
     val docs = Tables.documents(spark, Sf)
     import spark.implicits._
     val ids = Seq(1L, 2L, 3L).toDF("doc_id")
-    val fetch = graft.queries.TextOps.shingleArraysUnfiltered(
-      docs.join(ids, Seq("doc_id"), "left_semi"))
+    // the PRODUCTION fetch closure (what the x40 QueryDef passes as
+    // verifyFetch) — gating a reconstruction would let the real wiring drift
+    val fetch = graft.queries.TextOps.x40VerifyFetch(docs)(ids)
     val optimized = fetch.queryExecution.optimizedPlan
     val semis = optimized.collect { case j: Join if j.joinType == LeftSemi => j }
     assert(semis.nonEmpty, s"no semi join in the verify fetch:\n$optimized")
