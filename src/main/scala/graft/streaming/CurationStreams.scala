@@ -199,6 +199,90 @@ object CurationStreams {
       }
   }
 
+  // --------------------------------------------- streaming vector near-dup
+
+  final case class VecBucketHit(band: Int, bucket: Long, vec_id: Long,
+                                embedding: Seq[Float], ts: java.sql.Timestamp)
+  final case class CosinePair(vec_a: Long, vec_b: Long, cos_sim: Double,
+                              ts: java.sql.Timestamp)
+  final case class VecBucketState(ids: List[Long], embs: List[Seq[Float]]) // newest first
+
+  /** Streaming embedding near-dup pairs — the VECTOR member of the
+    * batch↔streaming parity matrix (text MinHash-LSH ≙
+    * [[nearDupCandidates]], SimHash ≙ [[simHashNearDupPairs]], vector LSH
+    * ≙ this; the batch analogs are x40/x45/x42-x43).
+    *
+    * Stage 1 is map-only: arriving vectors are banded by the SAME
+    * deterministic random-hyperplane buckets as the batch ANN path
+    * ([[graft.operators.Similarity.bandBuckets]] over the fixed-seed
+    * planes — streaming and batch agree on buckets bit-for-bit). Stage 2
+    * keys state by (band, bucket): each arriving vector pairs with the
+    * vectors already seen in its bucket and is verified IN the state
+    * function with the exact left-to-right cosine (the same summation
+    * order as the native batch scoring expression, so scores are
+    * bit-equal) — pairs at or above `threshold` emit FINAL, no downstream
+    * join. The embedding rides the state, so memory per bucket is bounded
+    * by `maxPerBucket` x dim; eviction and horizon semantics are the LSH
+    * twin's (watermark + event-time timeout, newest-kept cap). A pair
+    * colliding in several bands emits once per band; dedup across bands
+    * is the consumer's keying (the twins' shared contract).
+    */
+  def vectorNearDupPairs(vecs: DataFrame, threshold: Double = 0.9,
+                         watermark: String = "30 minutes",
+                         horizonMs: Long = 30 * 60 * 1000L,
+                         numPlanes: Int = 64, bands: Int = 16, dim: Int = 64,
+                         seed: Long = 42L,
+                         maxPerBucket: Int = 64): Dataset[CosinePair] = {
+    import vecs.sparkSession.implicits._
+    val planes = graft.operators.Similarity.gaussianPlanes(numPlanes, dim, seed)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y; i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    vecs
+      .select(col("vec_id"), col("ts"), col("embedding"),
+        posexplode(graft.operators.Similarity.bandBuckets(
+          col("embedding"), planes, bands)).as(Seq("band", "bucket")))
+      .withWatermark("ts", watermark)
+      .as[VecBucketHit]
+      .groupByKey(h => (h.band, h.bucket))
+      .flatMapGroupsWithState[VecBucketState, CosinePair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long), hits: Iterator[VecBucketHit], state: GroupState[VecBucketState]) =>
+          if (hits.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = hits.toSeq.sortBy(h => (h.ts.getTime, h.vec_id))
+            if (sorted.isEmpty) Iterator.empty else {
+              var st = state.getOption.getOrElse(VecBucketState(Nil, Nil))
+              val out = scala.collection.mutable.ArrayBuffer[CosinePair]()
+              sorted.foreach { h =>
+                if (!st.ids.contains(h.vec_id)) {
+                  st.ids.iterator.zip(st.embs.iterator).foreach { case (id, e) =>
+                    val c = cos(h.embedding, e)
+                    if (c >= threshold)
+                      out += CosinePair(math.min(h.vec_id, id),
+                        math.max(h.vec_id, id), c, h.ts)
+                  }
+                  st = VecBucketState((h.vec_id :: st.ids).take(maxPerBucket),
+                    (h.embedding :: st.embs).take(maxPerBucket))
+                }
+              }
+              val lastTs = sorted.map(_.ts.getTime).max
+              state.update(st)
+              state.setTimeoutTimestamp(lastTs + horizonMs)
+              out.iterator
+            }
+          }
+      }
+  }
+
   // ---------------------------------------------- streaming decontamination
 
   /** Streaming benchmark decontamination — x70's streaming twin, sharing

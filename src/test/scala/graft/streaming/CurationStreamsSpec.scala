@@ -161,6 +161,64 @@ class CurationStreamsSpec extends SparkSpec {
     bench.release()
   }
 
+  test("streaming vector near-dup pairs equal the batch LSH-bucket plan across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    // 30 random unit-scale vectors + 10 noisy twins (cosine ~0.999): twins
+    // arrive in a LATER batch than their bases, so cross-batch state
+    // pairing is exercised; random-random cosine on 64 dims is ~0 so the
+    // 0.9 threshold keeps only planted pairs
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val bases = (1L to 30L).map(i => i -> vec())
+    val twins = bases.take(10).map { case (id, v) =>
+      (id + 100L) -> v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+    }
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Seq[Float])]
+    val q = CurationStreams.vectorNearDupPairs(
+        mem.toDF().toDF("vec_id", "ts", "embedding"), threshold = 0.9)
+      .writeStream.format("memory").queryName("vecpairs")
+      .outputMode("append").start()
+    try {
+      mem.addData(bases.map { case (id, v) => (id, ts("10:00"), v.toSeq) })
+      q.processAllAvailable()
+      mem.addData(twins.map { case (id, v) => (id, ts("10:05"), v.toSeq) })
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("vecpairs")
+      .select("vec_a", "vec_b", "cos_sim").distinct()
+      .as[(Long, Long, Double)].collect().toSet
+    // batch reference: the same deterministic hyperplane buckets, per-bucket
+    // pairing, exact cosine cut (the native scoring expression shares the
+    // state function's summation order, so values are bit-equal)
+    val planes = Similarity.gaussianPlanes(64, 64)
+    val emb = (bases ++ twins).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val banded = emb.select(col("vec_id"), col("embedding"),
+      org.apache.spark.sql.functions.posexplode(
+        Similarity.bandBuckets(col("embedding"), planes, 16))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"),
+      col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val batch = a.join(b, Seq("band", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", Similarity.cosine(col("ea"), col("eb")))
+      .filter(col("cos_sim") >= 0.9)
+      .select("vec_a", "vec_b", "cos_sim").distinct()
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch,
+      s"stream-only: ${streamed -- batch take 5}; batch-only: ${batch -- streamed take 5}")
+    // every planted twin pair survives (twins collide in most bands)
+    (1L to 10L).foreach { id =>
+      assert(streamed.exists(p => p._1 == id && p._2 == id + 100L),
+        s"planted pair ($id, ${id + 100L}) missed")
+    }
+  }
+
   test("streaming shared-span scoring equals batch x82 against the same frozen vocabulary") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
