@@ -28,7 +28,60 @@ object CurationOps {
     Seq(x61_normalize, x62_redact, x63_repetition, x64_urls,
       x65_label_centroids, x66_quantize, x67_split, x68_balance,
       x69_pack, x70_decontaminate, x71_tfidf, x73_cluster_assign,
-      x74_pipeline, x80_source_mix)
+      x74_pipeline, x80_source_mix, x83_chunk)
+
+  // ---------------------------------------------------------------- x83
+  /** Long-document chunking with overlap — the window/stride split every
+    * training pipeline runs before sequence packing (x69 packs pieces;
+    * this CUTS long docs into max-`ChunkTokens` pieces with
+    * `ChunkTokens - ChunkStride` tokens of overlap so no span is lost at a
+    * boundary). Starts are `0, stride, 2·stride, …` up to the last window
+    * that reaches the tail; a doc of <= ChunkTokens tokens yields exactly
+    * one chunk. Map-only: tokenize + per-row sequence explode + slice —
+    * no shuffle at any corpus size (the canonical ORDER BY is the driver-
+    * compare artifact). The oracle replays the identical start arithmetic
+    * (shared double-ceil form) and slicing.
+    */
+  private[graft] val ChunkTokens = 64
+  private[graft] val ChunkStride = 48
+
+  val x83_chunk: QueryDef = QueryDef(
+    "x83_chunk",
+    Sql.canon(
+      s"""SELECT doc_id, CAST(i AS INT) AS chunk_id,
+         |  CAST(i * $ChunkStride AS INT) AS start_tok,
+         |  CAST(LEN(toks[i * $ChunkStride + 1 : i * $ChunkStride + $ChunkTokens]) AS INT) AS n_tokens,
+         |  ARRAY_TO_STRING(toks[i * $ChunkStride + 1 : i * $ChunkStride + $ChunkTokens], ' ') AS chunk_text
+         |FROM (
+         |  SELECT doc_id, toks,
+         |    UNNEST(generate_series(0,
+         |      CASE WHEN LEN(toks) <= $ChunkTokens THEN 0
+         |           ELSE CAST(CEIL((LEN(toks) - $ChunkTokens) / CAST($ChunkStride AS DOUBLE)) AS INT) END)) AS i
+         |  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS toks FROM documents))""".stripMargin,
+      Seq("doc_id", "chunk_id", "start_tok", "n_tokens", "chunk_text"))) { (s, d) =>
+    Canon(chunkWithOverlap(Tables.documents(s, d), ChunkTokens, ChunkStride))
+  }
+
+  /** The operator itself: (doc_id, chunk_id, start_tok, n_tokens,
+    * chunk_text) windows of `window` whitespace tokens every `stride`.
+    */
+  def chunkWithOverlap(docs: org.apache.spark.sql.DataFrame,
+                       window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need 0 < stride ($stride) <= window ($window) so chunks tile the doc")
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("_n", size(col("toks")))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(
+          s"""sequence(0, CASE WHEN _n <= $window THEN 0
+             |  ELSE CAST(ceil((_n - $window) / CAST($stride AS DOUBLE)) AS INT) END)"""
+            .stripMargin)).as("chunk_id"))
+      .withColumn("_ctoks", expr(s"slice(toks, chunk_id * $stride + 1, $window)"))
+      .select(col("doc_id"), col("chunk_id").cast(IntegerType).as("chunk_id"),
+        (col("chunk_id") * stride).cast(IntegerType).as("start_tok"),
+        size(col("_ctoks")).as("n_tokens"),
+        array_join(col("_ctoks"), " ").as("chunk_text"))
+  }
 
   // ---------------------------------------------------------------- x80
   /** Training-mix downsampling: each source is kept at its own target rate

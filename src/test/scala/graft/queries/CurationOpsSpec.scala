@@ -229,6 +229,57 @@ class CurationOpsSpec extends SparkSpec {
       Set("train", "val", "test")))
   }
 
+  test("x83: chunks tile every doc with exact overlap; short docs yield one chunk") {
+    import spark.implicits._
+    // token counts straddling the interesting boundaries: <window, =window,
+    // window+1 (forces a 2nd chunk), an exact multiple of stride, and a
+    // long doc
+    val docs = Seq(5, 63, 64, 65, 112, 160, 300).zipWithIndex.map {
+      case (n, i) => ((i + 1).toLong, (1 to n).map(t => s"t$t").mkString(" "))
+    }.toDF("doc_id", "text")
+    val w = 64; val s = 48
+    val got = CurationOps.chunkWithOverlap(docs, w, s).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getAs[Int]("chunk_id"))
+          .map(r => (r.getAs[Int]("chunk_id"), r.getAs[Int]("start_tok"),
+            r.getAs[Int]("n_tokens"), r.getAs[String]("chunk_text")))
+      }
+    val nToks = Map(1L -> 5, 2L -> 63, 3L -> 64, 4L -> 65, 5L -> 112,
+      6L -> 160, 7L -> 300)
+    got.foreach { case (id, chunks) =>
+      val n = nToks(id)
+      val expectStarts =
+        if (n <= w) Seq(0)
+        else (0 to math.ceil((n - w).toDouble / s).toInt).map(_ * s)
+      assert(chunks.map(_._2).toSeq == expectStarts,
+        s"doc $id ($n toks): starts ${chunks.map(_._2).toSeq} != $expectStarts")
+      // full coverage: the last chunk reaches the final token, and every
+      // token index is inside some [start, start + n_tokens) window
+      val last = chunks.last
+      assert(last._2 + last._3 == n, s"doc $id tail not covered: $last")
+      val covered = chunks.flatMap(c => c._2 until (c._2 + c._3)).toSet
+      assert(covered == (0 until n).toSet, s"doc $id has coverage holes")
+      // chunk text is exactly the sliced tokens
+      chunks.foreach { case (_, start, len, text) =>
+        val want = ((start + 1) to math.min(start + w, n)).map(t => s"t$t")
+        assert(text == want.mkString(" ") && len == want.size,
+          s"doc $id chunk at $start wrong text/len")
+      }
+      // overlap between consecutive chunks is exactly window - stride
+      chunks.toSeq.sliding(2).foreach { pair =>
+        if (pair.size == 2) {
+          val (a, b) = (pair(0), pair(1))
+          val overlap = (a._2 + a._3) - b._2
+          assert(overlap == w - s || a._2 + a._3 == n,
+            s"doc $id overlap $overlap != ${w - s}")
+        }
+      }
+    }
+    assert(got(1L).length == 1 && got(3L).length == 1, "<=window must be ONE chunk")
+    assert(got(4L).length == 2, "window+1 tokens must split into two chunks")
+  }
+
   test("q34 per-doc token-count kernel matches the explode plan") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, Sf)
