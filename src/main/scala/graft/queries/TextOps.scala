@@ -21,7 +21,7 @@ object TextOps {
   def defs: Seq[QueryDef] =
     Seq(q31, q32, q34, q34b, x40_minhash_lsh, x41_quality, x44_simhash,
       x45_simhash_neardup, x48_langid, x49_fingerprint, x50_bpe_tokens,
-      x81_winnow_fps, x82_shared_spans)
+      x81_winnow_fps, x82_shared_spans, x84_dup_components, x85_dedup_resolve)
 
   /** Distinct word-trigram shingles, exploded: (doc_id, lang, n_chars, sh).
     * Word n-grams (not character grams) are the dedup unit: on natural text
@@ -195,6 +195,15 @@ object TextOps {
     * join fans out per LSH *bucket* instead of per shared shingle.
     */
   val x40_minhash_lsh: QueryDef = QueryDef("x40_minhash_lsh", NearDupOracle) { (s, d) =>
+    Canon(lshNearDupPairs(s, d))
+  }
+
+  /** The x40 pair plan, un-canonicalized: MinHash-LSH candidates restricted
+    * to the oracle's (same-lang, length-window) buckets, exact-Jaccard
+    * verified over a candidates-sized fetch. Shared by x40 and the
+    * cluster-resolution queries x84/x85 that consume the pairs.
+    */
+  def lshNearDupPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val meta = docs.select(col("doc_id"), col("lang"), col("n_chars"))
     // Restrict candidates to the oracle's (same-lang, length-window) buckets.
@@ -206,10 +215,10 @@ object TextOps {
       .filter(col("la") === col("lb") &&
         abs(col("nca") - col("ncb")) * 2 <= greatest(col("nca"), col("ncb")))
       .select("doc_a", "doc_b")
-    Canon(Dedup.minHashNearDupsFromShingleArrays(
+    Dedup.minHashNearDupsFromShingleArrays(
       shingleArrays(docs).select("doc_id", "shs"),
       threshold = 0.8, bucketFilter = bucketFilter,
-      verifyFetch = Some(x40VerifyFetch(docs))))
+      verifyFetch = Some(x40VerifyFetch(docs)))
   }
 
   /** x40's verify fetch: semi-join the RAW docs on the candidate ids BELOW
@@ -220,6 +229,79 @@ object TextOps {
     */
   def x40VerifyFetch(docs: DataFrame)(ids: DataFrame): DataFrame =
     shingleArraysUnfiltered(docs.join(ids, Seq("doc_id"), "left_semi"))
+
+  // ---------------------------------------------------------------- x84/x85
+  /** Shared oracle CTE list: the NearDupOracle pair set symmetrized into an
+    * edge list, plus the transitive-closure `reach` relation (DuckDB
+    * recursive CTE; UNION dedups, so the fixpoint is bounded by
+    * nodes x labels). `MIN(lab) GROUP BY node` is then the component id.
+    */
+  private val DupComponentsCtes: String =
+    s"""WITH RECURSIVE
+       |s AS ($ShinglesSql),
+       |c AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM s a JOIN s b
+       |    ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+       |   AND ABS(a.n_chars - b.n_chars) * 2 <= GREATEST(a.n_chars, b.n_chars)
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM p JOIN c ca ON p.doc_a = ca.doc_id JOIN c cb ON p.doc_b = cb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.8),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS node, src AS lab FROM edges
+       |  UNION
+       |  SELECT e.dst AS node, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+       |comp AS (SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node)""".stripMargin
+
+  /** Near-dup cluster resolution, step 1: connected components over the x40
+    * pair set (hash-min label propagation — [[graft.operators.Components]]).
+    * The component id IS the canonical keeper (minimum doc id), so this
+    * relation is directly the "which doc replaces which" dedup mapping. The
+    * oracle replays the closure with a recursive CTE over the SAME exact
+    * pair query as x40/q32.
+    */
+  val x84_dup_components: QueryDef = QueryDef(
+    "x84_dup_components",
+    Sql.canon(s"$DupComponentsCtes\nSELECT doc_id, component FROM comp",
+      Seq("doc_id", "component"))) { (s, d) =>
+    Canon(graft.operators.Components.connectedComponents(lshNearDupPairs(s, d))
+      .select(col("node").as("doc_id"), col("component")))
+  }
+
+  /** Near-dup cluster resolution, step 2: apply the components back to the
+    * corpus — per-language kept/removed counts when every component retains
+    * only its minimum doc id. The removed set is components-sized, so the
+    * corpus-side application is one equi-join (broadcast at typical dup
+    * rates) + per-lang aggregate.
+    */
+  val x85_dedup_resolve: QueryDef = QueryDef(
+    "x85_dedup_resolve",
+    Sql.canon(
+      s"""$DupComponentsCtes,
+         |dups AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+         |SELECT d.lang, COUNT(*) AS n_docs,
+         |  COUNT(*) - COUNT(dd.doc_id) AS n_kept,
+         |  COUNT(dd.doc_id) AS n_removed
+         |FROM documents d LEFT JOIN dups dd ON d.doc_id = dd.doc_id
+         |GROUP BY d.lang""".stripMargin,
+      Seq("lang", "n_docs", "n_kept", "n_removed"))) { (s, d) =>
+    val comp = graft.operators.Components.connectedComponents(lshNearDupPairs(s, d))
+    val removed = comp.filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id")).withColumn("_rm", lit(1))
+    Canon(Tables.documents(s, d)
+      .join(removed, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        (count(lit(1)) - count(col("_rm"))).as("n_kept"),
+        count(col("_rm")).as("n_removed")))
+  }
 
   // ---------------------------------------------------------------- x44/x45
   /** 64-bit SimHash fingerprints (rows-only: DuckDB has no xxhash64 twin). */

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ComponentsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def cc(pairs: Seq[(Long, Long)], maxIters: Int = 50): Map[Long, Long] =
+    Components.connectedComponents(pairs.toDF("doc_a", "doc_b"), maxIters = maxIters)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component"))
+      .toMap
+
+  test("two disjoint pairs stay two components") {
+    assert(cc(Seq((1L, 2L), (10L, 11L))) ==
+      Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("a chain collapses to the minimum endpoint (diameter > 1 round)") {
+    val chain = (1L until 10L).map(i => (i, i + 1))
+    val got = cc(chain)
+    assert(got.keySet == (1L to 10L).toSet)
+    assert(got.values.toSet == Set(1L), s"chain split: $got")
+  }
+
+  test("a triangle plus a tail is one component labeled by the min id") {
+    // 7-8-9 triangle, tail 9-20; min id 7 wins everywhere
+    val got = cc(Seq((7L, 8L), (8L, 9L), (7L, 9L), (9L, 20L)))
+    assert(got == Map(7L -> 7L, 8L -> 7L, 9L -> 7L, 20L -> 7L))
+  }
+
+  test("edge direction does not matter (min id on either side)") {
+    assert(cc(Seq((5L, 3L))) == Map(5L -> 3L, 3L -> 3L))
+  }
+
+  test("duplicate and self edges are harmless") {
+    val got = cc(Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("empty pair set yields an empty labeling") {
+    assert(cc(Seq.empty).isEmpty)
+  }
+
+  test("labels match a union-find reference on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 200
+    val edges = Seq.fill(220)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // driver-side union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> find(v)).toMap
+    // canonicalize the reference label to the component min (find() already
+    // unions toward the min root, but path order can matter — recompute)
+    val byComp = want.groupBy(_._2).flatMap { case (_, m) =>
+      val mn = m.keys.min; m.keys.map(_ -> mn)
+    }
+    assert(cc(edges) == byComp)
+  }
+
+  test("non-convergence within maxIters fails loudly, never truncates") {
+    val chain = (1L until 30L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] { cc(chain, maxIters = 2) }
+    assert(ex.getMessage.contains("not converged"))
+  }
+
+  test("output schema is (node BIGINT, component BIGINT) even from int input") {
+    val df = Components.connectedComponents(
+      Seq((1, 2)).toDF("doc_a", "doc_b"))
+    assert(df.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("node", "long"), ("component", "long")))
+  }
+}
