@@ -399,4 +399,33 @@ object Dedup {
       .agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > maxPerBucket)
       .withColumn("dropped", col("bucket_size") - maxPerBucket)
+
+  /** Incremental (cross-batch) exact dedup: classify every document of a NEW
+    * batch against an already-ingested corpus represented by its content
+    * hashes. Statuses: `dup_of_history` (hash already ingested),
+    * `dup_in_batch` (first seen in this batch, but not this batch's minimum
+    * doc id for the hash), `kept` (this batch's canonical copy of a
+    * never-seen hash). This is the steady-state shape of a production
+    * pipeline — each crawl increment dedups against everything before it
+    * WITHOUT rescanning history text.
+    *
+    * Scale shape: `historyHashes` is hashes only (16 bytes/doc, not the
+    * corpus text — at 100 TB the store is ~terabyte-scale). The history
+    * probe is one equi-join on the hash; persist the store hash-bucketed
+    * ([[graft.sources.Bucketing.writeBucketed]] on `th`) and only the
+    * (much smaller) batch side shuffles. The intra-batch keeper election is
+    * one map-combined min-aggregate over the batch.
+    */
+  def incrementalStatus(batch: DataFrame, historyHashes: DataFrame,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val b = batch.select(col(idCol).as("doc_id"), md5(col(textCol)).as("th"))
+    val k = b.groupBy(col("th")).agg(min(col("doc_id")).as("keeper"))
+    val h = historyHashes.select(col("th")).distinct().withColumn("_hist", lit(1))
+    b.join(h, Seq("th"), "left")
+      .join(k, Seq("th"))
+      .select(col("doc_id"),
+        when(col("_hist").isNotNull, lit("dup_of_history"))
+          .when(col("doc_id") =!= col("keeper"), lit("dup_in_batch"))
+          .otherwise(lit("kept")).as("status"))
+  }
 }

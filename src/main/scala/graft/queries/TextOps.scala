@@ -21,7 +21,8 @@ object TextOps {
   def defs: Seq[QueryDef] =
     Seq(q31, q32, q34, q34b, x40_minhash_lsh, x41_quality, x44_simhash,
       x45_simhash_neardup, x48_langid, x49_fingerprint, x50_bpe_tokens,
-      x81_winnow_fps, x82_shared_spans, x84_dup_components, x85_dedup_resolve)
+      x81_winnow_fps, x82_shared_spans, x84_dup_components, x85_dedup_resolve,
+      x86_incremental_dedup)
 
   /** Distinct word-trigram shingles, exploded: (doc_id, lang, n_chars, sh).
     * Word n-grams (not character grams) are the dedup unit: on natural text
@@ -301,6 +302,56 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
         (count(lit(1)) - count(col("_rm"))).as("n_kept"),
         count(col("_rm")).as("n_removed")))
+  }
+
+  // ---------------------------------------------------------------- x86
+  /** Incremental dedup: a NEW crawl batch classified against the already-
+    * ingested corpus by content hash ([[Dedup.incrementalStatus]]).
+    *
+    * The corpus has no real "second crawl", so the batch is DERIVED
+    * deterministically from existing columns — the same device as
+    * x61/x62/x64 (and Q26's synthetic points): docs md5-bucket >= 60 form
+    * the new batch, docs bucket < 60 are history, and the batch
+    * additionally contains recrawls of history docs (bucket % 7 = 0,
+    * id + 10M — these must classify `dup_of_history`) and second copies of
+    * batch docs (bucket % 11 = 0, id + 20M — `dup_in_batch`). The oracle
+    * replays the derivation and the classification exactly.
+    */
+  val x86_incremental_dedup: QueryDef = QueryDef(
+    "x86_incremental_dedup",
+    Sql.canon(
+      """WITH bkt AS (SELECT doc_id, text,
+        |  CAST(CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |       AS BIGINT) % 100 AS INT) AS bucket
+        |  FROM documents),
+        |batch AS (
+        |  SELECT doc_id, text FROM bkt WHERE bucket >= 60
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM bkt WHERE bucket < 60 AND bucket % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, text FROM bkt WHERE bucket >= 60 AND bucket % 11 = 0),
+        |h AS (SELECT DISTINCT MD5(text) AS th FROM bkt WHERE bucket < 60),
+        |b AS (SELECT doc_id, MD5(text) AS th FROM batch),
+        |k AS (SELECT th, MIN(doc_id) AS keeper FROM b GROUP BY th)
+        |SELECT b.doc_id,
+        |  CASE WHEN h.th IS NOT NULL THEN 'dup_of_history'
+        |       WHEN b.doc_id <> k.keeper THEN 'dup_in_batch'
+        |       ELSE 'kept' END AS status
+        |FROM b LEFT JOIN h ON b.th = h.th JOIN k ON b.th = k.th""".stripMargin,
+      Seq("doc_id", "status"))) { (s, d) =>
+    val bucket = (conv(substring(md5(col("doc_id").cast(StringType)), 1, 8),
+      16, 10).cast(LongType) % 100).cast(IntegerType)
+    val bkt = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).withColumn("bucket", bucket)
+    val history = bkt.filter(col("bucket") < 60)
+    val base = bkt.filter(col("bucket") >= 60)
+    val batch = base.select(col("doc_id"), col("text"))
+      .unionAll(history.filter(col("bucket") % 7 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      .unionAll(base.filter(col("bucket") % 11 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+    Canon(Dedup.incrementalStatus(batch,
+      history.select(md5(col("text")).as("th"))))
   }
 
   // ---------------------------------------------------------------- x44/x45

@@ -193,4 +193,30 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(pairs.contains((1L, 2L)) && pairs.contains((4L, 5L)))
   }
+
+  test("incrementalStatus classifies history dups, batch dups and keepers") {
+    val history = Seq("seen before", "also seen").toDF("text")
+      .select(md5(col("text")).as("th"))
+    val batch = Seq(
+      (10L, "seen before"),   // hash already ingested
+      (11L, "brand new"),     // first-ever copy
+      (12L, "brand new"),     // second copy within the batch
+      (13L, "also seen"),     // history dup even though batch-unique
+      (14L, "only here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalStatus(batch, history)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(got == Map(
+      10L -> "dup_of_history", 11L -> "kept", 12L -> "dup_in_batch",
+      13L -> "dup_of_history", 14L -> "kept"))
+  }
+
+  test("incrementalStatus with empty history keeps every first batch copy") {
+    val history = spark.emptyDataFrame.withColumn("th", lit("")).filter(lit(false))
+      .select(col("th"))
+    val batch = Seq((1L, "a a a"), (2L, "a a a")).toDF("doc_id", "text")
+    val got = Dedup.incrementalStatus(batch, history)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(got == Map(1L -> "kept", 2L -> "dup_in_batch"))
+  }
 }
