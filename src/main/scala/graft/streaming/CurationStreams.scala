@@ -349,6 +349,76 @@ object CurationStreams {
       sink(graft.operators.TextAnalysis.scoreAgainstVocab(batch, vocab))
     }
 
+  // ------------------------------------------- streaming incremental dedup
+
+  final case class HashArrival(doc_id: Long, ts: java.sql.Timestamp,
+                               th: String, hist: Boolean)
+  final case class DocStatus(doc_id: Long, status: String)
+  final case class SeenHash(seen: Boolean)
+
+  /** Streaming incremental dedup — x86's streaming twin: each arriving
+    * document is classified `dup_of_history` / `dup_in_batch` / `kept`
+    * against (a) the already-ingested corpus and (b) the stream itself.
+    *
+    * The history side is the hash-only store relation (16 B/doc — the same
+    * contract as [[graft.operators.Dedup.incrementalStatus]]), probed by a
+    * STATELESS stream-static left join (broadcast when it fits; at store
+    * scale, bucket it on the hash). Within-stream firsts are tracked by
+    * per-hash state: one boolean per distinct never-seen-before hash,
+    * evicted once the watermark passes its last arrival + the horizon —
+    * state is bounded by the horizon's distinct-hash count, never stream
+    * length.
+    *
+    * Semantics deviation from batch, stated: batch elects the MINIMUM
+    * doc id of a hash as keeper; a stream cannot retro-demote an emitted
+    * `kept` row, so the streaming keeper is the FIRST-ARRIVED doc
+    * (event-time order, ties broken by doc id). The two coincide whenever
+    * ids are assigned in arrival order — the spec asserts exactly that
+    * parity on the x86 fixture.
+    */
+  def incrementalStatus(docs: DataFrame, historyHashes: DataFrame,
+                        watermark: String = "30 minutes",
+                        horizonMs: Long = 30 * 60 * 1000L): Dataset[DocStatus] = {
+    import docs.sparkSession.implicits._
+    val hist = historyHashes.select(col("th")).distinct()
+      .withColumn("_hist", lit(true))
+    docs
+      .select(col("doc_id"), col("ts"), md5(col("text")).as("th"))
+      .join(hist, Seq("th"), "left")
+      .select(col("doc_id"), col("ts"), col("th"),
+        coalesce(col("_hist"), lit(false)).as("hist"))
+      .withWatermark("ts", watermark)
+      .as[HashArrival]
+      .groupByKey(_.th)
+      .flatMapGroupsWithState[SeenHash, DocStatus](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[HashArrival], state: GroupState[SeenHash]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(h => (h.ts.getTime, h.doc_id))
+            if (sorted.isEmpty) Iterator.empty else {
+              var seen = state.getOption.exists(_.seen)
+              val out = sorted.map { h =>
+                val status =
+                  if (h.hist) "dup_of_history"
+                  else if (seen) "dup_in_batch"
+                  else { seen = true; "kept" }
+                DocStatus(h.doc_id, status)
+              }
+              // history-dup hashes hold no state: the static side already
+              // answers every future arrival, so nothing needs remembering
+              if (seen) {
+                state.update(SeenHash(true))
+                state.setTimeoutTimestamp(sorted.map(_.ts.getTime).max + horizonMs)
+              }
+              out.iterator
+            }
+          }
+      }
+  }
+
   /** The loop CLOSED: [[nearDupCandidates]] fed through the batch
     * exact-Jaccard verify ([[graft.queries.TextOps.exactJaccard]] — the
     * identical join x40 runs) inside a `foreachBatch`, so the streaming

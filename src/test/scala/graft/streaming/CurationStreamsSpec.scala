@@ -370,6 +370,40 @@ class CurationStreamsSpec extends SparkSpec {
       s"expected exactly the true near-dup pair, got $collected")
   }
 
+  test("streaming incremental dedup equals batch x86 statuses on in-order ids") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5}
+    val history = Seq("seen before", "also seen").toDF("text")
+      .select(md5(col("text")).as("th"))
+    // ids in arrival order, so the streaming first-arrived keeper coincides
+    // with the batch min-id keeper
+    val batchDocs = Seq(
+      (10L, "10:00", "seen before"),   // dup_of_history
+      (11L, "10:01", "brand new"),     // kept
+      (12L, "10:02", "brand new"),     // dup_in_batch (same micro-batch)
+      (13L, "10:03", "also seen"),     // dup_of_history
+      (14L, "10:10", "brand new"),     // dup_in_batch (LATER micro-batch — state)
+      (15L, "10:11", "only here"))     // kept
+    val mem = MemoryStream[Doc]
+    val q = CurationStreams.incrementalStatus(mem.toDF(), history)
+      .writeStream.format("memory").queryName("inc_dedup")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = batchDocs.partition(_._1 <= 13L)
+      Seq(b1, b2).foreach { b =>
+        mem.addData(b.map { case (id, t, x) => Doc(id, ts(t), x, "en", "s") })
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("inc_dedup").as[(Long, String)].collect().toMap
+    val want = graft.operators.Dedup.incrementalStatus(
+      batchDocs.map { case (id, _, x) => (id, x) }.toDF("doc_id", "text"), history)
+      .as[(Long, String)].collect().toMap
+    assert(got == want, s"stream $got != batch $want")
+    assert(got(14L) == "dup_in_batch", "cross-batch state lost")
+  }
+
   test("streaming band buckets are bit-identical to the batch LSH buckets") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
