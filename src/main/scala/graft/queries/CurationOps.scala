@@ -28,7 +28,34 @@ object CurationOps {
     Seq(x61_normalize, x62_redact, x63_repetition, x64_urls,
       x65_label_centroids, x66_quantize, x67_split, x68_balance,
       x69_pack, x70_decontaminate, x71_tfidf, x73_cluster_assign,
-      x74_pipeline, x80_source_mix, x83_chunk)
+      x74_pipeline, x80_source_mix, x83_chunk, x87_token_budget)
+
+  // ---------------------------------------------------------------- x87
+  /** Per-language token-budget cut ([[graft.operators.TokenBudget]]): keep
+    * docs in deterministic (md5(doc_id), doc_id) order until each language
+    * holds `TokenBudgetPerLang` tokens — training mixes are specified in
+    * tokens per source/language, not rows. The production plan is the
+    * two-phase exact running sum (256 hash-prefix range buckets, per-bucket
+    * offsets from a grid-sized collect, 256-way-parallel window sorts); the
+    * oracle is the semantically-identical one-window form.
+    */
+  private[graft] val TokenBudgetPerLang = 2000L
+
+  val x87_token_budget: QueryDef = QueryDef(
+    "x87_token_budget",
+    Sql.canon(
+      s"""SELECT doc_id, lang, n_tokens, cum_tokens FROM (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM (SELECT doc_id, lang,
+         |    CAST(LEN(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+         |    MD5(CAST(doc_id AS VARCHAR)) AS h FROM documents))
+         |WHERE cum_tokens <= $TokenBudgetPerLang""".stripMargin,
+      Seq("doc_id", "lang", "n_tokens", "cum_tokens"))) { (s, d) =>
+    Canon(graft.operators.TokenBudget.budgetCut(
+      Tables.documents(s, d), TokenBudgetPerLang))
+  }
 
   // ---------------------------------------------------------------- x83
   /** Long-document chunking with overlap — the window/stride split every

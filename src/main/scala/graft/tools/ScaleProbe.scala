@@ -38,7 +38,11 @@ object ScaleProbe {
     "q31_dedup_exact", "x40_minhash_lsh", "x45_simhash_neardup",
     "x48_langid", "x49_fingerprint", "x66_quantize", "x69_pack",
     "x70_decontaminate", "x71_tfidf",
-    "q33_knn", "x43b_ann_ivf", "x42_embed_neardup", "x82_shared_spans")
+    "q33_knn", "x43b_ann_ivf", "x42_embed_neardup", "x82_shared_spans",
+    // x84: near-dup structure grows linearly with the replica count, so the
+    // component count (all small-diameter) does too — wall ratio should stay
+    // ~linear; propagation rounds must NOT grow with corpus size
+    "x84_dup_components", "x86_incremental_dedup")
 
   def generate(spark: SparkSession, baseSf: String, outDir: String,
                factor: Int): Unit = {
