@@ -28,7 +28,46 @@ object CurationOps {
     Seq(x61_normalize, x62_redact, x63_repetition, x64_urls,
       x65_label_centroids, x66_quantize, x67_split, x68_balance,
       x69_pack, x70_decontaminate, x71_tfidf, x73_cluster_assign,
-      x74_pipeline, x80_source_mix, x83_chunk, x87_token_budget)
+      x74_pipeline, x80_source_mix, x83_chunk, x87_token_budget,
+      x88_train_order)
+
+  // ---------------------------------------------------------------- x88
+  /** Deterministic training-order sharding — the last materialization step
+    * before writing training shards: every doc gets a (shard, pos) address
+    * from a hash-derived global shuffle, so the training order is
+    * reproducible from doc ids alone (no RNG state, stable under re-runs)
+    * and any shard can be re-written independently.
+    *
+    * Shard = md5-bucket (the x67 device, mod `TrainShards`); pos =
+    * row_number within the shard in (hash, doc_id) order. The per-shard
+    * windows are shard-count-way parallel and each shard's sort IS the
+    * shard writer's sort — no global order materializes anywhere. Fixed 16
+    * shards here for the oracle; production derives the count from corpus
+    * size exactly as x69 derives pack shards (ceil(n/docsPerShard)).
+    */
+  private[graft] val TrainShards = 16
+
+  val x88_train_order: QueryDef = QueryDef(
+    "x88_train_order",
+    Sql.canon(
+      s"""SELECT doc_id, CAST(shard AS INT) AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |       AS INT) AS pos
+         |FROM (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS h,
+         |  CAST(CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |       AS BIGINT) % $TrainShards AS INT) AS shard
+         |  FROM documents)""".stripMargin,
+      Seq("doc_id", "shard", "pos"))) { (s, d) =>
+    val h = md5(col("doc_id").cast(StringType))
+    val shard = (conv(substring(h, 1, 8), 16, 10).cast(LongType)
+      % TrainShards).cast(IntegerType)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Canon(Tables.documents(s, d)
+      .select(col("doc_id"), h.as("h"), shard.as("shard"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos")))
+  }
 
   // ---------------------------------------------------------------- x87
   /** Per-language token-budget cut ([[graft.operators.TokenBudget]]): keep

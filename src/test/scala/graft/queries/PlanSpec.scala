@@ -91,6 +91,21 @@ class PlanSpec extends SparkSpec {
     assert(exchanges(p69) <= 3, s"x69 over-shuffles:\n$p69")
   }
 
+  test("x87: the budget cut windows on (grp, bucket), never on the group alone") {
+    val (_, plan) = planOf("x87_token_budget")
+    // the two-phase plan's window partition keys must include the 256-way
+    // hash-prefix bucket; a lang-only windowspec would mean the one-reducer-
+    // per-language sort the operator exists to avoid
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"x87 lost its window:\n$plan")
+    specs.foreach { s =>
+      assert(s.contains("bucket"), s"window not bucket-partitioned: $s\n$plan")
+    }
+    // the per-bucket offsets join back via broadcast (grid-sized side)
+    assert(plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
+  }
+
   test("x42: blocked pair search — no cartesian, bounded shuffles, TakeOrdered merge") {
     val (_, plan) = planOf("x42_embed_neardup")
     assert(!plan.contains("CartesianProduct"), plan)
