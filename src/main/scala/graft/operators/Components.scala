@@ -55,7 +55,8 @@ object Components {
     * Fails with IllegalStateException if propagation has not converged
     * after `maxIters` rounds (graph diameter > maxIters): a truncated
     * component labeling is silently WRONG (two halves of one cluster keep
-    * two "keepers"), so non-convergence must be loud.
+    * two "keepers"), so non-convergence must be loud. Choosing `maxIters`
+    * (and when to prefer star contraction): DEDUP_TUNING.md §3.
     */
   def connectedComponents(pairs: DataFrame, srcCol: String = "doc_a",
                           dstCol: String = "doc_b", maxIters: Int = 50): DataFrame = {

@@ -414,7 +414,8 @@ object Dedup {
     * probe is one equi-join on the hash; persist the store hash-bucketed
     * ([[graft.sources.Bucketing.writeBucketed]] on `th`) and only the
     * (much smaller) batch side shuffles. The intra-batch keeper election is
-    * one map-combined min-aggregate over the batch.
+    * one map-combined min-aggregate over the batch. History-store sizing:
+    * DEDUP_TUNING.md §4.
     */
   def incrementalStatus(batch: DataFrame, historyHashes: DataFrame,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
