@@ -17,7 +17,7 @@ object VectorOps {
 
   def defs: Seq[QueryDef] =
     Seq(q33, q35, x42_embed_neardup, x43_ann_lsh, x43b_ann_ivf,
-      x51_multimodal_features, x79_media_meta)
+      x51_multimodal_features, x79_media_meta, x89_semantic_dedup)
 
   /** Oracle-checked half of the multimodal surface: the synthetic-media
     * metadata derivation and binary-column plumbing (payload byte length
@@ -216,5 +216,58 @@ object VectorOps {
       .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
       .limit(20)
       .select("id_a", "id_b", "label", "cos_sim"))
+  }
+
+  /** The x42 pair plan, un-canonicalized — shared with x89. */
+  private def embedNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id").cast(LongType), col("label").cast(IntegerType),
+        col("embedding"))
+      .as[(Long, Int, Array[Float])]
+    graft.operators.Similarity.topPairsByLabel(emb, k = 20, targetChunk = 256)
+      .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------- x89
+  /** Semantic (embedding-space) dedup clusters — SemDeDup-style: the x42
+    * near-dup pairs resolved into connected components
+    * ([[graft.operators.Components]], the same resolution operator as the
+    * text-side x84 — pair source is pluggable), labeling each clustered
+    * vector with its component's minimum vec_id (= the canonical keeper).
+    * The oracle replays x42's exact pair query, then the closure with a
+    * recursive CTE.
+    */
+  val x89_semantic_dedup: QueryDef = QueryDef(
+    "x89_semantic_dedup",
+    Sql.canon(
+      """WITH RECURSIVE ex AS (
+        |  SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+        |    UNNEST(generate_series(1, LEN(embedding))) AS i
+        |  FROM embeddings),
+        |nrm AS (SELECT vec_id, SQRT(SUM(x * x)) AS nr FROM ex GROUP BY vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label, SUM(a.x * b.x) AS dt
+        |  FROM ex a JOIN ex b ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id, a.label),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b, ROUND(dt / (na.nr * nb.nr), 4) AS cos_sim
+        |    FROM p JOIN nrm na ON p.id_a = na.vec_id JOIN nrm nb ON p.id_b = nb.vec_id
+        |    ORDER BY cos_sim DESC, id_a, id_b LIMIT 20)),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach AS (
+        |  SELECT src AS node, src AS lab FROM edges
+        |  UNION
+        |  SELECT e.dst AS node, r.lab FROM reach r JOIN edges e ON e.src = r.node)
+        |SELECT node AS vec_id, MIN(lab) AS component FROM reach GROUP BY node""".stripMargin,
+      Seq("vec_id", "component"))) { (s, d) =>
+    Canon(graft.operators.Components
+      .connectedComponents(embedNearDupPairs(s, d), srcCol = "id_a", dstCol = "id_b")
+      .select(col("node").as("vec_id"), col("component")))
   }
 }
