@@ -593,6 +593,15 @@ object FeatureStore {
                cfg: StoreConfig): Option[(Long, Seq[String])] =
       listManifests(fs, cfg).lastOption.map(p => (id(p), readManifest(fs, p)))
 
+    /** All committed snapshot ids still on disk, oldest first. */
+    def ids(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig): Seq[Long] =
+      listManifests(fs, cfg).map(id)
+
+    /** Data-file names of snapshot `n`, if its manifest is still retained. */
+    def at(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig,
+           n: Long): Option[Seq[String]] =
+      listManifests(fs, cfg).find(p => id(p) == n).map(readManifest(fs, _))
+
     private def storeListing(fs: org.apache.hadoop.fs.FileSystem,
                              cfg: StoreConfig): Seq[String] = {
       val p = new org.apache.hadoop.fs.Path(cfg.path)
@@ -725,6 +734,44 @@ object FeatureStore {
       case Some(_) => // empty snapshot: schema from any lingering file
         spark.read.parquet(cfg.path).limit(0)
       case None => spark.read.parquet(cfg.path)
+    }
+  }
+
+  /** Committed snapshot ids still on disk, oldest first (time-travel
+    * catalog for [[readAt]]). Retention: [[Manifests.vacuum]] keeps the
+    * newest `RetainManifests` snapshots, so this list is short by design.
+    */
+  def snapshots(spark: SparkSession, cfg: StoreConfig): Seq[Long] =
+    Manifests.ids(storeFs(spark, cfg), cfg)
+
+  /** Time-travel read: the store AS OF snapshot `snapshotId` (an id from
+    * [[snapshots]]) — audit "what did the store serve yesterday", diff two
+    * snapshots, or pin a training run's input while ingest continues.
+    *
+    * Only the newest `RetainManifests` snapshots are retention-protected;
+    * an older id fails loudly here (unknown manifest) or via the
+    * file-existence check (manifest present but a referenced file already
+    * vacuumed — the check costs one exists() per file, acceptable at the
+    * snapshot file counts the compactor maintains, and turns a confusing
+    * mid-job FileNotFound into an immediate, named error).
+    */
+  def readAt(spark: SparkSession, cfg: StoreConfig, snapshotId: Long): DataFrame = {
+    val fs = storeFs(spark, cfg)
+    Manifests.at(fs, cfg, snapshotId) match {
+      case Some(names) if names.nonEmpty =>
+        val missing = names.filterNot(n =>
+          fs.exists(new org.apache.hadoop.fs.Path(cfg.path, n)))
+        require(missing.isEmpty,
+          s"snapshot $snapshotId is no longer fully retained " +
+            s"(vacuumed files: ${missing.take(3).mkString(", ")}): ${cfg.path}")
+        spark.read.parquet(names.map(n =>
+          new org.apache.hadoop.fs.Path(cfg.path, n).toString): _*)
+      case Some(_) => // committed empty snapshot
+        spark.read.parquet(cfg.path).limit(0)
+      case None =>
+        throw new IllegalArgumentException(
+          s"unknown snapshot $snapshotId for store ${cfg.path}; " +
+            s"retained: ${Manifests.ids(fs, cfg).mkString(", ")}")
     }
   }
 

@@ -239,6 +239,33 @@ class FeatureStoreSpec extends SparkSpec {
     assert(FeatureStore.read(spark, cfg).count() == 39)
   }
 
+  test("time travel: readAt serves retained snapshots, expired ones fail loudly") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val cfg = StoreConfig(path = s"$dir/store", attrs = Seq(AttrField("v", "int")))
+    def ingested(i: Int) = FeatureStore.ingest(
+      Seq(featureJson(s"u$i", -170.0 + i * 8.4, -80.0 + i * 4.0,
+        s"""{"v":$i}""")).toDF("raw"), cfg).good
+    FeatureStore.write(ingested(0), cfg) // snapshot 1
+    FeatureStore.append(ingested(1), cfg) // snapshot 2
+    val afterTwo = FeatureStore.snapshots(spark, cfg)
+    assert(afterTwo == Seq(1L, 2L), s"got $afterTwo")
+    // as-of reads differ while the current read serves the newest
+    assert(FeatureStore.readAt(spark, cfg, 1L).count() == 1)
+    assert(FeatureStore.readAt(spark, cfg, 2L).count() == 2)
+    assert(FeatureStore.read(spark, cfg).count() == 2)
+    // two more commits age snapshot 1 out of the RetainManifests=2 window
+    FeatureStore.append(ingested(2), cfg) // snapshot 3 (vacuum drops m_1)
+    FeatureStore.append(ingested(3), cfg) // snapshot 4 (vacuum drops m_2)
+    val retained = FeatureStore.snapshots(spark, cfg)
+    assert(retained == Seq(3L, 4L), s"retention drift: $retained")
+    assert(FeatureStore.readAt(spark, cfg, 4L).count() == 4)
+    val ex = intercept[IllegalArgumentException] {
+      FeatureStore.readAt(spark, cfg, 1L)
+    }
+    assert(ex.getMessage.contains("unknown snapshot"), ex.getMessage)
+  }
+
   test("concurrent reader during a delete sees old or new snapshot, never partial") {
     import spark.implicits._
     val dir = tmpDir()
