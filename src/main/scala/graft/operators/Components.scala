@@ -71,24 +71,25 @@ object Components {
         .withColumn("component", col("node")))
     var changed = 1L
     var round = 0
-    while (changed > 0 && round < maxIters) {
-      // min label among each node's neighbors (every node has >= 1 neighbor
-      // by construction — nodes come from the edge endpoints themselves)
-      val nbrMin = sym
-        .join(labels.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(min(col("component")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"),
-          (col("nbr_min") < col("component")).as("_chg"))
-      val mat = Materialize.eager(next)
-      changed = mat.filter(col("_chg")).count()
-      labels = mat.drop("_chg")
-      round += 1
-    }
-    sym.unpersist(false)
+    try {
+      while (changed > 0 && round < maxIters) {
+        // min label among each node's neighbors (every node has >= 1
+        // neighbor by construction — nodes come from the edge endpoints)
+        val nbrMin = sym
+          .join(labels.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(min(col("component")).as("nbr_min"))
+        val next = labels.join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("component"), coalesce(col("nbr_min"), col("component")))
+              .as("component"),
+            (col("nbr_min") < col("component")).as("_chg"))
+        val mat = Materialize.eager(next)
+        changed = mat.filter(col("_chg")).count()
+        labels = mat.drop("_chg")
+        round += 1
+      }
+    } finally sym.unpersist(false) // also on a mid-round job failure
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents: not converged after $maxIters rounds " +

@@ -409,8 +409,10 @@ object Dedup {
     * pipeline — each crawl increment dedups against everything before it
     * WITHOUT rescanning history text.
     *
-    * Scale shape: `historyHashes` is hashes only (16 bytes/doc, not the
-    * corpus text — at 100 TB the store is ~terabyte-scale). The history
+    * Scale shape: `historyHashes` is hashes only, not the corpus text —
+    * md5 is 16 raw bytes/doc (32 as the hex string this API exchanges;
+    * persist `unhex(th)` for the tight layout), so at 100 TB the store is
+    * ~terabyte-scale either way. The history
     * probe is one equi-join on the hash; persist the store hash-bucketed
     * ([[graft.sources.Bucketing.writeBucketed]] on `th`) and only the
     * (much smaller) batch side shuffles. The intra-batch keeper election is

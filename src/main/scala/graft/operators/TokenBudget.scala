@@ -22,51 +22,71 @@ import org.apache.spark.sql.types._
   * lowercase-hex prefix sorts identically as string and as integer):
   *
   *  - phase 1: per-(group, bucket) token totals — one map-combined
-  *    aggregate; the result is groups x 256 rows, collected and turned into
-  *    EXCLUSIVE prefix offsets per group (driver work bounded by the tiny
-  *    grid, never the corpus);
+  *    aggregate over the corpus projection; the exclusive prefix offsets
+  *    per group come from a window over that groups x 256 GRID (tiny, so
+  *    its one-reducer-per-group sort is free), never from driver code;
   *  - phase 2: the running sum within each (group, bucket) — 256-way
   *    parallel window sorts — plus the bucket's offset, broadcast-joined
-  *    back.
+  *    back (null-safe on the group, so NULL-group docs cut exactly like
+  *    the naive plan's NULL partition).
   *
   * The result is bit-identical to the single-window plan (the spec asserts
-  * exactly that); only the parallelism differs.
+  * exactly that, including NULL groups); only the parallelism differs.
   */
 object TokenBudget {
 
   /** Kept docs under a per-group token budget:
-    * (doc_id, <groupCol>, n_tokens, cum_tokens). See class doc for the
-    * order and the two-phase plan.
+    * (doc_id, <groupCol>, n_tokens, cum_tokens). The corpus projection is
+    * cached across the two phases and the (budget-bounded) result is
+    * materialized EAGERLY so the cache is released here rather than pinned
+    * for the session lifetime — same contract as the other eager builders
+    * ([[graft.util.Materialize]]).
     */
   def budgetCut(docs: DataFrame, budget: Long, groupCol: String = "lang",
                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val base = docs.select(
+    val base = baseOf(docs, groupCol, textCol, idCol).cache()
+    val out = graft.util.Materialize.eager(
+      cutPlan(base, budget, groupCol))
+    base.unpersist(false)
+    out
+  }
+
+  /** The un-materialized two-phase plan over an un-cached projection —
+    * plan-shape gates (PlanSpec) and spec comparisons build through this.
+    */
+  def budgetCutPlan(docs: DataFrame, budget: Long, groupCol: String = "lang",
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    cutPlan(baseOf(docs, groupCol, textCol, idCol), budget, groupCol)
+
+  /** (doc_id, grp, n_tokens, h, bucket) corpus projection. */
+  private def baseOf(docs: DataFrame, groupCol: String, textCol: String,
+                     idCol: String): DataFrame =
+    docs.select(
         col(idCol).cast(LongType).as("doc_id"),
         col(groupCol).as("grp"),
         size(split(col(textCol), "\\s+")).cast(LongType).as("n_tokens"),
         md5(col(idCol).cast(StringType)).as("h"))
       .withColumn("bucket",
         conv(substring(col("h"), 1, 2), 16, 10).cast(IntegerType))
-    // phase 1: per-(group, bucket) totals -> exclusive prefix offsets.
-    // groups x 256 rows — bounded by the grid, not the corpus.
-    val grid = base.groupBy(col("grp"), col("bucket"))
+
+  private def cutPlan(base: DataFrame, budget: Long, groupCol: String): DataFrame = {
+    // phase 1: per-(group, bucket) totals -> exclusive prefix offsets, via
+    // a window over the groups x 256 grid (tiny — its per-group sort is
+    // nothing like the corpus-wide sort the naive plan pays)
+    val gridW = Window.partitionBy(col("ogrp")).orderBy(col("obucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = base.groupBy(col("grp").as("ogrp"), col("bucket").as("obucket"))
       .agg(sum(col("n_tokens")).as("t"))
-      .collect()
-      .map(r => (r.getAs[String]("grp"), r.getAs[Int]("bucket"), r.getAs[Long]("t")))
-    val offsets = grid.groupBy(_._1).toSeq.flatMap { case (g, cells) =>
-      var acc = 0L
-      cells.sortBy(_._2).map { case (_, b, t) =>
-        val off = acc; acc += t; (g, b, off)
-      }
-    }
-    val offDf = offsets.toDF("grp", "bucket", "off")
-    // phase 2: 256-way-parallel within-bucket running sums + the offset
+      .withColumn("off", coalesce(sum(col("t")).over(gridW), lit(0L)))
+      .drop("t")
+    // phase 2: 256-way-parallel within-bucket running sums + the offset;
+    // null-safe group equality keeps NULL-group docs (the naive window
+    // treats NULL as its own partition, so the fast plan must too)
     val w = Window.partitionBy(col("grp"), col("bucket"))
       .orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.join(broadcast(offDf), Seq("grp", "bucket"))
+    base.join(broadcast(offDf),
+        col("grp") <=> col("ogrp") && col("bucket") === col("obucket"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w) + col("off"))
       .filter(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("grp").as(groupCol),

@@ -205,20 +205,13 @@ object VectorOps {
         |FROM p JOIN nrm na ON p.id_a = na.vec_id JOIN nrm nb ON p.id_b = nb.vec_id
         |ORDER BY cos_sim DESC, id_a, id_b LIMIT 20""".stripMargin,
       Seq("id_a", "id_b", "label", "cos_sim"))) { (s, d) =>
-    import s.implicits._
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id").cast(LongType), col("label").cast(IntegerType),
-        col("embedding"))
-      .as[(Long, Int, Array[Float])]
-    val perLabel =
-      graft.operators.Similarity.topPairsByLabel(emb, k = 20, targetChunk = 256)
-    Canon(perLabel
-      .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
-      .limit(20)
-      .select("id_a", "id_b", "label", "cos_sim"))
+    Canon(embedNearDupPairs(s, d).select("id_a", "id_b", "label", "cos_sim"))
   }
 
-  /** The x42 pair plan, un-canonicalized — shared with x89. */
+  /** The x42 pair plan, un-canonicalized — shared by x42 and x89 (x89's
+    * oracle replays EXACTLY this pair query, so both registry entries must
+    * build through the one definition).
+    */
   private def embedNearDupPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)

@@ -354,7 +354,7 @@ object CurationStreams {
   final case class HashArrival(doc_id: Long, ts: java.sql.Timestamp,
                                th: String, hist: Boolean)
   final case class DocStatus(doc_id: Long, status: String)
-  final case class SeenHash(seen: Boolean)
+  final case class SeenHash(seen: Boolean, maxTsMs: Long)
 
   /** Streaming incremental dedup — x86's streaming twin: each arriving
     * document is classified `dup_of_history` / `dup_in_batch` / `kept`
@@ -410,8 +410,14 @@ object CurationStreams {
               // history-dup hashes hold no state: the static side already
               // answers every future arrival, so nothing needs remembering
               if (seen) {
-                state.update(SeenHash(true))
-                state.setTimeoutTimestamp(sorted.map(_.ts.getTime).max + horizonMs)
+                // eviction is LAST-ARRIVAL + horizon: a late (but above-
+                // watermark) duplicate must never PULL the timeout earlier
+                // than an already-promised horizon, or the hash could be
+                // evicted while still covered and re-admit a second "kept"
+                val maxTs = math.max(state.getOption.map(_.maxTsMs).getOrElse(0L),
+                  sorted.map(_.ts.getTime).max)
+                state.update(SeenHash(true, maxTs))
+                state.setTimeoutTimestamp(maxTs + horizonMs)
               }
               out.iterator
             }

@@ -44,6 +44,29 @@ class TokenBudgetSpec extends SparkSpec {
     assert(keptH.max < dropped.min, "kept set is not a hash-order prefix")
   }
 
+  test("NULL groups cut exactly like the naive plan's NULL partition") {
+    val docs = Seq(
+      (1L, Some("en"), "a b c"), (2L, None, "d e f g"),
+      (3L, None, "h i"), (4L, Some("en"), "j k l m n"), (5L, None, "o p q")
+    ).toDF("doc_id", "lang", "text")
+    val fast = rows(TokenBudget.budgetCut(docs, budget = 6))
+    val naive = rows(TokenBudget.budgetCutNaive(docs, budget = 6))
+    assert(fast == naive)
+    assert(fast.exists(_._2 == null), s"NULL-group docs vanished: $fast")
+  }
+
+  test("non-string group columns work (grouping is type-opaque)") {
+    val docs = Seq((1L, 7, "a b c"), (2L, 7, "d e"), (3L, 8, "f g h i"))
+      .toDF("doc_id", "src", "text")
+    val fast = TokenBudget.budgetCut(docs, budget = 4, groupCol = "src")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("src"),
+        r.getAs[Long]("cum_tokens"))).toSet
+    val naive = TokenBudget.budgetCutNaive(docs, budget = 4, groupCol = "src")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("src"),
+        r.getAs[Long]("cum_tokens"))).toSet
+    assert(fast == naive && fast.nonEmpty)
+  }
+
   test("budget 0 keeps nothing; budget >= total keeps everything") {
     val docs = Seq((1L, "en", "a b c"), (2L, "en", "d e")).toDF("doc_id", "lang", "text")
     assert(TokenBudget.budgetCut(docs, budget = 0).count() == 0)

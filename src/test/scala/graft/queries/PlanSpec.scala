@@ -92,10 +92,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("x87: the budget cut windows on (grp, bucket), never on the group alone") {
-    val (_, plan) = planOf("x87_token_budget")
-    // the two-phase plan's window partition keys must include the 256-way
-    // hash-prefix bucket; a lang-only windowspec would mean the one-reducer-
-    // per-language sort the operator exists to avoid
+    // gate the INNER two-phase plan (x87's returned frame is checkpoint-
+    // backed, the x40 device): every windowspec must mention the 256-way
+    // hash-prefix bucket — a lang-only corpus windowspec would mean the
+    // one-reducer-per-language sort the operator exists to avoid (the grid
+    // offsets window orders by bucket over groups x 256 rows; the corpus
+    // window partitions by it)
+    val cut = graft.operators.TokenBudget.budgetCutPlan(
+      Tables.documents(spark, Sf), budget = 2000L)
+    cut.count()
+    val plan = cut.queryExecution.executedPlan.toString
     val specs = "windowspecdefinition\\(([^)]*)".r
       .findAllMatchIn(plan).map(_.group(1)).toSeq
     assert(specs.nonEmpty, s"x87 lost its window:\n$plan")
