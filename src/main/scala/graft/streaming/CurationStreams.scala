@@ -425,6 +425,46 @@ object CurationStreams {
       }
   }
 
+  /** Streaming dup-CLUSTER resolution — x84's streaming twin, extending the
+    * candidate parity matrix (exact/LSH/SimHash/vector pairs all have
+    * streaming forms) to the resolution step: each micro-batch's verified
+    * pairs are appended to a persisted pair store, and the batch
+    * [[graft.operators.Components]] core relabels over ALL pairs so far.
+    *
+    * Why recompute instead of incremental union-find state: component
+    * labels RETRACT — a new cross-batch pair B~C can merge B's cluster into
+    * A's, changing C's keeper from C to A. Append-mode state cannot
+    * retro-demote an emitted label, so the honest contract is
+    * complete-mode: `sink` receives the FULL current labeling each batch
+    * (same foreachBatch delivery as [[decontaminate]]/[[sharedSpans]]).
+    * The recompute is cheap at any corpus size because its input is the
+    * PAIR store — candidates-sized, orders of magnitude below the corpus —
+    * and rounds = component diameter (DEDUP_TUNING.md §3).
+    *
+    * `appendPairs` persists a batch's verified pairs (doc_a, doc_b,
+    * jaccard); `allPairs` reads the store back (the same persisted-store
+    * device as [[verifiedNearDups]]'s `seenDocs`). Returns the un-started
+    * writer so the caller picks trigger/checkpoint.
+    */
+  def dupComponents(docs: DataFrame,
+                    seenDocs: () => DataFrame,
+                    appendPairs: DataFrame => Unit,
+                    allPairs: () => DataFrame,
+                    sink: DataFrame => Unit,
+                    watermark: String = "30 minutes",
+                    horizonMs: Long = 30 * 60 * 1000L,
+                    numHashes: Int = 128, bands: Int = 32,
+                    maxPerBucket: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[CandidatePair] =
+    nearDupCandidates(docs, watermark, horizonMs, numHashes, bands, maxPerBucket)
+      .writeStream
+      .foreachBatch { (batch: Dataset[CandidatePair], _: Long) =>
+        val cands = batch.toDF().select(col("doc_a"), col("doc_b")).distinct()
+        appendPairs(graft.queries.TextOps.exactJaccard(
+          graft.queries.TextOps.shingles(seenDocs()), cands))
+        sink(graft.operators.Components.connectedComponents(allPairs()))
+      }
+
   /** The loop CLOSED: [[nearDupCandidates]] fed through the batch
     * exact-Jaccard verify ([[graft.queries.TextOps.exactJaccard]] — the
     * identical join x40 runs) inside a `foreachBatch`, so the streaming

@@ -370,6 +370,58 @@ class CurationStreamsSpec extends SparkSpec {
       s"expected exactly the true near-dup pair, got $collected")
   }
 
+  test("streaming dup components: a cross-batch pair merges clusters (retro-relabel)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-cc")
+    val docStore = s"$dir/docs"
+    val pairStore = s"$dir/pairs"
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    // doc1 ~ doc2 (1 token apart), doc2 ~ doc5 (1 token from doc2);
+    // doc1 vs doc5 is 2 tokens apart — BELOW the 0.8 verify cut, so the
+    // only path putting 5 into 1's cluster is the transitive merge
+    val rounds = Seq(
+      Seq(Doc(1, ts("10:00"), base, "en", "s"),
+        Doc(2, ts("10:01"), base.replace("word7", "wordX"), "en", "s")),
+      Seq(Doc(5, ts("10:05"),
+        base.replace("word7", "wordX").replace("word23", "wordY"), "en", "s")))
+    val labelings = scala.collection.mutable.ArrayBuffer[Map[Long, Long]]()
+    val mem = MemoryStream[Doc]
+    rounds.foreach { b =>
+      b.map(d => (d.doc_id, d.text, d.lang, d.text.length))
+        .toDF("doc_id", "text", "lang", "n_chars")
+        .write.mode("append").parquet(docStore)
+      mem.addData(b)
+      val q = CurationStreams.dupComponents(
+          mem.toDF(),
+          seenDocs = () => spark.read.parquet(docStore),
+          appendPairs = p => p.select(col("doc_a"), col("doc_b"))
+            .write.mode("append").parquet(pairStore),
+          allPairs = () => spark.read.parquet(pairStore),
+          sink = lbl => labelings.synchronized {
+            labelings += lbl.collect()
+              .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+          })
+        .option("checkpointLocation", s"$dir/ckp_cc")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000), "cc stream round timed out")
+    }
+    assert(labelings.head == Map(1L -> 1L, 2L -> 1L),
+      s"round 1 labeling wrong: ${labelings.head}")
+    // round 2: doc5 pairs with doc2 only, yet lands in component 1 — and
+    // the relabeling equals the batch Components over the full pair store
+    val last = labelings.last
+    assert(last == Map(1L -> 1L, 2L -> 1L, 5L -> 1L),
+      s"transitive merge failed: $last")
+    val batch = graft.operators.Components
+      .connectedComponents(spark.read.parquet(pairStore))
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+    assert(last == batch, s"stream $last != batch $batch")
+  }
+
   test("streaming incremental dedup equals batch x86 statuses on in-order ids") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
