@@ -112,6 +112,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
   }
 
+  test("NO registry query compiles to a CartesianProduct (global gate)") {
+    // a cartesian over corpus-sized inputs is the canonical 100 TB killer;
+    // today every deliberate cross (q11's tiny dims, q33's one-row query
+    // vector) broadcasts into a BroadcastNestedLoopJoin instead, so the
+    // allowlist is EMPTY — a future query that trips this must either fix
+    // its join keys or argue its way onto the list explicitly
+    val declared = Set.empty[String]
+    val skip = Set("q36a_lookup", "q36b_delete", "q36c_update",
+      "x46_tile", "x47_heatmap") // store-fixture queries, gated elsewhere
+    val hits = graft.SparkEntry.queries.keys.toSeq
+      .filterNot(skip).filterNot(declared).flatMap { name =>
+        val df = graft.SparkEntry.queries(name)(spark, Sf)
+        df.count()
+        if (df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+          Some(name)
+        else None
+      }
+    assert(hits.isEmpty, s"undeclared cartesian products in: ${hits.mkString(", ")}")
+  }
+
   test("x42: blocked pair search — no cartesian, bounded shuffles, TakeOrdered merge") {
     val (_, plan) = planOf("x42_embed_neardup")
     assert(!plan.contains("CartesianProduct"), plan)
