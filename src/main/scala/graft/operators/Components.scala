@@ -66,11 +66,16 @@ object Components {
     val sym = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
+    // init FOLDED with the first propagation round: from identity labels,
+    // round 1's result is min(node, min neighbors) — one aggregation over
+    // the edge list, replacing the separate distinct-nodes pass plus a full
+    // join round (per-call fixed cost matters: the loop usually runs only
+    // diameter ≈ 2–3 rounds on dup graphs)
     var labels = Materialize.eager(
-      sym.select(col("src").as("node")).distinct()
-        .withColumn("component", col("node")))
+      sym.groupBy(col("src").as("node"))
+        .agg(min(least(col("src"), col("dst"))).as("component")))
     var changed = 1L
-    var round = 0
+    var round = 1
     try {
       while (changed > 0 && round < maxIters) {
         // min label among each node's neighbors (every node has >= 1
