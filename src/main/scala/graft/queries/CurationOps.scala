@@ -29,7 +29,65 @@ object CurationOps {
       x65_label_centroids, x66_quantize, x67_split, x68_balance,
       x69_pack, x70_decontaminate, x71_tfidf, x73_cluster_assign,
       x74_pipeline, x80_source_mix, x83_chunk, x87_token_budget,
-      x88_train_order)
+      x88_train_order, x90_curation_audit)
+
+  // ---------------------------------------------------------------- x90
+  /** Per-doc curation AUDIT: every gate's verdict for every document in ONE
+    * scan — the explainable version of x74's composed pipeline (which emits
+    * only survivors + a summary). Production curation needs this relation
+    * to answer "why was doc X dropped" and to tune thresholds from gate
+    * co-occurrence, without running N separate gate scans.
+    *
+    * One projection evaluates all gates (token count from the split, the
+    * repetition ratio from the per-doc trigram kernel — no explode, no
+    * shuffle beyond the canonical sort); `kept` is the conjunction. The
+    * oracle replays the token arithmetic inline and the repetition gate via
+    * x63's exploded-trigram form, LEFT-joined so <3-token docs audit as
+    * non-repetitive (the kernel's empty-result contract).
+    */
+  val x90_curation_audit: QueryDef = QueryDef(
+    "x90_curation_audit",
+    Sql.canon(
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(LEN(string_split_regex(text, '\s+')) AS INT) AS n_tokens
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+        |  FROM (
+        |    SELECT doc_id, toks,
+        |      UNNEST(generate_series(1, GREATEST(LEN(toks) - 2, 0))) AS i
+        |    FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS toks FROM documents)
+        |    WHERE LEN(toks) >= 3)),
+        |rep AS (
+        |  SELECT doc_id,
+        |    1.0 - CAST(COUNT(DISTINCT sh) AS DOUBLE) / COUNT(*) AS rr
+        |  FROM tri GROUP BY doc_id)
+        |SELECT s.doc_id, s.lang, s.n_tokens,
+        |  s.n_tokens < 25 AS too_short,
+        |  s.n_tokens > 90 AS too_long,
+        |  COALESCE(rep.rr, 0.0) > 0.02 AS repetitive,
+        |  NOT (s.n_tokens < 25 OR s.n_tokens > 90
+        |       OR COALESCE(rep.rr, 0.0) > 0.02) AS kept
+        |FROM s LEFT JOIN rep ON s.doc_id = rep.doc_id""".stripMargin,
+      Seq("doc_id", "lang", "n_tokens", "too_short", "too_long", "repetitive",
+        "kept"))) { (s, d) =>
+    val stats = udf((t: String) => Kernels.triStats(t))
+    val base = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      size(split(col("text"), "\\s+")).as("n_tokens"),
+      stats(col("text")).as("st"))
+    val rr = when(size(col("st")) === 2,
+      lit(1.0) - col("st").getItem(1).cast(DoubleType) / col("st").getItem(0))
+      .otherwise(lit(0.0))
+    val tooShort = col("n_tokens") < 25
+    val tooLong = col("n_tokens") > 90
+    val repetitive = rr > 0.02
+    Canon(base.select(col("doc_id"), col("lang"), col("n_tokens"),
+      tooShort.as("too_short"), tooLong.as("too_long"),
+      repetitive.as("repetitive"),
+      (!(tooShort || tooLong || repetitive)).as("kept")))
+  }
 
   // ---------------------------------------------------------------- x88
   /** Deterministic training-order sharding — the last materialization step
