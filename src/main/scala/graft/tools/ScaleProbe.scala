@@ -42,7 +42,10 @@ object ScaleProbe {
     // x84: near-dup structure grows linearly with the replica count, so the
     // component count (all small-diameter) does too — wall ratio should stay
     // ~linear; propagation rounds must NOT grow with corpus size
-    "x84_dup_components", "x86_incremental_dedup")
+    "x84_dup_components", "x86_incremental_dedup",
+    // x87: the two-phase running sum must scale with the 256-way bucket
+    // parallelism, not with per-language volume
+    "x87_token_budget")
 
   def generate(spark: SparkSession, baseSf: String, outDir: String,
                factor: Int): Unit = {
