@@ -32,17 +32,51 @@ object CurationOps {
       x88_train_order, x90_curation_audit)
 
   // ---------------------------------------------------------------- x90
-  /** Per-doc curation AUDIT: every gate's verdict for every document in ONE
-    * scan — the explainable version of x74's composed pipeline (which emits
-    * only survivors + a summary). Production curation needs this relation
-    * to answer "why was doc X dropped" and to tune thresholds from gate
-    * co-occurrence, without running N separate gate scans.
+  /** Gate thresholds the x90 REGISTRY entry pins (and its oracle replays);
+    * production calls [[curationAudit]] with its own corpus-derived values.
+    * Small here so every gate fires at every verify SF.
+    */
+  private[graft] val AuditMinTokens = 25
+  private[graft] val AuditMaxTokens = 90
+  private[graft] val AuditMaxRepetition = 0.02
+
+  /** Per-doc curation AUDIT operator: every gate's verdict for every
+    * document in ONE scan — the explainable version of x74's composed
+    * pipeline (which emits only survivors + a summary). Production curation
+    * needs this relation to answer "why was doc X dropped" and to tune
+    * thresholds from gate co-occurrence, without running N separate gate
+    * scans — which is also why the thresholds are ARGUMENTS, not literals:
+    * tuning loops re-run the audit at candidate settings.
     *
     * One projection evaluates all gates (token count from the split, the
     * repetition ratio from the per-doc trigram kernel — no explode, no
-    * shuffle beyond the canonical sort); `kept` is the conjunction. The
-    * oracle replays the token arithmetic inline and the repetition gate via
-    * x63's exploded-trigram form, LEFT-joined so <3-token docs audit as
+    * shuffle); `kept` is the conjunction.
+    */
+  def curationAudit(docs: org.apache.spark.sql.DataFrame,
+                    minTokens: Int = AuditMinTokens,
+                    maxTokens: Int = AuditMaxTokens,
+                    maxRepetition: Double = AuditMaxRepetition)
+      : org.apache.spark.sql.DataFrame = {
+    val stats = udf((t: String) => Kernels.triStats(t))
+    val base = docs.select(
+      col("doc_id"), col("lang"),
+      size(split(col("text"), "\\s+")).as("n_tokens"),
+      stats(col("text")).as("st"))
+    val rr = when(size(col("st")) === 2,
+      lit(1.0) - col("st").getItem(1).cast(DoubleType) / col("st").getItem(0))
+      .otherwise(lit(0.0))
+    val tooShort = col("n_tokens") < minTokens
+    val tooLong = col("n_tokens") > maxTokens
+    val repetitive = rr > maxRepetition
+    base.select(col("doc_id"), col("lang"), col("n_tokens"),
+      tooShort.as("too_short"), tooLong.as("too_long"),
+      repetitive.as("repetitive"),
+      (!(tooShort || tooLong || repetitive)).as("kept"))
+  }
+
+  /** The x90 registry entry: [[curationAudit]] at the pinned thresholds.
+    * The oracle replays the token arithmetic inline and the repetition gate
+    * via x63's exploded-trigram form, LEFT-joined so <3-token docs audit as
     * non-repetitive (the kernel's empty-result contract).
     */
   val x90_curation_audit: QueryDef = QueryDef(
@@ -133,8 +167,9 @@ object CurationOps {
     * holds `TokenBudgetPerLang` tokens — training mixes are specified in
     * tokens per source/language, not rows. The production plan is the
     * two-phase exact running sum (256 hash-prefix range buckets, per-bucket
-    * offsets from a grid-sized collect, 256-way-parallel window sorts); the
-    * oracle is the semantically-identical one-window form.
+    * offsets from a window over the groups×256 grid — no driver collect,
+    * TokenBudget.scala — 256-way-parallel window sorts); the oracle is the
+    * semantically-identical one-window form.
     */
   private[graft] val TokenBudgetPerLang = 2000L
 
