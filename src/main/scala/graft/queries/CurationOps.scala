@@ -106,21 +106,10 @@ object CurationOps {
         |FROM s LEFT JOIN rep ON s.doc_id = rep.doc_id""".stripMargin,
       Seq("doc_id", "lang", "n_tokens", "too_short", "too_long", "repetitive",
         "kept"))) { (s, d) =>
-    val stats = udf((t: String) => Kernels.triStats(t))
-    val base = Tables.documents(s, d).select(
-      col("doc_id"), col("lang"),
-      size(split(col("text"), "\\s+")).as("n_tokens"),
-      stats(col("text")).as("st"))
-    val rr = when(size(col("st")) === 2,
-      lit(1.0) - col("st").getItem(1).cast(DoubleType) / col("st").getItem(0))
-      .otherwise(lit(0.0))
-    val tooShort = col("n_tokens") < 25
-    val tooLong = col("n_tokens") > 90
-    val repetitive = rr > 0.02
-    Canon(base.select(col("doc_id"), col("lang"), col("n_tokens"),
-      tooShort.as("too_short"), tooLong.as("too_long"),
-      repetitive.as("repetitive"),
-      (!(tooShort || tooLong || repetitive)).as("kept")))
+    // delegate to the OPERATOR (defaults = the pinned constants) so the
+    // oracle-verified harness exercises curationAudit itself — no second
+    // inline copy to drift from it
+    Canon(curationAudit(Tables.documents(s, d)))
   }
 
   // ---------------------------------------------------------------- x88

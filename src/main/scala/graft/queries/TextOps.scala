@@ -196,7 +196,13 @@ object TextOps {
     * join fans out per LSH *bucket* instead of per shared shingle.
     */
   val x40_minhash_lsh: QueryDef = QueryDef("x40_minhash_lsh", NearDupOracle) { (s, d) =>
-    Canon(lshNearDupPairs(s, d))
+    // The PRODUCER of the verified-pair relation: runs the pipeline, then
+    // persists the (candidates-sized) pairs so the resolution queries
+    // x84/x85 — and the driver's own Verify output the x84/x85 oracles
+    // replay over — all consume ONE materialization instead of re-running
+    // the corpus scan + shuffle per query (the dominant cost at 100 TB).
+    Canon(graft.operators.PairStore.refresh(s, "x40_minhash_lsh", d)(
+      lshNearDupPairs(s, d)))
   }
 
   /** The x40 pair plan, un-canonicalized: MinHash-LSH candidates restricted
@@ -232,25 +238,22 @@ object TextOps {
     shingleArraysUnfiltered(docs.join(ids, Seq("doc_id"), "left_semi"))
 
   // ---------------------------------------------------------------- x84/x85
-  /** Shared oracle CTE list: the NearDupOracle pair set symmetrized into an
-    * edge list, plus the transitive-closure `reach` relation (DuckDB
-    * recursive CTE; UNION dedups, so the fixpoint is bounded by
-    * nodes x labels). `MIN(lab) GROUP BY node` is then the component id.
+  /** Shared oracle CTE list: the verified pair relation the SAME Verify run
+    * persisted as x40's parquet output (the `__VERIFY_OUT__` replay device,
+    * as x45/x82 — x40's own oracle already hash-checks those pairs against
+    * the exhaustive exact-Jaccard query, so replaying over them is anchored,
+    * and it verifies the composition the Spark side actually runs: the
+    * resolution consumes the persisted pairs, not a rebuilt pipeline),
+    * symmetrized into an edge list, plus the transitive-closure `reach`
+    * relation (DuckDB recursive CTE; UNION dedups, so the fixpoint is
+    * bounded by nodes x labels). `MIN(lab) GROUP BY node` is then the
+    * component id.
     */
   private val DupComponentsCtes: String =
     s"""WITH RECURSIVE
-       |s AS ($ShinglesSql),
-       |c AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
-       |p AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-       |  FROM s a JOIN s b
-       |    ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
-       |   AND ABS(a.n_chars - b.n_chars) * 2 <= GREATEST(a.n_chars, b.n_chars)
-       |  GROUP BY a.doc_id, b.doc_id),
        |pairs AS (
        |  SELECT doc_a, doc_b
-       |  FROM p JOIN c ca ON p.doc_a = ca.doc_id JOIN c cb ON p.doc_b = cb.doc_id
-       |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.8),
+       |  FROM read_parquet('__VERIFY_OUT__/x40_minhash_lsh/*.parquet')),
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL
@@ -261,18 +264,29 @@ object TextOps {
        |  SELECT e.dst AS node, r.lab FROM reach r JOIN edges e ON e.src = r.node),
        |comp AS (SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node)""".stripMargin
 
+  /** The verified-pair relation x84/x85 resolve over: the relation x40
+    * persisted in this application ([[graft.operators.PairStore]] — a
+    * candidates-sized parquet scan, no pipeline re-run), computed-and-
+    * persisted only when no producer preceded the call (standalone use).
+    */
+  def verifiedPairs(s: SparkSession, d: String): DataFrame =
+    graft.operators.PairStore.readOrCompute(s, "x40_minhash_lsh", d)(
+      lshNearDupPairs(s, d))
+
   /** Near-dup cluster resolution, step 1: connected components over the x40
     * pair set (hash-min label propagation — [[graft.operators.Components]]).
     * The component id IS the canonical keeper (minimum doc id), so this
-    * relation is directly the "which doc replaces which" dedup mapping. The
-    * oracle replays the closure with a recursive CTE over the SAME exact
-    * pair query as x40/q32.
+    * relation is directly the "which doc replaces which" dedup mapping.
+    * Consumes the PERSISTED pair relation ([[verifiedPairs]]): resolution
+    * cost is propagation over candidates-sized pairs, decoupled from the
+    * corpus-scale pair pipeline x40 already ran. The oracle replays the
+    * closure with a recursive CTE over the same persisted pairs.
     */
   val x84_dup_components: QueryDef = QueryDef(
     "x84_dup_components",
     Sql.canon(s"$DupComponentsCtes\nSELECT doc_id, component FROM comp",
       Seq("doc_id", "component"))) { (s, d) =>
-    Canon(graft.operators.Components.connectedComponents(lshNearDupPairs(s, d))
+    Canon(graft.operators.Components.connectedComponents(verifiedPairs(s, d))
       .select(col("node").as("doc_id"), col("component")))
   }
 
@@ -293,7 +307,7 @@ object TextOps {
          |FROM documents d LEFT JOIN dups dd ON d.doc_id = dd.doc_id
          |GROUP BY d.lang""".stripMargin,
       Seq("lang", "n_docs", "n_kept", "n_removed"))) { (s, d) =>
-    val comp = graft.operators.Components.connectedComponents(lshNearDupPairs(s, d))
+    val comp = graft.operators.Components.connectedComponents(verifiedPairs(s, d))
     val removed = comp.filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id")).withColumn("_rm", lit(1))
     Canon(Tables.documents(s, d)

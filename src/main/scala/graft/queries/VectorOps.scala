@@ -205,12 +205,19 @@ object VectorOps {
         |FROM p JOIN nrm na ON p.id_a = na.vec_id JOIN nrm nb ON p.id_b = nb.vec_id
         |ORDER BY cos_sim DESC, id_a, id_b LIMIT 20""".stripMargin,
       Seq("id_a", "id_b", "label", "cos_sim"))) { (s, d) =>
-    Canon(embedNearDupPairs(s, d).select("id_a", "id_b", "label", "cos_sim"))
+    // PRODUCER of the embedding pair relation (the vector twin of x40's
+    // text-pair store): persist once, so x89's resolution — and the
+    // Verify output its oracle replays over — consume one materialization
+    // instead of re-running the blocked O(n²) pair search.
+    Canon(graft.operators.PairStore.refresh(s, "x42_embed_neardup", d)(
+      embedNearDupPairs(s, d)).select("id_a", "id_b", "label", "cos_sim"))
   }
 
-  /** The x42 pair plan, un-canonicalized — shared by x42 and x89 (x89's
-    * oracle replays EXACTLY this pair query, so both registry entries must
-    * build through the one definition).
+  /** The x42 pair plan, un-canonicalized — shared by x42 and x89 (x89
+    * consumes x42's PERSISTED pairs via [[graft.operators.PairStore]] and
+    * only computes this when no producer ran; its oracle replays the
+    * persisted relation, so both registry entries verify through the one
+    * materialization).
     */
   private def embedNearDupPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -229,26 +236,18 @@ object VectorOps {
     * ([[graft.operators.Components]], the same resolution operator as the
     * text-side x84 — pair source is pluggable), labeling each clustered
     * vector with its component's minimum vec_id (= the canonical keeper).
-    * The oracle replays x42's exact pair query, then the closure with a
-    * recursive CTE.
+    * Consumes x42's PERSISTED pair relation (the
+    * [[graft.operators.PairStore]] device — resolution never re-runs the
+    * blocked pair search); the oracle replays the closure over the same
+    * persisted pairs (the `__VERIFY_OUT__` device, anchored by x42's own
+    * exhaustive oracle).
     */
   val x89_semantic_dedup: QueryDef = QueryDef(
     "x89_semantic_dedup",
     Sql.canon(
-      """WITH RECURSIVE ex AS (
-        |  SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS x,
-        |    UNNEST(generate_series(1, LEN(embedding))) AS i
-        |  FROM embeddings),
-        |nrm AS (SELECT vec_id, SQRT(SUM(x * x)) AS nr FROM ex GROUP BY vec_id),
-        |p AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label, SUM(a.x * b.x) AS dt
-        |  FROM ex a JOIN ex b ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
-        |  GROUP BY a.vec_id, b.vec_id, a.label),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT id_a, id_b, ROUND(dt / (na.nr * nb.nr), 4) AS cos_sim
-        |    FROM p JOIN nrm na ON p.id_a = na.vec_id JOIN nrm nb ON p.id_b = nb.vec_id
-        |    ORDER BY cos_sim DESC, id_a, id_b LIMIT 20)),
+      """WITH RECURSIVE pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM read_parquet('__VERIFY_OUT__/x42_embed_neardup/*.parquet')),
         |edges AS (
         |  SELECT id_a AS src, id_b AS dst FROM pairs
         |  UNION ALL
@@ -259,8 +258,10 @@ object VectorOps {
         |  SELECT e.dst AS node, r.lab FROM reach r JOIN edges e ON e.src = r.node)
         |SELECT node AS vec_id, MIN(lab) AS component FROM reach GROUP BY node""".stripMargin,
       Seq("vec_id", "component"))) { (s, d) =>
+    val pairs = graft.operators.PairStore.readOrCompute(
+      s, "x42_embed_neardup", d)(embedNearDupPairs(s, d))
     Canon(graft.operators.Components
-      .connectedComponents(embedNearDupPairs(s, d), srcCol = "id_a", dstCol = "id_b")
+      .connectedComponents(pairs, srcCol = "id_a", dstCol = "id_b")
       .select(col("node").as("vec_id"), col("component")))
   }
 }
