@@ -27,4 +27,17 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ListMap(registry.collect { case QueryDef(n, _, Some(sql)) => n -> sql }: _*)
+
+  /** Registry entries that PRODUCE a persisted pair relation
+    * ([[graft.operators.PairStore]]) consumed by later resolution entries
+    * (x84/x85 consume x40's pairs; x89 consumes x42's). Building any
+    * registry frame is side-effect-free; a harness that wants the
+    * composition (resolution = scan of one materialization, never a
+    * pipeline re-run) runs `PairStore.refresh(spark, name, sfDir)(
+    * queries(name)(spark, sfDir))` for these BEFORE the consumers — as
+    * [[Bench]] does — or registers its own written copy of the producer's
+    * output — as [[Verify]] does. Declared here (not discovered) so
+    * Verify/Bench/tests share one list.
+    */
+  val pairProducers: Seq[String] = Seq("x40_minhash_lsh", "x42_embed_neardup")
 }

@@ -24,14 +24,50 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def rmTree(path: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }
+    // x86's persisted history store (the production probe path): built once
+    // up front so the registry entry — and the correctness compare against
+    // the oracle's derived history — exercises the bucketed-store probe,
+    // not the in-query fallback. On failure the entry falls back to the
+    // derived plan (scanOrCompute registers only on success).
+    try graft.sources.HashHistory.create(spark, sfDir,
+      graft.queries.TextOps.x86HistoryHashes(spark, sfDir))
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] history store build failed " +
+        s"(x86 falls back to derived history): ${e.getMessage}")
+    }
+    val failed = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val outPath = s"$outDir/$name"
+      // stale-output guard: several oracles replay a PRODUCER query's
+      // parquet from this out dir (__VERIFY_OUT__ — x45/x82/x84/x85/x89).
+      // Deleting the subdir BEFORE (re)writing guarantees a failed producer
+      // leaves NO files behind, so a consumer's oracle errors loudly in
+      // DuckDB instead of silently replaying a previous run's output.
+      rmTree(outPath)
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(outPath)
+        // the written copy IS the producer materialization: register it so
+        // the resolution queries (x84/x85/x89, iterated later) scan the
+        // exact files their oracles replay
+        if (SparkEntry.pairProducers.contains(name))
+          graft.operators.PairStore.register(spark, name, sfDir, outPath)
+      } catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        rmTree(outPath) // drop any partial write too
       }
       spark.catalog.clearCache()
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] FAILED queries (${failed.size}): " +
+        failed.mkString(", "))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -98,8 +98,93 @@ object Components {
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents: not converged after $maxIters rounds " +
-          "(component diameter exceeds maxIters); raise maxIters or use a " +
-          "star-contraction variant for chain-shaped graphs")
+          "(component diameter exceeds maxIters); raise maxIters or use " +
+          "connectedComponentsStar for chain-shaped graphs")
     labels
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the O(log n)-ROUND alternative to
+    * [[connectedComponents]]'s label propagation for graphs whose
+    * component DIAMETER is large (drift chains), where propagation would
+    * need diameter rounds. Same API and output contract: (node BIGINT,
+    * component BIGINT = the component's minimum node id) for every node
+    * appearing in at least one pair.
+    *
+    * One round = two bounded-shuffle passes over the (candidates-sized)
+    * edge relation, each a keyed min-aggregate plus an equi-join — no
+    * driver-side adjacency, no cross joins:
+    *  - large-star: every node x computes m = min({x} ∪ N(x)); each
+    *    LARGER neighbor y > x re-points to m (edge (y, m)).
+    *  - small-star (on parent-oriented edges u > v): every node u with
+    *    smaller neighbors computes m = min N<(u); all its smaller
+    *    neighbors and u itself re-point to m.
+    * Both preserve connectivity and strictly shrink star height; the edge
+    * set converges to a star forest (child → component min) in O(log n)
+    * alternations regardless of diameter. Each round's edge relation is
+    * eagerly materialized ([[Materialize.eager]]) to keep lineage flat;
+    * convergence = the round changed nothing (an EXCEPT over the
+    * pairs-sized edge sets, exact — no sampled/hashed equality that could
+    * declare a wrong fixpoint).
+    *
+    * When to prefer which: DEDUP_TUNING.md §3 — propagation's per-round
+    * plan is simpler and wins on near-clique dup graphs (diameter ≤ 3);
+    * star contraction wins whenever diameter approaches `maxIters`.
+    */
+  def connectedComponentsStar(pairs: DataFrame, srcCol: String = "doc_a",
+                              dstCol: String = "doc_b", maxIters: Int = 50): DataFrame = {
+    val raw = pairs.select(col(srcCol).cast(LongType).as("u"),
+      col(dstCol).cast(LongType).as("v"))
+    // every input endpoint must be labeled, including self-loop-only nodes
+    val nodes = raw.select(col("u").as("node"))
+      .union(raw.select(col("v").as("node"))).distinct()
+    // parent-oriented canonical edges u > v (self loops carry no
+    // connectivity; the final left-join labels their nodes as their own)
+    var edges = Materialize.eager(
+      raw.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct())
+    var changed = edges.count() // enter the loop iff there are edges at all
+    var round = 0
+    while (changed > 0 && round < maxIters) {
+      // large-star over the SYMMETRIZED neighbor relation
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u").as("x"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+      val large = sym.join(mins, sym("u") === mins("x"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star over the parent-oriented result (all neighbors < u)
+      val g = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(g, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(g.select(col("u"), col("m").as("v")))
+        .distinct()
+      val next = Materialize.eager(small)
+      // exact convergence: the round is a no-op on the edge SET (counts
+      // alone can agree while edges differ, so compare both directions
+      // via one anti-semantics EXCEPT each way — pairs-sized, cheap)
+      changed =
+        if (next.count() != edges.count()) 1L
+        else next.exceptAll(edges).count()
+      edges = next
+      round += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponentsStar: not converged after $maxIters rounds — " +
+          "this bounds O(log n) alternations and should never bind on real " +
+          "graphs; raise maxIters")
+    // converged star forest: children point at their component min; roots
+    // (and self-loop-only nodes) label themselves
+    nodes.join(edges.select(col("u").as("node"), col("v").as("component")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
   }
 }

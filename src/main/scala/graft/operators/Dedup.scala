@@ -410,20 +410,34 @@ object Dedup {
     * WITHOUT rescanning history text.
     *
     * Scale shape: `historyHashes` is hashes only, not the corpus text —
-    * md5 is 16 raw bytes/doc (32 as the hex string this API exchanges;
-    * persist `unhex(th)` for the tight layout), so at 100 TB the store is
-    * ~terabyte-scale either way. The history
-    * probe is one equi-join on the hash; persist the store hash-bucketed
-    * ([[graft.sources.Bucketing.writeBucketed]] on `th`) and only the
-    * (much smaller) batch side shuffles. The intra-batch keeper election is
-    * one map-combined min-aggregate over the batch. History-store sizing:
-    * DEDUP_TUNING.md §4.
+    * md5 is 16 raw bytes/doc (32 as the hex string this API exchanges),
+    * so at 100 TB the store is ~terabyte-scale either way. The history
+    * probe is one equi-join on the hash; the PERSISTED form of the store
+    * is [[graft.sources.HashHistory]] — 16-byte binary hashes bucketed on
+    * `th` ([[graft.sources.Bucketing.writeBucketed]]), probed via
+    * [[incrementalStatusBinary]] so only the (much smaller) batch side
+    * shuffles. The intra-batch keeper election is one map-combined
+    * min-aggregate over the batch. History-store sizing: DEDUP_TUNING.md §4.
     */
   def incrementalStatus(batch: DataFrame, historyHashes: DataFrame,
-                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val b = batch.select(col(idCol).as("doc_id"), md5(col(textCol)).as("th"))
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    incrementalStatusBinary(batch,
+      historyHashes.select(unhex(col("th")).as("th")), textCol, idCol)
+
+  /** The probe core, against a BINARY-hash history relation (the
+    * [[graft.sources.HashHistory]] layout — `unhex(md5(text))`, 16 B/doc).
+    * When `historyBinary` scans a table bucketed on `th`, BOTH
+    * history-side wide ops ride the bucket layout with no Exchange — the
+    * distinct() (aggregation on the bucket key) and the probe join itself —
+    * so the per-batch cost is one batch-sized shuffle plus a co-located
+    * history scan, independent of history size. PlanSpec gates this shape.
+    */
+  def incrementalStatusBinary(batch: DataFrame, historyBinary: DataFrame,
+                              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val b = batch.select(col(idCol).as("doc_id"),
+      unhex(md5(col(textCol))).as("th"))
     val k = b.groupBy(col("th")).agg(min(col("doc_id")).as("keeper"))
-    val h = historyHashes.select(col("th")).distinct().withColumn("_hist", lit(1))
+    val h = historyBinary.select(col("th")).distinct().withColumn("_hist", lit(1))
     b.join(h, Seq("th"), "left")
       .join(k, Seq("th"))
       .select(col("doc_id"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -14,26 +15,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * election, per-language removal stats. Without a shared materialization,
   * each derived query re-executes the full corpus scan + shuffle of the
   * pair pipeline (at 100 TB, the most expensive plan in the engine) — the
-  * exact defect this store removes: the producer query ([[refresh]])
-  * persists the pairs to parquet, and every consumer ([[readOrCompute]])
-  * plans a parquet scan of the candidates-sized relation instead of a
-  * corpus-sized rebuild.
+  * exact defect this store removes: an explicit producer step ([[refresh]],
+  * run by Verify/Bench/callers BEFORE the resolution queries) persists the
+  * pairs to parquet, and every consumer ([[scanOrCompute]]) plans a parquet
+  * scan of the candidates-sized relation instead of a corpus-sized rebuild.
+  *
+  * Laziness contract: BUILDING a registry frame never persists (or runs)
+  * anything. [[scanOrCompute]] either returns a scan of an
+  * already-persisted relation or returns the producer PLAN itself,
+  * unexecuted — standalone consumers stay correct (they just pay the
+  * pipeline when they finally run), and constructing a frame for
+  * `explain()`/plan gates/empty-input tests has no side effects. Only the
+  * explicit [[refresh]] (and [[register]]) step materializes.
   *
   * Store shape: pairs are candidates-sized (near-dup rate × corpus),
   * orders of magnitude below the corpus, so the persisted relation is
   * small parquet and the write rides the producer's one materializing
   * action. Entries are keyed by (Spark application, producer name, source
   * dir) — the source tables are immutable per dir, so a persisted relation
-  * never goes stale within an application; a new JVM starts empty. On a
-  * cluster, point [[rootDir]] at shared storage (any Hadoop-FS URI) so
-  * executors and the driver resolve the same files; the default is a
-  * JVM-lifetime temp directory, right for local[] runs and tests.
+  * never goes stale within an application; a new JVM starts empty. Each
+  * [[refresh]] publishes to a fresh generation-suffixed path and swaps the
+  * registration afterwards, so a DataFrame handed out earlier keeps
+  * resolving its own (still-present) files — no overwrite-under-reader
+  * races. On a cluster, point [[rootDir]] at shared storage (any Hadoop-FS
+  * URI) so executors and the driver resolve the same files; the default is
+  * a JVM-lifetime temp directory, right for local[] runs and tests.
   *
-  * The streaming twin of this device is the pair store
-  * [[graft.streaming.StreamPairStore]] that
-  * [[graft.streaming.CurationStreams.dupComponents]] appends to — same
-  * contract (persist verified pairs once, resolve from the store), with
-  * appends per micro-batch instead of one batch write.
+  * The streaming twin of this device is the caller-provided
+  * `appendPairs`/`allPairs` callback pair of
+  * [[graft.streaming.CurationStreams.dupComponents]]: same contract
+  * (persist verified pairs once, resolve from the store), with appends per
+  * micro-batch instead of one batch write.
   */
 object PairStore {
 
@@ -59,6 +71,13 @@ object PairStore {
   /** key → persisted parquet path, present only after a successful write. */
   private val persisted = new ConcurrentHashMap[String, String]()
 
+  /** Monotone write-generation counter: every [[refresh]] writes to a fresh
+    * path, so a concurrent reader of the previous generation never sees its
+    * files deleted mid-scan and two concurrent refreshes cannot interleave
+    * one overwrite.
+    */
+  private val generation = new AtomicLong(0L)
+
   private def key(spark: SparkSession, name: String, dir: String): String =
     spark.sparkContext.applicationId + "|" + name + "|" +
       new java.io.File(dir).getAbsolutePath
@@ -66,13 +85,29 @@ object PairStore {
   private def pathFor(k: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"$rootDir/$hex"
+    s"$rootDir/$hex-g${generation.incrementAndGet()}"
   }
 
-  /** Compute the pair relation NOW, persist it, register it, and return the
-    * store-backed frame (a parquet scan — consumers of the returned frame
-    * never re-plan the producing pipeline). The producer query calls this:
-    * its cost IS the pair-pipeline cost plus one candidates-sized write.
+  /** The consumer entry point — LAZY, side-effect-free: a parquet scan of
+    * the persisted relation when a producer step already ran in this
+    * application, else the producer plan itself (unexecuted — standalone
+    * use keeps working and pays the pipeline only when the frame is finally
+    * acted on). `compute` is by-name and is not touched when the store is
+    * warm.
+    */
+  def scanOrCompute(spark: SparkSession, name: String, dir: String)
+                   (compute: => DataFrame): DataFrame =
+    Option(persisted.get(key(spark, name, dir))) match {
+      case Some(p) => spark.read.parquet(p)
+      case None => compute
+    }
+
+  /** The EXPLICIT producer step: compute the pair relation NOW, persist it
+    * to a fresh generation path, publish the registration, and return the
+    * store-backed frame (a parquet scan). Verify/Bench (and production
+    * pipelines) call this for each declared producer before running the
+    * resolution queries; its cost IS the pair-pipeline cost plus one
+    * candidates-sized write.
     */
   def refresh(spark: SparkSession, name: String, dir: String)
              (compute: => DataFrame): DataFrame = {
@@ -83,19 +118,15 @@ object PairStore {
     spark.read.parquet(p)
   }
 
-  /** The consumer entry point: a parquet scan of the persisted relation
-    * when the producer already ran in this application, else compute-and-
-    * persist (standalone use keeps working; only the FIRST resolution call
-    * pays the pipeline, and only when no producer preceded it).
+  /** Register an EXTERNALLY-written materialization of the producer's
+    * relation (e.g. Verify's own per-query parquet output) so consumers —
+    * and any oracle replaying the same files — read one shared copy.
     */
-  def readOrCompute(spark: SparkSession, name: String, dir: String)
-                   (compute: => DataFrame): DataFrame =
-    Option(persisted.get(key(spark, name, dir))) match {
-      case Some(p) => spark.read.parquet(p)
-      case None => refresh(spark, name, dir)(compute)
-    }
+  def register(spark: SparkSession, name: String, dir: String,
+               path: String): Unit =
+    persisted.put(key(spark, name, dir), path): Unit
 
-  /** The persisted path, if the producer ran (plan-gate hook for specs). */
+  /** The persisted path, if a producer step ran (plan-gate hook for specs). */
   private[graft] def persistedPath(spark: SparkSession, name: String,
                                    dir: String): Option[String] =
     Option(persisted.get(key(spark, name, dir)))

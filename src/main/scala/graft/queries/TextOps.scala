@@ -196,12 +196,15 @@ object TextOps {
     * join fans out per LSH *bucket* instead of per shared shingle.
     */
   val x40_minhash_lsh: QueryDef = QueryDef("x40_minhash_lsh", NearDupOracle) { (s, d) =>
-    // The PRODUCER of the verified-pair relation: runs the pipeline, then
-    // persists the (candidates-sized) pairs so the resolution queries
-    // x84/x85 — and the driver's own Verify output the x84/x85 oracles
-    // replay over — all consume ONE materialization instead of re-running
-    // the corpus scan + shuffle per query (the dominant cost at 100 TB).
-    Canon(graft.operators.PairStore.refresh(s, "x40_minhash_lsh", d)(
+    // The PRODUCER of the verified-pair relation. Building the frame is
+    // side-effect-free: scanOrCompute returns the persisted pairs when the
+    // explicit producer step (PairStore.refresh — run by Verify/Bench
+    // before the resolution queries x84/x85) already materialized them,
+    // else the pipeline plan itself. The composition win: resolution — and
+    // the driver's own Verify output the x84/x85 oracles replay over —
+    // consumes ONE materialization instead of re-running the corpus scan +
+    // shuffle per query (the dominant cost at 100 TB).
+    Canon(graft.operators.PairStore.scanOrCompute(s, "x40_minhash_lsh", d)(
       lshNearDupPairs(s, d)))
   }
 
@@ -264,13 +267,15 @@ object TextOps {
        |  SELECT e.dst AS node, r.lab FROM reach r JOIN edges e ON e.src = r.node),
        |comp AS (SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node)""".stripMargin
 
-  /** The verified-pair relation x84/x85 resolve over: the relation x40
-    * persisted in this application ([[graft.operators.PairStore]] — a
-    * candidates-sized parquet scan, no pipeline re-run), computed-and-
-    * persisted only when no producer preceded the call (standalone use).
+  /** The verified-pair relation x84/x85 resolve over: the relation x40's
+    * producer step persisted in this application
+    * ([[graft.operators.PairStore]] — a candidates-sized parquet scan, no
+    * pipeline re-run), or the pipeline plan itself when no producer step
+    * preceded the call (standalone use — lazy, pays the pipeline only when
+    * the resolution actually runs).
     */
   def verifiedPairs(s: SparkSession, d: String): DataFrame =
-    graft.operators.PairStore.readOrCompute(s, "x40_minhash_lsh", d)(
+    graft.operators.PairStore.scanOrCompute(s, "x40_minhash_lsh", d)(
       lshNearDupPairs(s, d))
 
   /** Near-dup cluster resolution, step 1: connected components over the x40
@@ -331,6 +336,31 @@ object TextOps {
     * batch docs (bucket % 11 = 0, id + 20M — `dup_in_batch`). The oracle
     * replays the derivation and the classification exactly.
     */
+  /** x86's deterministic md5-bucket split of `documents` (shared with the
+    * HashHistory specs): (history docs, batch docs) — see the QueryDef
+    * scaladoc for the derivation.
+    */
+  private[graft] def x86Split(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val bucket = (conv(substring(md5(col("doc_id").cast(StringType)), 1, 8),
+      16, 10).cast(LongType) % 100).cast(IntegerType)
+    val bkt = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).withColumn("bucket", bucket)
+    val history = bkt.filter(col("bucket") < 60)
+    val base = bkt.filter(col("bucket") >= 60)
+    val batch = base.select(col("doc_id"), col("text"))
+      .unionAll(history.filter(col("bucket") % 7 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      .unionAll(base.filter(col("bucket") % 11 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+    (history, batch)
+  }
+
+  /** x86's history as the [[graft.sources.HashHistory]] layout: one BINARY
+    * `th` column, `unhex(md5(text))`.
+    */
+  private[graft] def x86HistoryHashes(s: SparkSession, d: String): DataFrame =
+    x86Split(s, d)._1.select(unhex(md5(col("text"))).as("th"))
+
   val x86_incremental_dedup: QueryDef = QueryDef(
     "x86_incremental_dedup",
     Sql.canon(
@@ -364,8 +394,14 @@ object TextOps {
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
       .unionAll(base.filter(col("bucket") % 11 === 0)
         .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
-    Canon(Dedup.incrementalStatus(batch,
-      history.select(md5(col("text")).as("th"))))
+    // history via the session store device ([[graft.sources.HashHistory]]):
+    // when a producer step persisted the bucketed hash store for this dir,
+    // the probe scans it co-located (no history-side exchange); else the
+    // derived in-query history plan — lazily, same values either way (the
+    // oracle replays the derivation)
+    Canon(Dedup.incrementalStatusBinary(batch,
+      graft.sources.HashHistory.scanOrCompute(s, d)(
+        history.select(unhex(md5(col("text"))).as("th")))))
   }
 
   // ---------------------------------------------------------------- x44/x45

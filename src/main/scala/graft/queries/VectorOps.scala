@@ -206,10 +206,13 @@ object VectorOps {
         |ORDER BY cos_sim DESC, id_a, id_b LIMIT 20""".stripMargin,
       Seq("id_a", "id_b", "label", "cos_sim"))) { (s, d) =>
     // PRODUCER of the embedding pair relation (the vector twin of x40's
-    // text-pair store): persist once, so x89's resolution — and the
-    // Verify output its oracle replays over — consume one materialization
-    // instead of re-running the blocked O(n²) pair search.
-    Canon(graft.operators.PairStore.refresh(s, "x42_embed_neardup", d)(
+    // text-pair store). Build is side-effect-free: scanOrCompute returns
+    // the persisted pairs when the explicit producer step
+    // (PairStore.refresh, run by Verify/Bench) already materialized them,
+    // else the blocked-pair-search plan itself — so x89's resolution (and
+    // the Verify output its oracle replays over) consumes one
+    // materialization instead of re-running the O(n²)/label search.
+    Canon(graft.operators.PairStore.scanOrCompute(s, "x42_embed_neardup", d)(
       embedNearDupPairs(s, d)).select("id_a", "id_b", "label", "cos_sim"))
   }
 
@@ -217,9 +220,10 @@ object VectorOps {
     * consumes x42's PERSISTED pairs via [[graft.operators.PairStore]] and
     * only computes this when no producer ran; its oracle replays the
     * persisted relation, so both registry entries verify through the one
-    * materialization).
+    * materialization). `private[graft]` so PlanSpec gates the production
+    * pair-search plan directly.
     */
-  private def embedNearDupPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def embedNearDupPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id").cast(LongType), col("label").cast(IntegerType),
@@ -258,7 +262,7 @@ object VectorOps {
         |  SELECT e.dst AS node, r.lab FROM reach r JOIN edges e ON e.src = r.node)
         |SELECT node AS vec_id, MIN(lab) AS component FROM reach GROUP BY node""".stripMargin,
       Seq("vec_id", "component"))) { (s, d) =>
-    val pairs = graft.operators.PairStore.readOrCompute(
+    val pairs = graft.operators.PairStore.scanOrCompute(
       s, "x42_embed_neardup", d)(embedNearDupPairs(s, d))
     Canon(graft.operators.Components
       .connectedComponents(pairs, srcCol = "id_a", dstCol = "id_b")

@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted content-hash HISTORY store for incremental dedup (x86) — the
+  * operational half of [[graft.operators.Dedup.incrementalStatus]]'s scale
+  * story (DEDUP_TUNING.md §4): the already-ingested corpus is represented
+  * by its md5 hashes ONLY, 16 raw bytes per document (`unhex(th)` — the
+  * tight layout, half the hex string's footprint), persisted as a
+  * parquet table BUCKETED on the hash ([[Bucketing.writeBucketed]]).
+  *
+  * Why bucketing is the whole point: each crawl increment classifies its
+  * batch with one equi-join against history. Unbucketed, that join
+  * shuffles BOTH sides — and the history side is the entire corpus's hash
+  * set, reshuffled on every batch forever. Bucketed on `th`, the history
+  * scan already satisfies the join's clustered distribution, so the
+  * per-batch probe plans an Exchange on the (much smaller) batch side
+  * ONLY — history cost is a co-located scan, constant per batch. The
+  * distinct() the probe applies on the history side rides the same bucket
+  * layout (aggregation on the bucket key needs no exchange either).
+  * PlanSpec gates exactly this shape.
+  *
+  * Appends: the store never rewrites — each increment's `kept` hashes are
+  * APPENDED as additional bucket-compatible files ([[append]] writes with
+  * the table's bucket spec; Spark refuses a mismatched spec loudly).
+  * Appends may re-add a hash an earlier batch already holds; the probe's
+  * distinct() absorbs that, so appends need no read-before-write.
+  *
+  * Session registry: like [[graft.operators.PairStore]], the store is
+  * keyed by (application, source dir) and building a query frame is
+  * side-effect-free — [[scanOrCompute]] returns the bucketed table scan
+  * when a producer step ([[create]]) ran in this application, else the
+  * caller's derived plan (standalone correctness, lazily). The table name
+  * is deterministic per source dir, so a long-lived application (or a
+  * shared metastore) re-attaches to an existing store via [[attach]].
+  */
+object HashHistory {
+
+  /** The stored schema: one BINARY(16) column `th` = unhex(md5(text)). */
+  val HashCol = "th"
+
+  /** (appId|dir) -> (table, buckets), present after create/attach. */
+  private val stores = new ConcurrentHashMap[String, (String, Int)]()
+
+  private def key(spark: SparkSession, dir: String): String =
+    spark.sparkContext.applicationId + "|" + new java.io.File(dir).getAbsolutePath
+
+  /** Deterministic table name for a source dir (valid catalog identifier). */
+  def tableFor(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"graft_hash_history_$hex"
+  }
+
+  /** The PRODUCER step: persist `hashesBinary` (a single BINARY `th`
+    * column) as the bucketed history table for `dir` and register it.
+    * Sizing `buckets`: one bucket file per executor-core share of the
+    * store — at 10^10 docs the store is a few hundred GB (16 B/doc), so
+    * 2^8–2^12 buckets; testdata uses 8.
+    */
+  def create(spark: SparkSession, dir: String, hashesBinary: DataFrame,
+             buckets: Int = 8): Unit = {
+    val table = tableFor(dir)
+    Bucketing.writeBucketed(
+      hashesBinary.select(col(HashCol)).distinct(), table, HashCol, buckets)
+    stores.put(key(spark, dir), (table, buckets)): Unit
+  }
+
+  /** Re-attach to an already-created store (new application, shared
+    * metastore). Fails loudly if the table does not exist.
+    */
+  def attach(spark: SparkSession, dir: String, buckets: Int = 8): Unit = {
+    val table = tableFor(dir)
+    require(spark.catalog.tableExists(table),
+      s"HashHistory.attach: table $table does not exist — run create() first")
+    stores.put(key(spark, dir), (table, buckets)): Unit
+  }
+
+  /** Append an increment's hashes as bucket-compatible files. The probe's
+    * distinct() absorbs cross-append repeats, so callers append their
+    * whole batch's `kept` hashes without a read-before-write.
+    */
+  def append(spark: SparkSession, dir: String, hashesBinary: DataFrame): Unit = {
+    val (table, buckets) = Option(stores.get(key(spark, dir))).getOrElse(
+      throw new IllegalStateException(
+        s"HashHistory.append: no store registered for $dir — create()/attach() first"))
+    hashesBinary.select(col(HashCol))
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, HashCol)
+      .sortBy(HashCol)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** The consumer entry point — LAZY, side-effect-free: the bucketed table
+    * scan when a producer step ran for this (application, dir), else the
+    * caller's derived history plan (`compute`, untouched when the store is
+    * registered). Either way the relation is one BINARY `th` column.
+    */
+  def scanOrCompute(spark: SparkSession, dir: String)
+                   (compute: => DataFrame): DataFrame =
+    Option(stores.get(key(spark, dir))) match {
+      case Some((table, _)) => spark.table(table).select(col(HashCol))
+      case None => compute
+    }
+
+  /** The registered table name, if a producer step ran (spec hook). */
+  private[graft] def registeredTable(spark: SparkSession,
+                                     dir: String): Option[String] =
+    Option(stores.get(key(spark, dir))).map(_._1)
+
+  /** Drop the registration (spec isolation; the table itself remains). */
+  private[graft] def invalidate(spark: SparkSession, dir: String): Unit =
+    stores.remove(key(spark, dir)): Unit
+}

@@ -75,6 +75,42 @@ class ComponentsSpec extends SparkSpec {
     assert(ex.getMessage.contains("not converged"))
   }
 
+  private def ccStar(pairs: Seq[(Long, Long)], maxIters: Int = 50): Map[Long, Long] =
+    Components.connectedComponentsStar(pairs.toDF("doc_a", "doc_b"), maxIters = maxIters)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component"))
+      .toMap
+
+  test("star contraction equals propagation on seeded random graphs") {
+    // several densities: sparse (forest-ish, long chains), near the
+    // percolation threshold, and dense (few big components)
+    for ((nEdges, seed) <- Seq((60, 1), (200, 2), (420, 3))) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200
+      val edges = Seq.fill(nEdges)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      assert(ccStar(edges) == cc(edges),
+        s"star != propagation at nEdges=$nEdges seed=$seed")
+    }
+  }
+
+  test("star contraction handles the degenerate inputs like propagation") {
+    assert(ccStar(Seq.empty).isEmpty)
+    assert(ccStar(Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    assert(ccStar(Seq((5L, 3L))) == Map(5L -> 3L, 3L -> 3L))
+  }
+
+  test("star contraction resolves a chain whose diameter defeats propagation") {
+    // diameter 60 > propagation's maxIters=20 — propagation must fail
+    // LOUDLY there, while star contraction converges in O(log n) rounds
+    // well inside the same budget
+    val chain = (1L until 61L).map(i => (i, i + 1))
+    intercept[IllegalStateException] { cc(chain, maxIters = 20) }
+    val got = ccStar(chain, maxIters = 20)
+    assert(got.keySet == (1L to 61L).toSet)
+    assert(got.values.toSet == Set(1L), s"chain split: ${got.toSeq.sorted.take(10)}")
+  }
+
   test("output schema is (node BIGINT, component BIGINT) even from int input") {
     val df = Components.connectedComponents(
       Seq((1, 2)).toDF("doc_a", "doc_b"))

@@ -133,12 +133,46 @@ class PlanSpec extends SparkSpec {
   }
 
   test("x42: blocked pair search — no cartesian, bounded shuffles, TakeOrdered merge") {
+    // gate the PRODUCER plan: with no producer step run, the registry
+    // builder returns the real blocked pair-search pipeline (scanOrCompute
+    // is lazy) — invalidate first so a pair-store test running earlier
+    // can't swap a parquet scan under this gate
+    graft.operators.PairStore.invalidate(spark, "x42_embed_neardup", Sf)
     val (_, plan) = planOf("x42_embed_neardup")
     assert(!plan.contains("CartesianProduct"), plan)
     // one shuffle groups the chunk-pair tasks, the global top-k merge is a
     // TakeOrdered (never a full sort); AQE may add one coalesce read
     assert(exchanges(plan) <= 2, s"x42 over-shuffles:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("pair store: cold build is the lazy pipeline plan; warm consumers scan parquet") {
+    import graft.operators.PairStore
+    val name = "x42_embed_neardup"
+    PairStore.invalidate(spark, name, Sf)
+    try {
+      // COLD: building the registry frame persists nothing and returns the
+      // (unexecuted) pair-search plan — constructing frames for explain()/
+      // empty-input tests must never run the most expensive pipeline
+      val cold = graft.SparkEntry.queries(name)(spark, Sf)
+      assert(cold.queryExecution.executedPlan.toString
+        .contains("TakeOrderedAndProject"),
+        "cold build did not return the pair-search plan")
+      assert(PairStore.persistedPath(spark, name, Sf).isEmpty,
+        "building a registry frame must not persist anything")
+      // WARM: after the explicit producer step, the consumer entry point
+      // plans a parquet scan of the store and never touches its compute
+      // thunk (x89's resolution input — the composition the store exists for)
+      PairStore.refresh(spark, name, Sf)(cold)
+      val warm = PairStore.scanOrCompute(spark, name, Sf)(
+        sys.error("consumer re-ran the pair pipeline despite a persisted store"))
+      val plan = warm.queryExecution.executedPlan.toString
+      assert(plan.contains("FileScan parquet") &&
+        !plan.contains("TakeOrderedAndProject"),
+        s"warm consumer did not plan a store scan:\n$plan")
+      // and the scanned rows are the producer's rows
+      assert(warm.count() == 20L, "store scan row count != producer top-20")
+    } finally PairStore.invalidate(spark, name, Sf)
   }
 
   test("x40 candidate generation: one corpus shuffle, no join, map-side bucket cap") {
