@@ -29,7 +29,7 @@ object CurationOps {
       x65_label_centroids, x66_quantize, x67_split, x68_balance,
       x69_pack, x70_decontaminate, x71_tfidf, x73_cluster_assign,
       x74_pipeline, x80_source_mix, x83_chunk, x87_token_budget,
-      x88_train_order, x90_curation_audit)
+      x88_train_order, x88b_train_order_sized, x90_curation_audit)
 
   // ---------------------------------------------------------------- x90
   /** Gate thresholds the x90 REGISTRY entry pins (and its oracle replays);
@@ -120,11 +120,11 @@ object CurationOps {
     * and any shard can be re-written independently.
     *
     * Shard = md5-bucket (the x67 device, mod `TrainShards`); pos =
-    * row_number within the shard in (hash, doc_id) order. The per-shard
-    * windows are shard-count-way parallel and each shard's sort IS the
-    * shard writer's sort — no global order materializes anywhere. Fixed 16
-    * shards here for the oracle; production derives the count from corpus
-    * size exactly as x69 derives pack shards (ceil(n/docsPerShard)).
+    * row_number within the shard in (hash, doc_id) order. The operator is
+    * [[graft.operators.Sharding]]: `trainOrder` (fixed count — the
+    * registry pins 16 for the oracle) and `trainOrderBySize` (production —
+    * derives the count as ceil(n/docsPerShard) via a broadcast one-row
+    * aggregate, the x69 device).
     */
   private[graft] val TrainShards = 16
 
@@ -139,15 +139,40 @@ object CurationOps {
          |       AS BIGINT) % $TrainShards AS INT) AS shard
          |  FROM documents)""".stripMargin,
       Seq("doc_id", "shard", "pos"))) { (s, d) =>
-    val h = md5(col("doc_id").cast(StringType))
-    val shard = (conv(substring(h, 1, 8), 16, 10).cast(LongType)
-      % TrainShards).cast(IntegerType)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
-    Canon(Tables.documents(s, d)
-      .select(col("doc_id"), h.as("h"), shard.as("shard"))
-      .withColumn("pos", row_number().over(w))
-      .select(col("doc_id"), col("shard"), col("pos")))
+    // delegate to the OPERATOR so the oracle-verified harness exercises
+    // Sharding.trainOrder itself (x90's de-drift device)
+    Canon(graft.operators.Sharding.trainOrder(
+      Tables.documents(s, d), TrainShards))
+  }
+
+  /** docsPerShard the x88b REGISTRY entry pins (and its oracle replays);
+    * production picks its own target size. 150 so the derived count is
+    * plural at every verify SF (4 shards at 500 docs, 34 at 5000).
+    */
+  private[graft] val TrainDocsPerShard = 150L
+
+  /** The PRODUCTION form of x88: the shard count is not pinned but derived
+    * from a target shard SIZE — ceil(n / docsPerShard), the same derivation
+    * x69 uses for pack shards. The oracle replays the derivation as a
+    * scalar subquery; the Spark side is
+    * [[graft.operators.Sharding.trainOrderBySize]]'s broadcast one-row
+    * aggregate (no driver collect, no second keyed pass).
+    */
+  val x88b_train_order_sized: QueryDef = QueryDef(
+    "x88b_train_order_sized",
+    Sql.canon(
+      s"""SELECT doc_id, CAST(shard AS INT) AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |       AS INT) AS pos
+         |FROM (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS h,
+         |  CAST(CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |       AS BIGINT)
+         |    % (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / $TrainDocsPerShard.0)
+         |         AS BIGINT)) FROM documents) AS INT) AS shard
+         |  FROM documents)""".stripMargin,
+      Seq("doc_id", "shard", "pos"))) { (s, d) =>
+    Canon(graft.operators.Sharding.trainOrderBySize(
+      Tables.documents(s, d), TrainDocsPerShard))
   }
 
   // ---------------------------------------------------------------- x87

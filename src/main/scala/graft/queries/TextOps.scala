@@ -130,11 +130,18 @@ object TextOps {
   val q32: QueryDef = QueryDef("q32_neardup", NearDupOracle) { (s, d) =>
     val sh = shingles(Tables.documents(s, d)).cache()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("n_chars").as("nc_a"), col("sh"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("lang"), col("n_chars").as("nc_b"), col("sh"))
+    // self-join sides carry fully DISTINCT column names: referencing the
+    // shared parent's columns from both sides (a("sh") === b("sh")) makes
+    // Spark warn about — and silently "fix" — a trivially-true predicate,
+    // which is exactly the ambiguity that can hide a real self-join bug
+    val a = sh.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+      col("n_chars").as("nc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("n_chars").as("nc_b"), col("sh").as("sh_b"))
     val inter = a.join(b,
-        a("sh") === b("sh") && a("lang") === b("lang") && a("doc_a") < b("doc_b") &&
-          abs(a("nc_a") - b("nc_b")) * 2 <= greatest(a("nc_a"), b("nc_b")))
+        col("sh_a") === col("sh_b") && col("lang_a") === col("lang_b") &&
+          col("doc_a") < col("doc_b") &&
+          abs(col("nc_a") - col("nc_b")) * 2 <= greatest(col("nc_a"), col("nc_b")))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     val j = inter
       .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")

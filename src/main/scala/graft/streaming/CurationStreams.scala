@@ -445,6 +445,25 @@ object CurationStreams {
     * jaccard); `allPairs` reads the store back (the same persisted-store
     * device as [[verifiedNearDups]]'s `seenDocs`). Returns the un-started
     * writer so the caller picks trigger/checkpoint.
+    *
+    * Pair-store SIZE CONTRACT: the store grows with every batch (it is
+    * the full verified-pair history — the resolution's whole input), so
+    * its size is measured each batch and bounded, never silently
+    * unbounded. After each append the store's pair count is counted (one
+    * pairs-sized aggregate — noise next to the resolution it gates),
+    * reported through `onStoreSize`, and checked against `maxStorePairs`:
+    * exceeding the bound fails the QUERY loudly (foreachBatch rethrows,
+    * the stream stops) rather than letting per-batch latency degrade
+    * unboundedly. Budget arithmetic for the default 10⁸ bound: pairs are
+    * ~24 B each (two BIGINTs + a DOUBLE), so the store is ≲ 2.4 GB raw
+    * and each resolution round is a join + min-agg over ≤ 10⁸ rows —
+    * seconds on a cluster, and far beyond any real dup-pair volume at the
+    * corpus sizes the watermarked candidate stage admits (pairs are
+    * candidates-sized: near-dup rate × corpus, orders below the corpus).
+    * Hitting the bound means the corpus' dup structure, not the stream,
+    * needs attention: raise the bound deliberately, or compact the store
+    * (re-cluster offline with x84 and keep one representative pair per
+    * component).
     */
   def dupComponents(docs: DataFrame,
                     seenDocs: () => DataFrame,
@@ -454,7 +473,9 @@ object CurationStreams {
                     watermark: String = "30 minutes",
                     horizonMs: Long = 30 * 60 * 1000L,
                     numHashes: Int = 128, bands: Int = 32,
-                    maxPerBucket: Int = 64)
+                    maxPerBucket: Int = 64,
+                    maxStorePairs: Long = 100000000L,
+                    onStoreSize: Long => Unit = _ => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[CandidatePair] =
     nearDupCandidates(docs, watermark, horizonMs, numHashes, bands, maxPerBucket)
       .writeStream
@@ -462,7 +483,16 @@ object CurationStreams {
         val cands = batch.toDF().select(col("doc_a"), col("doc_b")).distinct()
         appendPairs(graft.queries.TextOps.exactJaccard(
           graft.queries.TextOps.shingles(seenDocs()), cands))
-        sink(graft.operators.Components.connectedComponents(allPairs()))
+        val pairs = allPairs()
+        val storeSize = pairs.count()
+        onStoreSize(storeSize)
+        if (storeSize > maxStorePairs)
+          throw new IllegalStateException(
+            s"dupComponents: pair store holds $storeSize pairs " +
+              s"(> maxStorePairs=$maxStorePairs) — resolution latency is no " +
+              "longer bounded; raise the bound deliberately or compact the " +
+              "store (re-cluster offline, keep one pair per component)")
+        sink(graft.operators.Components.connectedComponents(pairs))
       }
 
   /** The loop CLOSED: [[nearDupCandidates]] fed through the batch

@@ -387,6 +387,7 @@ class CurationStreamsSpec extends SparkSpec {
       Seq(Doc(5, ts("10:05"),
         base.replace("word7", "wordX").replace("word23", "wordY"), "en", "s")))
     val labelings = scala.collection.mutable.ArrayBuffer[Map[Long, Long]]()
+    val storeSizes = scala.collection.mutable.ArrayBuffer[Long]()
     val mem = MemoryStream[Doc]
     rounds.foreach { b =>
       b.map(d => (d.doc_id, d.text, d.lang, d.text.length))
@@ -402,7 +403,8 @@ class CurationStreamsSpec extends SparkSpec {
           sink = lbl => labelings.synchronized {
             labelings += lbl.collect()
               .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
-          })
+          },
+          onStoreSize = n => storeSizes.synchronized { storeSizes += n })
         .option("checkpointLocation", s"$dir/ckp_cc")
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -411,6 +413,14 @@ class CurationStreamsSpec extends SparkSpec {
     }
     assert(labelings.head == Map(1L -> 1L, 2L -> 1L),
       s"round 1 labeling wrong: ${labelings.head}")
+    // the size metric tracked the store's growth: 1 pair after round 1
+    // (1~2), 2 after round 2 (+ 2~5). It reports once per MICRO-BATCH —
+    // AvailableNow appends an empty state-flush batch per round, so sizes
+    // repeat within a round; the contract is monotone growth, not one
+    // report per round
+    val sizes = storeSizes.toSeq
+    assert(sizes.nonEmpty && sizes == sizes.sorted && sizes.toSet == Set(1L, 2L),
+      s"store-size metric wrong: $storeSizes")
     // round 2: doc5 pairs with doc2 only, yet lands in component 1 — and
     // the relabeling equals the batch Components over the full pair store
     val last = labelings.last
@@ -420,6 +430,55 @@ class CurationStreamsSpec extends SparkSpec {
       .connectedComponents(spark.read.parquet(pairStore))
       .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
     assert(last == batch, s"stream $last != batch $batch")
+  }
+
+  test("streaming dup components: an over-budget pair store fails LOUDLY") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ccb")
+    val docStore = s"$dir/docs"
+    val pairStore = s"$dir/pairs"
+    // a store that has ALREADY accumulated more pairs than the bound —
+    // resolution latency over it is no longer the contract, so the query
+    // must stop with the budget error, not resolve and keep going
+    (0L until 40L).map(i => (i + 1000000L, i + 2000000L))
+      .toDF("doc_a", "doc_b")
+      .write.mode("overwrite").parquet(pairStore)
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq(Doc(1, ts("10:00"), base, "en", "s"),
+      Doc(2, ts("10:01"), base.replace("word7", "wordX"), "en", "s"))
+    docs.map(d => (d.doc_id, d.text, d.lang, d.text.length))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(docStore)
+    val sizes = scala.collection.mutable.ArrayBuffer[Long]()
+    var sinkCalled = false
+    val mem = MemoryStream[Doc]
+    mem.addData(docs)
+    val q = CurationStreams.dupComponents(
+        mem.toDF(),
+        seenDocs = () => spark.read.parquet(docStore),
+        appendPairs = p => p.select(col("doc_a"), col("doc_b"))
+          .write.mode("append").parquet(pairStore),
+        allPairs = () => spark.read.parquet(pairStore),
+        sink = _ => sinkCalled = true,
+        maxStorePairs = 25L,
+        onStoreSize = n => sizes.synchronized { sizes += n })
+      .option("checkpointLocation", s"$dir/ckp_ccb")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(60000)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("maxStorePairs")),
+      s"expected the pair-store budget error, got: $ex")
+    // the metric still reported the measured size before the failure
+    assert(sizes.nonEmpty && sizes.head > 25L, s"metric not reported: $sizes")
+    assert(!sinkCalled, "resolution must not run over an over-budget store")
   }
 
   test("streaming incremental dedup equals batch x86 statuses on in-order ids") {
