@@ -16,8 +16,9 @@ import org.apache.spark.sql.types._
 object VectorOps {
 
   def defs: Seq[QueryDef] =
-    Seq(q33, q35, x42_embed_neardup, x43_ann_lsh, x43b_ann_ivf,
-      x51_multimodal_features, x79_media_meta, x89_semantic_dedup)
+    Seq(q33, q35, x42_embed_neardup, x42b_embed_neardup_cell, x43_ann_lsh,
+      x43b_ann_ivf, x51_multimodal_features, x79_media_meta,
+      x89_semantic_dedup)
 
   /** Oracle-checked half of the multimodal surface: the synthetic-media
     * metadata derivation and binary-column plumbing (payload byte length
@@ -215,6 +216,38 @@ object VectorOps {
     Canon(graft.operators.PairStore.scanOrCompute(s, "x42_embed_neardup", d)(
       embedNearDupPairs(s, d)).select("id_a", "id_b", "label", "cos_sim"))
   }
+
+  // ---------------------------------------------------------------- x42b
+  /** The LINEAR-SCALE embedding pair producer — SemDeDup-shaped
+    * ([[graft.operators.Similarity.cellBoundedTopPairs]]): vectors are
+    * assigned map-only to their `probes` nearest k-means cells (broadcast
+    * k×d centroids, same kernel as IVF assignment) and the exact chunked
+    * blocked search runs WITHIN each (label, cell) — quadratic work drops
+    * to Σ n_(label,cell)², which the auto form
+    * ([[graft.operators.Similarity.cellBoundedTopPairsAuto]]) bounds to
+    * probes²·targetCellSize dots per vector by growing nlist with the
+    * corpus. Rows-only: the candidate set is approximate; recall@20 vs the
+    * exact x42 answer is asserted in SimilaritySpec (registry demo config
+    * nlist=8/probes=3 measures 1.0 at sf0.001, 0.95 at sf0.1, 1.0 at the
+    * 10× probe corpus — CellPairTune table; the near-isotropic synthetic
+    * corpus is LSH/cell quantization's worst case, so these hold with the
+    * coarse demo nlist).
+    */
+  val x42b_embed_neardup_cell: QueryDef =
+    QueryDef.rowsOnly("x42b_embed_neardup_cell") { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").cast(LongType), col("label").cast(IntegerType),
+          col("embedding"))
+        .as[(Long, Int, Array[Float])]
+      val cents = graft.operators.Similarity.kmeansCentroids(
+        Tables.embeddings(s, d), nlist = 8, iters = 3, sampleSize = 512)
+      Canon(graft.operators.Similarity
+        .cellBoundedTopPairs(emb, k = 20, cents, probes = 3,
+          targetChunk = 256)
+        .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
+        .limit(20))
+    }
 
   /** The x42 pair plan, un-canonicalized — shared by x42 and x89 (x89
     * consumes x42's PERSISTED pairs via [[graft.operators.PairStore]] and

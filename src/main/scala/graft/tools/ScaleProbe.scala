@@ -38,7 +38,13 @@ object ScaleProbe {
     "q31_dedup_exact", "x40_minhash_lsh", "x45_simhash_neardup",
     "x48_langid", "x49_fingerprint", "x66_quantize", "x69_pack",
     "x70_decontaminate", "x71_tfidf",
-    "q33_knn", "x43b_ann_ivf", "x42_embed_neardup", "x82_shared_spans",
+    "q33_knn", "x43b_ann_ivf", "x42_embed_neardup",
+    // x42b: the cell-bounded pair producer — same blocked kernel as x42 but
+    // within (label, k-means cell): flop count only drops when
+    // probes²/nlist < 1, but the task fan-out and shuffle replication
+    // shrink ~√nlist-fold, so wall should grow visibly SLOWER than x42's
+    // ~F² and its pair recall@20 must hold (gated below)
+    "x42b_embed_neardup_cell", "x82_shared_spans",
     // x84/x85: near-dup structure grows linearly with the replica count, so
     // the component count (all small-diameter) does too — wall ratio should
     // stay ~linear; propagation rounds must NOT grow with corpus size. Both
@@ -118,6 +124,24 @@ object ScaleProbe {
     val ivf = mean(sets(
       Similarity.ivfTopKWithCentroids(emb, q, k = 10, cents, nprobe = 8)))
     Map("x43_ann_lsh" -> lsh, "x43b_ann_ivf" -> ivf)
+  }
+
+  /** Pair recall@20 of x42b's cell-bounded search (registry config:
+    * nlist=8, probes=3) vs the exact x42 blocked search on `dir`'s
+    * embeddings — the pair-producer twin of [[annRecall]]: a cell config
+    * whose wall time scales must ALSO keep finding the same pairs as the
+    * corpus grows (CellPairTune measures 1.0 at sf0.001/10×/30× with the
+    * registry config; a drop below the gate means cells/probes must grow).
+    */
+  def pairRecall(spark: SparkSession, dir: String): Double = {
+    def top20(df: DataFrame): Set[(Long, Long)] = df
+      .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
+      .limit(20).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = top20(graft.queries.VectorOps.embedNearDupPairs(spark, dir))
+    val approx = top20(
+      graft.SparkEntry.queries("x42b_embed_neardup_cell")(spark, dir))
+    if (exact.isEmpty) 1.0
+    else (approx & exact).size.toDouble / exact.size
   }
 
   private def bench(spark: SparkSession, dir: String, runs: Int,
@@ -205,11 +229,16 @@ object ScaleProbe {
     recallBase.keys.toSeq.sorted.foreach { k =>
       println(f"[scaleprobe] recall@10 $k%-14s base=${recallBase(k)}%5.3f scaled=${recallScaled(k)}%5.3f")
     }
+    println(s"[scaleprobe] measuring x42b pair recall@20 base vs scaled")
+    val prBase = pairRecall(spark, baseSf)
+    val prScaled = pairRecall(spark, outDir)
+    println(f"[scaleprobe] pair-recall@20 x42b_cell   base=$prBase%5.3f scaled=$prScaled%5.3f")
     val json = queries.map(q =>
       s"""\"$q\":{\"base\":${base(q)},\"scaled\":${scaled(q)},\"ratio\":${scaled(q) / base(q)}}""")
       .mkString("{", ",", "}")
-    val recallJson = recallBase.keys.toSeq.sorted.map(k =>
-      s"""\"$k\":{\"base\":${recallBase(k)},\"scaled\":${recallScaled(k)}}""")
+    val recallJson = (recallBase.keys.toSeq.sorted.map(k =>
+      s"""\"$k\":{\"base\":${recallBase(k)},\"scaled\":${recallScaled(k)}}""") :+
+      s"""\"x42b_pair_at_20\":{\"base\":$prBase,\"scaled\":$prScaled}""")
       .mkString("{", ",", "}")
     println(s"""{"metric":"scaleprobe","factor":$factor,"queries":$json,"recall_at_10":$recallJson}""")
     // gate AFTER printing (the numbers must survive a failed gate): the
@@ -222,6 +251,9 @@ object ScaleProbe {
     require(recallScaled("x43b_ann_ivf") >= 0.78,
       f"IVF recall@10 ${recallScaled("x43b_ann_ivf")}%.3f < 0.78 at ${factor}x " +
         "— grow nlist/nprobe with corpus size")
+    require(prScaled >= 0.8,
+      f"x42b cell-bounded pair recall@20 $prScaled%.3f < 0.8 at ${factor}x " +
+        "— grow probes (or nlist together with probes) with corpus size")
     spark.stop()
   }
 }

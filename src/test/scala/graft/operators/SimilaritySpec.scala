@@ -248,4 +248,67 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
     assert(got == expected)
   }
+
+  // ------------------------------------------------ cell-bounded pairs
+
+  private def embTyped = {
+    import spark.implicits._
+    Tables.embeddings(spark, Sf)
+      .select(col("vec_id").cast(org.apache.spark.sql.types.LongType),
+        col("label").cast(org.apache.spark.sql.types.IntegerType),
+        col("embedding"))
+      .as[(Long, Int, Array[Float])]
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] = df
+    .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
+    .limit(20).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("x42b's cell-bounded config holds pair recall@20 >= 0.9 vs exact x42") {
+    val exact = pairSet(Similarity.topPairsByLabel(embTyped, 20, targetChunk = 256))
+    val cents = Similarity.kmeansCentroids(
+      Tables.embeddings(spark, Sf), nlist = 8, iters = 3, sampleSize = 512)
+    val approx = pairSet(Similarity.cellBoundedTopPairs(
+      embTyped, 20, cents, probes = 3, targetChunk = 256))
+    val recall = (approx & exact).size.toDouble / exact.size
+    // CellPairTune measures 1.0 here and 0.95 at sf0.1 — deterministic
+    // (hash-ordered sample + greedy seeding + fixed Lloyd passes), so a
+    // drop means the assignment or banding REGRESSED, not noise
+    assert(recall >= 0.9, s"cell-bounded pair recall@20 $recall < 0.9")
+  }
+
+  test("cell-bounded with probes=nlist degenerates to the exact search") {
+    // every vector lands in every cell, so each (label, cell) bucket holds
+    // the whole label and the within-cell search IS the exact search;
+    // distinct must collapse the nlist-fold duplicate enumeration
+    val emb = skewedEmb(30)
+    val cents = Similarity.kmeansCentroids(
+      emb.toDF("vec_id", "label", "embedding"), nlist = 4, iters = 1,
+      sampleSize = 16)
+    val exact = pairSet(Similarity.topPairsByLabel(emb, 20, targetChunk = 2048))
+    val full = pairSet(Similarity.cellBoundedTopPairs(
+      emb, 20, cents, probes = 4, targetChunk = 2048))
+    assert(full == exact, s"probes=nlist must be exact: $full vs $exact")
+  }
+
+  test("auto form derives nlist from the target cell size and keeps labels") {
+    val inputLabels = embTyped.collect().map(_._2).toSet
+    val res = Similarity.cellBoundedTopPairsAuto(
+      embTyped, k = 20, targetCellSize = 64, probes = 3)
+    assert(res.columns.toSeq ==
+      Seq("id_a", "id_b", "label", "cos_sim"))
+    val rows = res.collect()
+    assert(rows.nonEmpty, "auto cell-bounded search returned no pairs")
+    // the synthetic label·nlist+cell id must be RESTORED to a real label
+    assert(rows.map(_.getInt(2)).toSet.subsetOf(inputLabels),
+      "labels not restored from synthetic cell buckets")
+    // pairs are within-label, ordered ids, no self-pairs
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), s"unordered pair: $r")
+    }
+    // deterministic: the same call yields the same set
+    val again = Similarity.cellBoundedTopPairsAuto(
+      embTyped, k = 20, targetCellSize = 64, probes = 3).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
 }
