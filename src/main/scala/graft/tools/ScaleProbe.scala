@@ -169,6 +169,10 @@ object ScaleProbe {
     }.toMap
 
   def main(args: Array[String]): Unit = {
+    // co-tenancy stamp, read BEFORE the session/warmup/store builds spin
+    // up their own threads (reading it any later blames the probe's own
+    // startup for "load")
+    val load0 = graft.Bench.loadAvg()
     val baseSf = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale10"
     val factor = if (args.length > 2) args(2).toInt else 10
@@ -213,10 +217,23 @@ object ScaleProbe {
           graft.queries.TextOps.x86HistoryHashes(spark, d))
       }
     }
+    // load stamps bracket the wall phases: this box is co-tenant and a
+    // burst MID-probe silently inflates whichever phase it overlaps (a
+    // round-8 full-panel run STARTED at load 0.06 and still recorded 6x
+    // phantom ratios — the 5-min load was 7.3 by probe end). The stamps
+    // make a contaminated run self-identifying in the recorded JSON;
+    // recall numbers are load-immune either way. Mid/end stamps include
+    // the probe's own local[N] threads, so only load_start drives the
+    // warning — compare SUSPICIOUS ratios against a re-run, not a stamp.
     println(s"[scaleprobe] benching base $baseSf (median of 3)")
     val base = bench(spark, baseSf, runs = 3, queries)
+    val load1 = graft.Bench.loadAvg()
     println(s"[scaleprobe] benching scaled $outDir (median of 3)")
     val scaled = bench(spark, outDir, runs = 3, queries)
+    val load2 = graft.Bench.loadAvg()
+    if (!(load0 >= 0 && load0 <= 0.5))
+      println(f"[scaleprobe] WARNING: loadavg $load0%.2f at start — wall " +
+        "ratios from this run are suspect; re-run quiet before recording.")
     queries.foreach { q =>
       val r = scaled(q) / base(q)
       println(f"[scaleprobe] $q%-22s base=${base(q)}%7.2fs scaled=${scaled(q)}%8.2fs ratio=$r%6.2f")
@@ -240,7 +257,9 @@ object ScaleProbe {
       s"""\"$k\":{\"base\":${recallBase(k)},\"scaled\":${recallScaled(k)}}""") :+
       s"""\"x42b_pair_at_20\":{\"base\":$prBase,\"scaled\":$prScaled}""")
       .mkString("{", ",", "}")
-    println(s"""{"metric":"scaleprobe","factor":$factor,"queries":$json,"recall_at_10":$recallJson}""")
+    println(s"""{"metric":"scaleprobe","factor":$factor,"queries":$json,"recall_at_10":$recallJson""" +
+      s""","load_start":$load0,"load_mid":$load1,"load_end":$load2""" +
+      s""","load_quiet":${load0 >= 0 && load0 <= 0.5}}""")
     // gate AFTER printing (the numbers must survive a failed gate): the
     // sf0.001 spec thresholds (LSH >= 0.8, tuned IVF >= 0.78) must hold on
     // the scaled corpus — a quality cliff here means the index config
