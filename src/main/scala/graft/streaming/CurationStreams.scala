@@ -495,6 +495,57 @@ object CurationStreams {
         sink(graft.operators.Components.connectedComponents(pairs))
       }
 
+  /** Streaming SEMANTIC dedup clusters — x89's streaming twin, completing
+    * the vector column of the batch↔streaming parity matrix (text:
+    * [[nearDupCandidates]]→[[dupComponents]]; vector:
+    * [[vectorNearDupPairs]]→this). Arriving vectors emit exact-cosine
+    * VERIFIED pairs from the banded state (no downstream verify step —
+    * [[vectorNearDupPairs]] scores in the state function), each
+    * micro-batch appends its pairs to the caller's persisted store (the
+    * same `appendPairs`/`allPairs` contract as [[dupComponents]] — the
+    * streaming face of [[graft.operators.PairStore]]), and the FULL
+    * accumulated pair relation is re-resolved by the identical
+    * [[graft.operators.Components]] operator the batch x89 runs, so a
+    * stream restarted over the same data converges to the batch answer
+    * (cross-band duplicate emissions collapse in the per-batch DISTINCT;
+    * cross-batch re-appends collapse in Components' symmetric closure).
+    *
+    * The pair-store SIZE CONTRACT is [[dupComponents]]'s, verbatim:
+    * measured every batch, reported through `onStoreSize`, loudly failed
+    * above `maxStorePairs` (see the budget arithmetic there).
+    */
+  def semanticDupComponents(vecs: DataFrame,
+                            appendPairs: DataFrame => Unit,
+                            allPairs: () => DataFrame,
+                            sink: DataFrame => Unit,
+                            threshold: Double = 0.9,
+                            watermark: String = "30 minutes",
+                            horizonMs: Long = 30 * 60 * 1000L,
+                            numPlanes: Int = 64, bands: Int = 16,
+                            dim: Int = 64, seed: Long = 42L,
+                            maxPerBucket: Int = 64,
+                            maxStorePairs: Long = 100000000L,
+                            onStoreSize: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[CosinePair] =
+    vectorNearDupPairs(vecs, threshold, watermark, horizonMs, numPlanes,
+      bands, dim, seed, maxPerBucket)
+      .writeStream
+      .foreachBatch { (batch: Dataset[CosinePair], _: Long) =>
+        appendPairs(
+          batch.toDF().select(col("vec_a"), col("vec_b")).distinct())
+        val pairs = allPairs()
+        val storeSize = pairs.count()
+        onStoreSize(storeSize)
+        if (storeSize > maxStorePairs)
+          throw new IllegalStateException(
+            s"semanticDupComponents: pair store holds $storeSize pairs " +
+              s"(> maxStorePairs=$maxStorePairs) — resolution latency is no " +
+              "longer bounded; raise the bound deliberately or compact the " +
+              "store (re-cluster offline, keep one pair per component)")
+        sink(graft.operators.Components
+          .connectedComponents(pairs, srcCol = "vec_a", dstCol = "vec_b"))
+      }
+
   /** The loop CLOSED: [[nearDupCandidates]] fed through the batch
     * exact-Jaccard verify ([[graft.queries.TextOps.exactJaccard]] — the
     * identical join x40 runs) inside a `foreachBatch`, so the streaming

@@ -219,6 +219,69 @@ class CurationStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming semantic dup components equal batch Components over the pair store") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-semcc")
+    val pairStore = s"$dir/pairs"
+    // planted clusters: {1, 101} (twin arrives in batch 2) and
+    // {2, 102, 202} (102 with 2 in batch 1; 202's twin-of-102 arrives in
+    // batch 2 — the component must CHAIN through 102 across batches);
+    // random 64-dim vectors keep background cosine ~0 under the 0.9 cut
+    val rnd = new scala.util.Random(23)
+    def vec() = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    def twin(v: Array[Float]) = v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+    val v1 = vec(); val v2 = vec(); val v3 = vec()
+    val v102 = twin(v2)
+    val batch1 = Seq((1L, ts("10:00"), v1.toSeq), (2L, ts("10:00"), v2.toSeq),
+      (102L, ts("10:01"), v102.toSeq), (3L, ts("10:00"), v3.toSeq))
+    val batch2 = Seq((101L, ts("10:05"), twin(v1).toSeq),
+      (202L, ts("10:05"), twin(v102).toSeq))
+    val labelings = scala.collection.mutable.ArrayBuffer[Map[Long, Long]]()
+    val storeSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Seq[Float])]
+    val q = CurationStreams.semanticDupComponents(
+        mem.toDF().toDF("vec_id", "ts", "embedding"),
+        appendPairs = p => p.write.mode("append").parquet(pairStore),
+        allPairs = () => spark.read.parquet(pairStore),
+        sink = lbl => labelings.synchronized {
+          labelings += lbl.collect()
+            .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+        },
+        threshold = 0.9,
+        onStoreSize = n => storeSizes.synchronized { storeSizes += n })
+      .option("checkpointLocation", s"$dir/ckp")
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData(batch1)
+      q.processAllAvailable()
+      mem.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+    // final labeling: both planted clusters resolved, chained across
+    // batches; singleton 3 never appears (no pairs)
+    val last = labelings.last
+    assert(last(1L) == last(101L), s"twin cluster split: $last")
+    assert(last(2L) == last(102L) && last(102L) == last(202L),
+      s"chained cluster split: $last")
+    assert(!last.contains(3L), s"singleton must not be labeled: $last")
+    // the streaming resolution equals the batch operator over the SAME
+    // accumulated pair store (the parity contract)
+    val batch = graft.operators.Components
+      .connectedComponents(spark.read.parquet(pairStore),
+        srcCol = "vec_a", dstCol = "vec_b")
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("component"))
+      .toMap
+    assert(last == batch, s"stream $last != batch $batch")
+    // the size metric tracked monotone store growth
+    val sizes = storeSizes.toSeq
+    assert(sizes.nonEmpty && sizes == sizes.sorted,
+      s"store-size metric not monotone: $sizes")
+    assert(sizes.last >= 2L, s"store should hold both planted pairs: $sizes")
+  }
+
   test("streaming shared-span scoring equals batch x82 against the same frozen vocabulary") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
