@@ -187,4 +187,30 @@ object Components {
       .select(col("node"),
         coalesce(col("component"), col("node")).as("component"))
   }
+
+  /** COMPACT a pair relation to its spanning STAR: one (component-min,
+    * member) pair per non-hub member. The result has the same connected
+    * components as the input from |V|−#components pairs instead of |E| —
+    * the compaction device the accumulating pair stores reference
+    * ([[graft.streaming.CurationStreams.dupComponents]] /
+    * `semanticDupComponents` fail loudly when their store exceeds its
+    * budget; rewriting the store with this relation resets |E| to its
+    * information-theoretic floor without changing any resolution answer).
+    * Dense dup cliques are the win case: a 1000-member clique holds up to
+    * ~500k verified pairs but compacts to 999.
+    *
+    * Cost: one [[connectedComponents]] resolution (candidates-sized, the
+    * same job the consuming pipeline already runs) + a filter — no extra
+    * shuffle beyond it. Idempotent: compacting a star yields itself.
+    * Column names follow the input (`srcCol` = hub, `dstCol` = member).
+    * SINGLETON components (only producible by self-loop input rows —
+    * a verified near-dup pair store holds none, its pairs are strictly
+    * `a < b`) carry no dup structure and vanish from the compacted
+    * relation.
+    */
+  def compactPairs(pairs: DataFrame, srcCol: String = "doc_a",
+                   dstCol: String = "doc_b", maxIters: Int = 50): DataFrame =
+    connectedComponents(pairs, srcCol, dstCol, maxIters)
+      .filter(col("node") =!= col("component"))
+      .select(col("component").as(srcCol), col("node").as(dstCol))
 }

@@ -491,7 +491,9 @@ object CurationStreams {
             s"dupComponents: pair store holds $storeSize pairs " +
               s"(> maxStorePairs=$maxStorePairs) — resolution latency is no " +
               "longer bounded; raise the bound deliberately or compact the " +
-              "store (re-cluster offline, keep one pair per component)")
+              "store to its spanning star " +
+              "(graft.operators.Components.compactPairs — same components, " +
+              "|V|-#components pairs)")
         sink(graft.operators.Components.connectedComponents(pairs))
       }
 
@@ -541,7 +543,9 @@ object CurationStreams {
             s"semanticDupComponents: pair store holds $storeSize pairs " +
               s"(> maxStorePairs=$maxStorePairs) — resolution latency is no " +
               "longer bounded; raise the bound deliberately or compact the " +
-              "store (re-cluster offline, keep one pair per component)")
+              "store to its spanning star " +
+              "(graft.operators.Components.compactPairs — same components, " +
+              "|V|-#components pairs)")
         sink(graft.operators.Components
           .connectedComponents(pairs, srcCol = "vec_a", dstCol = "vec_b"))
       }

@@ -117,4 +117,46 @@ class ComponentsSpec extends SparkSpec {
     assert(df.schema.map(f => (f.name, f.dataType.typeName)) ==
       Seq(("node", "long"), ("component", "long")))
   }
+
+  private def compact(pairs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    Components.compactPairs(pairs.toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq
+
+  test("compaction preserves components at the spanning-star size") {
+    for ((nEdges, seed) <- Seq((60, 7), (200, 8), (420, 9))) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200
+      val edges = Seq.fill(nEdges)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val before = cc(edges)
+      val star = compact(edges)
+      // same components from the compacted relation — minus SINGLETONS
+      // (self-loop-only nodes; real pair stores hold none), which carry no
+      // dup structure and vanish
+      val multi = before.filter { case (_, c) => before.count(_._2 == c) > 1 }
+      assert(cc(star) == multi, s"components changed at seed=$seed")
+      // spanning-star floor: |V| - #components pairs, every hub a component min
+      val nComponents = multi.values.toSet.size
+      assert(star.size == multi.size - nComponents,
+        s"size ${star.size} != ${multi.size} - $nComponents at seed=$seed")
+      star.foreach { case (hub, member) =>
+        assert(before(member) == hub, s"pair ($hub,$member) not hub-oriented")
+      }
+      // idempotent: a star compacts to itself
+      assert(compact(star).toSet == star.toSet, s"not idempotent at seed=$seed")
+    }
+  }
+
+  test("compaction of a dense clique drops to size-1 pairs") {
+    val clique = for (i <- 1L to 30L; j <- (i + 1) to 30L) yield (i, j)
+    val star = compact(clique)
+    assert(star.toSet == (2L to 30L).map(m => (1L, m)).toSet,
+      s"clique star wrong: ${star.take(5)} (size ${star.size} vs ${clique.size} input)")
+  }
+
+  test("compaction degenerate inputs: empty, self-loop-only, single pair") {
+    assert(compact(Seq.empty).isEmpty)
+    // self-loop-only nodes are their own component -> nothing to keep
+    assert(compact(Seq((4L, 4L))).isEmpty)
+    assert(compact(Seq((5L, 3L))) == Seq((3L, 5L)))
+  }
 }
