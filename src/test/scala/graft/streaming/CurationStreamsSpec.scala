@@ -282,6 +282,69 @@ class CurationStreamsSpec extends SparkSpec {
     assert(sizes.last >= 2L, s"store should hold both planted pairs: $sizes")
   }
 
+  test("compacting the pair store mid-stream leaves semantic resolution unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-semcpt")
+    // the store path is swappable so compaction can atomically re-point
+    // the callbacks at the rewritten relation (production: a manifest or
+    // generation-suffixed path, as PairStore.refresh publishes)
+    @volatile var storePath = s"$dir/pairs_g0"
+    val rnd = new scala.util.Random(31)
+    def vec() = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    def twin(v: Array[Float]) = v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+    val v2 = vec()
+    val v102 = twin(v2)
+    val v202 = twin(v102)
+    val labelings = scala.collection.mutable.ArrayBuffer[Map[Long, Long]]()
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Seq[Float])]
+    val q = CurationStreams.semanticDupComponents(
+        mem.toDF().toDF("vec_id", "ts", "embedding"),
+        appendPairs = p => p.write.mode("append").parquet(storePath),
+        allPairs = () => spark.read.parquet(storePath),
+        sink = lbl => labelings.synchronized {
+          labelings += lbl.collect()
+            .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+        },
+        threshold = 0.9)
+      .option("checkpointLocation", s"$dir/ckp")
+      .outputMode("append")
+      .start()
+    try {
+      // batches 1+2 build cluster {2, 102, 202} (102~2, 202~102 chains)
+      mem.addData(Seq((2L, ts("10:00"), v2.toSeq), (102L, ts("10:01"), v102.toSeq)))
+      q.processAllAvailable()
+      mem.addData(Seq((202L, ts("10:05"), v202.toSeq)))
+      q.processAllAvailable()
+      assert(labelings.last.keySet == Set(2L, 102L, 202L))
+      // COMPACT: rewrite the store as its spanning star at a new
+      // generation path and swap the pointer (never overwrite-in-place
+      // under a potential reader)
+      val compacted = graft.operators.Components.compactPairs(
+        spark.read.parquet(storePath), srcCol = "vec_a", dstCol = "vec_b")
+      val g1 = s"$dir/pairs_g1"
+      compacted.write.parquet(g1)
+      storePath = g1
+      assert(spark.read.parquet(g1).count() == 2L,
+        "star of a 3-chain must be 2 pairs")
+      // batch 3: a twin of 202 must STILL join the compacted cluster
+      // (its pair chains through 202, which the star kept as a member)
+      mem.addData(Seq((303L, ts("10:06"), twin(v202).toSeq)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = labelings.last
+    assert(Set(2L, 102L, 202L, 303L).forall(last.contains), s"missing: $last")
+    assert(last.values.toSet == Set(2L), s"cluster split after compaction: $last")
+    // and the streamed labeling equals the batch operator over the final store
+    val batch = graft.operators.Components
+      .connectedComponents(spark.read.parquet(storePath),
+        srcCol = "vec_a", dstCol = "vec_b")
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("component"))
+      .toMap
+    assert(last == batch, s"stream $last != batch $batch")
+  }
+
   test("streaming shared-span scoring equals batch x82 against the same frozen vocabulary") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
