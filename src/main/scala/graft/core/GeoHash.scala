@@ -3,7 +3,7 @@ package graft.core
 /** Base-32 geohash codec.
   *
   * The reference carries an (unused) geohash implementation
-  * (`/root/reference/src/main/kotlin/io/marauder/tank/store/geohash.kt:9-115`);
+  * (`/root/reference/src/main/kotlin/io/marauder/tank/geohash.kt:9-115`);
   * we provide the same capability — standard public geohash algorithm
   * (Niemeyer encoding): interleaved lon/lat bisection, 5 bits per base-32
   * character.

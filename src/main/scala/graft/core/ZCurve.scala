@@ -3,7 +3,7 @@ package graft.core
 /** Z-order (Morton) curve codec.
   *
   * Semantics of the reference's Morton interleave/deinterleave
-  * (`/root/reference/src/main/kotlin/io/marauder/tank/store/zCurve.kt:8-31`):
+  * (`/root/reference/src/main/kotlin/io/marauder/tank/zCurve.kt:8-31`):
   * interleave two 16-bit tile coordinates into a single Int whose bits
   * alternate x/y (x in even positions, y in odd). At the default hash level 13
   * the result fits in 26 bits, so the Int is always non-negative.

@@ -46,6 +46,13 @@ import graft.util.Materialize
   */
 object Components {
 
+  /** Rounds the most recent components call on this JVM ran (probe/spec
+    * instrumentation: the 100 TB claim is that rounds track component
+    * DIAMETER — flat as the corpus grows — and
+    * [[graft.tools.ScaleProbe]] records this alongside wall ratios).
+    */
+  private[graft] val lastRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Connected components of the undirected graph given by `pairs`
     * (columns `srcCol`, `dstCol`, any integral type — cast to BIGINT, the
     * engine-wide id type). Returns (node BIGINT, component BIGINT) for every
@@ -95,6 +102,7 @@ object Components {
         round += 1
       }
     } finally sym.unpersist(false) // also on a mid-round job failure
+    lastRounds.set(round)
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents: not converged after $maxIters rounds " +
@@ -175,6 +183,7 @@ object Components {
       edges = next
       round += 1
     }
+    lastRounds.set(round)
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponentsStar: not converged after $maxIters rounds — " +

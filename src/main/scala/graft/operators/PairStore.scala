@@ -108,12 +108,28 @@ object PairStore {
     * pipelines) call this for each declared producer before running the
     * resolution queries; its cost IS the pair-pipeline cost plus one
     * candidates-sized write.
+    *
+    * `compact = true` persists the SPANNING-STAR form instead
+    * ([[Components.compactPairs]] — one `component → member` edge per
+    * non-keeper, |E| collapsed to its connectivity floor). Every
+    * resolution answer derived from the store (components, keeper
+    * election, removal stats) is unchanged — compaction preserves
+    * connected components by construction — but per-pair attributes
+    * (similarity scores) are dropped and the raw candidate pairs are no
+    * longer enumerable, so it is OPT-IN: wrong for a store whose content
+    * is itself the query answer (x40's verified pairs, hash-checked
+    * against the exhaustive oracle), right for the long-lived store of an
+    * INCREMENTAL corpus (DEDUP_TUNING §4), where each delta refresh
+    * re-persists old ∪ new pairs and an uncompacted dense clique would
+    * otherwise grow the store quadratically across refreshes.
     */
-  def refresh(spark: SparkSession, name: String, dir: String)
+  def refresh(spark: SparkSession, name: String, dir: String,
+              compact: Boolean = false)
              (compute: => DataFrame): DataFrame = {
     val k = key(spark, name, dir)
     val p = pathFor(k)
-    compute.write.mode("overwrite").parquet(p)
+    val rel = if (compact) Components.compactPairs(compute) else compute
+    rel.write.mode("overwrite").parquet(p)
     persisted.put(k, p)
     spark.read.parquet(p)
   }

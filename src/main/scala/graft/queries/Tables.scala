@@ -5,19 +5,38 @@ import org.apache.spark.sql.functions._
 
 /** Readers for the driver-generated parquet tables (TESTDATA.md).
   *
-  * `events.ts` is stored as parquet TIMESTAMP(NANOS) which Spark 4 refuses by
-  * default; we read it with `spark.sql.legacy.parquet.nanosAsLong` and
-  * truncate to microseconds — exactly what DuckDB does internally (its
-  * TIMESTAMP is microsecond-precision), so both engines observe identical
-  * values.
+  * `events.ts` is stored as parquet TIMESTAMP(NANOS); we read it with
+  * `spark.sql.legacy.parquet.nanosAsLong` and truncate to microseconds —
+  * exactly what DuckDB does internally (its TIMESTAMP is
+  * microsecond-precision), so both engines observe identical values.
+  *
+  * The reader branches on the schema it OBSERVED rather than trusting the
+  * flag: parquet schema conversion resolves the conf via the thread-local
+  * `SQLConf.get`, which under a multi-threaded caller (parallel test
+  * suites) can miss a session-conf write from another thread and silently
+  * read NANOS as native TIMESTAMP_NTZ instead of BIGINT. Both shapes
+  * normalize to the same micro-truncated TIMESTAMP column (session TZ is
+  * UTC everywhere, so the NTZ wall time IS the instant), and a fixture
+  * table whose `ts` was already rewritten as a plain type round-trips too.
   */
 object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/events.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _: org.apache.spark.sql.types.TimestampType => df
+        case other => throw new IllegalStateException(
+          s"events.ts read as unexpected type $other — expected BIGINT " +
+            "nanos (legacy flag honored), TIMESTAMP_NTZ (native nanos " +
+            "read), or TIMESTAMP (already-normalized fixture)")
+      }
     case other =>
       spark.read.parquet(s"$dir/$other.parquet")
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** The reference's Exhauster channel (`/root/reference/src/main/kotlin/io/
-  * marauder/tank/exhauster/Exhauster.kt:28-40`): rejected features are
+  * marauder/tank/Exhauster.kt:28-40`): rejected features are
   * POSTed as JSON to a configured HTTP endpoint so an external system can
   * triage them. Here the DURABLE dead-letter remains the parquet side-sink
   * ([[FeatureStore.writeRejected]] — SURVEY §2.4 I6's declared mapping);

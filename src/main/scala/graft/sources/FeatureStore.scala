@@ -516,13 +516,29 @@ object FeatureStore {
 
     /** Fencing check: the token's epoch must still be the CURRENT lease and
       * carry the token's holder.
+      *
+      * A torn lease-file CONTENT read must not abort a legitimate holder:
+      * unlike the ambiguous-create path in [[acquire]], at verify time we
+      * KNOW this process created `token.epoch` (its acquire returned), the
+      * epoch file is create-no-overwrite, and a thief always advances to
+      * epoch+1 — so epoch identity alone ([[ownsEpoch]]) proves the lease
+      * is still ours even when its bytes read torn under IO load. The
+      * strict content check runs first, gets one re-read (torn reads are
+      * transient), then falls back to epoch identity; only a genuinely
+      * advanced/vanished epoch aborts.
       */
     def verify(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig,
-               token: Token): Unit =
-      require(holds(fs, cfg, token.epoch, token.holder),
+               token: Token): Unit = {
+      def strict = try holds(fs, cfg, token.epoch, token.holder)
+        catch { case _: java.io.IOException => false }
+      val ok = strict || strict ||
+        (try ownsEpoch(fs, cfg, token.epoch, token.holder)
+         catch { case _: java.io.IOException => false })
+      require(ok,
         s"writer lease for ${cfg.path} lost (epoch ${token.epoch} stolen " +
           "after TTL expiry?) — aborting; the store remains on the " +
           "current holder's snapshot")
+    }
 
     /** Release = CREATE the epoch's `_released` marker, never a delete and
       * never a rewrite of the lease file itself. Marker existence is the

