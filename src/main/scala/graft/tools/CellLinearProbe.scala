@@ -35,6 +35,12 @@ object CellLinearProbe {
 
   private val Labels = 8
   private val Eps = 0.1 // dup noise amplitude → planted cos ≈ 0.995
+  // probes=4 (not the scaladoc default 3): at derived nlist ≈ n/128 the
+  // per-pair cell-split miss rate with 3 probes measured ~3/20 at 30×
+  // (recall@20 0.85); the 4th probe buys it back for probes²/nlist =
+  // 16/739 ≪ 1 extra work — recall insurance scales quadratically
+  // cheaper than the nlist win at this regime's cell counts
+  private val Probes = 4
 
   /** Isotropic unit vectors + planted near-dups, persisted as
     * (vec_id long, label int, embedding array<float>). ids: background
@@ -114,7 +120,7 @@ object CellLinearProbe {
       // production accounting (a fixed-centroid variant would hide the fit)
       val (autoWall, approx) = median(3)(top20(
         graft.operators.Similarity.cellBoundedTopPairsAuto(
-          emb, 20, targetCellSize = 128, probes = 3, targetChunk = 256)))
+          emb, 20, targetCellSize = 128, probes = Probes, targetChunk = 256)))
       val recall =
         if (exact.isEmpty) 1.0
         else (approx & exact).size.toDouble / exact.size
@@ -132,7 +138,7 @@ object CellLinearProbe {
     }.mkString("{", ",", "}")
     val loadEnd = graft.Bench.loadAvg()
     println(s"""{"metric":"cell_linear_probe","n0":$n0,"dim":$dim,""" +
-      s""""target_cell_size":128,"probes":3,"scales":$rows,""" +
+      s""""target_cell_size":128,"probes":$Probes,"scales":$rows,""" +
       s""""load_start":$load0,"load_end":$loadEnd,""" +
       s""""load_quiet":${load0 >= 0 && load0 <= 0.5}}""")
     if (!(load0 >= 0 && load0 <= 0.5))

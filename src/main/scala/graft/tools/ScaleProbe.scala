@@ -253,30 +253,47 @@ object ScaleProbe {
         f"rows=${base(q).rows}%d->${scaled(q).rows}%d$rounds")
     }
     // recall dimension: the approximate indexes must stay GOOD at scale,
-    // not merely fast — measured with the exact registry configs
-    println(s"[scaleprobe] measuring ANN recall@10 base vs scaled")
-    val recallBase = annRecall(spark, baseSf)
-    val recallScaled = annRecall(spark, outDir)
-    recallBase.keys.toSeq.sorted.foreach { k =>
-      println(f"[scaleprobe] recall@10 $k%-14s base=${recallBase(k)}%5.3f scaled=${recallScaled(k)}%5.3f")
-    }
-    println(s"[scaleprobe] measuring x42b pair recall@20 base vs scaled")
-    val prBase = pairRecall(spark, baseSf)
-    val prScaled = pairRecall(spark, outDir)
-    println(f"[scaleprobe] pair-recall@20 x42b_cell   base=$prBase%5.3f scaled=$prScaled%5.3f")
+    // not merely fast — measured with the exact registry configs. SKIPPED
+    // when an explicit subset contains no vector query: the recall pass
+    // includes the EXACT pair search (quadratic per label), so a
+    // text-dedup-chain probe at a large factor (e.g. 100x on x40→x84/x85)
+    // must not be forced through an unrelated 4e10-dot exact pass
+    val doRecall = args.length <= 3 || args(3) == "-" ||
+      queries.exists(q => q.startsWith("x42") || q.startsWith("x43") ||
+        q == "q33_knn")
+    val (recallBase, recallScaled, prBase, prScaled) =
+      if (!doRecall) {
+        println("[scaleprobe] recall phase skipped (no vector query in subset)")
+        (Map.empty[String, Double], Map.empty[String, Double], -1.0, -1.0)
+      } else {
+        println(s"[scaleprobe] measuring ANN recall@10 base vs scaled")
+        val rb = annRecall(spark, baseSf)
+        val rs = annRecall(spark, outDir)
+        rb.keys.toSeq.sorted.foreach { k =>
+          println(f"[scaleprobe] recall@10 $k%-14s base=${rb(k)}%5.3f scaled=${rs(k)}%5.3f")
+        }
+        println(s"[scaleprobe] measuring x42b pair recall@20 base vs scaled")
+        val pb = pairRecall(spark, baseSf)
+        val ps = pairRecall(spark, outDir)
+        println(f"[scaleprobe] pair-recall@20 x42b_cell   base=$pb%5.3f scaled=$ps%5.3f")
+        (rb, rs, pb, ps)
+      }
     val json = queries.map(q =>
       s"""\"$q\":{\"base\":${base(q).wall},\"scaled\":${scaled(q).wall},""" +
         s"""\"ratio\":${scaled(q).wall / base(q).wall},""" +
         s"""\"rows_base\":${base(q).rows},\"rows_scaled\":${scaled(q).rows},""" +
         s"""\"rounds_base\":${base(q).rounds},\"rounds_scaled\":${scaled(q).rounds}}""")
       .mkString("{", ",", "}")
-    val recallJson = (recallBase.keys.toSeq.sorted.map(k =>
-      s"""\"$k\":{\"base\":${recallBase(k)},\"scaled\":${recallScaled(k)}}""") :+
-      s"""\"x42b_pair_at_20\":{\"base\":$prBase,\"scaled\":$prScaled}""")
-      .mkString("{", ",", "}")
+    val recallJson =
+      if (!doRecall) "{}"
+      else (recallBase.keys.toSeq.sorted.map(k =>
+        s"""\"$k\":{\"base\":${recallBase(k)},\"scaled\":${recallScaled(k)}}""") :+
+        s"""\"x42b_pair_at_20\":{\"base\":$prBase,\"scaled\":$prScaled}""")
+        .mkString("{", ",", "}")
     println(s"""{"metric":"scaleprobe","factor":$factor,"queries":$json,"recall_at_10":$recallJson""" +
       s""","load_start":$load0,"load_mid":$load1,"load_end":$load2""" +
       s""","load_quiet":${load0 >= 0 && load0 <= 0.5}}""")
+    if (!doRecall) { spark.stop(); return }
     // gate AFTER printing (the numbers must survive a failed gate): the
     // sf0.001 spec thresholds (LSH >= 0.8, tuned IVF >= 0.78) must hold on
     // the scaled corpus — a quality cliff here means the index config
