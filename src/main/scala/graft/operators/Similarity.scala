@@ -556,9 +556,20 @@ object Similarity {
     * fixed nlist=8/probes=3 demo config holds 0.95–1.0. Pick
     * targetCellSize from the corpus' dup-margin, not a universal default,
     * and gate recall on a held-out pair sample when deploying.
+    *
+    * In the regime this form is FOR — a real dup margin
+    * ([[graft.tools.CellLinearProbe]]'s corpus: planted pairs at
+    * cos ≈ 0.995 over isotropic background) — the linear claim is
+    * measured: at 30× (94.5k vectors, derived nlist 739) the auto form's
+    * wall ratio is 6.5 vs the exact search's 19.3. Even there, cell-split
+    * misses are real at derived cell counts: probes=3 measured recall@20
+    * 0.85 at 30×, probes=4 restored ≥ 0.95 at every scale — hence the
+    * default of 4. The extra probe costs probes²·targetCellSize flops
+    * (16/9 over probes=3, still linear); at derived nlist in the hundreds
+    * that insurance is orders of magnitude below the cell dividend.
     */
   def cellBoundedTopPairsAuto(emb: Dataset[(Long, Int, Array[Float])], k: Int,
-                              targetCellSize: Int = 128, probes: Int = 3,
+                              targetCellSize: Int = 128, probes: Int = 4,
                               kmeansIters: Int = 3,
                               targetChunk: Int = 256): DataFrame = {
     require(targetCellSize >= 1, s"targetCellSize must be >= 1")
