@@ -11,6 +11,23 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Exception => -1.0 }
 
+  /** The committed quiet-box per-query reference the requalification pass
+    * compares against (BASELINE.md round-9 policy). Any bench artifact's
+    * `queries` map parses — the reference is just a previous quiet run.
+    * Missing/unparseable file → empty map → requalification disabled (a
+    * bench on a box without the reference still measures, it just cannot
+    * self-identify load phantoms).
+    */
+  private[graft] def parseQuietRef(path: String): Map[String, Double] =
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val qn = om.readTree(new java.io.File(path)).get("queries")
+      val it = qn.fields()
+      val b = Map.newBuilder[String, Double]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble }
+      b.result()
+    } catch { case _: Exception => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -82,15 +99,7 @@ object Bench {
     // regression, which the recorded quiet_ref lets the reader decide).
     val refPath = sys.env.getOrElse("SPARK_GRAFT_QUIET_REF",
       "bench/quiet_reference.json")
-    val quietRef: Map[String, Double] =
-      try {
-        val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        val qn = om.readTree(new java.io.File(refPath)).get("queries")
-        val it = qn.fields()
-        val b = Map.newBuilder[String, Double]
-        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble }
-        b.result()
-      } catch { case _: Exception => Map.empty }
+    val quietRef = parseQuietRef(refPath)
     val suspects = firstPass.filter { case (n, t) =>
       quietRef.get(n).exists(r => r > 0 && t > 3 * r)
     }

@@ -23,6 +23,11 @@ class ComponentsSpec extends SparkSpec {
     val got = cc(chain)
     assert(got.keySet == (1L to 10L).toSet)
     assert(got.values.toSet == Set(1L), s"chain split: $got")
+    // the probe instrumentation must reflect this call: a 10-chain needs
+    // multiple propagation rounds (ScaleProbe records lastRounds per probe
+    // point for the flat-rounds-at-scale observation)
+    assert(Components.lastRounds.get >= 2,
+      s"lastRounds not recorded: ${Components.lastRounds.get}")
   }
 
   test("a triangle plus a tail is one component labeled by the min id") {
