@@ -588,6 +588,35 @@ class FeatureStoreSpec extends SparkSpec {
     assert(FeatureStore.Manifests.latest(fs, cfg).get._2 == Seq("part-thief.parquet"))
   }
 
+  test("verify tolerates a torn lease-file content read via epoch identity") {
+    // the round-9 fence fix: a holder whose lease file CONTENT reads torn
+    // (create-no-overwrite means the epoch file is still provably ours)
+    // must not abort its own commit — only a genuinely advanced epoch may
+    val dir = tmpDir()
+    val cfg = StoreConfig(path = s"$dir/store", attrs = Seq(AttrField("v", "int")),
+      leaseWaitMillis = 30000, leaseTtlMillis = 60000, leaseTornGraceMillis = 100)
+    val fs = new org.apache.hadoop.fs.Path(cfg.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val token = FeatureStore.Lease.acquire(fs, cfg)
+    // tear the content in place: epoch file identity unchanged, bytes
+    // unparseable (what an in-flight read observes under IO load)
+    val leaseFile = new java.io.File(dir).listFiles()
+      .filter(_.getName.matches(".*_lease_e\\d+$")).head
+    java.nio.file.Files.write(leaseFile.toPath, "t".getBytes("UTF-8"))
+    // strict holds() now fails on content — the epoch-identity fallback
+    // must let the legitimate holder's commit proceed
+    FeatureStore.Manifests.commit(fs, cfg, _ :+ "part-torn.parquet", Some(token))
+    assert(FeatureStore.Manifests.latest(fs, cfg).get._2.contains("part-torn.parquet"))
+    // but a STOLEN lease still aborts: a successor steals (torn past grace)
+    Thread.sleep(150) // age the torn file past leaseTornGraceMillis
+    val thief = FeatureStore.Lease.acquire(fs, cfg)
+    assert(thief.epoch > token.epoch)
+    intercept[IllegalArgumentException] {
+      FeatureStore.Manifests.commit(fs, cfg, _ :+ "part-late.parquet", Some(token))
+    }
+    FeatureStore.Lease.release(fs, cfg, thief)
+  }
+
   test("lease contract: a live writer stalled past 2×TTL completes if unstolen, aborts loudly if stolen") {
     val dir = tmpDir()
     val ttl = 200L
