@@ -18,16 +18,26 @@ class BenchSpec extends AnyFunSuite {
     assert(m == Map("q01_agg" -> 0.7, "x71_tfidf" -> 0.8))
   }
 
-  test("the COMMITTED quiet reference parses and covers the full registry") {
+  test("the COMMITTED quiet reference parses and tracks the registry") {
     // guards the artifact the requalification pass actually ships with:
-    // a malformed or stale-keyed reference would silently disable (or
-    // misdirect) outlier detection for every future bench run
+    // a malformed or renamed-key reference would silently disable (or
+    // misdirect) outlier detection for every future bench run. Keys the
+    // registry no longer knows = drift (fail); registry queries the
+    // reference lacks = NEW queries that simply cannot requalify until
+    // the next quiet run refreshes the reference — tolerated up to 10%
+    // so adding a query does not red the suite before a quiet sf0.1
+    // bench is even possible
     val m = Bench.parseQuietRef("bench/quiet_reference.json")
     val registry = SparkEntry.queries.keySet
-    assert(m.keySet == registry,
-      s"quiet reference keys diverge from the registry: " +
-        s"missing=${(registry -- m.keySet).take(5)} " +
-        s"extra=${(m.keySet -- registry).take(5)}")
+    val unknown = m.keySet -- registry
+    assert(unknown.isEmpty,
+      s"quiet reference carries keys the registry no longer has " +
+        s"(renamed/removed queries — refresh bench/quiet_reference.json): " +
+        s"${unknown.take(5)}")
+    val coverage = (registry & m.keySet).size.toDouble / registry.size
+    assert(coverage >= 0.9,
+      f"quiet reference covers only ${coverage * 100}%.0f%% of the " +
+        "registry — refresh it from a quiet sf0.1 bench run")
     assert(m.values.forall(v => v > 0 && v < 60),
       "quiet reference carries a non-positive or absurd per-query time")
   }
