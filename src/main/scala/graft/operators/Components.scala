@@ -46,12 +46,19 @@ import graft.util.Materialize
   */
 object Components {
 
-  /** Rounds the most recent components call on this JVM ran (probe/spec
-    * instrumentation: the 100 TB claim is that rounds track component
-    * DIAMETER — flat as the corpus grows — and
+  /** Rounds the most recent components call on the CURRENT THREAD ran
+    * (probe/spec instrumentation: the 100 TB claim is that rounds track
+    * component DIAMETER — flat as the corpus grows — and
     * [[graft.tools.ScaleProbe]] records this alongside wall ratios).
+    * Thread-local, not JVM-global: sbt runs suites in parallel, and a
+    * JVM-global would let one suite's 1-round call clobber the value
+    * another suite just asserted on.
     */
-  private[graft] val lastRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] object lastRounds {
+    private val tl = ThreadLocal.withInitial[Integer](() => 0)
+    def get: Int = tl.get
+    def set(v: Int): Unit = tl.set(v)
+  }
 
   /** Connected components of the undirected graph given by `pairs`
     * (columns `srcCol`, `dstCol`, any integral type — cast to BIGINT, the

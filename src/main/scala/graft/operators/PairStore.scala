@@ -128,7 +128,15 @@ object PairStore {
              (compute: => DataFrame): DataFrame = {
     val k = key(spark, name, dir)
     val p = pathFor(k)
-    val rel = if (compact) Components.compactPairs(compute) else compute
+    val rel = if (compact) {
+      // producers disagree on endpoint column names (x40 persists
+      // doc_a/doc_b, x42 id_a/id_b) — compact on the relation's OWN first
+      // two columns rather than hard-coded defaults, so opting either
+      // store into compaction works
+      val computed = compute
+      val Seq(src, dst) = computed.columns.take(2).toSeq
+      Components.compactPairs(computed, srcCol = src, dstCol = dst)
+    } else compute
     rel.write.mode("overwrite").parquet(p)
     persisted.put(k, p)
     spark.read.parquet(p)

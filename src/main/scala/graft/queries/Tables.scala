@@ -24,6 +24,10 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The NTZ branch's cast resolves through the session TZ; pin it here
+      // (not just in each entrypoint's builder) so the "session TZ is UTC
+      // everywhere" premise holds for ANY caller on a non-UTC box.
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
       val df = spark.read.parquet(s"$dir/events.parquet")
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>

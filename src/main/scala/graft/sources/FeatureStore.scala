@@ -404,6 +404,22 @@ object FeatureStore {
       current(fs, cfg).exists(l =>
         l.epoch == epoch && l.content.forall(_._1 == holder))
 
+    /** Verify-time torn-read fallback: epoch identity AND not released.
+      * Unlike [[ownsEpoch]] (acquire-time, where the creator has not
+      * released yet by construction), verify must honor the `_released`
+      * marker — a holder that already released keeps epoch identity until
+      * a successor acquires, so without this check a use-after-release
+      * commit would silently succeed and race the next acquirer (release
+      * makes the lease immediately stealable). The marker is a separate
+      * atomic create, unaffected by torn lease-file content, so checking
+      * it here costs nothing in torn-read tolerance.
+      */
+    private def ownsLiveEpoch(fs: org.apache.hadoop.fs.FileSystem,
+                              cfg: StoreConfig,
+                              epoch: Long, holder: String): Boolean =
+      current(fs, cfg).exists(l =>
+        l.epoch == epoch && !l.released && l.content.forall(_._1 == holder))
+
     /** Take the lease, waiting up to `cfg.leaseWaitMillis` for the current
       * holder; released, expired — and torn-past-grace — leases are stolen
       * at the next epoch.
@@ -521,18 +537,19 @@ object FeatureStore {
       * unlike the ambiguous-create path in [[acquire]], at verify time we
       * KNOW this process created `token.epoch` (its acquire returned), the
       * epoch file is create-no-overwrite, and a thief always advances to
-      * epoch+1 — so epoch identity alone ([[ownsEpoch]]) proves the lease
-      * is still ours even when its bytes read torn under IO load. The
-      * strict content check runs first, gets one re-read (torn reads are
-      * transient), then falls back to epoch identity; only a genuinely
-      * advanced/vanished epoch aborts.
+      * epoch+1 — so epoch identity plus an unreleased marker
+      * ([[ownsLiveEpoch]]) proves the lease is still ours even when its
+      * bytes read torn under IO load. The strict content check runs first,
+      * gets one re-read (torn reads are transient), then falls back to
+      * live epoch identity; a genuinely advanced/vanished epoch — or our
+      * own `_released` marker (use-after-release) — aborts.
       */
     def verify(fs: org.apache.hadoop.fs.FileSystem, cfg: StoreConfig,
                token: Token): Unit = {
       def strict = try holds(fs, cfg, token.epoch, token.holder)
         catch { case _: java.io.IOException => false }
       val ok = strict || strict ||
-        (try ownsEpoch(fs, cfg, token.epoch, token.holder)
+        (try ownsLiveEpoch(fs, cfg, token.epoch, token.holder)
          catch { case _: java.io.IOException => false })
       require(ok,
         s"writer lease for ${cfg.path} lost (epoch ${token.epoch} stolen " +

@@ -70,4 +70,24 @@ class PairStoreSpec extends SparkSpec {
       assert(stored.count() == 2)
     } finally PairStore.invalidate(spark, name, dir)
   }
+
+  test("compacting refresh follows the producer's own endpoint columns (id_a/id_b)") {
+    // x42's embedding pair producer persists id_a/id_b, not doc_a/doc_b —
+    // compaction must key off the relation's first two columns, not
+    // hard-coded defaults
+    val dir = java.nio.file.Files.createTempDirectory("graft-ps").toString
+    val name = "embed-compaction"
+    val clique = for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b, 0.99)
+    val raw = clique.toDF("id_a", "id_b", "cosine")
+    val want = components(raw.toDF("doc_a", "doc_b", "cosine"))
+    try {
+      PairStore.invalidate(spark, name, dir)
+      val stored = PairStore.refresh(spark, name, dir, compact = true)(raw)
+      assert(stored.columns.toSeq == Seq("id_a", "id_b"),
+        s"star form should keep the producer's column names, got ${stored.columns.toSeq}")
+      assert(stored.count() == want.size - want.values.toSet.size)
+      assert(components(stored.toDF("doc_a", "doc_b")) == want,
+        "compacted id_a/id_b store resolves to different components")
+    } finally PairStore.invalidate(spark, name, dir)
+  }
 }

@@ -576,8 +576,13 @@ class FeatureStoreSpec extends SparkSpec {
     assert(thief.epoch > crashed.epoch,
       s"successor did not advance the epoch (${thief.epoch} vs ${crashed.epoch})")
     // the successor had to OUTWAIT the TTL (the stalled lease was live until
-    // expiry) — a steal before expiry would break the single-writer contract
-    assert(waited >= 0L) // sanity; the real lower bound is asserted via fencing:
+    // expiry) — a steal before expiry would break the single-writer
+    // contract. The lease's expiresAt clock starts at the CRASHED acquire,
+    // a few ms before t0, hence the small slack below ttl; the 300 ms TTL
+    // plus generous leaseWaitMillis make this deterministic.
+    assert(waited >= ttl - 100,
+      s"lease stolen $waited ms after the successor started waiting — " +
+        s"before the $ttl ms TTL expired (single-writer violation)")
     intercept[IllegalArgumentException] {
       FeatureStore.Manifests.commit(fs, cfg, _ :+ "part-stale.parquet", Some(crashed))
     }
@@ -615,6 +620,39 @@ class FeatureStoreSpec extends SparkSpec {
       FeatureStore.Manifests.commit(fs, cfg, _ :+ "part-late.parquet", Some(token))
     }
     FeatureStore.Lease.release(fs, cfg, thief)
+  }
+
+  test("verify's torn-read fallback still aborts a use-after-release commit") {
+    // round-10 fence hardening: a holder that already RELEASED keeps epoch
+    // identity until a successor acquires, and release makes the lease
+    // immediately stealable — so a torn content read must not let a
+    // post-release commit slip through on epoch identity alone. The
+    // `_released` marker is a separate atomic create, readable even when
+    // the lease file's bytes are torn.
+    val dir = tmpDir()
+    val cfg = StoreConfig(path = s"$dir/store", attrs = Seq(AttrField("v", "int")),
+      leaseWaitMillis = 30000, leaseTtlMillis = 60000, leaseTornGraceMillis = 100)
+    val fs = new org.apache.hadoop.fs.Path(cfg.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val token = FeatureStore.Lease.acquire(fs, cfg)
+    FeatureStore.Manifests.commit(fs, cfg, _ :+ "part-live.parquet", Some(token))
+    FeatureStore.Lease.release(fs, cfg, token)
+    // tear the lease content so strict holds() fails and verify reaches
+    // the fallback — which must now see the release marker and refuse
+    val leaseFile = new java.io.File(dir).listFiles()
+      .filter(_.getName.matches(".*_lease_e\\d+$")).head
+    java.nio.file.Files.write(leaseFile.toPath, "t".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      FeatureStore.Manifests.commit(fs, cfg, _ :+ "part-after-release.parquet", Some(token))
+    }
+    assert(!FeatureStore.Manifests.latest(fs, cfg).get._2.contains("part-after-release.parquet"),
+      "a released holder's commit reached the manifest via the torn-read fallback")
+    // the store remains consistent for the next legitimate writer
+    val next = FeatureStore.Lease.acquire(fs, cfg)
+    FeatureStore.Manifests.commit(fs, cfg, _ :+ "part-next.parquet", Some(next))
+    FeatureStore.Lease.release(fs, cfg, next)
+    assert(FeatureStore.Manifests.latest(fs, cfg).get._2 ==
+      Seq("part-live.parquet", "part-next.parquet"))
   }
 
   test("lease contract: a live writer stalled past 2×TTL completes if unstolen, aborts loudly if stolen") {
