@@ -16,7 +16,8 @@ import org.apache.spark.sql.types._
 object VectorOps {
 
   def defs: Seq[QueryDef] =
-    Seq(q33, q35, x42_embed_neardup, x42b_embed_neardup_cell, x43_ann_lsh,
+    Seq(q33, q35, x42_embed_neardup, x42b_embed_neardup_cell,
+      x42c_embed_neardup_auto, x43_ann_lsh,
       x43b_ann_ivf, x51_multimodal_features, x79_media_meta,
       x89_semantic_dedup)
 
@@ -248,6 +249,56 @@ object VectorOps {
         .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
         .limit(20))
     }
+
+  // ---------------------------------------------------------------- x42c
+  /** The PRODUCTION-DEFAULT linear-regime pair producer, oracle-checked —
+    * [[graft.operators.Similarity.cellBoundedTopPairsAuto]] with nlist
+    * DERIVED from the corpus (nlist = max(8, ceil(n / targetCellSize)):
+    * 19 cells at sf0.001/0.01, 75 at sf0.1 — the regime where per-vector
+    * work is bounded at probes²·targetCellSize dots and the search is
+    * linear in n, measured at 30× in [[graft.tools.CellLinearProbe]]:
+    * wall ratio 6.5 vs the exact search's 19.3).
+    *
+    * The synthetic embeddings corpus is near-isotropic (max background
+    * cosine 0.48–0.60 across ALL pairs, measured per SF), i.e. it has no
+    * natural dup margin — so this entry PLANTS one: every vec_id ≡ 0
+    * (mod 5) vector is duplicated verbatim at vec_id + 100000, giving
+    * planted pairs at cos exactly 1.0 over a ≤ 0.60 background (the
+    * SemDeDup margin regime this form is FOR). The entry returns every
+    * pair at cos ≥ 0.999 — exactly the planted set IFF the cell-bounded
+    * search has recall 1.0 on them — and the oracle reconstructs the
+    * planted set arithmetically, so the hash compare IS a recall gate:
+    * one cell-split miss (or one false positive) fails the row. Exact
+    * copies score identical cell assignments (same argmax over the same
+    * broadcast centroids), so recall 1.0 is deterministic by
+    * construction, which is what a hash-matched CORRECTNESS row demands;
+    * the NEAR-dup (cos ≈ 0.995, perturbed) recall gates stay in
+    * SimilaritySpec/CellLinearProbe where a measured threshold is the
+    * right contract. k = 128 bounds the per-task heap safely above the
+    * worst per-label planted count (45 at sf0.1) even if a whole label
+    * collapses into one cell.
+    */
+  val x42c_embed_neardup_auto: QueryDef = QueryDef(
+    "x42c_embed_neardup_auto",
+    Sql.canon(
+      """SELECT CAST(vec_id AS BIGINT) AS id_a,
+        |  CAST(vec_id + 100000 AS BIGINT) AS id_b,
+        |  label, CAST(1.0 AS DOUBLE) AS cos_sim
+        |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
+      Seq("id_a", "id_b", "label", "cos_sim"))) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id").cast(LongType), col("label").cast(IntegerType),
+        col("embedding"))
+      .as[(Long, Int, Array[Float])]
+    val planted = emb.filter(_._1 % 5 == 0)
+      .map { case (id, l, v) => (id + 100000L, l, v) }
+    Canon(graft.operators.Similarity
+      .cellBoundedTopPairsAuto(emb.union(planted), k = 128,
+        targetCellSize = 32, probes = 4, kmeansIters = 3, targetChunk = 256)
+      .filter(col("cos_sim") >= 0.999)
+      .select(col("id_a"), col("id_b"), col("label"), col("cos_sim")))
+  }
 
   /** The x42 pair plan, un-canonicalized — shared by x42 and x89 (x89
     * consumes x42's PERSISTED pairs via [[graft.operators.PairStore]] and
