@@ -91,22 +91,28 @@ object Bench {
     // Requalification pass: a co-tenant box inflates individual queries
     // 10-25x NON-uniformly (r7: x73 6.4s, r8: x71 25.2s — both ~1s quiet),
     // turning one unlucky median into a phantom regression in the committed
-    // artifact. Any query whose median lands > 3x its committed quiet-box
+    // artifact. Any query whose median lands > 2x its committed quiet-box
     // reference (bench/quiet_reference.json) is re-measured at the end of
     // the run; BOTH numbers land in the artifact under "requalified", the
     // main map reports the better median, and suspect_load marks entries
-    // still > 3x after the second look (persistent load — or a real
+    // still > 2x after the second look (persistent load — or a real
     // regression, which the recorded quiet_ref lets the reader decide).
+    // The trigger was 3x through round 9; q34/q34b/x46 drifted 2.0–2.9x
+    // with untouched code and nothing re-measured them — 2x makes sub-3x
+    // drift self-identify too (a few extra re-measures on a noisy box
+    // cost seconds; an unexplained 2.9x in a committed artifact costs a
+    // round of forensics).
+    val RequalTrigger = 2.0
     val refPath = sys.env.getOrElse("SPARK_GRAFT_QUIET_REF",
       "bench/quiet_reference.json")
     val quietRef = parseQuietRef(refPath)
     val suspects = firstPass.filter { case (n, t) =>
-      quietRef.get(n).exists(r => r > 0 && t > 3 * r)
+      quietRef.get(n).exists(r => r > 0 && t > RequalTrigger * r)
     }
     val loadRequal = if (suspects.nonEmpty) loadAvg() else -1.0
     val requal = suspects.map { case (name, first) =>
       System.err.println(f"[bench] requalifying $name: $first%.2fs vs quiet " +
-        f"ref ${quietRef(name)}%.2fs (> 3x)")
+        f"ref ${quietRef(name)}%.2fs (> $RequalTrigger%.0fx)")
       name -> (first, medianTime(name, SparkEntry.queries(name)))
     }
     val results = firstPass.map { case (n, t) =>
@@ -116,11 +122,23 @@ object Bench {
       if (requal.isEmpty) "{}"
       else requal.map { case (n, (first, second)) =>
         val ref = quietRef(n)
-        val still = math.min(first, second) > 3 * ref
+        val still = math.min(first, second) > RequalTrigger * ref
         s"\"" + n + "\":{\"first\":" + first + ",\"requalified\":" + second +
           ",\"quiet_ref\":" + ref + ",\"suspect_load\":" + still + "}"
       }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // stdout twin of the per-query map, millisecond precision: the driver
+    // captures only a bounded TAIL of this process' output, and the
+    // full-precision 96-query line (~5 KB with requalified detail) has
+    // overflowed that window — truncating the line's HEAD, so the
+    // driver's JSON parse failed (BENCH_r09.json "parsed": null). 3
+    // decimals on a sub-3s per-query scale loses nothing the median-of-3
+    // noise floor hasn't already, and keeps the line ~2.3 KB;
+    // bench/last_run.json retains full precision and the full
+    // requalified objects.
+    def ms(v: Double): String = f"$v%.3f"
+    val qsCompact = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // load_start (read BEFORE the session spun up) is the co-tenancy
@@ -140,8 +158,18 @@ object Bench {
         s""","requalified":$requalJson,"load_requal":$loadRequal""" +
         s""","n_queries":${results.size}""" +
         s""","cpus":$cpus,"machine_cpus":${Runtime.getRuntime.availableProcessors}}"""
-    // the one-line stdout contract for the driver...
-    println(json)
+    // the one-line stdout contract for the driver: SAME object shape as
+    // bench/last_run.json but ms-rounded values and requalified names
+    // only, so the whole line fits the driver's tail window and parses
+    val stdoutJson =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsCompact""" +
+        s""","sf":"$sfDir","load_start":$loadStart,"load_end":$loadEnd""" +
+        s""","load_quiet":${loadStart >= 0 && loadStart <= 0.5}""" +
+        s""","requalified":${requal.keys.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+        s""","load_requal":$loadRequal,"n_queries":${results.size}""" +
+        s""","cpus":$cpus,"machine_cpus":${Runtime.getRuntime.availableProcessors}""" +
+        s""","artifact":"bench/last_run.json"}"""
+    println(stdoutJson)
     // ...AND a self-written complete artifact: the driver's captured tail
     // has truncated a third of the per-query map in past rounds, leaving
     // phantom regressions unfalsifiable. bench/last_run.json always holds
@@ -157,3 +185,4 @@ object Bench {
     spark.stop()
   }
 }
+
