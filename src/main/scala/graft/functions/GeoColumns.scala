@@ -46,6 +46,20 @@ object GeoColumns {
       GraftBridge.expression(y.cast("long"))))
   }
 
+  /** Declarative bbox predicate on a WKT geometry column (centroid-in-bbox,
+    * inclusive edges) — [[StCentroidInBbox]]. Over a features table with
+    * the stored `hash` column, [[SpatialPredicateRewrite]] lowers it to
+    * pushed Z-range comparisons; the caller never touches ZRange.
+    */
+  def centroidInBbox(geometry: Column, minLon: Double, minLat: Double,
+                     maxLon: Double, maxLat: Double): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(StCentroidInBbox(Seq(
+      GraftBridge.expression(geometry),
+      GraftBridge.expression(lit(minLon)), GraftBridge.expression(lit(minLat)),
+      GraftBridge.expression(lit(maxLon)), GraftBridge.expression(lit(maxLat)))))
+  }
+
   /** Haversine distance in km to a fixed point (same op order as the oracle). */
   def haversineKmTo(lat: Column, lon: Column, lat0: Double, lon0: Double): Column = {
     val a = pow(sin(radians(lat - lat0) / 2), 2) +

@@ -45,6 +45,9 @@ object GraftFunctions {
     (FunctionIdentifier("in_tile"),
       new ExpressionInfo(classOf[InTileExpr].getName, "in_tile"),
       (children: Seq[Expression]) => InTileExpr(children)),
+    (FunctionIdentifier("st_centroid_in_bbox"),
+      new ExpressionInfo(classOf[StCentroidInBbox].getName, "st_centroid_in_bbox"),
+      (children: Seq[Expression]) => StCentroidInBbox(children)),
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, null, "cosine_sim",
         "cosine_sim(a, b) - cosine similarity of two float vectors.",
@@ -61,9 +64,11 @@ object GraftFunctions {
     expressions.foreach { case (ident, info, builder) =>
       org.apache.spark.sql.GraftBridge.registerFunction(spark, ident, info, builder)
     }
-    if (!spark.experimental.extraOptimizations.contains(TilePredicateRewrite))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ TilePredicateRewrite
+    Seq(TilePredicateRewrite, SpatialPredicateRewrite).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
     spark.udf.register("haversine_km",
       (lat1: Double, lon1: Double, lat2: Double, lon2: Double) =>
         WebMercator.haversineKm(lat1, lon1, lat2, lon2))
@@ -99,5 +104,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((ident, info, builder))
     }
     ext.injectOptimizerRule(_ => TilePredicateRewrite)
+    ext.injectOptimizerRule(_ => SpatialPredicateRewrite)
   }
 }

@@ -21,7 +21,7 @@ object Spatial {
 
   def defs: Seq[QueryDef] =
     Seq(q26, q27, q28, q29, q30, x46_tile, x47_heatmap, x57_spatial_join,
-      x58_bbox_agg)
+      x58_bbox_agg, x91_st_bbox)
 
   /** Spark-side synthetic points (B1). */
   def points(s: SparkSession, d: String): DataFrame =
@@ -200,6 +200,37 @@ object Spatial {
   /** The count-heatmap query (SURVEY §2.3 H1–H4) as one groupBy. */
   val x47_heatmap: QueryDef = QueryDef.rowsOnly("x47_heatmap") { (s, d) =>
     Canon(graft.tiles.TileService.heatmapDf(featuresStored(s, d), 9, t9x, t9y))
+  }
+
+  // ---------------------------------------------------------------- x91
+  /** The declared SURVEY §4/§7 stretch goal, landed: an ST-style spatial
+    * predicate on the features STORE that the optimizer
+    * ([[graft.functions.SpatialPredicateRewrite]]) auto-lowers to pushed
+    * Z-range scans — the caller writes geometric intent
+    * (`st_centroid_in_bbox(geometry, bbox)`), never touches ZRange, and the
+    * plan still prunes on the stored hash exactly like the hand-built tile
+    * path (PlanSpec gates the pushed ranges + retained exact conjunct).
+    * Bbox edges sit at .005 so no 2-decimal B1 point lands on a boundary;
+    * the box sits in the sw quadrant the B1 derivation populates at EVERY
+    * SF (sf0.001's 150 ids only reach lon ≤ -124.5, lat ≤ -5.5).
+    * The oracle replays the centroid test arithmetically over the point
+    * derivation — if the lowered cover ever dropped a cell (recall bug) or
+    * the exact conjunct were lost (over-scan leak), rows would differ and
+    * the hash compare fails.
+    */
+  val x91_st_bbox: QueryDef = QueryDef(
+    "x91_st_bbox",
+    Sql.canon(
+      s"""SELECT 'uid-' || CAST(id AS VARCHAR) AS uid, CAST(id AS DOUBLE) AS value
+         |FROM ($PointsSql)
+         |WHERE lon >= -170.005 AND lon <= -140.005
+         |  AND lat >= -80.005 AND lat <= -40.005""".stripMargin,
+      Seq("uid", "value"))) { (s, d) =>
+    graft.functions.GraftFunctions.register(s) // installs the rewrite rule
+    Canon(featuresStored(s, d)
+      .filter(graft.functions.GeoColumns.centroidInBbox(
+        col("geometry"), -170.005, -80.005, -140.005, -40.005))
+      .select(col("uid"), col("value")))
   }
 
   // ---------------------------------------------------------------- Q30

@@ -10,6 +10,13 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** `types.AbstractDataType` is `private[sql]`; third-party expressions
+    * overriding `ExpectsInputTypes.inputTypes` need the type in their
+    * signature — this public alias (legal from inside the sql package)
+    * lets them state it.
+    */
+  type SqlAbstractDataType = org.apache.spark.sql.types.AbstractDataType
+
   /** The physical location the session catalog resolves `table` to: the
     * existing table's ACTUAL location when it exists (correct for databases
     * created with a custom LOCATION), else the catalog's default path for

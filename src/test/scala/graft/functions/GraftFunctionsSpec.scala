@@ -175,6 +175,42 @@ class GraftFunctionsSpec extends SparkSpec {
       }
   }
 
+  test("st_centroid_in_bbox lowers to pushed hash ranges and keeps the exact test") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.queries.Spatial
+    val stored = Spatial.featuresStored(spark, Sf)
+    stored.createOrReplaceTempView("features_st_bbox")
+    val df = spark.sql(
+      """SELECT uid FROM features_st_bbox
+        |WHERE st_centroid_in_bbox(geometry, -170.005, -80.005, -140.005, -40.005)""".stripMargin)
+    val viaRule = df.collect().map(_.getString(0)).sorted.toSeq
+    // ground truth from the point derivation (no spatial machinery at all)
+    val direct = Spatial.points(spark, Sf)
+      .filter(col("lon") >= -170.005 && col("lon") <= -140.005 &&
+        col("lat") >= -80.005 && col("lat") <= -40.005)
+      .select(concat(lit("uid-"), col("id"))).collect().map(_.getString(0)).sorted.toSeq
+    assert(viaRule.nonEmpty && viaRule == direct)
+    val plan = df.queryExecution.executedPlan.toString
+    // the injected Z-range cover reached the parquet scan...
+    assert(plan.contains("PushedFilters: [Or("), plan.take(2000))
+    // ...and the exact conjunct SURVIVES (the cover over-scans by design;
+    // dropping the exact test would leak out-of-bbox rows)
+    assert(plan.contains("st_centroid_in_bbox"), plan.take(2000))
+  }
+
+  test("st_centroid_in_bbox: null geometry propagates null; boundary is inclusive") {
+    val r = spark.sql(
+      """SELECT st_centroid_in_bbox(CAST(NULL AS STRING), 0.0, 0.0, 1.0, 1.0) AS a,
+        |       st_centroid_in_bbox('POINT (1 1)', 0.0, 0.0, 1.0, 1.0) AS b,
+        |       st_centroid_in_bbox('POINT (1.1 1)', 0.0, 0.0, 1.0, 1.0) AS c,
+        |       st_centroid_in_bbox('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))', 0.5, 0.5, 1.5, 1.5) AS d
+        |""".stripMargin).collect().head
+    assert(r.isNullAt(0))
+    assert(r.getBoolean(1))  // inclusive max edge
+    assert(!r.getBoolean(2))
+    assert(r.getBoolean(3))  // polygon centroid (1,1) inside bbox
+  }
+
   test("in_tile with non-literal coords still evaluates (interpreted fallback)") {
     import graft.queries.Spatial
     val stored = Spatial.featuresStored(spark, Sf)

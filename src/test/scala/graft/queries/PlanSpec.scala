@@ -58,6 +58,15 @@ class PlanSpec extends SparkSpec {
       plan)
   }
 
+  test("x91: the ST bbox predicate auto-lowers to pushed hash ranges") {
+    val (_, plan) = planOf("x91_st_bbox")
+    // the optimizer rule injected the Z-range cover and parquet scans it...
+    assert(plan.contains("PushedFilters: [Or("), plan.take(3000))
+    // ...while the exact centroid conjunct survives to discard the
+    // cover's bounded over-scan (the caller never touched ZRange)
+    assert(plan.contains("st_centroid_in_bbox"), plan.take(3000))
+  }
+
   test("q31: exact dedup is a single hash aggregate, partial then final") {
     val (_, plan) = planOf("q31_dedup_exact")
     assert(plan.contains("HashAggregate"), plan)
