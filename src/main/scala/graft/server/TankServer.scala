@@ -63,6 +63,21 @@ final class TankServer(spark: SparkSession, cfg: StoreConfig,
 
   def stop(): Unit = server.stop(0)
 
+  /** Co-located streaming ingest (the reference's poll-dir file runner,
+    * FileWaitGroup.kt:19-73, as a Structured Streaming file source writing
+    * THIS server's store): every committed micro-batch invalidates the
+    * tile/heatmap cache by exactly the Morton cells it touched — the same
+    * precise invalidation the REST write routes use — so HTTP readers never
+    * see a stale tile after a streamed append. Returns the started query
+    * (await/stop is the caller's business).
+    */
+  def startIngestStream(srcDir: String, checkpoint: String,
+                        maxFilesPerTrigger: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    FeatureStore.startIngestStream(spark, srcDir, cfg, checkpoint,
+      maxFilesPerTrigger,
+      onTouched = hs => { cache.invalidateTouched(hs); () })
+
   // ------------------------------------------------------------- routing
 
   private def handle(ex: HttpExchange): Unit = try {

@@ -71,12 +71,14 @@ object FeatureStore {
     */
   def startIngestStream(spark: SparkSession, srcDir: String, cfg: StoreConfig,
                         checkpoint: String,
-                        maxFilesPerTrigger: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+                        maxFilesPerTrigger: Int = 2,
+                        onTouched: Iterable[Int] => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val raw = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(srcDir)
       .select(col("value").as("raw"))
-    ingestStream(raw, cfg, checkpoint)
+    ingestStream(raw, cfg, checkpoint, onTouched)
   }
 
   /** foreachBatch split-sink for an already-built raw feature stream.
@@ -87,9 +89,18 @@ object FeatureStore {
     * window is a crash BETWEEN the appends and the marker write (same
     * at-least-once boundary as any non-transactional two-sink foreachBatch
     * — full exactly-once across two sinks needs a table format).
+    *
+    * `onTouched` fires after each committed batch with the batch's distinct
+    * Morton cells (bounded: cells, not rows) — the hook a co-located
+    * serving layer uses for precise tile-cache invalidation
+    * ([[graft.server.TankServer.startIngestStream]]). It is skipped for
+    * marker-deduped replays: the only way to reach one is a restart, and
+    * the in-memory cache the hook feeds died with the process anyway.
     */
   def ingestStream(raw: DataFrame, cfg: StoreConfig,
-                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+                   checkpoint: String,
+                   onTouched: Iterable[Int] => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
     raw.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -101,10 +112,13 @@ object FeatureStore {
           val r = ingest(batch, cfg)
           // manifest-committed append: concurrent tile readers see the batch
           // atomically or not at all
-          append(r.good.sortWithinPartitions("hash"), cfg)
+          val good = r.good.sortWithinPartitions("hash")
+          append(good, cfg)
           val rej = r.rejected
           if (!rej.isEmpty) writeRejected(rej, cfg)
           fs.create(marker, true).close()
+          onTouched(good.select(col("hash")).distinct().collect()
+            .map(_.getInt(0)).toSeq)
         }
       }
       .start()

@@ -271,6 +271,63 @@ class TankServerSpec extends SparkSpec {
       new String(gb))
   }
 
+  test("streaming serving loop: file-source ingest surfaces in HTTP tile reads (cache invalidated per batch)") {
+    // the end-to-end loop EntrySmoke closes for queries, closed for serving:
+    // a co-located Structured Streaming ingest appends to the server's
+    // store AND invalidates its tile cache per committed micro-batch — an
+    // HTTP reader must see streamed features without ever being served a
+    // stale cached tile
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-srv").toString
+    val scfg = StoreConfig(path = s"$dir/store",
+      attrs = Seq(AttrField("class", "text"), AttrField("value", "double")))
+    val srv = new TankServer(spark, scfg, tileCfg)
+    val p = srv.start()
+    def getTile: Seq[Mvt.DecodedFeature] = {
+      val conn = new URI(s"http://localhost:$p/tile/13/$tx/$ty").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      val bytes = conn.getInputStream.readAllBytes()
+      conn.disconnect()
+      Mvt.decode(bytes).headOption.map(_.features).getOrElse(Nil)
+    }
+    try {
+      // seed one feature over REST (creates the store), then PRIME the
+      // cache with the seed-only tile — the staleness trap for the stream
+      val conn0 = new URI(s"http://localhost:$p/").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn0.setRequestMethod("POST"); conn0.setDoOutput(true)
+      val os0 = conn0.getOutputStream
+      os0.write(feature("s0", lon, lat, "seed").getBytes("UTF-8")); os0.close()
+      assert(conn0.getResponseCode == 200); conn0.disconnect()
+      val primed = getTile
+      assert(primed.exists(_.props.get("class").contains("seed")) &&
+        !primed.exists(_.props.get("class").contains("stream")))
+      val src = s"$dir/incoming"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+      val q = srv.startIngestStream(src, s"$dir/ckpt")
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$src/batch1.ndjson"),
+          feature("s1", lon + 0.0003, lat + 0.0003, "stream") + "\n" +
+            // schema-violating row: must dead-letter, not poison the batch
+            s"""{"type":"Feature","id":"bad","geometry":{"type":"Point","coordinates":[$lon,$lat]},"properties":{"value":"not-a-number"}}""" + "\n")
+        q.processAllAvailable()
+        val after = getTile
+        assert(after.exists(_.props.get("class").contains("stream")),
+          s"streamed feature not served (stale cache or lost append): $after")
+        // second batch chains: the re-primed cache is invalidated again
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$src/batch2.ndjson"),
+          feature("s2", lon + 0.0006, lat + 0.0006, "stream2") + "\n")
+        q.processAllAvailable()
+        val after2 = getTile
+        assert(after2.exists(_.props.get("class").contains("stream2")),
+          s"second streamed batch not served: $after2")
+        // the bad row landed in the dead-letter channel, not the store
+        assert(spark.read.parquet(s"${scfg.path}_rejected").count() == 1)
+      } finally q.stop()
+    } finally srv.stop()
+  }
+
   test("A2: empty layer on an empty base layer is a 400") {
     val cfg2 = StoreConfig(
       path = java.nio.file.Files.createTempDirectory("graft-srv2").toString + "/store",

@@ -107,6 +107,77 @@ class TileCacheSpec extends AnyFunSuite {
     assert(c.queueSize == 0, s"remove left a stale queue entry: ${c.queueSize}")
   }
 
+  test("churn micro-bench: bulk invalidation at 65k entries is bounded (number recorded in BASELINE.md)") {
+    // sweepQueue + invalidateTouched are both O(entries) per bulk call —
+    // fine at the 65 536-entry cap by design, but "fine" deserves one
+    // measured number (round-10 verdict ask). Fill to capacity, then
+    // measure invalidate→re-put churn rounds; the gate is generous (a
+    // co-tenant box inflates wall), the printed number is the record.
+    val cap = 65536
+    val c = new TileCache(maxEntries = cap)
+    val rnd = new scala.util.Random(11)
+    val max13 = (1 << 13) - 1
+    var n = 0
+    val keys = new scala.collection.mutable.ArrayBuffer[(Int, Int, Int)](cap)
+    while (n < cap) {
+      val z = 8 + rnd.nextInt(6) // zooms 8..13 inside the cache window
+      val x = rnd.nextInt(1 << z); val y = rnd.nextInt(1 << z)
+      keys += ((z, x, y))
+      c.put("tile", z, x, y, Array(1.toByte))
+      n += 1
+    }
+    assert(c.size > cap / 2) // random dup keys collapse some puts
+    val rounds = 20
+    val t0 = System.nanoTime()
+    var removedTotal = 0
+    (1 to rounds).foreach { _ =>
+      // a write batch touching 32 random level-13 cells
+      val touched = Array.fill(32)(
+        ZCurve.interleave(rnd.nextInt(max13 + 1), rnd.nextInt(max13 + 1)))
+      removedTotal += c.invalidateTouched(touched.toSeq)
+      // re-put churn keeps the queue under sweep pressure
+      (1 to 64).foreach { _ =>
+        val (z, x, y) = keys(rnd.nextInt(keys.size))
+        c.put("tile", z, x, y, Array(1.toByte))
+      }
+    }
+    val msPerRound = (System.nanoTime() - t0) / 1e6 / rounds
+    info(f"invalidateTouched(32 cells) + 64 re-puts at ${c.size} entries: $msPerRound%.1f ms/round ($removedTotal removed over $rounds rounds)")
+    // queue boundedness under churn at capacity: sweep keeps it ~store-sized
+    assert(c.queueSize <= c.size + 64 * rounds,
+      s"eviction queue leaked: ${c.queueSize} vs store ${c.size}")
+    assert(msPerRound < 2000, f"bulk invalidation degenerated: $msPerRound%.1f ms/round")
+  }
+
+  test("concurrent put/get/invalidate churn is exception-free and leak-free") {
+    val c = new TileCache(maxEntries = 4096)
+    val errs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        val rnd = new scala.util.Random(t)
+        try {
+          while (!stop.get()) {
+            val z = 8 + rnd.nextInt(6)
+            val x = rnd.nextInt(1 << z); val y = rnd.nextInt(1 << z)
+            rnd.nextInt(3) match {
+              case 0 => c.put("tile", z, x, y, Array(t.toByte))
+              case 1 => c.get("tile", z, x, y): Unit
+              case _ => c.invalidateTouched(Seq(
+                ZCurve.interleave(rnd.nextInt(1 << 13), rnd.nextInt(1 << 13)))): Unit
+            }
+          }
+        } catch { case _: Throwable => errs.incrementAndGet(): Unit }
+      })
+    }
+    threads.foreach(_.start())
+    Thread.sleep(1000)
+    stop.set(true)
+    threads.foreach(_.join(5000))
+    assert(errs.get() == 0, s"${errs.get()} thread(s) died during churn")
+    assert(c.size <= 4096, s"capacity breached: ${c.size}")
+  }
+
   test("a point region on a tile boundary invalidates both neighbors") {
     val c = new TileCache()
     // lon=0 is the exact boundary between tiles x=2^(z-1)-1 and x=2^(z-1)
