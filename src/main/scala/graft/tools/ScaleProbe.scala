@@ -44,7 +44,13 @@ object ScaleProbe {
     // probes²/nlist < 1, but the task fan-out and shuffle replication
     // shrink ~√nlist-fold, so wall should grow visibly SLOWER than x42's
     // ~F² and its pair recall@20 must hold (gated below)
-    "x42b_embed_neardup_cell", "x82_shared_spans",
+    "x42b_embed_neardup_cell",
+    // x42c: the production-default AUTO form (size-derived nlist) on its
+    // planted-margin fixture — the cell count grows with the corpus here,
+    // so its ratio should sit far below x42/x42b's declared-quadratic demo
+    // configs; its oracle (replayed every round by Verify) is the recall
+    // gate, so the probe only adds the wall-ratio dimension
+    "x42c_embed_neardup_auto", "x82_shared_spans",
     // x84/x85: near-dup structure grows linearly with the replica count, so
     // the component count (all small-diameter) does too — wall ratio should
     // stay ~linear; propagation rounds must NOT grow with corpus size. Both
