@@ -124,7 +124,8 @@ object Similarity {
   def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int = 2,
                       sampleSize: Int = 256,
                       hashOrderedSample: Boolean = true,
-                      greedySeeding: Boolean = true): Array[Array[Double]] = {
+                      greedySeeding: Boolean = true,
+                      lloydOverSample: Boolean = false): Array[Array[Double]] = {
     def unit(v: Array[Double]): Array[Double] = {
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i) * v(i); i += 1 }
@@ -140,11 +141,23 @@ object Similarity {
     val order =
       if (hashOrderedSample) Seq(xxhash64(col("vec_id")).asc, col("vec_id").asc)
       else Seq(col("vec_id").asc)
-    val sample: Array[Array[Double]] = corpus
-      .orderBy(order: _*)
-      .limit(sampleSize).select("embedding").collect()
+    // `lloydOverSample` bounds the Lloyd passes to this same hash-ordered
+    // sample instead of the full corpus: a full-corpus pass is
+    // O(n·nlist·dim) per iteration, which turns QUADRATIC when the caller
+    // derives nlist ∝ n (the cell-bounded auto form) — training on the
+    // bounded sample (FAISS-style) keeps index fitting O(sample·nlist·dim)
+    // while the recall gates (CellLinearProbe, ScaleProbe) hold the
+    // quality bar. Default false: the serving IVF (x43b) trains tiny
+    // nlists where the exact full-corpus pass is cheap and its recall
+    // numbers are pinned.
+    val sampleDf = corpus.orderBy(order: _*).limit(sampleSize).select("embedding")
+    if (lloydOverSample) sampleDf.persist()
+    val sample: Array[Array[Double]] = sampleDf.collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-    if (sample.isEmpty) return Array.empty // empty corpus -> no cells, empty result downstream
+    if (sample.isEmpty) {
+      if (lloydOverSample) sampleDf.unpersist(false)
+      return Array.empty // empty corpus -> no cells, empty result downstream
+    }
     val normed = sample.map(unit)
     def dotd(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
@@ -177,9 +190,10 @@ object Similarity {
         seedIdx.map(normed).toArray
       }
 
+    val lloydScan = if (lloydOverSample) sampleDf else corpus.select("embedding")
     for (_ <- 0 until iters) {
       val bc = corpus.sparkSession.sparkContext.broadcast(cents)
-      val parts = corpus.select("embedding").rdd.mapPartitionsWithIndex { (pid, it) =>
+      val parts = lloydScan.rdd.mapPartitionsWithIndex { (pid, it) =>
         val cs = bc.value
         val dim = cs(0).length
         val sums = Array.fill(cs.length)(new Array[Double](dim))
@@ -221,7 +235,65 @@ object Similarity {
         else unit(sums(c))
       }.toArray
     }
+    if (lloydOverSample) sampleDf.unpersist(false)
     cents
+  }
+
+  /** Driver-local spherical k-means over a SMALL point set (the fine
+    * centroids themselves) — the coarse quantizer for two-level cell
+    * assignment. Deterministic: spread seeding over the input order, dot
+    * argmax with lower-index ties, fixed iteration count. O(points·g·dim·
+    * iters) driver flops — for the cell counts the auto form derives
+    * (nlist up to ~10⁵) this is milliseconds; a corpus whose nlist outgrows
+    * it needs a recursively-trained coarse level (documented in
+    * DEDUP_TUNING §5).
+    */
+  private[operators] def localCoarseGroups(cents: Array[Array[Double]], g: Int,
+                                           iters: Int = 3)
+      : (Array[Array[Double]], Array[Array[Int]]) = {
+    val n = cents.length
+    val gg = math.max(1, math.min(g, n))
+    def unit(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val nn = math.sqrt(s)
+      if (nn == 0.0) v else v.map(_ / nn)
+    }
+    var coarse = Array.tabulate(gg)(i => cents((i.toLong * n / gg).toInt))
+    val assign = new Array[Int](n)
+    for (_ <- 0 until iters) {
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestS = Double.NegativeInfinity
+        var c = 0
+        while (c < gg) {
+          var s = 0.0; var d = 0
+          val m = math.min(cents(i).length, coarse(c).length)
+          while (d < m) { s += cents(i)(d) * coarse(c)(d); d += 1 }
+          if (s > bestS) { bestS = s; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val dim = cents(0).length
+      val sums = Array.fill(gg)(new Array[Double](dim))
+      val counts = new Array[Int](gg)
+      var j = 0
+      while (j < n) {
+        val acc = sums(assign(j))
+        var d = 0
+        while (d < dim) { acc(d) += cents(j)(d); d += 1 }
+        counts(assign(j)) += 1
+        j += 1
+      }
+      coarse = coarse.indices.map(c =>
+        if (counts(c) == 0) coarse(c) else unit(sums(c))).toArray
+    }
+    val members = Array.fill(gg)(new scala.collection.mutable.ArrayBuffer[Int]())
+    var i = 0
+    while (i < n) { members(assign(i)) += i; i += 1 }
+    (coarse, members.map(_.toArray))
   }
 
   /** IVF coarse-quantized top-k. Corpus is assigned to nearest-centroid
@@ -504,28 +576,53 @@ object Similarity {
     */
   def cellBoundedTopPairs(emb: Dataset[(Long, Int, Array[Float])], k: Int,
                           cents: Array[Array[Double]], probes: Int = 2,
-                          targetChunk: Int = 256): DataFrame = {
+                          targetChunk: Int = 256,
+                          coarseProbes: Int = 8,
+                          twoLevelThreshold: Int = 512): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     if (cents.isEmpty) return topPairsByLabel(emb, k, targetChunk)
     val nlist = cents.length
     val p = math.min(math.max(probes, 1), nlist)
     val bcC = spark.sparkContext.broadcast(cents)
+    // Two-level assignment above the threshold: scoring ALL nlist cells per
+    // row is O(nlist·dim) per vector — with nlist ∝ n (the auto form) that
+    // is the hidden quadratic of the whole pipeline. A coarse quantizer of
+    // g = ceil(√nlist) groups (trained driver-locally over the centroids)
+    // cuts per-row work to O((g + coarseProbes·nlist/g)·dim) ≈ O(√nlist·dim):
+    // score g coarse groups, keep the best `coarseProbes`, score only their
+    // member cells. Exactly like IVF's own coarse/fine split; a true
+    // nearest cell in an unprobed group is the new miss mode, which the
+    // CellLinearProbe/ScaleProbe recall gates measure (identical vectors
+    // still assign identically, so exact-dup recall is unaffected).
+    // Below the threshold (every registry config) the scan stays exact.
+    val coarseOpt: Option[(Array[Array[Double]], Array[Array[Int]])] =
+      if (nlist >= twoLevelThreshold)
+        Some(localCoarseGroups(cents, math.ceil(math.sqrt(nlist.toDouble)).toInt))
+      else None
+    val bcCoarse = spark.sparkContext.broadcast(coarseOpt)
+    val cp = math.max(coarseProbes, 1)
     val cellLabeled: Dataset[(Long, Int, Array[Float])] =
       emb.flatMap { case (id, label, v) =>
         val cs = bcC.value
-        val scores = new Array[Double](cs.length)
-        var c = 0
-        while (c < cs.length) {
+        def dotWith(c: Array[Double]): Double = {
           var s = 0.0; var i = 0
-          val n = math.min(v.length, cs(c).length)
-          while (i < n) { s += v(i).toDouble * cs(c)(i); i += 1 }
-          scores(c) = s
-          c += 1
+          val n = math.min(v.length, c.length)
+          while (i < n) { s += v(i).toDouble * c(i); i += 1 }
+          s
+        }
+        val candidates: Array[Int] = bcCoarse.value match {
+          case None => Array.range(0, cs.length)
+          case Some((coarse, members)) =>
+            val gScores = Array.tabulate(coarse.length)(g => dotWith(coarse(g)))
+            gScores.zipWithIndex.sortBy { case (s, i) => (-s, i) }
+              .take(math.min(cp, coarse.length))
+              .flatMap { case (_, g) => members(g) }
         }
         // top-p cells by dot (unit centroids: dot argmax == cosine argmax),
         // ties to the lower cell id — same order as the IVF probe window
-        val top = scores.zipWithIndex.sortBy { case (s, i) => (-s, i) }
+        val top = candidates.map(c => (dotWith(cs(c)), c))
+          .sortBy { case (s, i) => (-s, i) }
           .take(p).map(_._2)
         top.iterator.map(cell => (id, label * nlist + cell, v))
       }
@@ -542,9 +639,14 @@ object Similarity {
     * probes²·targetCellSize dot products per vector NO MATTER the corpus
     * size — the pair search is linear in n by construction (the fixed-
     * nlist form only divides the quadratic by nlist). The centroid sample
-    * grows with nlist (4·nlist, floored at 512, capped at 4096) so cells
-    * stay seedable; the k×d broadcast and the one count+sample driver pull
-    * are the only non-distributed pieces, both O(nlist·dim).
+    * grows with nlist (8·nlist, floored at 512, capped at 16384) so cells
+    * stay trainable, Lloyd runs over that bounded sample (not the corpus —
+    * a full-corpus pass is O(n·nlist·dim), quadratic once nlist ∝ n), and
+    * above [[cellBoundedTopPairs]]' two-level threshold the per-row
+    * assignment scores O(√nlist) cells via a coarse quantizer instead of
+    * all nlist — so BOTH index fitting and assignment stay linear in n.
+    * The k×d broadcast and the one count+sample driver pull are the only
+    * non-distributed pieces, both O(nlist·dim).
     *
     * Recall honesty (measured, [[graft.tools.CellPairTune]]): bounded work
     * buys recall only when near-dup pairs are much closer than background
@@ -575,7 +677,11 @@ object Similarity {
     require(targetCellSize >= 1, s"targetCellSize must be >= 1")
     val n = emb.count()
     val nlist = math.max(8L, (n + targetCellSize - 1) / targetCellSize).toInt
-    val sample = math.min(math.max(512, 4 * nlist), 4096)
+    // 8 training points per derived cell (FAISS-order density), bounded:
+    // the Lloyd passes run over THIS sample (lloydOverSample below), so
+    // index fitting is O(sample·nlist·dim) instead of O(n·nlist·dim) —
+    // the latter is quadratic-in-n once nlist ∝ n
+    val sample = math.min(math.max(512, 8 * nlist), 16384)
     val cents = kmeansCentroids(
       emb.toDF("vec_id", "label", "embedding").select("vec_id", "embedding"),
       nlist, iters = kmeansIters, sampleSize = sample,
@@ -583,7 +689,8 @@ object Similarity {
       // serving-index cell counts, quadratic waste for the hundreds of
       // cells this form derives; the hash-ordered sample is already a
       // uniform spread and Lloyd re-balances
-      greedySeeding = nlist <= 64)
+      greedySeeding = nlist <= 64,
+      lloydOverSample = nlist > 64)
     cellBoundedTopPairs(emb, k, cents, probes, targetChunk)
   }
 

@@ -311,4 +311,38 @@ class SimilaritySpec extends SparkSpec {
       embTyped, k = 20, targetCellSize = 64, probes = 3).collect()
     assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
+
+  test("two-level assignment: exact-dup pairs survive and coarseProbes=g is single-level-exact") {
+    import spark.implicits._
+    // margin corpus: isotropic background + planted exact duplicates
+    val rnd = new scala.util.Random(5)
+    val base = (0L until 600L).map { i =>
+      (i, (i % 4).toInt, Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    }
+    val planted = base.filter(_._1 % 10 == 0)
+      .map { case (i, l, v) => (i + 100000L, l, v) }
+    val emb = (base ++ planted).toDS()
+    val cents = Similarity.kmeansCentroids(
+      emb.toDF("vec_id", "label", "embedding"), nlist = 32, iters = 2,
+      sampleSize = 256)
+    // force the two-level path at this tiny nlist via the threshold knob
+    val two = Similarity.cellBoundedTopPairs(emb, k = 128, cents, probes = 3,
+      targetChunk = 256, coarseProbes = 3, twoLevelThreshold = 1)
+      .filter(col("cos_sim") >= 0.999)
+    // every planted pair found: identical vectors score identical coarse
+    // groups AND identical cells, so two-level can never split a dup pair
+    val got = two.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = base.filter(_._1 % 10 == 0).map(t => (t._1, t._1 + 100000L)).toSet
+    assert(got == want, s"two-level lost planted dup pairs: missing ${want -- got}")
+    // with coarseProbes covering EVERY group, two-level must equal the
+    // single-level scan bit-for-bit (same candidate set, same ordering)
+    val g = math.ceil(math.sqrt(32.0)).toInt
+    val allGroups = Similarity.cellBoundedTopPairs(emb, k = 128, cents,
+      probes = 3, targetChunk = 256, coarseProbes = g, twoLevelThreshold = 1)
+    val single = Similarity.cellBoundedTopPairs(emb, k = 128, cents,
+      probes = 3, targetChunk = 256, twoLevelThreshold = Int.MaxValue)
+    assert(pairSet(allGroups) == pairSet(single),
+      "coarseProbes = #groups should reproduce the exact single-level assignment")
+  }
 }
