@@ -253,11 +253,18 @@ object VectorOps {
   // ---------------------------------------------------------------- x42c
   /** The PRODUCTION-DEFAULT linear-regime pair producer, oracle-checked —
     * [[graft.operators.Similarity.cellBoundedTopPairsAuto]] with nlist
-    * DERIVED from the corpus (nlist = max(8, ceil(n / targetCellSize)):
-    * 19 cells at sf0.001/0.01, 75 at sf0.1 — the regime where per-vector
-    * work is bounded at probes²·targetCellSize dots and the search is
-    * linear in n, measured at 30× in [[graft.tools.CellLinearProbe]]:
-    * wall ratio 6.5 vs the exact search's 19.3).
+    * DERIVED from the corpus at the DEDUP_TUNING §5 production default
+    * `targetCellSize = 128` (floored nlist 8 at the small SFs, 19 at
+    * sf0.1; the probe corpora derive 188/563 cells at 10×/30×, crossing
+    * the two-level assignment threshold). The regime bounds per-vector
+    * work at probes²·targetCellSize dots — linear in n, measured at 30×
+    * in [[graft.tools.CellLinearProbe]] (auto 7.2 s vs exact 19.1 s).
+    * An earlier draft pinned targetCellSize = 32 to force a large nlist
+    * at the tiny registry SFs; at probe scale that drowned the search in
+    * per-bucket fixed costs (22,500 buckets × ~13 rows — 25 s at 30×,
+    * 3× the exact-shaped cells), a useful negative result recorded in
+    * BASELINE.md: cell size is a FLOOR on per-task substance, not just a
+    * ceiling on quadratic work.
     *
     * The synthetic embeddings corpus is near-isotropic (max background
     * cosine 0.48–0.60 across ALL pairs, measured per SF), i.e. it has no
@@ -295,7 +302,7 @@ object VectorOps {
       .map { case (id, l, v) => (id + 100000L, l, v) }
     Canon(graft.operators.Similarity
       .cellBoundedTopPairsAuto(emb.union(planted), k = 128,
-        targetCellSize = 32, probes = 4, kmeansIters = 3, targetChunk = 256)
+        targetCellSize = 128, probes = 4, kmeansIters = 3, targetChunk = 256)
       .filter(col("cos_sim") >= 0.999)
       .select(col("id_a"), col("id_b"), col("label"), col("cos_sim")))
   }
