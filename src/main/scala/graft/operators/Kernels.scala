@@ -209,6 +209,25 @@ object Kernels extends Serializable {
     m.asScala.view.mapValues(_.longValue()).toMap
   }
 
+  /** Count of whitespace tokens of length >= `minLen` code points — the
+    * BM25 document length, i.e. exactly the total [[tokenCounts]] would
+    * sum to, without building the map (the corpus-stats scan of x92 needs
+    * only this scalar per doc).
+    */
+  def tokenCount(text: String, minLen: Int): Long = {
+    if (text == null) return 0L
+    val toks = text.split("\\s+")
+    var i = 0
+    var n = 0L
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.length >= minLen && t.codePointCount(0, t.length) >= minLen)
+        n += 1
+      i += 1
+    }
+    n
+  }
+
   /** Word-trigram repetition stats of one document: Array(total, distinct)
     * over space-split trigrams, or an empty array when the doc has fewer
     * than 3 tokens. Split on a single space to match [[graft.queries.TextOps

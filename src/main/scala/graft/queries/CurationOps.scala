@@ -29,7 +29,8 @@ object CurationOps {
       x65_label_centroids, x66_quantize, x67_split, x68_balance,
       x69_pack, x70_decontaminate, x71_tfidf, x73_cluster_assign,
       x74_pipeline, x80_source_mix, x83_chunk, x87_token_budget,
-      x88_train_order, x88b_train_order_sized, x90_curation_audit)
+      x88_train_order, x88b_train_order_sized, x90_curation_audit,
+      x92_bm25)
 
   // ---------------------------------------------------------------- x90
   /** Gate thresholds the x90 REGISTRY entry pins (and its oracle replays);
@@ -714,6 +715,73 @@ object CurationOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5))
   }
+
+  // ---------------------------------------------------------------- x92
+  /** The x92 REGISTRY query set (production passes its own): three
+    * multi-term queries over the synthetic corpus vocabulary. The oracle's
+    * VALUES list is generated from this Seq so the two sides cannot drift.
+    */
+  private[graft] val Bm25QuerySet: Seq[(Int, String)] = Seq(
+    1 -> "vector hash join",
+    2 -> "window merge sort",
+    3 -> "stream batch query")
+
+  private[graft] val Bm25TopK = 10
+
+  /** BM25 ranked retrieval ([[graft.operators.Bm25]]): top-10 docs per
+    * query, exact integer-scaled scores. The Spark plan is the bucketed
+    * two-phase rank over a candidate-sized (map-filtered-before-explode)
+    * term relation with broadcast df/query/stats sides; the oracle is the
+    * naive corpus-wide form. Contribution arithmetic is mirrored verbatim
+    * — see [[graft.operators.Bm25.contribution]] before editing either.
+    */
+  val x92_bm25: QueryDef = QueryDef(
+    "x92_bm25",
+    Sql.canon(
+      s"""WITH q(query_id, tok) AS (VALUES ${bm25QueryValues(Bm25QuerySet)}),
+         |toks AS (
+         |  SELECT doc_id, tok FROM (
+         |    SELECT doc_id,
+         |      UNNEST(string_split_regex(LOWER(text), '\\s+')) AS tok
+         |    FROM documents)
+         |  WHERE LENGTH(tok) >= ${graft.operators.Bm25.MinTokenLen}),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+         |       WHERE tok IN (SELECT tok FROM q) GROUP BY doc_id, tok),
+         |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         |stats AS (SELECT
+         |  (SELECT COUNT(*) FROM documents) AS n_docs,
+         |  (SELECT CAST(COALESCE(SUM(dl), 0) AS BIGINT) FROM dl) AS sum_dl),
+         |scored AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    CAST(SUM(CAST(ROUND(
+         |      LN(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |      (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl /
+         |        (CAST(sum_dl AS DOUBLE) / n_docs)))) *
+         |      1000000) AS BIGINT)) AS BIGINT) AS score_scaled
+         |  FROM q JOIN tf USING (tok) JOIN df USING (tok)
+         |       JOIN dl USING (doc_id) CROSS JOIN stats
+         |  GROUP BY q.query_id, tf.doc_id),
+         |ranked AS (
+         |  SELECT query_id, doc_id, score_scaled,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score_scaled DESC, doc_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, doc_id, score_scaled, CAST(rn AS INT) AS rn
+         |FROM ranked WHERE rn <= $Bm25TopK""".stripMargin,
+      Seq("query_id", "doc_id", "score_scaled", "rn"))) { (s, d) =>
+    Canon(graft.operators.Bm25.topK(
+      Tables.documents(s, d), Bm25QuerySet, Bm25TopK))
+  }
+
+  /** `(1, 'vector'), (1, 'hash'), …` — the oracle twin of the term
+    * expansion in [[graft.operators.Bm25.scores]] (lowercase, per-query
+    * distinct).
+    */
+  private def bm25QueryValues(qs: Seq[(Int, String)]): String =
+    qs.flatMap { case (qid, q) =>
+      q.toLowerCase.split("\\s+").toSeq.distinct.map(t => s"($qid, '$t')")
+    }.mkString(", ")
 
   // ---------------------------------------------------------------- x73
   /** Nearest-centroid assignment (the k-means E-step over x65's centroids).

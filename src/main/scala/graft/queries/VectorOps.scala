@@ -19,7 +19,7 @@ object VectorOps {
     Seq(q33, q35, x42_embed_neardup, x42b_embed_neardup_cell,
       x42c_embed_neardup_auto, x43_ann_lsh,
       x43b_ann_ivf, x51_multimodal_features, x79_media_meta,
-      x89_semantic_dedup)
+      x89_semantic_dedup, x93_ann_pq)
 
   /** Oracle-checked half of the multimodal surface: the synthetic-media
     * metadata derivation and binary-column plumbing (payload byte length
@@ -98,6 +98,22 @@ object VectorOps {
       emb, nlist = 16, iters = 3, sampleSize = 512)
     Canon(graft.operators.Similarity.ivfTopKWithCentroids(
       emb, q, k = 10, cents, nprobe = 8))
+  }
+
+  /** ANN top-10 via product quantization ([[graft.operators.Pq]]) — the
+    * MEMORY-bound path: 16 one-byte codes + a stored norm per vector
+    * (~11× smaller than the raw floats), asymmetric-distance scoring with
+    * m table lookups per row, then exact cosine re-rank of the per-query
+    * ADC shortlist (raw vectors touched only for the broadcast candidate
+    * set). Rows-only like x43/x43b; recall gates live in SimilaritySpec
+    * (refined 0.95+ where raw ADC@10 measures 0.55 on this worst-case
+    * isotropic corpus).
+    */
+  val x93_ann_pq: QueryDef = QueryDef.rowsOnly("x93_ann_pq") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    Canon(graft.operators.Pq.pqTopKRefined(emb, q, k = 10))
   }
 
   /** Sum of elementwise products, left-to-right over doubles — the native

@@ -129,7 +129,11 @@ object ScaleProbe {
       sampleSize = 512)
     val ivf = mean(sets(
       Similarity.ivfTopKWithCentroids(emb, q, k = 10, cents, nprobe = 8)))
-    Map("x43_ann_lsh" -> lsh, "x43b_ann_ivf" -> ivf)
+    // x93's registry config: PQ ADC shortlist (fixed 100) + exact re-rank.
+    // The shortlist does NOT grow with the corpus, so this measures whether
+    // the memory-bound path keeps its recall as density rises.
+    val pq = mean(sets(graft.operators.Pq.pqTopKRefined(emb, q, k = 10)))
+    Map("x43_ann_lsh" -> lsh, "x43b_ann_ivf" -> ivf, "x93_ann_pq" -> pq)
   }
 
   /** Pair recall@20 of x42b's cell-bounded search (registry config:

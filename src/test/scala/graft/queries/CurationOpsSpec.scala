@@ -205,6 +205,44 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("x92: bucketed two-phase top-k is bit-identical to the naive rank") {
+    import graft.operators.Bm25
+    val scored = Bm25.scores(
+      Tables.documents(spark, Sf), CurationOps.Bm25QuerySet)
+    val twoPhase = Bm25.rankTopK(scored, CurationOps.Bm25TopK, buckets = 32)
+    val naive = Bm25.rankNaive(scored, CurationOps.Bm25TopK)
+    assert(twoPhase.exceptAll(naive).isEmpty &&
+      naive.exceptAll(twoPhase).isEmpty,
+      "two-phase rank diverged from the single-window reference")
+  }
+
+  test("x92: dense per-query ranks, descending scores, matched terms only") {
+    val rows = CurationOps.x92_bm25.build(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getAs[Int]("query_id"))
+    assert(byQuery.keySet == CurationOps.Bm25QuerySet.map(_._1).toSet)
+    byQuery.values.foreach { rs =>
+      val ordered = rs.sortBy(_.getAs[Int]("rn"))
+      assert(ordered.map(_.getAs[Int]("rn")).toSeq ==
+        (1 to ordered.length).toSeq, "ranks not dense from 1")
+      assert(ordered.length <= CurationOps.Bm25TopK)
+      val scores = ordered.map(_.getAs[Long]("score_scaled"))
+      assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b },
+        s"scores not descending: ${scores.mkString(",")}")
+      assert(scores.forall(_ > 0L))
+    }
+    // every retrieved doc really contains >= 1 term of its query
+    val text = Tables.documents(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.split("\\s+").toSet).toMap
+    val terms = CurationOps.Bm25QuerySet.toMap
+    rows.foreach { r =>
+      val q = terms(r.getAs[Int]("query_id")).split(" ").toSet
+      val toks = text(r.getAs[Long]("doc_id"))
+      assert(q.intersect(toks).nonEmpty, s"doc without any query term: $r")
+    }
+  }
+
   test("x73: every vector assigned to exactly one centroid; self-consistent") {
     val rows = CurationOps.x73_cluster_assign.build(spark, Sf).collect()
     val vecs = Tables.embeddings(spark, Sf).count()

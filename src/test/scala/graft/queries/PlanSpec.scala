@@ -121,6 +121,25 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
   }
 
+  test("x92: term filter sits inside the map (pre-explode); first rank is bucketed") {
+    val (_, plan) = planOf("x92_bm25")
+    // the explode must generate from the map_filter'ed token map — the
+    // exploded relation is candidate-sized (docs x matched query terms),
+    // never corpus-token-sized
+    assert(plan.contains("map_filter"),
+      s"x92 explodes the full token map:\n$plan")
+    // two-phase rank: the first row_number windows on (query_id, bucket) —
+    // a query_id-only first window would funnel every candidate of a query
+    // into one reducer
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.size >= 2, s"x92 lost its two windows:\n$plan")
+    assert(specs.exists(_.contains("bucket")),
+      s"no bucketed window spec in: ${specs.mkString("; ")}\n$plan")
+    // df / query terms / corpus stats all join back as broadcasts
+    assert(plan.contains("BroadcastHashJoin"), s"df side not broadcast:\n$plan")
+  }
+
   test("NO registry query compiles to a CartesianProduct (global gate)") {
     // a cartesian over corpus-sized inputs is the canonical 100 TB killer;
     // today every deliberate cross (q11's tiny dims, q33's one-row query
