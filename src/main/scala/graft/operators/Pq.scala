@@ -209,21 +209,38 @@ object Pq {
     adcTopK(encode(corpus, cb), queries, cb, k)
   }
 
+  /** Size-derived ADC shortlist: n/40 clamped to [100, 10000]. A FIXED
+    * shortlist decays as corpus density rises — on the isotropic worst-case
+    * corpus (BASELINE.md round-10 table): at 20k vectors recall@10 is
+    * 0.712 with shortlist 100, 0.863 at 250, 0.950 at 500 (= n/40), 1.000
+    * at 1000 — so the slope is pinned where 0.95 held. The cap bounds the
+    * exact-rerank candidate set at any corpus size (queries × 10k rows is
+    * still broadcast-sized); past it (≳400k vectors per search partition)
+    * recall maintenance moves to the code budget (m/ksub) or an IVF-PQ
+    * split, not an unbounded rerank. Clustered real-world embedding
+    * corpora need far less than this worst-case slope.
+    */
+  private[graft] def derivedShortlist(n: Long): Int =
+    math.max(100L, math.min(10000L, n / 40L)).toInt
+
   /** ADC shortlist + exact cosine re-rank (IVFADC+R-style refinement) —
     * the x93 registry shape. The memory-bound ADC scan nominates
-    * `shortlist` candidates per query; raw float vectors are then read
-    * ONLY for that queries × shortlist id set (broadcast semi-joined into
-    * the corpus scan — no corpus shuffle) and re-ranked by exact cosine.
-    * Final recall@10 equals the ADC scan's recall@shortlist, which the
-    * spec gates at 0.95+ where raw ADC@10 measures 0.55 on the
-    * near-isotropic corpus (the quantization worst case).
+    * `shortlist` candidates per query (size-derived by default); raw float
+    * vectors are then read ONLY for that queries × shortlist id set
+    * (broadcast semi-joined into the corpus scan — no corpus shuffle) and
+    * re-ranked by exact cosine. Final recall@10 equals the ADC scan's
+    * recall@shortlist, gated ≥0.95 at sf0.001 and ≥0.85 at the probe
+    * scales where raw ADC@10 measures 0.55 on the near-isotropic corpus
+    * (the quantization worst case).
     */
   def pqTopKRefined(corpus: DataFrame, queries: DataFrame, k: Int,
-                    shortlist: Int = 100, dim: Int = 64, m: Int = 16,
+                    shortlist: Int = 0, dim: Int = 64, m: Int = 16,
                     ksub: Int = 32, iters: Int = 4,
                     sampleSize: Int = 512): DataFrame = {
+    val sl = if (shortlist > 0) shortlist
+             else derivedShortlist(corpus.count())
     val cb = train(corpus, dim, m, ksub, iters, sampleSize)
-    val cands = adcTopK(encode(corpus, cb), queries, cb, shortlist)
+    val cands = adcTopK(encode(corpus, cb), queries, cb, sl)
       .select(col("query_id"), col("vec_id"))
     val scored = corpus
       .join(broadcast(cands), "vec_id")

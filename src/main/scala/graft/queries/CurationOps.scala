@@ -30,7 +30,7 @@ object CurationOps {
       x69_pack, x70_decontaminate, x71_tfidf, x73_cluster_assign,
       x74_pipeline, x80_source_mix, x83_chunk, x87_token_budget,
       x88_train_order, x88b_train_order_sized, x90_curation_audit,
-      x92_bm25)
+      x92_bm25, x94_hybrid_rrf)
 
   // ---------------------------------------------------------------- x90
   /** Gate thresholds the x90 REGISTRY entry pins (and its oracle replays);
@@ -735,38 +735,44 @@ object CurationOps {
     * naive corpus-wide form. Contribution arithmetic is mirrored verbatim
     * — see [[graft.operators.Bm25.contribution]] before editing either.
     */
+  /** The x92 oracle CTE chain (`q` … `ranked`), shared with x94's fusion
+    * oracle so the BM25 arithmetic cannot drift between the two.
+    */
+  private def bm25Ctes: String =
+    s"""q(query_id, tok) AS (VALUES ${bm25QueryValues(Bm25QuerySet)}),
+       |toks AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id,
+       |      UNNEST(string_split_regex(LOWER(text), '\\s+')) AS tok
+       |    FROM documents)
+       |  WHERE LENGTH(tok) >= ${graft.operators.Bm25.MinTokenLen}),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       |       WHERE tok IN (SELECT tok FROM q) GROUP BY doc_id, tok),
+       |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       |stats AS (SELECT
+       |  (SELECT COUNT(*) FROM documents) AS n_docs,
+       |  (SELECT CAST(COALESCE(SUM(dl), 0) AS BIGINT) FROM dl) AS sum_dl),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    CAST(SUM(CAST(ROUND(
+       |      LN(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+       |      (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl /
+       |        (CAST(sum_dl AS DOUBLE) / n_docs)))) *
+       |      1000000) AS BIGINT)) AS BIGINT) AS score_scaled
+       |  FROM q JOIN tf USING (tok) JOIN df USING (tok)
+       |       JOIN dl USING (doc_id) CROSS JOIN stats
+       |  GROUP BY q.query_id, tf.doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score_scaled,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score_scaled DESC, doc_id) AS rn
+       |  FROM scored)""".stripMargin
+
   val x92_bm25: QueryDef = QueryDef(
     "x92_bm25",
     Sql.canon(
-      s"""WITH q(query_id, tok) AS (VALUES ${bm25QueryValues(Bm25QuerySet)}),
-         |toks AS (
-         |  SELECT doc_id, tok FROM (
-         |    SELECT doc_id,
-         |      UNNEST(string_split_regex(LOWER(text), '\\s+')) AS tok
-         |    FROM documents)
-         |  WHERE LENGTH(tok) >= ${graft.operators.Bm25.MinTokenLen}),
-         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
-         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
-         |       WHERE tok IN (SELECT tok FROM q) GROUP BY doc_id, tok),
-         |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
-         |stats AS (SELECT
-         |  (SELECT COUNT(*) FROM documents) AS n_docs,
-         |  (SELECT CAST(COALESCE(SUM(dl), 0) AS BIGINT) FROM dl) AS sum_dl),
-         |scored AS (
-         |  SELECT q.query_id, tf.doc_id,
-         |    CAST(SUM(CAST(ROUND(
-         |      LN(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-         |      (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl /
-         |        (CAST(sum_dl AS DOUBLE) / n_docs)))) *
-         |      1000000) AS BIGINT)) AS BIGINT) AS score_scaled
-         |  FROM q JOIN tf USING (tok) JOIN df USING (tok)
-         |       JOIN dl USING (doc_id) CROSS JOIN stats
-         |  GROUP BY q.query_id, tf.doc_id),
-         |ranked AS (
-         |  SELECT query_id, doc_id, score_scaled,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY score_scaled DESC, doc_id) AS rn
-         |  FROM scored)
+      s"""WITH $bm25Ctes
          |SELECT query_id, doc_id, score_scaled, CAST(rn AS INT) AS rn
          |FROM ranked WHERE rn <= $Bm25TopK""".stripMargin,
       Seq("query_id", "doc_id", "score_scaled", "rn"))) { (s, d) =>
@@ -782,6 +788,102 @@ object CurationOps {
     qs.flatMap { case (qid, q) =>
       q.toLowerCase.split("\\s+").toSeq.distinct.map(t => s"($qid, '$t')")
     }.mkString(", ")
+
+  // ---------------------------------------------------------------- x94
+  /** Reciprocal-rank-fusion constant (the standard 60 from Cormack et al.)
+    * and the integer scale that keeps fused scores exact: contribution =
+    * 1e9 div (60 + rank) — integer division, bit-identical in both
+    * engines, so the fusion needs no float rounding protocol at all.
+    */
+  private[graft] val RrfK = 60
+  private[graft] val RrfScale = 1000000000L
+
+  /** Hybrid retrieval: RRF fusion of the x92 BM25 ranking and a vector
+    * cosine ranking over the SAME query ids (query i's vector is
+    * embeddings.vec_id = i) — the standard lexical+dense retrieval
+    * combiner a RAG/decontamination pipeline runs when neither signal
+    * alone is trusted. Scale shape: both input rankings are
+    * queries × top-k relations (bounded), so the fusion join and final
+    * rank cost nothing at any corpus size; the corpus-scale work is
+    * exactly x92's candidate scan + one brute-force-style vector scan
+    * ranked by the x87-style bucketed two-phase top-k (integer-scaled
+    * 4dp cosine, q33's canonical device, so the oracle replays it
+    * row-exactly).
+    */
+  val x94_hybrid_rrf: QueryDef = QueryDef(
+    "x94_hybrid_rrf",
+    Sql.canon(
+      s"""WITH $bm25Ctes,
+         |btop AS (SELECT query_id, doc_id, rn AS brn
+         |         FROM ranked WHERE rn <= $Bm25TopK),
+         |ex AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+         |         UNNEST(generate_series(1, LEN(embedding))) AS i
+         |       FROM embeddings),
+         |qv AS (SELECT CAST(vec_id AS INTEGER) AS query_id, i, x AS qx
+         |       FROM ex WHERE vec_id IN (${Bm25QuerySet.map(_._1).mkString(", ")})),
+         |pr AS (SELECT qv.query_id, e.vec_id AS doc_id,
+         |         SUM(e.x * qv.qx) AS dt, SUM(e.x * e.x) AS na,
+         |         SUM(qv.qx * qv.qx) AS nb
+         |       FROM ex e JOIN qv ON e.i = qv.i
+         |       GROUP BY qv.query_id, e.vec_id),
+         |vs AS (SELECT query_id, doc_id,
+         |         CAST(ROUND(ROUND(dt / (SQRT(na) * SQRT(nb)), 4) * 10000)
+         |           AS BIGINT) AS vscore
+         |       FROM pr),
+         |vranked AS (SELECT query_id, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY vscore DESC, doc_id) AS vrn
+         |  FROM vs),
+         |vtop AS (SELECT query_id, doc_id, vrn
+         |         FROM vranked WHERE vrn <= $Bm25TopK),
+         |fused AS (
+         |  SELECT COALESCE(b.query_id, v.query_id) AS query_id,
+         |         COALESCE(b.doc_id, v.doc_id) AS doc_id,
+         |         COALESCE($RrfScale // ($RrfK + b.brn), 0) +
+         |           COALESCE($RrfScale // ($RrfK + v.vrn), 0) AS rrf,
+         |         b.brn AS brn, v.vrn AS vrn
+         |  FROM btop b FULL OUTER JOIN vtop v
+         |    ON b.query_id = v.query_id AND b.doc_id = v.doc_id),
+         |franked AS (SELECT query_id, doc_id, rrf, brn, vrn,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, doc_id) AS rn
+         |  FROM fused)
+         |SELECT query_id, doc_id, rrf, CAST(brn AS INT) AS brn,
+         |  CAST(vrn AS INT) AS vrn, CAST(rn AS INT) AS rn
+         |FROM franked WHERE rn <= $Bm25TopK""".stripMargin,
+      Seq("query_id", "doc_id", "rrf", "brn", "vrn", "rn"))) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    val bm = graft.operators.Bm25.topK(docs, Bm25QuerySet, Bm25TopK)
+      .select(col("query_id"), col("doc_id"), col("rn").as("brn"))
+    val vq = emb
+      .filter(col("vec_id").isin(Bm25QuerySet.map(_._1.toLong): _*))
+      .select(col("vec_id").cast(IntegerType).as("query_id"),
+        col("embedding").as("qe"))
+    val vecScored = emb
+      .crossJoin(broadcast(vq))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        round(round(VectorOps.dot(col("embedding"), col("qe")) /
+          (sqrt(VectorOps.norm2(col("embedding"))) *
+            sqrt(VectorOps.norm2(col("qe")))), 4) * 10000)
+          .cast(LongType).as("score_scaled"))
+    val vt = graft.operators.Bm25.rankTopK(vecScored, Bm25TopK, buckets = 32)
+      .select(col("query_id"), col("doc_id"), col("rn").as("vrn"))
+    val fused = bm.join(vt, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr(s"CAST($RrfScale AS BIGINT) div ($RrfK + brn)"), lit(0L)) +
+          coalesce(expr(s"CAST($RrfScale AS BIGINT) div ($RrfK + vrn)"), lit(0L)))
+    // final rank input is queries × (≤ 2·topK) rows — bounded, the naive
+    // window is the oracle shape and free here
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    Canon(fused
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Bm25TopK)
+      .select(col("query_id"), col("doc_id"), col("rrf"),
+        col("brn"), col("vrn"), col("rn")))
+  }
 
   // ---------------------------------------------------------------- x73
   /** Nearest-centroid assignment (the k-means E-step over x65's centroids).

@@ -314,6 +314,11 @@ object ScaleProbe {
     require(recallScaled("x43b_ann_ivf") >= 0.78,
       f"IVF recall@10 ${recallScaled("x43b_ann_ivf")}%.3f < 0.78 at ${factor}x " +
         "— grow nlist/nprobe with corpus size")
+    require(recallScaled("x93_ann_pq") >= 0.85,
+      f"PQ refined recall@10 ${recallScaled("x93_ann_pq")}%.3f < 0.85 at " +
+        s"${factor}x — the derived shortlist (Pq.derivedShortlist) no " +
+        "longer tracks corpus density; grow the n/1000 slope or the code " +
+        "budget (m/ksub)")
     require(prScaled >= 0.8,
       f"x42b cell-bounded pair recall@20 $prScaled%.3f < 0.8 at ${factor}x " +
         "— grow probes (or nlist together with probes) with corpus size")

@@ -243,6 +243,39 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("x94: rrf is exactly the integer fusion of the source ranks; per-query top-10") {
+    val rows = CurationOps.x94_hybrid_rrf.build(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getAs[Int]("query_id"))
+    assert(byQuery.keySet == CurationOps.Bm25QuerySet.map(_._1).toSet)
+    byQuery.values.foreach { rs =>
+      assert(rs.length <= CurationOps.Bm25TopK)
+      val ordered = rs.sortBy(_.getAs[Int]("rn"))
+      assert(ordered.map(_.getAs[Int]("rn")).toSeq ==
+        (1 to ordered.length).toSeq)
+      val scores = ordered.map(_.getAs[Long]("rrf"))
+      assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b })
+    }
+    def contrib(rn: Any): Long = rn match {
+      case null => 0L
+      case i: Int => CurationOps.RrfScale / (CurationOps.RrfK + i)
+      case other => fail(s"unexpected rank type: $other")
+    }
+    rows.foreach { r =>
+      val want = contrib(r.getAs[Any]("brn")) + contrib(r.getAs[Any]("vrn"))
+      assert(r.getAs[Long]("rrf") == want, s"rrf drifted from its ranks: $r")
+      assert(r.getAs[Any]("brn") != null || r.getAs[Any]("vrn") != null)
+    }
+    // query i's vector IS doc i's embedding: the dense side must rank doc i
+    // first, so doc i carries vrn = 1 in its query's fused list
+    CurationOps.Bm25QuerySet.map(_._1).foreach { qid =>
+      val self = rows.find(r =>
+        r.getAs[Int]("query_id") == qid && r.getAs[Long]("doc_id") == qid.toLong)
+      assert(self.exists(_.getAs[Any]("vrn") == 1),
+        s"query $qid: own-vector doc not vrn=1 — ${self.mkString}")
+    }
+  }
+
   test("x73: every vector assigned to exactly one centroid; self-consistent") {
     val rows = CurationOps.x73_cluster_assign.build(spark, Sf).collect()
     val vecs = Tables.embeddings(spark, Sf).count()
