@@ -60,7 +60,14 @@ object ScaleProbe {
     "x84_dup_components", "x85_dedup_resolve", "x86_incremental_dedup",
     // x87: the two-phase running sum must scale with the 256-way bucket
     // parallelism, not with per-language volume
-    "x87_token_budget")
+    "x87_token_budget",
+    // x92/x94: the replica-prefixed scaled corpus matches query terms only
+    // in replica 0, so the candidate relation stays base-sized and the
+    // ratio isolates what SHOULD dominate at 100 TB — the map-only
+    // tokenize/stats scans (~F). x94 adds the corpus-sized dense ranking
+    // (~F) and the bounded fusion (constant). x93: count + train sample +
+    // encode + ADC are all ~F scans; the rerank is shortlist-bounded
+    "x92_bm25", "x94_hybrid_rrf", "x93_ann_pq")
 
   def generate(spark: SparkSession, baseSf: String, outDir: String,
                factor: Int): Unit = {

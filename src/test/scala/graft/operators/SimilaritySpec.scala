@@ -381,6 +381,23 @@ class SimilaritySpec extends SparkSpec {
     assert(a.values.forall(_._2 >= 0.0))
   }
 
+  test("x93 PQ: codebooks shrink to the distinct sub-vectors; duplicates encode identically") {
+    import spark.implicits._
+    // 6 vectors, 2 distinct values: each subspace sees 2 distinct
+    // sub-vectors, so ksub=16 must shrink to 2 seeds instead of padding
+    val emb = Seq.tabulate(6) { i =>
+      (i.toLong, i % 2, Array.fill(64)(if (i % 2 == 0) 1.0f else -1.0f))
+    }.toDF("vec_id", "label", "embedding")
+    val cb = Pq.train(emb, dim = 64, m = 8, ksub = 16)
+    assert(cb.cents.forall(_.length == 2),
+      s"codebooks not shrunk: ${cb.cents.map(_.length).mkString(",")}")
+    val codes = Pq.encode(emb, cb).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("codes").toSeq).toMap
+    assert(codes(0L) == codes(2L) && codes(2L) == codes(4L))
+    assert(codes(1L) == codes(3L) && codes(3L) == codes(5L))
+    assert(codes(0L) != codes(1L))
+  }
+
   test("x93 PQ: an exact-duplicate query retrieves its twin first after rerank") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, Sf)
