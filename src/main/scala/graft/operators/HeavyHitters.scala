@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Misra–Gries heavy-hitters sketch as a mergeable typed Aggregator, plus
+  * the two-pass exact-top-k operator built on it.
+  *
+  * Why a sketch when `groupBy(tok).count` exists: at 100 TB the full
+  * count needs a corpus-wide shuffle keyed by token — hundreds of GB of
+  * exchange to answer "what are the 10 hottest tokens". The MG summary
+  * answers the CANDIDATE question with O(k) state per task and O(k)
+  * bytes per partial: each map task folds its partition into a ≤k-entry
+  * summary, partials merge pairwise (Agarwal et al., "Mergeable
+  * Summaries", PODS'12 — the subtract-(k+1)th-largest merge), and the
+  * only exchange is #partitions × k entries into one final merge.
+  *
+  * Guarantee (weighted form): for every token, the summary's estimate
+  * undercounts its true weight by at most W/(k+1) (W = total stream
+  * weight), so every token with true weight > W/(k+1) is PRESENT in the
+  * summary. [[exactTopK]] exploits that: pass 1 finds candidates with the
+  * sketch, pass 2 recounts ONLY the candidates exactly (the candidate set
+  * broadcasts as a semi-join filter BELOW the count's exchange, so the
+  * second shuffle carries candidate tokens only). When the k-th hottest
+  * token's weight exceeds W/(sketchK+1) — the spec's property gate, and
+  * trivially true when sketchK ≥ vocabulary — the result is IDENTICAL to
+  * the full count's top-k, at a fraction of the exchange volume.
+  */
+object HeavyHitters {
+
+  /** MG buffer: parallel arrays, entries live in [0, n); n ≤ k. */
+  final case class MgBuf(var k: Int, var n: Int,
+                         var toks: Array[String], var ws: Array[Long])
+
+  final case class MgIn(tok: String, w: Long)
+
+  private def emptyBuf(k: Int) =
+    MgBuf(k, 0, new Array[String](0), new Array[Long](0))
+
+  /** Entries as (tok, lower-bound weight) pairs, unordered. */
+  final case class MgOut(toks: Array[String], ws: Array[Long])
+
+  private final class Agg(k: Int) extends Aggregator[MgIn, MgBuf, MgOut] {
+
+    override def zero: MgBuf = emptyBuf(k)
+
+    private def indexOf(b: MgBuf, tok: String): Int = {
+      var i = 0
+      while (i < b.n) { if (b.toks(i) == tok) return i; i += 1 }
+      -1
+    }
+
+    private def ensureCap(b: MgBuf, want: Int): Unit =
+      if (b.toks.length < want) {
+        // reduce holds k+1 entries for the instant before the decay
+        val cap = math.min(b.k + 1, math.max(want, math.max(4, b.toks.length * 2)))
+        b.toks = java.util.Arrays.copyOf(b.toks, cap)
+        b.ws = java.util.Arrays.copyOf(b.ws, cap)
+      }
+
+    /** Drop `d` from every counter, compact out the non-positive. */
+    private def decayAll(b: MgBuf, d: Long): Unit = {
+      var w = 0
+      var i = 0
+      while (i < b.n) {
+        val nw = b.ws(i) - d
+        if (nw > 0) { b.toks(w) = b.toks(i); b.ws(w) = nw; w += 1 }
+        i += 1
+      }
+      var j = w
+      while (j < b.n) { b.toks(j) = null; j += 1 }
+      b.n = w
+    }
+
+    /** Weighted MG insert: add, and on overflow decay everything by the
+      * (k+1)-th largest counter (the new minimum after the add) — the
+      * weighted generalization of the classic decrement-all-by-one.
+      */
+    override def reduce(b: MgBuf, in: MgIn): MgBuf = {
+      if (in.w <= 0 || in.tok == null) return b
+      val i = indexOf(b, in.tok)
+      if (i >= 0) b.ws(i) += in.w
+      else {
+        ensureCap(b, b.n + 1)
+        b.toks(b.n) = in.tok; b.ws(b.n) = in.w; b.n += 1
+        if (b.n > b.k) {
+          var mn = Long.MaxValue
+          var j = 0
+          while (j < b.n) { if (b.ws(j) < mn) mn = b.ws(j); j += 1 }
+          decayAll(b, mn)
+        }
+      }
+      b
+    }
+
+    /** Mergeable-summaries merge: sum counters, then decay by the
+      * (k+1)-th largest so ≤k survive. Error bounds ADD (≤ W/(k+1)
+      * total), associative and commutative up to the summary guarantee.
+      */
+    override def merge(a: MgBuf, c: MgBuf): MgBuf = {
+      if (a.n == 0) return if (c.n == 0) a else c
+      var i = 0
+      while (i < c.n) { reduceNoDecay(a, c.toks(i), c.ws(i)); i += 1 }
+      if (a.n > a.k) {
+        val ws = java.util.Arrays.copyOf(a.ws, a.n)
+        java.util.Arrays.sort(ws)
+        val d = ws(a.n - (a.k + 1)) // (k+1)-th largest
+        decayAll(a, d)
+      }
+      a
+    }
+
+    private def reduceNoDecay(b: MgBuf, tok: String, w: Long): Unit = {
+      val i = indexOf(b, tok)
+      if (i >= 0) b.ws(i) += w
+      else {
+        if (b.toks.length < b.n + 1) {
+          // merge may briefly hold up to 2k entries before the decay
+          val cap = math.max(b.n + 1, math.max(4, b.toks.length * 2))
+          b.toks = java.util.Arrays.copyOf(b.toks, cap)
+          b.ws = java.util.Arrays.copyOf(b.ws, cap)
+        }
+        b.toks(b.n) = tok; b.ws(b.n) = w; b.n += 1
+      }
+    }
+
+    override def finish(b: MgBuf): MgOut =
+      MgOut(java.util.Arrays.copyOf(b.toks, b.n),
+        java.util.Arrays.copyOf(b.ws, b.n))
+
+    override def bufferEncoder: Encoder[MgBuf] = Encoders.product[MgBuf]
+    override def outputEncoder: Encoder[MgOut] = Encoders.product[MgOut]
+  }
+
+  /** The sketch as a Column aggregate over (tok, weight) columns. */
+  def mgSketch(tok: Column, w: Column, k: Int): Column =
+    udaf(new Agg(k)).apply(tok, w)
+
+  /** Exact top-`k` tokens by total weight from a (tok, w) relation,
+    * discovered via a size-`sketchK` MG sketch and recounted exactly.
+    * Deterministic tiebreak (weight desc, tok asc). Output:
+    * (tok, cnt, rn). Exact whenever the k-th token's weight >
+    * W/(sketchK+1); the caller sizes `sketchK` from the skew it is
+    * hunting (heavy hitters ARE the skewed keys, so the premise of the
+    * query is the premise of the bound).
+    */
+  def exactTopK(termFreqs: DataFrame, k: Int, sketchK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sketch = termFreqs
+      .agg(mgSketch(col("tok"), col("tf"), sketchK).as("mg"))
+      .select(explode(col("mg.toks")).as("tok"))
+    // Candidate set broadcasts; the exact count's exchange then carries
+    // candidate tokens only (≤sketchK distinct keys), not the vocabulary.
+    val counts = termFreqs
+      .join(broadcast(sketch), Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+    // ≤sketchK rows reach the single-partition rank window — bounded by
+    // construction, same device as x92's final cut.
+    val w = Window.orderBy(col("cnt").desc, col("tok"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("tok"), col("cnt"), col("rn").cast(IntegerType).as("rn"))
+  }
+}

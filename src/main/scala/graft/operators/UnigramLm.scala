@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-trained unigram language-model scoring — the CCNet/KenLM-style
+  * "perplexity filter" of LLM-data curation, reduced to its Spark-native
+  * core: train token frequencies on a reference corpus, score every
+  * document by its mean negative log-likelihood, keep the low-perplexity
+  * band. (Reference scope: the tank service has no text ops at all —
+  * this extends SURVEY §2.7's curation family alongside x41/x63/x90.)
+  *
+  * Scale design:
+  *  - TRAIN is one map-side-combined aggregation: the per-doc token-count
+  *    kernel ([[Kernels.tokenCounts]]) collapses occurrences to
+  *    (token, tf) rows BEFORE the exchange, so the shuffle carries
+  *    per-doc-distinct tokens, never raw occurrences; the vocabulary
+  *    relation that comes out is heavy-tailed-bounded (natural-language
+  *    vocab grows ~O(corpus^0.5), Heaps' law) and `vocabCap` hard-bounds
+  *    it for the 100 TB case — dropped tail tokens fall into the OOV
+  *    probability path, which is exactly how CCNet's pruned KenLM models
+  *    behave.
+  *  - SCORE is map-only: the (token, ln p) relation broadcasts into the
+  *    per-doc tf rows (left join + OOV coalesce), then one map-combined
+  *    groupBy(doc_id) re-assembles per-doc sums. No corpus-sized shuffle
+  *    carries more than (doc_id, tok, tf).
+  *  - EXACTNESS: per-token log-probabilities are integer-scaled
+  *    (round(ln p × 1e6) as BIGINT — the x73/x92 device) so the per-doc
+  *    sum is exact integer arithmetic, order-independent across engines;
+  *    only the final division back to a double is floating point, and it
+  *    is a single deterministic op mirrored verbatim in the DuckDB oracle.
+  *
+  * Model: add-one (Laplace) smoothing over the training vocabulary —
+  * p(tok) = (c(tok)+1)/(N+V+1), OOV mass p = 1/(N+V+1) — which is the
+  * c=0 case of the same formula, so ONE left-join + coalesce(c, 0)
+  * covers in-vocab and OOV tokens with a single expression.
+  */
+object UnigramLm {
+
+  /** Integer scale for per-token ln p terms (6 decimal digits). */
+  val LnScale = 1000000L
+
+  /** Tokens shorter than this are ignored on BOTH the train and score
+    * side (mirrors x71's vocabulary floor).
+    */
+  val MinTokenLen = 1
+
+  /** Per-doc (tok, tf) rows from the lowercased whitespace tokenizer —
+    * occurrences never cross a shuffle, the kernel pre-combines per doc.
+    */
+  def docTermFreqs(docs: DataFrame, minLen: Int = MinTokenLen): DataFrame = {
+    val tokCounts = udf((t: String) => Kernels.tokenCounts(t, minLen))
+    docs.select(col("doc_id"),
+      explode(tokCounts(lower(col("text")))).as(Seq("tok", "tf")))
+  }
+
+  /** Train: (tok, c) vocabulary counts plus the (n_total, v) scalars the
+    * smoothing formula needs, as a 2-element tuple of DataFrames. With
+    * `vocabCap` set, only the top-`cap` tokens by (count desc, tok) keep
+    * explicit entries — the tail scores through the OOV path — while
+    * n_total / v are computed BEFORE the cap so capping never changes the
+    * probability denominator, only which tokens get their own numerator.
+    */
+  def train(trainDocs: DataFrame, minLen: Int = MinTokenLen,
+            vocabCap: Option[Int] = None): (DataFrame, DataFrame) = {
+    val counts = docTermFreqs(trainDocs, minLen)
+      .groupBy(col("tok")).agg(sum(col("tf")).as("c"))
+    val scalars = counts.agg(
+      sum(col("c")).as("n_total"), count(lit(1)).as("v"))
+    val vocab = vocabCap match {
+      case None => counts
+      case Some(cap) =>
+        // Global top-cap cut: ≤cap rows survive, so the single-partition
+        // window runs over the SORTED-LIMITED prefix, not the full vocab.
+        counts.orderBy(col("c").desc, col("tok")).limit(cap)
+    }
+    (vocab, scalars)
+  }
+
+  /** Integer-scaled ln p(tok) under add-one smoothing; `c` may be the
+    * null of a left-join miss (OOV → c = 0). Mirrored verbatim by
+    * [[oracleTermSql]] — edit both together.
+    */
+  def scaledLogProb(c: Column, nTotal: Column, v: Column): Column =
+    round(log((coalesce(c, lit(0L)) + lit(1.0)) /
+        (nTotal + v + lit(1.0))) * LnScale)
+      .cast(LongType)
+
+  /** DuckDB twin of [[scaledLogProb]]. */
+  def oracleTermSql(c: String, nTotal: String, v: String): String =
+    s"CAST(ROUND(LN((COALESCE($c, 0) + 1.0) / ($nTotal + $v + 1.0)) * $LnScale) AS BIGINT)"
+
+  /** Score: per-doc token count and mean negative log-likelihood (nll,
+    * nats/token — perplexity is exp(nll), monotone in it, so the FILTER
+    * thresholds on nll directly and never computes the transcendental).
+    * Output: (doc_id, n_toks, nll).
+    */
+  def score(scoreDocs: DataFrame, vocab: DataFrame, scalars: DataFrame,
+            minLen: Int = MinTokenLen): DataFrame = {
+    val terms = docTermFreqs(scoreDocs, minLen)
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("doc_id"), col("tf"),
+        scaledLogProb(col("c"), col("n_total"), col("v")).as("lp"))
+    terms.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_toks"),
+        sum(col("tf") * col("lp")).as("sum_lp"))
+      .select(col("doc_id"), col("n_toks"),
+        round((-col("sum_lp")).cast(DoubleType) /
+          (col("n_toks").cast(DoubleType) * LnScale.toDouble), 6).as("nll"))
+  }
+
+  /** Train-on/score-on the same corpus (the registry shape). */
+  def selfScore(docs: DataFrame, minLen: Int = MinTokenLen,
+                vocabCap: Option[Int] = None): DataFrame = {
+    val (vocab, scalars) = train(docs, minLen, vocabCap)
+    score(docs, vocab, scalars, minLen)
+  }
+}

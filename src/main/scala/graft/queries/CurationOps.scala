@@ -30,7 +30,7 @@ object CurationOps {
       x69_pack, x70_decontaminate, x71_tfidf, x73_cluster_assign,
       x74_pipeline, x80_source_mix, x83_chunk, x87_token_budget,
       x88_train_order, x88b_train_order_sized, x90_curation_audit,
-      x92_bm25, x94_hybrid_rrf)
+      x92_bm25, x94_hybrid_rrf, x96_heavy_hitters)
 
   // ---------------------------------------------------------------- x90
   /** Gate thresholds the x90 REGISTRY entry pins (and its oracle replays);
@@ -997,5 +997,45 @@ object CurationOps {
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).cast(LongType).as("total_tokens")))
+  }
+
+  // ---------------------------------------------------------------- x96
+  /** Sketch size for the x96 REGISTRY entry. 64 ≥ the corpus vocabulary at
+    * every verify SF, so the sketch is provably lossless there; the spec
+    * (HeavyHittersSpec) gates the sub-vocabulary regime — the W/(k+1)
+    * undercount bound and candidate-superset property on skewed streams —
+    * that the oracle fixture cannot exercise.
+    */
+  private[graft] val HhSketchK = 64
+  private[graft] val HhTopK = 10
+
+  /** Heavy-hitters: exact top-10 hottest tokens (≥4 chars, lowercased)
+    * via [[graft.operators.HeavyHitters.exactTopK]] — an O(k)-state
+    * Misra–Gries candidate pass + a candidates-only exact recount, instead
+    * of a vocabulary-wide count shuffle. The oracle is the naive full
+    * count's top-10; the two agree whenever the k-th token clears the
+    * sketch's W/(sketchK+1) undercount bound (trivially here — see
+    * [[HhSketchK]]). The hot-token relation this emits is also the salt
+    * list x78-style mitigation wants: heavy hitters ARE the skew keys.
+    */
+  val x96_heavy_hitters: QueryDef = QueryDef(
+    "x96_heavy_hitters",
+    Sql.canon(
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, COUNT(*) AS tf
+         |  FROM (SELECT doc_id,
+         |          UNNEST(string_split_regex(LOWER(text), '\\s+')) AS tok
+         |        FROM documents)
+         |  WHERE LENGTH(tok) >= 4
+         |  GROUP BY doc_id, tok),
+         |c AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY tok),
+         |ranked AS (SELECT tok, cnt,
+         |    ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rn FROM c)
+         |SELECT tok, cnt, CAST(rn AS INT) AS rn
+         |FROM ranked WHERE rn <= $HhTopK""".stripMargin,
+      Seq("tok", "cnt", "rn"))) { (s, d) =>
+    Canon(graft.operators.HeavyHitters.exactTopK(
+      graft.operators.UnigramLm.docTermFreqs(Tables.documents(s, d), minLen = 4),
+      k = HhTopK, sketchK = HhSketchK))
   }
 }

@@ -22,7 +22,7 @@ object TextOps {
     Seq(q31, q32, q34, q34b, x40_minhash_lsh, x41_quality, x44_simhash,
       x45_simhash_neardup, x48_langid, x49_fingerprint, x50_bpe_tokens,
       x81_winnow_fps, x82_shared_spans, x84_dup_components, x85_dedup_resolve,
-      x86_incremental_dedup)
+      x86_incremental_dedup, x95_unigram_lm)
 
   /** Distinct word-trigram shingles, exploded: (doc_id, lang, n_chars, sh).
     * Word n-grams (not character grams) are the dedup unit: on natural text
@@ -573,5 +573,43 @@ object TextOps {
         (col("n_punct").cast(DoubleType) / col("len")).as("punct_ratio"),
         (col("n_space").cast(DoubleType) / col("len")).as("space_ratio"),
         ((col("len") - col("n_space")).cast(DoubleType) / col("n_tok")).as("mean_tok_len")))
+  }
+
+  // ---------------------------------------------------------------- x95
+  /** Unigram-LM perplexity scoring ([[graft.operators.UnigramLm]]) — the
+    * CCNet-style quality filter: train token frequencies on the corpus,
+    * score each doc by mean negative log-likelihood (nats/token).
+    * Registry shape trains and scores on the same `documents` table with
+    * the full (uncapped) vocabulary so the oracle can replay it exactly;
+    * production passes a reference corpus + `vocabCap` (the tail falls
+    * into the OOV path — see the operator scaladoc for the 100 TB story:
+    * train is one map-combined shuffle, score is broadcast-join map-only).
+    * Per-token ln p is integer-scaled (×1e6, BIGINT) so the per-doc sum
+    * is exact in both engines; the formula lives ONCE on each side
+    * ([[graft.operators.UnigramLm.scaledLogProb]] /
+    * [[graft.operators.UnigramLm.oracleTermSql]]).
+    */
+  val x95_unigram_lm: QueryDef = QueryDef(
+    "x95_unigram_lm",
+    Sql.canon(
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, COUNT(*) AS tf
+         |  FROM (SELECT doc_id,
+         |          UNNEST(string_split_regex(LOWER(text), '\\s+')) AS tok
+         |        FROM documents)
+         |  WHERE LENGTH(tok) >= ${graft.operators.UnigramLm.MinTokenLen}
+         |  GROUP BY doc_id, tok),
+         |vocab AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY tok),
+         |scal AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total, COUNT(*) AS v FROM vocab),
+         |terms AS (
+         |  SELECT tf.doc_id, tf.tf,
+         |    ${graft.operators.UnigramLm.oracleTermSql("vocab.c", "scal.n_total", "scal.v")} AS lp
+         |  FROM tf LEFT JOIN vocab ON tf.tok = vocab.tok CROSS JOIN scal)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_toks,
+         |  ROUND(CAST(-SUM(tf * lp) AS DOUBLE) /
+         |        (CAST(SUM(tf) AS DOUBLE) * ${graft.operators.UnigramLm.LnScale}.0), 6) AS nll
+         |FROM terms GROUP BY doc_id""".stripMargin,
+      Seq("doc_id", "n_toks", "nll"))) { (s, d) =>
+    Canon(graft.operators.UnigramLm.selfScore(Tables.documents(s, d)))
   }
 }

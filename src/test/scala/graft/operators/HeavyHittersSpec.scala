@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class HeavyHittersSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Deterministic skewed stream: token t_i (i in 1..100) gets weight
+    * proportional to 1/i-ish via integer decay, shuffled across the frame
+    * by a hash so partition boundaries don't align with token identity.
+    */
+  private def skewedFreqs(parts: Int) = {
+    val rows = (1 to 100).flatMap { i =>
+      val w = math.max(1, 2000 / (i * i)) // 2000, 500, 222, 125, 80, 55, ...
+      // split each token's weight into several rows so partials must merge
+      Seq.fill(4)((s"tok$i", (w / 4).max(1).toLong))
+    }
+    rows.toDF("tok", "tf").repartition(parts, expr("xxhash64(tok, tf)"))
+  }
+
+  private def trueCounts(parts: Int): Map[String, Long] =
+    skewedFreqs(parts).groupBy("tok").agg(sum("tf").as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("MG summary: estimates undercount by at most W/(k+1)") {
+    val k = 16
+    val df = skewedFreqs(8)
+    val truth = trueCounts(8)
+    val w = truth.values.sum
+    val out = df.agg(HeavyHitters.mgSketch(col("tok"), col("tf"), k).as("mg"))
+      .select(col("mg.toks").as("toks"), col("mg.ws").as("ws"))
+      .collect().head
+    val est = out.getSeq[String](0).zip(out.getSeq[Long](1)).toMap
+    assert(est.nonEmpty && est.size <= k)
+    val bound = w.toDouble / (k + 1)
+    est.foreach { case (tok, e) =>
+      val t = truth(tok)
+      assert(e <= t, s"$tok overcounted: $e > $t")
+      assert(t - e <= bound, s"$tok undercounted past W/(k+1): $t - $e > $bound")
+    }
+    // every token heavier than the bound must be present
+    truth.filter(_._2 > bound).keys.foreach { tok =>
+      assert(est.contains(tok), s"heavy token $tok missing from summary")
+    }
+  }
+
+  test("summary guarantee holds across partitionings (merge path)") {
+    for (parts <- Seq(1, 3, 13)) {
+      val k = 16
+      val truth = trueCounts(parts)
+      val w = truth.values.sum
+      val bound = w.toDouble / (k + 1)
+      val out = skewedFreqs(parts)
+        .agg(HeavyHitters.mgSketch(col("tok"), col("tf"), k).as("mg"))
+        .select(col("mg.toks")).as[Seq[String]].collect().head.toSet
+      truth.filter(_._2 > bound).keys.foreach { tok =>
+        assert(out.contains(tok), s"parts=$parts: heavy token $tok missing")
+      }
+    }
+  }
+
+  test("exactTopK on a sub-vocabulary sketch matches the naive full count") {
+    // vocab 100 >> sketchK 32: decay happens, yet the skewed top-4 all
+    // clear W/(sketchK+1) so the recounted result is exactly the truth
+    val df = skewedFreqs(8)
+    val truth = trueCounts(8)
+    val w = truth.values.sum
+    val top4 = truth.toSeq.sortBy { case (t, c) => (-c, t) }.take(4)
+    assert(top4.forall(_._2 > w.toDouble / 33),
+      "fixture must put top-4 above the sketch bound")
+    val got = HeavyHitters.exactTopK(df, k = 4, sketchK = 32)
+      .orderBy("rn").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == top4, s"got $got\nwant $top4")
+  }
+
+  test("zero/negative weights and nulls are ignored") {
+    val df = Seq(("a", 5L), ("b", 0L), ("c", -3L), (null, 9L), ("a", 2L))
+      .toDF("tok", "tf")
+    val out = df.agg(HeavyHitters.mgSketch(col("tok"), col("tf"), 4).as("mg"))
+      .select(col("mg.toks"), col("mg.ws")).collect().head
+    val est = out.getSeq[String](0).zip(out.getSeq[Long](1)).toMap
+    assert(est == Map("a" -> 7L))
+  }
+
+  test("registry entry equals the vocabulary-wide count's top-10 at sf0.001") {
+    val docs = graft.queries.Tables.documents(spark, Sf)
+    val tf = UnigramLm.docTermFreqs(docs, minLen = 4)
+    val naive = tf.groupBy("tok").agg(sum("tf").as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = graft.queries.CurationOps.x96_heavy_hitters.build(spark, Sf)
+      .orderBy("rn").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == naive)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UnigramLmSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("scoring orders documents by model fit: common-token docs beat rare-token docs") {
+    // 9 docs of common tokens, 1 doc of tokens seen once each
+    val common = (1L to 9L).map(i => i -> "alpha beta alpha beta alpha beta")
+    val rare = Seq(10L -> "zeta omega kappa sigma delta gamma")
+    val out = UnigramLm.selfScore(docs(common ++ rare: _*))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val commonNll = out(1L)
+    val rareNll = out(10L)
+    assert(commonNll < rareNll,
+      s"common-token doc should score lower nll: $commonNll vs $rareNll")
+    // all nine common docs identical text -> identical score
+    assert((1L to 9L).map(out).distinct.size == 1)
+  }
+
+  test("OOV tokens score through the c=0 path of the same formula") {
+    val train = docs(1L -> "alpha beta gamma alpha")
+    val (vocab, scalars) = UnigramLm.train(train)
+    // n_total = 4, v = 3; OOV ln p = ln(1 / (4 + 3 + 1))
+    val out = UnigramLm.score(docs(2L -> "unseen unseen"), vocab, scalars)
+      .collect().head
+    val expected = BigDecimal(-math.log(1.0 / 8.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getLong(1) == 2L)
+    assert(math.abs(out.getDouble(2) - expected) < 1e-9,
+      s"OOV nll ${out.getDouble(2)} != $expected")
+  }
+
+  test("in-vocab score matches the add-one formula exactly") {
+    val train = docs(1L -> "alpha beta gamma alpha")
+    val (vocab, scalars) = UnigramLm.train(train)
+    // p(alpha) = (2+1)/(4+3+1); per-token term integer-scaled at 1e6
+    val term = math.round(math.log(3.0 / 8.0) * UnigramLm.LnScale)
+    val expected = BigDecimal(-(term * 3).toDouble / (3.0 * UnigramLm.LnScale))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = UnigramLm.score(docs(2L -> "alpha alpha alpha"), vocab, scalars)
+      .collect().head
+    assert(out.getDouble(2) == expected)
+  }
+
+  test("vocabCap drops only the tail into the OOV path; denominators unchanged") {
+    // alpha x4, beta x2, gamma x1 -> cap=1 keeps alpha only
+    val train = docs(1L -> "alpha alpha alpha alpha beta beta gamma")
+    val (vocabFull, scalarsFull) = UnigramLm.train(train)
+    val (vocabCapped, scalarsCapped) = UnigramLm.train(train, vocabCap = Some(1))
+    assert(vocabCapped.collect().map(_.getString(0)).toSeq == Seq("alpha"))
+    // scalars computed pre-cap: identical
+    assert(scalarsCapped.collect().head.toSeq == scalarsFull.collect().head.toSeq)
+    // alpha-only doc scores identically under both models
+    val probe = docs(2L -> "alpha alpha")
+    val full = UnigramLm.score(probe, vocabFull, scalarsFull).collect().head.getDouble(2)
+    val capped = UnigramLm.score(probe, vocabCapped, scalarsCapped).collect().head.getDouble(2)
+    assert(full == capped)
+    // beta now scores as OOV (c=0) -> strictly worse than under the full model
+    val probeB = docs(3L -> "beta beta")
+    val fullB = UnigramLm.score(probeB, vocabFull, scalarsFull).collect().head.getDouble(2)
+    val cappedB = UnigramLm.score(probeB, vocabCapped, scalarsCapped).collect().head.getDouble(2)
+    assert(cappedB > fullB)
+  }
+
+  test("registry entry scores every sf0.001 document once, finite") {
+    val out = graft.queries.TextOps.x95_unigram_lm
+      .build(spark, Sf)
+    val n = graft.queries.Tables.documents(spark, Sf).count()
+    val rows = out.collect()
+    assert(rows.length == n.toInt)
+    assert(rows.forall(r => !r.isNullAt(2) && r.getDouble(2) > 0.0))
+    // distinct doc_ids (one score per doc)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+}

@@ -309,4 +309,24 @@ class PlanSpec extends SparkSpec {
     }.isDefined))
     assert(pruned, s"no bloom filter below a join:\n${df.queryExecution.optimizedPlan}")
   }
+
+  test("x95: the vocabulary joins back via broadcast (score side stays map-only)") {
+    val (_, plan) = planOf("x95_unigram_lm")
+    // vocab + scalars both broadcast; the only shuffles are the two
+    // map-combined aggregations (vocab build, per-doc sum)
+    assert(plan.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"x95 shuffles a join side:\n$plan")
+    val partials = "HashAggregate\\(keys".r.findAllIn(plan).size
+    assert(partials >= 4, s"x95 aggregations not partial+final:\n$plan")
+  }
+
+  test("x96: the sketch candidates broadcast as a semi-join below the recount") {
+    val (_, plan) = planOf("x96_heavy_hitters")
+    // candidate filter is a broadcast LeftSemi — the exact recount's
+    // exchange then carries candidate tokens only, never the vocabulary
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"candidates not broadcast-semi-joined:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"x96 shuffles a join side:\n$plan")
+  }
 }
