@@ -209,6 +209,25 @@ object Kernels extends Serializable {
     m.asScala.view.mapValues(_.longValue()).toMap
   }
 
+  /** Per-document ADJACENT-pair (bigram) frequency map over whitespace
+    * tokens, keys as "w1 w2". Order-aware — the set-shaped [[tokenCounts]]
+    * cannot express adjacency. Same shuffle-volume contract: distinct
+    * bigrams per doc cross the exchange, never one row per position.
+    * Input should already be lowercased by a Spark `lower` expression.
+    */
+  def bigramCounts(text: String): Map[String, Long] = {
+    if (text == null) return Map.empty
+    val toks = text.split("\\s+")
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    var i = 0
+    while (i < toks.length - 1) {
+      m.merge(toks(i) + " " + toks(i + 1), 1L, (a, b) => a + b)
+      i += 1
+    }
+    import scala.jdk.CollectionConverters._
+    m.asScala.view.mapValues(_.longValue()).toMap
+  }
+
   /** Count of whitespace tokens of length >= `minLen` code points — the
     * BM25 document length, i.e. exactly the total [[tokenCounts]] would
     * sum to, without building the map (the corpus-stats scan of x92 needs

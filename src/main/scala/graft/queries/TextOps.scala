@@ -22,7 +22,7 @@ object TextOps {
     Seq(q31, q32, q34, q34b, x40_minhash_lsh, x41_quality, x44_simhash,
       x45_simhash_neardup, x48_langid, x49_fingerprint, x50_bpe_tokens,
       x81_winnow_fps, x82_shared_spans, x84_dup_components, x85_dedup_resolve,
-      x86_incremental_dedup, x95_unigram_lm)
+      x86_incremental_dedup, x95_unigram_lm, x97_bigram_lm)
 
   /** Distinct word-trigram shingles, exploded: (doc_id, lang, n_chars, sh).
     * Word n-grams (not character grams) are the dedup unit: on natural text
@@ -611,5 +611,51 @@ object TextOps {
          |FROM terms GROUP BY doc_id""".stripMargin,
       Seq("doc_id", "n_toks", "nll"))) { (s, d) =>
     Canon(graft.operators.UnigramLm.selfScore(Tables.documents(s, d)))
+  }
+
+  // ---------------------------------------------------------------- x97
+  /** Interpolated bigram-LM scoring ([[graft.operators.BigramLm]]) — the
+    * order-2 member of the x95 model family (λ·bigram + (1−λ)·unigram,
+    * add-one smoothed, same integer-scaled arithmetic). Registry shape is
+    * uncapped self-train/self-score so the oracle replays it exactly;
+    * production caps the bigram broadcast (`bigramCap`, KenLM-pruning
+    * behavior) and rolls the model side like x95's. Docs with <2 tokens
+    * have no bigram positions and emit no row — both sides agree by
+    * GROUP BY construction.
+    */
+  val x97_bigram_lm: QueryDef = QueryDef(
+    "x97_bigram_lm",
+    Sql.canon(
+      s"""WITH utf AS (
+         |  SELECT doc_id, tok, COUNT(*) AS tf
+         |  FROM (SELECT doc_id,
+         |          UNNEST(string_split_regex(LOWER(text), '\\s+')) AS tok
+         |        FROM documents)
+         |  WHERE LENGTH(tok) >= ${graft.operators.UnigramLm.MinTokenLen}
+         |  GROUP BY doc_id, tok),
+         |uni AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS c FROM utf GROUP BY tok),
+         |scal AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total, COUNT(*) AS v FROM uni),
+         |bi AS (
+         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2, COUNT(*) AS tf
+         |  FROM (
+         |    SELECT doc_id, t,
+         |      UNNEST(generate_series(1, GREATEST(LEN(t) - 1, 0))) AS i
+         |    FROM (SELECT doc_id, string_split_regex(LOWER(text), '\\s+') AS t
+         |          FROM documents))
+         |  GROUP BY doc_id, w1, w2),
+         |bc AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS cb FROM bi GROUP BY w1, w2),
+         |terms AS (
+         |  SELECT bi.doc_id, bi.tf,
+         |    ${graft.operators.BigramLm.oracleTermSql("bc.cb", "u1.c", "u2.c", "scal.n_total", "scal.v")} AS lp
+         |  FROM bi LEFT JOIN bc ON bi.w1 = bc.w1 AND bi.w2 = bc.w2
+         |    LEFT JOIN uni u1 ON bi.w1 = u1.tok
+         |    LEFT JOIN uni u2 ON bi.w2 = u2.tok
+         |    CROSS JOIN scal)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         |  ROUND(CAST(-SUM(tf * lp) AS DOUBLE) /
+         |        (CAST(SUM(tf) AS DOUBLE) * ${graft.operators.UnigramLm.LnScale}.0), 6) AS nll
+         |FROM terms GROUP BY doc_id""".stripMargin,
+      Seq("doc_id", "n_bigrams", "nll"))) { (s, d) =>
+    Canon(graft.operators.BigramLm.selfScore(Tables.documents(s, d)))
   }
 }

@@ -349,6 +349,31 @@ object CurationStreams {
       sink(graft.operators.TextAnalysis.scoreAgainstVocab(batch, vocab))
     }
 
+  // ------------------------------------------ streaming perplexity scoring
+
+  /** Streaming unigram-LM perplexity scoring — x95's streaming twin: each
+    * arriving document is scored against a FROZEN model (the
+    * (vocab, scalars) pair from [[graft.operators.UnigramLm.train]] over a
+    * reference corpus) with the exact batch plan
+    * ([[graft.operators.UnigramLm.score]]) per micro-batch via
+    * `foreachBatch` — the x82/x70 contract: model side broadcast and
+    * bounded (`vocabCap` at scale), per-batch work batch-sized, no
+    * cross-batch state, no watermark. Scoring a corpus against the model
+    * trained on that same corpus is bit-identical to batch x95 — the spec
+    * asserts exactly that. Restart the query with a freshly trained side
+    * to roll the model (CCNet-style periodic retrain).
+    *
+    * `sink` receives each micro-batch's (doc_id, n_toks, nll) rows —
+    * x95's exact schema. Returns the un-started writer so the caller
+    * picks trigger/checkpoint.
+    */
+  def perplexityScore(docs: DataFrame, vocab: DataFrame, scalars: DataFrame,
+                      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.operators.UnigramLm.score(batch, vocab, scalars))
+    }
+
   // ------------------------------------------- streaming incremental dedup
 
   final case class HashArrival(doc_id: Long, ts: java.sql.Timestamp,

@@ -321,6 +321,13 @@ class PlanSpec extends SparkSpec {
     assert(partials >= 4, s"x95 aggregations not partial+final:\n$plan")
   }
 
+  test("x97: bigram + both unigram sides broadcast (score side stays map-only)") {
+    val (_, plan) = planOf("x97_bigram_lm")
+    assert(plan.contains("BroadcastHashJoin"), s"model sides not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"x97 shuffles a join side:\n$plan")
+  }
+
   test("x96: the sketch candidates broadcast as a semi-join below the recount") {
     val (_, plan) = planOf("x96_heavy_hitters")
     // candidate filter is a broadcast LeftSemi — the exact recount's

@@ -345,6 +345,42 @@ class CurationStreamsSpec extends SparkSpec {
     assert(last == batch, s"stream $last != batch $batch")
   }
 
+  test("streaming perplexity scoring equals batch x95 against the same frozen model") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.UnigramLm
+    // model frozen from the full documents corpus, the same corpus
+    // streamed through in two micro-batches — per-doc (n_toks, nll) must
+    // be bit-identical to the batch x95 relation (same integer-scaled
+    // arithmetic, same broadcast join)
+    val documents = graft.queries.Tables.documents(spark, Sf)
+    val (vocab, scalars) = UnigramLm.train(documents)
+    val vocabC = vocab.cache(); vocabC.count()
+    val scalarsC = scalars.cache(); scalarsC.count()
+    val corpus = documents.select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (a, b) = corpus.splitAt(corpus.length / 2)
+    val collected = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val mem = MemoryStream[(Long, String)]
+    val q = CurationStreams.perplexityScore(
+        mem.toDF().toDF("doc_id", "text"), vocabC, scalarsC,
+        sink = r => collected ++= r.as[(Long, Long, Double)].collect())
+      .start()
+    try {
+      mem.addData(a.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b.toIndexedSeq); q.processAllAvailable()
+      val stateOps = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+      assert(stateOps.isEmpty || stateOps.forall(_.numRowsTotal == 0L),
+        s"perplexity scoring must be stateless: ${stateOps.mkString(",")}")
+    } finally q.stop()
+    val batch = graft.SparkEntry.queries("x95_unigram_lm")(spark, Sf)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(collected.nonEmpty && collected.toSet == batch,
+      s"stream-only: ${collected.toSet -- batch take 5}; " +
+        s"batch-only: ${batch -- collected.toSet take 5}")
+    vocabC.unpersist(); scalarsC.unpersist()
+  }
+
   test("streaming shared-span scoring equals batch x82 against the same frozen vocabulary") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
