@@ -30,7 +30,7 @@ object CurationOps {
       x69_pack, x70_decontaminate, x71_tfidf, x73_cluster_assign,
       x74_pipeline, x80_source_mix, x83_chunk, x87_token_budget,
       x88_train_order, x88b_train_order_sized, x90_curation_audit,
-      x92_bm25, x94_hybrid_rrf, x96_heavy_hitters)
+      x92_bm25, x94_hybrid_rrf, x96_heavy_hitters, x98_source_kl)
 
   // ---------------------------------------------------------------- x90
   /** Gate thresholds the x90 REGISTRY entry pins (and its oracle replays);
@@ -1037,5 +1037,46 @@ object CurationOps {
     Canon(graft.operators.HeavyHitters.exactTopK(
       graft.operators.UnigramLm.docTermFreqs(Tables.documents(s, d), minLen = 4),
       k = HhTopK, sketchK = HhSketchK))
+  }
+
+  // ---------------------------------------------------------------- x98
+  /** Per-source token-distribution drift
+    * ([[graft.operators.DistributionDrift]]): KL(P_source ‖ P_corpus)
+    * over add-one-smoothed distributions CLOSED over the corpus
+    * vocabulary (both sum to exactly 1, so kl ≥ 0 is a theorem) — the
+    * data-mixing diagnostic behind x80's mixing knobs: which source looks
+    * least like the blend. Integer-scaled ln terms (x95's device) make
+    * the weighted sum exact in both engines; only corpus-sized shuffle is
+    * the (source, token) map-combined aggregation.
+    */
+  val x98_source_kl: QueryDef = QueryDef(
+    "x98_source_kl",
+    Sql.canon(
+      s"""WITH tf AS (
+         |  SELECT source AS slice, tok, COUNT(*) AS cs
+         |  FROM (SELECT source,
+         |          UNNEST(string_split_regex(LOWER(text), '\\s+')) AS tok
+         |        FROM documents)
+         |  WHERE LENGTH(tok) >= ${graft.operators.UnigramLm.MinTokenLen}
+         |  GROUP BY source, tok),
+         |vocab AS (SELECT tok, CAST(SUM(cs) AS BIGINT) AS c FROM tf GROUP BY tok),
+         |scal AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total, COUNT(*) AS v FROM vocab),
+         |st AS (SELECT slice, CAST(SUM(cs) AS BIGINT) AS ns FROM tf GROUP BY slice),
+         |terms AS (
+         |  SELECT g.slice, g.ns, scal.v,
+         |    COALESCE(tf.cs, 0) + 1 AS w,
+         |    ${graft.operators.DistributionDrift.oracleTermSql("tf.cs", "g.ns", "g.c", "scal.n_total", "scal.v")} AS lp
+         |  FROM (SELECT st.slice, st.ns, vocab.tok, vocab.c
+         |        FROM st CROSS JOIN vocab) g
+         |  LEFT JOIN tf ON g.slice = tf.slice AND g.tok = tf.tok
+         |  CROSS JOIN scal)
+         |SELECT slice AS source, CAST(MAX(ns) AS BIGINT) AS n_toks,
+         |  ROUND(CAST(SUM(w * lp) AS DOUBLE) /
+         |        (CAST(MAX(ns) + MAX(v) AS DOUBLE) * ${graft.operators.UnigramLm.LnScale}.0), 6) AS kl
+         |FROM terms GROUP BY slice""".stripMargin,
+      Seq("source", "n_toks", "kl"))) { (s, d) =>
+    Canon(graft.operators.DistributionDrift
+      .sourceKl(Tables.documents(s, d), sliceCol = "source")
+      .withColumnRenamed("slice", "source"))
   }
 }

@@ -67,7 +67,13 @@ object ScaleProbe {
     // tokenize/stats scans (~F). x94 adds the corpus-sized dense ranking
     // (~F) and the bounded fusion (constant). x93: count + train sample +
     // encode + ADC are all ~F scans; the rerank is shortlist-bounded
-    "x92_bm25", "x94_hybrid_rrf", "x93_ann_pq")
+    "x92_bm25", "x94_hybrid_rrf", "x93_ann_pq",
+    // x95/x97/x98: the LM-scoring family — train is a map-combined token
+    // (resp. bigram / per-source-token) aggregation, score is
+    // broadcast-join map-only, so wall should track the corpus scan ~F;
+    // the replica-scaled corpus multiplies counts uniformly, leaving the
+    // model's probability SHAPE unchanged
+    "x95_unigram_lm", "x97_bigram_lm", "x98_source_kl")
 
   def generate(spark: SparkSession, baseSf: String, outDir: String,
                factor: Int): Unit = {
