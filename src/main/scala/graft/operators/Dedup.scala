@@ -445,4 +445,43 @@ object Dedup {
           .when(col("doc_id") =!= col("keeper"), lit("dup_in_batch"))
           .otherwise(lit("kept")).as("status"))
   }
+
+  /** Exact substring-duplication audit (the exhaustive counterpart of
+    * x81/x82's SAMPLED winnowing fingerprints — Lee et al. 2022's
+    * "deduplicate training data at the substring level" signal): per doc,
+    * the fraction of character-`k`-gram positions whose gram occurs in at
+    * least [[minDocs]] DISTINCT documents (the cross-doc variant;
+    * within-doc repeats alone do not qualify). Output:
+    * (doc_id, total_pos, dup_pos, dup_frac) for every doc with ≥1
+    * position (length ≥ k); dup_frac is one exact integer division.
+    *
+    * Cost honesty: exhaustive substring audit is O(total chars) rows
+    * through TWO gram-keyed shuffles (per-doc-distinct grams → corpus
+    * counts; join back) + one doc-keyed sum — the same asymptotic bill a
+    * suffix-array pipeline pays, expressed as three map-combined
+    * exchanges Spark can spill. The kernel collapses positions to
+    * distinct-grams-per-doc BEFORE the first exchange; see
+    * [[Kernels.charGramCounts]] for the 100 TB hash-keyed variant.
+    */
+  def dupGramFraction(docs: DataFrame, k: Int = 40, minDocs: Int = 2,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val gramsU = udf((t: String) => Kernels.charGramCounts(t, k))
+    val g = docs.select(col(idCol).as("doc_id"),
+      explode(gramsU(col(textCol))).as(Seq("gram", "pc")))
+    // g is per-(doc, gram), so count(*) counts DISTINCT docs per gram
+    val dup = g.groupBy(col("gram")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("gram"))
+    val dupPos = g.join(dup, Seq("gram"))
+      .groupBy(col("doc_id")).agg(sum(col("pc")).as("dup_pos"))
+    docs.filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("doc_id"),
+        (length(col(textCol)).cast(org.apache.spark.sql.types.LongType) - (k - 1))
+          .as("total_pos"))
+      .join(dupPos, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_pos"),
+        coalesce(col("dup_pos"), lit(0L)).as("dup_pos"),
+        (coalesce(col("dup_pos"), lit(0L))
+          .cast(org.apache.spark.sql.types.DoubleType) / col("total_pos"))
+          .as("dup_frac"))
+  }
 }

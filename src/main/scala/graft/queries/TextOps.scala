@@ -22,7 +22,7 @@ object TextOps {
     Seq(q31, q32, q34, q34b, x40_minhash_lsh, x41_quality, x44_simhash,
       x45_simhash_neardup, x48_langid, x49_fingerprint, x50_bpe_tokens,
       x81_winnow_fps, x82_shared_spans, x84_dup_components, x85_dedup_resolve,
-      x86_incremental_dedup, x95_unigram_lm, x97_bigram_lm)
+      x86_incremental_dedup, x95_unigram_lm, x97_bigram_lm, x99_dupgrams)
 
   /** Distinct word-trigram shingles, exploded: (doc_id, lang, n_chars, sh).
     * Word n-grams (not character grams) are the dedup unit: on natural text
@@ -657,5 +657,41 @@ object TextOps {
          |FROM terms GROUP BY doc_id""".stripMargin,
       Seq("doc_id", "n_bigrams", "nll"))) { (s, d) =>
     Canon(graft.operators.BigramLm.selfScore(Tables.documents(s, d)))
+  }
+
+  // ---------------------------------------------------------------- x99
+  /** Gram width the x99 REGISTRY entry pins (production passes its own —
+    * Lee et al. use 50 BPE tokens; 40 chars flags the planted near-dups
+    * at every verify SF without saturating on common phrases).
+    */
+  private[graft] val DupGramK = 40
+
+  /** Exact substring-duplication audit
+    * ([[graft.operators.Dedup.dupGramFraction]]) — per doc, the fraction
+    * of character-40-gram positions whose gram appears in ≥2 distinct
+    * docs: the exhaustive counterpart of x81/x82's sampled winnowing and
+    * the per-doc signal substring-level dedup cuts on. dup_frac is one
+    * exact integer division (no rounding protocol needed).
+    */
+  val x99_dupgrams: QueryDef = QueryDef(
+    "x99_dupgrams",
+    Sql.canon(
+      s"""WITH g AS (
+         |  SELECT doc_id, SUBSTR(text, i, $DupGramK) AS gram, COUNT(*) AS pc
+         |  FROM (SELECT doc_id, text,
+         |          UNNEST(generate_series(1, LENGTH(text) - ${DupGramK - 1})) AS i
+         |        FROM documents WHERE LENGTH(text) >= $DupGramK)
+         |  GROUP BY doc_id, gram),
+         |d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+         |dp AS (SELECT g.doc_id, CAST(SUM(g.pc) AS BIGINT) AS dup_pos
+         |       FROM g JOIN d ON g.gram = d.gram GROUP BY g.doc_id)
+         |SELECT doc_id, CAST(LENGTH(text) - ${DupGramK - 1} AS BIGINT) AS total_pos,
+         |  COALESCE(dp.dup_pos, 0) AS dup_pos,
+         |  CAST(COALESCE(dp.dup_pos, 0) AS DOUBLE) /
+         |    (LENGTH(text) - ${DupGramK - 1}) AS dup_frac
+         |FROM documents LEFT JOIN dp USING (doc_id)
+         |WHERE LENGTH(text) >= $DupGramK""".stripMargin,
+      Seq("doc_id", "total_pos", "dup_pos", "dup_frac"))) { (s, d) =>
+    Canon(graft.operators.Dedup.dupGramFraction(Tables.documents(s, d), DupGramK))
   }
 }

@@ -219,4 +219,30 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
     assert(got == Map(1L -> "kept", 2L -> "dup_in_batch"))
   }
+
+  test("dupGramFraction: exact duplicates saturate, unrelated docs score zero") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different text with no overlap at all here")).toDF("doc_id", "text")
+    val got = Dedup.dupGramFraction(d, k = 40)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) == 1.0 && got(2L) == 1.0 && got(3L) == 0.0, got.toString)
+  }
+
+  test("dupGramFraction: a shared k-window marks exactly its positions") {
+    // docs share exactly one 5-char window "abcde" (1 position each);
+    // doc 1 has 6 positions total, doc 2 has 5
+    val d = Seq((1L, "abcdefghij"), (2L, "zzabcdezz")).toDF("doc_id", "text")
+    val got = Dedup.dupGramFraction(d, k = 5)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((6L, 1L)) && got(2L) == ((5L, 1L)), got.toString)
+  }
+
+  test("dupGramFraction: within-doc repeats alone do not qualify; short docs drop") {
+    val d = Seq((1L, "aaaaaaaaaa"), (2L, "bc")).toDF("doc_id", "text")
+    val got = Dedup.dupGramFraction(d, k = 3).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L), got.mkString(","))
+    assert(got.head.getLong(2) == 0L) // "aaa" repeats only within doc 1
+  }
 }
