@@ -138,6 +138,22 @@ object HeavyHitters {
   def mgSketch(tok: Column, w: Column, k: Int): Column =
     udaf(new Agg(k)).apply(tok, w)
 
+  /** Driver-side merge of two ≤k summaries under the same rule the
+    * Aggregator's merge applies (sum, then decay by the (k+1)-th largest)
+    * — the cross-micro-batch combiner for the streaming twin. O(k) work,
+    * O(k) result; bounds still add to ≤ W_total/(k+1) by mergeability.
+    */
+  def mergeSummaries(a: Map[String, Long], b: Map[String, Long],
+                     k: Int): Map[String, Long] = {
+    val combined = (a.keySet ++ b.keySet).iterator
+      .map(t => t -> (a.getOrElse(t, 0L) + b.getOrElse(t, 0L))).toMap
+    if (combined.size <= k) combined
+    else {
+      val d = combined.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      combined.collect { case (t, w) if w - d > 0 => t -> (w - d) }
+    }
+  }
+
   /** Exact top-`k` tokens by total weight from a (tok, w) relation,
     * discovered via a size-`sketchK` MG sketch and recounted exactly.
     * Deterministic tiebreak (weight desc, tok asc). Output:

@@ -349,6 +349,49 @@ object CurationStreams {
       sink(graft.operators.TextAnalysis.scoreAgainstVocab(batch, vocab))
     }
 
+  // --------------------------------------------- streaming heavy hitters
+
+  /** Streaming heavy-hitters — x96's streaming twin: each micro-batch
+    * folds into its own ≤k Misra–Gries summary (one distributed aggregate,
+    * O(k) state per task), and the batch summaries merge into a running
+    * session summary under the same mergeable-summaries rule
+    * ([[graft.operators.HeavyHitters.mergeSummaries]]), so the undercount
+    * bound stays ≤ W_seen/(k+1) over EVERYTHING the stream has carried —
+    * the one cross-batch datum is the O(k) summary itself, which is why a
+    * sketch (and not the exact count) is the streamable form of this
+    * query at all.
+    *
+    * The running summary lives in driver memory for the query's lifetime
+    * (k entries — bytes, not state-store state) and is NOT checkpointed:
+    * on restart the sketch restarts empty, which under-reports history
+    * but never fabricates counts (the conservative failure mode for a
+    * skew monitor). A deployment that needs restart continuity persists
+    * `sink`'s output and seeds the next query with it via `seed`.
+    *
+    * `sink` receives the merged summary after every micro-batch.
+    * Returns the un-started writer so the caller picks trigger/checkpoint.
+    */
+  def heavyHitters(rows: DataFrame, k: Int,
+                   sink: Map[String, Long] => Unit,
+                   seed: Map[String, Long] = Map.empty)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.HeavyHitters
+    val state = new java.util.concurrent.atomic.AtomicReference(seed)
+    rows.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val out = batch
+        .agg(HeavyHitters.mgSketch(col("tok"), col("tf"), k).as("mg"))
+        .select(col("mg.toks"), col("mg.ws"))
+        .collect().headOption
+      val batchSummary = out match {
+        case Some(r) if !r.isNullAt(0) =>
+          r.getSeq[String](0).zip(r.getSeq[Long](1)).toMap
+        case _ => Map.empty[String, Long]
+      }
+      sink(state.updateAndGet(s =>
+        HeavyHitters.mergeSummaries(s, batchSummary, k)))
+    }
+  }
+
   // ------------------------------------------ streaming perplexity scoring
 
   /** Streaming unigram-LM perplexity scoring — x95's streaming twin: each

@@ -76,6 +76,17 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got == top4, s"got $got\nwant $top4")
   }
 
+  test("mergeSummaries: sums, decays by the (k+1)-th largest, keeps <= k") {
+    val a = Map("a" -> 10L, "b" -> 6L, "c" -> 3L)
+    val b = Map("b" -> 4L, "d" -> 5L, "e" -> 2L)
+    // combined: a=10 b=10 d=5 c=3 e=2; k=3 -> d(4th largest)=3
+    val got = HeavyHitters.mergeSummaries(a, b, k = 3)
+    assert(got == Map("a" -> 7L, "b" -> 7L, "d" -> 2L), got.toString)
+    // no decay needed when the union fits
+    assert(HeavyHitters.mergeSummaries(Map("a" -> 1L), Map("b" -> 1L), 3) ==
+      Map("a" -> 1L, "b" -> 1L))
+  }
+
   test("zero/negative weights and nulls are ignored") {
     val df = Seq(("a", 5L), ("b", 0L), ("c", -3L), (null, 9L), ("a", 2L))
       .toDF("tok", "tf")

@@ -345,6 +345,37 @@ class CurationStreamsSpec extends SparkSpec {
     assert(last == batch, s"stream $last != batch $batch")
   }
 
+  test("streaming heavy hitters: the cross-batch summary honors the W/(k+1) bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // skewed stream: tok_i gets weight max(1, 500/i), split over 3 batches
+    val rows = (1 to 60).flatMap { i =>
+      Seq.fill(3)((s"tok$i", math.max(1L, 500L / i)))
+    }
+    val truth = rows.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+    val w = truth.values.sum
+    val k = 12
+    val bound = w.toDouble / (k + 1)
+    var last = Map.empty[String, Long]
+    val mem = MemoryStream[(String, Long)]
+    val q = CurationStreams.heavyHitters(
+        mem.toDF().toDF("tok", "tf"), k, sink = s => last = s)
+      .start()
+    try {
+      rows.grouped(rows.length / 3 + 1).foreach { b =>
+        mem.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(last.nonEmpty && last.size <= k)
+    last.foreach { case (t, e) =>
+      assert(e <= truth(t), s"$t overcounted: $e > ${truth(t)}")
+      assert(truth(t) - e <= bound, s"$t past the bound: ${truth(t)} - $e > $bound")
+    }
+    truth.filter(_._2 > bound).keys.foreach { t =>
+      assert(last.contains(t), s"heavy token $t missing after 3 batches")
+    }
+  }
+
   test("streaming perplexity scoring equals batch x95 against the same frozen model") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
