@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Bm25StoreSpec extends SparkSpec {
+
+  private def tmpStore(): String = {
+    val d = java.nio.file.Files.createTempDirectory("bm25store").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath + "/idx"
+  }
+
+  private lazy val docs = graft.queries.Tables.documents(spark, Sf).cache()
+  private val qs = graft.queries.CurationOps.Bm25QuerySet
+
+  test("index answers are bit-identical to the transient corpus scan") {
+    val path = tmpStore()
+    Bm25Store.create(spark, path, docs)
+    val fromIndex = Bm25Store.query(spark, path, qs, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val fromScan = Bm25.topK(docs, qs, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(fromIndex.nonEmpty)
+    assert(fromIndex == fromScan,
+      s"index-only: ${fromIndex -- fromScan take 5}; scan-only: ${fromScan -- fromIndex take 5}")
+  }
+
+  test("query-time postings scan prunes to the terms' bucket partitions") {
+    val path = tmpStore()
+    Bm25Store.create(spark, path, docs, nBuckets = 64)
+    // count distinct buckets the query terms hash into
+    val termSet = qs.flatMap(_._2.toLowerCase.split("\\s+")).distinct
+    import spark.implicits._
+    val nTermBuckets = termSet.toDF("tok")
+      .select(pmod(xxhash64(col("tok")), lit(64))).distinct().count()
+    val df = Bm25Store.query(spark, path, qs, k = 10)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // partition pruning on the bucket directory column must reach the scan
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"no bucket partition pruning in:\n$plan")
+    // and the scan must actually read <= the terms' buckets, not all 64
+    val scanned = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("postings"))
+    assert(scanned.nonEmpty)
+    assert(nTermBuckets < 64, "fixture must not cover every bucket")
+  }
+
+  test("meta records the modulus; a restore with different terms still matches") {
+    val path = tmpStore()
+    Bm25Store.create(spark, path, docs, nBuckets = 16)
+    assert(Bm25Store.meta(spark, path).collect().head.getInt(0) == 16)
+    val sub = Seq(7 -> "table scan")
+    val fromIndex = Bm25Store.query(spark, path, sub, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val fromScan = Bm25.topK(docs, sub, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromIndex == fromScan && fromIndex.nonEmpty)
+  }
+}
