@@ -68,6 +68,43 @@ object DistributionDrift {
     val tf = sliceTokenCounts(docs, sliceCol, minLen)
     val vocab = tf.groupBy(col("tok")).agg(sum(col("cs")).as("c"))
     val scalars = vocab.agg(sum(col("c")).as("n_total"), count(lit(1)).as("v"))
+    klCore(tf, vocab, scalars)
+      .select(col("slice"), col("n_toks"), col("kl"))
+  }
+
+  /** Drift of incoming slices against a FROZEN reference distribution
+    * (the [[UnigramLm.train]] output over a reference corpus) — the
+    * monitoring form: KL is measured over the REFERENCE vocabulary
+    * (incoming tokens outside it carry no ps mass — the distribution
+    * stays closed and kl ≥ 0 holds), and the discarded mass reports as
+    * `oov_rate` (new-token influx is itself a drift signal, surfaced
+    * instead of silently folded in). Self-reference identity:
+    * against a model trained on the same docs, kl equals [[sourceKl]]
+    * exactly and oov_rate is 0 — the spec asserts both.
+    * Output: (slice, n_toks, kl, oov_rate); n_toks counts IN-VOCABULARY
+    * tokens. A slice with zero in-vocabulary tokens has no closed
+    * distribution to compare and emits no row (its influx is 100% OOV —
+    * an upstream gate on raw token counts catches that regime).
+    */
+  def klAgainstReference(docs: DataFrame, vocab: DataFrame, scalars: DataFrame,
+                         sliceCol: String = "source",
+                         minLen: Int = UnigramLm.MinTokenLen): DataFrame = {
+    val tfAll = sliceTokenCounts(docs, sliceCol, minLen)
+    val allTotals = tfAll.groupBy(col("slice")).agg(sum(col("cs")).as("n_all"))
+    val tf = tfAll.join(broadcast(vocab.select(col("tok"))), Seq("tok"), "left_semi")
+    klCore(tf, vocab, scalars)
+      .join(broadcast(allTotals), Seq("slice"))
+      .select(col("slice"), col("n_toks"), col("kl"),
+        ((col("n_all") - col("n_toks")).cast(DoubleType) / col("n_all"))
+          .as("oov_rate"))
+  }
+
+  /** Shared KL machinery: `tf` must already be restricted to `vocab`'s
+    * tokens; slice totals are computed from it (so the measure closes
+    * over the vocabulary grid).
+    */
+  private def klCore(tf: DataFrame, vocab: DataFrame,
+                     scalars: DataFrame): DataFrame = {
     val totals = tf.groupBy(col("slice")).agg(sum(col("cs")).as("ns"))
     // grid: V (distributed) × slices (broadcast) — no shuffle
     val grid = vocab.crossJoin(broadcast(totals))

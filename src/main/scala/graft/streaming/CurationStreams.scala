@@ -349,6 +349,31 @@ object CurationStreams {
       sink(graft.operators.TextAnalysis.scoreAgainstVocab(batch, vocab))
     }
 
+  // ---------------------------------------------- streaming drift monitor
+
+  /** Streaming distribution-drift monitor — x98's streaming twin: each
+    * micro-batch's per-slice token distribution is scored against a
+    * FROZEN reference model (the [[graft.operators.UnigramLm.train]]
+    * output over the reference corpus) via
+    * [[graft.operators.DistributionDrift.klAgainstReference]] — the
+    * ingest-anomaly use drift actually has: "did this hour's crawl of
+    * source S stop looking like the corpus". Same frozen-side contract
+    * as [[perplexityScore]]: model broadcast and bounded, per-batch work
+    * batch-sized, no cross-batch state; kl closes over the reference
+    * vocabulary and the discarded influx reports as `oov_rate`.
+    *
+    * `sink` receives each micro-batch's (slice, n_toks, kl, oov_rate)
+    * rows. Returns the un-started writer so the caller picks
+    * trigger/checkpoint.
+    */
+  def driftMonitor(docs: DataFrame, vocab: DataFrame, scalars: DataFrame,
+                   sink: DataFrame => Unit, sliceCol: String = "source")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.operators.DistributionDrift
+        .klAgainstReference(batch, vocab, scalars, sliceCol))
+    }
+
   // --------------------------------------------- streaming heavy hitters
 
   /** Streaming heavy-hitters — x96's streaming twin: each micro-batch

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class DistributionDriftSpec extends SparkSpec {
 
@@ -44,6 +45,38 @@ class DistributionDriftSpec extends SparkSpec {
           (5.0 * UnigramLm.LnScale))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(out("a") == expA, s"${out("a")} != $expA")
+  }
+
+  test("klAgainstReference: self-reference reproduces sourceKl with zero OOV") {
+    val d = graft.queries.Tables.documents(spark, Sf)
+    val tf = DistributionDrift.sliceTokenCounts(d, "source")
+    val vocab = tf.groupBy("tok").agg(sum("cs").as("c"))
+    val scalars = vocab.agg(sum("c").as("n_total"), count(lit(1)).as("v"))
+    val self = DistributionDrift.klAgainstReference(d, vocab, scalars)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val batch = DistributionDrift.sourceKl(d)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(self.keySet == batch.keySet)
+    self.foreach { case (s, (n, kl, oov)) =>
+      assert((n, kl) == batch(s), s"$s: ($n,$kl) != ${batch(s)}")
+      assert(oov == 0.0, s"$s: self-reference oov_rate $oov != 0")
+    }
+  }
+
+  test("klAgainstReference: out-of-vocabulary influx reports as oov_rate") {
+    val ref = docs((1L, "a", "alpha beta alpha beta"))
+    val (vocab, scalars) = {
+      val tf = DistributionDrift.sliceTokenCounts(ref, "source")
+      val v = tf.groupBy("tok").agg(sum("cs").as("c"))
+      (v, v.agg(sum("c").as("n_total"), count(lit(1)).as("v")))
+    }
+    // incoming batch: half its tokens are new
+    val out = DistributionDrift.klAgainstReference(
+        docs((2L, "a", "alpha beta newtok newtok")), vocab, scalars)
+      .collect().head
+    assert(out.getLong(1) == 2L)      // in-vocab tokens only
+    assert(out.getDouble(3) == 0.5)   // 2 of 4 tokens unseen
+    assert(out.getDouble(2) >= 0.0)
   }
 
   test("registry entry: one non-negative row per source at sf0.001") {

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{count, lit, sum}
 import graft.SparkSpec
 
 class CurationStreamsSpec extends SparkSpec {
@@ -343,6 +344,41 @@ class CurationStreamsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("component"))
       .toMap
     assert(last == batch, s"stream $last != batch $batch")
+  }
+
+  test("streaming drift monitor equals batch x98 against the self-trained reference") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.DistributionDrift
+    val documents = graft.queries.Tables.documents(spark, Sf)
+    val tfRef = DistributionDrift.sliceTokenCounts(documents, "source")
+    val vocab = tfRef.groupBy("tok").agg(sum("cs").as("c")).cache()
+    val scalars = vocab.agg(sum("c").as("n_total"), count(lit(1)).as("v")).cache()
+    vocab.count(); scalars.count()
+    val corpus = documents.select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    var collected = Seq.empty[(String, Long, Double, Double)]
+    val mem = MemoryStream[(Long, String, String)]
+    val q = CurationStreams.driftMonitor(
+        mem.toDF().toDF("doc_id", "source", "text"), vocab, scalars,
+        sink = r => collected = r.as[(String, Long, Double, Double)].collect().toSeq)
+      .start()
+    try {
+      // ONE batch carrying the whole corpus: per-slice distributions then
+      // equal the batch x98 fixture exactly (drift of the corpus against
+      // its own model is zero only per-construction when slices == corpus;
+      // here slices are sources, so kl matches sourceKl per source)
+      mem.addData(corpus.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.SparkEntry.queries("x98_source_kl")(spark, Sf)
+      .as[(String, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(collected.nonEmpty && collected.size == batch.size)
+    collected.foreach { case (s, n, kl, oov) =>
+      assert(batch(s) == ((n, kl)), s"$s: stream ($n,$kl) != batch ${batch(s)}")
+      assert(oov == 0.0)
+    }
+    vocab.unpersist(); scalars.unpersist()
   }
 
   test("streaming heavy hitters: the cross-batch summary honors the W/(k+1) bound") {
