@@ -22,7 +22,8 @@ object TextOps {
     Seq(q31, q32, q34, q34b, x40_minhash_lsh, x41_quality, x44_simhash,
       x45_simhash_neardup, x48_langid, x49_fingerprint, x50_bpe_tokens,
       x81_winnow_fps, x82_shared_spans, x84_dup_components, x85_dedup_resolve,
-      x86_incremental_dedup, x95_unigram_lm, x97_bigram_lm, x99_dupgrams)
+      x86_incremental_dedup, x95_unigram_lm, x97_bigram_lm, x99_dupgrams,
+      x100_best_keeper)
 
   /** Distinct word-trigram shingles, exploded: (doc_id, lang, n_chars, sh).
     * Word n-grams (not character grams) are the dedup unit: on natural text
@@ -693,5 +694,50 @@ object TextOps {
          |WHERE LENGTH(text) >= $DupGramK""".stripMargin,
       Seq("doc_id", "total_pos", "dup_pos", "dup_frac"))) { (s, d) =>
     Canon(graft.operators.Dedup.dupGramFraction(Tables.documents(s, d), DupGramK))
+  }
+
+  // ---------------------------------------------------------------- x100
+  /** Quality-aware keeper selection — the resolution POLICY layer over
+    * x84's components: production dedup keeps the BEST member of each dup
+    * cluster, not the first-seen (x85's min-id contract is the
+    * id-stability policy; this is the content-quality one — here "best" =
+    * longest doc, ties to min doc_id, a deterministic stand-in for any
+    * quality scalar like x95's nll or x41's ratios: swap the struct
+    * fields to swap the policy). One row per component:
+    * (component, keeper, keeper_n_chars, n_members).
+    *
+    * Plan: the components relation is dup-clusters-sized, so it
+    * BROADCASTS into the corpus scan (one join, no corpus shuffle); the
+    * per-component argmax is a map-combined `min(struct(-quality, id))`
+    * aggregation — no window, no per-component sort. The oracle replays
+    * components with x84's recursive-CTE chain and the argmax with a
+    * rank window over the joined relation.
+    */
+  val x100_best_keeper: QueryDef = QueryDef(
+    "x100_best_keeper",
+    Sql.canon(
+      s"""$DupComponentsCtes,
+         |sel AS (
+         |  SELECT comp.component, d.doc_id, d.n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY comp.component
+         |      ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY comp.component) AS n_members
+         |  FROM comp JOIN documents d USING (doc_id))
+         |SELECT component, doc_id AS keeper,
+         |  CAST(n_chars AS BIGINT) AS keeper_n_chars,
+         |  CAST(n_members AS BIGINT) AS n_members
+         |FROM sel WHERE rn = 1""".stripMargin,
+      Seq("component", "keeper", "keeper_n_chars", "n_members"))) { (s, d) =>
+    val comp = graft.operators.Components
+      .connectedComponents(verifiedPairs(s, d))
+      .select(col("node").as("doc_id"), col("component"))
+    val joined = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      .join(broadcast(comp), "doc_id")
+    Canon(joined
+      .groupBy(col("component"))
+      .agg(min(struct((-col("n_chars")).as("negq"), col("doc_id").as("d"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"), col("m.d").as("keeper"),
+        (-col("m.negq")).as("keeper_n_chars"), col("n_members")))
   }
 }

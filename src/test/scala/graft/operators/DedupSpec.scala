@@ -239,6 +239,24 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) == ((6L, 1L)) && got(2L) == ((5L, 1L)), got.toString)
   }
 
+  test("x100: the keeper is each cluster's longest member, ties to min doc id") {
+    val membership = graft.SparkEntry.queries("x84_dup_components")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val lens = graft.queries.Tables.documents(spark, Sf)
+      .select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = membership.groupBy(_._2).map { case (comp, ms) =>
+      val members = ms.map(_._1)
+      val keeper = members.minBy(d => (-lens(d), d))
+      comp -> ((keeper, lens(keeper), members.length.toLong))
+    }
+    val got = graft.SparkEntry.queries("x100_best_keeper")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(naive.nonEmpty && got == naive,
+      s"got ${got.toSeq.sortBy(_._1)}\nwant ${naive.toSeq.sortBy(_._1)}")
+  }
+
   test("dupGramFraction: within-doc repeats alone do not qualify; short docs drop") {
     val d = Seq((1L, "aaaaaaaaaa"), (2L, "bc")).toDF("doc_id", "text")
     val got = Dedup.dupGramFraction(d, k = 3).collect()
