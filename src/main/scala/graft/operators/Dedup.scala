@@ -460,31 +460,50 @@ object Dedup {
     * gram set is filter-tiny and broadcasts back — no second gram
     * exchange) + one doc-keyed sum — the same asymptotic bill a
     * suffix-array pipeline pays, expressed as exchanges Spark can spill.
-    *
-    * The gram generation is DELIBERATELY whole-stage-codegen
-    * (explode(sequence) + substr), not a per-doc kernel — the INVERSE of
-    * the tokenCounts trade: char grams are pure substring arithmetic with
-    * near-zero per-doc dedup win (every window is distinct on natural
-    * text), and the measured kernel form paid ~9× for Map boxing
-    * (2.7 s → 0.3 s warm at sf0.1; DuckDB's same query runs 0.6 s).
-    * Partial aggregation does the per-doc combine map-side anyway. A
-    * 100 TB run additionally keys the exchange by xxhash64(gram) (64-bit
-    * keys vs k-char strings; collision odds ~3e-14 per pair at 10^12
-    * grams); the registry keeps raw grams so the oracle replays the
-    * grouping. `substr`/`length` are code-point semantics on BOTH engines.
+    * The gram relation is generated twice (aggregate side + join side) —
+    * the stateless-query trade; DuckDB's single-materialized-CTE form of
+    * the same query runs ~0.6 s vs our ~3 s at sf0.1, and the gap is
+    * exactly that re-generation plus string shuffle bytes, which is why
+    * [[dupGramFractionHashed]] (8-byte gram keys, no window allocations,
+    * ~2.4 s and ~5× fewer exchange bytes) is the production form. The
+    * kernel-vs-codegen choice is MEASURED, not assumed — see
+    * [[Kernels.charGramCounts]]; an explode(sequence)+substr plan looks
+    * cheaper but loses 1.7× once materialization is forced (a count()-
+    * probe prunes the whole join and will tell you otherwise — round-10
+    * nearly shipped that artifact).
     */
   def dupGramFraction(docs: DataFrame, k: Int = 40, minDocs: Int = 2,
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val g = docs.filter(length(col(textCol)) >= k)
-      .select(col(idCol).as("doc_id"),
-        explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("i"),
-        col(textCol))
-      .select(col("doc_id"), col(textCol).substr(col("i"), lit(k)).as("gram"))
-      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("pc"))
-    // g is per-(doc, gram), so count(*) counts DISTINCT docs per gram
-    val dup = g.groupBy(col("gram")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= minDocs).select(col("gram"))
-    val dupPos = g.join(dup, Seq("gram"))
+    val gramsU = udf((t: String) => Kernels.charGramCounts(t, k))
+    val g = docs.select(col(idCol).as("doc_id"),
+      explode(gramsU(col(textCol))).as(Seq("gram", "pc")))
+    dupPosTail(docs, g, "gram", k, minDocs, textCol, idCol)
+  }
+
+  /** The production form of [[dupGramFraction]]: grams keyed by xxhash64
+    * ([[Kernels.charGramHashCounts]] — in-place byte-range hashing, 8-byte
+    * exchange keys). Identical output unless two distinct grams collide
+    * (P ≈ 4e-8 corpus-wide at sf0.1 density — the x40 LSH-miss order);
+    * the spec asserts bit-equality with the exact form on the fixtures.
+    */
+  def dupGramFractionHashed(docs: DataFrame, k: Int = 40, minDocs: Int = 2,
+                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val gramsU = udf((t: String) => Kernels.charGramHashCounts(t, k))
+    val g = docs.select(col(idCol).as("doc_id"),
+      explode(gramsU(col(textCol))).as(Seq("gh", "pc")))
+    dupPosTail(docs, g, "gh", k, minDocs, textCol, idCol)
+  }
+
+  /** Shared tail: corpus-duplicated gram set → per-doc duplicated-position
+    * sum → per-doc fraction. `g` is per-(doc, gramKey), so `count(*)`
+    * counts DISTINCT docs per gram.
+    */
+  private def dupPosTail(docs: DataFrame, g: DataFrame, gramKey: String,
+                         k: Int, minDocs: Int,
+                         textCol: String, idCol: String): DataFrame = {
+    val dup = g.groupBy(col(gramKey)).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select(col(gramKey))
+    val dupPos = g.join(dup, Seq(gramKey))
       .groupBy(col("doc_id")).agg(sum(col("pc")).as("dup_pos"))
     docs.filter(length(col(textCol)) >= k)
       .select(col(idCol).as("doc_id"),

@@ -209,6 +209,60 @@ object Kernels extends Serializable {
     m.asScala.view.mapValues(_.longValue()).toMap
   }
 
+  /** Per-document character k-gram position counts: every length-`k`
+    * substring window → number of positions it occupies in this doc.
+    * Distinct grams per doc cross the shuffle (≤ len rows), never one row
+    * per position. Measured AGAINST the codegen explode(sequence)+substr
+    * form at sf0.1/local[32] under full materialization: kernel ≈3.0 s vs
+    * codegen ≈5.2 s — per-position UTF8String window copies and
+    * per-position aggregation input (no pre-combine) cost more than the
+    * Map boxing here, the inverse of the x49 trade. Operates on UTF-16
+    * code units; parity with DuckDB SUBSTR holds for BMP text (the
+    * corpus is ASCII — same reliance as x41's LENGTH).
+    */
+  def charGramCounts(text: String, k: Int): Map[String, Long] = {
+    if (text == null || text.length < k) return Map.empty
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    var i = 0
+    val last = text.length - k
+    while (i <= last) {
+      m.merge(text.substring(i, i + k), 1L, (a, b) => a + b)
+      i += 1
+    }
+    import scala.jdk.CollectionConverters._
+    m.asScala.view.mapValues(_.longValue()).toMap
+  }
+
+  /** [[charGramCounts]] keyed by the gram's `xxhash64` instead of the
+    * string — the production form of the substring audit: no window
+    * string allocations at all (hashes the UTF-8 byte range in place, the
+    * [[winnowFps]] device) and the downstream exchange carries 8-byte
+    * keys instead of k-char strings (~5× fewer bytes at k=40; measured
+    * 2.3–2.6 s vs 3.0 s for the string form at sf0.1). Collision budget:
+    * two distinct grams sharing a hash merge their duplication evidence —
+    * P(any collision) ≈ G²/2^65 ≈ 4e-8 at G = 1.3M distinct grams, the
+    * same order as x40's accepted LSH miss probability. Code-point gram
+    * boundaries (matches Spark `substring`/DuckDB SUBSTR exactly).
+    */
+  def charGramHashCounts(text: String, k: Int): Map[Long, Long] = {
+    if (text == null) return Map.empty
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val off = charOffsets(bytes)
+    val nGrams = off.length - 1 - k + 1
+    if (nGrams <= 0) return Map.empty
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    var i = 0
+    while (i < nGrams) {
+      val h = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off(i),
+        off(i + k) - off(i), SparkSeed)
+      m.merge(h, 1L, (a, b) => a + b)
+      i += 1
+    }
+    import scala.jdk.CollectionConverters._
+    m.asScala.map(kv => (kv._1.longValue(), kv._2.longValue())).toMap
+  }
+
   /** Per-document ADJACENT-pair (bigram) frequency map over whitespace
     * tokens, keys as "w1 w2". Order-aware — the set-shaped [[tokenCounts]]
     * cannot express adjacency. Same shuffle-volume contract: distinct

@@ -239,6 +239,15 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) == ((6L, 1L)) && got(2L) == ((5L, 1L)), got.toString)
   }
 
+  test("dupGramFractionHashed equals the exact string-keyed form") {
+    val d = graft.queries.Tables.documents(spark, Sf)
+    val exact = Dedup.dupGramFraction(d, k = 40)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val hashed = Dedup.dupGramFractionHashed(d, k = 40)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(exact.nonEmpty && hashed == exact)
+  }
+
   test("x100: the keeper is each cluster's longest member, ties to min doc id") {
     val membership = graft.SparkEntry.queries("x84_dup_components")(spark, Sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
