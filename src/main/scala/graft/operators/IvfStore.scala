@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF layout for approximate vector search — the third index
+  * lifecycle ([[AnnStore]] = PQ codes, [[Bm25Store]] = lexical postings,
+  * this = coarse-quantized VECTOR partitions): fit centroids once, lay
+  * the corpus out in per-cell parquet DIRECTORIES, and answer each query
+  * by reading only its probed cells — partition pruning as the ANN
+  * mechanism itself. The transient x43b entry re-assigns the corpus per
+  * call; the store pays assignment once and converts `nprobe/nlist` from
+  * a scored-row filter into a FILES-NOT-READ ratio, which is the form
+  * that matters at 100 TB (a 4/64 probe reads ~6% of the bytes).
+  *
+  * Layout under `path`:
+  *  - `centroids` — (cell, ce ARRAY<double>) rows, nlist total (tiny;
+  *    collected on open — exact double round-trip, so reopened stores
+  *    probe identically).
+  *  - `vectors/cell=N/…` — (vec_id, embedding) partitioned by the
+  *    map-only nearest-centroid assignment ([[Similarity.assignCells]]).
+  *
+  * Search is bit-identical to [[Similarity.ivfTopKWithCentroids]] with
+  * this store's centroids (same probe ranking, same exact cosine within
+  * probed cells — the spec asserts equality). Appends: new batches
+  * assign against the FROZEN centroids map-only and land in their cell
+  * directories; re-create refreshes centroids when the embedding
+  * distribution drifts (same rolling contract as [[AnnStore]]).
+  */
+object IvfStore {
+
+  private def centroidsPath(path: String) = s"$path/centroids"
+  private def vectorsPath(path: String) = s"$path/vectors"
+
+  /** Fit + assign + lay out; returns the fitted centroids. */
+  def create(spark: SparkSession, path: String, corpus: DataFrame,
+             nlist: Int = 16, kmeansIters: Int = 2): Array[Array[Double]] = {
+    import spark.implicits._
+    val cents = Similarity.kmeansCentroids(corpus, nlist, kmeansIters)
+    cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+      .toSeq.toDF("cell", "ce")
+      .repartition(1)
+      .write.mode("overwrite").parquet(centroidsPath(path))
+    Similarity.assignCells(corpus, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(vectorsPath(path))
+    cents
+  }
+
+  /** The frozen centroid set (nlist rows — driver-tiny, exact doubles). */
+  def centroids(spark: SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(centroidsPath(path))
+      .select(col("cell"), col("ce")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+
+  /** Assign a new batch against the frozen centroids and append its cell
+    * partitions — map-only, batch-sized, no refit.
+    */
+  def append(spark: SparkSession, path: String, newCorpus: DataFrame): Unit =
+    Similarity.assignCells(newCorpus, centroids(spark, path))
+      .write.mode("append").partitionBy("cell").parquet(vectorsPath(path))
+
+  /** Top-k by exact cosine within each query's `nprobe` probed cells,
+    * reading ONLY those cells' directories.
+    */
+  def search(spark: SparkSession, path: String, queries: DataFrame,
+             k: Int, nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val cents = centroids(spark, path)
+    val probes = Similarity.probeCells(queries, cents, nprobe)
+    val probedCells = probes.select(col("cell")).distinct().as[Long].collect()
+    val vecs = spark.read.parquet(vectorsPath(path))
+      .filter(col("cell").isin(probedCells: _*))
+    val scored = vecs.join(broadcast(probes), "cell")
+      .withColumn("cos_sim", Similarity.cosine(col("embedding"), col("qe")))
+    Similarity.rank(scored, k)
+  }
+}

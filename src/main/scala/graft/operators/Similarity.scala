@@ -311,16 +311,26 @@ object Similarity {
   def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame, k: Int,
                            cents: Array[Array[Double]],
                            nprobe: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     if (cents.isEmpty) return bruteForceTopK(corpus, queries, k) // empty corpus
-    // corpus assignment is MAP-ONLY: the k×d centroids ride to executors in
-    // a broadcast and a kernel argmaxes the dot per row — no corpus×nlist
-    // row blowup, no window shuffle of it (the crossJoin+row_number form
-    // shuffled n·nlist scored rows just to keep n). Centroids are unit
-    // vectors, so dot argmax == cosine argmax; first-wins on ties == the
-    // window's (sim desc, cell asc) order. Same loop as the Lloyd pass, so
-    // serving assignment is identical to the fit's final assignment.
+    val assigned = assignCells(corpus, cents)
+    val probes = probeCells(queries, cents, nprobe)
+    val scored = assigned.join(broadcast(probes), "cell")
+      .withColumn("cos_sim", cosine(col("embedding"), col("qe")))
+    rank(scored, k)
+  }
+
+  /** MAP-ONLY nearest-centroid assignment: the k×d centroids ride to
+    * executors in a broadcast and a kernel argmaxes the dot per row — no
+    * corpus×nlist row blowup, no window shuffle of it (the
+    * crossJoin+row_number form shuffled n·nlist scored rows just to keep
+    * n). Centroids are unit vectors, so dot argmax == cosine argmax;
+    * first-wins on ties == the window's (sim desc, cell asc) order. Same
+    * loop as the Lloyd pass, so serving assignment is identical to the
+    * fit's final assignment. Output: (vec_id, embedding, cell). Shared by
+    * the transient IVF search and [[IvfStore]]'s persisted layout.
+    */
+  def assignCells(corpus: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val spark = corpus.sparkSession
     val bcC = spark.sparkContext.broadcast(cents)
     val assignU = udf((e: Seq[Float]) => {
       val cs = bcC.value
@@ -337,22 +347,27 @@ object Similarity {
       }
       best.toLong
     })
-    val assigned = corpus.select(col("vec_id"), col("embedding"),
+    corpus.select(col("vec_id"), col("embedding"),
       assignU(col("embedding")).as("cell"))
-    // query probes stay on the tiny side: nq×nlist rows, broadcast onward
+  }
+
+  /** Each query's `nprobe` nearest cells — the tiny side (nq×nlist rows,
+    * broadcast onward). Output: (query_id, qe, cell).
+    */
+  def probeCells(queries: DataFrame, cents: Array[Array[Double]],
+                 nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
     val centroids = cents.zipWithIndex
       .map { case (c, i) => (i.toLong, c.map(_.toFloat).toSeq) }
       .toSeq.toDF("cell", "ce")
     val byQuery = Window.partitionBy(col("query_id"))
       .orderBy(col("c_sim").desc, col("cell").asc)
-    val probes = queries.crossJoin(broadcast(centroids))
+    queries.crossJoin(broadcast(centroids))
       .withColumn("c_sim", cosine(col("qe"), col("ce")))
       .withColumn("rn", row_number().over(byQuery))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qe"), col("cell"))
-    val scored = assigned.join(broadcast(probes), "cell")
-      .withColumn("cos_sim", cosine(col("embedding"), col("qe")))
-    rank(scored, k)
   }
 
   /** Exact top-k most-similar pairs WITHIN one bucket (e.g. a label group),

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IvfStoreSpec extends SparkSpec {
+
+  private def tmpStore(): String = {
+    val d = java.nio.file.Files.createTempDirectory("ivfstore").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath + "/idx"
+  }
+
+  private lazy val emb = graft.queries.Tables.embeddings(spark, Sf).cache()
+  private lazy val queries = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+    .select(col("vec_id").as("query_id"), col("embedding").as("qe")).cache()
+
+  test("store search is bit-identical to the transient IVF with the same centroids") {
+    val path = tmpStore()
+    val cents = IvfStore.create(spark, path, emb, nlist = 16)
+    val fromStore = IvfStore.search(spark, path, queries, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val transient = Similarity
+      .ivfTopKWithCentroids(emb, queries, k = 10, cents, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromStore.nonEmpty && fromStore == transient,
+      s"store-only: ${fromStore -- transient}; transient-only: ${transient -- fromStore}")
+  }
+
+  test("centroids round-trip parquet exactly; probe ranking is stable across reopen") {
+    val path = tmpStore()
+    val cents = IvfStore.create(spark, path, emb, nlist = 8)
+    val back = IvfStore.centroids(spark, path)
+    assert(back.length == cents.length)
+    cents.indices.foreach { i =>
+      assert(java.util.Arrays.equals(back(i), cents(i)), s"centroid $i drifted")
+    }
+  }
+
+  test("search reads only the probed cell partitions") {
+    val path = tmpStore()
+    IvfStore.create(spark, path, emb, nlist = 16)
+    val df = IvfStore.search(spark, path, queries, k = 10, nprobe = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no cell partition pruning in:\n$plan")
+    // 3 queries x 2 probes can touch at most 6 of 16 cells
+    import spark.implicits._
+    val probed = Similarity
+      .probeCells(queries, IvfStore.centroids(spark, path), 2)
+      .select("cell").distinct().as[Long].collect()
+    assert(probed.length <= 6 && probed.length < 16,
+      s"fixture must probe a strict subset of cells, got ${probed.length}")
+  }
+
+  test("append assigns with the frozen centroids; a planted twin is found") {
+    val path = tmpStore()
+    IvfStore.create(spark, path, emb, nlist = 16)
+    val twinId = 999999L
+    val twin = emb.filter(col("vec_id") === 1)
+      .select(lit(twinId).as("vec_id"), col("embedding"))
+    IvfStore.append(spark, path, twin)
+    val top = IvfStore.search(spark, path,
+        queries.filter(col("query_id") === 1), k = 3, nprobe = 4)
+      .collect()
+    val twinRow = top.find(_.getLong(1) == twinId)
+    assert(twinRow.isDefined, s"appended twin missing: ${top.mkString(", ")}")
+    assert(math.abs(twinRow.get.getDouble(2) - 1.0) < 1e-9)
+  }
+}
