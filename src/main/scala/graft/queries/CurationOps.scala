@@ -30,7 +30,8 @@ object CurationOps {
       x69_pack, x70_decontaminate, x71_tfidf, x73_cluster_assign,
       x74_pipeline, x80_source_mix, x83_chunk, x87_token_budget,
       x88_train_order, x88b_train_order_sized, x90_curation_audit,
-      x92_bm25, x94_hybrid_rrf, x96_heavy_hitters, x98_source_kl)
+      x92_bm25, x94_hybrid_rrf, x96_heavy_hitters, x98_source_kl,
+      x101_curation_v2)
 
   // ---------------------------------------------------------------- x90
   /** Gate thresholds the x90 REGISTRY entry pins (and its oracle replays);
@@ -1078,5 +1079,129 @@ object CurationOps {
     Canon(graft.operators.DistributionDrift
       .sourceKl(Tables.documents(s, d), sliceCol = "source")
       .withColumnRenamed("slice", "source"))
+  }
+
+  // ---------------------------------------------------------------- x101
+  /** NLL gate for the x101 REGISTRY entry: drops the worst ~3–5% of docs
+    * under the self-trained unigram model at every verify SF (median nll
+    * ≈ 3.402, right tail to ~4.0). Production derives this from a
+    * percentile over a reference window, not a constant.
+    */
+  private[graft] val MaxNll = 3.45
+
+  /** Curation pipeline v2 — x74's composed DAG upgraded with the round-10
+    * LM family: quality gates (x90's length/repetition thresholds) PLUS
+    * the x95 perplexity filter, then exact dedup among gate survivors
+    * (md5 groups, min-id keeper — same-text groups make the x100 length
+    * policy degenerate to min id), summarized per language in ONE
+    * Catalyst DAG with no materialization barriers. Counts are
+    * per-gate-independent (a doc can trip several), `n_kept_docs` counts
+    * unique keepers, `kept_tokens` sums their token counts.
+    *
+    * Scale shape: the audit and nll sides each reduce per doc_id and
+    * join on it (two map-combined aggregations + one co-partitioned
+    * join); dedup shuffles only gate SURVIVORS by content hash; the
+    * summary is a per-lang map-combined aggregate. The nll arithmetic is
+    * x95's integer-scaled device, so the gate — and therefore every
+    * count — hash-matches DuckDB exactly.
+    */
+  val x101_curation_v2: QueryDef = QueryDef(
+    "x101_curation_v2",
+    Sql.canon(
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |    CAST(LEN(string_split_regex(text, '\\s+')) AS INT) AS n_tokens
+         |  FROM documents),
+         |tri AS (
+         |  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+         |  FROM (
+         |    SELECT doc_id, toks,
+         |      UNNEST(generate_series(1, GREATEST(LEN(toks) - 2, 0))) AS i
+         |    FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS toks FROM documents)
+         |    WHERE LEN(toks) >= 3)),
+         |rep AS (
+         |  SELECT doc_id,
+         |    1.0 - CAST(COUNT(DISTINCT sh) AS DOUBLE) / COUNT(*) AS rr
+         |  FROM tri GROUP BY doc_id),
+         |tf AS (
+         |  SELECT doc_id, tok, COUNT(*) AS tf
+         |  FROM (SELECT doc_id,
+         |          UNNEST(string_split_regex(LOWER(text), '\\s+')) AS tok
+         |        FROM documents)
+         |  WHERE LENGTH(tok) >= ${graft.operators.UnigramLm.MinTokenLen}
+         |  GROUP BY doc_id, tok),
+         |vocab AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY tok),
+         |scal AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total, COUNT(*) AS v FROM vocab),
+         |terms AS (
+         |  SELECT tf.doc_id, tf.tf,
+         |    ${graft.operators.UnigramLm.oracleTermSql("vocab.c", "scal.n_total", "scal.v")} AS lp
+         |  FROM tf LEFT JOIN vocab ON tf.tok = vocab.tok CROSS JOIN scal),
+         |nll AS (
+         |  SELECT doc_id,
+         |    ROUND(CAST(-SUM(tf * lp) AS DOUBLE) /
+         |          (CAST(SUM(tf) AS DOUBLE) * ${graft.operators.UnigramLm.LnScale}.0), 6) AS nll
+         |  FROM terms GROUP BY doc_id),
+         |gated AS (
+         |  SELECT s.doc_id, s.lang, s.n_tokens,
+         |    s.n_tokens < $AuditMinTokens AS too_short,
+         |    s.n_tokens > $AuditMaxTokens AS too_long,
+         |    COALESCE(rep.rr, 0.0) > $AuditMaxRepetition AS repetitive,
+         |    nll.nll > $MaxNll AS low_quality
+         |  FROM s LEFT JOIN rep ON s.doc_id = rep.doc_id
+         |    JOIN nll ON s.doc_id = nll.doc_id),
+         |kept AS (
+         |  SELECT f.doc_id, f.lang, f.n_tokens, d.text
+         |  FROM gated f JOIN documents d ON f.doc_id = d.doc_id
+         |  WHERE NOT (too_short OR too_long OR repetitive OR low_quality)),
+         |keepers AS (
+         |  SELECT md5(text) AS th, MIN(doc_id) AS keeper
+         |  FROM kept GROUP BY md5(text)),
+         |uniq AS (
+         |  SELECT k.lang, COUNT(*) AS n_kept_docs,
+         |    CAST(SUM(k.n_tokens) AS BIGINT) AS kept_tokens
+         |  FROM kept k JOIN keepers ON k.doc_id = keepers.keeper
+         |  GROUP BY k.lang)
+         |SELECT f.lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN too_short THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+         |  CAST(SUM(CASE WHEN too_long THEN 1 ELSE 0 END) AS BIGINT) AS n_too_long,
+         |  CAST(SUM(CASE WHEN repetitive THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+         |  CAST(SUM(CASE WHEN low_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+         |  COALESCE(MAX(u.n_kept_docs), 0) AS n_kept_docs,
+         |  COALESCE(MAX(u.kept_tokens), 0) AS kept_tokens
+         |FROM gated f LEFT JOIN uniq u ON f.lang = u.lang
+         |GROUP BY f.lang""".stripMargin,
+      Seq("lang", "n_docs", "n_too_short", "n_too_long", "n_repetitive",
+        "n_low_quality", "n_kept_docs", "kept_tokens"))) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val audit = curationAudit(docs)
+    val nll = graft.operators.UnigramLm.selfScore(docs)
+      .select(col("doc_id"), col("nll"))
+    val full = audit.join(nll, Seq("doc_id"))
+      .withColumn("low_quality", col("nll") > MaxNll)
+    val kept = full
+      .filter(!(col("too_short") || col("too_long") || col("repetitive") ||
+        col("low_quality")))
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .withColumn("th", md5(col("text")))
+    val keepers = kept.groupBy(col("th")).agg(min(col("doc_id")).as("keeper"))
+      .select(col("keeper").as("doc_id"))
+    val uniq = kept.join(keepers, Seq("doc_id"), "left_semi")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept_docs"),
+        sum(col("n_tokens")).cast(org.apache.spark.sql.types.LongType)
+          .as("kept_tokens"))
+    val b1 = (c: org.apache.spark.sql.Column) =>
+      sum(when(c, 1L).otherwise(0L))
+    Canon(full.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        b1(col("too_short")).as("n_too_short"),
+        b1(col("too_long")).as("n_too_long"),
+        b1(col("repetitive")).as("n_repetitive"),
+        b1(col("low_quality")).as("n_low_quality"))
+      .join(uniq, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("n_too_short"),
+        col("n_too_long"), col("n_repetitive"), col("n_low_quality"),
+        coalesce(col("n_kept_docs"), lit(0L)).as("n_kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens")))
   }
 }

@@ -300,6 +300,28 @@ class CurationOpsSpec extends SparkSpec {
       Set("train", "val", "test")))
   }
 
+  test("x101: v2 summary is conserved and consistent with x90's gates + the nll filter") {
+    import org.apache.spark.sql.functions._
+    val rows = CurationOps.x101_curation_v2.build(spark, Sf).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    // every doc accounted once per lang
+    val perLang = Tables.documents(spark, Sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == perLang.keySet)
+    rows.foreach { case (l, r) => assert(r.getAs[Long]("n_docs") == perLang(l)) }
+    // gate counts match the x90 audit (length/repetition gates unchanged)
+    val audit = CurationOps.x90_curation_audit.build(spark, Sf).collect()
+    val auditShort = audit.count(_.getAs[Boolean]("too_short"))
+    assert(rows.values.map(_.getAs[Long]("n_too_short")).sum == auditShort)
+    // the nll filter fires somewhere, and keepers never exceed survivors
+    assert(rows.values.map(_.getAs[Long]("n_low_quality")).sum > 0)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_kept_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_kept_docs") == 0 ||
+        r.getAs[Long]("kept_tokens") > 0)
+    }
+  }
+
   test("x83: chunks tile every doc with exact overlap; short docs yield one chunk") {
     import spark.implicits._
     // token counts straddling the interesting boundaries: <window, =window,
