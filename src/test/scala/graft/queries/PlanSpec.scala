@@ -345,6 +345,14 @@ class PlanSpec extends SparkSpec {
     assert(gramExchanges <= 1, s"x99 shuffles grams $gramExchanges times:\n$plan")
   }
 
+  test("x100: the components relation broadcasts into the corpus scan") {
+    val (_, plan) = planOf("x100_best_keeper")
+    // dup clusters are candidates-sized: the corpus side must never
+    // shuffle for this join
+    assert(plan.contains("BroadcastHashJoin"), s"components not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"x100 shuffles the corpus side:\n$plan")
+  }
+
   test("x96: the sketch candidates broadcast as a semi-join below the recount") {
     val (_, plan) = planOf("x96_heavy_hitters")
     // candidate filter is a broadcast LeftSemi — the exact recount's
