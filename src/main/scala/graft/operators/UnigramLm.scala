@@ -117,4 +117,50 @@ object UnigramLm {
     val (vocab, scalars) = train(docs, minLen, vocabCap)
     score(docs, vocab, scalars, minLen)
   }
+
+  /** Frozen model materialized driver-side for PER-ROW scoring — the
+    * streaming-gate form: [[score]]'s join+groupBy shape would be a
+    * stateful streaming aggregation, but with the (bounded — `vocabCap`)
+    * model collected into a map, nll is a pure function of one row and
+    * the stream stays stateless. Arithmetic is [[scaledLogProb]]'s,
+    * mirrored in JVM code (same Math.log, same HALF_UP roundings), so
+    * per-doc values are bit-identical to the batch [[score]] relation —
+    * the spec asserts exactly that. Null for zero-token docs (the batch
+    * relation omits them).
+    */
+  final case class FrozenModel(counts: Map[String, Long],
+                               nTotal: Long, v: Long) extends Serializable {
+    private def halfUp(x: Double, scale: Int): Double =
+      BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    private def term(c: Long): Long =
+      BigDecimal(math.log((c + 1.0) / (nTotal + v + 1.0)) * LnScale)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+
+    /** Mean NLL of one document (nats/token), or null if token-free. */
+    def nll(text: String, minLen: Int = MinTokenLen): java.lang.Double = {
+      if (text == null) return null
+      val lowered = org.apache.spark.unsafe.types.UTF8String
+        .fromString(text).toLowerCase.toString
+      val tf = Kernels.tokenCounts(lowered, minLen)
+      if (tf.isEmpty) return null
+      var sum = 0L
+      var n = 0L
+      tf.foreach { case (tok, c) =>
+        sum += c * term(counts.getOrElse(tok, 0L))
+        n += c
+      }
+      halfUp(-sum.toDouble / (n.toDouble * LnScale), 6)
+    }
+  }
+
+  /** Collect a trained (vocab, scalars) pair into a [[FrozenModel]] —
+    * driver memory is bounded by `vocabCap` at train time.
+    */
+  def freeze(vocab: DataFrame, scalars: DataFrame): FrozenModel = {
+    val s = scalars.collect().head
+    FrozenModel(
+      vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      s.getLong(0), s.getLong(1))
+  }
 }

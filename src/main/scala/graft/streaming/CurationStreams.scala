@@ -39,7 +39,15 @@ object CurationStreams {
   def curate(docs: DataFrame,
              watermark: String = "30 minutes",
              minTokens: Int = 5,
-             maxPunctRatio: Double = 0.2): DataFrame = {
+             maxPunctRatio: Double = 0.2): DataFrame =
+    dedupWithinWatermark(
+      curateGates(docs, minTokens, maxPunctRatio), watermark)
+
+  /** The stateless gate half of [[curate]] (shared with [[curateV2]] so
+    * its nll gate can sit BEFORE the dedup slot is consumed).
+    */
+  private def curateGates(docs: DataFrame, minTokens: Int,
+                          maxPunctRatio: Double): DataFrame = {
     val len = length(col("text"))
     val nTok = size(split(col("text"), "\\s+"))
     // nullif guards ANSI divide-by-zero on empty text; coalesce(…, 1.0)
@@ -54,9 +62,37 @@ object CurationStreams {
       .filter(col("n_tokens") >= minTokens &&
         col("punct_ratio") <= maxPunctRatio)
       .withColumn("pred_lang", pred)
+  }
+
+  private def dedupWithinWatermark(gated: DataFrame,
+                                   watermark: String): DataFrame =
+    gated
       .withColumn("content_hash", md5(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** [[curate]] v2 — the x101 gate set on a stream: v1's length/punct
+    * gates plus the PERPLEXITY gate against a frozen unigram model
+    * ([[graft.operators.UnigramLm.FrozenModel]] — per-row evaluation, so
+    * the nll gate adds NO streaming state; only the v1 watermark dedup is
+    * stateful). Per-doc nll is bit-identical to batch x95's relation
+    * (same integer-scaled arithmetic; the spec asserts it), so a doc
+    * passes the stream gate iff it passes the batch pipeline's. Output =
+    * v1's columns plus `nll`. Roll the model by restarting with a freshly
+    * frozen side (the x95/x98 twin contract).
+    */
+  def curateV2(docs: DataFrame,
+               model: graft.operators.UnigramLm.FrozenModel,
+               maxNll: Double,
+               watermark: String = "30 minutes",
+               minTokens: Int = 5,
+               maxPunctRatio: Double = 0.2): DataFrame = {
+    val nllU = udf((t: String) => model.nll(t))
+    dedupWithinWatermark(
+      curateGates(docs, minTokens, maxPunctRatio)
+        .withColumn("nll", nllU(col("text")))
+        .filter(col("nll").isNotNull && col("nll") <= maxNll),
+      watermark)
   }
 
   // ------------------------------------------------ streaming near-dup LSH

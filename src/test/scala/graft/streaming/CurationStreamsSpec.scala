@@ -346,6 +346,51 @@ class CurationStreamsSpec extends SparkSpec {
     assert(last == batch, s"stream $last != batch $batch")
   }
 
+  test("curateV2: the frozen-model per-row nll is bit-identical to batch x95") {
+    import spark.implicits._
+    import graft.operators.UnigramLm
+    val documents = graft.queries.Tables.documents(spark, Sf)
+    val (vocab, scalars) = UnigramLm.train(documents)
+    val model = UnigramLm.freeze(vocab, scalars)
+    val batch = graft.SparkEntry.queries("x95_unigram_lm")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val texts = documents.select("doc_id", "text").as[(Long, String)].collect()
+    assert(texts.nonEmpty)
+    texts.foreach { case (id, t) =>
+      assert(model.nll(t) == batch(id), s"doc $id: ${model.nll(t)} != ${batch(id)}")
+    }
+  }
+
+  test("curateV2 admits exactly the gate + nll + dedup survivors") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.UnigramLm
+    val common = "alpha beta alpha beta alpha beta"
+    val rare = "zeta omega kappa sigma delta gamma"
+    val train = ((1L to 9L).map(i => (i, "s", common)) :+ ((10L, "s", rare)))
+      .toDF("doc_id", "source", "text")
+    val (vocab, scalars) = UnigramLm.train(train)
+    val model = UnigramLm.freeze(vocab, scalars)
+    val maxNll = (model.nll(common) + model.nll(rare)) / 2.0
+    val mem = MemoryStream[Doc]
+    val q = CurationStreams.curateV2(mem.toDF(), model, maxNll)
+      .writeStream.format("memory").queryName("curated_v2")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(
+        Doc(1, ts("10:00"), common, "en", "s"),          // admitted
+        Doc(2, ts("10:01"), common, "en", "s"),          // dup of 1 -> dropped
+        Doc(3, ts("10:02"), rare, "en", "s"),            // nll gate -> dropped
+        Doc(4, ts("10:03"), "too short", "en", "s")))    // length gate -> dropped
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("curated_v2").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(1L), s"got $ids")
+    // nll column rides along for threshold tuning
+    assert(spark.table("curated_v2").columns.contains("nll"))
+  }
+
   test("streaming drift monitor equals batch x98 against the self-trained reference") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
