@@ -75,10 +75,13 @@ object ScaleProbe {
     // model's probability SHAPE unchanged
     "x95_unigram_lm", "x97_bigram_lm", "x98_source_kl",
     // x99: the exhaustive substring audit — O(total chars) rows through
-    // two gram-keyed shuffles, so wall should track ~F (the dup-gram set
-    // grows with the replica count but the per-doc kernel and the
-    // map-side combine keep the exchange at distinct-grams-per-doc)
-    "x99_dupgrams")
+    // one gram-keyed map-combined shuffle + a broadcast dup set, so wall
+    // should track ~F (measured 3.02 at 10x, 6.78 at 30x)
+    "x99_dupgrams",
+    // x100/x101: resolution policy (components broadcast into the corpus
+    // scan) and the composed v2 pipeline (gates + nll + dedup as one
+    // DAG) — both should track the corpus scan ~F
+    "x100_best_keeper", "x101_curation_v2")
 
   def generate(spark: SparkSession, baseSf: String, outDir: String,
                factor: Int): Unit = {
