@@ -494,6 +494,40 @@ object Dedup {
     dupPosTail(docs, g, "gh", k, minDocs, textCol, idCol)
   }
 
+  /** Incremental substring audit: score a NEW batch's documents against a
+    * persisted corpus gram history ([[graft.sources.GramHistory]]) — per
+    * doc, the fraction of k-gram positions whose gram already exists in
+    * the corpus. The substring-level sibling of [[incrementalStatusBinary]]
+    * (x86): that one asks "is this whole doc old", this asks "how much of
+    * this doc's text is old" — the batch-vs-corpus contamination signal
+    * without rescanning the corpus. When `historyGrams` scans the
+    * bucketed store, the semi-join rides the layout with NO history-side
+    * exchange (GramHistorySpec gates it): per-batch cost is batch-sized,
+    * independent of corpus size. Output: (doc_id, total_pos, hist_pos,
+    * hist_frac) for docs with ≥1 position; membership (not counts)
+    * against history, so cross-append repeats in the store are harmless.
+    */
+  def incrementalDupGrams(batch: DataFrame, historyGrams: DataFrame,
+                          k: Int = 40, textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    val gramsU = udf((t: String) => Kernels.charGramHashCounts(t, k))
+    val g = batch.select(col(idCol).as("doc_id"),
+      explode(gramsU(col(textCol))).as(Seq("gh", "pc")))
+    val hits = g
+      .join(historyGrams.select(col("gh")), Seq("gh"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("pc")).as("hist_pos"))
+    batch.filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("doc_id"),
+        (length(col(textCol)).cast(org.apache.spark.sql.types.LongType) - (k - 1))
+          .as("total_pos"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_pos"),
+        coalesce(col("hist_pos"), lit(0L)).as("hist_pos"),
+        (coalesce(col("hist_pos"), lit(0L))
+          .cast(org.apache.spark.sql.types.DoubleType) / col("total_pos"))
+          .as("hist_frac"))
+  }
+
   /** Shared tail: corpus-duplicated gram set → per-doc duplicated-position
     * sum → per-doc fraction. `g` is per-(doc, gramKey), so `count(*)`
     * counts DISTINCT docs per gram.

@@ -1,0 +1,94 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted character-GRAM history store — [[HashHistory]]'s substring-
+  * level sibling, completing the incremental pair: x86 answers "is this
+  * whole document already in the corpus", this answers "how much of this
+  * document's TEXT already appears in the corpus" (Lee et al.-style
+  * substring contamination of a NEW batch against an existing corpus,
+  * without rescanning the corpus per batch).
+  *
+  * Stored relation: one LONG column `gh` = xxhash64 of each distinct
+  * k-gram's UTF-8 bytes ([[graft.operators.Kernels.charGramHashCounts]]
+  * — the x99 production keying; 8 B/gram, collision budget documented
+  * there), bucketed+sorted by `gh` so the batch probe join rides the
+  * layout with NO history-side exchange — x86's scaling contract,
+  * PlanSpec-style-gated in GramHistorySpec. Sizing: a 100 TB corpus has
+  * ~10^11 distinct 40-grams ≈ 1 TB of store at 8 B+overhead/gram —
+  * 2^10–2^14 buckets; testdata uses 8.
+  *
+  * Same session-registry contract as [[HashHistory]]: building a
+  * consumer frame is side-effect-free; [[create]] is the explicit
+  * producer step; appends are bucket-compatible files whose cross-append
+  * repeats the probe's semantics absorb (membership, not counts).
+  */
+object GramHistory {
+
+  val GramCol = "gh"
+
+  private val stores = new ConcurrentHashMap[String, (String, Int)]()
+
+  private def key(spark: SparkSession, dir: String): String =
+    spark.sparkContext.applicationId + "|" + new java.io.File(dir).getAbsolutePath
+
+  /** Deterministic table name for a source dir. */
+  def tableFor(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"graft_gram_history_$hex"
+  }
+
+  /** Distinct gram hashes of a corpus — the store's content and the
+    * shape [[append]] expects for an increment.
+    */
+  def gramHashes(corpus: DataFrame, k: Int,
+                 textCol: String = "text"): DataFrame = {
+    val gramsU = udf((t: String) =>
+      graft.operators.Kernels.charGramHashCounts(t, k).keys.toArray)
+    corpus.select(explode(gramsU(col(textCol))).as(GramCol)).distinct()
+  }
+
+  /** PRODUCER step: persist the corpus' distinct gram hashes as the
+    * bucketed history table for `dir` and register it.
+    */
+  def create(spark: SparkSession, dir: String, corpus: DataFrame, k: Int,
+             buckets: Int = 8): Unit = {
+    val table = tableFor(dir)
+    Bucketing.writeBucketed(gramHashes(corpus, k), table, GramCol, buckets)
+    stores.put(key(spark, dir), (table, buckets)): Unit
+  }
+
+  /** Append an increment's gram hashes as bucket-compatible files. */
+  def append(spark: SparkSession, dir: String, increment: DataFrame): Unit = {
+    val (table, buckets) = Option(stores.get(key(spark, dir))).getOrElse(
+      throw new IllegalStateException(
+        s"GramHistory.append: no store registered for $dir — create() first"))
+    increment.select(col(GramCol))
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, GramCol)
+      .sortBy(GramCol)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** LAZY consumer entry: the bucketed table scan when a producer step
+    * ran for this (application, dir), else the caller's derived plan.
+    */
+  def scanOrCompute(spark: SparkSession, dir: String)
+                   (compute: => DataFrame): DataFrame =
+    Option(stores.get(key(spark, dir))) match {
+      case Some((table, _)) => spark.table(table).select(col(GramCol))
+      case None => compute
+    }
+
+  private[graft] def registeredTable(spark: SparkSession,
+                                     dir: String): Option[String] =
+    Option(stores.get(key(spark, dir))).map(_._1)
+
+  private[graft] def invalidate(spark: SparkSession, dir: String): Unit =
+    stores.remove(key(spark, dir)): Unit
+}
