@@ -42,6 +42,14 @@ object Verify {
       System.err.println(s"[verify] history store build failed " +
         s"(x86 falls back to derived history): ${e.getMessage}")
     }
+    // x102's persisted gram store — same contract as x86's hash store
+    try graft.sources.GramHistory.create(spark, sfDir,
+      graft.queries.TextOps.x86Split(spark, sfDir)._1,
+      graft.queries.TextOps.DupGramK)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] gram store build failed " +
+        s"(x102 falls back to derived history): ${e.getMessage}")
+    }
     val failed = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       val outPath = s"$outDir/$name"

@@ -74,7 +74,11 @@ object Bm25 {
     val sp = docs.sparkSession
     import sp.implicits._
     val qterms = queries.flatMap { case (qid, q) =>
-      q.toLowerCase.split("\\s+").toSeq.distinct.map(t => (qid, t))
+      // UTF8String.toLowerCase = Spark's locale-independent `lower`, the
+      // normalization the postings were built with; String.toLowerCase is
+      // default-locale-sensitive (Turkish 'I' -> dotless). One definition.
+      org.apache.spark.unsafe.types.UTF8String.fromString(q)
+        .toLowerCase.toString.split("\\s+").toSeq.distinct.map(t => (qid, t))
     }
     val termSet = qterms.map(_._2).distinct.sorted
     val terms = typedlit(termSet)

@@ -30,9 +30,20 @@ import org.apache.spark.sql.functions._
   * the two-phase bucketed rank, so store answers are bit-identical to
   * the transient scan's (the spec asserts exactly that; df over ALL
   * tokens restricted to query terms equals x92's candidate-relation df by
-  * definition). Appends: an inverted index's df/stats are corpus-global,
-  * so ingest batches REBUILD (create is one corpus scan — the amortized
-  * accounting of [[AnnStore]]/[[graft.sources.HashHistory]] applies).
+  * definition).
+  *
+  * Appends are BATCH-SIZED, not rebuilds: every index relation is
+  * additive — postings rows are per-(doc, tok) (new docs append into
+  * their hash-matched bucket directories), df is a per-token COUNT
+  * (append the batch's delta rows; readers sum per token over the pruned
+  * buckets — segment-merge deferred to query time, where it touches only
+  * the query's own terms), and meta's n_docs/sum_dl are scalars (append
+  * a segment row; readers sum). n_buckets is the one frozen datum — the
+  * append re-reads it from meta so the hash modulus always matches the
+  * layout. A 100 TB corpus ingesting daily pays one batch scan per day;
+  * [[create]] remains the compaction path when segment counts grow.
+  * Appended docs must be NEW doc_ids (dedup upstream — x86's exact job);
+  * re-appending an existing doc would double its postings.
   */
 object Bm25Store {
 
@@ -64,9 +75,47 @@ object Bm25Store {
       .coalesce(1).write.mode("overwrite").parquet(metaPath(path))
   }
 
-  /** (n_buckets, n_docs, sum_dl) as a one-row broadcastable frame. */
+  /** Batch-sized incremental append: the batch's postings land in their
+    * hash-matched bucket directories, its df DELTA rows append alongside
+    * the existing ones (readers sum per token), and one meta segment row
+    * records the batch's n_docs/sum_dl contribution. One batch scan, no
+    * read of existing postings. See the object scaladoc for the additive
+    * argument and the new-doc_ids precondition.
+    */
+  def append(spark: SparkSession, path: String, newDocs: DataFrame): Unit = {
+    // the frozen modulus — appends must bucket with the layout's hash
+    val nBuckets = spark.read.parquet(metaPath(path))
+      .select(max(col("n_buckets"))).collect().head.getInt(0)
+    val tokUdf = udf((t: String) => Kernels.tokenCounts(t, Bm25.MinTokenLen))
+    val postings = newDocs
+      .select(col("doc_id"), tokUdf(lower(col("text"))).as("m"))
+      .select(col("doc_id"),
+        aggregate(map_values(col("m")), lit(0L), (a, x) => a + x).as("dl"),
+        explode(col("m")).as(Seq("tok", "tf")))
+      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets)))
+      .persist()
+    try {
+      postings.write.mode("append")
+        .partitionBy("bucket").parquet(postingsPath(path))
+      postings.groupBy(col("bucket"), col("tok")).agg(count(lit(1)).as("df"))
+        .write.mode("append").partitionBy("bucket").parquet(dfPath(path))
+    } finally postings.unpersist(): Unit
+    val dlUdf = udf((t: String) => Kernels.tokenCount(t, Bm25.MinTokenLen))
+    newDocs.select(dlUdf(lower(col("text"))).as("dl0"))
+      .agg(lit(nBuckets).as("n_buckets"), count(lit(1)).as("n_docs"),
+        sum(col("dl0")).as("sum_dl"))
+      .coalesce(1).write.mode("append").parquet(metaPath(path))
+  }
+
+  /** (n_buckets, n_docs, sum_dl) as a one-row broadcastable frame —
+    * n_docs/sum_dl summed over the create + append segment rows (a
+    * single-segment store reads back exactly what create wrote).
+    */
   def meta(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(metaPath(path))
+      .agg(max(col("n_buckets")).as("n_buckets"),
+        sum(col("n_docs")).cast(org.apache.spark.sql.types.LongType).as("n_docs"),
+        sum(col("sum_dl")).cast(org.apache.spark.sql.types.LongType).as("sum_dl"))
 
   /** Top-k per query, answered from the index alone — bit-identical to
     * [[Bm25.topK]] over the corpus the store was built from.
@@ -78,7 +127,11 @@ object Bm25Store {
     val m = meta(spark, path).collect().head
     val nBuckets = m.getInt(0)
     val qterms = queries.flatMap { case (qid, q) =>
-      q.toLowerCase.split("\\s+").toSeq.distinct.map(t => (qid, t))
+      // UTF8String.toLowerCase = Spark's locale-independent `lower`, the
+      // normalization the postings were built with; String.toLowerCase is
+      // default-locale-sensitive (Turkish 'I' -> dotless). One definition.
+      org.apache.spark.unsafe.types.UTF8String.fromString(q)
+        .toLowerCase.toString.split("\\s+").toSeq.distinct.map(t => (qid, t))
     }
     val termSet = qterms.map(_._2).distinct.sorted
     // term → bucket through Spark's own xxhash64: parity with the writer
@@ -90,8 +143,12 @@ object Bm25Store {
         col("tok").isin(termSet: _*))
     val tf = pruned(spark.read.parquet(postingsPath(path)))
       .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+    // segment-merge at query time: df rows are per-(segment, token)
+    // deltas, summed here over the PRUNED buckets only — query-terms-sized
+    // work, never an index-wide pass (one segment → sum of one row, the
+    // pre-append value exactly)
     val dfRel = pruned(spark.read.parquet(dfPath(path)))
-      .select(col("tok"), col("df"))
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
     val stats = meta(spark, path).select(col("n_docs"), col("sum_dl"))
     val qRel = qterms.toDF("query_id", "tok")
     val scored = tf

@@ -157,23 +157,71 @@ object HeavyHitters {
   /** Exact top-`k` tokens by total weight from a (tok, w) relation,
     * discovered via a size-`sketchK` MG sketch and recounted exactly.
     * Deterministic tiebreak (weight desc, tok asc). Output:
-    * (tok, cnt, rn). Exact whenever the k-th token's weight >
-    * W/(sketchK+1); the caller sizes `sketchK` from the skew it is
-    * hunting (heavy hitters ARE the skewed keys, so the premise of the
-    * query is the premise of the bound).
+    * (tok, cnt, rn).
+    *
+    * The sketch-then-recount shortcut is exact only when the k-th token's
+    * weight clears the W/(sketchK+1) undercount bound — otherwise the
+    * sketch may silently OMIT a true top-k token. That premise is now
+    * VALIDATED, not assumed: the sketch pass (one scan, collected — the
+    * summary is O(sketchK) bytes) also totals W under the sketch's own
+    * admission rule, and the result is trusted iff either witness holds:
+    *   - lossless: sum of sketch weights == W (no decay ever fired, so
+    *     every token is present with its exact count), or
+    *   - bound: the k-th largest SKETCH weight (a lower bound on the k-th
+    *     largest true candidate weight) > W/(sketchK+1), so no omitted
+    *     token (all ≤ the bound) can displace the top-k.
+    * When neither holds the premise has failed and this falls back to the
+    * vocabulary-wide exact count (warning on stderr) — slower, never
+    * wrong. Callers still size `sketchK` from the skew they hunt; the
+    * validation turns a mis-size from a silent wrong answer into a
+    * full-count plan.
+    *
+    * In the trusted path the recount semi-joins the COLLECTED candidate
+    * set back (broadcast, ≤sketchK literals), so the exchange carries
+    * candidate tokens only and the total scan count stays at two — the
+    * same as the unvalidated form.
     */
   def exactTopK(termFreqs: DataFrame, k: Int, sketchK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sketch = termFreqs
-      .agg(mgSketch(col("tok"), col("tf"), sketchK).as("mg"))
-      .select(explode(col("mg.toks")).as("tok"))
-    // Candidate set broadcasts; the exact count's exchange then carries
-    // candidate tokens only (≤sketchK distinct keys), not the vocabulary.
-    val counts = termFreqs
-      .join(broadcast(sketch), Seq("tok"), "left_semi")
-      .groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
-    // ≤sketchK rows reach the single-partition rank window — bounded by
-    // construction, same device as x92's final cut.
+    val spark = termFreqs.sparkSession
+    import spark.implicits._
+    val row = termFreqs
+      .agg(mgSketch(col("tok"), col("tf"), sketchK).as("mg"),
+        sum(when(col("tok").isNotNull && col("tf") > 0, col("tf"))
+          .otherwise(0L)).as("w"))
+      .select(col("mg.toks"), col("mg.ws"), col("w")).collect().head
+    val cands =
+      if (row.isNullAt(0)) Seq.empty[(String, Long)]
+      else row.getSeq[String](0).zip(row.getSeq[Long](1))
+    val wTotal = if (row.isNullAt(2)) 0L else row.getLong(2)
+    val lossless = cands.iterator.map(_._2).sum == wTotal
+    val kthSketchW =
+      cands.map(_._2).sorted(Ordering[Long].reverse).drop(k - 1).headOption
+    val premiseOk = lossless ||
+      kthSketchW.exists(_.toDouble > wTotal.toDouble / (sketchK + 1))
+    val counts =
+      if (premiseOk) {
+        // Candidate set broadcasts; the exact count's exchange then
+        // carries candidate tokens only (≤sketchK keys), not the
+        // vocabulary.
+        val sketch = cands.map(_._1).toDF("tok")
+        termFreqs
+          .join(broadcast(sketch), Seq("tok"), "left_semi")
+          .groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+      } else {
+        System.err.println(s"[graft] exactTopK: k-th sketch weight " +
+          s"${kthSketchW.getOrElse(0L)} does not clear W/(sketchK+1) = " +
+          s"${wTotal.toDouble / (sketchK + 1)} — sketch may have dropped " +
+          "a true top-k token; falling back to the vocabulary-wide exact " +
+          s"count (size sketchK > $sketchK to restore the fast path)")
+        // null toks drop (the semi-join path never matches them either);
+        // tf is summed as-is, the same recount rule as the trusted path
+        termFreqs.filter(col("tok").isNotNull)
+          .groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+      }
+    // ≤sketchK rows reach the single-partition rank window in the trusted
+    // path — bounded by construction, same device as x92's final cut. The
+    // fallback's window sees the vocabulary; correctness over speed there.
     val w = Window.orderBy(col("cnt").desc, col("tok"))
     counts.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

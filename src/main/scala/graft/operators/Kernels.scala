@@ -216,17 +216,25 @@ object Kernels extends Serializable {
     * form at sf0.1/local[32] under full materialization: kernel ≈3.0 s vs
     * codegen ≈5.2 s — per-position UTF8String window copies and
     * per-position aggregation input (no pre-combine) cost more than the
-    * Map boxing here, the inverse of the x49 trade. Operates on UTF-16
-    * code units; parity with DuckDB SUBSTR holds for BMP text (the
-    * corpus is ASCII — same reliance as x41's LENGTH).
+    * Map boxing here, the inverse of the x49 trade. Gram boundaries are
+    * CODE POINTS (the [[charOffsets]] device), matching Spark
+    * `substring`/`length` and DuckDB SUBSTR/LENGTH exactly — so this form,
+    * [[charGramHashCounts]], and [[graft.operators.Dedup.dupGramFraction]]'s
+    * code-point `total_pos` all share one boundary definition even on
+    * non-BMP text (no surrogate-pair splits, dup_pos ≤ total_pos by
+    * construction).
     */
   def charGramCounts(text: String, k: Int): Map[String, Long] = {
-    if (text == null || text.length < k) return Map.empty
+    if (text == null) return Map.empty
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val off = charOffsets(bytes)
+    val nGrams = off.length - 1 - k + 1
+    if (nGrams <= 0) return Map.empty
     val m = new java.util.HashMap[String, java.lang.Long]()
     var i = 0
-    val last = text.length - k
-    while (i <= last) {
-      m.merge(text.substring(i, i + k), 1L, (a, b) => a + b)
+    while (i < nGrams) {
+      m.merge(new String(bytes, off(i), off(i + k) - off(i),
+        java.nio.charset.StandardCharsets.UTF_8), 1L, (a, b) => a + b)
       i += 1
     }
     import scala.jdk.CollectionConverters._
@@ -268,6 +276,13 @@ object Kernels extends Serializable {
     * cannot express adjacency. Same shuffle-volume contract: distinct
     * bigrams per doc cross the exchange, never one row per position.
     * Input should already be lowercased by a Spark `lower` expression.
+    *
+    * Empty tokens are skipped on BOTH sides of the pair: a `\\s+` split
+    * yields an empty leading token on leading whitespace (Java and DuckDB
+    * agree) and DuckDB's `string_split_regex` additionally keeps an empty
+    * TRAILING token that Java's `split` drops — filtering empties here and
+    * in the x97 oracle's bi CTE is the one definition both engines can
+    * share, and no real bigram contains an empty word anyway.
     */
   def bigramCounts(text: String): Map[String, Long] = {
     if (text == null) return Map.empty
@@ -275,7 +290,8 @@ object Kernels extends Serializable {
     val m = new java.util.HashMap[String, java.lang.Long]()
     var i = 0
     while (i < toks.length - 1) {
-      m.merge(toks(i) + " " + toks(i + 1), 1L, (a, b) => a + b)
+      if (toks(i).nonEmpty && toks(i + 1).nonEmpty)
+        m.merge(toks(i) + " " + toks(i + 1), 1L, (a, b) => a + b)
       i += 1
     }
     import scala.jdk.CollectionConverters._

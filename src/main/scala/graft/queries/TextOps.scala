@@ -23,7 +23,7 @@ object TextOps {
       x45_simhash_neardup, x48_langid, x49_fingerprint, x50_bpe_tokens,
       x81_winnow_fps, x82_shared_spans, x84_dup_components, x85_dedup_resolve,
       x86_incremental_dedup, x95_unigram_lm, x97_bigram_lm, x99_dupgrams,
-      x100_best_keeper)
+      x100_best_keeper, x102_incremental_dupgrams)
 
   /** Distinct word-trigram shingles, exploded: (doc_id, lang, n_chars, sh).
     * Word n-grams (not character grams) are the dedup unit: on natural text
@@ -369,6 +369,12 @@ object TextOps {
   private[graft] def x86HistoryHashes(s: SparkSession, d: String): DataFrame =
     x86Split(s, d)._1.select(unhex(md5(col("text"))).as("th"))
 
+  /** x102's history as the [[graft.sources.GramHistory]] layout: the
+    * distinct xxhash64 gram keys of the x86 history docs at [[DupGramK]].
+    */
+  private[graft] def x102HistoryGrams(s: SparkSession, d: String): DataFrame =
+    graft.sources.GramHistory.gramHashes(x86Split(s, d)._1, DupGramK)
+
   val x86_incremental_dedup: QueryDef = QueryDef(
     "x86_incremental_dedup",
     Sql.canon(
@@ -643,6 +649,10 @@ object TextOps {
          |      UNNEST(generate_series(1, GREATEST(LEN(t) - 1, 0))) AS i
          |    FROM (SELECT doc_id, string_split_regex(LOWER(text), '\\s+') AS t
          |          FROM documents))
+         |  -- DuckDB's string_split_regex keeps a trailing empty token that
+         |  -- Java's split drops; Kernels.bigramCounts skips empty-word
+         |  -- pairs, so the oracle must too (one shared definition)
+         |  WHERE t[i] <> '' AND t[i+1] <> ''
          |  GROUP BY doc_id, w1, w2),
          |bc AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS cb FROM bi GROUP BY w1, w2),
          |terms AS (
@@ -739,5 +749,63 @@ object TextOps {
         count(lit(1)).as("n_members"))
       .select(col("component"), col("m.d").as("keeper"),
         (-col("m.negq")).as("keeper_n_chars"), col("n_members")))
+  }
+
+  // ---------------------------------------------------------------- x102
+  /** Incremental substring audit
+    * ([[graft.operators.Dedup.incrementalDupGrams]] probing a
+    * [[graft.sources.GramHistory]]-shaped gram relation) — x86's
+    * substring-level sibling promoted to an oracle seat: per NEW-batch
+    * doc, the fraction of character-[[DupGramK]]-gram positions whose
+    * gram already exists in the ingested corpus, WITHOUT rescanning the
+    * corpus per batch. History/batch derive from x86's md5-bucket split
+    * (including the +10M recrawls, which must score hist_frac = 1.0
+    * exactly); the oracle replays the derivation and the membership with
+    * string grams while the engine probes 8-byte xxhash64 keys — identical
+    * output unless two distinct grams collide (P ≈ 4e-8 at sf0.1 density,
+    * the x99/x40 accepted budget). The registry build uses the derived
+    * in-query history plan (side-effect-free); when a producer step
+    * persisted the bucketed store ([[graft.sources.GramHistory.create]])
+    * the probe scans it with NO history-side exchange — GramHistorySpec
+    * gates that layout contract.
+    */
+  val x102_incremental_dupgrams: QueryDef = QueryDef(
+    "x102_incremental_dupgrams",
+    Sql.canon(
+      s"""WITH bkt AS (SELECT doc_id, text,
+         |  CAST(CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |       AS BIGINT) % 100 AS INT) AS bucket
+         |  FROM documents),
+         |batch AS (
+         |  SELECT doc_id, text FROM bkt WHERE bucket >= 60
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, text FROM bkt WHERE bucket < 60 AND bucket % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000000, text FROM bkt WHERE bucket >= 60 AND bucket % 11 = 0),
+         |hist AS (
+         |  SELECT DISTINCT SUBSTR(text, i, $DupGramK) AS gram
+         |  FROM (SELECT text,
+         |          UNNEST(generate_series(1, LENGTH(text) - ${DupGramK - 1})) AS i
+         |        FROM bkt WHERE bucket < 60 AND LENGTH(text) >= $DupGramK)),
+         |bg AS (
+         |  SELECT doc_id, SUBSTR(text, i, $DupGramK) AS gram, COUNT(*) AS pc
+         |  FROM (SELECT doc_id, text,
+         |          UNNEST(generate_series(1, LENGTH(text) - ${DupGramK - 1})) AS i
+         |        FROM batch WHERE LENGTH(text) >= $DupGramK)
+         |  GROUP BY doc_id, gram),
+         |hp AS (SELECT bg.doc_id, CAST(SUM(bg.pc) AS BIGINT) AS hist_pos
+         |       FROM bg JOIN hist USING (gram) GROUP BY bg.doc_id)
+         |SELECT doc_id, CAST(LENGTH(text) - ${DupGramK - 1} AS BIGINT) AS total_pos,
+         |  COALESCE(hp.hist_pos, 0) AS hist_pos,
+         |  CAST(COALESCE(hp.hist_pos, 0) AS DOUBLE) /
+         |    (LENGTH(text) - ${DupGramK - 1}) AS hist_frac
+         |FROM batch LEFT JOIN hp USING (doc_id)
+         |WHERE LENGTH(text) >= $DupGramK""".stripMargin,
+      Seq("doc_id", "total_pos", "hist_pos", "hist_frac"))) { (s, d) =>
+    val (history, batch) = x86Split(s, d)
+    Canon(Dedup.incrementalDupGrams(batch,
+      graft.sources.GramHistory.scanOrCompute(s, d)(
+        graft.sources.GramHistory.gramHashes(history, DupGramK)),
+      k = DupGramK))
   }
 }

@@ -426,7 +426,9 @@ object CurationStreams {
     * (k entries — bytes, not state-store state) and is NOT checkpointed:
     * on restart the sketch restarts empty, which under-reports history
     * but never fabricates counts (the conservative failure mode for a
-    * skew monitor). A deployment that needs restart continuity persists
+    * skew monitor); replayed epochs (foreachBatch is at-least-once) are
+    * detected by batchId and merge exactly once, so re-delivery cannot
+    * overcount either. A deployment that needs restart continuity persists
     * `sink`'s output and seeds the next query with it via `seed`.
     *
     * `sink` receives the merged summary after every micro-batch.
@@ -437,8 +439,8 @@ object CurationStreams {
                    seed: Map[String, Long] = Map.empty)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.operators.HeavyHitters
-    val state = new java.util.concurrent.atomic.AtomicReference(seed)
-    rows.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    val state = new MgMergeState(k, seed)
+    rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val out = batch
         .agg(HeavyHitters.mgSketch(col("tok"), col("tf"), k).as("mg"))
         .select(col("mg.toks"), col("mg.ws"))
@@ -448,9 +450,25 @@ object CurationStreams {
           r.getSeq[String](0).zip(r.getSeq[Long](1)).toMap
         case _ => Map.empty[String, Long]
       }
-      sink(state.updateAndGet(s =>
-        HeavyHitters.mergeSummaries(s, batchSummary, k)))
+      sink(state.merge(batchId, batchSummary))
     }
+  }
+
+  /** Cross-batch Misra–Gries merge state with at-least-once replay
+    * protection: foreachBatch may re-deliver an already-merged batchId
+    * after an epoch retry — merging it again would double-count,
+    * fabricating weight the stream never carried. The state pairs the
+    * summary with the last-merged batchId and replayed epochs re-emit the
+    * existing summary unchanged (idempotent for the sink).
+    */
+  private[graft] final class MgMergeState(k: Int, seed: Map[String, Long]) {
+    private val ref =
+      new java.util.concurrent.atomic.AtomicReference((-1L, seed))
+    def merge(batchId: Long, batchSummary: Map[String, Long]): Map[String, Long] =
+      ref.updateAndGet { case cur @ (last, s) =>
+        if (batchId <= last) cur
+        else (batchId, graft.operators.HeavyHitters.mergeSummaries(s, batchSummary, k))
+      }._2
   }
 
   // ------------------------------------------ streaming perplexity scoring
@@ -477,6 +495,64 @@ object CurationStreams {
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       sink(graft.operators.UnigramLm.score(batch, vocab, scalars))
     }
+
+  // --------------------------------------- streaming incremental gram audit
+
+  /** Streaming incremental substring audit — x102's streaming twin,
+    * completing the dedup parity matrix (text LSH / SimHash / vector /
+    * whole-doc hash / substring): each micro-batch's documents score their
+    * character-k-gram overlap against the PERSISTED corpus gram store
+    * ([[graft.sources.GramHistory]] — `create()` it for `dir` first), then
+    * the batch's own grams append to the store so every LATER batch sees
+    * them. Within a micro-batch, docs score against history only — exactly
+    * [[graft.operators.Dedup.incrementalDupGrams]]'s batch contract, so a
+    * one-micro-batch stream is bit-identical to the batch operator (the
+    * spec asserts it) and an N-batch stream equals N sequential batch runs
+    * with the store grown between them.
+    *
+    * WHY the state lives in the store and not the state-store: gram state
+    * at substring granularity is ~10^11 entries at 100 TB (vs 16 B/doc for
+    * x86's hashes) — orders past what per-key streaming state should hold.
+    * The bucketed on-disk store IS the cross-batch state: probe rides the
+    * bucket layout with no history-side exchange, append is
+    * bucket-compatible files, and restarts resume from disk for free.
+    *
+    * Delivery: scores materialize (persist + count) BEFORE the append, so
+    * `sink` observes pre-append values regardless of when it acts; the
+    * append itself is guarded by batchId (replays skip it, bounding store
+    * growth). The one at-least-once residue, stated: an epoch that fails
+    * AFTER its append committed will rescore on retry against its own
+    * grams (hist_frac inflated for that batch's docs only) — pair `sink`
+    * with a batchId-keyed idempotent write if that matters downstream;
+    * membership (not counts) semantics mean the store itself is correct
+    * either way.
+    */
+  def incrementalDupGrams(docs: DataFrame, dir: String, k: Int,
+                          sink: DataFrame => Unit,
+                          growStore: Boolean = true)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val appended = new java.util.concurrent.atomic.AtomicLong(-1L)
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val table = graft.sources.GramHistory.registeredTable(spark, dir)
+        .getOrElse(throw new IllegalStateException(
+          s"streaming incrementalDupGrams: no gram store for $dir — " +
+            "GramHistory.create() first (an empty corpus is fine)"))
+      val hist = spark.table(table)
+        .select(col(graft.sources.GramHistory.GramCol))
+      val scored = graft.operators.Dedup
+        .incrementalDupGrams(batch, hist, k)
+        .persist()
+      try {
+        scored.count(): Unit // pin pre-append values
+        sink(scored)
+        if (growStore &&
+            appended.getAndUpdate(l => math.max(l, batchId)) < batchId)
+          graft.sources.GramHistory.append(spark, dir,
+            graft.sources.GramHistory.gramHashes(batch, k))
+      } finally scored.unpersist(): Unit
+    }
+  }
 
   // ------------------------------------------- streaming incremental dedup
 

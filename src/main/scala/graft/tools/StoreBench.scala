@@ -91,6 +91,22 @@ object StoreBench {
     val ivfCents = Similarity.kmeansCentroids(emb, 16, 2)
     val ivfBuild = buildTimed(IvfStore.create(spark, p("ivf"), emb, nlist = 16))
 
+    // ---- append vs rebuild (the daily-ingest accounting): base = ~99%,
+    // batch = ~1%. The rebuild cost IS the full-corpus build above; the
+    // append row is what a store pays per ingest batch instead. Each
+    // append store is created from the base slice first (untimed — that
+    // build is the amortized one-off).
+    val docBatch = docs.filter(col("doc_id") % 100 === 0)
+    val docBase = docs.filter(col("doc_id") % 100 =!= 0)
+    Bm25Store.create(spark, p("bm25i"), docBase)
+    val bm25Append = buildTimed(Bm25Store.append(spark, p("bm25i"), docBatch))
+    val embBatch = emb.filter(col("vec_id") % 100 === 0)
+    val embBase = emb.filter(col("vec_id") % 100 =!= 0)
+    IvfStore.create(spark, p("ivfi"), embBase, nlist = 16)
+    val ivfAppend = buildTimed(IvfStore.append(spark, p("ivfi"), embBatch))
+    AnnStore.create(spark, p("anni"), embBase)
+    val annAppend = buildTimed(AnnStore.append(spark, p("anni"), embBatch))
+
     // ---- query: store vs transient
     val bm25Store = timed(Bm25Store.query(spark, p("bm25"), bm25Queries, k = 10))
     val bm25Scan = timed(Bm25.topK(docs, bm25Queries, k = 10))
@@ -110,6 +126,7 @@ object StoreBench {
       f""""bm25":{"build":$bm25Build%.3f,"store_query":$bm25Store%.3f,"scan_query":$bm25Scan%.3f,"store_bytes":$bm25StoreB,"scan_bytes":$bm25ScanB},""" +
       f""""ann_pq":{"build":$annBuild%.3f,"store_query":$annStore%.3f,"scan_query":$annScan%.3f,"store_bytes":$annStoreB,"scan_bytes":$annScanB},""" +
       f""""ivf":{"build":$ivfBuild%.3f,"store_query":$ivfStore%.3f,"scan_query":$ivfScan%.3f,"store_bytes":$ivfStoreB,"scan_bytes":$ivfScanB},""" +
+      f""""append_1pct":{"bm25_append":$bm25Append%.3f,"bm25_rebuild":$bm25Build%.3f,"ivf_append":$ivfAppend%.3f,"ivf_rebuild":$ivfBuild%.3f,"ann_append":$annAppend%.3f,"ann_rebuild":$annBuild%.3f},""" +
       f""""load_start":$load0%.2f,"load_end":${loadAvg()}%.2f}"""
     println(json)
     spark.stop()

@@ -58,6 +58,27 @@ class BigramLmSpec extends SparkSpec {
     assert(fa == ca)
   }
 
+  test("leading/trailing whitespace yields no empty-word bigrams (oracle parity pin)") {
+    // DuckDB string_split_regex keeps a trailing empty token ('a b ' ->
+    // ['a','b','']) where Java split drops it; both keep a LEADING empty.
+    // The shared contract is: pairs with an empty word never count — the
+    // kernel skips them and the x97 oracle's bi CTE filters them.
+    assert(Kernels.bigramCounts("alpha beta ") == Map("alpha beta" -> 1L))
+    assert(Kernels.bigramCounts("  alpha beta") == Map("alpha beta" -> 1L))
+    assert(Kernels.bigramCounts(" alpha beta \n") == Map("alpha beta" -> 1L))
+    assert(Kernels.bigramCounts("   ") == Map.empty[String, Long])
+    assert(Kernels.bigramCounts("alpha ") == Map.empty[String, Long])
+    // whole-pipeline: the whitespace doc scores exactly like its trimmed twin
+    val train = docs(1L -> "alpha beta alpha")
+    val (vocab, scalars) = UnigramLm.train(train)
+    val bc = BigramLm.trainBigrams(train)
+    val out = BigramLm.score(
+        docs(2L -> " alpha beta ", 3L -> "alpha beta"), bc, vocab, scalars)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(2L) == out(3L), s"whitespace twin diverged: $out")
+    assert(out(2L)._1 == 1L)
+  }
+
   test("docs with fewer than two tokens emit no row") {
     val train = docs(1L -> "alpha beta")
     val (vocab, scalars) = UnigramLm.train(train)

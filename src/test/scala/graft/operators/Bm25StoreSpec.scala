@@ -47,6 +47,43 @@ class Bm25StoreSpec extends SparkSpec {
     assert(nTermBuckets < 64, "fixture must not cover every bucket")
   }
 
+  test("append equals full rebuild bit-identically (postings, df, meta all merge)") {
+    val pathInc = tmpStore()
+    val pathFull = tmpStore()
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    assert(batch.count() > 0 && base.count() > 0)
+    Bm25Store.create(spark, pathInc, base, nBuckets = 16)
+    Bm25Store.append(spark, pathInc, batch)
+    Bm25Store.create(spark, pathFull, docs, nBuckets = 16)
+    def ans(p: String) = Bm25Store.query(spark, p, qs, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val inc = ans(pathInc)
+    val full = ans(pathFull)
+    assert(inc.nonEmpty)
+    assert(inc == full,
+      s"inc-only: ${inc -- full take 5}; full-only: ${full -- inc take 5}")
+    // meta segments sum to the whole corpus (df/idf shift with N — exact
+    // stats are what makes the scores above bit-match, not just the ranks)
+    val m = Bm25Store.meta(spark, pathInc).collect().head
+    assert(m.getInt(0) == 16 && m.getLong(1) == docs.count())
+  }
+
+  test("two appends compose: segment-merge is associative") {
+    val path = tmpStore()
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    Bm25Store.create(spark, path, b0, nBuckets = 16)
+    Bm25Store.append(spark, path, b1)
+    Bm25Store.append(spark, path, b2)
+    val inc = Bm25Store.query(spark, path, qs, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val scan = Bm25.topK(docs, qs, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(inc == scan && inc.nonEmpty)
+  }
+
   test("meta records the modulus; a restore with different terms still matches") {
     val path = tmpStore()
     Bm25Store.create(spark, path, docs, nBuckets = 16)

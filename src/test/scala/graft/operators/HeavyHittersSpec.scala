@@ -76,6 +76,49 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got == top4, s"got $got\nwant $top4")
   }
 
+  test("exactTopK falls back to the exact count when the bound premise fails") {
+    // 200 near-uniform tokens, sketchK=8: every true weight sits far below
+    // W/(sketchK+1), so the sketch may omit true top-k tokens — the
+    // premise validation must detect that and recount the vocabulary
+    val rows = (1 to 200).flatMap(i => Seq.fill(2)((f"tok$i%03d", 5L)))
+    val df = rows.toDF("tok", "tf").repartition(8, expr("xxhash64(tok)"))
+    val truth = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val w = truth.values.sum
+    assert(truth.values.max <= w.toDouble / 9,
+      "fixture must keep every token below the sketch bound")
+    val want = truth.toSeq.sortBy { case (t, c) => (-c, t) }.take(5)
+    val got = HeavyHitters.exactTopK(df, k = 5, sketchK = 8)
+      .orderBy("rn").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+  }
+
+  test("exactTopK lossless witness: sketchK >= vocab stays on the semi-join path") {
+    // vocab 6 <= sketchK 32: no decay ever fires, sum(sketch) == W, so the
+    // result is trusted even though the k-th token (weight 1) sits far
+    // below W/(sketchK+1) ~ 30 — the lossless witness, not the bound,
+    // keeps the candidates-only recount
+    val df = (("big", 1000L) +: (1 to 5).map(i => (s"s$i", 1L)))
+      .toDF("tok", "tf")
+    val got = HeavyHitters.exactTopK(df, k = 3, sketchK = 32)
+    assert(got.queryExecution.executedPlan.toString.contains("LeftSemi"),
+      "lossless regime must keep the candidates semi-join plan")
+    assert(got.orderBy("rn").collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == Seq(("big", 1000L), ("s1", 1L), ("s2", 1L)))
+  }
+
+  test("MgMergeState: a replayed batchId merges exactly once") {
+    val st = new graft.streaming.CurationStreams.MgMergeState(4, Map.empty)
+    val m0 = st.merge(0L, Map("a" -> 5L, "b" -> 2L))
+    assert(m0 == Map("a" -> 5L, "b" -> 2L))
+    // at-least-once replay of epoch 0: summary must NOT double
+    assert(st.merge(0L, Map("a" -> 5L, "b" -> 2L)) == m0)
+    val m1 = st.merge(1L, Map("a" -> 1L, "c" -> 3L))
+    assert(m1 == Map("a" -> 6L, "b" -> 2L, "c" -> 3L))
+    // stale replay after progress is also ignored
+    assert(st.merge(0L, Map("z" -> 99L)) == m1)
+  }
+
   test("mergeSummaries: sums, decays by the (k+1)-th largest, keeps <= k") {
     val a = Map("a" -> 10L, "b" -> 6L, "c" -> 3L)
     val b = Map("b" -> 4L, "d" -> 5L, "e" -> 2L)

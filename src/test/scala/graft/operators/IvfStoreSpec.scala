@@ -54,6 +54,22 @@ class IvfStoreSpec extends SparkSpec {
       s"fixture must probe a strict subset of cells, got ${probed.length}")
   }
 
+  test("append equals one layout of the union under the frozen centroids (search bit-identity)") {
+    val path = tmpStore()
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    assert(batch.count() > 0)
+    val cents = IvfStore.create(spark, path, base, nlist = 16)
+    IvfStore.append(spark, path, batch)
+    val fromStore = IvfStore.search(spark, path, queries, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val transient = Similarity
+      .ivfTopKWithCentroids(emb, queries, k = 10, cents, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromStore.nonEmpty && fromStore == transient,
+      s"store-only: ${fromStore -- transient}; transient-only: ${transient -- fromStore}")
+  }
+
   test("append assigns with the frozen centroids; a planted twin is found") {
     val path = tmpStore()
     IvfStore.create(spark, path, emb, nlist = 16)

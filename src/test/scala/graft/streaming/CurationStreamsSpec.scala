@@ -789,6 +789,75 @@ class CurationStreamsSpec extends SparkSpec {
     assert(got(14L) == "dup_in_batch", "cross-batch state lost")
   }
 
+  test("streaming gram audit: one micro-batch is bit-identical to batch x102 semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val k = 8
+    val dir = s"/tmp/gram_audit_spec_one_${System.nanoTime}"
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    graft.sources.GramHistory.create(spark, dir, corpus, k, buckets = 4)
+    val batchDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // full overlap
+      (11L, "completely unrelated words written here now"), // zero overlap
+      (12L, "xx alpha beta gamma delta epsilon zeta"))      // partial
+    val out = scala.collection.mutable.ListBuffer[(Long, Long, Long, Double)]()
+    val mem = MemoryStream[(Long, String)]
+    val q = CurationStreams.incrementalDupGrams(
+        mem.toDF().toDF("doc_id", "text"), dir, k,
+        df => out ++= df.as[(Long, Long, Long, Double)].collect())
+      .start()
+    try { mem.addData(batchDocs); q.processAllAvailable() } finally q.stop()
+    val want = graft.operators.Dedup.incrementalDupGrams(
+        batchDocs.toDF("doc_id", "text"),
+        graft.sources.GramHistory.gramHashes(corpus, k), k)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out.toSet == want, s"stream ${out.toSet} != batch $want")
+    val byId = out.map(r => r._1 -> r._4).toMap
+    assert(byId(10L) == 1.0 && byId(11L) == 0.0 &&
+      byId(12L) > 0.0 && byId(12L) < 1.0)
+    graft.sources.GramHistory.invalidate(spark, dir)
+  }
+
+  test("streaming gram audit: later batches see earlier batches' grams (store growth)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val k = 8
+    val dir = s"/tmp/gram_audit_spec_grow_${System.nanoTime}"
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    graft.sources.GramHistory.create(spark, dir, corpus, k, buckets = 4)
+    val novel = "some brand new sentence nobody wrote before"
+    val out = scala.collection.mutable.ListBuffer[(Long, Long, Long, Double)]()
+    val mem = MemoryStream[(Long, String)]
+    val q = CurationStreams.incrementalDupGrams(
+        mem.toDF().toDF("doc_id", "text"), dir, k,
+        df => out ++= df.as[(Long, Long, Long, Double)].collect())
+      .start()
+    try {
+      mem.addData(Seq((20L, novel))); q.processAllAvailable()
+      mem.addData(Seq((21L, novel))); q.processAllAvailable()
+    } finally q.stop()
+    val byId = out.map(r => r._1 -> r._4).toMap
+    // batch 1: novel text scores zero against the corpus store; batch 2:
+    // the SAME text scores 1.0 — batch 1's append made it history
+    assert(byId(20L) == 0.0, s"batch-1 doc contaminated: $byId")
+    assert(byId(21L) == 1.0, s"batch-1 grams not visible to batch 2: $byId")
+    // equals two sequential batch runs with the store grown between them
+    val h1 = graft.sources.GramHistory.gramHashes(corpus, k)
+    val seq1 = graft.operators.Dedup.incrementalDupGrams(
+      Seq((20L, novel)).toDF("doc_id", "text"), h1, k)
+    val h2 = h1.unionAll(graft.sources.GramHistory.gramHashes(
+      Seq((20L, novel)).toDF("doc_id", "text"), k)).distinct()
+    val seq2 = graft.operators.Dedup.incrementalDupGrams(
+      Seq((21L, novel)).toDF("doc_id", "text"), h2, k)
+    val want = (seq1.as[(Long, Long, Long, Double)].collect() ++
+      seq2.as[(Long, Long, Long, Double)].collect()).toSet
+    assert(out.toSet == want, s"stream ${out.toSet} != sequential $want")
+    graft.sources.GramHistory.invalidate(spark, dir)
+  }
+
   test("streaming band buckets are bit-identical to the batch LSH buckets") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
