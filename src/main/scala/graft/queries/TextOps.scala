@@ -221,8 +221,20 @@ object TextOps {
     * verified over a candidates-sized fetch. Shared by x40 and the
     * cluster-resolution queries x84/x85 that consume the pairs.
     */
-  def lshNearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def lshNearDupPairs(s: SparkSession, d: String): DataFrame =
+    lshNearDupPairsOf(Tables.documents(s, d))
+
+  /** The x40 pipeline over an arbitrary docs frame (doc_id, lang, n_chars,
+    * text) — the registry entry binds it to the `documents` table; the
+    * pipeline rehearsal binds it to the CURATED survivors. The (same-lang,
+    * length-window) candidate restriction is part of the operator's scale
+    * contract, not an oracle convenience: on templated corpora the
+    * unrestricted banded buckets collide across languages/lengths and the
+    * verify join fans out into gigabytes of exchange (measured in the
+    * round-11 rehearsal at 500k docs: 11 GB shuffle / 333 s unfiltered —
+    * the filtered numbers are the BASELINE.md rehearsal table).
+    */
+  def lshNearDupPairsOf(docs: DataFrame): DataFrame = {
     val meta = docs.select(col("doc_id"), col("lang"), col("n_chars"))
     // Restrict candidates to the oracle's (same-lang, length-window) buckets.
     val bucketFilter: DataFrame => DataFrame = cands => cands

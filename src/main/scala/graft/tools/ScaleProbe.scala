@@ -78,6 +78,10 @@ object ScaleProbe {
     // one gram-keyed map-combined shuffle + a broadcast dup set, so wall
     // should track ~F (measured 3.02 at 10x, 6.78 at 30x)
     "x99_dupgrams",
+    // x102: the INCREMENTAL substring audit — per-batch cost must track
+    // the BATCH (grams exploded, one semi-join against the bucketed store
+    // riding its layout), with the store build amortized like x86's
+    "x102_incremental_dupgrams",
     // x100/x101: resolution policy (components broadcast into the corpus
     // scan) and the composed v2 pipeline (gates + nll + dedup as one
     // DAG) — both should track the corpus scan ~F
@@ -257,6 +261,16 @@ object ScaleProbe {
       Seq(baseSf, outDir).foreach { d =>
         graft.sources.HashHistory.create(spark, d,
           graft.queries.TextOps.x86HistoryHashes(spark, d))
+      }
+    }
+    if (queries.contains("x102_incremental_dupgrams")) {
+      // same amortization for the gram store; more buckets at scale — the
+      // store is gram-sized (~total_chars distinct 40-grams), not doc-sized
+      Seq(baseSf -> 8, outDir -> math.max(8, factor / 2)).foreach {
+        case (d, b) =>
+          graft.sources.GramHistory.create(spark, d,
+            graft.queries.TextOps.x86Split(spark, d)._1,
+            graft.queries.TextOps.DupGramK, buckets = b)
       }
     }
     // load stamps bracket the wall phases: this box is co-tenant and a

@@ -19,6 +19,15 @@ object GoldenTiles {
       ("tile_z13_anchor", "tile", 13, ax, ay),
       ("tile_z9_ancestor", "tile", 9, ax >> 4, ay >> 4),
       ("tile_z15_descendant", "tile", 15, ax << 2, ay << 2),
+      // z > hashLevel tile on the anchor cell's EAST edge: the straddling
+      // roads polygon overlaps this tile but its centroid HASH lives in
+      // the NEIGHBOR cell (ax+1) — a single-cell z>hashLevel scan (the
+      // reference's D1 bug) would miss it, so this golden locks in the
+      // coverWithBuffer cross-cell recall fix (the other tile goldens all
+      // sit on cell-aligned extents); GoldenTilesSpec additionally
+      // asserts the feature is PRESENT, so a regenerated golden cannot
+      // silently bake the regression in
+      ("tile_z15_cell_edge", "tile", 15, (ax << 2) + 3, (ay << 2) + 1),
       ("heatmap_z9", "heatmap", 9, ax >> 4, ay >> 4))
   }
 

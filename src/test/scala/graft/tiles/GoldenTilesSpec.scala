@@ -18,4 +18,15 @@ class GoldenTilesSpec extends SparkSpec {
         s"$name drifted from golden; if intentional regenerate and review")
     }
   }
+
+  test("z>hashLevel edge tile RECALLS the neighbor-cell straddler (D1 semantic gate)") {
+    // the golden above pins bytes; this pins the SEMANTICS those bytes
+    // must carry, so `GoldenTiles.main` cannot silently regenerate the D1
+    // regression into the golden: the straddling roads polygon (value 1.0,
+    // hash in cell ax+1) must appear in the east-edge z=15 tile of cell ax
+    val (ax, ay) = (graft.TestFixtures.ax, graft.TestFixtures.ay)
+    val got = GoldenTiles.render(spark, "tile", 15, (ax << 2) + 3, (ay << 2) + 1)
+    assert(got.contains("\"class\":\"roads\",\"value\":1.0"),
+      s"neighbor-cell straddler missing from the edge tile (D1 regression):\n$got")
+  }
 }
