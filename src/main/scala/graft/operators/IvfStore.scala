@@ -54,10 +54,15 @@ object IvfStore {
       .map(_.getSeq[Double](1).toArray)
 
   /** Assign a new batch against the frozen centroids and append its cell
-    * partitions — map-only, batch-sized, no refit.
+    * partitions — map-only, batch-sized, no refit. The delta coalesces
+    * before the partitioned write (the Bm25Store.append device: an
+    * uncoalesced batch writes partitions × cells small files per append,
+    * and file count is what degrades a daily-append store).
     */
-  def append(spark: SparkSession, path: String, newCorpus: DataFrame): Unit =
+  def append(spark: SparkSession, path: String, newCorpus: DataFrame,
+             deltaPartitions: Int = 8): Unit =
     Similarity.assignCells(newCorpus, centroids(spark, path))
+      .coalesce(deltaPartitions)
       .write.mode("append").partitionBy("cell").parquet(vectorsPath(path))
 
   /** Top-k by exact cosine within each query's `nprobe` probed cells,
