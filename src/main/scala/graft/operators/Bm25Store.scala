@@ -117,6 +117,49 @@ object Bm25Store {
       .coalesce(1).write.mode("append").parquet(metaPath(path))
   }
 
+  /** INDEX-SIZED compaction — the third lifecycle verb (create = corpus
+    * scan, append = batch scan, compact = index scan, NO corpus access):
+    * rewrites each relation to one segment — postings re-clustered to ~one
+    * file per bucket dir (appends accumulate a file per touched bucket per
+    * batch; file count is the store-health axis), df segments merged per
+    * (bucket, token) so readers' query-time segment-sum sees one row
+    * again, meta collapsed to a single row. Each relation writes to a
+    * `_compact` sibling first and swaps in via delete+rename, so reads
+    * stay consistent until the swap; a crash mid-swap leaves a rebuildable
+    * store (the object scaladoc's manifest-free contract — the index is a
+    * derived artifact). Query answers are bit-identical before and after
+    * (spec-gated).
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def swap(dir: String)(write: String => Unit): Unit = {
+      val cur = new org.apache.hadoop.fs.Path(dir)
+      val tmp = new org.apache.hadoop.fs.Path(dir + "_compact")
+      val fs = cur.getFileSystem(conf)
+      fs.delete(tmp, true)
+      write(tmp.toString)
+      fs.delete(cur, true)
+      if (!fs.rename(tmp, cur))
+        throw new java.io.IOException(s"compact: rename $tmp -> $cur failed")
+    }
+    swap(postingsPath(path)) { tmp =>
+      // hash-cluster by bucket so each task owns whole buckets -> ~one
+      // file per bucket dir (an index-sized exchange, the compaction bill)
+      spark.read.parquet(postingsPath(path))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(tmp)
+    }
+    swap(dfPath(path)) { tmp =>
+      spark.read.parquet(dfPath(path))
+        .groupBy(col("bucket"), col("tok")).agg(sum(col("df")).as("df"))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(tmp)
+    }
+    swap(metaPath(path)) { tmp =>
+      meta(spark, path).coalesce(1).write.parquet(tmp)
+    }
+  }
+
   /** (n_buckets, n_docs, sum_dl) as a one-row broadcastable frame —
     * n_docs/sum_dl summed over the create + append segment rows (a
     * single-segment store reads back exactly what create wrote).

@@ -114,6 +114,10 @@ object StoreBench {
     val ivfAppend = buildTimed(IvfStore.append(spark, p("ivfi"), embBatch))
     AnnStore.create(spark, p("anni"), embBase)
     val annAppend = buildTimed(AnnStore.append(spark, p("anni"), embBatch))
+    // compaction (the third lifecycle verb): index-sized, no corpus scan —
+    // run on the stores that just absorbed an append
+    val bm25Compact = buildTimed(Bm25Store.compact(spark, p("bm25i")))
+    val ivfCompact = buildTimed(IvfStore.compact(spark, p("ivfi")))
 
     // ---- query: store vs transient
     val bm25Store = timed(Bm25Store.query(spark, p("bm25"), bm25Queries, k = 10))
@@ -134,7 +138,7 @@ object StoreBench {
       f""""bm25":{"build":$bm25Build%.3f,"store_query":$bm25Store%.3f,"scan_query":$bm25Scan%.3f,"store_bytes":$bm25StoreB,"scan_bytes":$bm25ScanB},""" +
       f""""ann_pq":{"build":$annBuild%.3f,"store_query":$annStore%.3f,"scan_query":$annScan%.3f,"store_bytes":$annStoreB,"scan_bytes":$annScanB},""" +
       f""""ivf":{"build":$ivfBuild%.3f,"store_query":$ivfStore%.3f,"scan_query":$ivfScan%.3f,"store_bytes":$ivfStoreB,"scan_bytes":$ivfScanB},""" +
-      f""""append_1pct":{"bm25_append":$bm25Append%.3f,"bm25_rebuild":$bm25Build%.3f,"ivf_append":$ivfAppend%.3f,"ivf_rebuild":$ivfBuild%.3f,"ann_append":$annAppend%.3f,"ann_rebuild":$annBuild%.3f},""" +
+      f""""append_1pct":{"bm25_append":$bm25Append%.3f,"bm25_rebuild":$bm25Build%.3f,"ivf_append":$ivfAppend%.3f,"ivf_rebuild":$ivfBuild%.3f,"ann_append":$annAppend%.3f,"ann_rebuild":$annBuild%.3f,"bm25_compact":$bm25Compact%.3f,"ivf_compact":$ivfCompact%.3f},""" +
       f""""load_start":$load0%.2f,"load_end":${loadAvg()}%.2f}"""
     println(json)
     spark.stop()

@@ -84,6 +84,40 @@ class Bm25StoreSpec extends SparkSpec {
     assert(inc == scan && inc.nonEmpty)
   }
 
+  test("compact collapses segments without changing answers") {
+    val path = tmpStore()
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    Bm25Store.create(spark, path, b0, nBuckets = 16)
+    Bm25Store.append(spark, path, b1)
+    Bm25Store.append(spark, path, b2)
+    def ans() = Bm25Store.query(spark, path, qs, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    def files(rel: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$path/$rel")).count(_.getName.endsWith(".parquet"))
+    }
+    val before = ans()
+    val (pf0, df0, mf0) = (files("postings"), files("df"), files("meta"))
+    Bm25Store.compact(spark, path)
+    assert(ans() == before, "compaction changed query answers")
+    // one meta segment, merged df rows (no token appears in >1 segment),
+    // and strictly fewer files everywhere
+    assert(files("meta") == 1, s"meta not collapsed: ${files("meta")} files")
+    assert(files("postings") < pf0 && files("df") < df0 && mf0 > 1,
+      s"compaction did not shrink file counts: postings $pf0->${files("postings")}, " +
+        s"df $df0->${files("df")}, meta $mf0->${files("meta")}")
+    val dupToks = spark.read.parquet(s"$path/df")
+      .groupBy(col("bucket"), col("tok")).count().filter(col("count") > 1).count()
+    assert(dupToks == 0, s"$dupToks (bucket, tok) pairs still span segments")
+    // and the store still appends + answers correctly afterwards
+    val probe = Seq(7 -> "table scan")
+    assert(Bm25Store.query(spark, path, probe, k = 5).collect().nonEmpty)
+  }
+
   test("meta records the modulus; a restore with different terms still matches") {
     val path = tmpStore()
     Bm25Store.create(spark, path, docs, nBuckets = 16)

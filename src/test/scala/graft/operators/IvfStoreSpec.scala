@@ -70,6 +70,29 @@ class IvfStoreSpec extends SparkSpec {
       s"store-only: ${fromStore -- transient}; transient-only: ${transient -- fromStore}")
   }
 
+  test("compact re-clusters cell files without changing search answers") {
+    val path = tmpStore()
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    IvfStore.create(spark, path, base, nlist = 8)
+    (0 to 2).foreach { r =>
+      IvfStore.append(spark, path,
+        emb.filter(col("vec_id") % 4 === 0 && col("vec_id") % 3 === r))
+    }
+    def ans() = IvfStore.search(spark, path, queries, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def nFiles: Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$path/vectors")).count(_.getName.endsWith(".parquet"))
+    }
+    val before = ans()
+    val f0 = nFiles
+    IvfStore.compact(spark, path)
+    assert(ans() == before, "compaction changed search answers")
+    assert(nFiles < f0, s"compaction did not shrink file count: $f0 -> $nFiles")
+  }
+
   test("append assigns with the frozen centroids; a planted twin is found") {
     val path = tmpStore()
     IvfStore.create(spark, path, emb, nlist = 16)

@@ -68,6 +68,44 @@ class GramHistorySpec extends SparkSpec {
     } finally GramHistory.invalidate(spark, dir)
   }
 
+  test("compact dedupes cross-append repeats; probes answer identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gh-cpt").toString
+    try {
+      GramHistory.create(spark, dir, corpusDocs, K)
+      val texts = corpusDocs.select("text").as[String].collect()
+      // three redundant appends: membership unchanged, stored rows tripled
+      (1 to 3).foreach { _ =>
+        GramHistory.append(spark, dir, GramHistory.gramHashes(corpusDocs, K))
+      }
+      val table = GramHistory.tableFor(dir)
+      val distinctGrams =
+        texts.flatMap(t => Kernels.charGramHashCounts(t, K).keys).toSet.size
+      val bloated = spark.table(table).count()
+      assert(bloated == 4L * distinctGrams,
+        s"fixture must carry repeats: $bloated vs $distinctGrams distinct")
+      val batch = Seq(
+        (40L, texts.head),
+        (41L, "completely novel material sharing nothing whatsoever with history"))
+        .toDF("doc_id", "text")
+      def probe() = Dedup.incrementalDupGrams(batch,
+          GramHistory.scanOrCompute(spark, dir)(sys.error("unreachable")), K)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val before = probe()
+      GramHistory.compact(spark, dir)
+      assert(spark.table(table).count() == distinctGrams,
+        "compact must rewrite the store to its distinct grams")
+      assert(probe() == before, "compaction changed probe answers")
+      // the rewritten table still carries the bucket spec the
+      // no-exchange probe plan rides (the gate below re-checks the plan
+      // on a fresh store; here we pin the metadata survived the rename)
+      val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+        .collect().map(_.mkString(" ")).mkString("\n")
+      assert(desc.contains("Num Buckets") || desc.contains("bucket"),
+        s"bucket spec lost in compaction rename:\n$desc")
+    } finally GramHistory.invalidate(spark, dir)
+  }
+
   test("probe plan: history side rides the bucket layout with NO Exchange") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
