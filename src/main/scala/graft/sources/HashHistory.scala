@@ -96,6 +96,29 @@ object HashHistory {
       .saveAsTable(table)
   }
 
+  /** STORE-SIZED compaction — recrawl-heavy streams re-append hashes the
+    * store already holds (the probe's distinct() absorbs them, but bytes
+    * and file counts grow per batch): rewrite the table to its DISTINCT
+    * hashes as one bucketed segment. Sibling-table-then-rename (the
+    * [[GramHistory.compact]] device): the store stays readable until the
+    * distinct result is fully materialized; probes answer identically
+    * before and after and the bucket layout — and so the no-exchange
+    * probe plan — survives the rename (spec-gated).
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val (table, buckets) = Option(stores.get(key(spark, dir))).getOrElse(
+      throw new IllegalStateException(
+        s"HashHistory.compact: no store registered for $dir — create() first"))
+    val tmp = table + "_compact"
+    Bucketing.writeBucketed(
+      spark.table(table).select(col(HashCol)).distinct(), tmp, HashCol, buckets)
+    val loc = new org.apache.hadoop.fs.Path(
+      org.apache.spark.sql.GraftBridge.tableLocation(spark, table))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table"): Unit
+  }
+
   /** The consumer entry point — LAZY, side-effect-free: the bucketed table
     * scan when a producer step ran for this (application, dir), else the
     * caller's derived history plan (`compute`, untouched when the store is

@@ -59,6 +59,28 @@ class HashHistorySpec extends SparkSpec {
     } finally HashHistory.invalidate(spark, dir)
   }
 
+  test("compact dedupes re-appended hashes; probes answer identically") {
+    val h1 = docs.filter(col("doc_id") % 3 === 0)
+    val batch = docs.filter(col("doc_id") % 3 === 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hh-cpt").toString
+    try {
+      HashHistory.create(spark, dir, hashesOf(h1), buckets = 4)
+      // three full recrawl appends: membership unchanged, rows quadrupled
+      (1 to 3).foreach(_ => HashHistory.append(spark, dir, hashesOf(h1)))
+      val table = HashHistory.tableFor(dir)
+      val distinctHashes = hashesOf(h1).distinct().count()
+      assert(spark.table(table).count() == 4 * distinctHashes)
+      def probe() = Dedup.incrementalStatusBinary(batch,
+          HashHistory.scanOrCompute(spark, dir)(sys.error("unreachable")))
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val before = probe()
+      HashHistory.compact(spark, dir)
+      assert(spark.table(table).count() == distinctHashes,
+        "compact must rewrite the store to its distinct hashes")
+      assert(probe() == before, "compaction changed probe answers")
+    } finally HashHistory.invalidate(spark, dir)
+  }
+
   test("probe plan: history side rides the bucket layout with NO Exchange") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
