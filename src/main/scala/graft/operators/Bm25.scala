@@ -69,17 +69,24 @@ object Bm25 {
            buckets: Int = 32): DataFrame =
     rankTopK(scores(docs, queries), k, buckets)
 
+  /** Query-term normalization — the ONE definition both the transient
+    * scan ([[scores]]) and the persisted index ([[Bm25Store.query]]) use,
+    * which MUST stay bit-identical to the postings-side `lower()`:
+    * UTF8String.toLowerCase = Spark's locale-independent `lower`; Java's
+    * String.toLowerCase is default-locale-sensitive (Turkish 'I' →
+    * dotless ı would silently match zero postings).
+    */
+  def queryTerms(queries: Seq[(Int, String)]): Seq[(Int, String)] =
+    queries.flatMap { case (qid, q) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(q)
+        .toLowerCase.toString.split("\\s+").toSeq.distinct.map(t => (qid, t))
+    }
+
   /** Exact per-(query, doc) scores for every doc matching >= 1 query term. */
   def scores(docs: DataFrame, queries: Seq[(Int, String)]): DataFrame = {
     val sp = docs.sparkSession
     import sp.implicits._
-    val qterms = queries.flatMap { case (qid, q) =>
-      // UTF8String.toLowerCase = Spark's locale-independent `lower`, the
-      // normalization the postings were built with; String.toLowerCase is
-      // default-locale-sensitive (Turkish 'I' -> dotless). One definition.
-      org.apache.spark.unsafe.types.UTF8String.fromString(q)
-        .toLowerCase.toString.split("\\s+").toSeq.distinct.map(t => (qid, t))
-    }
+    val qterms = queryTerms(queries)
     val termSet = qterms.map(_._2).distinct.sorted
     val terms = typedlit(termSet)
     val tokUdf = udf((t: String) => Kernels.tokenCounts(t, MinTokenLen))

@@ -124,24 +124,17 @@ object Bm25Store {
     * batch; file count is the store-health axis), df segments merged per
     * (bucket, token) so readers' query-time segment-sum sees one row
     * again, meta collapsed to a single row. Each relation writes to a
-    * `_compact` sibling first and swaps in via delete+rename, so reads
-    * stay consistent until the swap; a crash mid-swap leaves a rebuildable
-    * store (the object scaladoc's manifest-free contract — the index is a
-    * derived artifact). Query answers are bit-identical before and after
+    * `_compact` sibling first and swaps in via delete+rename
+    * ([[graft.sources.SwapDir]] — see its single-mutating-writer contract:
+    * an append racing a compact loses its files), so reads stay consistent
+    * until the swap; a crash mid-swap leaves a rebuildable store (the
+    * object scaladoc's manifest-free contract — the index is a derived
+    * artifact). Query answers are bit-identical before and after
     * (spec-gated).
     */
   def compact(spark: SparkSession, path: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    def swap(dir: String)(write: String => Unit): Unit = {
-      val cur = new org.apache.hadoop.fs.Path(dir)
-      val tmp = new org.apache.hadoop.fs.Path(dir + "_compact")
-      val fs = cur.getFileSystem(conf)
-      fs.delete(tmp, true)
-      write(tmp.toString)
-      fs.delete(cur, true)
-      if (!fs.rename(tmp, cur))
-        throw new java.io.IOException(s"compact: rename $tmp -> $cur failed")
-    }
+    def swap(dir: String)(write: String => Unit): Unit =
+      graft.sources.SwapDir(spark, dir)(write)
     swap(postingsPath(path)) { tmp =>
       // hash-cluster by bucket so each task owns whole buckets -> ~one
       // file per bucket dir (an index-sized exchange, the compaction bill)
@@ -179,13 +172,7 @@ object Bm25Store {
     import spark.implicits._
     val m = meta(spark, path).collect().head
     val nBuckets = m.getInt(0)
-    val qterms = queries.flatMap { case (qid, q) =>
-      // UTF8String.toLowerCase = Spark's locale-independent `lower`, the
-      // normalization the postings were built with; String.toLowerCase is
-      // default-locale-sensitive (Turkish 'I' -> dotless). One definition.
-      org.apache.spark.unsafe.types.UTF8String.fromString(q)
-        .toLowerCase.toString.split("\\s+").toSeq.distinct.map(t => (qid, t))
-    }
+    val qterms = Bm25.queryTerms(queries)
     val termSet = qterms.map(_._2).distinct.sorted
     // term → bucket through Spark's own xxhash64: parity with the writer
     val termBuckets = termSet.toDF("tok")

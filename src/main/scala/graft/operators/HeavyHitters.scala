@@ -180,6 +180,12 @@ object HeavyHitters {
     * set back (broadcast, ≤sketchK literals), so the exchange carries
     * candidate tokens only and the total scan count stays at two — the
     * same as the unvalidated form.
+    *
+    * EAGER, by design: the sketch pass executes (one full input scan)
+    * when this method is CALLED, not when the returned frame is acted on
+    * — the collected candidates are a construction-time snapshot. Call it
+    * when you mean to run it; a frame kept across input mutations joins
+    * frozen candidates against fresh counts.
     */
   def exactTopK(termFreqs: DataFrame, k: Int, sketchK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -68,21 +68,16 @@ object IvfStore {
   /** INDEX-SIZED compaction: re-cluster the vector partitions to ~one
     * file per cell dir (daily appends accumulate a file per touched cell
     * per batch) — one index-sized exchange, no corpus access, centroids
-    * untouched. Same write-sibling-then-swap device as
+    * untouched. Shares [[graft.sources.SwapDir]]'s write-sibling-then-swap
+    * device (and its single-mutating-writer contract) with
     * [[Bm25Store.compact]]; search answers are bit-identical (spec-gated).
     */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val cur = new org.apache.hadoop.fs.Path(vectorsPath(path))
-    val tmp = new org.apache.hadoop.fs.Path(vectorsPath(path) + "_compact")
-    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(tmp, true)
-    spark.read.parquet(vectorsPath(path))
-      .repartition(col("cell"))
-      .write.partitionBy("cell").parquet(tmp.toString)
-    fs.delete(cur, true)
-    if (!fs.rename(tmp, cur))
-      throw new java.io.IOException(s"compact: rename $tmp -> $cur failed")
-  }
+  def compact(spark: SparkSession, path: String): Unit =
+    graft.sources.SwapDir(spark, vectorsPath(path)) { tmp =>
+      spark.read.parquet(vectorsPath(path))
+        .repartition(col("cell"))
+        .write.partitionBy("cell").parquet(tmp)
+    }
 
   /** Top-k by exact cosine within each query's `nprobe` probed cells,
     * reading ONLY those cells' directories.

@@ -381,12 +381,6 @@ object TextOps {
   private[graft] def x86HistoryHashes(s: SparkSession, d: String): DataFrame =
     x86Split(s, d)._1.select(unhex(md5(col("text"))).as("th"))
 
-  /** x102's history as the [[graft.sources.GramHistory]] layout: the
-    * distinct xxhash64 gram keys of the x86 history docs at [[DupGramK]].
-    */
-  private[graft] def x102HistoryGrams(s: SparkSession, d: String): DataFrame =
-    graft.sources.GramHistory.gramHashes(x86Split(s, d)._1, DupGramK)
-
   val x86_incremental_dedup: QueryDef = QueryDef(
     "x86_incremental_dedup",
     Sql.canon(

@@ -49,6 +49,36 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Sibling-table-then-rename compaction for a single-key-column bucketed
+    * history table — the ONE definition of the choreography
+    * [[HashHistory.compact]] and [[GramHistory.compact]] share: rewrite the
+    * table to its DISTINCT keys as one bucketed segment in a `_compact`
+    * sibling (the store table stays readable until the distinct result is
+    * fully materialized), then drop the original — location included; a
+    * plain DROP can orphan files under a custom location — and rename the
+    * sibling in, preserving the bucket layout and thus the no-exchange
+    * probe plan.
+    *
+    * CONCURRENCY CONTRACT — single mutating writer (the
+    * [[SwapDir]] contract): an append committing between the distinct read
+    * and the DROP is destroyed with the original table. Serialize
+    * mutations externally; reads are safe except in the drop+rename
+    * window, whose residue is a missing table — loud, never silently
+    * wrong.
+    */
+  def compactDistinct(spark: SparkSession, table: String, key: String,
+                      buckets: Int): Unit = {
+    val tmp = table + "_compact"
+    writeBucketed(
+      spark.table(table).select(spark.table(table)(key)).distinct(),
+      tmp, key, buckets)
+    val loc = new org.apache.hadoop.fs.Path(
+      org.apache.spark.sql.GraftBridge.tableLocation(spark, table))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table"): Unit
+  }
+
   /** Join two same-bucket-count tables on their bucket key; with bucketing
     * enabled (default) Catalyst plans a SortMergeJoin with NO Exchange.
     */

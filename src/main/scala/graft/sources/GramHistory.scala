@@ -78,25 +78,17 @@ object GramHistory {
   /** STORE-SIZED compaction: appends accumulate cross-append repeats of
     * the same gram (membership semantics absorb them, but bytes and file
     * counts grow with every batch) — compaction rewrites the table to its
-    * DISTINCT grams, one bucketed segment. The distinct result
-    * materializes into a sibling table first (the store table stays
-    * readable until then), then the original is dropped and the sibling
-    * renamed in — probes before and after answer identically and the
-    * bucket layout (and therefore the no-history-exchange probe plan) is
-    * preserved (spec-gated).
+    * DISTINCT grams, one bucketed segment, via
+    * [[Bucketing.compactDistinct]] (sibling-table-then-rename;
+    * single-mutating-writer contract there) — probes before and after
+    * answer identically and the bucket layout (and therefore the
+    * no-history-exchange probe plan) is preserved (spec-gated).
     */
   def compact(spark: SparkSession, dir: String): Unit = {
     val (table, buckets) = Option(stores.get(key(spark, dir))).getOrElse(
       throw new IllegalStateException(
         s"GramHistory.compact: no store registered for $dir — create() first"))
-    val tmp = table + "_compact"
-    Bucketing.writeBucketed(
-      spark.table(table).select(col(GramCol)).distinct(), tmp, GramCol, buckets)
-    val loc = new org.apache.hadoop.fs.Path(
-      org.apache.spark.sql.GraftBridge.tableLocation(spark, table))
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $table"): Unit
+    Bucketing.compactDistinct(spark, table, GramCol, buckets)
   }
 
   /** LAZY consumer entry: the bucketed table scan when a producer step

@@ -28,6 +28,8 @@ import org.apache.spark.sql.functions._
   * the table's bucket spec; Spark refuses a mismatched spec loudly).
   * Appends may re-add a hash an earlier batch already holds; the probe's
   * distinct() absorbs that, so appends need no read-before-write.
+  * Mutations (append/compact) require a single writer — the
+  * [[Bucketing.compactDistinct]] contract.
   *
   * Session registry: like [[graft.operators.PairStore]], the store is
   * keyed by (application, source dir) and building a query frame is
@@ -99,24 +101,16 @@ object HashHistory {
   /** STORE-SIZED compaction — recrawl-heavy streams re-append hashes the
     * store already holds (the probe's distinct() absorbs them, but bytes
     * and file counts grow per batch): rewrite the table to its DISTINCT
-    * hashes as one bucketed segment. Sibling-table-then-rename (the
-    * [[GramHistory.compact]] device): the store stays readable until the
-    * distinct result is fully materialized; probes answer identically
-    * before and after and the bucket layout — and so the no-exchange
-    * probe plan — survives the rename (spec-gated).
+    * hashes as one bucketed segment via [[Bucketing.compactDistinct]]
+    * (sibling-table-then-rename; single-mutating-writer contract there);
+    * probes answer identically before and after and the bucket layout —
+    * and so the no-exchange probe plan — survives the rename (spec-gated).
     */
   def compact(spark: SparkSession, dir: String): Unit = {
     val (table, buckets) = Option(stores.get(key(spark, dir))).getOrElse(
       throw new IllegalStateException(
         s"HashHistory.compact: no store registered for $dir — create() first"))
-    val tmp = table + "_compact"
-    Bucketing.writeBucketed(
-      spark.table(table).select(col(HashCol)).distinct(), tmp, HashCol, buckets)
-    val loc = new org.apache.hadoop.fs.Path(
-      org.apache.spark.sql.GraftBridge.tableLocation(spark, table))
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $table"): Unit
+    Bucketing.compactDistinct(spark, table, HashCol, buckets)
   }
 
   /** The consumer entry point — LAZY, side-effect-free: the bucketed table

@@ -518,14 +518,17 @@ object CurationStreams {
     * bucket-compatible files, and restarts resume from disk for free.
     *
     * Delivery: scores materialize (persist + count) BEFORE the append, so
-    * `sink` observes pre-append values regardless of when it acts; the
-    * append itself is guarded by batchId (replays skip it, bounding store
-    * growth). The one at-least-once residue, stated: an epoch that fails
-    * AFTER its append committed will rescore on retry against its own
+    * a `sink` that consumes the rows INSIDE the batch body sees pre-append
+    * values; the cached frame is unpersisted when the batch ends, so a
+    * sink that defers the action (or loses cache blocks) recomputes from
+    * lineage against the grown store — write out synchronously. The append
+    * is guarded by batchId and the guard advances only after the append
+    * COMMITS: a replay of an epoch that failed mid-append re-runs the
+    * append (store growth stays bounded — membership semantics make a
+    * double append harmless), while a replay of an epoch that failed
+    * after its commit skips it. That replay rescored against its own
     * grams (hist_frac inflated for that batch's docs only) — pair `sink`
-    * with a batchId-keyed idempotent write if that matters downstream;
-    * membership (not counts) semantics mean the store itself is correct
-    * either way.
+    * with a batchId-keyed idempotent write if that matters downstream.
     */
   def incrementalDupGrams(docs: DataFrame, dir: String, k: Int,
                           sink: DataFrame => Unit,
@@ -546,10 +549,14 @@ object CurationStreams {
       try {
         scored.count(): Unit // pin pre-append values
         sink(scored)
-        if (growStore &&
-            appended.getAndUpdate(l => math.max(l, batchId)) < batchId)
+        // Advance the replay watermark only AFTER the append commits: a
+        // batch whose append throws must replay the append, not skip it
+        // (foreachBatch bodies run serially, so get-then-set is safe).
+        if (growStore && appended.get() < batchId) {
           graft.sources.GramHistory.append(spark, dir,
             graft.sources.GramHistory.gramHashes(batch, k))
+          appended.set(batchId)
+        }
       } finally scored.unpersist(): Unit
     }
   }
