@@ -536,29 +536,43 @@ object CurationStreams {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val appended = new java.util.concurrent.atomic.AtomicLong(-1L)
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
-      val table = graft.sources.GramHistory.registeredTable(spark, dir)
-        .getOrElse(throw new IllegalStateException(
-          s"streaming incrementalDupGrams: no gram store for $dir — " +
-            "GramHistory.create() first (an empty corpus is fine)"))
-      val hist = spark.table(table)
-        .select(col(graft.sources.GramHistory.GramCol))
-      val scored = graft.operators.Dedup
-        .incrementalDupGrams(batch, hist, k)
-        .persist()
-      try {
-        scored.count(): Unit // pin pre-append values
-        sink(scored)
-        // Advance the replay watermark only AFTER the append commits: a
-        // batch whose append throws must replay the append, not skip it
-        // (foreachBatch bodies run serially, so get-then-set is safe).
-        if (growStore && appended.get() < batchId) {
-          graft.sources.GramHistory.append(spark, dir,
-            graft.sources.GramHistory.gramHashes(batch, k))
-          appended.set(batchId)
-        }
-      } finally scored.unpersist(): Unit
+      gramAuditBatch(batch, batchId, dir, k, sink, appended, growStore,
+        inc => graft.sources.GramHistory.append(batch.sparkSession, dir, inc))
     }
+  }
+
+  /** One micro-batch of [[incrementalDupGrams]] — score against the
+    * registered store, sink, then the batchId-guarded append. Extracted
+    * (with the store append injectable) so the replay contract — the
+    * guard advances only AFTER the append commits, so a batch whose
+    * append threw retries the append instead of skipping it — is
+    * directly spec-gated.
+    */
+  private[graft] def gramAuditBatch(batch: DataFrame, batchId: Long,
+      dir: String, k: Int, sink: DataFrame => Unit,
+      appended: java.util.concurrent.atomic.AtomicLong, growStore: Boolean,
+      append: DataFrame => Unit): Unit = {
+    val spark = batch.sparkSession
+    val table = graft.sources.GramHistory.registeredTable(spark, dir)
+      .getOrElse(throw new IllegalStateException(
+        s"streaming incrementalDupGrams: no gram store for $dir — " +
+          "GramHistory.create() first (an empty corpus is fine)"))
+    val hist = spark.table(table)
+      .select(col(graft.sources.GramHistory.GramCol))
+    val scored = graft.operators.Dedup
+      .incrementalDupGrams(batch, hist, k)
+      .persist()
+    try {
+      scored.count(): Unit // pin pre-append values
+      sink(scored)
+      // Advance the replay watermark only AFTER the append commits: a
+      // batch whose append throws must replay the append, not skip it
+      // (foreachBatch bodies run serially, so get-then-set is safe).
+      if (growStore && appended.get() < batchId) {
+        append(graft.sources.GramHistory.gramHashes(batch, k))
+        appended.set(batchId)
+      }
+    } finally scored.unpersist(): Unit
   }
 
   // ------------------------------------------- streaming incremental dedup

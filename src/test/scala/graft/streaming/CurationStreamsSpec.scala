@@ -858,6 +858,44 @@ class CurationStreamsSpec extends SparkSpec {
     graft.sources.GramHistory.invalidate(spark, dir)
   }
 
+  test("streaming gram audit: a failed append is retried on replay, a committed one is skipped") {
+    import spark.implicits._
+    val k = 8
+    val dir = s"/tmp/gram_audit_spec_replay_${System.nanoTime}"
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    graft.sources.GramHistory.create(spark, dir, corpus, k, buckets = 4)
+    val batch = Seq((20L, "some brand new sentence nobody wrote before"))
+      .toDF("doc_id", "text")
+    val appended = new java.util.concurrent.atomic.AtomicLong(-1L)
+    var appendCalls = 0
+    var failNext = true
+    val flaky: org.apache.spark.sql.DataFrame => Unit = { inc =>
+      appendCalls += 1
+      if (failNext) { failNext = false; throw new java.io.IOException("injected") }
+      graft.sources.GramHistory.append(spark, dir, inc)
+    }
+    def run(): Unit = CurationStreams.gramAuditBatch(
+      batch, 0L, dir, k, _ => (), appended, growStore = true, flaky)
+    // epoch fails mid-append: the guard must NOT have advanced
+    intercept[java.io.IOException](run())
+    assert(appended.get() == -1L, "guard advanced before the append committed")
+    // replay of the failed epoch RETRIES the append and then commits
+    run()
+    assert(appendCalls == 2 && appended.get() == 0L)
+    // replay of a committed epoch skips the append (bounded store growth)
+    run()
+    assert(appendCalls == 2, "committed epoch re-appended on replay")
+    // and the store now holds the batch's grams: the same text scores 1.0
+    val hist = graft.sources.GramHistory.scanOrCompute(spark, dir)(
+      fail("store not registered"))
+    val frac = graft.operators.Dedup.incrementalDupGrams(
+        batch.select((batch("doc_id") + 1).as("doc_id"), batch("text")), hist, k)
+      .select("hist_frac").as[Double].collect().head
+    assert(frac == 1.0, s"failed epoch's grams missing from the store: $frac")
+    graft.sources.GramHistory.invalidate(spark, dir)
+  }
+
   test("streaming band buckets are bit-identical to the batch LSH buckets") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
