@@ -38,7 +38,8 @@ object AnnStore {
   /** Train + encode + persist; returns the trained codebooks. */
   def create(spark: SparkSession, path: String, corpus: DataFrame,
              dim: Int = 64, m: Int = 16, ksub: Int = 32,
-             iters: Int = 4, sampleSize: Int = 512): Pq.Codebooks = {
+             iters: Int = 4, sampleSize: Int = 512): Pq.Codebooks =
+      graft.sources.MutationGuard.withGuard(spark, path) {
     import spark.implicits._
     val cb = Pq.train(corpus, dim, m, ksub, iters, sampleSize)
     val rows = for {
@@ -77,8 +78,10 @@ object AnnStore {
     * drifts, exactly KenLM-style model rolling).
     */
   def append(spark: SparkSession, path: String, newCorpus: DataFrame): Unit =
-    Pq.encode(newCorpus, codebooks(spark, path))
-      .write.mode("append").parquet(codesPath(path))
+    graft.sources.MutationGuard.withGuard(spark, path) {
+      Pq.encode(newCorpus, codebooks(spark, path))
+        .write.mode("append").parquet(codesPath(path))
+    }
 
   /** x93's refined search against the persisted index: ADC scan of the
     * stored codes nominates a (size-derived) shortlist, raw vectors are

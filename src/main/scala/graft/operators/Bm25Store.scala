@@ -53,7 +53,8 @@ object Bm25Store {
 
   /** One corpus scan → bucketed postings + df + stats. */
   def create(spark: SparkSession, path: String, docs: DataFrame,
-             nBuckets: Int = 64): Unit = {
+             nBuckets: Int = 64): Unit =
+      graft.sources.MutationGuard.withGuard(spark, path) {
     val tokUdf = udf((t: String) => Kernels.tokenCounts(t, Bm25.MinTokenLen))
     val postings = docs
       .select(col("doc_id"), tokUdf(lower(col("text"))).as("m"))
@@ -83,7 +84,8 @@ object Bm25Store {
     * argument and the new-doc_ids precondition.
     */
   def append(spark: SparkSession, path: String, newDocs: DataFrame,
-             deltaPartitions: Int = 8): Unit = {
+             deltaPartitions: Int = 8): Unit =
+      graft.sources.MutationGuard.withGuard(spark, path) {
     // the frozen modulus — appends must bucket with the layout's hash
     val nBuckets = spark.read.parquet(metaPath(path))
       .select(max(col("n_buckets"))).collect().head.getInt(0)
@@ -132,7 +134,8 @@ object Bm25Store {
     * artifact). Query answers are bit-identical before and after
     * (spec-gated).
     */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String): Unit =
+      graft.sources.MutationGuard.withGuard(spark, path) {
     def swap(dir: String)(write: String => Unit): Unit =
       graft.sources.SwapDir(spark, dir)(write)
     swap(postingsPath(path)) { tmp =>

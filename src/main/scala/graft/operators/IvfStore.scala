@@ -34,7 +34,8 @@ object IvfStore {
 
   /** Fit + assign + lay out; returns the fitted centroids. */
   def create(spark: SparkSession, path: String, corpus: DataFrame,
-             nlist: Int = 16, kmeansIters: Int = 2): Array[Array[Double]] = {
+             nlist: Int = 16, kmeansIters: Int = 2): Array[Array[Double]] =
+      graft.sources.MutationGuard.withGuard(spark, path) {
     import spark.implicits._
     val cents = Similarity.kmeansCentroids(corpus, nlist, kmeansIters)
     cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
@@ -61,9 +62,11 @@ object IvfStore {
     */
   def append(spark: SparkSession, path: String, newCorpus: DataFrame,
              deltaPartitions: Int = 8): Unit =
-    Similarity.assignCells(newCorpus, centroids(spark, path))
-      .coalesce(deltaPartitions)
-      .write.mode("append").partitionBy("cell").parquet(vectorsPath(path))
+    graft.sources.MutationGuard.withGuard(spark, path) {
+      Similarity.assignCells(newCorpus, centroids(spark, path))
+        .coalesce(deltaPartitions)
+        .write.mode("append").partitionBy("cell").parquet(vectorsPath(path))
+    }
 
   /** INDEX-SIZED compaction: re-cluster the vector partitions to ~one
     * file per cell dir (daily appends accumulate a file per touched cell
@@ -73,10 +76,12 @@ object IvfStore {
     * [[Bm25Store.compact]]; search answers are bit-identical (spec-gated).
     */
   def compact(spark: SparkSession, path: String): Unit =
-    graft.sources.SwapDir(spark, vectorsPath(path)) { tmp =>
-      spark.read.parquet(vectorsPath(path))
-        .repartition(col("cell"))
-        .write.partitionBy("cell").parquet(tmp)
+    graft.sources.MutationGuard.withGuard(spark, path) {
+      graft.sources.SwapDir(spark, vectorsPath(path)) { tmp =>
+        spark.read.parquet(vectorsPath(path))
+          .repartition(col("cell"))
+          .write.partitionBy("cell").parquet(tmp)
+      }
     }
 
   /** Top-k by exact cosine within each query's `nprobe` probed cells,

@@ -49,6 +49,15 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** The [[MutationGuard]] anchor for a table's mutating verbs: the
+    * resolved table location string — a warehouse path derived from the
+    * table NAME, so the `<base>_mutating` marker lives beside the table
+    * dir and survives the drop/rename inside [[compactDistinct]].
+    */
+  def guardBase(spark: SparkSession, table: String): String =
+    new org.apache.hadoop.fs.Path(
+      org.apache.spark.sql.GraftBridge.tableLocation(spark, table)).toString
+
   /** Sibling-table-then-rename compaction for a single-key-column bucketed
     * history table — the ONE definition of the choreography
     * [[HashHistory.compact]] and [[GramHistory.compact]] share: rewrite the
@@ -59,12 +68,12 @@ object Bucketing {
     * sibling in, preserving the bucket layout and thus the no-exchange
     * probe plan.
     *
-    * CONCURRENCY CONTRACT — single mutating writer (the
-    * [[SwapDir]] contract): an append committing between the distinct read
-    * and the DROP is destroyed with the original table. Serialize
-    * mutations externally; reads are safe except in the drop+rename
-    * window, whose residue is a missing table — loud, never silently
-    * wrong.
+    * CONCURRENCY CONTRACT — single mutating writer (the [[SwapDir]]
+    * contract): an append committing between the distinct read and the
+    * DROP is destroyed with the original table. The store verbs enforce
+    * this by running under [[MutationGuard]] anchored at [[guardBase]];
+    * reads are safe except in the drop+rename window, whose residue is a
+    * missing table — loud, never silently wrong.
     */
   def compactDistinct(spark: SparkSession, table: String, key: String,
                       buckets: Int): Unit = {

@@ -58,7 +58,9 @@ object GramHistory {
   def create(spark: SparkSession, dir: String, corpus: DataFrame, k: Int,
              buckets: Int = 8): Unit = {
     val table = tableFor(dir)
-    Bucketing.writeBucketed(gramHashes(corpus, k), table, GramCol, buckets)
+    MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
+      Bucketing.writeBucketed(gramHashes(corpus, k), table, GramCol, buckets)
+    }
     stores.put(key(spark, dir), (table, buckets)): Unit
   }
 
@@ -67,12 +69,14 @@ object GramHistory {
     val (table, buckets) = Option(stores.get(key(spark, dir))).getOrElse(
       throw new IllegalStateException(
         s"GramHistory.append: no store registered for $dir — create() first"))
-    increment.select(col(GramCol))
-      .write.mode(SaveMode.Append)
-      .bucketBy(buckets, GramCol)
-      .sortBy(GramCol)
-      .format("parquet")
-      .saveAsTable(table)
+    MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
+      increment.select(col(GramCol))
+        .write.mode(SaveMode.Append)
+        .bucketBy(buckets, GramCol)
+        .sortBy(GramCol)
+        .format("parquet")
+        .saveAsTable(table)
+    }
   }
 
   /** STORE-SIZED compaction: appends accumulate cross-append repeats of
@@ -88,7 +92,9 @@ object GramHistory {
     val (table, buckets) = Option(stores.get(key(spark, dir))).getOrElse(
       throw new IllegalStateException(
         s"GramHistory.compact: no store registered for $dir — create() first"))
-    Bucketing.compactDistinct(spark, table, GramCol, buckets)
+    MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
+      Bucketing.compactDistinct(spark, table, GramCol, buckets)
+    }
   }
 
   /** LAZY consumer entry: the bucketed table scan when a producer step

@@ -67,8 +67,10 @@ object HashHistory {
   def create(spark: SparkSession, dir: String, hashesBinary: DataFrame,
              buckets: Int = 8): Unit = {
     val table = tableFor(dir)
-    Bucketing.writeBucketed(
-      hashesBinary.select(col(HashCol)).distinct(), table, HashCol, buckets)
+    MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
+      Bucketing.writeBucketed(
+        hashesBinary.select(col(HashCol)).distinct(), table, HashCol, buckets)
+    }
     stores.put(key(spark, dir), (table, buckets)): Unit
   }
 
@@ -90,12 +92,14 @@ object HashHistory {
     val (table, buckets) = Option(stores.get(key(spark, dir))).getOrElse(
       throw new IllegalStateException(
         s"HashHistory.append: no store registered for $dir — create()/attach() first"))
-    hashesBinary.select(col(HashCol))
-      .write.mode(SaveMode.Append)
-      .bucketBy(buckets, HashCol)
-      .sortBy(HashCol)
-      .format("parquet")
-      .saveAsTable(table)
+    MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
+      hashesBinary.select(col(HashCol))
+        .write.mode(SaveMode.Append)
+        .bucketBy(buckets, HashCol)
+        .sortBy(HashCol)
+        .format("parquet")
+        .saveAsTable(table)
+    }
   }
 
   /** STORE-SIZED compaction — recrawl-heavy streams re-append hashes the
@@ -110,7 +114,9 @@ object HashHistory {
     val (table, buckets) = Option(stores.get(key(spark, dir))).getOrElse(
       throw new IllegalStateException(
         s"HashHistory.compact: no store registered for $dir — create() first"))
-    Bucketing.compactDistinct(spark, table, HashCol, buckets)
+    MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
+      Bucketing.compactDistinct(spark, table, HashCol, buckets)
+    }
   }
 
   /** The consumer entry point — LAZY, side-effect-free: the bucketed table

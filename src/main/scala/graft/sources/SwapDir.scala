@@ -12,12 +12,12 @@ import org.apache.spark.sql.SparkSession
   * `append` to the same dir race — an append that commits between the
   * sibling write and the delete is destroyed by the delete (and, for
   * multi-relation stores, its sibling relations survive, leaving the
-  * relations inconsistent). Store MUTATIONS (append/compact) must be
-  * serialized by the operator — the same external-scheduler mutual
-  * exclusion a daily-ingest + nightly-compact pipeline has naturally;
-  * concurrent READS are safe at every point except the delete+rename
-  * window itself, whose crash/read residue is a missing dir — i.e. a
-  * rebuildable-store state, never a silently wrong answer.
+  * relations inconsistent). Store MUTATIONS (create/append/compact) are
+  * therefore serialized: every store verb runs under [[MutationGuard]],
+  * so a racing second writer fails LOUDLY at acquire instead of losing
+  * files. Concurrent READS are safe at every point except the
+  * delete+rename window itself, whose crash/read residue is a missing
+  * dir — i.e. a rebuildable-store state, never a silently wrong answer.
   */
 object SwapDir {
 
