@@ -22,7 +22,7 @@ object Bench {
     try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val qn = om.readTree(new java.io.File(path)).get("queries")
-      val it = qn.fields()
+      val it = qn.properties().iterator()
       val b = Map.newBuilder[String, Double]
       while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble }
       b.result()

@@ -94,7 +94,7 @@ object IvfStore {
     val probes = Similarity.probeCells(queries, cents, nprobe)
     val probedCells = probes.select(col("cell")).distinct().as[Long].collect()
     val vecs = spark.read.parquet(vectorsPath(path))
-      .filter(col("cell").isin(probedCells: _*))
+      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
     val scored = vecs.join(broadcast(probes), "cell")
       .withColumn("cos_sim", Similarity.cosine(col("embedding"), col("qe")))
     Similarity.rank(scored, k)

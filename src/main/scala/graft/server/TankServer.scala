@@ -289,7 +289,7 @@ final class TankServer(spark: SparkSession, cfg: StoreConfig,
   private def parseFilter(ex: HttpExchange): Option[(String, Any)] = {
     queryParam(ex, "filter").flatMap { json =>
       val node = mapper.readTree(json)
-      val fields = node.fields()
+      val fields = node.properties().iterator()
       if (fields.hasNext) {
         val e = fields.next()
         val v: Any = cfg.attrs.find(_.name == e.getKey).map(_.typ) match {
