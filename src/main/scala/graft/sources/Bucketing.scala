@@ -79,8 +79,7 @@ object Bucketing {
                       buckets: Int): Unit = {
     val tmp = table + "_compact"
     writeBucketed(
-      spark.table(table).select(spark.table(table)(key)).distinct(),
-      tmp, key, buckets)
+      spark.table(table).select(key).distinct(), tmp, key, buckets)
     val loc = new org.apache.hadoop.fs.Path(
       org.apache.spark.sql.GraftBridge.tableLocation(spark, table))
     spark.sql(s"DROP TABLE IF EXISTS $table")

@@ -46,6 +46,52 @@ class MutationGuardSpec extends SparkSpec {
     assert(!fs.exists(marker), "marker left behind after release")
   }
 
+  test("staleness honors the HOLDER's declared expiry, not the stealer's TTL") {
+    val b = base
+    val marker = new org.apache.hadoop.fs.Path(b + "_mutating")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a holder that declared a long expiry: NOT stealable even by a
+    // session running a tiny TTL — it must wait and fail loudly
+    val out = fs.create(marker, false)
+    try out.write(
+      s"longjob ${System.currentTimeMillis + 3600 * 1000L}\n".getBytes("UTF-8"))
+    finally out.close()
+    intercept[IllegalStateException] {
+      MutationGuard.withGuard(spark, b, waitMillis = 800L, ttlMillis = 1L) {
+        fail("stole an unexpired marker")
+      }
+    }
+    // once the DECLARED expiry passes, it is stolen promptly even under
+    // a long session TTL
+    fs.delete(marker, false)
+    val out2 = fs.create(marker, false)
+    try out2.write("crashed 5\n".getBytes("UTF-8")) finally out2.close()
+    var ran = false
+    MutationGuard.withGuard(spark, b, waitMillis = 2000L,
+        ttlMillis = 3600 * 1000L) { ran = true }
+    assert(ran, "expired marker not stolen")
+  }
+
+  test("a stolen marker makes the overlapped writer fail loudly at release") {
+    val b = base
+    val marker = new org.apache.hadoop.fs.Path(b + "_mutating")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ex = intercept[IllegalStateException] {
+      MutationGuard.withGuard(spark, b) {
+        // simulate a thief that stole after our TTL lapsed
+        fs.delete(marker, false)
+        val out = fs.create(marker, false)
+        try out.write(
+          s"thief ${System.currentTimeMillis + 60000}\n".getBytes("UTF-8"))
+        finally out.close()
+      }
+    }
+    assert(ex.getMessage.contains("stolen"))
+    // and the thief's marker is left alone
+    assert(fs.exists(marker), "overlapped writer deleted the thief's marker")
+    fs.delete(marker, false): Unit
+  }
+
   test("store verbs run under the guard (a held marker blocks an append)") {
     import spark.implicits._
     val dir = s"/tmp/mutguard_spec_store_${System.nanoTime}"
