@@ -10,17 +10,21 @@ import org.apache.spark.sql.SparkSession
   * racing a compact fails at acquire instead of silently losing its files.
   *
   * Mechanics: acquire is ONE `create(overwrite = false)` of
-  * `<base>_mutating` holding `holder expiresAt`; release deletes it (on
-  * success AND on body failure). Staleness is judged by the HOLDER's
-  * declared `expiresAt` — a long-running compact that raised its own TTL
-  * is protected from an appender running the default — falling back to
-  * mtime + this session's TTL only when the content is torn (a creator
-  * that crashed mid-write). A writer that created the marker but failed
-  * to write its content deletes its own torn marker before propagating,
-  * so an I/O hiccup cannot wedge the store for a TTL.
+  * `<base>_mutating` holding `holder ttlMillis`; release deletes it (on
+  * success AND on body failure). Staleness is judged as
+  * `now - marker mtime > the holder's DECLARED TTL` — the holder states a
+  * duration, the filesystem stamps the start, so a long-running compact
+  * that raised its own TTL is protected from an appender running the
+  * default, and there is no holder-clock-vs-stealer-clock comparison (the
+  * one cross-clock baseline is FS mtime vs the stealer's now — the same
+  * baseline every mtime-lease scheme has). Torn content (a creator that
+  * crashed mid-write) falls back to mtime + this session's TTL. A writer
+  * that created the marker but failed to write its content deletes its
+  * own torn marker before propagating, so an I/O hiccup cannot wedge the
+  * store for a TTL.
   *
   * Stated limits, deliberately accepted: `create(overwrite = false)` is
-  * atomic on HDFS and local filesystems but check-then-write on most
+  * atomic on HDFS, but check-then-create on the local filesystem and most
   * object stores (S3A) — there the guard is best-effort and a true lock
   * must come from the job scheduler; the steal path has a delete/create
   * window in which two stealers can interleave (the epoch-NAMED scheme in
@@ -42,7 +46,7 @@ object MutationGuard {
     * stolen during `body` (TTL outlived — another writer may have
     * overlapped). Session confs `spark.graft.store.guardWaitMillis` /
     * `guardTtlMillis` override the defaults for all store verbs at once
-    * (ops knob — size the TTL above the longest compact).
+    * (ops knob — size the TTL above the longest verb).
     */
   def withGuard[A](spark: SparkSession, base: String,
                    waitMillis: Long = 30 * 1000L,
@@ -61,28 +65,74 @@ object MutationGuard {
     val result =
       try body
       catch { case e: Throwable =>
-        // body failed: best-effort owned release; never mask `e`
-        try { if (heldBy(fs, marker).contains(holder)) fs.delete(marker, false): Unit }
-        catch { case _: java.io.IOException => () }
+        // body failed: best-effort owned release; never mask `e`, but a
+        // detected steal is the likely ROOT CAUSE of the body's failure
+        // (files swapped under us) — surface it as suppressed
+        ownership(fs, marker, holder) match {
+          case Owned =>
+            try { fs.delete(marker, false): Unit }
+            catch { case _: java.io.IOException => () }
+          case Stolen =>
+            e.addSuppressed(new IllegalStateException(
+              s"MutationGuard: marker $marker was stolen during the " +
+                "failed mutation — a second writer overlapped (TTL outlived?)"))
+          case Unreadable => () // transient: leave it; it is stealable later
+        }
         throw e
       }
     // body succeeded: a stolen marker means another writer may have
     // overlapped our mutation — loud, and leave the thief's marker alone
-    if (heldBy(fs, marker).contains(holder)) {
-      try { fs.delete(marker, false): Unit }
-      catch { case e: java.io.IOException =>
-        // the verb DID succeed; a failed unlock only delays the next
-        // writer until steal — warn, don't fail the mutation
-        System.err.println(s"[MutationGuard] release of $marker failed " +
-          s"(next writer steals after the TTL): ${e.getMessage}")
-      }
-    } else
-      throw new IllegalStateException(
-        s"MutationGuard: marker $marker was stolen during the mutation — " +
-          "this writer outlived its TTL and another mutation may have " +
-          "overlapped. Verify the store (derived stores are rebuildable) " +
-          "and raise spark.graft.store.guardTtlMillis above the longest verb")
+    ownership(fs, marker, holder) match {
+      case Owned | Unreadable =>
+        // Unreadable-but-present is OURS with overwhelming likelihood (a
+        // legitimate thief rewrites content atomically with its create;
+        // transient read failures are the common case) — deleting avoids
+        // wedging the next writer for a TTL on a read hiccup
+        try { fs.delete(marker, false): Unit }
+        catch { case e: java.io.IOException =>
+          // the verb DID succeed; a failed unlock only delays the next
+          // writer until steal — warn, don't fail the mutation
+          System.err.println(s"[MutationGuard] release of $marker failed " +
+            s"(next writer steals after the TTL): ${e.getMessage}")
+        }
+      case Stolen =>
+        throw new IllegalStateException(
+          s"MutationGuard: marker $marker was stolen during the mutation — " +
+            "this writer outlived its TTL and another mutation may have " +
+            "overlapped. Verify the store (derived stores are rebuildable) " +
+            "and raise spark.graft.store.guardTtlMillis above the longest verb")
+    }
     result
+  }
+
+  private sealed trait Ownership
+  private case object Owned extends Ownership
+  private case object Stolen extends Ownership
+  private case object Unreadable extends Ownership
+
+  /** Whose marker is at `marker` relative to `holder`: [[Stolen]] when a
+    * DIFFERENT holder's content is readable or the marker is gone
+    * entirely (someone removed ours); [[Unreadable]] when it exists but
+    * its content cannot be read right now (retried — transient I/O must
+    * not masquerade as theft).
+    */
+  private def ownership(fs: org.apache.hadoop.fs.FileSystem,
+                        marker: org.apache.hadoop.fs.Path,
+                        holder: String): Ownership = {
+    var attempt = 0
+    while (attempt < 3) {
+      content(fs, marker) match {
+        case Some((h, _)) => return if (h == holder) Owned else Stolen
+        case None =>
+          val exists =
+            try fs.exists(marker)
+            catch { case _: java.io.IOException => true } // assume present
+          if (!exists) return Stolen // ours was removed
+          attempt += 1
+          if (attempt < 3) Thread.sleep(100)
+      }
+    }
+    Unreadable
   }
 
   private def acquire(fs: org.apache.hadoop.fs.FileSystem,
@@ -97,8 +147,7 @@ object MutationGuard {
       out match {
         case Some(o) =>
           try {
-            try o.write(
-              s"$holder ${System.currentTimeMillis + ttl}\n".getBytes("UTF-8"))
+            try o.write(s"$holder $ttl\n".getBytes("UTF-8"))
             finally o.close()
             acquired = true
           } catch { case e: java.io.IOException =>
@@ -109,15 +158,15 @@ object MutationGuard {
             throw e
           }
         case None =>
-          // staleness by the holder's DECLARED expiry; mtime+ttl only
-          // when the content is torn; "vanished" reads as fresh (retry)
+          // staleness = marker age vs the holder's DECLARED TTL duration
+          // (content read first — mtime only needed on the torn fallback);
+          // "vanished" reads as fresh so the loop retries the create
           val stale =
             try {
-              val mtime = fs.getFileStatus(marker).getModificationTime
-              expiryOf(fs, marker) match {
-                case Some(exp) => System.currentTimeMillis > exp
-                case None => System.currentTimeMillis - mtime > ttl
-              }
+              val declaredTtl = content(fs, marker).map(_._2)
+              val age = System.currentTimeMillis -
+                fs.getFileStatus(marker).getModificationTime
+              age > declaredTtl.getOrElse(ttl)
             } catch { case _: java.io.IOException => false }
           if (System.currentTimeMillis > deadline)
             throw new IllegalStateException(
@@ -126,24 +175,19 @@ object MutationGuard {
                 "(concurrent append/compact would lose files); serialize " +
                 "them or raise spark.graft.store.guardWaitMillis")
           else if (stale) {
-            // best-effort steal; the deadline above bounds the loop even
-            // when the delete cannot succeed (e.g. ACL-denied)
-            fs.delete(marker, false): Unit
+            // best-effort steal; failures (ACL-denied, transient RPC) are
+            // swallowed so the deadline above stays the loop's bound
+            try { fs.delete(marker, false): Unit }
+            catch { case _: java.io.IOException => () }
             Thread.sleep(50)
           } else Thread.sleep(200)
       }
     }
   }
 
-  /** The `holder` recorded in the marker, None when absent or torn. */
-  private def heldBy(fs: org.apache.hadoop.fs.FileSystem,
-                     marker: org.apache.hadoop.fs.Path): Option[String] =
-    content(fs, marker).map(_._1)
-
-  private def expiryOf(fs: org.apache.hadoop.fs.FileSystem,
-                       marker: org.apache.hadoop.fs.Path): Option[Long] =
-    content(fs, marker).map(_._2)
-
+  /** (holder, declared TTL millis) from the marker, None when absent or
+    * torn.
+    */
   private def content(fs: org.apache.hadoop.fs.FileSystem,
                       marker: org.apache.hadoop.fs.Path): Option[(String, Long)] =
     try {

@@ -46,30 +46,29 @@ class MutationGuardSpec extends SparkSpec {
     assert(!fs.exists(marker), "marker left behind after release")
   }
 
-  test("staleness honors the HOLDER's declared expiry, not the stealer's TTL") {
+  test("staleness honors the HOLDER's declared TTL, not the stealer's") {
     val b = base
     val marker = new org.apache.hadoop.fs.Path(b + "_mutating")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a holder that declared a long expiry: NOT stealable even by a
+    // a holder that declared a long TTL: NOT stealable even by a
     // session running a tiny TTL — it must wait and fail loudly
     val out = fs.create(marker, false)
-    try out.write(
-      s"longjob ${System.currentTimeMillis + 3600 * 1000L}\n".getBytes("UTF-8"))
+    try out.write(s"longjob ${3600 * 1000L}\n".getBytes("UTF-8"))
     finally out.close()
     intercept[IllegalStateException] {
       MutationGuard.withGuard(spark, b, waitMillis = 800L, ttlMillis = 1L) {
         fail("stole an unexpired marker")
       }
     }
-    // once the DECLARED expiry passes, it is stolen promptly even under
-    // a long session TTL
+    // once the marker outlives the DECLARED TTL, it is stolen promptly
+    // even under a long session TTL
     fs.delete(marker, false)
     val out2 = fs.create(marker, false)
     try out2.write("crashed 5\n".getBytes("UTF-8")) finally out2.close()
     var ran = false
     MutationGuard.withGuard(spark, b, waitMillis = 2000L,
         ttlMillis = 3600 * 1000L) { ran = true }
-    assert(ran, "expired marker not stolen")
+    assert(ran, "TTL-outlived marker not stolen")
   }
 
   test("a stolen marker makes the overlapped writer fail loudly at release") {
@@ -81,8 +80,7 @@ class MutationGuardSpec extends SparkSpec {
         // simulate a thief that stole after our TTL lapsed
         fs.delete(marker, false)
         val out = fs.create(marker, false)
-        try out.write(
-          s"thief ${System.currentTimeMillis + 60000}\n".getBytes("UTF-8"))
+        try out.write("thief 60000\n".getBytes("UTF-8"))
         finally out.close()
       }
     }
