@@ -48,6 +48,12 @@ object Bench {
     // attributed to any per-query time — x86's number is the steady-state
     // bucketed-store probe (the in-query derivation fallback is what r6
     // and earlier measured)
+    // This run owns its warehouse: clear any mutation marker a previous
+    // KILLED run left, or the rebuild stalls a full acquire wait.
+    for (t <- Seq(graft.sources.HashHistory.tableFor(sfDir),
+        graft.sources.GramHistory.tableFor(sfDir)))
+      graft.sources.MutationGuard.clear(
+        spark, graft.sources.Bucketing.guardBase(spark, t))
     try graft.sources.HashHistory.create(spark, sfDir,
       graft.queries.TextOps.x86HistoryHashes(spark, sfDir))
     catch { case e: Throwable =>

@@ -36,6 +36,12 @@ object Verify {
     // the oracle's derived history — exercises the bucketed-store probe,
     // not the in-query fallback. On failure the entry falls back to the
     // derived plan (scanOrCompute registers only on success).
+    // This run owns its warehouse: clear any mutation marker a previous
+    // KILLED run left, or the rebuild stalls a full acquire wait.
+    for (t <- Seq(graft.sources.HashHistory.tableFor(sfDir),
+        graft.sources.GramHistory.tableFor(sfDir)))
+      graft.sources.MutationGuard.clear(
+        spark, graft.sources.Bucketing.guardBase(spark, t))
     try graft.sources.HashHistory.create(spark, sfDir,
       graft.queries.TextOps.x86HistoryHashes(spark, sfDir))
     catch { case e: Throwable =>

@@ -105,6 +105,21 @@ object MutationGuard {
     result
   }
 
+  /** Unconditionally remove the marker for `base` — for single-tenant
+    * harnesses (Verify/Bench/ScaleProbe) that OWN their warehouse and
+    * rebuild stores from scratch: a previous killed run's leftover marker
+    * would otherwise stall the rebuild for the acquire wait and force the
+    * derived-history fallback. Never call this where another writer might
+    * genuinely be live.
+    */
+  def clear(spark: SparkSession, base: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(base + "_mutating")
+    try {
+      marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(marker, false): Unit
+    } catch { case _: java.io.IOException => () }
+  }
+
   private sealed trait Ownership
   private case object Owned extends Ownership
   private case object Stolen extends Ownership

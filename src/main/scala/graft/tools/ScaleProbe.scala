@@ -254,6 +254,12 @@ object ScaleProbe {
     }
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$baseSf/documents.parquet").count() // warm datasource
+    // this run owns its warehouse: clear markers a previous killed run left
+    for (d <- Seq(baseSf, outDir);
+         t <- Seq(graft.sources.HashHistory.tableFor(d),
+           graft.sources.GramHistory.tableFor(d)))
+      graft.sources.MutationGuard.clear(
+        spark, graft.sources.Bucketing.guardBase(spark, t))
     if (queries.contains("x86_incremental_dedup")) {
       // steady-state accounting (as in Bench): the bucketed history store
       // is built once per corpus lifetime, amortized across batches — x86's
