@@ -14,6 +14,25 @@ class Bm25StoreSpec extends SparkSpec {
   private lazy val docs = graft.queries.Tables.documents(spark, Sf).cache()
   private val qs = graft.queries.CurationOps.Bm25QuerySet
 
+  test("queryTerms normalization equals the postings-side lower() on locale-adversarial input") {
+    import spark.implicits._
+    // the index is built with Spark's locale-independent lower(); the ONE
+    // shared query normalization (Bm25.queryTerms) must match it token for
+    // token — a regression to String.toLowerCase diverges under e.g. a
+    // Turkish default locale ('I' -> dotless ı) and silently matches zero
+    // postings. Adversarial set: dotted/dotless I, sharp s, final sigma.
+    val adversarial = Seq("TITLE Index", "İstanbul I ı", "STRASSE groß",
+      "ΣΟΦΟΣ σοφος", "MiXeD CaSe tOkEnS")
+    adversarial.foreach { q =>
+      val viaQueryTerms = Bm25.queryTerms(Seq((0, q))).map(_._2)
+      val viaSparkLower = Seq(q).toDF("t")
+        .select(lower(col("t"))).as[String].collect().head
+        .split("\\s+").toSeq.distinct
+      assert(viaQueryTerms == viaSparkLower,
+        s"'$q': queryTerms $viaQueryTerms != lower() $viaSparkLower")
+    }
+  }
+
   test("index answers are bit-identical to the transient corpus scan") {
     val path = tmpStore()
     Bm25Store.create(spark, path, docs)
