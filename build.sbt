@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round driver parses the LAST stdout line of `sbt "runMain
+// graft.Bench"` as bare JSON. sbt's default BufferedOutput re-logs every
+// forked-run line with an "[info] " prefix and appends its own
+// "[success] Total time…" trailer, so no tail line was ever bare JSON
+// (BENCH_r09–r11 "parsed": null). StdoutOutput passes forked output
+// through raw; showSuccess drops the trailer.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
