@@ -76,7 +76,18 @@ object Bucketing {
     * missing table — loud, never silently wrong.
     */
   def compactDistinct(spark: SparkSession, table: String, key: String,
-                      buckets: Int): Unit = {
+                      buckets: Int, replaceExternal: Boolean = false): Unit = {
+    // Same EXTERNAL-table refusal as writeBucketed, and checked FIRST:
+    // DROP TABLE alone would preserve an external table's caller-owned
+    // files, but the explicit location delete below would then destroy
+    // them — e.g. a history table attached over a shared metastore path.
+    if (org.apache.spark.sql.GraftBridge.isExternalTable(spark, table) &&
+        !replaceExternal)
+      throw new IllegalArgumentException(
+        s"compactDistinct: '$table' is an EXTERNAL table — refusing to " +
+          "delete its caller-owned location. Re-register it as a managed " +
+          "table, or pass replaceExternal=true if the location really is " +
+          "disposable.")
     val tmp = table + "_compact"
     writeBucketed(
       spark.table(table).select(key).distinct(), tmp, key, buckets)

@@ -83,11 +83,7 @@ object MutationGuard {
     // body succeeded: a stolen marker means another writer may have
     // overlapped our mutation — loud, and leave the thief's marker alone
     ownership(fs, marker, holder) match {
-      case Owned | Unreadable =>
-        // Unreadable-but-present is OURS with overwhelming likelihood (a
-        // legitimate thief rewrites content atomically with its create;
-        // transient read failures are the common case) — deleting avoids
-        // wedging the next writer for a TTL on a read hiccup
+      case Owned =>
         try { fs.delete(marker, false): Unit }
         catch { case e: java.io.IOException =>
           // the verb DID succeed; a failed unlock only delays the next
@@ -95,6 +91,16 @@ object MutationGuard {
           System.err.println(s"[MutationGuard] release of $marker failed " +
             s"(next writer steals after the TTL): ${e.getMessage}")
         }
+      case Unreadable =>
+        // Unreadable-but-present is PROBABLY ours (transient read failure)
+        // but COULD be a live thief's marker. Deleting a thief's marker
+        // would let a third writer acquire while the thief still mutates,
+        // widening an active overlap; leaving our own marker merely delays
+        // the next writer until the TTL-steal. The bounded wedge is the
+        // cheaper failure — leave it and warn.
+        System.err.println(s"[MutationGuard] marker $marker unreadable at " +
+          "release — leaving it in place (stealable after its TTL) rather " +
+          "than risk deleting a live second writer's marker")
       case Stolen =>
         throw new IllegalStateException(
           s"MutationGuard: marker $marker was stolen during the mutation — " +
@@ -155,10 +161,15 @@ object MutationGuard {
                       wait: Long, ttl: Long): Unit = {
     val deadline = System.currentTimeMillis + wait
     var acquired = false
+    // the last create() failure: a persistent NON-contention IOException
+    // (ACL denial, parent path is a file) also loops here, and without it
+    // the timeout below would misreport FS misconfiguration as contention
+    var lastCreateFailure: Option[java.io.IOException] = None
     while (!acquired) {
       val out =
         try Some(fs.create(marker, false))
-        catch { case _: java.io.IOException => None } // held (or FS refusal)
+        catch { case e: java.io.IOException =>
+          lastCreateFailure = Some(e); None } // held (or FS refusal)
       out match {
         case Some(o) =>
           try {
@@ -183,12 +194,20 @@ object MutationGuard {
                 fs.getFileStatus(marker).getModificationTime
               age > declaredTtl.getOrElse(ttl)
             } catch { case _: java.io.IOException => false }
-          if (System.currentTimeMillis > deadline)
-            throw new IllegalStateException(
+          if (System.currentTimeMillis > deadline) {
+            val cause = lastCreateFailure
+              .map(e => s" (last create failure: ${e.getMessage} — if this " +
+                "is not a FileAlreadyExists-style refusal, the path may be " +
+                "misconfigured rather than contended)")
+              .getOrElse("")
+            val ex = new IllegalStateException(
               s"MutationGuard: $marker held by another writer after " +
                 s"${wait}ms — index-store mutations are single-writer " +
                 "(concurrent append/compact would lose files); serialize " +
-                "them or raise spark.graft.store.guardWaitMillis")
+                s"them or raise spark.graft.store.guardWaitMillis$cause")
+            lastCreateFailure.foreach(ex.addSuppressed)
+            throw ex
+          }
           else if (stale) {
             // best-effort steal; failures (ACL-denied, transient RPC) are
             // swallowed so the deadline above stays the loop's bound

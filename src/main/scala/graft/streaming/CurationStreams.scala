@@ -529,12 +529,19 @@ object CurationStreams {
     * after its commit skips it. That replay rescored against its own
     * grams (hist_frac inflated for that batch's docs only) — pair `sink`
     * with a batchId-keyed idempotent write if that matters downstream.
+    * The watermark is PERSISTED beside the store table after each commit
+    * (best-effort; a failed persist degrades to the in-session guard), so
+    * a JVM RESTART replaying already-committed epochs also skips their
+    * appends — the same contract as in-session replay, not just the
+    * mid-append-crash case.
     */
   def incrementalDupGrams(docs: DataFrame, dir: String, k: Int,
                           sink: DataFrame => Unit,
                           growStore: Boolean = true)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val appended = new java.util.concurrent.atomic.AtomicLong(-1L)
+    // Long.MinValue = "not yet recovered": the first batch loads the
+    // persisted watermark (or -1 when none) before consulting the guard
+    val appended = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       gramAuditBatch(batch, batchId, dir, k, sink, appended, growStore,
         inc => graft.sources.GramHistory.append(batch.sparkSession, dir, inc))
@@ -557,6 +564,10 @@ object CurationStreams {
       .getOrElse(throw new IllegalStateException(
         s"streaming incrementalDupGrams: no gram store for $dir — " +
           "GramHistory.create() first (an empty corpus is fine)"))
+    // restart recovery: resume the replay watermark persisted beside the
+    // store so re-delivered already-committed epochs skip their appends
+    if (appended.get() == Long.MinValue)
+      appended.compareAndSet(Long.MinValue, readBatchMark(spark, table)): Unit
     val hist = spark.table(table)
       .select(col(graft.sources.GramHistory.GramCol))
     val scored = graft.operators.Dedup
@@ -570,10 +581,50 @@ object CurationStreams {
       // (foreachBatch bodies run serially, so get-then-set is safe).
       if (growStore && appended.get() < batchId) {
         append(graft.sources.GramHistory.gramHashes(batch, k))
+        writeBatchMark(spark, table, batchId)
         appended.set(batchId)
       }
     } finally scored.unpersist(): Unit
   }
+
+  /** Path of the persisted replay watermark: BESIDE the store table's
+    * location (like the MutationGuard marker), so it survives
+    * [[graft.sources.GramHistory.compact]]'s drop+rename of the table dir.
+    */
+  private def batchMarkPath(spark: SparkSession, table: String)
+      : org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      graft.sources.Bucketing.guardBase(spark, table) + "_stream_batch")
+
+  private def readBatchMark(spark: SparkSession, table: String): Long = {
+    val p = batchMarkPath(spark, table)
+    try {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) -1L
+      else {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong
+        finally in.close()
+      }
+    } catch { case _: java.io.IOException | _: NumberFormatException => -1L }
+  }
+
+  /** Best-effort persist (overwrite) of the last-committed append's
+    * batchId; a failure degrades to the in-session guard — the restart
+    * then replays that one append, which membership semantics absorb.
+    */
+  private def writeBatchMark(spark: SparkSession, table: String,
+                             batchId: Long): Unit =
+    try {
+      val p = batchMarkPath(spark, table)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[incrementalDupGrams] could not persist replay " +
+        s"watermark for $table (restart will re-append batch $batchId, " +
+        s"harmless under membership semantics): ${e.getMessage}")
+    }
 
   // ------------------------------------------- streaming incremental dedup
 

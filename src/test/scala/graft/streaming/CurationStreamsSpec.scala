@@ -893,6 +893,13 @@ class CurationStreamsSpec extends SparkSpec {
         batch.select((batch("doc_id") + 1).as("doc_id"), batch("text")), hist, k)
       .select("hist_frac").as[Double].collect().head
     assert(frac == 1.0, s"failed epoch's grams missing from the store: $frac")
+    // RESTART recovery: a fresh guard (new JVM) recovers the persisted
+    // watermark and still skips the committed epoch's append
+    val restarted = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    CurationStreams.gramAuditBatch(
+      batch, 0L, dir, k, _ => (), restarted, growStore = true, flaky)
+    assert(appendCalls == 2, "committed epoch re-appended after restart")
+    assert(restarted.get() == 0L, "persisted watermark not recovered")
     graft.sources.GramHistory.invalidate(spark, dir)
   }
 
