@@ -338,9 +338,24 @@ object Dedup {
     */
   def simHashNearDups(docs: DataFrame, maxDist: Int = 3,
                       maxPerBucket: Int = 64,
-                      droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+                      droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
+    hammingNearDups64(simHashFingerprints(docs), "doc_id", "simhash",
+      "doc_a", "doc_b", maxDist, maxPerBucket, droppedAcc)
+
+  /** Generic 64-bit-fingerprint Hamming near-dup pairs — the banding
+    * machinery behind [[simHashNearDups]] (text SimHash) and
+    * [[Multimodal.payloadNearDups]] (binary-payload perceptual hash), so
+    * every 64-bit fingerprint family shares ONE pigeonhole/pair/distance
+    * plan. Input: `fp(idCol, hashCol)`; output `(outA, outB, hamming)` with
+    * `outA < outB`. See [[simHashNearDups]] for the plan rationale
+    * (in-aggregate pair generation, unbiased hot-bucket truncation).
+    */
+  def hammingNearDups64(fp0: DataFrame, idCol: String, hashCol: String,
+                        outA: String, outB: String, maxDist: Int,
+                        maxPerBucket: Int,
+                        droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     require(maxDist <= 3, "4-chunk banding is only complete for maxDist <= 3")
-    val fp = simHashFingerprints(docs)
+    val fp = fp0.select(col(idCol).as("doc_id"), col(hashCol).as("simhash"))
     val chunked = fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*))
@@ -377,7 +392,7 @@ object Dedup {
             col("_m.ids").as("_ids"), col("_m.ps").as("_hs"))
     members
       .select(explode(pairsU(col("_ids"), col("_hs"))).as("_p"))
-      .select(col("_p._1").as("doc_a"), col("_p._2").as("doc_b"),
+      .select(col("_p._1").as(outA), col("_p._2").as(outB),
         col("_p._3").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)

@@ -80,6 +80,82 @@ object Multimodal {
       r.copy(content = out, meta = r.meta.copy(width = w, height = h))
     }
 
+    /** dHash-style 64-bit PERCEPTUAL fingerprint of a binary payload — the
+      * payload-level dedup axis the metadata/feature paths never cover: two
+      * media rows whose bytes differ slightly (re-encode, metadata patch,
+      * truncated tail) still land within a small Hamming distance.
+      *
+      * The real dHash recipe, with the decode step stubbed: a production
+      * kernel decodes the payload to a luminance plane first (codec lives
+      * outside this environment); here the payload BYTES stand in for that
+      * plane — everything after decode is the genuine published algorithm:
+      * downscale to a 9×8 grid by averaging 72 contiguous equal blocks,
+      * then emit one bit per horizontal gradient (bit r*8+c set iff
+      * cell(r,c+1) > cell(r,c)). Gradients, not absolute values, make the
+      * hash invariant to uniform brightness shifts and robust to local
+      * byte edits (one edited block moves at most its two adjacent
+      * gradient bits).
+      *
+      * Deterministic; empty/short payloads degrade gracefully (empty
+      * blocks average 0). Pure per-row kernel — no state, no shuffle.
+      */
+    def dHash64(content: Array[Byte]): Long = {
+      val c = if (content == null) Array.emptyByteArray else content
+      val n = c.length
+      // 9 columns x 8 rows of block averages over the byte plane
+      val cells = new Array[Double](72)
+      var i = 0
+      while (i < 72) {
+        val from = (i.toLong * n / 72).toInt
+        val until = ((i + 1).toLong * n / 72).toInt
+        if (until > from) {
+          var s = 0L
+          var j = from
+          while (j < until) { s += (c(j) & 0xff); j += 1 }
+          cells(i) = s.toDouble / (until - from)
+        } // else cells(i) stays 0.0 (payload shorter than the grid)
+        i += 1
+      }
+      var h = 0L
+      var r = 0
+      while (r < 8) {
+        var col = 0
+        while (col < 8) {
+          if (cells(r * 9 + col + 1) > cells(r * 9 + col))
+            h |= 1L << (r * 8 + col)
+          col += 1
+        }
+        r += 1
+      }
+      h
+    }
+
+    /** STUB — fake re-encode: a real pipeline meets the same image saved
+      * twice with different codec settings; this deterministic stand-in
+      * applies the two canonical lossy-re-encode effects [[dHash64]] is
+      * designed to absorb: a uniform brightness shift (saturating +7 per
+      * byte — gradient-preserving, so Hamming 0 alone) and one localized
+      * artifact (cell 40 of the 9×8 grid zeroed — moves exactly one cell
+      * average, flipping at most its 2 adjacent gradient bits). A variant
+      * therefore lands within Hamming 2 of its original: a NEAR-dup, not
+      * an exact one.
+      */
+    def stubReencode(content: Array[Byte]): Array[Byte] = {
+      val c = if (content == null) Array.emptyByteArray else content
+      val n = c.length
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        out(i) = math.min(255, (c(i) & 0xff) + 7).toByte
+        i += 1
+      }
+      // the artifact region = exactly dHash cell 40's byte block
+      val from = (40L * n / 72).toInt
+      val until = (41L * n / 72).toInt
+      java.util.Arrays.fill(out, from, until, 0.toByte)
+      out
+    }
+
     /** STUB — fake frame sampling: returns every `stride`-th byte-slice as a
       * "frame" (a real kernel would demux the container).
       */
@@ -112,6 +188,48 @@ object Multimodal {
       .map(r => if (r.kind == "image") Kernels.resize(r, w, h) else r)
       .toDF()
   }
+
+  /** Originals plus deterministic re-encoded variants of every `everyNth`-th
+    * row ([[Kernels.stubReencode]]; variant ids are original + `idOffset`) —
+    * the corpus shape payload-level dedup exists for: the same media stored
+    * twice with different codec settings, bytes unequal, perception equal.
+    * Map-only (a filter + union of two projections, no shuffle).
+    */
+  def withReencodedVariants(media: DataFrame, everyNth: Int = 10,
+                            idOffset: Long = 10000000L): DataFrame = {
+    val reU = udf((content: Array[Byte]) => Kernels.stubReencode(content))
+    media.unionByName(
+      media.filter(col("media_id") % everyNth === 0)
+        .withColumn("media_id", col("media_id") + lit(idOffset))
+        .withColumn("content", reU(col("content"))))
+  }
+
+  /** Per-row payload perceptual fingerprints: (media_id, phash). Map-only —
+    * the wide binary column is consumed partition-locally by the kernel and
+    * PRUNED before anything downstream; only the 8-byte hash ever moves.
+    */
+  def payloadFingerprints(media: DataFrame,
+                          contentCol: String = "content",
+                          idCol: String = "media_id"): DataFrame = {
+    val phU = udf((content: Array[Byte]) => Kernels.dHash64(content))
+    media.select(col(idCol).as("media_id"),
+      phU(col(contentCol)).as("phash"))
+  }
+
+  /** Payload-level near-dup pairs at Hamming distance <= maxDist over the
+    * dHash fingerprints — [[graft.operators.Dedup.hammingNearDups64]]'s
+    * chunk-banded plan (pigeonhole-complete for maxDist <= 3, hot buckets
+    * truncated unbiased at `maxPerBucket`; 0 = uncapped/exact). The pairs
+    * feed the same Components/keeper resolution chain as every other pair
+    * source. Scale shape: fingerprint is map-only over the binary column,
+    * then ONE chunk-keyed exchange of 8-byte hashes — payload bytes never
+    * shuffle.
+    */
+  def payloadNearDups(media: DataFrame, maxDist: Int = 3,
+                      maxPerBucket: Int = 64,
+                      droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
+    Dedup.hammingNearDups64(payloadFingerprints(media), "media_id", "phash",
+      "media_a", "media_b", maxDist, maxPerBucket, droppedAcc)
 
   /** Explode sampled frames of video rows: (media_id, frame_no, frame). */
   def sampleVideoFrames(media: DataFrame, stride: Int = 2): DataFrame = {

@@ -19,7 +19,8 @@ object VectorOps {
     Seq(q33, q35, x42_embed_neardup, x42b_embed_neardup_cell,
       x42c_embed_neardup_auto, x43_ann_lsh,
       x43b_ann_ivf, x51_multimodal_features, x79_media_meta,
-      x89_semantic_dedup, x93_ann_pq)
+      x89_semantic_dedup, x93_ann_pq, x103_payload_phash,
+      x104_payload_neardup)
 
   /** Oracle-checked half of the multimodal surface: the synthetic-media
     * metadata derivation and binary-column plumbing (payload byte length
@@ -67,6 +68,52 @@ object VectorOps {
       Canon(feats.select(col("media_id"), col("kind"),
         round(sqrt(norm2(col("feature"))), 4).as("feature_norm")))
     }
+
+  // ------------------------------------------------------------- x103/x104
+  /** Payload perceptual fingerprints (dHash over the binary column) —
+    * rows-only: the kernel has no DuckDB twin (its grid/gradient values are
+    * property-tested in MultimodalSpec); persisted so x104's oracle replays
+    * the banding over the exact fingerprints this run produced.
+    */
+  val x103_payload_phash: QueryDef =
+    QueryDef.rowsOnly("x103_payload_phash") { (s, d) =>
+      import graft.operators.Multimodal
+      Canon(Multimodal.payloadFingerprints(
+        Multimodal.withReencodedVariants(
+          Multimodal.syntheticMedia(Tables.documents(s, d)))))
+    }
+
+  /** Payload-level near-dup pairs at Hamming <= 3 over the dHash
+    * fingerprints — the multimodal dedup axis (the rest of the parity
+    * matrix fingerprints text or embeddings, never the payload bytes).
+    *
+    * Oracle: same `__VERIFY_OUT__` replay device as x45 — the kernel stays
+    * outside the oracle, but the part with plan risk (16-bit-chunk
+    * pigeonhole banding, per-bucket pair generation, the Hamming cut) is
+    * plain SQL over the fingerprints the SAME Verify run persisted as
+    * x103's output. Runs UNCAPPED like x45 (the oracle knows nothing of
+    * the hot-bucket cap); the capped production default is spec territory.
+    */
+  val x104_payload_neardup: QueryDef = QueryDef(
+    "x104_payload_neardup",
+    Sql.canon(
+      """WITH fp AS (SELECT media_id, phash
+        |            FROM read_parquet('__VERIFY_OUT__/x103_payload_phash/*.parquet')),
+        |p AS (
+        |  SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |    bit_count(xor(a.phash, b.phash)) AS h
+        |  FROM fp a JOIN fp b ON a.media_id < b.media_id
+        |  WHERE ((a.phash >> 0) & 65535) = ((b.phash >> 0) & 65535)
+        |     OR ((a.phash >> 16) & 65535) = ((b.phash >> 16) & 65535)
+        |     OR ((a.phash >> 32) & 65535) = ((b.phash >> 32) & 65535)
+        |     OR ((a.phash >> 48) & 65535) = ((b.phash >> 48) & 65535))
+        |SELECT media_a, media_b, CAST(h AS INT) AS hamming FROM p WHERE h <= 3""".stripMargin,
+      Seq("media_a", "media_b", "hamming"))) { (s, d) =>
+    import graft.operators.Multimodal
+    Canon(Multimodal.payloadNearDups(
+      Multimodal.withReencodedVariants(
+        Multimodal.syntheticMedia(Tables.documents(s, d))), maxPerBucket = 0))
+  }
 
   // ---------------------------------------------------------------- x43
   /** ANN top-10 neighbors of vec_id 1 via random-hyperplane LSH buckets with

@@ -64,6 +64,85 @@ class MultimodalSpec extends SparkSpec {
     assert(joined.count() == 0, "stride-2 sampling must emit ceil(nFrames/2) frames")
   }
 
+  // ------------------------------------------- payload perceptual dedup
+
+  test("dHash64: deterministic, empty-safe, brightness-invariant") {
+    val bytes = "the quick brown fox jumps over the lazy dog " * 8
+    val a = Multimodal.Kernels.dHash64(bytes.getBytes("UTF-8"))
+    assert(a == Multimodal.Kernels.dHash64(bytes.getBytes("UTF-8")))
+    assert(Multimodal.Kernels.dHash64(null) == 0L)
+    assert(Multimodal.Kernels.dHash64(Array.emptyByteArray) == 0L)
+    // uniform brightness shift preserves every gradient → identical hash
+    // (ASCII bytes never saturate at +7)
+    val shifted = bytes.getBytes("UTF-8").map(b => (b + 7).toByte)
+    assert(Multimodal.Kernels.dHash64(shifted) == a,
+      "dHash must be invariant to a uniform non-saturating brightness shift")
+  }
+
+  test("stubReencode lands within Hamming 2 of the original payload") {
+    val payloads = media.orderBy("media_id").limit(50)
+      .select("content").as[Array[Byte]].collect()
+    payloads.foreach { p =>
+      val h0 = Multimodal.Kernels.dHash64(p)
+      val h1 = Multimodal.Kernels.dHash64(Multimodal.Kernels.stubReencode(p))
+      val d = java.lang.Long.bitCount(h0 ^ h1)
+      assert(d <= 2, s"re-encoded variant at Hamming $d > 2")
+    }
+  }
+
+  test("payloadNearDups equals the exhaustive all-pairs answer (pigeonhole completeness)") {
+    val corpus = Multimodal.withReencodedVariants(
+      media.filter(col("media_id") < 100), everyNth = 5)
+    val banded = Multimodal.payloadNearDups(corpus, maxPerBucket = 0)
+      .as[(Long, Long, Int)].collect().toSet
+    val fp = Multimodal.payloadFingerprints(corpus)
+      .as[(Long, Long)].collect()
+    val exhaustive = (for {
+      (ia, ha) <- fp; (ib, hb) <- fp if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(banded == exhaustive,
+      s"banded=${banded.size} exhaustive=${exhaustive.size}")
+    assert(exhaustive.nonEmpty, "fixture produced no near-dup pairs")
+  }
+
+  test("payload pairs feed the Components resolution chain") {
+    val corpus = Multimodal.withReencodedVariants(media, everyNth = 10)
+    val pairs = Multimodal.payloadNearDups(corpus, maxPerBucket = 0)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+    val comps = Components.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    // every variant resolves into the same component as its original
+    val variantIds = corpus.filter(col("media_id") >= 10000000L)
+      .select("media_id").as[Long].collect()
+    assert(variantIds.nonEmpty)
+    variantIds.foreach { v =>
+      val orig = v - 10000000L
+      assert(comps.contains(v) && comps.get(orig) == comps.get(v),
+        s"variant $v not in its original's component")
+    }
+  }
+
+  test("payload near-dup plan never shuffles the binary column") {
+    // AQE wraps the plan before execution; disable it so the exchanges are
+    // visible statically (same device as the store-probe plan gates)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try Multimodal.payloadNearDups(media).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected at least the chunk-keyed exchange")
+    exchanges.foreach { e =>
+      // the capped-members aggregate legitimately ships its binary partial
+      // BUFFER (16 B/member of ids+hashes); the gate is on the payload
+      assert(!e.output.exists(_.name == "content"),
+        s"binary payload crosses a shuffle: ${e.output.map(_.name)}")
+    }
+  }
+
   test("extracted features feed the ANN operator end-to-end") {
     val feats = Multimodal.extractFeatures(media)
       .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
