@@ -58,13 +58,38 @@ object TokenBudget {
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     cutPlan(baseOf(docs, groupCol, textCol, idCol), budget, groupCol)
 
+  /** Same cut over PRECOMPUTED per-doc token counts — the entry point when
+    * the denomination is a trained tokenizer's ([[Bpe.tokenCounts]]) rather
+    * than the whitespace split. `counts` = (idCol, groupCol, n_tokens);
+    * identical two-phase plan, identical semantics.
+    */
+  def budgetCutFromCounts(counts: DataFrame, budget: Long,
+                          groupCol: String = "lang",
+                          idCol: String = "doc_id"): DataFrame = {
+    val base = baseFromCounts(
+      counts.select(col(idCol), col(groupCol),
+        col("n_tokens").cast(LongType).as("n_tokens")),
+      groupCol, idCol).cache()
+    val out = graft.util.Materialize.eager(cutPlan(base, budget, groupCol))
+    base.unpersist(false)
+    out
+  }
+
   /** (doc_id, grp, n_tokens, h, bucket) corpus projection. */
   private def baseOf(docs: DataFrame, groupCol: String, textCol: String,
                      idCol: String): DataFrame =
-    docs.select(
+    baseFromCounts(
+      docs.select(col(idCol), col(groupCol),
+        size(split(col(textCol), "\\s+")).cast(LongType).as("n_tokens")),
+      groupCol, idCol)
+
+  /** The ONE definition of the hash-ordered, 256-bucketed projection. */
+  private def baseFromCounts(counts: DataFrame, groupCol: String,
+                             idCol: String): DataFrame =
+    counts.select(
         col(idCol).cast(LongType).as("doc_id"),
         col(groupCol).as("grp"),
-        size(split(col(textCol), "\\s+")).cast(LongType).as("n_tokens"),
+        col("n_tokens"),
         md5(col(idCol).cast(StringType)).as("h"))
       .withColumn("bucket",
         conv(substring(col("h"), 1, 2), 16, 10).cast(IntegerType))

@@ -23,7 +23,8 @@ object TextOps {
       x45_simhash_neardup, x48_langid, x49_fingerprint, x50_bpe_tokens,
       x81_winnow_fps, x82_shared_spans, x84_dup_components, x85_dedup_resolve,
       x86_incremental_dedup, x95_unigram_lm, x97_bigram_lm, x99_dupgrams,
-      x100_best_keeper, x102_incremental_dupgrams)
+      x100_best_keeper, x102_incremental_dupgrams, x105_bpe_train,
+      x106_bpe_encode)
 
   /** Distinct word-trigram shingles, exploded: (doc_id, lang, n_chars, sh).
     * Word n-grams (not character grams) are the dedup unit: on natural text
@@ -551,6 +552,39 @@ object TextOps {
          |  FROM documents)""".stripMargin,
       Seq("doc_id", "n_tokens", "n_unique"))) { (s, d) =>
     Canon(graft.operators.TextAnalysis.bpeTokenStats(Tables.documents(s, d)))
+  }
+
+  // ------------------------------------------------------------ x105/x106
+  /** Merge-rule budget of the trained tokenizer's registry shape — small
+    * enough that training (K rounds × one vocabulary-relation shuffle) is
+    * registry-speed, large enough that frequent words genuinely compress
+    * (the spec trains larger tables; production K is 10k+ and scales the
+    * SAME plan: the round cost is the VOCAB relation, not the corpus).
+    */
+  private[graft] val NumBpeMerges = 48
+
+  /** TRAINED BPE merge table ([[graft.operators.Bpe.train]]) — rows-only:
+    * training is iterative argmax, no DuckDB twin; the distributed trainer
+    * is differential-gated against a local reference trainer in BpeSpec,
+    * and x87b/x69b's oracles replay their plans over x106's persisted
+    * counts. Train once per (corpus, K) via the producer-step memo.
+    */
+  val x105_bpe_train: QueryDef = QueryDef.rowsOnly("x105_bpe_train") { (s, d) =>
+    Canon(graft.operators.Bpe.mergeTable(s,
+      graft.operators.Bpe.trainCached(s, d, Tables.documents(s, d), NumBpeMerges)))
+  }
+
+  /** Per-doc REAL tokenizer token counts: map-only encode with the
+    * broadcast trained merge table (greedy encoder ≡ sequential-replay
+    * reference, BpeSpec). Rows-only itself; persisted so x87b/x69b replay
+    * budget/pack arithmetic over these exact counts — the denomination
+    * shift x87/x69 exist for.
+    */
+  val x106_bpe_encode: QueryDef = QueryDef.rowsOnly("x106_bpe_encode") { (s, d) =>
+    val merges = graft.operators.Bpe.trainCached(
+      s, d, Tables.documents(s, d), NumBpeMerges)
+    Canon(graft.operators.Bpe.tokenCounts(
+      Tables.documents(s, d).select("doc_id", "lang", "source", "text"), merges))
   }
 
   // ---------------------------------------------------------------- x41
