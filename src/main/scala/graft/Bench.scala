@@ -69,6 +69,16 @@ object Bench {
       System.err.println(s"[bench] gram store build failed " +
         s"(x102 falls back to derived history): ${e.getMessage}")
     }
+    // x94b's BM25 index store: built once, amortized — x94b's number is
+    // the steady-state index-served hybrid query
+    graft.sources.MutationGuard.clear(spark,
+      graft.operators.Bm25Store.pathFor(sfDir))
+    try graft.operators.Bm25Store.createFor(spark, sfDir,
+      graft.queries.Tables.documents(spark, sfDir))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bm25 store build failed " +
+        s"(x94b falls back to the transient chain): ${e.getMessage}")
+    }
     // median of 3 runs per query: single runs at the sub-2s scale carry
     // ±3% session variance plus occasional GC/JIT outliers, which made
     // round-over-round ratios on cheap queries look like regressions

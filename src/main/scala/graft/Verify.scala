@@ -56,6 +56,16 @@ object Verify {
       System.err.println(s"[verify] gram store build failed " +
         s"(x102 falls back to derived history): ${e.getMessage}")
     }
+    // x94b's BM25 index store — same producer contract (store answers are
+    // bit-identical to the transient chain, so the fallback is silent-safe)
+    graft.sources.MutationGuard.clear(spark,
+      graft.operators.Bm25Store.pathFor(sfDir))
+    try graft.operators.Bm25Store.createFor(spark, sfDir,
+      graft.queries.Tables.documents(spark, sfDir))
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] bm25 store build failed " +
+        s"(x94b falls back to the transient chain): ${e.getMessage}")
+    }
     val failed = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       val outPath = s"$outDir/$name"

@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.util.concurrent.ConcurrentHashMap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -50,6 +52,46 @@ object Bm25Store {
   private def postingsPath(path: String) = s"$path/postings"
   private def dfPath(path: String) = s"$path/df"
   private def metaPath(path: String) = s"$path/meta"
+
+  // ---- session registry (the HashHistory/PairStore device, path-shaped):
+  // a producer step (createFor) builds the index ONCE per (application,
+  // corpus dir); query entries then answer from the store and fall back to
+  // the transient corpus scan when no producer ran (standalone
+  // correctness). Keyed by applicationId so a new application never trusts
+  // a previous run's files blindly — createFor overwrites.
+
+  /** (appId|dir) -> store path, present after [[createFor]]. */
+  private val stores = new ConcurrentHashMap[String, String]()
+
+  private def key(spark: SparkSession, dir: String): String =
+    spark.sparkContext.applicationId + "|" +
+      new java.io.File(dir).getAbsolutePath
+
+  /** Deterministic store path for a corpus dir (tmp-rooted: the index is a
+    * derived artifact — rebuild, don't back up).
+    */
+  def pathFor(dir: String): String = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft_bm25_store_$hex"
+  }
+
+  /** Producer step: build (overwrite) the index for `dir`'s corpus and
+    * register it for this application. Callers treat failure as
+    * "no store" — query entries keep their transient fallback.
+    */
+  def createFor(spark: SparkSession, dir: String, docs: DataFrame,
+                nBuckets: Int = 64): Unit = {
+    create(spark, pathFor(dir), docs, nBuckets)
+    stores.put(key(spark, dir), pathFor(dir)): Unit
+  }
+
+  /** The registered store path for `dir`, if a producer ran here. */
+  def registered(spark: SparkSession, dir: String): Option[String] =
+    Option(stores.get(key(spark, dir)))
+
+  private[graft] def invalidate(): Unit = stores.clear()
 
   /** One corpus scan → bucketed postings + df + stats. */
   def create(spark: SparkSession, path: String, docs: DataFrame,

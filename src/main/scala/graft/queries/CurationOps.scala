@@ -27,10 +27,13 @@ object CurationOps {
   def defs: Seq[QueryDef] =
     Seq(x61_normalize, x62_redact, x63_repetition, x64_urls,
       x65_label_centroids, x66_quantize, x67_split, x68_balance,
-      x69_pack, x70_decontaminate, x71_tfidf, x73_cluster_assign,
+      x69_pack, x69b_pack_bpe, x70_decontaminate, x71_tfidf,
+      x73_cluster_assign,
       x74_pipeline, x80_source_mix, x83_chunk, x87_token_budget,
+      x87b_token_budget_bpe,
       x88_train_order, x88b_train_order_sized, x90_curation_audit,
-      x92_bm25, x94_hybrid_rrf, x96_heavy_hitters, x98_source_kl,
+      x92_bm25, x94_hybrid_rrf, x94b_hybrid_rrf_store, x96_heavy_hitters,
+      x98_source_kl,
       x101_curation_v2)
 
   // ---------------------------------------------------------------- x90
@@ -188,6 +191,36 @@ object CurationOps {
     * semantically-identical one-window form.
     */
   private[graft] val TokenBudgetPerLang = 2000L
+
+  /** x87's denomination shift: the SAME budget cut, but counted in TRAINED
+    * tokenizer tokens ([[graft.operators.Bpe.tokenCounts]] over the x105
+    * merge table) — training mixes are specified in tokenizer tokens, and
+    * whitespace counts mis-budget by the compression ratio. The oracle
+    * replays the one-window form over the exact counts the SAME Verify run
+    * persisted as x106's output (`__VERIFY_OUT__` device), so the
+    * budget/ordering arithmetic is fully oracle-checked even though the
+    * encoder itself has no SQL twin.
+    */
+  private[graft] val TokenBudgetPerLangBpe = 8000L
+
+  val x87b_token_budget_bpe: QueryDef = QueryDef(
+    "x87b_token_budget_bpe",
+    Sql.canon(
+      s"""SELECT doc_id, lang, n_tokens, cum_tokens FROM (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM (SELECT doc_id, lang, n_tokens, MD5(CAST(doc_id AS VARCHAR)) AS h
+         |        FROM read_parquet('__VERIFY_OUT__/x106_bpe_encode/*.parquet')))
+         |WHERE cum_tokens <= $TokenBudgetPerLangBpe""".stripMargin,
+      Seq("doc_id", "lang", "n_tokens", "cum_tokens"))) { (s, d) =>
+    val merges = graft.operators.Bpe.trainCached(
+      s, d, Tables.documents(s, d), TextOps.NumBpeMerges)
+    val counts = graft.operators.Bpe.tokenCounts(
+      Tables.documents(s, d).select("doc_id", "lang", "text"), merges)
+    Canon(graft.operators.TokenBudget.budgetCutFromCounts(
+      counts, TokenBudgetPerLangBpe))
+  }
 
   val x87_token_budget: QueryDef = QueryDef(
     "x87_token_budget",
@@ -600,6 +633,52 @@ object CurationOps {
         (before % 2048).as("off")))
   }
 
+  /** x69's denomination shift, like x87b: identical shard/bin/offset
+    * arithmetic, but over TRAINED tokenizer token counts — bins hold 2048
+    * model tokens, which is what "2048-token context" means. Oracle
+    * replays the pack over x106's persisted counts.
+    */
+  val x69b_pack_bpe: QueryDef = QueryDef(
+    "x69b_pack_bpe",
+    Sql.canon(
+      s"""WITH t AS (SELECT doc_id, source, n_tokens
+        |  FROM read_parquet('__VERIFY_OUT__/x106_bpe_encode/*.parquet')),
+        |c AS (
+        |  SELECT source,
+        |    CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / $PackShardDocs) AS BIGINT)
+        |      AS n_shards
+        |  FROM t GROUP BY source)
+        |SELECT source, shard, doc_id, CAST(n_tok AS INT) AS n_tok,
+        |  CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / 2048) AS BIGINT) AS bin,
+        |  CAST((cum - n_tok) % 2048 AS BIGINT) AS off
+        |FROM (
+        |  SELECT source, shard, doc_id, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT t.source, t.doc_id,
+        |          CAST('0x' || SUBSTRING(MD5(CAST(t.doc_id AS VARCHAR)), 1, 8)
+        |               AS BIGINT) % c.n_shards AS shard,
+        |          t.n_tokens AS n_tok
+        |        FROM t JOIN c ON t.source = c.source))""".stripMargin,
+      Seq("source", "shard", "doc_id", "n_tok", "bin", "off"))) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val merges = graft.operators.Bpe.trainCached(
+      s, d, Tables.documents(s, d), TextOps.NumBpeMerges)
+    val counts = graft.operators.Bpe.tokenCounts(
+      Tables.documents(s, d).select("doc_id", "source", "text"), merges)
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val before = col("cum") - col("n_tok")
+    Canon(packShards(counts, PackShardDocs)
+      .select(col("source"), col("doc_id"), col("shard"),
+        col("n_tokens").cast(IntegerType).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("source"), col("shard"), col("doc_id"), col("n_tok"),
+        floor(before.cast(DoubleType) / 2048).cast(LongType).as("bin"),
+        (before % 2048).as("off")))
+  }
+
   // ---------------------------------------------------------------- x70
   /** Benchmark decontamination: per corpus doc, count of distinct word
     * trigrams shared with the benchmark set (source = 'src0' stands in for
@@ -811,9 +890,11 @@ object CurationOps {
     * 4dp cosine, q33's canonical device, so the oracle replays it
     * row-exactly).
     */
-  val x94_hybrid_rrf: QueryDef = QueryDef(
-    "x94_hybrid_rrf",
-    Sql.canon(
+  /** The one oracle both hybrid entries share: x94b's store path is
+    * bit-identical to the transient chain (Bm25StoreSpec), so the same
+    * SQL twin checks both.
+    */
+  private lazy val hybridRrfOracle = Sql.canon(
       s"""WITH $bm25Ctes,
          |btop AS (SELECT query_id, doc_id, rn AS brn
          |         FROM ranked WHERE rn <= $Bm25TopK),
@@ -852,12 +933,49 @@ object CurationOps {
          |SELECT query_id, doc_id, rrf, CAST(brn AS INT) AS brn,
          |  CAST(vrn AS INT) AS vrn, CAST(rn AS INT) AS rn
          |FROM franked WHERE rn <= $Bm25TopK""".stripMargin,
-      Seq("query_id", "doc_id", "rrf", "brn", "vrn", "rn"))) { (s, d) =>
+      Seq("query_id", "doc_id", "rrf", "brn", "vrn", "rn"))
+
+  val x94_hybrid_rrf: QueryDef = QueryDef(
+    "x94_hybrid_rrf", hybridRrfOracle) { (s, d) =>
+    Canon(hybridRrf(s, d, graft.operators.Bm25.topK(
+      Tables.documents(s, d), Bm25QuerySet, Bm25TopK)))
+  }
+
+  /** x94's INDEX-SERVED form — the steady-state retrieval deployment: the
+    * BM25 ranking answers from the persisted [[graft.operators.Bm25Store]]
+    * (partition-pruned bucket reads, NO corpus scan — Bm25StoreSpec gates
+    * `documents.parquet` absent from the plan's input files), built once
+    * per corpus by the Verify/Bench producer step like x86's hash store.
+    * Standalone (no producer ran) it falls back to the transient chain;
+    * either way answers are bit-identical (store ≡ scan, spec-gated), so
+    * x94's oracle applies verbatim. The vector side stays the exact
+    * ranking — swapping in ANN changes answers; recall-gated ANN variants
+    * are x43/x43b/x93's axis, not this entry's.
+    */
+  val x94b_hybrid_rrf_store: QueryDef = QueryDef(
+    "x94b_hybrid_rrf_store", hybridRrfOracle) { (s, d) =>
+    val bm = graft.operators.Bm25Store.registered(s, d) match {
+      case Some(p) =>
+        graft.operators.Bm25Store.query(s, p, Bm25QuerySet, Bm25TopK)
+      case None =>
+        graft.operators.Bm25.topK(Tables.documents(s, d), Bm25QuerySet,
+          Bm25TopK)
+    }
+    Canon(hybridRrf(s, d, bm))
+  }
+
+  /** RRF fusion of a BM25 top-k relation (query_id, doc_id, …, rn) with
+    * the exact integer-scaled cosine ranking over embeddings — the shared
+    * tail of x94/x94b.
+    */
+  private[graft] def hybridRrf(s: org.apache.spark.sql.SparkSession,
+                               d: String,
+                               bmTop: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d)
     val emb = Tables.embeddings(s, d)
-    val bm = graft.operators.Bm25.topK(docs, Bm25QuerySet, Bm25TopK)
-      .select(col("query_id"), col("doc_id"), col("rn").as("brn"))
+    val bm = bmTop.select(col("query_id"), col("doc_id"),
+      col("rn").as("brn"))
     val vq = emb
       .filter(col("vec_id").isin(Bm25QuerySet.map(_._1.toLong): _*))
       .select(col("vec_id").cast(IntegerType).as("query_id"),
@@ -879,11 +997,11 @@ object CurationOps {
     // window is the oracle shape and free here
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf").desc, col("doc_id"))
-    Canon(fused
+    fused
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= Bm25TopK)
       .select(col("query_id"), col("doc_id"), col("rrf"),
-        col("brn"), col("vrn"), col("rn")))
+        col("brn"), col("vrn"), col("rn"))
   }
 
   // ---------------------------------------------------------------- x73

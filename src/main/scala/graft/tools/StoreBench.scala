@@ -126,6 +126,15 @@ object StoreBench {
     val annScan = timed(Pq.pqTopKRefined(emb, queries, k = 10))
     val ivfStore = timed(IvfStore.search(spark, p("ivf"), queries, k = 10, nprobe = 4))
     val ivfScan = timed(Similarity.ivfTopKWithCentroids(emb, queries, k = 10, ivfCents, nprobe = 4))
+    // the x94b end-to-end claim: the HYBRID query (BM25 + exact vector
+    // RRF) served from the index vs re-running the transient chain — the
+    // vector side is identical in both, so the delta is pure index win
+    def hybrid(bm: org.apache.spark.sql.DataFrame) =
+      graft.queries.CurationOps.hybridRrf(spark, benchDir, bm)
+    val hybStore = timed(hybrid(
+      Bm25Store.query(spark, p("bm25"), bm25Queries, k = 10)))
+    val hybScan = timed(hybrid(
+      Bm25.topK(docs, bm25Queries, k = 10)))
     val bm25StoreB = bytesOf(Bm25Store.query(spark, p("bm25"), bm25Queries, k = 10))
     val bm25ScanB = bytesOf(Bm25.topK(docs, bm25Queries, k = 10))
     val annStoreB = bytesOf(AnnStore.search(spark, p("ann"), emb, queries, k = 10))
@@ -136,6 +145,7 @@ object StoreBench {
     val json =
       f"""{"metric":"storebench","sf":"$benchDir","runs":$runs,""" +
       f""""bm25":{"build":$bm25Build%.3f,"store_query":$bm25Store%.3f,"scan_query":$bm25Scan%.3f,"store_bytes":$bm25StoreB,"scan_bytes":$bm25ScanB},""" +
+      f""""hybrid_rrf":{"store_query":$hybStore%.3f,"scan_query":$hybScan%.3f},""" +
       f""""ann_pq":{"build":$annBuild%.3f,"store_query":$annStore%.3f,"scan_query":$annScan%.3f,"store_bytes":$annStoreB,"scan_bytes":$annScanB},""" +
       f""""ivf":{"build":$ivfBuild%.3f,"store_query":$ivfStore%.3f,"scan_query":$ivfScan%.3f,"store_bytes":$ivfStoreB,"scan_bytes":$ivfScanB},""" +
       f""""append_1pct":{"bm25_append":$bm25Append%.3f,"bm25_rebuild":$bm25Build%.3f,"ivf_append":$ivfAppend%.3f,"ivf_rebuild":$ivfBuild%.3f,"ann_append":$annAppend%.3f,"ann_rebuild":$annBuild%.3f,"bm25_compact":$bm25Compact%.3f,"ivf_compact":$ivfCompact%.3f},""" +

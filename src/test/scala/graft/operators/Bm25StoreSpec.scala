@@ -137,6 +137,29 @@ class Bm25StoreSpec extends SparkSpec {
     assert(Bm25Store.query(spark, path, probe, k = 5).collect().nonEmpty)
   }
 
+  test("x94b with a registered store serves the hybrid query with NO corpus scan, same answers as x94") {
+    Bm25Store.invalidate()
+    val x94 = graft.queries.CurationOps.x94_hybrid_rrf.build(spark, Sf)
+    // no producer ran -> transient fallback, identical by construction
+    val fallback = graft.queries.CurationOps.x94b_hybrid_rrf_store.build(spark, Sf)
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(sig(fallback) == sig(x94) && sig(x94).nonEmpty)
+    try {
+      Bm25Store.createFor(spark, Sf, docs)
+      val served = graft.queries.CurationOps.x94b_hybrid_rrf_store.build(spark, Sf)
+      assert(sig(served) == sig(x94), "store-served hybrid diverged from x94")
+      // the steady-state claim: the index answers the lexical side — the
+      // corpus file must be absent from the WHOLE hybrid plan's inputs
+      // (embeddings stay: the vector side is the exact ranking by design)
+      val inputs = served.inputFiles
+      assert(inputs.exists(_.contains("graft_bm25_store")),
+        s"store files not in inputs: ${inputs.take(5).mkString(", ")}")
+      assert(!inputs.exists(_.contains("documents.parquet")),
+        "x94b still scans the corpus with a registered store")
+    } finally Bm25Store.invalidate()
+  }
+
   test("meta records the modulus; a restore with different terms still matches") {
     val path = tmpStore()
     Bm25Store.create(spark, path, docs, nBuckets = 16)
