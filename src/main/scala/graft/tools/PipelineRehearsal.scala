@@ -55,6 +55,71 @@ object PipelineRehearsal {
                               shufWrite: Long, shufRead: Long,
                               peakStageShufWrite: Long)
 
+  // ---- the five stage bodies as frame → frame functions: the rehearsal
+  // main and CompositionSpec drive the SAME composition, so the two
+  // composition contracts the 100× shakedown caught (percentile-derived
+  // threshold, dedup-before-LM-filter order) are pinned against the
+  // production code path, not a spec-local reconstruction.
+
+  /** Stage 1: heuristic gates + exact dedup (x90 + x74's md5 keeper). */
+  def gateStage(docs: DataFrame): DataFrame = {
+    val audit = graft.queries.CurationOps.curationAudit(docs)
+    val kept = audit
+      .filter(!(col("too_short") || col("too_long") || col("repetitive")))
+      .join(docs.select(col("doc_id"), col("n_chars"), col("text")),
+        Seq("doc_id"))
+      .withColumn("th", md5(col("text")))
+    val keepers = kept.groupBy(col("th"))
+      .agg(min(col("doc_id")).as("keeper"))
+      .select(col("keeper").as("doc_id"))
+    kept.join(keepers, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("n_chars"), col("text"))
+  }
+
+  /** Stage 2: near-dup dedup + quality keeper (x40 → x84 → x100). */
+  def dedupStage(gated: DataFrame): DataFrame = {
+    val pairs = graft.queries.TextOps.lshNearDupPairsOf(gated)
+    val comp = graft.operators.Components.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("component"))
+    // keeper = longest member (n_tokens as the quality scalar), ties to
+    // min id — x100's argmax device; components are clusters-sized, so
+    // they broadcast and the corpus side never shuffles for this
+    val members = gated.select(col("doc_id"), col("n_tokens"))
+      .join(broadcast(comp), "doc_id")
+    val keepers = members.groupBy(col("component"))
+      .agg(min(struct((-col("n_tokens")).as("negq"),
+        col("doc_id").as("d"))).as("m"))
+      .select(col("m.d").as("doc_id"))
+    val dropped = members.select(col("doc_id"))
+      .join(broadcast(keepers), Seq("doc_id"), "left_anti")
+    gated.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+  }
+
+  /** Stage 3: perplexity filter — x95's self-trained nll, thresholded at
+    * a PERCENTILE of the corpus being curated (the composition contract:
+    * a threshold pinned on one corpus's nll distribution curates a
+    * shifted corpus to zero docs — the round-11 shakedown's first bug).
+    */
+  def qualityStage(deduped: DataFrame, pct: Double = 0.95): DataFrame = {
+    val nll = graft.operators.UnigramLm.selfScore(deduped)
+      .select(col("doc_id"), col("nll"))
+    val thr = nll.agg(expr(s"approx_percentile(nll, $pct)").as("max_nll"))
+    deduped.join(nll, Seq("doc_id"))
+      .crossJoin(broadcast(thr))
+      .filter(col("nll") <= col("max_nll"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("text"))
+  }
+
+  /** Stage 4: per-language token budget (x87's exact running-sum cut). */
+  def budgetStage(quality: DataFrame, budget: Long): DataFrame =
+    graft.operators.TokenBudget.budgetCut(quality, budget)
+
+  /** Stage 5: sized training shards (x88b's size-derived train order). */
+  def shardStage(budgeted: DataFrame): DataFrame =
+    graft.operators.Sharding.trainOrderBySize(budgeted,
+      graft.queries.CurationOps.TrainDocsPerShard)
+
   def main(args: Array[String]): Unit = {
     val load0 = graft.Bench.loadAvg()
     val baseSf = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -123,66 +188,18 @@ object PipelineRehearsal {
     val inDocs = docs.count()
     println(s"[rehearsal] corpus: $inDocs docs at $scaled (load_start=$load0)")
 
-    // ---- stage 1: heuristic gates + exact dedup (x90 + x74's keeper)
-    val gated = stage("gate") {
-      val audit = graft.queries.CurationOps.curationAudit(docs)
-      val kept = audit
-        .filter(!(col("too_short") || col("too_long") || col("repetitive")))
-        .join(docs.select(col("doc_id"), col("n_chars"), col("text")),
-          Seq("doc_id"))
-        .withColumn("th", md5(col("text")))
-      val keepers = kept.groupBy(col("th"))
-        .agg(min(col("doc_id")).as("keeper"))
-        .select(col("keeper").as("doc_id"))
-      kept.join(keepers, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-          col("n_chars"), col("text"))
-    }
-
-    // ---- stage 2: near-dup dedup + quality keeper (x40 → x84 → x100)
-    val deduped = stage("dedup") {
-      val pairs = graft.queries.TextOps.lshNearDupPairsOf(gated)
-      val comp = graft.operators.Components.connectedComponents(pairs)
-        .select(col("node").as("doc_id"), col("component"))
-      // keeper = longest member (n_tokens as the quality scalar), ties to
-      // min id — x100's argmax device; components are clusters-sized, so
-      // they broadcast and the corpus side never shuffles for this
-      val members = gated.select(col("doc_id"), col("n_tokens"))
-        .join(broadcast(comp), "doc_id")
-      val keepers = members.groupBy(col("component"))
-        .agg(min(struct((-col("n_tokens")).as("negq"),
-          col("doc_id").as("d"))).as("m"))
-        .select(col("m.d").as("doc_id"))
-      val dropped = members.select(col("doc_id"))
-        .join(broadcast(keepers), Seq("doc_id"), "left_anti")
-      gated.join(broadcast(dropped), Seq("doc_id"), "left_anti")
-    }
-
-    // ---- stage 3: perplexity filter (x95, percentile-derived threshold —
-    // the registry's pinned MaxNll belongs to the base corpus's nll
-    // distribution; a rehearsal corpus derives its own, per x101's doc)
-    val quality = stage("quality") {
-      val nll = graft.operators.UnigramLm.selfScore(deduped)
-        .select(col("doc_id"), col("nll"))
-      val thr = nll.agg(expr("approx_percentile(nll, 0.95)").as("max_nll"))
-      deduped.join(nll, Seq("doc_id"))
-        .crossJoin(broadcast(thr))
-        .filter(col("nll") <= col("max_nll"))
-        .select(col("doc_id"), col("lang"), col("n_tokens"), col("text"))
-    }
-
-    // ---- stage 4: per-language token budget (x87 at factor × 2000)
+    // ---- the five stages ([[gateStage]]…[[shardStage]]), materialized
+    val gated = stage("gate") { gateStage(docs) }
+    val deduped = stage("dedup") { dedupStage(gated) }
+    // percentile-derived threshold — the registry's pinned MaxNll belongs
+    // to the base corpus's nll distribution; a rehearsal corpus derives
+    // its own, per x101's doc
+    val quality = stage("quality") { qualityStage(deduped) }
+    // x87 at factor × 2000: the registry budget scaled with the corpus
     val budget = factor.toLong *
       graft.queries.CurationOps.TokenBudgetPerLang
-    val budgeted = stage("budget") {
-      graft.operators.TokenBudget.budgetCut(quality, budget)
-    }
-
-    // ---- stage 5: sized training shards (x88b at 150 docs/shard)
-    stage("shard") {
-      graft.operators.Sharding.trainOrderBySize(budgeted,
-        graft.queries.CurationOps.TrainDocsPerShard)
-    }
+    val budgeted = stage("budget") { budgetStage(quality, budget) }
+    stage("shard") { shardStage(budgeted) }
 
     val loadEnd = graft.Bench.loadAvg()
     val total = results.values.map(_.wall).sum
