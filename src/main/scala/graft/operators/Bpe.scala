@@ -300,4 +300,26 @@ object Bpe {
     import spark.implicits._
     merges.toDF("rank", "left", "right")
   }
+
+  /** Persist a trained tokenizer (K-row parquet). A tokenizer outlives
+    * the application that trained it — every later pipeline run must
+    * encode with the SAME merges or token budgets shift silently.
+    */
+  def save(spark: SparkSession, path: String, merges: Seq[Merge]): Unit =
+    mergeTable(spark, merges).coalesce(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a persisted merge table; ranks re-validated dense + ordered
+    * (a hole would silently change every encoding downstream).
+    */
+  def load(spark: SparkSession, path: String): Seq[Merge] = {
+    val merges = spark.read.parquet(path)
+      .select(col("rank").cast(IntegerType), col("left"), col("right"))
+      .collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_.rank).toSeq
+    require(merges.map(_.rank) == merges.indices,
+      s"corrupt merge table at $path: ranks not dense from 0")
+    merges
+  }
 }

@@ -144,6 +144,23 @@ class BpeSpec extends SparkSpec {
       .select("n_tokens").as[Long].head() == 0L)
   }
 
+  test("save/load round-trips the merge table; a rank hole fails loudly") {
+    val merges = Bpe.train(fixture, 15)
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toFile
+    dir.deleteOnExit()
+    val p = dir.getAbsolutePath + "/merges"
+    Bpe.save(spark, p, merges)
+    assert(Bpe.load(spark, p) == merges)
+    // encodings under the loaded table are identical
+    val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val loadedRanks = Bpe.load(spark, p).map(m => (m.left, m.right) -> m.rank).toMap
+    assert(Bpe.encodeWord("lowest", ranks) == Bpe.encodeWord("lowest", loadedRanks))
+    // a hole in the ranks (merge 1 missing) must not load
+    Bpe.mergeTable(spark, merges.filterNot(_.rank == 1)).coalesce(1)
+      .write.mode("overwrite").parquet(p)
+    assertThrows[IllegalArgumentException] { Bpe.load(spark, p) }
+  }
+
   test("trainCached trains once per (dir, K)") {
     Bpe.invalidate()
     var builds = 0
