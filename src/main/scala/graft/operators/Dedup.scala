@@ -398,6 +398,51 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** COMPONENT-form Hamming near-dup edges — the linear-scale sibling of
+    * [[hammingNearDups64]] for clique-heavy corpora. A corpus whose dups
+    * arrive as m-sized identical-fingerprint groups (boilerplate payloads,
+    * re-crawls, mirrored assets) makes the full pair RELATION inherently
+    * O(n·m) — at 100× replica scale the uncapped x104 relation held 26M
+    * true pairs (BASELINE round-12). Downstream resolution
+    * ([[Components]]/keeper) only needs CONNECTIVITY, and identical
+    * fingerprints are Hamming-0 by definition, so each identical-value
+    * group is spanned by a STAR to its min-id representative (exact, no
+    * approximation) and the banded pair search runs over the DISTINCT
+    * fingerprint VALUES only:
+    *
+    *  - star edges: (rep, member, 0) per non-rep member — ONE value-keyed
+    *    exchange, output linear in the dup count;
+    *  - representative edges: [[hammingNearDups64]] over (rep, value) —
+    *    bucket membership is now distinct VALUES, so the in-bucket pair
+    *    generation cannot see a clique.
+    *
+    * Connected components over this edge set equal components over the
+    * full pair relation (identical values are star-connected; any
+    * cross-value pair within `maxDist` is value-determined, so its reps'
+    * edge merges the two stars) — DedupSpec gates exactly that. NOT a
+    * replacement where per-pair distances of all member pairs are the
+    * deliverable — that is [[hammingNearDups64]]'s contract.
+    */
+  def hammingDupEdges64(fp0: DataFrame, idCol: String, hashCol: String,
+                        outA: String, outB: String, maxDist: Int,
+                        maxPerBucket: Int,
+                        droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val fp = fp0.select(col(idCol).as("doc_id"), col(hashCol).as("simhash"))
+    val reps = fp.groupBy("simhash").agg(min(col("doc_id")).as("rep"))
+    val star = fp.join(reps, "simhash")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as(outA), col("doc_id").as(outB),
+        lit(0).as("hamming"))
+    val repPairs = hammingNearDups64(
+      reps.select(col("rep").as("doc_id"), col("simhash")),
+      "doc_id", "simhash", outA, outB, maxDist, maxPerBucket, droppedAcc)
+      // distinct values ⇒ hamming ≥ 1, so the union stays disjoint; the
+      // orientation may differ from value order, normalize to id order
+      .select(least(col(outA), col(outB)).as(outA),
+        greatest(col(outA), col(outB)).as(outB), col("hamming"))
+    star.unionByName(repPairs)
+  }
+
   /** Per-bucket truncation report for [[simHashNearDups]]'s hot-bucket
     * bound: (chunk, ck, bucket_size, dropped) for every 16-bit-chunk bucket
     * whose membership exceeds `maxPerBucket` (parity with

@@ -231,6 +231,97 @@ object Multimodal {
     Dedup.hammingNearDups64(payloadFingerprints(media), "media_id", "phash",
       "media_a", "media_b", maxDist, maxPerBucket, droppedAcc)
 
+  /** COMPONENT-form payload near-dup edges — [[payloadNearDups]]'s
+    * linear-scale sibling via [[Dedup.hammingDupEdges64]]: star edges span
+    * identical-fingerprint groups, the banded search runs over distinct
+    * fingerprint VALUES. Same components as the full pair relation
+    * (spec-gated); the relation to feed resolution at 100 TB, where
+    * re-crawled/mirrored payloads arrive as m-sized identical-hash groups
+    * and the full pair relation is O(n·m).
+    */
+  def payloadDupEdges(media: DataFrame, maxDist: Int = 3,
+                      maxPerBucket: Int = 64,
+                      droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
+    Dedup.hammingDupEdges64(payloadFingerprints(media), "media_id", "phash",
+      "media_a", "media_b", maxDist, maxPerBucket, droppedAcc)
+
+  /** Per-frame perceptual fingerprints of video payloads: the DISTINCT
+    * (media_id, phash) frame-hash set per video — [[sampleVideoFrames]]'s
+    * sampled frames through the same [[Kernels.dHash64]] kernel as x103.
+    * Map-only until the distinct; frame bytes never shuffle (consumed by
+    * the kernel inside the sampling flatMap's partition).
+    */
+  def frameFingerprints(media: DataFrame, stride: Int = 2): DataFrame = {
+    val phU = udf((f: Array[Byte]) => Kernels.dHash64(f))
+    sampleVideoFrames(media, stride)
+      .select(col("media_id"), phU(col("frame")).as("phash"))
+      .distinct()
+  }
+
+  /** Video-level near-dup pairs by sampled-frame fingerprint overlap — the
+    * published video-dedup recipe (a video is its frame-hash SET; two
+    * videos are near-dups when the sets overlap): exact-equality join on
+    * frame dHash (dHash absorbs the re-encode brightness shift, so variant
+    * frames hash IDENTICALLY — no banding needed at frame level), then
+    * Jaccard over the distinct-hash sets.
+    *
+    * Plan shape: ONE hash-keyed exchange of (media_id, phash) rows with
+    * in-aggregate pair generation (same device as [[Dedup.hammingNearDups64]]
+    * — a self-join would shuffle the frame relation twice), a pair-keyed
+    * match count, and two video-count-sized joins for the set sizes. Never
+    * all-pairs: videos sharing no frame hash never meet. Hot hashes (e.g.
+    * a constant frame shared corpus-wide) are truncated unbiased at
+    * `maxPerHash` members (0 = uncapped/exact, the oracle form). Set
+    * sizes stay exact under the cap while match counts can only shrink,
+    * so the capped cut is CONSERVATIVE — it under-reports overlap, never
+    * invents pairs — and every drop is counted in `droppedAcc`.
+    *
+    * Output: (media_a, media_b, n_match, jaccard) with media_a < media_b,
+    * jaccard rounded 4dp, cut at `minJaccard` (on the unrounded value).
+    */
+  def videoNearDups(frames: DataFrame, minJaccard: Double = 0.5,
+                    maxPerHash: Int = 64,
+                    droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val fps = frames.select(col("media_id"), col("phash"))
+    val sizes = fps.groupBy("media_id").agg(count(lit(1)).as("n"))
+    val members =
+      if (maxPerHash <= 0)
+        fps.groupBy("phash")
+          .agg(sort_array(collect_list(col("media_id"))).as("_ids"))
+      else
+        fps.groupBy("phash")
+          .agg(graft.functions.CappedMembersAgg.cappedMembers(
+            xxhash64(col("media_id")), col("media_id"), col("media_id"),
+            maxPerHash, droppedAcc).as("_m"))
+          .select(col("phash"), col("_m.ids").as("_ids"))
+    val pairsU = udf((ids: Seq[Long]) => {
+      val n = ids.length
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+        n * math.max(n - 1, 0) / 2)
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { out += ((ids(i), ids(j))); j += 1 }
+        i += 1
+      }
+      out
+    })
+    val matches = members
+      .select(explode(pairsU(col("_ids"))).as("_p"))
+      .groupBy(col("_p._1").as("media_a"), col("_p._2").as("media_b"))
+      .agg(count(lit(1)).cast("int").as("n_match"))
+    val jac = col("n_match").cast("double") /
+      (col("_na") + col("_nb") - col("n_match"))
+    matches
+      .join(sizes.select(col("media_id").as("media_a"), col("n").as("_na")),
+        "media_a")
+      .join(sizes.select(col("media_id").as("media_b"), col("n").as("_nb")),
+        "media_b")
+      .filter(jac >= minJaccard)
+      .select(col("media_a"), col("media_b"), col("n_match"),
+        round(jac, 4).as("jaccard"))
+  }
+
   /** Explode sampled frames of video rows: (media_id, frame_no, frame). */
   def sampleVideoFrames(media: DataFrame, stride: Int = 2): DataFrame = {
     val spark = media.sparkSession

@@ -20,7 +20,8 @@ object VectorOps {
       x42c_embed_neardup_auto, x43_ann_lsh,
       x43b_ann_ivf, x51_multimodal_features, x79_media_meta,
       x89_semantic_dedup, x93_ann_pq, x103_payload_phash,
-      x104_payload_neardup)
+      x104_payload_neardup, x104b_payload_dupedges, x107_frame_phash,
+      x108_video_neardup)
 
   /** Oracle-checked half of the multimodal surface: the synthetic-media
     * metadata derivation and binary-column plumbing (payload byte length
@@ -113,6 +114,100 @@ object VectorOps {
     Canon(Multimodal.payloadNearDups(
       Multimodal.withReencodedVariants(
         Multimodal.syntheticMedia(Tables.documents(s, d))), maxPerBucket = 0))
+  }
+
+  /** Component-form payload dup EDGES (x104's linear-scale sibling): star
+    * edges to the min-id representative inside each identical-fingerprint
+    * group + banded Hamming pairs among the distinct fingerprint VALUES.
+    * Connected components over this relation equal components over x104's
+    * full pair relation (DedupSpec/MultimodalSpec gate it); the edge count
+    * is linear in the dup count where x104's is quadratic in clique size
+    * (measured: 26M pairs vs ~550k edges at 100× — BASELINE round-12).
+    *
+    * Oracle: the same `__VERIFY_OUT__` replay device as x104 — rep
+    * election, star edges, the value-level banding and the Hamming cut are
+    * plain SQL over x103's persisted fingerprints.
+    */
+  val x104b_payload_dupedges: QueryDef = QueryDef(
+    "x104b_payload_dupedges",
+    Sql.canon(
+      """WITH fp AS (SELECT media_id, phash
+        |            FROM read_parquet('__VERIFY_OUT__/x103_payload_phash/*.parquet')),
+        |reps AS (SELECT phash, MIN(media_id) AS rep FROM fp GROUP BY phash),
+        |star AS (
+        |  SELECT r.rep AS media_a, f.media_id AS media_b, 0 AS hamming
+        |  FROM fp f JOIN reps r ON f.phash = r.phash
+        |  WHERE f.media_id <> r.rep),
+        |rp AS (
+        |  SELECT LEAST(a.rep, b.rep) AS media_a,
+        |         GREATEST(a.rep, b.rep) AS media_b,
+        |         bit_count(xor(a.phash, b.phash)) AS h
+        |  FROM reps a JOIN reps b ON a.phash < b.phash
+        |  WHERE ((a.phash >> 0) & 65535) = ((b.phash >> 0) & 65535)
+        |     OR ((a.phash >> 16) & 65535) = ((b.phash >> 16) & 65535)
+        |     OR ((a.phash >> 32) & 65535) = ((b.phash >> 32) & 65535)
+        |     OR ((a.phash >> 48) & 65535) = ((b.phash >> 48) & 65535))
+        |SELECT media_a, media_b, CAST(hamming AS INT) AS hamming FROM star
+        |UNION ALL
+        |SELECT media_a, media_b, CAST(h AS INT) AS hamming FROM rp
+        |WHERE h <= 3""".stripMargin,
+      Seq("media_a", "media_b", "hamming"))) { (s, d) =>
+    import graft.operators.Multimodal
+    Canon(Multimodal.payloadDupEdges(
+      Multimodal.withReencodedVariants(
+        Multimodal.syntheticMedia(Tables.documents(s, d))), maxPerBucket = 0))
+  }
+
+  // ------------------------------------------------------------- x107/x108
+  /** Per-frame perceptual fingerprints of the video payloads — rows-only
+    * (the dHash kernel has no DuckDB twin); persisted so x108's oracle
+    * replays the overlap join over the exact frame hashes this run
+    * produced (the x103→x104 device, one level deeper into the payload).
+    */
+  val x107_frame_phash: QueryDef =
+    QueryDef.rowsOnly("x107_frame_phash") { (s, d) =>
+      import graft.operators.Multimodal
+      Canon(Multimodal.frameFingerprints(
+        Multimodal.withReencodedVariants(
+          Multimodal.syntheticMedia(Tables.documents(s, d)))))
+    }
+
+  /** Video-level near-dup pairs by sampled-frame fingerprint overlap
+    * (Jaccard >= 0.5 over the distinct frame-hash sets) — the published
+    * video-dedup recipe, and the VIDEO member of the payload dedup axis:
+    * x104 fingerprints whole payloads, this matches videos whose FRAME
+    * sets overlap even where whole-payload hashes differ.
+    *
+    * Oracle: the kernel stays outside (x107 is rows-only); everything with
+    * plan risk — the hash-equality match join, the per-pair match count,
+    * the set-size joins, the Jaccard cut — is plain SQL over the frame
+    * hashes the SAME Verify run persisted as x107's output. Runs UNCAPPED
+    * like x104 (the capped production default is spec territory).
+    */
+  val x108_video_neardup: QueryDef = QueryDef(
+    "x108_video_neardup",
+    Sql.canon(
+      """WITH fp AS (SELECT media_id, phash
+        |            FROM read_parquet('__VERIFY_OUT__/x107_frame_phash/*.parquet')),
+        |sz AS (SELECT media_id, COUNT(*) AS n FROM fp GROUP BY media_id),
+        |m AS (SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |        COUNT(*) AS n_match
+        |      FROM fp a JOIN fp b
+        |        ON a.phash = b.phash AND a.media_id < b.media_id
+        |      GROUP BY 1, 2)
+        |SELECT media_a, media_b, CAST(n_match AS INT) AS n_match,
+        |  ROUND(CAST(n_match AS DOUBLE) / (sa.n + sb.n - n_match), 4)
+        |    AS jaccard
+        |FROM m
+        |JOIN sz sa ON sa.media_id = m.media_a
+        |JOIN sz sb ON sb.media_id = m.media_b
+        |WHERE CAST(n_match AS DOUBLE) / (sa.n + sb.n - n_match) >= 0.5""".stripMargin,
+      Seq("media_a", "media_b", "n_match", "jaccard"))) { (s, d) =>
+    import graft.operators.Multimodal
+    Canon(Multimodal.videoNearDups(
+      Multimodal.frameFingerprints(
+        Multimodal.withReencodedVariants(
+          Multimodal.syntheticMedia(Tables.documents(s, d)))), maxPerHash = 0))
   }
 
   // ---------------------------------------------------------------- x43

@@ -162,7 +162,7 @@ object CurationStreams {
 
   // --------------------------------------------- streaming SimHash near-dup
 
-  final case class ChunkHit(chunk: Int, ck: Long, doc_id: Long, simhash: Long,
+  final case class ChunkHit(chunk: Int, ck: Long, doc_id: Long, fp: Long,
                             ts: java.sql.Timestamp)
   final case class HammingPair(doc_a: Long, doc_b: Long, hamming: Int,
                                ts: java.sql.Timestamp)
@@ -190,15 +190,54 @@ object CurationStreams {
                           horizonMs: Long = 30 * 60 * 1000L,
                           maxDist: Int = 3,
                           maxPerBucket: Int = 64): Dataset[HammingPair] = {
-    require(maxDist <= 3, "4-chunk banding is only complete for maxDist <= 3")
-    import docs.sparkSession.implicits._
     val fpU = udf((t: String) => Kernels.simHash64(t))
-    docs
-      .filter(col("text").rlike("\\S")) // same >=1-token gate as batch
-      .select(col("doc_id"), col("ts"), fpU(col("text")).as("simhash"))
-      .select(col("doc_id"), col("ts"), col("simhash"),
+    bandedHammingPairs(
+      docs
+        .filter(col("text").rlike("\\S")) // same >=1-token gate as batch
+        .select(col("doc_id"), col("ts"), fpU(col("text")).as("fp")),
+      watermark, horizonMs, maxDist, maxPerBucket)
+  }
+
+  /** Streaming payload perceptual near-dup pairs — x104's streaming twin,
+    * extending the dedup parity story to the BINARY payload column: the
+    * SAME per-row [[graft.operators.Multimodal.Kernels.dHash64]] kernel as
+    * the batch path (fingerprints bit-identical), then the shared 64-bit
+    * chunk-banding state machinery. Expects (media_id, ts, content) rows;
+    * the wide binary column is consumed by the map-only kernel and never
+    * enters state — state holds 8-byte fingerprints, same bounds as the
+    * SimHash twin.
+    */
+  def payloadNearDupPairs(media: DataFrame,
+                          watermark: String = "30 minutes",
+                          horizonMs: Long = 30 * 60 * 1000L,
+                          maxDist: Int = 3,
+                          maxPerBucket: Int = 64): Dataset[HammingPair] = {
+    val phU = udf((content: Array[Byte]) =>
+      graft.operators.Multimodal.Kernels.dHash64(content))
+    bandedHammingPairs(
+      media.select(col("media_id").as("doc_id"), col("ts"),
+        phU(col("content")).as("fp")),
+      watermark, horizonMs, maxDist, maxPerBucket)
+  }
+
+  /** Shared chunk-banded Hamming pair stream over any 64-bit fingerprint
+    * family (the streaming twin of [[graft.operators.Dedup.hammingNearDups64]]):
+    * input (doc_id, ts, fp) rows, pigeonhole-complete for maxDist <= 3.
+    * A pair agreeing on several chunks is emitted once per chunk; dedup
+    * across chunks is the consumer's keying (same contract as the LSH
+    * twin's per-band emission).
+    */
+  private def bandedHammingPairs(fps: DataFrame,
+                                 watermark: String,
+                                 horizonMs: Long,
+                                 maxDist: Int,
+                                 maxPerBucket: Int): Dataset[HammingPair] = {
+    require(maxDist <= 3, "4-chunk banding is only complete for maxDist <= 3")
+    import fps.sparkSession.implicits._
+    fps
+      .select(col("doc_id"), col("ts"), col("fp"),
         posexplode(array((0 until 4).map(c =>
-          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*))
+          shiftright(col("fp"), c * 16).bitwiseAND(lit(0xffffL))): _*))
           .as(Seq("chunk", "ck")))
       .withWatermark("ts", watermark)
       .as[ChunkHit]
@@ -217,13 +256,13 @@ object CurationStreams {
               sorted.foreach { h =>
                 if (!st.ids.contains(h.doc_id)) {
                   st.ids.iterator.zip(st.fps.iterator).foreach { case (id, fp) =>
-                    val d = java.lang.Long.bitCount(fp ^ h.simhash)
+                    val d = java.lang.Long.bitCount(fp ^ h.fp)
                     if (d <= maxDist)
                       out += HammingPair(math.min(h.doc_id, id),
                         math.max(h.doc_id, id), d, h.ts)
                   }
                   st = ChunkState((h.doc_id :: st.ids).take(maxPerBucket),
-                    (h.simhash :: st.fps).take(maxPerBucket))
+                    (h.fp :: st.fps).take(maxPerBucket))
                 }
               }
               val lastTs = sorted.map(_.ts.getTime).max

@@ -85,7 +85,34 @@ object ScaleProbe {
     // x100/x101: resolution policy (components broadcast into the corpus
     // scan) and the composed v2 pipeline (gates + nll + dedup as one
     // DAG) — both should track the corpus scan ~F
-    "x100_best_keeper", "x101_curation_v2")
+    "x100_best_keeper", "x101_curation_v2",
+    // x103/x104: the payload dedup axis — fingerprinting is map-only over
+    // the binary column (~F; the wide column is pruned before any
+    // exchange), pairs are ONE chunk-keyed exchange of 8-byte hashes. The
+    // replica prefix inserts bytes into every word, shifting dHash's block
+    // grid, so replicas should NOT collide with their sources — within-
+    // replica variant pairs replicate exactly and the pair count should
+    // grow ~F (a superlinear count here means cross-replica collisions:
+    // reported, not hidden — it is what the hot-bucket cap is for)
+    "x103_payload_phash", "x104_payload_neardup",
+    // x104b: the component-form edge relation — star edges per
+    // identical-fingerprint group + banding over distinct VALUES. Where
+    // x104's pair count is quadratic in clique size (the scaled corpus's
+    // payload channel is ~F-sized cliques by construction), the edge
+    // count must stay ~linear in the dup count and the wall ~F
+    "x104b_payload_dupedges",
+    // x105: tokenizer TRAINING — one corpus-scale word-count shuffle (~F)
+    // plus K merge rounds over the VOCABULARY relation (replica prefixes
+    // multiply distinct words ~F, so round cost grows ~F but stays
+    // off-corpus). The model memo is invalidated before each run so every
+    // run measures a FULL train; x106/x87b then run steady-state with the
+    // warm model — the producer-amortization accounting every store gets
+    "x105_bpe_train", "x106_bpe_encode", "x87b_token_budget_bpe",
+    // x94b: index-served hybrid retrieval — the BM25 store is built up
+    // front per corpus (producer step below), so the row measures
+    // pruned-bucket reads + bounded fusion at scale, vs x94's transient
+    // chain re-tokenizing the corpus per call
+    "x94b_hybrid_rrf_store")
 
   def generate(spark: SparkSession, baseSf: String, outDir: String,
                factor: Int): Unit = {
@@ -199,6 +226,10 @@ object ScaleProbe {
       graft.operators.Components.lastRounds.set(0)
       var rows = -1L
       val times = (1 to runs).map { _ =>
+        // x105 IS the training producer: drop the model memo so each run
+        // measures a full train (its consumers below then reuse the warm
+        // model from the last run — steady-state, like the stores)
+        if (name == "x105_bpe_train") graft.operators.Bpe.invalidate()
         val t0 = System.nanoTime()
         rows =
           if (producer) {
@@ -267,6 +298,16 @@ object ScaleProbe {
       Seq(baseSf, outDir).foreach { d =>
         graft.sources.HashHistory.create(spark, d,
           graft.queries.TextOps.x86HistoryHashes(spark, d))
+      }
+    }
+    if (queries.contains("x94b_hybrid_rrf_store")) {
+      // steady-state accounting for the index-served hybrid: the BM25
+      // store is a once-per-corpus producer, amortized across queries
+      Seq(baseSf, outDir).foreach { d =>
+        graft.sources.MutationGuard.clear(spark,
+          graft.operators.Bm25Store.pathFor(d))
+        graft.operators.Bm25Store.createFor(spark, d,
+          graft.queries.Tables.documents(spark, d))
       }
     }
     if (queries.contains("x102_incremental_dupgrams")) {

@@ -123,6 +123,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("payloadDupEdges: same components as the full pair relation, linear edge count on cliques") {
+    // clique fixture: every payload re-encoded, PLUS exact duplicates of
+    // every 7th payload — identical fingerprints form multi-member groups
+    val corpus = Multimodal.withReencodedVariants(media, everyNth = 2)
+      .unionByName(media.filter(col("media_id") % 7 === 0)
+        .withColumn("media_id", col("media_id") + lit(20000000L)))
+    val pairs = Multimodal.payloadNearDups(corpus, maxPerBucket = 0)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")).cache()
+    val edges = Multimodal.payloadDupEdges(corpus, maxPerBucket = 0)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")).cache()
+    try {
+      val compPairs = Components.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      val compEdges = Components.connectedComponents(edges)
+        .as[(Long, Long)].collect().toMap
+      assert(compPairs == compEdges,
+        s"component disagreement: ${(compPairs.toSet diff compEdges.toSet).take(5)} / " +
+          s"${(compEdges.toSet diff compPairs.toSet).take(5)}")
+      // the edge relation must be at most pair-sized, and strictly smaller
+      // as soon as any identical-fingerprint group has >= 3 members
+      val (np, ne) = (pairs.count(), edges.count())
+      assert(ne <= np, s"edges $ne > pairs $np")
+      assert(ne < np, s"clique fixture produced no compression ($ne == $np)")
+    } finally { pairs.unpersist(); edges.unpersist(); () }
+  }
+
   test("payload near-dup plan never shuffles the binary column") {
     // AQE wraps the plan before execution; disable it so the exchanges are
     // visible statically (same device as the store-probe plan gates)
@@ -141,6 +167,83 @@ class MultimodalSpec extends SparkSpec {
       assert(!e.output.exists(_.name == "content"),
         s"binary payload crosses a shuffle: ${e.output.map(_.name)}")
     }
+  }
+
+  // ------------------------------------------- video frame-level near-dup
+
+  test("videoNearDups: variants above the overlap cut all pair with their originals") {
+    val corpus = Multimodal.withReencodedVariants(media, everyNth = 10)
+    val frames = Multimodal.frameFingerprints(corpus).cache()
+    try {
+      val pairs = Multimodal.videoNearDups(frames, maxPerHash = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Double]("jaccard"))).toSeq
+      val local = frames.as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (id, hs) => id -> hs.map(_._2).toSet }
+      // variants exist only for video media_ids divisible by 10
+      val variantVideos = corpus
+        .filter(col("media_id") >= 10000000L && col("kind") === "video")
+        .select("media_id").as[Long].collect()
+      assert(variantVideos.nonEmpty, "fixture produced no video variants")
+      // a tiny video has only a handful of distinct frame hashes, so the
+      // one-cell dropout can legitimately push its variant below the 0.5
+      // cut (frame-set Jaccard is noisy for tiny sets — real video dedup
+      // requires minimum frame counts for the same reason). The contract
+      // is: exactly the variants whose TRUE overlap clears the cut pair.
+      val aboveCut = variantVideos.filter { v =>
+        val (a, b) = (local(v - 10000000L), local(v))
+        val m = (a & b).size
+        m.toDouble / (a.size + b.size - m) >= 0.5
+      }
+      assert(aboveCut.length * 2 >= variantVideos.length,
+        "fixture degenerated: most variants fell below the overlap cut")
+      aboveCut.foreach { v =>
+        val hit = pairs.find(p => p._1 == v - 10000000L && p._2 == v)
+        assert(hit.isDefined, s"variant video $v did not pair with its original")
+        assert(hit.get._3 >= 0.5, s"pair $hit below the jaccard cut")
+      }
+      // pairs are ordered, deduplicated, and never self-referential
+      assert(pairs.forall(p => p._1 < p._2))
+      assert(pairs.map(p => (p._1, p._2)).distinct.size == pairs.size)
+    } finally { frames.unpersist(); () }
+  }
+
+  test("videoNearDups matches a local reference computation exactly") {
+    val corpus = Multimodal.withReencodedVariants(
+      media.filter(col("media_id") < 200), everyNth = 5)
+    val frames = Multimodal.frameFingerprints(corpus)
+    val got = Multimodal.videoNearDups(frames, maxPerHash = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getAs[Double]("jaccard"))).toSet
+    val local = frames.as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (id, hs) => id -> hs.map(_._2).toSet }
+    val want = (for {
+      (a, ha) <- local; (b, hb) <- local if a < b
+      m = (ha & hb).size if m > 0
+      j = m.toDouble / (ha.size + hb.size - m) if j >= 0.5
+    } yield (a, b, m, math.rint(j * 10000) / 10000)).toSet
+    assert(got == want, s"got-only: ${got -- want}; want-only: ${want -- got}")
+    assert(want.nonEmpty, "fixture produced no video near-dup pairs")
+  }
+
+  test("videoNearDups cap is conservative: capped pairs are a subset, drops are counted") {
+    val corpus = Multimodal.withReencodedVariants(media, everyNth = 10)
+    val frames = Multimodal.frameFingerprints(corpus).cache()
+    try {
+      val exact = Multimodal.videoNearDups(frames, maxPerHash = 0)
+        .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+      val acc = spark.sparkContext.longAccumulator("dropped")
+      val capped = Multimodal.videoNearDups(frames, maxPerHash = 8,
+          droppedAcc = Some(acc))
+        .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+      // n_match can only shrink under the cap while set sizes stay exact,
+      // so the capped cut under-reports and NEVER invents pairs
+      assert((capped -- exact).isEmpty,
+        s"capped produced pairs the exact form lacks: ${capped -- exact}")
+      // and any loss is visible in the overflow accumulator, never silent
+      if (capped != exact)
+        assert(acc.value > 0, "pairs lost without any counted bucket drop")
+    } finally { frames.unpersist(); () }
   }
 
   test("extracted features feed the ANN operator end-to-end") {

@@ -124,6 +124,49 @@ class CurationStreamsSpec extends SparkSpec {
     assert(!streamed.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  final case class Media(media_id: Long, ts: Timestamp, content: Array[Byte])
+
+  test("streaming payload pairs equal the batch x104 pairs across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // original payload + its stub-re-encoded variant (the transform a
+    // perceptual hash absorbs) + an unrelated payload, split across
+    // batches so cross-batch state pairing is exercised
+    val base = Array.tabulate(600)(i => ((i * 37 + 11) % 251).toByte)
+    val variant = Multimodal.Kernels.stubReencode(base)
+    val unrelated = Array.tabulate(600)(i => ((i * i * 13 + 5) % 241).toByte)
+    val media = Seq((1L, base), (2L, variant), (3L, unrelated), (4L, base))
+    val mem = MemoryStream[Media]
+    val q = CurationStreams.payloadNearDupPairs(mem.toDF())
+      .writeStream.format("memory").queryName("plpairs")
+      .outputMode("append").start()
+    try {
+      mem.addData(media.take(2).zipWithIndex.map { case ((id, c), i) =>
+        Media(id, ts(f"10:0$i"), c) })
+      q.processAllAvailable()
+      mem.addData(media.drop(2).zipWithIndex.map { case ((id, c), i) =>
+        Media(id, ts(f"10:1$i"), c) })
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("plpairs")
+      .select("doc_a", "doc_b", "hamming").distinct()
+      .as[(Long, Long, Int)].collect().toSet
+    // the batch plan (uncapped = exact banding) on the same payloads
+    val batch = Multimodal.payloadNearDups(
+        media.map { case (id, c) => (id, c) }.toDF("media_id", "content"),
+        maxPerBucket = 0)
+      .select("media_a", "media_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(streamed == batch,
+      s"stream-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
+    // content sanity: the re-encoded variant pairs with its original and
+    // the duplicate original pairs at distance 0; unrelated never pairs
+    assert(streamed.contains((1L, 4L, 0)))
+    assert(streamed.exists(p => p._1 == 1L && p._2 == 2L))
+    assert(!streamed.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("streaming decontamination equals batch x70 on the x70 fixture, stateless, bloom-shaped") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
