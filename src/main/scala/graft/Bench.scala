@@ -51,7 +51,8 @@ object Bench {
     // This run owns its warehouse: clear any mutation marker a previous
     // KILLED run left, or the rebuild stalls a full acquire wait.
     for (t <- Seq(graft.sources.HashHistory.tableFor(sfDir),
-        graft.sources.GramHistory.tableFor(sfDir)))
+        graft.sources.GramHistory.tableFor(sfDir),
+        graft.sources.PhashHistory.tableFor(sfDir)))
       graft.sources.MutationGuard.clear(
         spark, graft.sources.Bucketing.guardBase(spark, t))
     try graft.sources.HashHistory.create(spark, sfDir,
@@ -68,6 +69,14 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] gram store build failed " +
         s"(x102 falls back to derived history): ${e.getMessage}")
+    }
+    // x109's payload-fingerprint store: built once, amortized — x109's
+    // number is the steady-state batch probe
+    try graft.sources.PhashHistory.create(spark, sfDir,
+      graft.queries.VectorOps.x109HistoryFps(spark, sfDir))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] phash store build failed " +
+        s"(x109 falls back to derived history): ${e.getMessage}")
     }
     // x94b's BM25 index store: built once, amortized — x94b's number is
     // the steady-state index-served hybrid query

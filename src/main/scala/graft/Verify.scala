@@ -39,7 +39,8 @@ object Verify {
     // This run owns its warehouse: clear any mutation marker a previous
     // KILLED run left, or the rebuild stalls a full acquire wait.
     for (t <- Seq(graft.sources.HashHistory.tableFor(sfDir),
-        graft.sources.GramHistory.tableFor(sfDir)))
+        graft.sources.GramHistory.tableFor(sfDir),
+        graft.sources.PhashHistory.tableFor(sfDir)))
       graft.sources.MutationGuard.clear(
         spark, graft.sources.Bucketing.guardBase(spark, t))
     try graft.sources.HashHistory.create(spark, sfDir,
@@ -55,6 +56,14 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] gram store build failed " +
         s"(x102 falls back to derived history): ${e.getMessage}")
+    }
+    // x109's persisted payload-fingerprint store — the payload member of
+    // the incremental family, same contract
+    try graft.sources.PhashHistory.create(spark, sfDir,
+      graft.queries.VectorOps.x109HistoryFps(spark, sfDir))
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] phash store build failed " +
+        s"(x109 falls back to derived history): ${e.getMessage}")
     }
     // x94b's BM25 index store — same producer contract (store answers are
     // bit-identical to the transient chain, so the fallback is silent-safe)

@@ -245,6 +245,34 @@ object Multimodal {
     Dedup.hammingDupEdges64(payloadFingerprints(media), "media_id", "phash",
       "media_a", "media_b", maxDist, maxPerBucket, droppedAcc)
 
+  /** INCREMENTAL payload near-dup probe — a NEW batch's payload
+    * fingerprints vs the persisted [[graft.sources.PhashHistory]] store
+    * (the payload member of the x86/x102 incremental family): the batch
+    * side is fingerprinted map-only and chunk-exploded (4 rows/payload),
+    * then ONE equi-join on the pigeonhole key `bk` against the store —
+    * which rides its bucket layout with NO history-side exchange
+    * (PhashHistorySpec gates the plan) — and the Hamming cut runs as a
+    * codegen'd `bit_count(xor)` on the joined fingerprints. Cost is
+    * batch-sized; history payload bytes are never read.
+    *
+    * Output: (hist_id, batch_id, hamming) with hamming <= maxDist,
+    * deduplicated across the up-to-4 agreeing chunks.
+    */
+  def incrementalPayloadNearDups(batchMedia: DataFrame, store: DataFrame,
+                                 maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-chunk banding is only complete for maxDist <= 3")
+    val probe = graft.sources.PhashHistory.chunkKeys(
+      payloadFingerprints(batchMedia))
+    probe
+      .join(store.select(col(graft.sources.PhashHistory.KeyCol),
+        col("id").as("hist_id"), col("fp").as("hist_fp")),
+        graft.sources.PhashHistory.KeyCol)
+      .withColumn("hamming", expr("CAST(bit_count(fp ^ hist_fp) AS INT)"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("hist_id"), col("id").as("batch_id"), col("hamming"))
+      .distinct()
+  }
+
   /** Per-frame perceptual fingerprints of video payloads: the DISTINCT
     * (media_id, phash) frame-hash set per video — [[sampleVideoFrames]]'s
     * sampled frames through the same [[Kernels.dHash64]] kernel as x103.

@@ -21,7 +21,7 @@ object VectorOps {
       x43b_ann_ivf, x51_multimodal_features, x79_media_meta,
       x89_semantic_dedup, x93_ann_pq, x103_payload_phash,
       x104_payload_neardup, x104b_payload_dupedges, x107_frame_phash,
-      x108_video_neardup)
+      x108_video_neardup, x109_incremental_payload_neardup)
 
   /** Oracle-checked half of the multimodal surface: the synthetic-media
     * metadata derivation and binary-column plumbing (payload byte length
@@ -208,6 +208,75 @@ object VectorOps {
       Multimodal.frameFingerprints(
         Multimodal.withReencodedVariants(
           Multimodal.syntheticMedia(Tables.documents(s, d)))), maxPerHash = 0))
+  }
+
+  // ---------------------------------------------------------------- x109
+  /** The x109 history/batch split over the x103 media corpus — the media
+    * twin of x86's md5-bucket split: history = ORIGINAL media in buckets
+    * < 60 (the ingested corpus), batch = the remaining originals plus ALL
+    * re-encoded variants (the incoming crawl, which re-delivers re-encoded
+    * copies of assets the corpus already holds). Shared by the registry
+    * entry and the Verify/Bench producer step so the persisted store and
+    * the standalone fallback hold the same relation.
+    */
+  private[graft] def x109MediaBucket =
+    (conv(substring(md5(col("media_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100).cast("int")
+
+  private[graft] def x109Media(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.withReencodedVariants(
+      Multimodal.syntheticMedia(Tables.documents(s, d)))
+  }
+
+  private[graft] def x109HistoryFps(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.payloadFingerprints(x109Media(s, d))
+      .filter(col("media_id") < 10000000L && x109MediaBucket < 60)
+  }
+
+  /** Incremental payload near-dup — the payload member of the x86/x102
+    * incremental family: a NEW crawl batch (40% of originals + every
+    * re-encoded variant) probed against the persisted
+    * [[graft.sources.PhashHistory]] chunk-exploded fingerprint store, ONE
+    * bucket-riding equi-join, batch-sized cost, history payloads never
+    * re-read. Standalone (no producer) falls back to the derived history
+    * relation — same answers, lazily computed.
+    *
+    * Oracle: the history/batch split is the same SQL-expressible
+    * md5-bucket device as x86's, and the fingerprints are x103's
+    * persisted output — so the banded join + Hamming cut replay exactly
+    * in DuckDB; only the dHash kernel stays outside (x103's contract).
+    */
+  val x109_incremental_payload_neardup: QueryDef = QueryDef(
+    "x109_incremental_payload_neardup",
+    Sql.canon(
+      """WITH fp AS (SELECT media_id, phash
+        |            FROM read_parquet('__VERIFY_OUT__/x103_payload_phash/*.parquet')),
+        |b AS (SELECT media_id, phash,
+        |  CAST(CAST('0x' || SUBSTRING(MD5(CAST(media_id AS VARCHAR)), 1, 8)
+        |       AS BIGINT) % 100 AS INT) AS bucket
+        |  FROM fp),
+        |h AS (SELECT media_id, phash FROM b
+        |      WHERE media_id < 10000000 AND bucket < 60),
+        |n AS (SELECT media_id, phash FROM b
+        |      WHERE media_id >= 10000000 OR bucket >= 60)
+        |SELECT h.media_id AS hist_id, n.media_id AS batch_id,
+        |  CAST(bit_count(xor(h.phash, n.phash)) AS INT) AS hamming
+        |FROM h JOIN n
+        |  ON (((h.phash >> 0) & 65535) = ((n.phash >> 0) & 65535)
+        |   OR ((h.phash >> 16) & 65535) = ((n.phash >> 16) & 65535)
+        |   OR ((h.phash >> 32) & 65535) = ((n.phash >> 32) & 65535)
+        |   OR ((h.phash >> 48) & 65535) = ((n.phash >> 48) & 65535))
+        |WHERE bit_count(xor(h.phash, n.phash)) <= 3""".stripMargin,
+      Seq("hist_id", "batch_id", "hamming"))) { (s, d) =>
+    import graft.operators.Multimodal
+    val media = x109Media(s, d)
+    val batch = media.filter(
+      col("media_id") >= 10000000L || x109MediaBucket >= 60)
+    val store = graft.sources.PhashHistory.scanOrCompute(s, d)(
+      graft.sources.PhashHistory.chunkKeys(x109HistoryFps(s, d)))
+    Canon(Multimodal.incrementalPayloadNearDups(batch, store))
   }
 
   // ---------------------------------------------------------------- x43

@@ -76,7 +76,8 @@ object Bucketing {
     * missing table — loud, never silently wrong.
     */
   def compactDistinct(spark: SparkSession, table: String, key: String,
-                      buckets: Int, replaceExternal: Boolean = false): Unit = {
+                      buckets: Int, replaceExternal: Boolean = false,
+                      allColumns: Boolean = false): Unit = {
     // Same EXTERNAL-table refusal as writeBucketed, and checked FIRST:
     // DROP TABLE alone would preserve an external table's caller-owned
     // files, but the explicit location delete below would then destroy
@@ -89,8 +90,13 @@ object Bucketing {
           "table, or pass replaceExternal=true if the location really is " +
           "disposable.")
     val tmp = table + "_compact"
-    writeBucketed(
-      spark.table(table).select(key).distinct(), tmp, key, buckets)
+    // allColumns: stores whose rows carry a payload beside the bucket key
+    // (e.g. PhashHistory's (bk, id, fp)) dedupe whole ROWS; the key-only
+    // projection is the single-column membership-store form
+    val distinctRows =
+      if (allColumns) spark.table(table).distinct()
+      else spark.table(table).select(key).distinct()
+    writeBucketed(distinctRows, tmp, key, buckets)
     val loc = new org.apache.hadoop.fs.Path(
       org.apache.spark.sql.GraftBridge.tableLocation(spark, table))
     spark.sql(s"DROP TABLE IF EXISTS $table")

@@ -101,6 +101,10 @@ object ScaleProbe {
     // payload channel is ~F-sized cliques by construction), the edge
     // count must stay ~linear in the dup count and the wall ~F
     "x104b_payload_dupedges",
+    // x109: the incremental payload probe — per-batch cost must track the
+    // BATCH (fingerprints chunk-exploded, one equi-join riding the store's
+    // bucket layout), with the store build amortized like x86/x102's
+    "x109_incremental_payload_neardup",
     // x105: tokenizer TRAINING — one corpus-scale word-count shuffle (~F)
     // plus K merge rounds over the VOCABULARY relation (replica prefixes
     // multiply distinct words ~F, so round cost grows ~F but stays
@@ -298,6 +302,15 @@ object ScaleProbe {
       Seq(baseSf, outDir).foreach { d =>
         graft.sources.HashHistory.create(spark, d,
           graft.queries.TextOps.x86HistoryHashes(spark, d))
+      }
+    }
+    if (queries.contains("x109_incremental_payload_neardup")) {
+      // store amortization for the payload-fingerprint history, as above
+      Seq(baseSf, outDir).foreach { d =>
+        graft.sources.MutationGuard.clear(spark, graft.sources.Bucketing
+          .guardBase(spark, graft.sources.PhashHistory.tableFor(d)))
+        graft.sources.PhashHistory.create(spark, d,
+          graft.queries.VectorOps.x109HistoryFps(spark, d))
       }
     }
     if (queries.contains("x94b_hybrid_rrf_store")) {
