@@ -229,10 +229,18 @@ object VectorOps {
       Multimodal.syntheticMedia(Tables.documents(s, d)))
   }
 
+  /** ORIGINAL-media predicate that survives ScaleProbe's replica ids
+    * (replica r offsets ids by r·10^9, variants by +10^7; at the testdata
+    * SFs ids are < 10^7 so the mod is the identity — the oracle uses the
+    * same form).
+    */
+  private[graft] def x109IsOriginal =
+    (col("media_id") % 1000000000L) < 10000000L
+
   private[graft] def x109HistoryFps(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Multimodal
     Multimodal.payloadFingerprints(x109Media(s, d))
-      .filter(col("media_id") < 10000000L && x109MediaBucket < 60)
+      .filter(x109IsOriginal && x109MediaBucket < 60)
   }
 
   /** Incremental payload near-dup — the payload member of the x86/x102
@@ -258,9 +266,9 @@ object VectorOps {
         |       AS BIGINT) % 100 AS INT) AS bucket
         |  FROM fp),
         |h AS (SELECT media_id, phash FROM b
-        |      WHERE media_id < 10000000 AND bucket < 60),
+        |      WHERE media_id % 1000000000 < 10000000 AND bucket < 60),
         |n AS (SELECT media_id, phash FROM b
-        |      WHERE media_id >= 10000000 OR bucket >= 60)
+        |      WHERE media_id % 1000000000 >= 10000000 OR bucket >= 60)
         |SELECT h.media_id AS hist_id, n.media_id AS batch_id,
         |  CAST(bit_count(xor(h.phash, n.phash)) AS INT) AS hamming
         |FROM h JOIN n
@@ -272,8 +280,7 @@ object VectorOps {
       Seq("hist_id", "batch_id", "hamming"))) { (s, d) =>
     import graft.operators.Multimodal
     val media = x109Media(s, d)
-    val batch = media.filter(
-      col("media_id") >= 10000000L || x109MediaBucket >= 60)
+    val batch = media.filter(!x109IsOriginal || x109MediaBucket >= 60)
     val store = graft.sources.PhashHistory.scanOrCompute(s, d)(
       graft.sources.PhashHistory.chunkKeys(x109HistoryFps(s, d)))
     Canon(Multimodal.incrementalPayloadNearDups(batch, store))
