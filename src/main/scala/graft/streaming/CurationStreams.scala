@@ -626,6 +626,67 @@ object CurationStreams {
     } finally scored.unpersist(): Unit
   }
 
+  /** Streaming incremental payload near-dup — x109's streaming twin, the
+    * payload member of the store-as-state family: each micro-batch's media
+    * payloads are fingerprinted map-only and probed against the PERSISTED
+    * [[graft.sources.PhashHistory]] store (`create()` it for `dir` first;
+    * an empty history is fine), then the batch's own fingerprints append
+    * so every LATER batch sees them. Within a micro-batch, payloads pair
+    * against history only — exactly the x109 batch contract, so a
+    * one-micro-batch stream is bit-identical to the batch operator (the
+    * spec asserts it).
+    *
+    * Same store-as-state rationale as the gram twin (the chunk-exploded
+    * fingerprint relation is 64 B/payload at corpus scale — cross-batch
+    * state belongs in the bucketed on-disk store, probed with no
+    * history-side exchange), and the same batchId-guarded replay contract:
+    * the watermark advances only after the append COMMITS and is persisted
+    * beside the store table, so in-session replays and JVM restarts skip
+    * committed appends; a double append is absorbed by the probe's
+    * distinct (membership semantics).
+    */
+  def incrementalPayloadNearDups(media: DataFrame, dir: String,
+                                 sink: DataFrame => Unit,
+                                 growStore: Boolean = true)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val appended = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    media.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      payloadAuditBatch(batch, batchId, dir, sink, appended, growStore,
+        inc => graft.sources.PhashHistory.append(batch.sparkSession, dir, inc))
+    }
+  }
+
+  /** One micro-batch of [[incrementalPayloadNearDups]] — probe, sink, then
+    * the batchId-guarded append (injectable, like [[gramAuditBatch]], so
+    * the replay contract is directly spec-gated).
+    */
+  private[graft] def payloadAuditBatch(batch: DataFrame, batchId: Long,
+      dir: String, sink: DataFrame => Unit,
+      appended: java.util.concurrent.atomic.AtomicLong, growStore: Boolean,
+      append: DataFrame => Unit): Unit = {
+    val spark = batch.sparkSession
+    val table = graft.sources.PhashHistory.registeredTable(spark, dir)
+      .getOrElse(throw new IllegalStateException(
+        s"streaming incrementalPayloadNearDups: no phash store for $dir — " +
+          "PhashHistory.create() first (an empty history is fine)"))
+    if (appended.get() == Long.MinValue)
+      appended.compareAndSet(Long.MinValue, readBatchMark(spark, table)): Unit
+    val hist = spark.table(table).select(
+      col(graft.sources.PhashHistory.KeyCol), col("id"), col("fp"))
+    val scored = graft.operators.Multimodal
+      .incrementalPayloadNearDups(batch, hist)
+      .persist()
+    try {
+      scored.count(): Unit // pin pre-append values
+      sink(scored)
+      if (growStore && appended.get() < batchId) {
+        append(graft.operators.Multimodal.payloadFingerprints(batch))
+        writeBatchMark(spark, table, batchId)
+        appended.set(batchId)
+      }
+    } finally scored.unpersist(): Unit
+  }
+
   /** Path of the persisted replay watermark: BESIDE the store table's
     * location (like the MutationGuard marker), so it survives
     * [[graft.sources.GramHistory.compact]]'s drop+rename of the table dir.

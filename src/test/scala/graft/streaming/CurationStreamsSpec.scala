@@ -946,6 +946,88 @@ class CurationStreamsSpec extends SparkSpec {
     graft.sources.GramHistory.invalidate(spark, dir)
   }
 
+  // ------------------------------------- streaming incremental payload
+
+  // monotone ramp payload: the stub re-encode's one-cell dropout flips
+  // exactly one gradient bit (a NEAR-dup at d=1, same device as
+  // PhashHistorySpec)
+  private def rampPayload: Array[Byte] =
+    Array.tabulate(600)(i => ((i / 3) % 200).toByte)
+  private def novelPayload: Array[Byte] =
+    Array.tabulate(600)(i => ((i * i * 13 + 5) % 241).toByte)
+
+  test("streaming payload audit: one micro-batch equals batch x109 semantics; growth visible") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val dir = s"/tmp/payload_audit_spec_${System.nanoTime}"
+    val histMedia = Seq((1L, rampPayload)).toDF("media_id", "content")
+    graft.sources.PhashHistory.create(spark, dir,
+      Multimodal.payloadFingerprints(histMedia), buckets = 4)
+    val out = scala.collection.mutable.ListBuffer[(Long, Long, Int)]()
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = CurationStreams.incrementalPayloadNearDups(
+        mem.toDF().toDF("media_id", "content"), dir,
+        df => out ++= df.as[(Long, Long, Int)].collect())
+      .start()
+    try {
+      // batch 1: a re-encode of history + a novel payload
+      mem.addData(Seq((10L, Multimodal.Kernels.stubReencode(rampPayload)),
+        (11L, novelPayload)))
+      q.processAllAvailable()
+      val batch1 = out.toSet
+      // bit-identical to the batch operator against the same history
+      val want1 = Multimodal.incrementalPayloadNearDups(
+          Seq((10L, Multimodal.Kernels.stubReencode(rampPayload)),
+            (11L, novelPayload)).toDF("media_id", "content"),
+          graft.sources.PhashHistory.chunkKeys(
+            Multimodal.payloadFingerprints(histMedia)))
+        .as[(Long, Long, Int)].collect().toSet
+      assert(batch1 == want1, s"stream $batch1 != batch $want1")
+      assert(batch1.contains((1L, 10L, 1)) && !batch1.exists(_._2 == 11L))
+      // batch 2: an exact copy of batch 1's novel payload — batch 1's
+      // append made it history, so it must now flag at d=0
+      mem.addData(Seq((20L, novelPayload)))
+      q.processAllAvailable()
+      assert((out.toSet -- batch1) == Set((11L, 20L, 0)),
+        s"batch-1 fingerprints not visible to batch 2: ${out.toSet -- batch1}")
+    } finally q.stop()
+    graft.sources.PhashHistory.invalidate(spark, dir)
+  }
+
+  test("streaming payload audit: failed append retried on replay, committed one skipped") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val dir = s"/tmp/payload_audit_replay_${System.nanoTime}"
+    graft.sources.PhashHistory.create(spark, dir,
+      Multimodal.payloadFingerprints(
+        Seq((1L, rampPayload)).toDF("media_id", "content")), buckets = 4)
+    val batch = Seq((20L, novelPayload)).toDF("media_id", "content")
+    val appended = new java.util.concurrent.atomic.AtomicLong(-1L)
+    var appendCalls = 0
+    var failNext = true
+    val flaky: org.apache.spark.sql.DataFrame => Unit = { inc =>
+      appendCalls += 1
+      if (failNext) { failNext = false; throw new java.io.IOException("injected") }
+      graft.sources.PhashHistory.append(spark, dir, inc)
+    }
+    def run(guard: java.util.concurrent.atomic.AtomicLong): Unit =
+      CurationStreams.payloadAuditBatch(
+        batch, 0L, dir, _ => (), guard, growStore = true, flaky)
+    intercept[java.io.IOException](run(appended))
+    assert(appended.get() == -1L, "guard advanced before the append committed")
+    run(appended)
+    assert(appendCalls == 2 && appended.get() == 0L)
+    run(appended)
+    assert(appendCalls == 2, "committed epoch re-appended on replay")
+    // restart recovery honors the persisted watermark
+    val restarted = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    run(restarted)
+    assert(appendCalls == 2, "committed epoch re-appended after restart")
+    assert(restarted.get() == 0L, "persisted watermark not recovered")
+    graft.sources.PhashHistory.invalidate(spark, dir)
+  }
+
   test("streaming band buckets are bit-identical to the batch LSH buckets") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
