@@ -21,7 +21,8 @@ object VectorOps {
       x43b_ann_ivf, x51_multimodal_features, x79_media_meta,
       x89_semantic_dedup, x93_ann_pq, x103_payload_phash,
       x104_payload_neardup, x104b_payload_dupedges, x107_frame_phash,
-      x108_video_neardup, x109_incremental_payload_neardup)
+      x108_video_neardup, x109_incremental_payload_neardup,
+      x110_payload_resolve)
 
   /** Oracle-checked half of the multimodal surface: the synthetic-media
     * metadata derivation and binary-column plumbing (payload byte length
@@ -284,6 +285,43 @@ object VectorOps {
     val store = graft.sources.PhashHistory.scanOrCompute(s, d)(
       graft.sources.PhashHistory.chunkKeys(x109HistoryFps(s, d)))
     Canon(Multimodal.incrementalPayloadNearDups(batch, store))
+  }
+
+  // ---------------------------------------------------------------- x110
+  /** Payload dup-cluster resolution: connected components over x104b's
+    * component-form edge relation — the multimodal twin of x84, promoting
+    * the spec-level "payload pairs feed the Components chain" claim to an
+    * oracle seat. The edge relation is the LINEAR one (star + value
+    * banding), so at 100 TB the resolution input is dup-count-sized, never
+    * clique-quadratic.
+    *
+    * Oracle: the same `WITH RECURSIVE` closure device as x84, over the
+    * x104b relation this Verify run persisted.
+    */
+  val x110_payload_resolve: QueryDef = QueryDef(
+    "x110_payload_resolve",
+    Sql.canon(
+      """WITH RECURSIVE
+        |pairs AS (
+        |  SELECT media_a, media_b
+        |  FROM read_parquet('__VERIFY_OUT__/x104b_payload_dupedges/*.parquet')),
+        |edges AS (
+        |  SELECT media_a AS src, media_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT media_b AS src, media_a AS dst FROM pairs),
+        |reach AS (
+        |  SELECT src AS node, src AS lab FROM edges
+        |  UNION
+        |  SELECT e.dst AS node, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+        |comp AS (SELECT node AS media_id, MIN(lab) AS component
+        |         FROM reach GROUP BY node)
+        |SELECT media_id, component FROM comp""".stripMargin,
+      Seq("media_id", "component"))) { (s, d) =>
+    import graft.operators.{Components, Multimodal}
+    val edges = Multimodal.payloadDupEdges(x109Media(s, d), maxPerBucket = 0)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+    Canon(Components.connectedComponents(edges)
+      .select(col("node").as("media_id"), col("component")))
   }
 
   // ---------------------------------------------------------------- x43
