@@ -38,4 +38,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 121 codegen'd registry queries × 3 runs compile a lot of generated
+  // classes; the JDK default 240m code cache forces sweeping/deopt in a
+  // full-registry run (measured: part of a diffuse ~10% per-query drift
+  // when the registry grew 109 → 121 entries, BASELINE round-12)
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
 )

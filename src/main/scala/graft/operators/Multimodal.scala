@@ -156,6 +156,119 @@ object Multimodal {
       out
     }
 
+    /** Constellation-map audio landmarks — the published landmark
+      * fingerprint recipe (A. Wang, "An Industrial-Strength Audio Search
+      * Algorithm", ISMIR 2003; the same scheme the open-source audfprint
+      * reimplements), sized for this corpus's ~300-byte payloads, with
+      * only the codec decode stubbed: a production kernel decodes the
+      * payload to PCM first; here the payload BYTES stand in for the
+      * sample stream — everything downstream is the genuine algorithm:
+      *
+      *  1. frame into `window`-sample windows every `hop` samples and
+      *     MEAN-CENTER each window (kills any DC/level offset — the audio
+      *     analog of dHash's gradient trick, so [[stubReencode]]'s
+      *     saturating +7 shift is exactly absorbed on ASCII payloads);
+      *  2. per window, band energies at DFT bins 1..16 (direct 16-bin DFT
+      *     over the 32-sample window — a fixed cos/sin table, no FFT lib);
+      *  3. constellation peaks: the argmax band per window (tie → lowest
+      *     band), kept where its energy is a time-local max
+      *     (> previous window's max, >= next window's — the half-open rule
+      *     dedupes plateaus deterministically);
+      *  4. landmarks: each anchor peak paired with EVERY peak in its
+      *     target TIME ZONE dt in [1, `maxDt`] windows ahead — zone
+      *     pairing, not "next N peaks": a peak the re-encode artifact
+      *     destroys then removes only its own pairs instead of shifting
+      *     which other peaks pair (the ripple that made nearest-N lose
+      *     ~70% of landmarks to a 1.5%-of-payload artifact). Hash packs
+      *     (band1 << 8) | (band2 << 4) | dt — 12 bits, sized so sf-scale
+      *     corpora keep hash buckets in the tens — anchored at the
+      *     anchor's window index t.
+      *
+      * Returns (hash, t) pairs; rows are UNIQUE per payload (an anchor
+      * meets each later peak at most once, and distinct zone peaks at one
+      * dt occupy distinct windows), which [[audioNearDups]]'s oracle twin
+      * relies on. Windows are indexed 0.. so t always fits 16 bits for
+      * payloads under `hop * 65536` samples; later t is dropped
+      * (documented bound — real tracks chunk upstream). Deterministic;
+      * payloads shorter than one window yield no landmarks.
+      *
+      * MINIMUM MATERIAL: like the published system (which needs seconds of
+      * audio), payloads shorter than a few windows beyond the artifact
+      * blast radius cannot be fingerprinted robustly — below
+      * [[MinMatchableLandmarks]] landmarks a track's near-dup recall is
+      * not guaranteed (MultimodalSpec gates recall above the floor; real
+      * deployments enforce a minimum clip length upstream).
+      */
+    val MinMatchableLandmarks = 24
+
+    def audioLandmarks(content: Array[Byte], window: Int = 32, hop: Int = 4,
+                       maxDt: Int = 15): Seq[(Int, Int)] = {
+      val c = if (content == null) Array.emptyByteArray else content
+      val n = c.length
+      if (n < window) return Seq.empty
+      val bands = 16
+      // fixed DFT tables for bins 1..bands over `window` samples
+      val cosT = Array.tabulate(bands, window)((k, i) =>
+        math.cos(2 * math.Pi * (k + 1) * i / window))
+      val sinT = Array.tabulate(bands, window)((k, i) =>
+        math.sin(2 * math.Pi * (k + 1) * i / window))
+      val nWin = (n - window) / hop + 1
+      val fMax = new Array[Int](nWin)
+      val eMax = new Array[Double](nWin)
+      var t = 0
+      while (t < nWin) {
+        val base = t * hop
+        var mean = 0.0
+        var i = 0
+        while (i < window) { mean += (c(base + i) & 0xff); i += 1 }
+        mean /= window
+        var bestF = 0
+        var bestE = -1.0
+        var k = 0
+        while (k < bands) {
+          var re = 0.0
+          var im = 0.0
+          i = 0
+          while (i < window) {
+            val s = (c(base + i) & 0xff) - mean
+            re += s * cosT(k)(i)
+            im += s * sinT(k)(i)
+            i += 1
+          }
+          val e = re * re + im * im
+          if (e > bestE) { bestE = e; bestF = k }
+          k += 1
+        }
+        fMax(t) = bestF
+        eMax(t) = bestE
+        t += 1
+      }
+      // time-local maxima of the per-window max-energy curve
+      val peaks = (0 until nWin).filter { t =>
+        eMax(t) > 0 &&
+          (t == 0 || eMax(t) > eMax(t - 1)) &&
+          (t == nWin - 1 || eMax(t) >= eMax(t + 1))
+      }
+      val out = Seq.newBuilder[(Int, Int)]
+      var i2 = 0
+      while (i2 < peaks.length) {
+        val t1 = peaks(i2)
+        if (t1 < 65536) {
+          var j = i2 + 1
+          var inZone = true
+          while (j < peaks.length && inZone) {
+            val dt = peaks(j) - t1
+            if (dt > maxDt) inZone = false
+            else if (dt >= 1)
+              out += (((fMax(t1) << 8) | (fMax(peaks(j)) << 4) | dt, t1))
+            j += 1
+          }
+        }
+        i2 += 1
+      }
+      out.result()
+    }
+
     /** STUB — fake frame sampling: returns every `stride`-th byte-slice as a
       * "frame" (a real kernel would demux the container).
       */
@@ -348,6 +461,116 @@ object Multimodal {
       .filter(jac >= minJaccard)
       .select(col("media_a"), col("media_b"), col("n_match"),
         round(jac, 4).as("jaccard"))
+  }
+
+  /** Per-track constellation landmarks of the audio payloads:
+    * (media_id, lhash, t) via [[Kernels.audioLandmarks]] — the AUDIO member
+    * of the payload dedup axis (x103/x104 fingerprint whole payloads,
+    * x107/x108 video frames; this is the published landmark recipe for
+    * audio, where near-dup = many shared landmark hashes at ONE consistent
+    * time offset). Map-only: payload bytes are consumed inside the flatMap
+    * partition and pruned before anything downstream — only 12-byte
+    * landmark rows ever move.
+    */
+  def audioFingerprints(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow]
+      .filter(_.kind == "audio")
+      .flatMap { r =>
+        Kernels.audioLandmarks(r.content).map { case (h, t) =>
+          (r.media_id, h, t)
+        }
+      }
+      .toDF("media_id", "lhash", "t")
+  }
+
+  /** Audio near-dup pairs by OFFSET-COHERENT landmark voting — the
+    * published matcher for the constellation fingerprint: two tracks are
+    * near-dups when many landmark hashes agree at one consistent time
+    * offset (a bag-overlap score, x108's Jaccard, would also match
+    * re-shuffled audio; the offset histogram is what makes the match
+    * temporal).
+    *
+    * Plan shape: ONE hash-keyed exchange of (media_id, t) landmark rows
+    * with in-aggregate pair generation (the x104/x108 device — members
+    * packed (media_id << 16 | t) into longs so the capped aggregate's
+    * long-payload buffer carries them), a map-combined vote count keyed
+    * (media_a, media_b, offset), and a final max-votes pass per pair.
+    * Never all-pairs: tracks sharing no landmark hash never meet. Hot
+    * hashes are truncated unbiased at `maxPerHash` members (0 = uncapped
+    * / exact, the oracle form); votes under the cap can only SHRINK —
+    * conservative, drops counted in `droppedAcc`.
+    *
+    * The cut is two-sided: an absolute floor (`minVotes`) plus a
+    * SCALE-FREE coverage floor (`minCoverage` × the smaller track's
+    * landmark count — votes grow with track material, so an absolute
+    * threshold alone either drops short true matches or keeps long-track
+    * coincidences; measured at sf0.1: variant-pair coverage median 0.81
+    * vs cross-pair median 0.07). Coverage can never exceed 1 (landmark
+    * rows are unique per track, so each anchor matches at most once per
+    * offset).
+    *
+    * Output: (media_a, media_b, n_votes, best_off, coverage) with
+    * media_a < media_b, n_votes = the best offset's vote count, best_off
+    * = the SMALLEST offset achieving it (deterministic under ties),
+    * coverage rounded 4dp (cut on the unrounded value).
+    */
+  def audioNearDups(landmarks: DataFrame, minVotes: Int = 5,
+                    minCoverage: Double = 0.25,
+                    maxPerHash: Int = 64,
+                    droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val packed = landmarks.select(col("lhash"),
+      (col("media_id") * 65536L + col("t")).as("_m"))
+    val members =
+      if (maxPerHash <= 0)
+        packed.groupBy("lhash")
+          .agg(sort_array(collect_list(col("_m"))).as("_ms"))
+      else
+        packed.groupBy("lhash")
+          .agg(graft.functions.CappedMembersAgg.cappedMembers(
+            xxhash64(col("_m")), col("_m"), col("_m"),
+            maxPerHash, droppedAcc).as("_c"))
+          .select(col("lhash"), col("_c.ids").as("_ms"))
+    // packed members sort by (media_id, t), so i<j gives media_a <= media_b
+    val votesU = udf((ms: Seq[Long]) => {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      val n = ms.length
+      var i = 0
+      while (i < n) {
+        val a = ms(i) >> 16
+        val ta = (ms(i) & 0xffffL).toInt
+        var j = i + 1
+        while (j < n) {
+          val b = ms(j) >> 16
+          if (b != a) out += ((a, b, ta - (ms(j) & 0xffffL).toInt))
+          j += 1
+        }
+        i += 1
+      }
+      out
+    })
+    val votes = members
+      .select(explode(votesU(col("_ms"))).as("_p"))
+      .groupBy(col("_p._1").as("media_a"), col("_p._2").as("media_b"),
+        col("_p._3").as("_off"))
+      .agg(count(lit(1)).cast("int").as("_v"))
+    val sizes = landmarks.groupBy("media_id").agg(count(lit(1)).as("_n"))
+    val cov = col("n_votes").cast("double") / least(col("_na"), col("_nb"))
+    votes
+      .groupBy("media_a", "media_b")
+      .agg(max(struct(col("_v"), (-col("_off")).as("_negoff"))).as("_best"))
+      .select(col("media_a"), col("media_b"),
+        col("_best._v").as("n_votes"),
+        (-col("_best._negoff")).cast("int").as("best_off"))
+      .filter(col("n_votes") >= minVotes)
+      .join(sizes.select(col("media_id").as("media_a"), col("_n").as("_na")),
+        "media_a")
+      .join(sizes.select(col("media_id").as("media_b"), col("_n").as("_nb")),
+        "media_b")
+      .filter(cov >= minCoverage)
+      .select(col("media_a"), col("media_b"), col("n_votes"), col("best_off"),
+        round(cov, 4).as("coverage"))
   }
 
   /** Explode sampled frames of video rows: (media_id, frame_no, frame). */

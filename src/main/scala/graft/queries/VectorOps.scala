@@ -22,7 +22,7 @@ object VectorOps {
       x89_semantic_dedup, x93_ann_pq, x103_payload_phash,
       x104_payload_neardup, x104b_payload_dupedges, x107_frame_phash,
       x108_video_neardup, x109_incremental_payload_neardup,
-      x110_payload_resolve)
+      x110_payload_resolve, x111_audio_landmarks, x112_audio_neardup)
 
   /** Oracle-checked half of the multimodal surface: the synthetic-media
     * metadata derivation and binary-column plumbing (payload byte length
@@ -322,6 +322,70 @@ object VectorOps {
       .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
     Canon(Components.connectedComponents(edges)
       .select(col("node").as("media_id"), col("component")))
+  }
+
+  // ----------------------------------------------------------- x111/x112
+  /** Constellation landmarks of the audio payloads — rows-only (the
+    * landmark kernel — windowed DFT band energies, peak picking — has no
+    * DuckDB twin); persisted so x112's oracle replays the offset-coherent
+    * vote join over the exact landmarks this run produced (the x103→x104 /
+    * x107→x108 device for the AUDIO member of the payload dedup axis).
+    */
+  val x111_audio_landmarks: QueryDef =
+    QueryDef.rowsOnly("x111_audio_landmarks") { (s, d) =>
+      import graft.operators.Multimodal
+      Canon(Multimodal.audioFingerprints(
+        Multimodal.withReencodedVariants(
+          Multimodal.syntheticMedia(Tables.documents(s, d)))))
+    }
+
+  /** Audio near-dup pairs by offset-coherent landmark voting (the published
+    * constellation matcher: two tracks match when many landmark hashes
+    * agree at ONE consistent time offset) — the AUDIO member of the
+    * payload dedup axis: x104 matches whole payloads, x108 video frame
+    * sets; this matches tracks temporally, so a bag-of-hashes coincidence
+    * without a consistent alignment does not pair.
+    *
+    * Oracle: the kernel stays outside (x111 is rows-only); everything with
+    * plan risk — the hash-equality match join, the per-offset vote count,
+    * the max-votes/min-offset election, the vote cut — is plain SQL over
+    * the landmarks the SAME Verify run persisted as x111's output. Runs
+    * UNCAPPED (the hot-hash cap is spec territory, like x104/x108).
+    */
+  val x112_audio_neardup: QueryDef = QueryDef(
+    "x112_audio_neardup",
+    Sql.canon(
+      """WITH lm AS (SELECT media_id, lhash, t
+        |            FROM read_parquet('__VERIFY_OUT__/x111_audio_landmarks/*.parquet')),
+        |cnt AS (SELECT media_id, COUNT(*) AS n FROM lm GROUP BY 1),
+        |v AS (
+        |  SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |    a.t - b.t AS off, COUNT(*) AS votes
+        |  FROM lm a JOIN lm b
+        |    ON a.lhash = b.lhash AND a.media_id < b.media_id
+        |  GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT media_a, media_b, MAX(votes) AS nv FROM v GROUP BY 1, 2),
+        |e AS (
+        |  SELECT b.media_a, b.media_b, CAST(b.nv AS INT) AS n_votes,
+        |    CAST(MIN(v.off) AS INT) AS best_off
+        |  FROM best b JOIN v
+        |    ON v.media_a = b.media_a AND v.media_b = b.media_b
+        |   AND v.votes = b.nv
+        |  WHERE b.nv >= 5
+        |  GROUP BY 1, 2, 3)
+        |SELECT e.media_a, e.media_b, e.n_votes, e.best_off,
+        |  ROUND(CAST(e.n_votes AS DOUBLE) / LEAST(ca.n, cb.n), 4) AS coverage
+        |FROM e JOIN cnt ca ON ca.media_id = e.media_a
+        |       JOIN cnt cb ON cb.media_id = e.media_b
+        |WHERE CAST(e.n_votes AS DOUBLE) / LEAST(ca.n, cb.n) >= 0.25""".stripMargin,
+      Seq("media_a", "media_b", "n_votes", "best_off", "coverage"))) { (s, d) =>
+    import graft.operators.Multimodal
+    Canon(Multimodal.audioNearDups(
+      Multimodal.audioFingerprints(
+        Multimodal.withReencodedVariants(
+          Multimodal.syntheticMedia(Tables.documents(s, d)))),
+      maxPerHash = 0))
   }
 
   // ---------------------------------------------------------------- x43

@@ -254,4 +254,91 @@ class MultimodalSpec extends SparkSpec {
     val top = Similarity.bruteForceTopK(feats, q, k = 5).collect()
     assert(top.length == 5 && top.forall(_.getAs[Double]("cos_sim") <= 1.0001))
   }
+
+  // ------------------------------------------------------- audio landmarks
+
+  test("audioLandmarks: deterministic, unique rows, DC-shift invariant, short-payload safe") {
+    val payload = "the quick brown fox jumps over the lazy dog " * 8
+    val bytes = payload.getBytes("UTF-8")
+    val lm1 = Multimodal.Kernels.audioLandmarks(bytes)
+    val lm2 = Multimodal.Kernels.audioLandmarks(bytes.clone())
+    assert(lm1 == lm2, "landmarks must be deterministic")
+    assert(lm1.nonEmpty, "a sentence-length payload must yield landmarks")
+    assert(lm1.distinct == lm1, "landmark (hash, t) rows must be unique per payload")
+    // mean-centering per window absorbs a uniform non-saturating level
+    // shift exactly (the audio analog of dHash's gradient invariance)
+    val shifted = bytes.map(b => math.min(255, (b & 0xff) + 7).toByte)
+    assert(Multimodal.Kernels.audioLandmarks(shifted) == lm1,
+      "landmarks must be invariant to a uniform non-saturating level shift")
+    // hash packing stays inside 12 bits; t inside 16
+    lm1.foreach { case (h, t) =>
+      assert(h >= 0 && h < 4096, s"hash $h outside the 12-bit pack")
+      assert(t >= 0 && t < 65536)
+    }
+    assert(Multimodal.Kernels.audioLandmarks(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.Kernels.audioLandmarks(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.Kernels.audioLandmarks(null).isEmpty)
+  }
+
+  test("audio near-dup: above the material floor, every variant's top match is its original at offset 0") {
+    val corpus = Multimodal.withReencodedVariants(media, everyNth = 5)
+    val lms = Multimodal.audioFingerprints(corpus).cache()
+    try {
+      // only audio rows are fingerprinted; binary never reaches the output
+      assert(!lms.schema.fields.exists(_.dataType.typeName == "binary"))
+      val counts = lms.groupBy("media_id").count()
+        .as[(Long, Long)].collect().toMap
+      val pairs = Multimodal.audioNearDups(lms, minVotes = 5, maxPerHash = 0)
+        .collect()
+      val variantIds = corpus.filter(col("media_id") >= 10000000L)
+        .filter(col("kind") === "audio")
+        .select("media_id").as[Long].collect()
+      assert(variantIds.nonEmpty)
+      // the documented minimum-material constraint: recall is gated only
+      // for tracks whose original yields enough landmarks — and the floor
+      // must not quietly exclude the corpus (it covers the large majority)
+      val gated = variantIds.filter(v => counts.getOrElse(v - 10000000L, 0L)
+        >= Multimodal.Kernels.MinMatchableLandmarks)
+      assert(gated.length * 10 >= variantIds.length * 7,
+        s"material floor excludes too much: ${gated.length}/${variantIds.length}")
+      gated.foreach { v =>
+        val orig = v - 10000000L
+        val best = pairs.filter(r =>
+            r.getAs[Long]("media_a") == v || r.getAs[Long]("media_b") == v)
+          .maxByOption(_.getAs[Int]("n_votes"))
+        assert(best.isDefined, s"variant $v matched nothing")
+        val b = best.get
+        val other = if (b.getAs[Long]("media_a") == v) b.getAs[Long]("media_b")
+                    else b.getAs[Long]("media_a")
+        assert(other == orig,
+          s"variant $v's top match is $other, not its original $orig")
+        assert(b.getAs[Int]("best_off") == 0,
+          s"variant $v aligns at offset ${b.getAs[Int]("best_off")}, not 0")
+      }
+    } finally { lms.unpersist(); () }
+  }
+
+  test("audio near-dup: capped form is conservative and observable") {
+    val corpus = Multimodal.withReencodedVariants(media, everyNth = 5)
+    val lms = Multimodal.audioFingerprints(corpus).cache()
+    try {
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))
+      val exact = Multimodal.audioNearDups(lms, minVotes = 1,
+          minCoverage = 0.0, maxPerHash = 0)
+        .collect().map(r => key(r) -> r.getAs[Int]("n_votes")).toMap
+      val acc = spark.sparkContext.longAccumulator("audioDrop")
+      val capped = Multimodal.audioNearDups(lms, minVotes = 1,
+          minCoverage = 0.0, maxPerHash = 4, droppedAcc = Some(acc))
+        .collect().map(r => key(r) -> r.getAs[Int]("n_votes")).toMap
+      // votes can only shrink under the cap: no invented pairs, no
+      // inflated scores
+      capped.foreach { case (k, v) =>
+        assert(exact.contains(k), s"capped invented pair $k")
+        assert(v <= exact(k), s"capped inflated votes for $k: $v > ${exact(k)}")
+      }
+      if (capped != exact)
+        assert(acc.value > 0, "votes lost without any counted bucket drop")
+    } finally { lms.unpersist(); () }
+  }
 }
