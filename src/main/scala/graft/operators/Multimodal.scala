@@ -201,17 +201,76 @@ object Multimodal {
       */
     val MinMatchableLandmarks = 24
 
+    /** Per-window-size DFT table memo: the landmark kernel runs per ROW,
+      * and rebuilding (window/2)·window trig tables per row at window 128
+      * would cost more than the DFT itself. One entry per distinct window
+      * size per executor JVM — bytes bounded by the handful of sizes
+      * [[graft.operators.Multimodal.autoAudioWindow]] can pick.
+      */
+    private val dftMemo =
+      new java.util.concurrent.ConcurrentHashMap[Int,
+        (Array[Array[Double]], Array[Array[Double]])]()
+
+    private[Kernels] def dftTables(window: Int): (Array[Array[Double]], Array[Array[Double]]) =
+      dftMemo.computeIfAbsent(window, w => {
+        val bands = w / 2
+        (Array.tabulate(bands, w)((k, i) =>
+          math.cos(2 * math.Pi * (k + 1) * i / w)),
+          Array.tabulate(bands, w)((k, i) =>
+            math.sin(2 * math.Pi * (k + 1) * i / w)))
+      })
+
     def audioLandmarks(content: Array[Byte], window: Int = 32, hop: Int = 4,
                        maxDt: Int = 15): Seq[(Int, Int)] = {
       val c = if (content == null) Array.emptyByteArray else content
       val n = c.length
       if (n < window) return Seq.empty
-      val bands = 16
-      // fixed DFT tables for bins 1..bands over `window` samples
-      val cosT = Array.tabulate(bands, window)((k, i) =>
-        math.cos(2 * math.Pi * (k + 1) * i / window))
-      val sinT = Array.tabulate(bands, window)((k, i) =>
-        math.sin(2 * math.Pi * (k + 1) * i / window))
+      // band count scales with the window (bins 1..window/2 up to
+      // Nyquist), so the hash space — (window/2)² · (maxDt+1) — grows
+      // ~window²: the DENSITY KNOB. A fixed space saturates as the corpus
+      // grows exactly like a fixed IVF nlist (measured: the 12-bit
+      // window-32 space holds recall 0.985 at sf0.1 but collapses under
+      // the hot-bucket cap at 10×); [[Multimodal.autoAudioWindow]] is the
+      // size-derived production sizing, the x42c device for audio. At
+      // window 32 the packing below reproduces the original
+      // (f1 << 8 | f2 << 4 | dt) values bit-for-bit.
+      val bands = window / 2
+      val pk = peaksOf(c, window, hop)
+      val fMax = pk._1
+      val peaks = pk._2
+      val out = Seq.newBuilder[(Int, Int)]
+      var i2 = 0
+      while (i2 < peaks.length) {
+        val t1 = peaks(i2)
+        if (t1 < 65536) {
+          var j = i2 + 1
+          var inZone = true
+          while (j < peaks.length && inZone) {
+            val dt = peaks(j) - t1
+            if (dt > maxDt) inZone = false
+            else if (dt >= 1)
+              out += (((fMax(t1) * bands + fMax(peaks(j))) * (maxDt + 1) + dt,
+                t1))
+            j += 1
+          }
+        }
+        i2 += 1
+      }
+      out.result()
+    }
+
+    /** Shared constellation front half: per-window dominant band + its
+      * energy via the windowed mean-centered DFT, then time-local maxima
+      * of the max-energy curve. Returns (dominant band per window,
+      * peak window indices).
+      */
+    private[Kernels] def peaksOf(c: Array[Byte], window: Int,
+                                 hop: Int): (Array[Int], IndexedSeq[Int]) = {
+      val bands = window / 2
+      val tables = dftTables(window)
+      val cosT = tables._1
+      val sinT = tables._2
+      val n = c.length
       val nWin = (n - window) / hop + 1
       val fMax = new Array[Int](nWin)
       val eMax = new Array[Double](nWin)
@@ -249,22 +308,61 @@ object Multimodal {
           (t == 0 || eMax(t) > eMax(t - 1)) &&
           (t == nWin - 1 || eMax(t) >= eMax(t + 1))
       }
+      (fMax, peaks)
+    }
+
+    /** Triplet constellation landmarks — the published successor scheme to
+      * pairwise landmarks for DENSE corpora (the Panako / ISMIR-2014
+      * family hashes three spectral peaks + two time deltas): same
+      * windows/bands/peaks as [[audioLandmarks]], but each anchor is
+      * hashed with every ORDERED pair of zone peaks, packing
+      * (f1, f2, f3, dt1, dt2) — at window 32 that is 16³·16² ≈ 2^20 hash
+      * slots vs the pair form's 2^12, which is what keeps bucket
+      * occupancy (and the hot-bucket cap's drop rate) flat as the corpus
+      * grows ~100× while the toy payload length pins the window size.
+      * Zone-based (not index-consecutive) triples keep the no-ripple
+      * property: a destroyed peak removes only triples containing it.
+      * Rows stay unique per payload ((dt1, dt2) pins (j, k) for an
+      * anchor). The trade: a triple needs all THREE peaks to survive a
+      * re-encode (shared fraction ~cubic vs the pair form's ~quadratic in
+      * the peak survival rate), priced into the coverage cut.
+      */
+    def audioLandmarks3(content: Array[Byte], window: Int = 32, hop: Int = 4,
+                        maxDt: Int = 15): Seq[(Int, Int)] = {
+      val c = if (content == null) Array.emptyByteArray else content
+      val n = c.length
+      if (n < window) return Seq.empty
+      val bands = window / 2
+      val pk = peaksOf(c, window, hop)
+      val fMax = pk._1
+      val peaks = pk._2
       val out = Seq.newBuilder[(Int, Int)]
-      var i2 = 0
-      while (i2 < peaks.length) {
-        val t1 = peaks(i2)
+      var i = 0
+      while (i < peaks.length) {
+        val t1 = peaks(i)
         if (t1 < 65536) {
-          var j = i2 + 1
-          var inZone = true
-          while (j < peaks.length && inZone) {
-            val dt = peaks(j) - t1
-            if (dt > maxDt) inZone = false
-            else if (dt >= 1)
-              out += (((fMax(t1) << 8) | (fMax(peaks(j)) << 4) | dt, t1))
+          var j = i + 1
+          var inZoneJ = true
+          while (j < peaks.length && inZoneJ) {
+            val dt1 = peaks(j) - t1
+            if (dt1 > maxDt) inZoneJ = false
+            else if (dt1 >= 1) {
+              var k = j + 1
+              var inZoneK = true
+              while (k < peaks.length && inZoneK) {
+                val dt2 = peaks(k) - t1
+                if (dt2 > maxDt) inZoneK = false
+                else
+                  out += ((((fMax(t1) * bands + fMax(peaks(j))) * bands +
+                    fMax(peaks(k))) * (maxDt + 1) * (maxDt + 1) +
+                    dt1 * (maxDt + 1) + dt2, t1))
+                k += 1
+              }
+            }
             j += 1
           }
         }
-        i2 += 1
+        i += 1
       }
       out.result()
     }
@@ -472,17 +570,46 @@ object Multimodal {
     * partition and pruned before anything downstream — only 12-byte
     * landmark rows ever move.
     */
-  def audioFingerprints(media: DataFrame): DataFrame = {
+  def audioFingerprints(media: DataFrame, window: Int = 32,
+                        triples: Boolean = false): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow]
       .filter(_.kind == "audio")
       .flatMap { r =>
-        Kernels.audioLandmarks(r.content).map { case (h, t) =>
-          (r.media_id, h, t)
-        }
+        val lms =
+          if (triples) Kernels.audioLandmarks3(r.content, window = window)
+          else Kernels.audioLandmarks(r.content, window = window)
+        lms.map { case (h, t) => (r.media_id, h, t) }
       }
       .toDF("media_id", "lhash", "t")
+  }
+
+  /** Size-derived landmark window — the x42c device for the audio axis: a
+    * FIXED hash space saturates as the corpus grows (the hot-bucket cap
+    * then keeps a vanishing sample of every true pair's votes — measured:
+    * window-32 recall 0.985 at sf0.1, 0.09 at 10×), so the window (hence
+    * band count, hence hash space ≈ (window/2)²·16) must grow with the
+    * expected landmark count, which one metadata-cheap aggregate
+    * estimates from the audio byte volume (~0.23 landmarks/byte at
+    * hop 4, measured at sf0.1). Doubling the window 4×es the space, so
+    * the chosen window steps up once per ~4× density: expected occupancy
+    * stays ≤ `targetOccupancy` until the window hits `maxWindow` (payload
+    * length bounds how far a toy 300-byte track can stretch; real PCM —
+    * 3 orders more samples per track — keeps stepping to the published
+    * system's ~2^30-hash regime).
+    */
+  def autoAudioWindow(media: DataFrame, targetOccupancy: Int = 64,
+                      maxWindow: Int = 256): Int = {
+    val bytes = media.filter(col("kind") === "audio")
+      .agg(sum(length(col("content")))).collect()(0)
+    val total = if (bytes.isNullAt(0)) 0L else bytes.getLong(0)
+    val lmEst = total / 4 // ~0.25 landmarks/byte at hop 4 (measured)
+    var w = 32
+    while (w < maxWindow &&
+        lmEst.toDouble / ((w / 2).toDouble * (w / 2) * 16) > targetOccupancy)
+      w *= 2
+    w
   }
 
   /** Audio near-dup pairs by OFFSET-COHERENT landmark voting — the
@@ -518,20 +645,42 @@ object Multimodal {
     */
   def audioNearDups(landmarks: DataFrame, minVotes: Int = 5,
                     minCoverage: Double = 0.25,
-                    maxPerHash: Int = 64,
+                    maxPerHash: Int = 128, maxDf: Int = 0,
                     droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
-    val packed = landmarks.select(col("lhash"),
+    // maxDf > 0 drops landmark hashes present in more than maxDf DISTINCT
+    // tracks before matching — the constellation analog of stopword/df
+    // filtering (real deployments skip hot landmark buckets): a hash
+    // shared by hundreds of tracks carries no identity signal but
+    // dominates in-bucket pair generation. Coverage denominators are
+    // computed AFTER the filter so the score stays calibrated against
+    // what the matcher can actually see.
+    val base =
+      if (maxDf <= 0) landmarks
+      else {
+        val dfRel = landmarks.groupBy("lhash")
+          .agg(countDistinct(col("media_id")).as("_df"))
+          .filter(col("_df") <= maxDf)
+          .select("lhash")
+        landmarks.join(dfRel, "lhash")
+      }
+    val packed = base.select(col("lhash"),
       (col("media_id") * 65536L + col("t")).as("_m"))
     val members =
       if (maxPerHash <= 0)
         packed.groupBy("lhash")
           .agg(sort_array(collect_list(col("_m"))).as("_ms"))
       else
+        // localCheckpoint: the capped relation is consumed twice (pair
+        // generation + coverage denominators); it is bounded at
+        // hash-space × cap rows regardless of corpus size, and
+        // materializing it keeps the capping aggregate single-run (one
+        // shuffle, and the dropped-count accumulator fires exactly once)
         packed.groupBy("lhash")
           .agg(graft.functions.CappedMembersAgg.cappedMembers(
             xxhash64(col("_m")), col("_m"), col("_m"),
             maxPerHash, droppedAcc).as("_c"))
           .select(col("lhash"), col("_c.ids").as("_ms"))
+          .localCheckpoint()
     // packed members sort by (media_id, t), so i<j gives media_a <= media_b
     val votesU = udf((ms: Seq[Long]) => {
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
@@ -555,7 +704,21 @@ object Multimodal {
       .groupBy(col("_p._1").as("media_a"), col("_p._2").as("media_b"),
         col("_p._3").as("_off"))
       .agg(count(lit(1)).cast("int").as("_v"))
-    val sizes = landmarks.groupBy("media_id").agg(count(lit(1)).as("_n"))
+    // coverage denominators come from the KEPT members (post-cap), not the
+    // raw landmark counts: under a hot-bucket cap votes can only count
+    // kept entries, so a raw denominator would deflate coverage and cut
+    // true matches that merely lost hot-bucket entries (measured at
+    // sf0.1: raw-denominator recall 0.82 at cap 64 vs 0.985 kept-based at
+    // cap 128). Uncapped, kept == base, so the denominator is the plain
+    // per-track landmark count the oracle twin computes — counted off the
+    // pre-aggregation relation (cheaper than re-exploding the members).
+    val sizes =
+      if (maxPerHash <= 0)
+        base.groupBy("media_id").agg(count(lit(1)).as("_n"))
+      else
+        members.select(explode(col("_ms")).as("_m"))
+          .select(shiftright(col("_m"), 16).as("media_id"))
+          .groupBy("media_id").agg(count(lit(1)).as("_n"))
     val cov = col("n_votes").cast("double") / least(col("_na"), col("_nb"))
     votes
       .groupBy("media_a", "media_b")

@@ -318,6 +318,29 @@ class MultimodalSpec extends SparkSpec {
     } finally { lms.unpersist(); () }
   }
 
+  test("audioLandmarks3: deterministic, unique, zone-local, and ~2^20-packed") {
+    val payload = ("pack my box with five dozen liquor jugs " * 10).getBytes("UTF-8")
+    val lm = Multimodal.Kernels.audioLandmarks3(payload)
+    assert(lm.nonEmpty && lm == Multimodal.Kernels.audioLandmarks3(payload.clone()))
+    assert(lm.distinct == lm, "triplet (hash, t) rows must be unique per payload")
+    lm.foreach { case (h, t) =>
+      assert(h >= 0 && h < 16 * 16 * 16 * 16 * 16, s"hash $h outside the triplet pack")
+      assert(t >= 0 && t < 65536)
+    }
+    // zone locality: destroying one region's peaks must not change
+    // landmarks anchored well before it (no pairing ripple)
+    val damaged = payload.clone()
+    java.util.Arrays.fill(damaged, 300, 340, 0.toByte)
+    val lmD = Multimodal.Kernels.audioLandmarks3(damaged).toSet
+    val wellBefore = lm.filter { case (_, t) => t * 4 + 32 + 15 * 4 < 290 }
+    assert(wellBefore.nonEmpty)
+    wellBefore.foreach(l => assert(lmD.contains(l),
+      s"landmark $l anchored before the damage was lost — pairing rippled"))
+    // level-shift invariance carries over from the shared peak front half
+    val shifted = payload.map(b => math.min(255, (b & 0xff) + 7).toByte)
+    assert(Multimodal.Kernels.audioLandmarks3(shifted) == lm)
+  }
+
   test("audio near-dup: capped form is conservative and observable") {
     val corpus = Multimodal.withReencodedVariants(media, everyNth = 5)
     val lms = Multimodal.audioFingerprints(corpus).cache()
