@@ -201,6 +201,14 @@ object Multimodal {
       */
     val MinMatchableLandmarks = 24
 
+    /** The triplet form's material floor — higher than the pair form's
+      * because triples are denser per track (every zone pair per anchor)
+      * yet each needs all THREE peaks to survive a re-encode: measured at
+      * sf0.001, variants whose original yields ≤ 25 triplet landmarks can
+      * miss, every one ≥ 31 matches (MultimodalSpec's recall gate).
+      */
+    val MinMatchableLandmarks3 = 30
+
     /** Per-window-size DFT table memo: the landmark kernel runs per ROW,
       * and rebuilding (window/2)·window trig tables per row at window 128
       * would cost more than the DFT itself. One entry per distinct window

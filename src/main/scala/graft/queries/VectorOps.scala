@@ -334,9 +334,15 @@ object VectorOps {
   val x111_audio_landmarks: QueryDef =
     QueryDef.rowsOnly("x111_audio_landmarks") { (s, d) =>
       import graft.operators.Multimodal
+      // the TRIPLET form (audioLandmarks3) is the registry default: its
+      // ~2^20 hash space keeps bucket occupancy flat (sf0.1 max bucket
+      // 134 vs the pair form's 1,046), which is what makes x112's
+      // UNCAPPED oracle-form pair generation cheap (13.3 s -> ~2 s at
+      // sf0.1); the pair form stays available + spec/probe-gated
       Canon(Multimodal.audioFingerprints(
         Multimodal.withReencodedVariants(
-          Multimodal.syntheticMedia(Tables.documents(s, d)))))
+          Multimodal.syntheticMedia(Tables.documents(s, d))),
+        triples = true))
     }
 
   /** Audio near-dup pairs by offset-coherent landmark voting (the published
@@ -384,7 +390,8 @@ object VectorOps {
     Canon(Multimodal.audioNearDups(
       Multimodal.audioFingerprints(
         Multimodal.withReencodedVariants(
-          Multimodal.syntheticMedia(Tables.documents(s, d)))),
+          Multimodal.syntheticMedia(Tables.documents(s, d))),
+        triples = true),
       maxPerHash = 0))
   }
 

@@ -91,7 +91,8 @@ object AudioProbe {
         .join(counts.select((col("media_id") + lit(10000000L)).as("vid"),
           col("n").as("orig_n")), "vid")
         .filter(col("orig_n") >=
-          graft.operators.Multimodal.Kernels.MinMatchableLandmarks)
+          (if (triples) graft.operators.Multimodal.Kernels.MinMatchableLandmarks3
+           else graft.operators.Multimodal.Kernels.MinMatchableLandmarks))
       // hit = the variant's ORIGINAL is among its top-vote matches, at
       // offset 0 (ties count as hits — what matters is that nothing
       // outscores the true match)

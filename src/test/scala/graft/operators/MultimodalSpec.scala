@@ -281,8 +281,11 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("audio near-dup: above the material floor, every variant's top match is its original at offset 0") {
+    // triples = the registry form; the pair form's recall is gated by
+    // AudioProbe (BASELINE round-12 audio rows: pair 0.985 / triplet
+    // 0.948 at sf0.1, cap 128)
     val corpus = Multimodal.withReencodedVariants(media, everyNth = 5)
-    val lms = Multimodal.audioFingerprints(corpus).cache()
+    val lms = Multimodal.audioFingerprints(corpus, triples = true).cache()
     try {
       // only audio rows are fingerprinted; binary never reaches the output
       assert(!lms.schema.fields.exists(_.dataType.typeName == "binary"))
@@ -298,7 +301,7 @@ class MultimodalSpec extends SparkSpec {
       // for tracks whose original yields enough landmarks — and the floor
       // must not quietly exclude the corpus (it covers the large majority)
       val gated = variantIds.filter(v => counts.getOrElse(v - 10000000L, 0L)
-        >= Multimodal.Kernels.MinMatchableLandmarks)
+        >= Multimodal.Kernels.MinMatchableLandmarks3)
       assert(gated.length * 10 >= variantIds.length * 7,
         s"material floor excludes too much: ${gated.length}/${variantIds.length}")
       gated.foreach { v =>
