@@ -52,7 +52,8 @@ object Bench {
     // KILLED run left, or the rebuild stalls a full acquire wait.
     for (t <- Seq(graft.sources.HashHistory.tableFor(sfDir),
         graft.sources.GramHistory.tableFor(sfDir),
-        graft.sources.PhashHistory.tableFor(sfDir)))
+        graft.sources.PhashHistory.tableFor(sfDir),
+        graft.sources.LandmarkHistory.tableFor(sfDir)))
       graft.sources.MutationGuard.clear(
         spark, graft.sources.Bucketing.guardBase(spark, t))
     try graft.sources.HashHistory.create(spark, sfDir,
@@ -77,6 +78,14 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] phash store build failed " +
         s"(x109 falls back to derived history): ${e.getMessage}")
+    }
+    // x113's landmark index: built once, amortized — x113's number is the
+    // steady-state batch probe against the persisted landmark store
+    try graft.sources.LandmarkHistory.create(spark, sfDir,
+      graft.queries.VectorOps.x113HistoryLms(spark, sfDir))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] landmark store build failed " +
+        s"(x113 falls back to derived history): ${e.getMessage}")
     }
     // x94b's BM25 index store: built once, amortized — x94b's number is
     // the steady-state index-served hybrid query

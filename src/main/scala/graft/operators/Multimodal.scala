@@ -492,6 +492,50 @@ object Multimodal {
       .distinct()
   }
 
+  /** INCREMENTAL audio near-dup probe — a NEW batch of tracks' landmarks
+    * vs the persisted [[graft.sources.LandmarkHistory]] store: the audio
+    * member of the x86/x102/x109 incremental family, and the published
+    * constellation system's OWN deployment model (query landmarks matched
+    * against a landmark database — never all-pairs over the corpus). ONE
+    * equi-join on `lhash` riding the store's bucket layout with NO
+    * history-side exchange (LandmarkHistorySpec gates the plan), then the
+    * same offset-coherent election as [[audioNearDups]]: votes per
+    * (hist, batch, offset), max votes + smallest winning offset per pair.
+    *
+    * The coverage cut is QUERY-side only (votes / the batch track's
+    * landmark count) — the published normalization (the query clip is the
+    * short side), and the one that keeps probe cost batch-sized: a
+    * history-side denominator would need a corpus-scale count per probe.
+    *
+    * Output: (hist_id, batch_id, n_votes, best_off, q_coverage) with
+    * n_votes >= minVotes and q_coverage >= minQCoverage (rounded 4dp, cut
+    * on the unrounded value); best_off = batch t − history t.
+    */
+  def incrementalAudioNearDups(batchLandmarks: DataFrame, store: DataFrame,
+                               minVotes: Int = 5,
+                               minQCoverage: Double = 0.25): DataFrame = {
+    val votes = batchLandmarks
+      .join(store.select(col("lhash"), col("id").as("hist_id"),
+        col("t").as("_ht")), "lhash")
+      .groupBy(col("hist_id"), col("media_id").as("batch_id"),
+        (col("t") - col("_ht")).as("_off"))
+      .agg(count(lit(1)).cast("int").as("_v"))
+    val sizes = batchLandmarks.groupBy(col("media_id").as("batch_id"))
+      .agg(count(lit(1)).as("_n"))
+    val qcov = col("n_votes").cast("double") / col("_n")
+    votes
+      .groupBy("hist_id", "batch_id")
+      .agg(max(struct(col("_v"), (-col("_off")).as("_negoff"))).as("_best"))
+      .select(col("hist_id"), col("batch_id"),
+        col("_best._v").as("n_votes"),
+        (-col("_best._negoff")).cast("int").as("best_off"))
+      .filter(col("n_votes") >= minVotes)
+      .join(sizes, "batch_id")
+      .filter(qcov >= minQCoverage)
+      .select(col("hist_id"), col("batch_id"), col("n_votes"),
+        col("best_off"), round(qcov, 4).as("q_coverage"))
+  }
+
   /** Per-frame perceptual fingerprints of video payloads: the DISTINCT
     * (media_id, phash) frame-hash set per video — [[sampleVideoFrames]]'s
     * sampled frames through the same [[Kernels.dHash64]] kernel as x103.

@@ -22,7 +22,8 @@ object VectorOps {
       x89_semantic_dedup, x93_ann_pq, x103_payload_phash,
       x104_payload_neardup, x104b_payload_dupedges, x107_frame_phash,
       x108_video_neardup, x109_incremental_payload_neardup,
-      x110_payload_resolve, x111_audio_landmarks, x112_audio_neardup)
+      x110_payload_resolve, x111_audio_landmarks, x112_audio_neardup,
+      x113_incremental_audio_probe)
 
   /** Oracle-checked half of the multimodal surface: the synthetic-media
     * metadata derivation and binary-column plumbing (payload byte length
@@ -393,6 +394,73 @@ object VectorOps {
           Multimodal.syntheticMedia(Tables.documents(s, d))),
         triples = true),
       maxPerHash = 0))
+  }
+
+  // ---------------------------------------------------------------- x113
+  private[graft] def x113HistoryLms(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.audioFingerprints(
+      x109Media(s, d).filter(x109IsOriginal && x109MediaBucket < 60),
+      triples = true)
+  }
+
+  /** Incremental audio probe — the audio member of the x86/x102/x109
+    * incremental family, and the published constellation system's OWN
+    * deployment model: a NEW batch of tracks (x109's replica-aware split —
+    * 40% of originals + every re-encoded variant) probed against the
+    * persisted [[graft.sources.LandmarkHistory]] landmark index. ONE
+    * equi-join riding the store's bucket layout (no history-side exchange,
+    * LandmarkHistorySpec), offset-coherent vote election, QUERY-side
+    * coverage cut (the published normalization — and the one that keeps
+    * probe cost batch-sized; a history-side denominator would need a
+    * corpus-scale count per probe).
+    *
+    * Oracle: the history/batch split is x109's SQL-expressible md5-bucket
+    * device, the landmarks are x111's persisted output, so the join, the
+    * per-offset votes, the election and both cuts replay exactly in
+    * DuckDB; only the landmark kernel stays outside (x111's contract).
+    */
+  val x113_incremental_audio_probe: QueryDef = QueryDef(
+    "x113_incremental_audio_probe",
+    Sql.canon(
+      """WITH lm AS (SELECT media_id, lhash, t
+        |            FROM read_parquet('__VERIFY_OUT__/x111_audio_landmarks/*.parquet')),
+        |b AS (SELECT media_id, lhash, t,
+        |  CAST(CAST('0x' || SUBSTRING(MD5(CAST(media_id AS VARCHAR)), 1, 8)
+        |       AS BIGINT) % 100 AS INT) AS bucket
+        |  FROM lm),
+        |h AS (SELECT media_id, lhash, t FROM b
+        |      WHERE media_id % 1000000000 < 10000000 AND bucket < 60),
+        |n AS (SELECT media_id, lhash, t FROM b
+        |      WHERE media_id % 1000000000 >= 10000000 OR bucket >= 60),
+        |cnt AS (SELECT media_id, COUNT(*) AS n FROM n GROUP BY 1),
+        |v AS (
+        |  SELECT h.media_id AS hist_id, n.media_id AS batch_id,
+        |    n.t - h.t AS off, COUNT(*) AS votes
+        |  FROM h JOIN n ON h.lhash = n.lhash
+        |  GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT hist_id, batch_id, MAX(votes) AS nv FROM v GROUP BY 1, 2),
+        |e AS (
+        |  SELECT b2.hist_id, b2.batch_id, CAST(b2.nv AS INT) AS n_votes,
+        |    CAST(MIN(v.off) AS INT) AS best_off
+        |  FROM best b2 JOIN v
+        |    ON v.hist_id = b2.hist_id AND v.batch_id = b2.batch_id
+        |   AND v.votes = b2.nv
+        |  WHERE b2.nv >= 5
+        |  GROUP BY 1, 2, 3)
+        |SELECT e.hist_id, e.batch_id, e.n_votes, e.best_off,
+        |  ROUND(CAST(e.n_votes AS DOUBLE) / c.n, 4) AS q_coverage
+        |FROM e JOIN cnt c ON c.media_id = e.batch_id
+        |WHERE CAST(e.n_votes AS DOUBLE) / c.n >= 0.25""".stripMargin,
+      Seq("hist_id", "batch_id", "n_votes", "best_off", "q_coverage"))) { (s, d) =>
+    import graft.operators.Multimodal
+    val batchLms = Multimodal.audioFingerprints(
+      x109Media(s, d).filter(!x109IsOriginal || x109MediaBucket >= 60),
+      triples = true)
+    val store = graft.sources.LandmarkHistory.scanOrCompute(s, d)(
+      graft.sources.LandmarkHistory.storeShape(x113HistoryLms(s, d)))
+    Canon(Multimodal.incrementalAudioNearDups(batchLms, store))
   }
 
   // ---------------------------------------------------------------- x43

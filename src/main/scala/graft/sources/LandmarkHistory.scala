@@ -1,0 +1,117 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted audio-LANDMARK history store — the audio member of the
+  * incremental-dedup family ([[HashHistory]] = whole-document exact,
+  * [[GramHistory]] = substring, [[PhashHistory]] = perceptual payload,
+  * this = constellation landmarks): a NEW batch of tracks is probed
+  * against the already-ingested corpus' landmark index WITHOUT rescanning
+  * its payload bytes — which is the published constellation system's OWN
+  * deployment model (a query clip matched against a persisted landmark
+  * database, never all-pairs over the corpus).
+  *
+  * Stored relation: `(lhash INT, id LONG, t INT)` — the triplet-form
+  * landmark rows ([[graft.operators.Multimodal.Kernels.audioLandmarks3]],
+  * the registry/x111 form), bucketed+sorted by `lhash` so the probe is ONE
+  * equi-join riding the bucket layout with NO history-side exchange
+  * (LandmarkHistorySpec gates the plan) — the [[GramHistory]] contract.
+  * Sizing: ~16 B/landmark, ~110 landmarks per toy track (~2 KB/track);
+  * real tracks carry more landmarks but the store is still orders below
+  * the PCM itself.
+  *
+  * Same session-registry + single-mutating-writer contract as the sibling
+  * stores: [[create]] is the explicit producer step, [[append]] adds
+  * bucket-compatible files (cross-append repeats are absorbed by vote
+  * counting over DISTINCT rows only if compacted — append the same batch
+  * twice and votes double, so the streaming twin batchId-guards appends
+  * like x102/x109's), [[compact]] rewrites to distinct rows preserving
+  * the bucket spec, all under [[MutationGuard]].
+  */
+object LandmarkHistory {
+
+  val KeyCol = "lhash"
+
+  private val stores = new ConcurrentHashMap[String, (String, Int)]()
+
+  private def key(spark: SparkSession, dir: String): String =
+    spark.sparkContext.applicationId + "|" + new java.io.File(dir).getAbsolutePath
+
+  /** Deterministic table name for a source dir. */
+  def tableFor(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"graft_landmark_history_$hex"
+  }
+
+  private def storeRows(landmarks: DataFrame): DataFrame =
+    landmarks.select(col(KeyCol), col("media_id").as("id"), col("t"))
+
+  /** PRODUCER step: persist the corpus' landmark relation as the bucketed
+    * history table for `dir` and register it.
+    */
+  def create(spark: SparkSession, dir: String, landmarks: DataFrame,
+             buckets: Int = 8): Unit = {
+    val table = tableFor(dir)
+    MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
+      Bucketing.writeBucketed(storeRows(landmarks), table, KeyCol, buckets)
+    }
+    stores.put(key(spark, dir), (table, buckets)): Unit
+  }
+
+  /** Append an increment's landmarks as bucket-compatible files. */
+  def append(spark: SparkSession, dir: String, landmarks: DataFrame): Unit = {
+    val (table, buckets) = Option(stores.get(key(spark, dir))).getOrElse(
+      throw new IllegalStateException(
+        s"LandmarkHistory.append: no store registered for $dir — create() first"))
+    MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
+      storeRows(landmarks)
+        .write.mode(SaveMode.Append)
+        .bucketBy(buckets, KeyCol)
+        .sortBy(KeyCol)
+        .format("parquet")
+        .saveAsTable(table)
+    }
+  }
+
+  /** STORE-SIZED compaction to distinct (lhash, id, t) rows — probes answer
+    * identically before and after, bucket layout preserved (spec-gated).
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val (table, buckets) = Option(stores.get(key(spark, dir))).getOrElse(
+      throw new IllegalStateException(
+        s"LandmarkHistory.compact: no store registered for $dir — create() first"))
+    MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
+      Bucketing.compactDistinct(spark, table, KeyCol, buckets,
+        allColumns = true)
+    }
+  }
+
+  /** The store relation of a landmark frame: (lhash, id, t) — what
+    * [[create]]/[[append]] persist and what a derived (store-less)
+    * fallback must hand to the probe.
+    */
+  def storeShape(landmarks: DataFrame): DataFrame = storeRows(landmarks)
+
+  /** LAZY consumer entry: the bucketed table scan when a producer step ran
+    * for this (application, dir), else the caller's derived plan (already
+    * in [[storeShape]]).
+    */
+  def scanOrCompute(spark: SparkSession, dir: String)
+                   (compute: => DataFrame): DataFrame =
+    Option(stores.get(key(spark, dir))) match {
+      case Some((table, _)) =>
+        spark.table(table).select(col(KeyCol), col("id"), col("t"))
+      case None => compute
+    }
+
+  private[graft] def registeredTable(spark: SparkSession,
+                                     dir: String): Option[String] =
+    Option(stores.get(key(spark, dir))).map(_._1)
+
+  private[graft] def invalidate(spark: SparkSession, dir: String): Unit =
+    stores.remove(key(spark, dir)): Unit
+}
