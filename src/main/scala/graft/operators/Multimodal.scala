@@ -492,6 +492,20 @@ object Multimodal {
       .distinct()
   }
 
+  /** Landmark rows of ANY frame carrying (media_id, content) — the
+    * schema-relaxed sibling of [[audioFingerprints]] for streaming
+    * micro-batches (which carry ts and arbitrary extra columns, not the
+    * full MediaRow shape). Same kernels, bit-identical rows.
+    */
+  def audioLandmarkRows(media: DataFrame, window: Int = 32,
+                        triples: Boolean = true): DataFrame = {
+    val lmU = udf((content: Array[Byte]) =>
+      if (triples) Kernels.audioLandmarks3(content, window = window)
+      else Kernels.audioLandmarks(content, window = window))
+    media.select(col("media_id"), explode(lmU(col("content"))).as("_lm"))
+      .select(col("media_id"), col("_lm._1").as("lhash"), col("_lm._2").as("t"))
+  }
+
   /** INCREMENTAL audio near-dup probe — a NEW batch of tracks' landmarks
     * vs the persisted [[graft.sources.LandmarkHistory]] store: the audio
     * member of the x86/x102/x109 incremental family, and the published

@@ -687,6 +687,76 @@ object CurationStreams {
     } finally scored.unpersist(): Unit
   }
 
+  /** Streaming incremental audio probe — x113's streaming twin, the audio
+    * member of the store-as-state family: each micro-batch's tracks are
+    * landmark-fingerprinted map-only and probed against the PERSISTED
+    * [[graft.sources.LandmarkHistory]] index (`create()` it for `dir`
+    * first; an empty history is fine), then the batch's own landmarks
+    * append so every LATER batch sees them. Within a micro-batch, tracks
+    * probe history only — exactly the x113 batch contract, so a
+    * one-micro-batch stream is bit-identical to the batch operator (the
+    * spec asserts it).
+    *
+    * Same store-as-state rationale as the gram/payload twins, with ONE
+    * semantic difference the replay contract inherits: landmark rows are
+    * MULTISET evidence (votes count rows), not membership, so a replay of
+    * an epoch that crashed mid-append re-appends and INFLATES later
+    * votes for that batch's tracks until
+    * [[graft.sources.LandmarkHistory.compact]] restores distinct rows
+    * (exact re-appended rows dedupe away — LandmarkHistorySpec pins
+    * both directions). Committed epochs skip their appends on replay and
+    * across JVM restarts via the same persisted watermark device.
+    */
+  def incrementalAudioProbe(media: DataFrame, dir: String,
+                            sink: DataFrame => Unit,
+                            growStore: Boolean = true)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val appended = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    media.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      audioProbeBatch(batch, batchId, dir, sink, appended, growStore,
+        inc => graft.sources.LandmarkHistory.append(batch.sparkSession, dir, inc))
+    }
+  }
+
+  /** One micro-batch of [[incrementalAudioProbe]] — landmark, probe, sink,
+    * then the batchId-guarded append (injectable, like [[gramAuditBatch]],
+    * so the replay contract is directly spec-gated).
+    */
+  private[graft] def audioProbeBatch(batch: DataFrame, batchId: Long,
+      dir: String, sink: DataFrame => Unit,
+      appended: java.util.concurrent.atomic.AtomicLong, growStore: Boolean,
+      append: DataFrame => Unit): Unit = {
+    val spark = batch.sparkSession
+    val table = graft.sources.LandmarkHistory.registeredTable(spark, dir)
+      .getOrElse(throw new IllegalStateException(
+        s"streaming incrementalAudioProbe: no landmark store for $dir — " +
+          "LandmarkHistory.create() first (an empty history is fine)"))
+    if (appended.get() == Long.MinValue)
+      appended.compareAndSet(Long.MinValue, readBatchMark(spark, table)): Unit
+    val hist = spark.table(table).select(
+      col(graft.sources.LandmarkHistory.KeyCol), col("id"), col("t"))
+    // the landmark relation is consumed twice (probe votes + query-side
+    // coverage denominators) and feeds the append — pin it so the kernel
+    // runs once per payload
+    val batchLms = graft.operators.Multimodal.audioLandmarkRows(batch)
+      .persist()
+    val scored = graft.operators.Multimodal
+      .incrementalAudioNearDups(batchLms, hist)
+      .persist()
+    try {
+      scored.count(): Unit // pin pre-append values
+      sink(scored)
+      if (growStore && appended.get() < batchId) {
+        append(batchLms)
+        writeBatchMark(spark, table, batchId)
+        appended.set(batchId)
+      }
+    } finally {
+      scored.unpersist(): Unit
+      batchLms.unpersist(): Unit
+    }
+  }
+
   /** Path of the persisted replay watermark: BESIDE the store table's
     * location (like the MutationGuard marker), so it survives
     * [[graft.sources.GramHistory.compact]]'s drop+rename of the table dir.

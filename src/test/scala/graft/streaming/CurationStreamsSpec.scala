@@ -1028,6 +1028,91 @@ class CurationStreamsSpec extends SparkSpec {
     graft.sources.PhashHistory.invalidate(spark, dir)
   }
 
+  // ------------------------------------- streaming incremental audio
+
+  private def trackPayload(sentence: String): Array[Byte] =
+    (sentence + " ").*(12).getBytes("UTF-8")
+  private def audioT1 = trackPayload("the quick brown fox jumps over the lazy dog")
+  private def audioNovel = trackPayload("0123456789 9876543210 13579 24680 1122334455")
+
+  test("streaming audio probe: one micro-batch equals batch x113 semantics; growth visible") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val dir = s"/tmp/audio_probe_spec_${System.nanoTime}"
+    val histLms = Multimodal.audioLandmarkRows(
+      Seq((1L, audioT1)).toDF("media_id", "content"))
+    graft.sources.LandmarkHistory.create(spark, dir, histLms, buckets = 4)
+    val out = scala.collection.mutable.ListBuffer[(Long, Long, Int, Int)]()
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = CurationStreams.incrementalAudioProbe(
+        mem.toDF().toDF("media_id", "content"), dir,
+        df => out ++= df.select("hist_id", "batch_id", "n_votes", "best_off")
+          .as[(Long, Long, Int, Int)].collect())
+      .start()
+    try {
+      // batch 1: a re-encode of history + a novel track
+      mem.addData(Seq((10L, Multimodal.Kernels.stubReencode(audioT1)),
+        (11L, audioNovel)))
+      q.processAllAvailable()
+      val batch1 = out.toSet
+      // bit-identical to the batch operator against the same history
+      val want1 = Multimodal.incrementalAudioNearDups(
+          Multimodal.audioLandmarkRows(
+            Seq((10L, Multimodal.Kernels.stubReencode(audioT1)),
+              (11L, audioNovel)).toDF("media_id", "content")),
+          graft.sources.LandmarkHistory.storeShape(histLms))
+        .select("hist_id", "batch_id", "n_votes", "best_off")
+        .as[(Long, Long, Int, Int)].collect().toSet
+      assert(batch1 == want1, s"stream $batch1 != batch $want1")
+      assert(batch1.exists(p => p._1 == 1L && p._2 == 10L && p._4 == 0) &&
+        !batch1.exists(_._2 == 11L))
+      // batch 2: an exact copy of batch 1's novel track — batch 1's
+      // append made it history, so it must now match at offset 0 with
+      // full query coverage
+      mem.addData(Seq((20L, audioNovel)))
+      q.processAllAvailable()
+      val d2 = out.toSet -- batch1
+      assert(d2.size == 1 && d2.head._1 == 11L && d2.head._2 == 20L &&
+        d2.head._4 == 0,
+        s"batch-1 landmarks not visible to batch 2: $d2")
+    } finally q.stop()
+    graft.sources.LandmarkHistory.invalidate(spark, dir)
+  }
+
+  test("streaming audio probe: failed append retried on replay, committed one skipped") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val dir = s"/tmp/audio_probe_replay_${System.nanoTime}"
+    graft.sources.LandmarkHistory.create(spark, dir,
+      Multimodal.audioLandmarkRows(
+        Seq((1L, audioT1)).toDF("media_id", "content")), buckets = 4)
+    val batch = Seq((20L, audioNovel)).toDF("media_id", "content")
+    val appended = new java.util.concurrent.atomic.AtomicLong(-1L)
+    var appendCalls = 0
+    var failNext = true
+    val flaky: org.apache.spark.sql.DataFrame => Unit = { inc =>
+      appendCalls += 1
+      if (failNext) { failNext = false; throw new java.io.IOException("injected") }
+      graft.sources.LandmarkHistory.append(spark, dir, inc)
+    }
+    def run(guard: java.util.concurrent.atomic.AtomicLong): Unit =
+      CurationStreams.audioProbeBatch(
+        batch, 0L, dir, _ => (), guard, growStore = true, flaky)
+    intercept[java.io.IOException](run(appended))
+    assert(appended.get() == -1L, "guard advanced before the append committed")
+    run(appended)
+    assert(appendCalls == 2 && appended.get() == 0L)
+    run(appended)
+    assert(appendCalls == 2, "committed epoch re-appended on replay")
+    // restart recovery honors the persisted watermark
+    val restarted = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    run(restarted)
+    assert(appendCalls == 2, "committed epoch re-appended after restart")
+    assert(restarted.get() == 0L, "persisted watermark not recovered")
+    graft.sources.LandmarkHistory.invalidate(spark, dir)
+  }
+
   test("streaming band buckets are bit-identical to the batch LSH buckets") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
