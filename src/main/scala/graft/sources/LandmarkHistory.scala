@@ -50,14 +50,35 @@ object LandmarkHistory {
   private def storeRows(landmarks: DataFrame): DataFrame =
     landmarks.select(col(KeyCol), col("media_id").as("id"), col("t"))
 
+  /** INDEX-side hot-bucket cap: keep per landmark hash the `cap`
+    * smallest-(xxhash, id, t) rows — the store-build analog of the
+    * matcher's `maxPerHash` (real landmark databases skip overfull
+    * buckets at INDEX time): probe cost per batch landmark is then
+    * bounded by `cap` regardless of how clique-heavy the corpus is, at
+    * the price of under-counting votes through hot hashes (unbiased — the
+    * kept sample is id-hash-ordered, not arrival-ordered). 0 = exact.
+    */
+  private def capRows(rows: DataFrame, cap: Int): DataFrame =
+    if (cap <= 0) rows
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(KeyCol)
+        .orderBy(xxhash64(col("id") * 65536L + col("t")), col("id"), col("t"))
+      rows.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= cap).drop("_rn")
+    }
+
   /** PRODUCER step: persist the corpus' landmark relation as the bucketed
-    * history table for `dir` and register it.
+    * history table for `dir` and register it. `capPerHash` > 0 applies
+    * the index-side hot-bucket cap ([[capRows]]) — the bounded production
+    * form for clique-heavy corpora; appends are NOT re-capped until the
+    * next [[compact]]-style rebuild (documented growth window).
     */
   def create(spark: SparkSession, dir: String, landmarks: DataFrame,
-             buckets: Int = 8): Unit = {
+             buckets: Int = 8, capPerHash: Int = 0): Unit = {
     val table = tableFor(dir)
     MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
-      Bucketing.writeBucketed(storeRows(landmarks), table, KeyCol, buckets)
+      Bucketing.writeBucketed(capRows(storeRows(landmarks), capPerHash),
+        table, KeyCol, buckets)
     }
     stores.put(key(spark, dir), (table, buckets)): Unit
   }

@@ -123,6 +123,41 @@ object AudioProbe {
           "maxDf)")
       }
       lms.unpersist(); ()
+
+      // x113 scale contract: probe cost must be BATCH-sized — a FIXED
+      // base-corpus batch against this dir's (growing) landmark history,
+      // behind the index-side hot-bucket cap (capPerHash=128, the bounded
+      // production form). Per batch landmark the join fans out to at most
+      // cap store rows per matching hash, so wall should stay ~flat as
+      // the history grows 1× → 100× even on this clique-heavy corpus.
+      if (!tune) {
+        import graft.queries.VectorOps
+        graft.sources.MutationGuard.clear(spark, graft.sources.Bucketing
+          .guardBase(spark, graft.sources.LandmarkHistory.tableFor(d)))
+        graft.sources.LandmarkHistory.create(spark, d,
+          VectorOps.x113HistoryLms(spark, d), capPerHash = 128)
+        val store = graft.sources.LandmarkHistory.scanOrCompute(spark, d)(
+          sys.error("unreachable"))
+        val baseDir = dirs.head
+        val batchLms = graft.operators.Multimodal.audioFingerprints(
+          graft.operators.Multimodal.withReencodedVariants(
+            graft.operators.Multimodal.syntheticMedia(
+              graft.queries.Tables.documents(spark, baseDir)))
+            .filter(!((col("media_id") % 1000000000L) < 10000000L) ||
+              (conv(substring(md5(col("media_id").cast("string")), 1, 8), 16, 10)
+                .cast("long") % 100).cast("int") >= 60),
+          triples = true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        batchLms.count()
+        val t2 = System.nanoTime()
+        val nProbe = graft.operators.Multimodal
+          .incrementalAudioNearDups(batchLms, store).count()
+        val wallProbe = (System.nanoTime() - t2) / 1e9
+        println(f"AUDIO-X113 $d store_cap=128 fixed_batch=$baseDir " +
+          f"probe_rows=$nProbe wall_probe=$wallProbe%.2f s")
+        batchLms.unpersist()
+        graft.sources.LandmarkHistory.invalidate(spark, d)
+      }
     }
     spark.stop()
   }

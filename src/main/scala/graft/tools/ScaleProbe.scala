@@ -116,7 +116,20 @@ object ScaleProbe {
     // front per corpus (producer step below), so the row measures
     // pruned-bucket reads + bounded fusion at scale, vs x94's transient
     // chain re-tokenizing the corpus per call
-    "x94b_hybrid_rrf_store")
+    "x94b_hybrid_rrf_store",
+    // x111: landmark extraction is map-only over the audio payloads (~F);
+    // the triplet hash space keeps the relation join-able at sf scale
+    "x111_audio_landmarks",
+    // x113: the incremental audio probe — per-batch cost must be bounded
+    // by the CAPPED landmark index (capPerHash=128 in the producer block
+    // below: the index-side hot-bucket cap, the bounded production form —
+    // the scaled corpus's ~31-word vocabulary makes landmark buckets
+    // clique-heavy exactly like the x104 payload channel, so an exact
+    // store's probe join is output-quadratic in clique size by
+    // construction; the REGISTRY/oracle form keeps the exact store).
+    // x112 (all-pairs, uncapped oracle form) is deliberately NOT probed
+    // at scale: its scale form is AudioProbe's capped matcher
+    "x113_incremental_audio_probe")
 
   def generate(spark: SparkSession, baseSf: String, outDir: String,
                factor: Int): Unit = {
@@ -311,6 +324,17 @@ object ScaleProbe {
           .guardBase(spark, graft.sources.PhashHistory.tableFor(d)))
         graft.sources.PhashHistory.create(spark, d,
           graft.queries.VectorOps.x109HistoryFps(spark, d))
+      }
+    }
+    if (queries.contains("x113_incremental_audio_probe")) {
+      // store amortization for the landmark index, with the index-side
+      // hot-bucket cap (the bounded production form — see ProbeQueries)
+      Seq(baseSf, outDir).foreach { d =>
+        graft.sources.MutationGuard.clear(spark, graft.sources.Bucketing
+          .guardBase(spark, graft.sources.LandmarkHistory.tableFor(d)))
+        graft.sources.LandmarkHistory.create(spark, d,
+          graft.queries.VectorOps.x113HistoryLms(spark, d),
+          capPerHash = 128)
       }
     }
     if (queries.contains("x94b_hybrid_rrf_store")) {
