@@ -106,6 +106,37 @@ class LandmarkHistorySpec extends SparkSpec {
     } finally LandmarkHistory.invalidate(spark, dir)
   }
 
+  test("index-side hot-bucket cap bounds buckets and only shrinks answers") {
+    val dirE = java.nio.file.Files.createTempDirectory("graft-lm-capE").toString
+    val dirC = java.nio.file.Files.createTempDirectory("graft-lm-capC").toString
+    try {
+      LandmarkHistory.create(spark, dirE, lmDf(hist))
+      LandmarkHistory.create(spark, dirC, lmDf(hist), capPerHash = 2)
+      val capped = spark.table(LandmarkHistory.tableFor(dirC))
+      val maxBucket = capped.groupBy("lhash").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      assert(maxBucket <= 2, s"cap leaked: max bucket $maxBucket")
+      // votes through a capped index can only SHRINK: no invented pairs,
+      // no inflated scores vs the exact store
+      val exact = got(LandmarkHistory.scanOrCompute(spark, dirE)(fail("e")))
+        .map(p => (p._1, p._2) -> p._3).toMap
+      val viaCap = Multimodal.incrementalAudioNearDups(lmDf(batch),
+          LandmarkHistory.scanOrCompute(spark, dirC)(fail("c")),
+          minVotes = 1, minQCoverage = 0.0)
+        .select("hist_id", "batch_id", "n_votes")
+        .as[(Long, Long, Int)].collect()
+      viaCap.foreach { case (h, b, v) =>
+        // every capped match exists in the exact answer at >= votes
+        // (exact ran with the default cuts, so only compare where present)
+        exact.get((h, b)).foreach(ev =>
+          assert(v <= ev, s"capped index inflated votes for ($h,$b): $v > $ev"))
+      }
+    } finally {
+      LandmarkHistory.invalidate(spark, dirE)
+      LandmarkHistory.invalidate(spark, dirC)
+    }
+  }
+
   test("probe plan: history side rides the bucket layout with NO Exchange") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
