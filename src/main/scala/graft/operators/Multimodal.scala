@@ -708,6 +708,15 @@ object Multimodal {
     * media_a < media_b, n_votes = the best offset's vote count, best_off
     * = the SMALLEST offset achieving it (deterministic under ties),
     * coverage rounded 4dp (cut on the unrounded value).
+    *
+    * Evaluation note: the UNCAPPED (oracle) path evaluates `landmarks`
+    * twice — once into the member aggregation, once for the coverage
+    * denominators — so its upstream kernel runs twice; acceptable at the
+    * sf scales the oracle form exists for. The CAPPED production path
+    * materializes the kept members once (localCheckpoint, bounded at
+    * hash-space × cap) and derives votes AND denominators from it —
+    * single landmark pass, which is the shape that matters at 100 TB
+    * where the upstream reads payload bytes.
     */
   def audioNearDups(landmarks: DataFrame, minVotes: Int = 5,
                     minCoverage: Double = 0.25,
