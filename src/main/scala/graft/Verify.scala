@@ -40,7 +40,8 @@ object Verify {
     // KILLED run left, or the rebuild stalls a full acquire wait.
     for (t <- Seq(graft.sources.HashHistory.tableFor(sfDir),
         graft.sources.GramHistory.tableFor(sfDir),
-        graft.sources.PhashHistory.tableFor(sfDir)))
+        graft.sources.PhashHistory.tableFor(sfDir),
+        graft.sources.LandmarkHistory.tableFor(sfDir)))
       graft.sources.MutationGuard.clear(
         spark, graft.sources.Bucketing.guardBase(spark, t))
     try graft.sources.HashHistory.create(spark, sfDir,
@@ -64,6 +65,15 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] phash store build failed " +
         s"(x109 falls back to derived history): ${e.getMessage}")
+    }
+    // x113's persisted landmark index — same contract; building it here
+    // puts the STORE-SERVED probe path (the plan-gated production shape)
+    // inside the oracle surface instead of only the derived fallback
+    try graft.sources.LandmarkHistory.create(spark, sfDir,
+      graft.queries.VectorOps.x113HistoryLms(spark, sfDir))
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] landmark store build failed " +
+        s"(x113 falls back to derived history): ${e.getMessage}")
     }
     // x94b's BM25 index store — same producer contract (store answers are
     // bit-identical to the transient chain, so the fallback is silent-safe)

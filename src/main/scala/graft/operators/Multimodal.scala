@@ -524,6 +524,12 @@ object Multimodal {
     * Output: (hist_id, batch_id, n_votes, best_off, q_coverage) with
     * n_votes >= minVotes and q_coverage >= minQCoverage (rounded 4dp, cut
     * on the unrounded value); best_off = batch t − history t.
+    *
+    * `batchLandmarks` is consumed twice (probe votes + coverage
+    * denominators): callers whose landmark lineage is expensive should
+    * pin it first, as the streaming twin does
+    * ([[graft.streaming.CurationStreams]]'s audioProbeBatch persists the
+    * batch landmarks so the kernel runs once per payload).
     */
   def incrementalAudioNearDups(batchLandmarks: DataFrame, store: DataFrame,
                                minVotes: Int = 5,
@@ -637,7 +643,7 @@ object Multimodal {
     * landmark rows ever move.
     */
   def audioFingerprints(media: DataFrame, window: Int = 32,
-                        triples: Boolean = false): DataFrame = {
+                        triples: Boolean = true): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow]
@@ -666,14 +672,20 @@ object Multimodal {
     * system's ~2^30-hash regime).
     */
   def autoAudioWindow(media: DataFrame, targetOccupancy: Int = 64,
-                      maxWindow: Int = 256): Int = {
+                      maxWindow: Int = 256,
+                      triples: Boolean = true): Int = {
     val bytes = media.filter(col("kind") === "audio")
       .agg(sum(length(col("content")))).collect()(0)
     val total = if (bytes.isNullAt(0)) 0L else bytes.getLong(0)
-    val lmEst = total / 4 // ~0.25 landmarks/byte at hop 4 (measured)
+    // ~0.25 pair landmarks/byte at hop 4 (measured at sf0.1); the triplet
+    // form emits ~1.6× more rows into a much larger space
+    val lmEst = if (triples) (total * 2) / 5 else total / 4
+    def space(w: Int): Double = {
+      val bands = (w / 2).toDouble
+      if (triples) bands * bands * bands * 256 else bands * bands * 16
+    }
     var w = 32
-    while (w < maxWindow &&
-        lmEst.toDouble / ((w / 2).toDouble * (w / 2) * 16) > targetOccupancy)
+    while (w * 2 <= maxWindow && lmEst / space(w) > targetOccupancy)
       w *= 2
     w
   }
@@ -745,17 +757,21 @@ object Multimodal {
         packed.groupBy("lhash")
           .agg(sort_array(collect_list(col("_m"))).as("_ms"))
       else
-        // localCheckpoint: the capped relation is consumed twice (pair
-        // generation + coverage denominators); it is bounded at
+        // lazy localCheckpoint: the capped relation is consumed twice
+        // (pair generation + coverage denominators); it is bounded at
         // hash-space × cap rows regardless of corpus size, and
-        // materializing it keeps the capping aggregate single-run (one
-        // shuffle, and the dropped-count accumulator fires exactly once)
+        // materializing it on FIRST action keeps the capping aggregate
+        // single-run (one shuffle; the dropped-count accumulator fires
+        // exactly once). eager=false so merely CONSTRUCTING the frame
+        // runs no job; the trade (shared with the x105 trainer) is that
+        // checkpoint blocks are executor-local — an executor loss after
+        // materialization fails the downstream job instead of recomputing
         packed.groupBy("lhash")
           .agg(graft.functions.CappedMembersAgg.cappedMembers(
             xxhash64(col("_m")), col("_m"), col("_m"),
             maxPerHash, droppedAcc).as("_c"))
           .select(col("lhash"), col("_c.ids").as("_ms"))
-          .localCheckpoint()
+          .localCheckpoint(false)
     // packed members sort by (media_id, t), so i<j gives media_a <= media_b
     val votesU = udf((ms: Seq[Long]) => {
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]

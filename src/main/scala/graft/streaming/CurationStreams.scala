@@ -791,9 +791,13 @@ object CurationStreams {
       val out = fs.create(p, true)
       try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
     } catch { case e: java.io.IOException =>
-      System.err.println(s"[incrementalDupGrams] could not persist replay " +
-        s"watermark for $table (restart will re-append batch $batchId, " +
-        s"harmless under membership semantics): ${e.getMessage}")
+      // shared by the gram/payload/audio twins: a re-append is absorbed by
+      // membership semantics for the gram/payload stores but INFLATES
+      // votes for the multiset landmark store until compact() — see each
+      // twin's replay contract
+      System.err.println(s"[store-stream] could not persist replay " +
+        s"watermark for $table (restart will re-append batch $batchId — " +
+        s"see the twin's replay contract for semantics): ${e.getMessage}")
     }
 
   // ------------------------------------------- streaming incremental dedup

@@ -37,14 +37,16 @@ object AudioProbe {
     sys.env.getOrElse("AUDIO_MIN_RECALL", "0.94").toDouble
 
   def main(args: Array[String]): Unit = {
-    // "tune" mode: sweep (maxDf, maxPerHash) on the base corpus to pick
-    // the production defaults the recall gate then holds at scale
+    // "tune" mode: sweep the matcher config on the base corpus to pick
+    // the production defaults the recall gate then holds
     val tune = args.headOption.contains("tune")
     val dirs =
       if (tune) Seq("/root/testdata/sf0.1")
       else if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.1", "/tmp/graft_scale10",
         "/tmp/graft_scale100")
+    // tune mode sweeps the hot-bucket CAP only (an earlier sweep measured
+    // the maxDf df-filter harmful on this corpus — DEDUP_TUNING.md §6c)
     val configs: Seq[(Int, Int)] =
       if (tune) Seq((0, 64), (0, 96), (0, 128), (0, 192), (0, 256))
       else Seq((sys.env.getOrElse("AUDIO_MAX_DF", "0").toInt,
@@ -142,13 +144,12 @@ object AudioProbe {
         val store = graft.sources.LandmarkHistory.scanOrCompute(spark, d)(
           sys.error("unreachable"))
         val baseDir = dirs.head
+        // the x109/x113 replica-aware split, via the SHARED helpers so
+        // the probe's batch is definitionally the one x113 measures
         val batchLms = graft.operators.Multimodal.audioFingerprints(
-          graft.operators.Multimodal.withReencodedVariants(
-            graft.operators.Multimodal.syntheticMedia(
-              graft.queries.Tables.documents(spark, baseDir)))
-            .filter(!((col("media_id") % 1000000000L) < 10000000L) ||
-              (conv(substring(md5(col("media_id").cast("string")), 1, 8), 16, 10)
-                .cast("long") % 100).cast("int") >= 60),
+          VectorOps.x109Media(spark, baseDir)
+            .filter(!VectorOps.x109IsOriginal ||
+              VectorOps.x109MediaBucket >= 60),
           triples = true)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         batchLms.count()

@@ -344,6 +344,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Kernels.audioLandmarks3(shifted) == lm)
   }
 
+  test("autoAudioWindow: steps with density, respects the window bound") {
+    // this corpus is far below saturation for the triplet space → base
+    assert(Multimodal.autoAudioWindow(media) == 32)
+    // an absurdly low occupancy target forces steps, clamped at maxWindow
+    assert(Multimodal.autoAudioWindow(media, targetOccupancy = 0,
+      maxWindow = 128) == 128)
+    // a non-power-of-two bound is never overshot
+    assert(Multimodal.autoAudioWindow(media, targetOccupancy = 0,
+      maxWindow = 200) <= 200)
+    // the pair form's 2^12 space saturates earlier than the triplet's
+    assert(Multimodal.autoAudioWindow(media, triples = false) >=
+      Multimodal.autoAudioWindow(media))
+  }
+
   test("audio pairs feed the Components resolution chain") {
     val corpus = Multimodal.withReencodedVariants(media, everyNth = 5)
     val lms = Multimodal.audioFingerprints(corpus, triples = true).cache()
