@@ -201,6 +201,15 @@ object Multimodal {
       */
     val MinMatchableLandmarks = 24
 
+    /** The video frame-overlap matcher's material floor: a re-encoded
+      * variant differs from its original in the artifact-crossing
+      * frame(s), so with k distinct sampled frames the pair's Jaccard is
+      * ~(k−1)/(k+1) — under the 0.5 cut for k < 3. Measured at sf0.1:
+      * every missed variant's original has ≤ 2 distinct frames, every
+      * k ≥ 3 video pairs (VideoProbe gates recall above this floor).
+      */
+    val MinMatchableFrames = 3
+
     /** The triplet form's material floor — higher than the pair form's
       * because triples are denser per track (every zone pair per anchor)
       * yet each needs all THREE peaks to survive a re-encode: measured at
