@@ -41,9 +41,13 @@ object Verify {
     for (t <- Seq(graft.sources.HashHistory.tableFor(sfDir),
         graft.sources.GramHistory.tableFor(sfDir),
         graft.sources.PhashHistory.tableFor(sfDir),
-        graft.sources.LandmarkHistory.tableFor(sfDir)))
+        graft.sources.LandmarkHistory.tableFor(sfDir))) {
       graft.sources.MutationGuard.clear(
         spark, graft.sources.Bucketing.guardBase(spark, t))
+      // ...and any streaming replay watermark a previous run persisted —
+      // the stores are recreated below, which starts a fresh lineage
+      graft.sources.StreamMark.clear(spark, t)
+    }
     try graft.sources.HashHistory.create(spark, sfDir,
       graft.queries.TextOps.x86HistoryHashes(spark, sfDir))
     catch { case e: Throwable =>

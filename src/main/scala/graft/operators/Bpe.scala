@@ -45,6 +45,23 @@ object Bpe {
 
   // ------------------------------------------------------------- kernels
 
+  /** A word's initial symbol sequence: one symbol per Unicode CODE POINT,
+    * not per UTF-16 code unit — Spark's `split(w, "")` (Java regex) keeps
+    * supplementary characters whole, so the local training/encoding paths
+    * must too or the two trainers' symbol alphabets diverge on non-BMP
+    * text (a lone-surrogate "symbol" also breaks round-tripping).
+    */
+  private[graft] def charSyms(word: String): IndexedSeq[String] = {
+    val out = new ArrayBuffer[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toIndexedSeq
+  }
+
   /** One left-to-right merge pass of (l, r) → l+r over a symbol sequence —
     * the single definition both encoders and the trainer's vocabulary
     * update share.
@@ -68,7 +85,7 @@ object Bpe {
     */
   def encodeWord(word: String,
                  ranks: Map[(String, String), Int]): IndexedSeq[String] = {
-    var syms: IndexedSeq[String] = word.map(_.toString)
+    var syms: IndexedSeq[String] = charSyms(word)
     var done = syms.length < 2
     while (!done) {
       var best = Int.MaxValue
@@ -95,7 +112,7 @@ object Bpe {
     */
   def encodeWordSequential(word: String,
                            merges: Seq[Merge]): IndexedSeq[String] =
-    merges.sortBy(_.rank).foldLeft(word.map(_.toString): IndexedSeq[String]) {
+    merges.sortBy(_.rank).foldLeft(charSyms(word)) {
       case (s, m) => applyMerge(s, m.left, m.right)
     }
 
@@ -133,11 +150,36 @@ object Bpe {
     try {
       if (wc.count() <= MaxLocalVocab) {
         val vocab = wc.collect().map(r =>
-          (r.getString(0).map(_.toString): IndexedSeq[String], r.getLong(1)))
+          (charSyms(r.getString(0)), r.getLong(1)))
         trainVocabRounds(vocab, numMerges, minPairCount)
       } else trainDistributedRounds(wc, numMerges, minPairCount)
     } finally { wc.unpersist(false): Unit }
   }
+
+  /** Tie-break collation for equal pair counts: Spark sorts strings in
+    * UTF-8 BINARY order (UTF8String), while Java's `compareTo` is UTF-16
+    * code-unit order — the two DISAGREE for supplementary characters
+    * (U+10000+, UTF-16 surrogates 0xD800–0xDBFF) vs U+E000..U+FFFF. The
+    * local rounds must tie-break on the UTF-8 byte order or the two
+    * training paths (switched at [[MaxLocalVocab]]) could learn different
+    * merge tables on non-BMP corpora (differential-gated in BpeSpec,
+    * including a supplementary-plane fixture).
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  private def pairLtUtf8(a: (String, String), b: (String, String)): Boolean =
+    if (a._1 != b._1) utf8Lt(a._1, b._1) else utf8Lt(a._2, b._2)
 
   /** The merge loop over an in-memory vocabulary: per round, one O(vocab)
     * overlapping-adjacent-pair count, argmax, merge. Exactly the recipe
@@ -165,7 +207,7 @@ object Bpe {
       var best: ((String, String), Long) = null
       counts.forEach { (k, c) =>
         if (best == null || c > best._2 ||
-          (c == best._2 && Ordering[(String, String)].lt(k, best._1)))
+          (c == best._2 && pairLtUtf8(k, best._1)))
           best = (k, c)
       }
       if (best == null || best._2 < minPairCount) stop = true
@@ -230,6 +272,17 @@ object Bpe {
     * run the registry entries repeatedly over the same corpus and must not
     * re-train per call. Invalidate-free by design: the key pins the corpus
     * dir, and a new application re-trains.
+    *
+    * STALENESS WINDOW (deliberate, like the index stores' producer
+    * contract): the key does NOT fingerprint corpus CONTENT, so within one
+    * application a hit ignores files appended to `dir` after the first
+    * train (e.g. by a streaming sink) — the model is frozen at
+    * first-training time, which is the production posture (tokenizers are
+    * versioned artifacts, not live views; retrain = new application or
+    * [[invalidate]]). The key also pins the DEFAULT `minPairCount`/
+    * `textCol`: a caller needing non-default training parameters must call
+    * [[train]] directly — routing them through this memo would silently
+    * return a model trained with different parameters.
     */
   private val models = new ConcurrentHashMap[String, Seq[Merge]]()
 

@@ -61,6 +61,9 @@ object GramHistory {
     MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
       Bucketing.writeBucketed(gramHashes(corpus, k), table, GramCol, buckets)
     }
+    // a recreated store is a NEW streaming lineage: drop any replay
+    // watermark a previous stream left or its appends are silently skipped
+    StreamMark.clear(spark, table)
     stores.put(key(spark, dir), (table, buckets)): Unit
   }
 

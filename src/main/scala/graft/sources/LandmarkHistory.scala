@@ -80,6 +80,9 @@ object LandmarkHistory {
       Bucketing.writeBucketed(capRows(storeRows(landmarks), capPerHash),
         table, KeyCol, buckets)
     }
+    // a recreated store is a NEW streaming lineage: drop any replay
+    // watermark a previous stream left or its appends are silently skipped
+    StreamMark.clear(spark, table)
     stores.put(key(spark, dir), (table, buckets)): Unit
   }
 

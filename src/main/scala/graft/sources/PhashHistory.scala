@@ -65,6 +65,9 @@ object PhashHistory {
     MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
       Bucketing.writeBucketed(chunkKeys(fps), table, KeyCol, buckets)
     }
+    // a recreated store is a NEW streaming lineage: drop any replay
+    // watermark a previous stream left or its appends are silently skipped
+    StreamMark.clear(spark, table)
     stores.put(key(spark, dir), (table, buckets)): Unit
   }
 

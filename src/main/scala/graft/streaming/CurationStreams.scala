@@ -757,48 +757,21 @@ object CurationStreams {
     }
   }
 
-  /** Path of the persisted replay watermark: BESIDE the store table's
-    * location (like the MutationGuard marker), so it survives
-    * [[graft.sources.GramHistory.compact]]'s drop+rename of the table dir.
+  /** Persisted replay watermark — see [[graft.sources.StreamMark]]: the
+    * mark lives beside the store table's location (survives compaction's
+    * drop+rename) and is CLEARED by each store's create() so a recreated
+    * store starts a fresh lineage at -1 rather than inheriting a stale
+    * high-water mark that would silently skip appends. On write failure a
+    * restart re-appends one batch: absorbed by membership semantics for
+    * the gram/payload stores but vote-INFLATING for the multiset landmark
+    * store until compact() — see each twin's replay contract.
     */
-  private def batchMarkPath(spark: SparkSession, table: String)
-      : org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(
-      graft.sources.Bucketing.guardBase(spark, table) + "_stream_batch")
+  private def readBatchMark(spark: SparkSession, table: String): Long =
+    graft.sources.StreamMark.read(spark, table)
 
-  private def readBatchMark(spark: SparkSession, table: String): Long = {
-    val p = batchMarkPath(spark, table)
-    try {
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) -1L
-      else {
-        val in = fs.open(p)
-        try new String(in.readAllBytes(), "UTF-8").trim.toLong
-        finally in.close()
-      }
-    } catch { case _: java.io.IOException | _: NumberFormatException => -1L }
-  }
-
-  /** Best-effort persist (overwrite) of the last-committed append's
-    * batchId; a failure degrades to the in-session guard — the restart
-    * then replays that one append, which membership semantics absorb.
-    */
   private def writeBatchMark(spark: SparkSession, table: String,
                              batchId: Long): Unit =
-    try {
-      val p = batchMarkPath(spark, table)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(p, true)
-      try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
-    } catch { case e: java.io.IOException =>
-      // shared by the gram/payload/audio twins: a re-append is absorbed by
-      // membership semantics for the gram/payload stores but INFLATES
-      // votes for the multiset landmark store until compact() — see each
-      // twin's replay contract
-      System.err.println(s"[store-stream] could not persist replay " +
-        s"watermark for $table (restart will re-append batch $batchId — " +
-        s"see the twin's replay contract for semantics): ${e.getMessage}")
-    }
+    graft.sources.StreamMark.write(spark, table, batchId)
 
   // ------------------------------------------- streaming incremental dedup
 

@@ -78,6 +78,37 @@ class BpeSpec extends SparkSpec {
       Bpe.train(docs, 12))
   }
 
+  test("local and distributed paths agree on a non-BMP corpus (UTF-8 tie collation + code-point symbols)") {
+    // U+10348 (GOTHIC HWAIR, supplementary) sorts BELOW U+E000 in UTF-16
+    // code units (surrogates 0xD800+) but ABOVE it in UTF-8 bytes (F0 90…
+    // vs EE 80 80) — Spark's binary string sort is the UTF-8 order, so a
+    // tie between pairs ending in these characters is exactly where a
+    // UTF-16 tie-break would make the two training paths learn DIFFERENT
+    // merge tables. Equal counts for "a𐍈" and "a" force that tie.
+    val hwair = new String(Character.toChars(0x10348))
+    val pua = "\uE000" // private-use U+E000
+    val nonBmp = Seq(
+      s"a$hwair a$hwair a$pua a$pua",
+      s"a$hwair a$pua b$hwair$pua b$hwair$pua")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val local = Bpe.train(nonBmp, 10)             // vocab ≪ cap → local path
+    val dist = Bpe.trainDistributedRounds(Bpe.wordCounts(nonBmp), 10, 2L)
+    assert(local == dist, s"\nlocal $local\ndist  $dist")
+    assert(local.nonEmpty)
+    // symbols are whole code points: encodings round-trip (a UTF-16
+    // code-unit split would emit lone surrogates that still concatenate,
+    // but could never match the distributed trainer's alphabet above)
+    val ranks = local.map(m => (m.left, m.right) -> m.rank).toMap
+    Seq(s"a$hwair", s"b$hwair$pua", hwair + hwair).foreach { w =>
+      val syms = Bpe.encodeWord(w, ranks)
+      assert(syms.mkString == w)
+      assert(syms.forall(s => !s.exists(Character.isSurrogate) ||
+        s.codePointCount(0, s.length) < s.length),
+        s"lone surrogate symbol in $syms")
+    }
+  }
+
   test("trainer stops early when no pair reaches minPairCount") {
     val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text")
     assert(Bpe.train(tiny, 10, minPairCount = 2).isEmpty)

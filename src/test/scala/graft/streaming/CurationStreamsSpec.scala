@@ -946,6 +946,49 @@ class CurationStreamsSpec extends SparkSpec {
     graft.sources.GramHistory.invalidate(spark, dir)
   }
 
+  test("a RECREATED store starts a fresh lineage: the stale replay watermark is cleared") {
+    import spark.implicits._
+    val k = 8
+    val dir = s"/tmp/gram_audit_spec_recreate_${System.nanoTime}"
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    graft.sources.GramHistory.create(spark, dir, corpus, k, buckets = 4)
+    // first lineage: three committed epochs advance the persisted mark to 2
+    val guard1 = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    for (b <- 0L to 2L)
+      CurationStreams.gramAuditBatch(
+        Seq((100L + b, s"first lineage text number $b entirely fresh"))
+          .toDF("doc_id", "text"),
+        b, dir, k, _ => (), guard1, growStore = true,
+        inc => graft.sources.GramHistory.append(spark, dir, inc))
+    assert(guard1.get() == 2L)
+    val table = graft.sources.GramHistory.registeredTable(spark, dir).get
+    assert(graft.sources.StreamMark.read(spark, table) == 2L)
+    // store re-created: the mark MUST reset, or a new stream's batchIds
+    // 0..2 (fresh checkpoint lineage) silently skip their appends and the
+    // store permanently misses those grams
+    graft.sources.GramHistory.create(spark, dir, corpus, k, buckets = 4)
+    assert(graft.sources.StreamMark.read(spark, table) == -1L,
+      "stale replay watermark survived store re-creation")
+    var appends = 0
+    val guard2 = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val newBatch = Seq((200L, "second lineage sentence nobody wrote before"))
+      .toDF("doc_id", "text")
+    CurationStreams.gramAuditBatch(
+      newBatch, 0L, dir, k, _ => (), guard2, growStore = true,
+      inc => { appends += 1; graft.sources.GramHistory.append(spark, dir, inc) })
+    assert(appends == 1, "new lineage's batch 0 append was skipped")
+    assert(guard2.get() == 0L)
+    val hist = graft.sources.GramHistory.scanOrCompute(spark, dir)(
+      fail("store not registered"))
+    val frac = graft.operators.Dedup.incrementalDupGrams(
+        newBatch.select((newBatch("doc_id") + 1).as("doc_id"),
+          newBatch("text")), hist, k)
+      .select("hist_frac").as[Double].collect().head
+    assert(frac == 1.0, s"new lineage's grams missing from the store: $frac")
+    graft.sources.GramHistory.invalidate(spark, dir)
+  }
+
   // ------------------------------------- streaming incremental payload
 
   // monotone ramp payload: the stub re-encode's one-cell dropout flips
