@@ -554,6 +554,71 @@ object Dedup {
     dupPosTail(docs, g, "gh", k, minDocs, textCol, idCol)
   }
 
+  /** Substring-duplication REMOVAL (x114) — the rewrite step downstream of
+    * [[dupGramFraction]]'s audit (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": drop duplicated spans, keep the
+    * residual text). Per doc: every character-`k`-gram position whose gram
+    * occurs in ≥ `minDocs` DISTINCT documents covers code points
+    * [p, p+k-1]; the union of covered ranges is removed as maximal spans
+    * ([[Kernels.removeSpans]]). Output one row per doc (dup-free docs pass
+    * through unchanged): (doc_id, total_chars, n_spans, removed_chars,
+    * text_clean).
+    *
+    * Plan shape = x99's audit + one rewrite map: the per-(doc, gram)
+    * position relation makes ONE map-combined gram-keyed exchange to
+    * derive the corpus-duplicated gram set (filter-tiny → broadcasts back
+    * into the semi join, no second gram exchange), hit positions flow
+    * through one doc-keyed exchange (HIT docs only — dup-density-sized,
+    * not corpus-sized), and the rewrite is a map-only kernel over the
+    * corpus left-joined with that small relation. 100 TB: identical bill
+    * to x99 plus the int-array payload on the duplicated minority.
+    */
+  def removeDupSpans(docs: DataFrame, k: Int = 40, minDocs: Int = 2,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val gramsU = udf((t: String) => Kernels.charGramPositions(t, k))
+    val g = docs.select(col(idCol).as("doc_id"),
+      explode(gramsU(col(textCol))).as(Seq("gram", "ps")))
+    removeTail(docs, g, "gram", k, minDocs, textCol, idCol)
+  }
+
+  /** The production form of [[removeDupSpans]]: grams keyed by xxhash64
+    * (8-byte exchange keys; [[Kernels.charGramHashPositions]]). A
+    * collision can only ADD a removed span (P ≈ 4e-8 corpus-wide at sf0.1
+    * density); the spec asserts bit-equality with the exact form.
+    */
+  def removeDupSpansHashed(docs: DataFrame, k: Int = 40, minDocs: Int = 2,
+                           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val gramsU = udf((t: String) => Kernels.charGramHashPositions(t, k))
+    val g = docs.select(col(idCol).as("doc_id"),
+      explode(gramsU(col(textCol))).as(Seq("gh", "ps")))
+    removeTail(docs, g, "gh", k, minDocs, textCol, idCol)
+  }
+
+  /** Shared tail of the removal twins: duplicated-gram set → per-doc
+    * sorted hit positions → map-only rewrite over ALL docs.
+    */
+  private def removeTail(docs: DataFrame, g: DataFrame, gramKey: String,
+                         k: Int, minDocs: Int,
+                         textCol: String, idCol: String): DataFrame = {
+    val dup = g.groupBy(col(gramKey)).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select(col(gramKey))
+    val hits = g.join(dup, Seq(gramKey), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(flatten(collect_list(col("ps")))).as("ps"))
+    val rewriteU = udf((text: String, ps: Seq[Int]) =>
+      Kernels.removeSpans(text, k,
+        if (ps == null) Array.empty[Int] else ps.toArray))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        length(col("_text")).cast(org.apache.spark.sql.types.LongType)
+          .as("total_chars"),
+        rewriteU(col("_text"), col("ps")).as("_rw"))
+      .select(col("doc_id"), col("total_chars"),
+        col("_rw._1").as("n_spans"), col("_rw._2").as("removed_chars"),
+        col("_rw._3").as("text_clean"))
+  }
+
   /** Incremental substring audit: score a NEW batch's documents against a
     * persisted corpus gram history ([[graft.sources.GramHistory]]) — per
     * doc, the fraction of k-gram positions whose gram already exists in

@@ -271,6 +271,102 @@ object Kernels extends Serializable {
     m.asScala.map(kv => (kv._1.longValue(), kv._2.longValue())).toMap
   }
 
+  /** [[charGramCounts]]' position-carrying sibling for span REMOVAL
+    * (x114): gram → its 1-BASED code-point start positions, ascending.
+    * Same cardinality across the exchange as the counts form (one row per
+    * DISTINCT gram per doc), with the int-array position payload the
+    * rewrite needs. 1-based to match the oracle's `generate_series(1, …)`
+    * / `SUBSTR` replay exactly.
+    */
+  def charGramPositions(text: String, k: Int): Map[String, Array[Int]] = {
+    if (text == null) return Map.empty
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val off = charOffsets(bytes)
+    val nGrams = off.length - 1 - k + 1
+    if (nGrams <= 0) return Map.empty
+    val m = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+    var i = 0
+    while (i < nGrams) {
+      val g = new String(bytes, off(i), off(i + k) - off(i),
+        java.nio.charset.StandardCharsets.UTF_8)
+      m.computeIfAbsent(g, _ => new scala.collection.mutable.ArrayBuffer[Int]())
+        .append(i + 1): Unit
+      i += 1
+    }
+    import scala.jdk.CollectionConverters._
+    m.asScala.view.mapValues(_.toArray).toMap
+  }
+
+  /** [[charGramPositions]] keyed by the gram's `xxhash64` — the production
+    * form (8-byte exchange keys, zero window string allocations; the
+    * [[charGramHashCounts]] collision budget applies: a collision can only
+    * ADD a removed span, P ≈ 4e-8 corpus-wide at sf0.1 density).
+    */
+  def charGramHashPositions(text: String, k: Int): Map[Long, Array[Int]] = {
+    if (text == null) return Map.empty
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val off = charOffsets(bytes)
+    val nGrams = off.length - 1 - k + 1
+    if (nGrams <= 0) return Map.empty
+    val m = new java.util.HashMap[java.lang.Long, scala.collection.mutable.ArrayBuffer[Int]]()
+    var i = 0
+    while (i < nGrams) {
+      val h = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off(i),
+        off(i + k) - off(i), SparkSeed)
+      m.computeIfAbsent(h, _ => new scala.collection.mutable.ArrayBuffer[Int]())
+        .append(i + 1): Unit
+      i += 1
+    }
+    import scala.jdk.CollectionConverters._
+    m.asScala.map(kv => (kv._1.longValue(), kv._2.toArray)).toMap
+  }
+
+  /** Span-removal rewrite kernel (x114, Lee et al. 2022's ExactSubstr
+    * removal step): given the SORTED 1-based code-point start positions of
+    * a doc's duplicated k-grams, each position covers code points
+    * [p, p+k-1]; the union of covered positions forms maximal runs
+    * (overlapping OR touching covers merge — the union has no seam), and
+    * the rewrite drops every covered code point. Returns
+    * (n_spans, removed_chars, text_clean). Pure integer arithmetic —
+    * exactly the gaps-and-islands the oracle replays with SQL windows.
+    */
+  def removeSpans(text: String, k: Int,
+                  positions: Array[Int]): (Long, Long, String) = {
+    if (positions == null || positions.isEmpty) return (0L, 0L, text)
+    // merge covered intervals [p, p+k-1] (1-based inclusive)
+    val starts = new scala.collection.mutable.ArrayBuffer[Int]()
+    val ends = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < positions.length) {
+      val s = positions(i)
+      val e = s + k - 1
+      if (ends.nonEmpty && s <= ends.last + 1) {
+        if (e > ends.last) ends(ends.length - 1) = e
+      } else { starts += s; ends += e }
+      i += 1
+    }
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val off = charOffsets(bytes)
+    val nChars = off.length - 1
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var prevEnd = 0 // last removed code point (1-based), 0 = none yet
+    var removed = 0L
+    i = 0
+    while (i < starts.length) {
+      // kept chunk between the previous span and this one: (prevEnd, s)
+      sb.append(new String(bytes, off(prevEnd), off(starts(i) - 1) - off(prevEnd),
+        java.nio.charset.StandardCharsets.UTF_8)): Unit
+      val e = math.min(ends(i), nChars)
+      removed += e - starts(i) + 1
+      prevEnd = e
+      i += 1
+    }
+    sb.append(new String(bytes, off(prevEnd), bytes.length - off(prevEnd),
+      java.nio.charset.StandardCharsets.UTF_8)): Unit
+    (starts.length.toLong, removed, sb.toString)
+  }
+
   /** Per-document ADJACENT-pair (bigram) frequency map over whitespace
     * tokens, keys as "w1 w2". Order-aware — the set-shaped [[tokenCounts]]
     * cannot express adjacency. Same shuffle-volume contract: distinct

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT distributed order statistics over integer-scaled score columns —
+  * the device that turns "production derives the gate from a percentile"
+  * (x101's scaladoc) into a derived scalar the curation gate can consume
+  * (x115).
+  *
+  * Shape: the same two-phase trick as [[TokenBudget]]'s budget cut, keyed
+  * by VALUE instead of hash. Phase 0 collapses the corpus to its
+  * distinct-value histogram with ONE map-combined aggregation — the only
+  * corpus-scale exchange, and it carries at most one row per distinct
+  * scaled value (a 6-dp-scaled nll in [0, ~20] has ≤ 2e7 distinct values
+  * REGARDLESS of corpus size, so the histogram is bounded at 100 TB).
+  * Phase 1 windows per-bucket subtotals over the tiny bucket grid
+  * (`value >> bucketShift` — monotone, so bucket order = value order) into
+  * exclusive prefix offsets; phase 2 runs bucket-parallel within-bucket
+  * cumulative counts plus the offset. The threshold is the smallest value
+  * whose cumulative count reaches the target rank — no corpus-wide sort,
+  * no single-partition window over the histogram.
+  *
+  * Exactness: rank m = ceil(pNum/pDen · N) in pure integer arithmetic;
+  * the value at rank m is well-defined under ties (any tie order yields
+  * the same value at that rank), which is what lets DuckDB replay it with
+  * a one-window ROW_NUMBER.
+  */
+object Percentiles {
+
+  /** The value at rank ceil(pNum/pDen · N) (1-based, ascending) of
+    * `valueCol` (LongType). Runs two small jobs (N, then the threshold) —
+    * a PRODUCER-style derivation like [[Pq]]'s codebook or
+    * [[TokenBudget]]'s offsets, not a per-row transform. Requires
+    * 0 < pNum ≤ pDen and a non-empty input.
+    */
+  def exactThreshold(scores: DataFrame, valueCol: String,
+                     pNum: Long, pDen: Long, bucketShift: Int = 16): Long = {
+    require(pNum > 0 && pNum <= pDen, s"need 0 < $pNum/$pDen <= 1")
+    val hist = scores.groupBy(col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("bucket", shiftright(col("v"), bucketShift))
+    // bucket grid: tiny (range >> shift rows) — its global-ordered window
+    // is the x87 grid trade, nothing like a corpus- or histogram-wide sort
+    val gridW = Window.orderBy(col("obucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = hist.groupBy(col("bucket").as("obucket"))
+      .agg(sum(col("c")).as("t"))
+      .withColumn("off", coalesce(sum(col("t")).over(gridW), lit(0L)))
+    val offRows = off.select(col("obucket"), col("t"), col("off")).collect()
+    val n = offRows.map(_.getAs[Long]("t")).sum
+    require(n > 0, s"exactThreshold: no rows in $valueCol")
+    val m = Math.floorDiv(pNum * n + pDen - 1, pDen) // ceil(pNum·N/pDen)
+    // the target rank lands in exactly one bucket: off < m <= off + t —
+    // scan ONLY that bucket's histogram slice (bucket-pruned by the
+    // filter), cumulative within it, smallest v reaching rank m
+    val tgt = offRows.find(r =>
+      r.getAs[Long]("off") < m &&
+        m <= r.getAs[Long]("off") + r.getAs[Long]("t")).get
+    val bucket = tgt.getAs[Long]("obucket")
+    val base = tgt.getAs[Long]("off")
+    val w = Window.partitionBy(col("bucket")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.filter(col("bucket") === bucket)
+      .withColumn("cum", sum(col("c")).over(w) + base)
+      .filter(col("cum") >= m)
+      .agg(min(col("v")))
+      .collect().head.getLong(0)
+  }
+}

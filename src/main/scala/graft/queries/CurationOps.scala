@@ -34,7 +34,7 @@ object CurationOps {
       x88_train_order, x88b_train_order_sized, x90_curation_audit,
       x92_bm25, x94_hybrid_rrf, x94b_hybrid_rrf_store, x96_heavy_hitters,
       x98_source_kl,
-      x101_curation_v2)
+      x101_curation_v2, x115_percentile_gate)
 
   // ---------------------------------------------------------------- x90
   /** Gate thresholds the x90 REGISTRY entry pins (and its oracle replays);
@@ -1321,5 +1321,80 @@ object CurationOps {
         col("n_too_long"), col("n_repetitive"), col("n_low_quality"),
         coalesce(col("n_kept_docs"), lit(0L)).as("n_kept_docs"),
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens")))
+  }
+
+  // ---------------------------------------------------------------- x115
+  /** Percentile-DERIVED quality gate
+    * ([[graft.operators.Percentiles.exactThreshold]]) — closes x101's
+    * documented gap: production derives the nll cutoff from a percentile
+    * over a reference window, not the pinned [[MaxNll]] constant. The
+    * threshold is the EXACT p90 of the corpus' integer-scaled
+    * ([[graft.operators.UnigramLm.LnScale]]) self-trained nll — computed
+    * with the x87-style two-phase device keyed by value (distinct-value
+    * histogram → bucket-grid offsets → bucket-pruned rank scan; the
+    * histogram is bounded by the 6-dp value range at ANY corpus size) —
+    * and the gate compares SCALED INTEGERS, so every count is exact in
+    * both engines. Output per lang: doc counts, dropped/kept under the
+    * derived gate, and the derived scalar itself (the oracle replays it
+    * with a one-window ROW_NUMBER at rank ceil(0.9·N)).
+    */
+  private[graft] val GatePercentileNum = 9L
+  private[graft] val GatePercentileDen = 10L
+
+  val x115_percentile_gate: QueryDef = QueryDef(
+    "x115_percentile_gate",
+    Sql.canon(
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, COUNT(*) AS tf
+         |  FROM (SELECT doc_id,
+         |          UNNEST(string_split_regex(LOWER(text), '\\s+')) AS tok
+         |        FROM documents)
+         |  WHERE LENGTH(tok) >= ${graft.operators.UnigramLm.MinTokenLen}
+         |  GROUP BY doc_id, tok),
+         |vocab AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY tok),
+         |scal AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total, COUNT(*) AS v FROM vocab),
+         |terms AS (
+         |  SELECT tf.doc_id, tf.tf,
+         |    ${graft.operators.UnigramLm.oracleTermSql("vocab.c", "scal.n_total", "scal.v")} AS lp
+         |  FROM tf LEFT JOIN vocab ON tf.tok = vocab.tok CROSS JOIN scal),
+         |nll AS (
+         |  SELECT doc_id,
+         |    ROUND(CAST(-SUM(tf * lp) AS DOUBLE) /
+         |          (CAST(SUM(tf) AS DOUBLE) * ${graft.operators.UnigramLm.LnScale}.0), 6) AS nll
+         |  FROM terms GROUP BY doc_id),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(ROUND(nll * ${graft.operators.UnigramLm.LnScale}) AS BIGINT) AS v
+         |  FROM nll),
+         |nn AS (SELECT COUNT(*) AS n FROM scored),
+         |thr AS (
+         |  SELECT MIN(v) AS vthr FROM (
+         |      SELECT v, ROW_NUMBER() OVER (ORDER BY v, doc_id) AS rn
+         |      FROM scored) r CROSS JOIN nn
+         |  WHERE r.rn = ($GatePercentileNum * nn.n + $GatePercentileDen - 1)
+         |                  // $GatePercentileDen)
+         |SELECT d.lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN s.v > t.vthr THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(SUM(CASE WHEN s.v > t.vthr THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+         |  CAST(t.vthr AS DOUBLE) / ${graft.operators.UnigramLm.LnScale}.0 AS nll_p90
+         |FROM scored s JOIN documents d ON s.doc_id = d.doc_id CROSS JOIN thr t
+         |GROUP BY d.lang, t.vthr""".stripMargin,
+      Seq("lang", "n_docs", "n_dropped", "n_kept", "nll_p90"))) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val scored = graft.operators.UnigramLm.selfScore(docs)
+      .select(col("doc_id"),
+        round(col("nll") * graft.operators.UnigramLm.LnScale.toDouble)
+          .cast(LongType).as("v"))
+    val thr = graft.operators.Percentiles.exactThreshold(
+      scored.select(col("v")), "v", GatePercentileNum, GatePercentileDen)
+    Canon(docs.select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("v") > thr, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("v") > thr, 0L).otherwise(1L)).as("n_kept"))
+      .select(col("lang"), col("n_docs"), col("n_dropped"), col("n_kept"),
+        (lit(thr).cast(DoubleType) /
+          graft.operators.UnigramLm.LnScale.toDouble).as("nll_p90")))
   }
 }

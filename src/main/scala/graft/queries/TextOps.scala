@@ -24,7 +24,7 @@ object TextOps {
       x81_winnow_fps, x82_shared_spans, x84_dup_components, x85_dedup_resolve,
       x86_incremental_dedup, x95_unigram_lm, x97_bigram_lm, x99_dupgrams,
       x100_best_keeper, x102_incremental_dupgrams, x105_bpe_train,
-      x106_bpe_encode)
+      x106_bpe_encode, x114_remove_dup_spans)
 
   /** Distinct word-trigram shingles, exploded: (doc_id, lang, n_chars, sh).
     * Word n-grams (not character grams) are the dedup unit: on natural text
@@ -789,6 +789,63 @@ object TextOps {
         count(lit(1)).as("n_members"))
       .select(col("component"), col("m.d").as("keeper"),
         (-col("m.negq")).as("keeper_n_chars"), col("n_members")))
+  }
+
+  // ---------------------------------------------------------------- x114
+  /** Substring-duplication REMOVAL
+    * ([[graft.operators.Dedup.removeDupSpans]]) — the REWRITE step x99
+    * only measures (Lee et al. 2022's ExactSubstr removal): per doc, drop
+    * the union of character-[[DupGramK]]-gram spans whose gram occurs in
+    * ≥2 distinct docs, emitting the residual text plus span accounting.
+    * The oracle replays the span-merge arithmetic exactly: gaps-and-
+    * islands over hit positions (running-max window → island ids →
+    * min/max per island) and the rewrite as an ordered STRING_AGG of the
+    * inter-span segments plus the tail. The registry pins the exact
+    * string-gram form; [[graft.operators.Dedup.removeDupSpansHashed]] is
+    * the 8-byte-key production twin, spec-gated bit-equal.
+    */
+  val x114_remove_dup_spans: QueryDef = QueryDef(
+    "x114_remove_dup_spans",
+    Sql.canon(
+      s"""WITH pos AS (
+         |  SELECT doc_id, i, SUBSTR(text, i, $DupGramK) AS gram
+         |  FROM (SELECT doc_id, text,
+         |          UNNEST(generate_series(1, LENGTH(text) - ${DupGramK - 1})) AS i
+         |        FROM documents WHERE LENGTH(text) >= $DupGramK)),
+         |dup AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM pos)
+         |        GROUP BY gram HAVING COUNT(*) >= 2),
+         |hit AS (SELECT doc_id, i FROM pos JOIN dup USING (gram)),
+         |isl AS (
+         |  SELECT doc_id, i,
+         |    SUM(CASE WHEN prev_max IS NULL OR i > prev_max + 1
+         |             THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY i) AS isl_id
+         |  FROM (SELECT doc_id, i,
+         |          MAX(i + ${DupGramK - 1}) OVER (PARTITION BY doc_id ORDER BY i
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |        FROM hit)),
+         |spans AS (SELECT doc_id, MIN(i) AS s, MAX(i) + ${DupGramK - 1} AS e
+         |          FROM isl GROUP BY doc_id, isl_id),
+         |segs AS (SELECT doc_id, s, e,
+         |           COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS prev_e
+         |         FROM spans),
+         |agg AS (SELECT segs.doc_id,
+         |          STRING_AGG(SUBSTR(d2.text, prev_e + 1, s - prev_e - 1),
+         |                     '' ORDER BY s) AS mid,
+         |          MAX(e) AS max_e,
+         |          CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |          CAST(SUM(e - s + 1) AS BIGINT) AS removed_chars
+         |        FROM segs JOIN documents d2 ON segs.doc_id = d2.doc_id
+         |        GROUP BY segs.doc_id)
+         |SELECT d.doc_id, CAST(LENGTH(d.text) AS BIGINT) AS total_chars,
+         |  COALESCE(a.n_spans, 0) AS n_spans,
+         |  COALESCE(a.removed_chars, 0) AS removed_chars,
+         |  CASE WHEN a.doc_id IS NULL THEN d.text
+         |       ELSE COALESCE(a.mid, '') || SUBSTR(d.text, a.max_e + 1)
+         |  END AS text_clean
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+      Seq("doc_id", "total_chars", "n_spans", "removed_chars", "text_clean"))) { (s, d) =>
+    Canon(graft.operators.Dedup.removeDupSpans(Tables.documents(s, d), DupGramK))
   }
 
   // ---------------------------------------------------------------- x102

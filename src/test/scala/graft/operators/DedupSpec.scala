@@ -248,6 +248,82 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty && hashed == exact)
   }
 
+  test("removeDupSpans: overlapping covers merge, dup-free docs pass through") {
+    // docs 1 and 2 share "abcdeabcde" (10 chars): at k=5 the duplicated
+    // 5-gram positions chain into ONE merged span covering all 10 chars
+    val d = Seq(
+      (1L, "xxabcdeabcdeyy"),
+      (2L, "abcdeabcde"),
+      (3L, "totally unrelated")).toDF("doc_id", "text")
+    val got = Dedup.removeDupSpans(d, k = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((14L, 1L, 10L, "xxyy")), got(1L).toString)
+    assert(got(2L) == ((10L, 1L, 10L, "")), got(2L).toString)   // whole doc
+    assert(got(3L) == ((17L, 0L, 0L, "totally unrelated")), got(3L).toString)
+  }
+
+  test("removeDupSpans: disjoint duplicated windows leave separate spans") {
+    // "abcde" and "vwxyz" are shared; the 'MM'/'NN' middles are unique —
+    // two spans per doc, middles and unique tails survive
+    val d = Seq(
+      (1L, "abcdeMMvwxyzMM"),
+      (2L, "NNabcdeNNvwxyz")).toDF("doc_id", "text")
+    val got = Dedup.removeDupSpans(d, k = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((2L, 10L, "MMMM")), got(1L).toString)
+    assert(got(2L) == ((2L, 10L, "NNNN")), got(2L).toString)
+  }
+
+  test("removeDupSpans: within-doc repeats alone do not qualify (cross-doc only)") {
+    val d = Seq(
+      (1L, "abcdeabcdeabcde"),          // repeats, but only in this doc
+      (2L, "something else entirely")).toDF("doc_id", "text")
+    val got = Dedup.removeDupSpans(d, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(1L) == 0L && got(2L) == 0L, got.toString)
+  }
+
+  test("removeDupSpansHashed equals the exact string-keyed form (fixtures + corpus)") {
+    val fx = Seq(
+      (1L, "xxabcdeabcdeyy"), (2L, "abcdeabcde"), (3L, "zzabcdezz"),
+      (4L, "short")).toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(key(Dedup.removeDupSpansHashed(fx, k = 5)) ==
+      key(Dedup.removeDupSpans(fx, k = 5)))
+    val d = graft.queries.Tables.documents(spark, Sf)
+    val exact = key(Dedup.removeDupSpans(d, k = 40))
+    val hashed = key(Dedup.removeDupSpansHashed(d, k = 40))
+    assert(exact.nonEmpty && hashed == exact)
+  }
+
+  test("removeDupSpans: cleaned text is consistent with the x99 audit accounting") {
+    // every doc x99 scores dup_frac=0 must be returned UNCHANGED; every
+    // flagged doc removes at least one char per duplicated position (each
+    // distinct start covers its own start char), and the cleaned length
+    // is exactly the original minus removed_chars
+    val d = graft.queries.Tables.documents(spark, Sf)
+    val audit = Dedup.dupGramFraction(d, k = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val texts = d.select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rw = Dedup.removeDupSpans(d, k = 40).collect()
+    assert(rw.nonEmpty)
+    rw.foreach { r =>
+      val (id, removed, clean) = (r.getLong(0), r.getLong(3), r.getString(4))
+      val dupPos = audit.getOrElse(id, 0L)
+      if (dupPos == 0L)
+        assert(clean == texts(id), s"dup-free doc $id was rewritten")
+      else {
+        assert(removed >= dupPos, s"doc $id: removed $removed < positions $dupPos")
+        assert(clean.length == texts(id).length - removed, s"doc $id length")
+      }
+    }
+  }
+
   test("x100: the keeper is each cluster's longest member, ties to min doc id") {
     val membership = graft.SparkEntry.queries("x84_dup_components")(spark, Sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
