@@ -53,7 +53,8 @@ object Bench {
     for (t <- Seq(graft.sources.HashHistory.tableFor(sfDir),
         graft.sources.GramHistory.tableFor(sfDir),
         graft.sources.PhashHistory.tableFor(sfDir),
-        graft.sources.LandmarkHistory.tableFor(sfDir))) {
+        graft.sources.LandmarkHistory.tableFor(sfDir),
+        graft.sources.FrameHistory.tableFor(sfDir))) {
       graft.sources.MutationGuard.clear(
         spark, graft.sources.Bucketing.guardBase(spark, t))
       // ...and any streaming replay watermark a previous run persisted —
@@ -90,6 +91,14 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] landmark store build failed " +
         s"(x113 falls back to derived history): ${e.getMessage}")
+    }
+    // x116's frame store: built once, amortized — x116's number is the
+    // steady-state batch probe against the persisted frame store
+    try graft.sources.FrameHistory.create(spark, sfDir,
+      graft.queries.VectorOps.x116HistoryFrames(spark, sfDir))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] frame store build failed " +
+        s"(x116 falls back to derived history): ${e.getMessage}")
     }
     // x94b's BM25 index store: built once, amortized — x94b's number is
     // the steady-state index-served hybrid query

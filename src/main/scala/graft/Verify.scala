@@ -41,7 +41,8 @@ object Verify {
     for (t <- Seq(graft.sources.HashHistory.tableFor(sfDir),
         graft.sources.GramHistory.tableFor(sfDir),
         graft.sources.PhashHistory.tableFor(sfDir),
-        graft.sources.LandmarkHistory.tableFor(sfDir))) {
+        graft.sources.LandmarkHistory.tableFor(sfDir),
+        graft.sources.FrameHistory.tableFor(sfDir))) {
       graft.sources.MutationGuard.clear(
         spark, graft.sources.Bucketing.guardBase(spark, t))
       // ...and any streaming replay watermark a previous run persisted —
@@ -78,6 +79,13 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] landmark store build failed " +
         s"(x113 falls back to derived history): ${e.getMessage}")
+    }
+    // x116's persisted frame store — same producer contract
+    try graft.sources.FrameHistory.create(spark, sfDir,
+      graft.queries.VectorOps.x116HistoryFrames(spark, sfDir))
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] frame store build failed " +
+        s"(x116 falls back to derived history): ${e.getMessage}")
     }
     // x94b's BM25 index store — same producer contract (store answers are
     // bit-identical to the transient chain, so the fallback is silent-safe)

@@ -501,6 +501,25 @@ object Multimodal {
       .distinct()
   }
 
+  /** Frame-fingerprint rows of ANY frame carrying
+    * (media_id, content, n_frames) — the schema-relaxed sibling of
+    * [[frameFingerprints]] for streaming micro-batches (the
+    * [[audioLandmarkRows]] device for the video axis). Shares
+    * [[Kernels.sampleFrames]] and the dHash kernel through a synthetic
+    * MediaRow, so rows are bit-identical to the batch form; the per-video
+    * distinct happens inside the kernel (frame hashes never leave the row
+    * un-deduplicated).
+    */
+  def videoFrameRows(media: DataFrame, stride: Int = 2): DataFrame = {
+    val fpU = udf((id: Long, content: Array[Byte], nFrames: Int) => {
+      val r = MediaRow(id, "video", content, MediaMeta(0, 0, 0, nFrames, ""))
+      Kernels.sampleFrames(r, stride).map(Kernels.dHash64).distinct.toArray
+    })
+    media.select(col("media_id"),
+      explode(fpU(col("media_id"), col("content"), col("n_frames")))
+        .as("phash"))
+  }
+
   /** Landmark rows of ANY frame carrying (media_id, content) — the
     * schema-relaxed sibling of [[audioFingerprints]] for streaming
     * micro-batches (which carry ts and arbitrary extra columns, not the
@@ -640,6 +659,44 @@ object Multimodal {
       .filter(jac >= minJaccard)
       .select(col("media_a"), col("media_b"), col("n_match"),
         round(jac, 4).as("jaccard"))
+  }
+
+  /** INCREMENTAL video near-dup probe (x116) — a NEW batch of videos'
+    * frame fingerprints vs the persisted [[graft.sources.FrameHistory]]
+    * store: the video member of the x86/x102/x109/x113 incremental
+    * family, with [[videoNearDups]]' x108 Jaccard cut intact (both set
+    * sizes EXACT — the history denominators come from the store's sizes
+    * relation, not a corpus rescan).
+    *
+    * Plan: ONE equi-join on `phash` riding the frame store's bucket
+    * layout (exact hash equality — dHash absorbs the re-encode shift, so
+    * no banding), match counts per (hist, batch) pair, then the
+    * match-pair-sized relation exchanges into the sizes table's `id`
+    * bucket layout; NEITHER history scan has an exchange above it
+    * (FrameHistorySpec gates the plan), so per-batch cost is batch- plus
+    * match-sized at any corpus size.
+    *
+    * Output: (hist_id, batch_id, n_match, jaccard) with jaccard >=
+    * `minJaccard` (rounded 4dp, cut on the unrounded value).
+    */
+  def incrementalVideoNearDups(batchFrames: DataFrame, histFrames: DataFrame,
+                               histSizes: DataFrame,
+                               minJaccard: Double = 0.5): DataFrame = {
+    val bf = batchFrames.select(col("media_id").as("batch_id"), col("phash"))
+    val bs = bf.groupBy(col("batch_id")).agg(count(lit(1)).as("_nb"))
+    val m = histFrames
+      .select(col("id").as("hist_id"), col(graft.sources.FrameHistory.KeyCol))
+      .join(bf, graft.sources.FrameHistory.KeyCol)
+      .groupBy(col("hist_id"), col("batch_id"))
+      .agg(count(lit(1)).as("n_match"))
+    val jac = col("n_match").cast("double") /
+      (col("_na") + col("_nb") - col("n_match"))
+    m.join(histSizes.select(col("id").as("hist_id"), col("n").as("_na")),
+        "hist_id")
+      .join(bs, "batch_id")
+      .filter(jac >= minJaccard)
+      .select(col("hist_id"), col("batch_id"),
+        col("n_match").cast("int").as("n_match"), round(jac, 4).as("jaccard"))
   }
 
   /** Per-track constellation landmarks of the audio payloads:

@@ -23,7 +23,7 @@ object VectorOps {
       x104_payload_neardup, x104b_payload_dupedges, x107_frame_phash,
       x108_video_neardup, x109_incremental_payload_neardup,
       x110_payload_resolve, x111_audio_landmarks, x112_audio_neardup,
-      x113_incremental_audio_probe)
+      x113_incremental_audio_probe, x116_incremental_video_probe)
 
   /** Oracle-checked half of the multimodal surface: the synthetic-media
     * metadata derivation and binary-column plumbing (payload byte length
@@ -402,6 +402,68 @@ object VectorOps {
     Multimodal.audioFingerprints(
       x109Media(s, d).filter(x109IsOriginal && x109MediaBucket < 60),
       triples = true)
+  }
+
+  /** x116's history frame relation — x113's split applied to the VIDEO
+    * frame fingerprints (the predicates only touch media_id, so filtering
+    * the fingerprint relation equals filtering the media first).
+    */
+  private[graft] def x116HistoryFrames(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.frameFingerprints(x109Media(s, d))
+      .filter(x109IsOriginal && x109MediaBucket < 60)
+  }
+
+  /** Incremental video probe — completes the incremental store family
+    * across every payload granularity (x86 doc / x102 substring / x109
+    * payload / x113 audio / THIS = video frames): a NEW crawl batch's
+    * sampled-frame dHash sets probed against the persisted
+    * [[graft.sources.FrameHistory]] store with x108's Jaccard cut, both
+    * set sizes exact (history denominators from the store's bucketed
+    * sizes relation — never a corpus rescan). Standalone (no producer)
+    * falls back to the derived history relations — same answers.
+    *
+    * Oracle: the same `__VERIFY_OUT__` device as x109/x113 — the
+    * md5-bucket split, the frame-hash match join, both size aggregations
+    * and the Jaccard cut replay in DuckDB over the frame hashes this
+    * Verify run persisted as x107's output; only the dHash kernel stays
+    * outside (x107's contract).
+    */
+  val x116_incremental_video_probe: QueryDef = QueryDef(
+    "x116_incremental_video_probe",
+    Sql.canon(
+      """WITH fp AS (SELECT media_id, phash
+        |            FROM read_parquet('__VERIFY_OUT__/x107_frame_phash/*.parquet')),
+        |b AS (SELECT media_id, phash,
+        |  CAST(CAST('0x' || SUBSTRING(MD5(CAST(media_id AS VARCHAR)), 1, 8)
+        |       AS BIGINT) % 100 AS INT) AS bucket
+        |  FROM fp),
+        |h AS (SELECT media_id, phash FROM b
+        |      WHERE media_id % 1000000000 < 10000000 AND bucket < 60),
+        |n AS (SELECT media_id, phash FROM b
+        |      WHERE media_id % 1000000000 >= 10000000 OR bucket >= 60),
+        |sh AS (SELECT media_id, COUNT(*) AS n FROM h GROUP BY 1),
+        |sn AS (SELECT media_id, COUNT(*) AS n FROM n GROUP BY 1),
+        |m AS (SELECT h.media_id AS hist_id, n.media_id AS batch_id,
+        |        COUNT(*) AS n_match
+        |      FROM h JOIN n ON h.phash = n.phash GROUP BY 1, 2)
+        |SELECT hist_id, batch_id, CAST(n_match AS INT) AS n_match,
+        |  ROUND(CAST(n_match AS DOUBLE) / (sa.n + sb.n - n_match), 4)
+        |    AS jaccard
+        |FROM m
+        |JOIN sh sa ON sa.media_id = m.hist_id
+        |JOIN sn sb ON sb.media_id = m.batch_id
+        |WHERE CAST(n_match AS DOUBLE) / (sa.n + sb.n - n_match) >= 0.5""".stripMargin,
+      Seq("hist_id", "batch_id", "n_match", "jaccard"))) { (s, d) =>
+    import graft.operators.Multimodal
+    val batchFrames = Multimodal.frameFingerprints(
+      x109Media(s, d).filter(!x109IsOriginal || x109MediaBucket >= 60))
+    val (hf, hs) = graft.sources.FrameHistory.scanOrCompute(s, d)({
+      val hist = x116HistoryFrames(s, d)
+      (graft.sources.FrameHistory.storeRows(hist),
+        graft.sources.FrameHistory.sizeRows(hist))
+    })
+    Canon(Multimodal.incrementalVideoNearDups(batchFrames, hf, hs))
   }
 
   /** Incremental audio probe — the audio member of the x86/x102/x109

@@ -757,6 +757,75 @@ object CurationStreams {
     }
   }
 
+  /** Streaming incremental video probe — x116's streaming twin, the video
+    * member of the store-as-state family: each micro-batch's videos are
+    * frame-fingerprinted map-only (rows must carry media_id, content,
+    * n_frames) and probed against the PERSISTED
+    * [[graft.sources.FrameHistory]] store (`create()` it for `dir` first;
+    * an empty history is fine) with the x108 Jaccard cut, then the
+    * batch's own frames append — frames AND sizes rows — so every LATER
+    * batch sees them. Within a micro-batch, videos probe history only —
+    * exactly the x116 batch contract, so a one-micro-batch stream is
+    * bit-identical to the batch operator (the spec asserts it).
+    *
+    * Replay contract: same batchId guard + persisted watermark as the
+    * sibling twins, with the LandmarkHistory-style multiset caveat — a
+    * crashed-epoch replay that re-appends duplicates frame rows and sizes
+    * rows, inflating n_match and fanning the sizes join for that batch's
+    * videos until [[graft.sources.FrameHistory.compact]] restores
+    * distinct rows and exact denominators.
+    */
+  def incrementalVideoNearDups(media: DataFrame, dir: String,
+                               sink: DataFrame => Unit,
+                               growStore: Boolean = true)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val appended = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    media.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      videoProbeBatch(batch, batchId, dir, sink, appended, growStore,
+        inc => graft.sources.FrameHistory.append(batch.sparkSession, dir, inc))
+    }
+  }
+
+  /** One micro-batch of [[incrementalVideoNearDups]] — probe, sink, then
+    * the batchId-guarded append (injectable, like the sibling twins, so
+    * the replay contract is directly spec-gated).
+    */
+  private[graft] def videoProbeBatch(batch: DataFrame, batchId: Long,
+      dir: String, sink: DataFrame => Unit,
+      appended: java.util.concurrent.atomic.AtomicLong, growStore: Boolean,
+      append: DataFrame => Unit): Unit = {
+    val spark = batch.sparkSession
+    val table = graft.sources.FrameHistory.registeredTable(spark, dir)
+      .getOrElse(throw new IllegalStateException(
+        s"streaming incrementalVideoNearDups: no frame store for $dir — " +
+          "FrameHistory.create() first (an empty history is fine)"))
+    if (appended.get() == Long.MinValue)
+      appended.compareAndSet(Long.MinValue, readBatchMark(spark, table)): Unit
+    val histFrames = spark.table(table)
+      .select(col(graft.sources.FrameHistory.KeyCol), col("id"))
+    val histSizes = spark.table(graft.sources.FrameHistory.sizesTableFor(dir))
+      .select(col("id"), col("n"))
+    // the frame relation is consumed twice (match counts + batch set
+    // sizes) and feeds the append — pin it so the kernel runs once
+    val batchFrames = graft.operators.Multimodal.videoFrameRows(batch)
+      .persist()
+    val scored = graft.operators.Multimodal
+      .incrementalVideoNearDups(batchFrames, histFrames, histSizes)
+      .persist()
+    try {
+      scored.count(): Unit // pin pre-append values
+      sink(scored)
+      if (growStore && appended.get() < batchId) {
+        append(batchFrames)
+        writeBatchMark(spark, table, batchId)
+        appended.set(batchId)
+      }
+    } finally {
+      scored.unpersist(): Unit
+      batchFrames.unpersist(): Unit
+    }
+  }
+
   /** Persisted replay watermark — see [[graft.sources.StreamMark]]: the
     * mark lives beside the store table's location (survives compaction's
     * drop+rename) and is CLEARED by each store's create() so a recreated

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{count, lit, sum}
+import org.apache.spark.sql.functions.{col, count, lit, struct, sum}
 import graft.SparkSpec
 
 class CurationStreamsSpec extends SparkSpec {
@@ -1154,6 +1154,101 @@ class CurationStreamsSpec extends SparkSpec {
     assert(appendCalls == 2, "committed epoch re-appended after restart")
     assert(restarted.get() == 0L, "persisted watermark not recovered")
     graft.sources.LandmarkHistory.invalidate(spark, dir)
+  }
+
+  // ------------------------------------- streaming incremental video
+
+  /** MediaRow-shaped video frame from (id, content, n_frames) rows. */
+  private def videoDf(rows: Seq[(Long, Array[Byte], Int)]) = {
+    import spark.implicits._
+    rows.toDF("media_id", "content", "n_frames")
+      .select(col("media_id"), lit("video").as("kind"), col("content"),
+        struct(lit(0).as("width"), lit(0).as("height"),
+          lit(0).as("sampleRate"), col("n_frames").as("nFrames"),
+          lit("").as("mime")).as("meta"))
+  }
+
+  // pseudo-random payloads so per-frame dHashes are effectively unique
+  // (regular ramps can collapse to one gradient pattern per video)
+  private def videoC1: Array[Byte] =
+    Array.tabulate(640)(i => (((i * 2654435761L) >> 3) & 0xff).toByte)
+  private def videoNovel: Array[Byte] =
+    Array.tabulate(640)(i => ((((i + 997) * 40503L) >> 2) & 0xff).toByte)
+
+  test("streaming video probe: one micro-batch equals batch x116 semantics; growth visible") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val dir = s"/tmp/video_probe_spec_${System.nanoTime}"
+    val histMedia = videoDf(Seq((1L, videoC1, 8)))
+    val histFrames = Multimodal.frameFingerprints(histMedia)
+    graft.sources.FrameHistory.create(spark, dir, histFrames, buckets = 4)
+    val out = scala.collection.mutable.ListBuffer[(Long, Long, Int, Double)]()
+    val mem = MemoryStream[(Long, Array[Byte], Int)]
+    val q = CurationStreams.incrementalVideoNearDups(
+        mem.toDF().toDF("media_id", "content", "n_frames"), dir,
+        df => out ++= df.as[(Long, Long, Int, Double)].collect())
+      .start()
+    try {
+      // batch 1: an exact copy of the history video + a novel one
+      mem.addData(Seq((10L, videoC1, 8), (11L, videoNovel, 8)))
+      q.processAllAvailable()
+      val batch1 = out.toSet
+      // bit-identical to the batch operator against the same history
+      val want1 = Multimodal.incrementalVideoNearDups(
+          Multimodal.frameFingerprints(
+            videoDf(Seq((10L, videoC1, 8), (11L, videoNovel, 8)))),
+          graft.sources.FrameHistory.storeRows(histFrames),
+          graft.sources.FrameHistory.sizeRows(histFrames))
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(batch1 == want1, s"stream $batch1 != batch $want1")
+      assert(batch1.exists(p => p._1 == 1L && p._2 == 10L && p._4 == 1.0),
+        s"exact copy did not pair at jaccard 1.0: $batch1")
+      assert(!batch1.exists(_._2 == 11L), s"novel video matched history: $batch1")
+      // batch 2: a copy of batch 1's novel video — batch 1's append made
+      // it history (frames AND sizes), so it must now pair at 1.0
+      mem.addData(Seq((20L, videoNovel, 8)))
+      q.processAllAvailable()
+      val delta = out.toSet -- batch1
+      assert(delta.map(p => (p._1, p._2, p._4)) == Set((11L, 20L, 1.0)),
+        s"batch-1 frames not visible to batch 2: $delta")
+    } finally q.stop()
+    graft.sources.FrameHistory.invalidate(spark, dir)
+  }
+
+  test("streaming video probe: failed append retried on replay, committed one skipped") {
+    import graft.operators.Multimodal
+    val dir = s"/tmp/video_probe_replay_${System.nanoTime}"
+    graft.sources.FrameHistory.create(spark, dir,
+      Multimodal.frameFingerprints(videoDf(Seq((1L, videoC1, 8)))),
+      buckets = 4)
+    val batch = {
+      import spark.implicits._
+      Seq((20L, videoNovel, 8)).toDF("media_id", "content", "n_frames")
+    }
+    val appended = new java.util.concurrent.atomic.AtomicLong(-1L)
+    var appendCalls = 0
+    var failNext = true
+    val flaky: org.apache.spark.sql.DataFrame => Unit = { inc =>
+      appendCalls += 1
+      if (failNext) { failNext = false; throw new java.io.IOException("injected") }
+      graft.sources.FrameHistory.append(spark, dir, inc)
+    }
+    def run(guard: java.util.concurrent.atomic.AtomicLong): Unit =
+      CurationStreams.videoProbeBatch(
+        batch, 0L, dir, _ => (), guard, growStore = true, flaky)
+    intercept[java.io.IOException](run(appended))
+    assert(appended.get() == -1L, "guard advanced before the append committed")
+    run(appended)
+    assert(appendCalls == 2 && appended.get() == 0L)
+    run(appended)
+    assert(appendCalls == 2, "committed epoch re-appended on replay")
+    // restart recovery honors the persisted watermark
+    val restarted = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    run(restarted)
+    assert(appendCalls == 2, "committed epoch re-appended after restart")
+    assert(restarted.get() == 0L, "persisted watermark not recovered")
+    graft.sources.FrameHistory.invalidate(spark, dir)
   }
 
   test("streaming band buckets are bit-identical to the batch LSH buckets") {
