@@ -34,7 +34,7 @@ object CurationOps {
       x88_train_order, x88b_train_order_sized, x90_curation_audit,
       x92_bm25, x94_hybrid_rrf, x94b_hybrid_rrf_store, x96_heavy_hitters,
       x98_source_kl,
-      x101_curation_v2, x115_percentile_gate)
+      x101_curation_v2, x115_percentile_gate, x117_curation_v3)
 
   // ---------------------------------------------------------------- x90
   /** Gate thresholds the x90 REGISTRY entry pins (and its oracle replays);
@@ -1394,6 +1394,149 @@ object CurationOps {
         sum(when(col("v") > thr, 1L).otherwise(0L)).as("n_dropped"),
         sum(when(col("v") > thr, 0L).otherwise(1L)).as("n_kept"))
       .select(col("lang"), col("n_docs"), col("n_dropped"), col("n_kept"),
+        (lit(thr).cast(DoubleType) /
+          graft.operators.UnigramLm.LnScale.toDouble).as("nll_p90")))
+  }
+
+  // ---------------------------------------------------------------- x117
+  /** Curation pipeline v3 — v2 upgraded with the round-13 pair: substring
+    * REMOVAL first (x114's rewrite — duplicated spans are dropped BEFORE
+    * any scoring, the Lee et al. ordering: gates and the language model
+    * must see the residual text, or boilerplate both inflates repetition
+    * and drags every nll toward the duplicated mass), then the quality +
+    * perplexity gates with the nll cutoff DERIVED as the corpus p90
+    * (x115's device) instead of v2's pinned constant, then exact dedup
+    * among survivors (md5 of the CLEANED text — removal canonicalizes
+    * boilerplate-wrapped copies onto the same hash), summarized per
+    * language with the derived scalar attached.
+    *
+    * Scale shape: x114's removal bill (one gram-keyed exchange + map
+    * rewrite) in front of v2's DAG; the cleaned relation is persisted for
+    * the build (it feeds the audit, the LM train/score, the threshold
+    * derivation AND the dedup — five consumers), which is the x87 cache
+    * device at pipeline scope. The oracle is the three entries' CTEs
+    * composed verbatim — every count exact in both engines.
+    */
+  val x117_curation_v3: QueryDef = QueryDef(
+    "x117_curation_v3",
+    Sql.canon(
+      s"""WITH ${graft.queries.TextOps.RemoveSpansCtes},
+         |s AS (
+         |  SELECT doc_id, lang,
+         |    CAST(LEN(string_split_regex(text, '\\s+')) AS INT) AS n_tokens
+         |  FROM cleaned),
+         |tri AS (
+         |  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+         |  FROM (
+         |    SELECT doc_id, toks,
+         |      UNNEST(generate_series(1, GREATEST(LEN(toks) - 2, 0))) AS i
+         |    FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS toks FROM cleaned)
+         |    WHERE LEN(toks) >= 3)),
+         |rep AS (
+         |  SELECT doc_id,
+         |    1.0 - CAST(COUNT(DISTINCT sh) AS DOUBLE) / COUNT(*) AS rr
+         |  FROM tri GROUP BY doc_id),
+         |tf AS (
+         |  SELECT doc_id, tok, COUNT(*) AS tf
+         |  FROM (SELECT doc_id,
+         |          UNNEST(string_split_regex(LOWER(text), '\\s+')) AS tok
+         |        FROM cleaned)
+         |  WHERE LENGTH(tok) >= ${graft.operators.UnigramLm.MinTokenLen}
+         |  GROUP BY doc_id, tok),
+         |vocab AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY tok),
+         |scal AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total, COUNT(*) AS v FROM vocab),
+         |terms AS (
+         |  SELECT tf.doc_id, tf.tf,
+         |    ${graft.operators.UnigramLm.oracleTermSql("vocab.c", "scal.n_total", "scal.v")} AS lp
+         |  FROM tf LEFT JOIN vocab ON tf.tok = vocab.tok CROSS JOIN scal),
+         |nll AS (
+         |  SELECT doc_id,
+         |    ROUND(CAST(-SUM(tf * lp) AS DOUBLE) /
+         |          (CAST(SUM(tf) AS DOUBLE) * ${graft.operators.UnigramLm.LnScale}.0), 6) AS nll
+         |  FROM terms GROUP BY doc_id),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(ROUND(nll * ${graft.operators.UnigramLm.LnScale}) AS BIGINT) AS v
+         |  FROM nll),
+         |nn AS (SELECT COUNT(*) AS n FROM scored),
+         |thr AS (
+         |  SELECT MIN(v) AS vthr FROM (
+         |      SELECT v, ROW_NUMBER() OVER (ORDER BY v, doc_id) AS rn
+         |      FROM scored) r CROSS JOIN nn
+         |  WHERE r.rn = ($GatePercentileNum * nn.n + $GatePercentileDen - 1)
+         |                  // $GatePercentileDen),
+         |gated AS (
+         |  SELECT s.doc_id, s.lang, s.n_tokens,
+         |    s.n_tokens < $AuditMinTokens AS too_short,
+         |    s.n_tokens > $AuditMaxTokens AS too_long,
+         |    COALESCE(rep.rr, 0.0) > $AuditMaxRepetition AS repetitive,
+         |    sc.v > t.vthr AS low_quality
+         |  FROM s LEFT JOIN rep ON s.doc_id = rep.doc_id
+         |    JOIN scored sc ON s.doc_id = sc.doc_id
+         |    CROSS JOIN thr t),
+         |kept AS (
+         |  SELECT f.doc_id, f.lang, f.n_tokens, c.text
+         |  FROM gated f JOIN cleaned c ON f.doc_id = c.doc_id
+         |  WHERE NOT (too_short OR too_long OR repetitive OR low_quality)),
+         |keepers AS (
+         |  SELECT md5(text) AS th, MIN(doc_id) AS keeper
+         |  FROM kept GROUP BY md5(text)),
+         |uniq AS (
+         |  SELECT k.lang, COUNT(*) AS n_kept_docs,
+         |    CAST(SUM(k.n_tokens) AS BIGINT) AS kept_tokens
+         |  FROM kept k JOIN keepers ON k.doc_id = keepers.keeper
+         |  GROUP BY k.lang)
+         |SELECT f.lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN too_short THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+         |  CAST(SUM(CASE WHEN too_long THEN 1 ELSE 0 END) AS BIGINT) AS n_too_long,
+         |  CAST(SUM(CASE WHEN repetitive THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+         |  CAST(SUM(CASE WHEN low_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+         |  COALESCE(MAX(u.n_kept_docs), 0) AS n_kept_docs,
+         |  COALESCE(MAX(u.kept_tokens), 0) AS kept_tokens,
+         |  CAST(MAX(t2.vthr) AS DOUBLE) / ${graft.operators.UnigramLm.LnScale}.0 AS nll_p90
+         |FROM gated f LEFT JOIN uniq u ON f.lang = u.lang CROSS JOIN thr t2
+         |GROUP BY f.lang""".stripMargin,
+      Seq("lang", "n_docs", "n_too_short", "n_too_long", "n_repetitive",
+        "n_low_quality", "n_kept_docs", "kept_tokens", "nll_p90"))) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val cleaned = graft.operators.Dedup
+      .removeDupSpans(docs, graft.queries.TextOps.DupGramK)
+      .select(col("doc_id"), col("text_clean").as("text"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .persist()
+    val audit = curationAudit(cleaned)
+    val scored = graft.operators.UnigramLm.selfScore(cleaned)
+      .select(col("doc_id"),
+        round(col("nll") * graft.operators.UnigramLm.LnScale.toDouble)
+          .cast(LongType).as("v"))
+    val thr = graft.operators.Percentiles.exactThreshold(
+      scored.select(col("v")), "v", GatePercentileNum, GatePercentileDen)
+    val full = audit.join(scored, Seq("doc_id"))
+      .withColumn("low_quality", col("v") > thr)
+    val kept = full
+      .filter(!(col("too_short") || col("too_long") || col("repetitive") ||
+        col("low_quality")))
+      .join(cleaned.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .withColumn("th", md5(col("text")))
+    val keepers = kept.groupBy(col("th")).agg(min(col("doc_id")).as("keeper"))
+      .select(col("keeper").as("doc_id"))
+    val uniq = kept.join(keepers, Seq("doc_id"), "left_semi")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept_docs"),
+        sum(col("n_tokens")).cast(LongType).as("kept_tokens"))
+    val b1 = (c: org.apache.spark.sql.Column) =>
+      sum(when(c, 1L).otherwise(0L))
+    Canon(full.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        b1(col("too_short")).as("n_too_short"),
+        b1(col("too_long")).as("n_too_long"),
+        b1(col("repetitive")).as("n_repetitive"),
+        b1(col("low_quality")).as("n_low_quality"))
+      .join(uniq, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("n_too_short"),
+        col("n_too_long"), col("n_repetitive"), col("n_low_quality"),
+        coalesce(col("n_kept_docs"), lit(0L)).as("n_kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
         (lit(thr).cast(DoubleType) /
           graft.operators.UnigramLm.LnScale.toDouble).as("nll_p90")))
   }

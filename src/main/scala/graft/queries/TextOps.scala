@@ -804,46 +804,59 @@ object TextOps {
     * string-gram form; [[graft.operators.Dedup.removeDupSpansHashed]] is
     * the 8-byte-key production twin, spec-gated bit-equal.
     */
+  /** The x114 span-removal CTE chain, shared with x117's composed oracle:
+    * duplicated-gram positions → gaps-and-islands span merge → ordered
+    * STRING_AGG rewrite, ending in a `cleaned` relation of every doc with
+    * its residual text plus span accounting.
+    */
+  private[queries] val RemoveSpansCtes: String =
+    s"""pos AS (
+       |  SELECT doc_id, i, SUBSTR(text, i, $DupGramK) AS gram
+       |  FROM (SELECT doc_id, text,
+       |          UNNEST(generate_series(1, LENGTH(text) - ${DupGramK - 1})) AS i
+       |        FROM documents WHERE LENGTH(text) >= $DupGramK)),
+       |dup AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM pos)
+       |        GROUP BY gram HAVING COUNT(*) >= 2),
+       |hit AS (SELECT doc_id, i FROM pos JOIN dup USING (gram)),
+       |isl AS (
+       |  SELECT doc_id, i,
+       |    SUM(CASE WHEN prev_max IS NULL OR i > prev_max + 1
+       |             THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY i) AS isl_id
+       |  FROM (SELECT doc_id, i,
+       |          MAX(i + ${DupGramK - 1}) OVER (PARTITION BY doc_id ORDER BY i
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |        FROM hit)),
+       |spans AS (SELECT doc_id, MIN(i) AS s, MAX(i) + ${DupGramK - 1} AS e
+       |          FROM isl GROUP BY doc_id, isl_id),
+       |segs AS (SELECT doc_id, s, e,
+       |           COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS prev_e
+       |         FROM spans),
+       |agg AS (SELECT segs.doc_id,
+       |          STRING_AGG(SUBSTR(d2.text, prev_e + 1, s - prev_e - 1),
+       |                     '' ORDER BY s) AS mid,
+       |          MAX(e) AS max_e,
+       |          CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |          CAST(SUM(e - s + 1) AS BIGINT) AS removed_chars
+       |        FROM segs JOIN documents d2 ON segs.doc_id = d2.doc_id
+       |        GROUP BY segs.doc_id),
+       |cleaned AS (
+       |  SELECT d.doc_id, d.lang,
+       |    CAST(LENGTH(d.text) AS BIGINT) AS total_chars,
+       |    COALESCE(a.n_spans, 0) AS n_spans,
+       |    COALESCE(a.removed_chars, 0) AS removed_chars,
+       |    CASE WHEN a.doc_id IS NULL THEN d.text
+       |         ELSE COALESCE(a.mid, '') || SUBSTR(d.text, a.max_e + 1)
+       |    END AS text
+       |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id)""".stripMargin
+
   val x114_remove_dup_spans: QueryDef = QueryDef(
     "x114_remove_dup_spans",
     Sql.canon(
-      s"""WITH pos AS (
-         |  SELECT doc_id, i, SUBSTR(text, i, $DupGramK) AS gram
-         |  FROM (SELECT doc_id, text,
-         |          UNNEST(generate_series(1, LENGTH(text) - ${DupGramK - 1})) AS i
-         |        FROM documents WHERE LENGTH(text) >= $DupGramK)),
-         |dup AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM pos)
-         |        GROUP BY gram HAVING COUNT(*) >= 2),
-         |hit AS (SELECT doc_id, i FROM pos JOIN dup USING (gram)),
-         |isl AS (
-         |  SELECT doc_id, i,
-         |    SUM(CASE WHEN prev_max IS NULL OR i > prev_max + 1
-         |             THEN 1 ELSE 0 END)
-         |      OVER (PARTITION BY doc_id ORDER BY i) AS isl_id
-         |  FROM (SELECT doc_id, i,
-         |          MAX(i + ${DupGramK - 1}) OVER (PARTITION BY doc_id ORDER BY i
-         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
-         |        FROM hit)),
-         |spans AS (SELECT doc_id, MIN(i) AS s, MAX(i) + ${DupGramK - 1} AS e
-         |          FROM isl GROUP BY doc_id, isl_id),
-         |segs AS (SELECT doc_id, s, e,
-         |           COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS prev_e
-         |         FROM spans),
-         |agg AS (SELECT segs.doc_id,
-         |          STRING_AGG(SUBSTR(d2.text, prev_e + 1, s - prev_e - 1),
-         |                     '' ORDER BY s) AS mid,
-         |          MAX(e) AS max_e,
-         |          CAST(COUNT(*) AS BIGINT) AS n_spans,
-         |          CAST(SUM(e - s + 1) AS BIGINT) AS removed_chars
-         |        FROM segs JOIN documents d2 ON segs.doc_id = d2.doc_id
-         |        GROUP BY segs.doc_id)
-         |SELECT d.doc_id, CAST(LENGTH(d.text) AS BIGINT) AS total_chars,
-         |  COALESCE(a.n_spans, 0) AS n_spans,
-         |  COALESCE(a.removed_chars, 0) AS removed_chars,
-         |  CASE WHEN a.doc_id IS NULL THEN d.text
-         |       ELSE COALESCE(a.mid, '') || SUBSTR(d.text, a.max_e + 1)
-         |  END AS text_clean
-         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+      s"""WITH $RemoveSpansCtes
+         |SELECT doc_id, total_chars, n_spans, removed_chars,
+         |  text AS text_clean
+         |FROM cleaned""".stripMargin,
       Seq("doc_id", "total_chars", "n_spans", "removed_chars", "text_clean"))) { (s, d) =>
     Canon(graft.operators.Dedup.removeDupSpans(Tables.documents(s, d), DupGramK))
   }
