@@ -33,10 +33,20 @@ object Percentiles {
     * `valueCol` (LongType). Runs two small jobs (N, then the threshold) —
     * a PRODUCER-style derivation like [[Pq]]'s codebook or
     * [[TokenBudget]]'s offsets, not a per-row transform. Requires
-    * 0 < pNum ≤ pDen and a non-empty input.
+    * 0 < pNum ≤ pDen and a non-empty input; [[exactThresholdOpt]] is the
+    * empty-tolerant form (a percentile of nothing is None — the gate
+    * consumers degrade to an empty result without an extra probe job,
+    * since N falls out of the phase-1 offsets anyway).
     */
   def exactThreshold(scores: DataFrame, valueCol: String,
-                     pNum: Long, pDen: Long, bucketShift: Int = 16): Long = {
+                     pNum: Long, pDen: Long, bucketShift: Int = 16): Long =
+    exactThresholdOpt(scores, valueCol, pNum, pDen, bucketShift)
+      .getOrElse(throw new IllegalArgumentException(
+        s"exactThreshold: no rows in $valueCol"))
+
+  def exactThresholdOpt(scores: DataFrame, valueCol: String,
+                        pNum: Long, pDen: Long,
+                        bucketShift: Int = 16): Option[Long] = {
     require(pNum > 0 && pNum <= pDen, s"need 0 < $pNum/$pDen <= 1")
     val hist = scores.groupBy(col(valueCol).as("v"))
       .agg(count(lit(1)).as("c"))
@@ -50,7 +60,7 @@ object Percentiles {
       .withColumn("off", coalesce(sum(col("t")).over(gridW), lit(0L)))
     val offRows = off.select(col("obucket"), col("t"), col("off")).collect()
     val n = offRows.map(_.getAs[Long]("t")).sum
-    require(n > 0, s"exactThreshold: no rows in $valueCol")
+    if (n == 0) return None
     val m = Math.floorDiv(pNum * n + pDen - 1, pDen) // ceil(pNum·N/pDen)
     // the target rank lands in exactly one bucket: off < m <= off + t —
     // scan ONLY that bucket's histogram slice (bucket-pruned by the
@@ -62,10 +72,10 @@ object Percentiles {
     val base = tgt.getAs[Long]("off")
     val w = Window.partitionBy(col("bucket")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hist.filter(col("bucket") === bucket)
+    Some(hist.filter(col("bucket") === bucket)
       .withColumn("cum", sum(col("c")).over(w) + base)
       .filter(col("cum") >= m)
       .agg(min(col("v")))
-      .collect().head.getLong(0)
+      .collect().head.getLong(0))
   }
 }

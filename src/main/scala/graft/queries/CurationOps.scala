@@ -1385,8 +1385,12 @@ object CurationOps {
       .select(col("doc_id"),
         round(col("nll") * graft.operators.UnigramLm.LnScale.toDouble)
           .cast(LongType).as("v"))
-    val thr = graft.operators.Percentiles.exactThreshold(
+    // empty corpus: a percentile of nothing is None — every row joins
+    // against zero scored docs anyway, so any sentinel yields the same
+    // (empty) result; MaxValue documents "gate never trips"
+    val thr = graft.operators.Percentiles.exactThresholdOpt(
       scored.select(col("v")), "v", GatePercentileNum, GatePercentileDen)
+      .getOrElse(Long.MaxValue)
     Canon(docs.select(col("doc_id"), col("lang"))
       .join(scored, Seq("doc_id"))
       .groupBy(col("lang"))
@@ -1509,8 +1513,12 @@ object CurationOps {
       .select(col("doc_id"),
         round(col("nll") * graft.operators.UnigramLm.LnScale.toDouble)
           .cast(LongType).as("v"))
-    val thr = graft.operators.Percentiles.exactThreshold(
+    // empty corpus: a percentile of nothing is None — every row joins
+    // against zero scored docs anyway, so any sentinel yields the same
+    // (empty) result; MaxValue documents "gate never trips"
+    val thr = graft.operators.Percentiles.exactThresholdOpt(
       scored.select(col("v")), "v", GatePercentileNum, GatePercentileDen)
+      .getOrElse(Long.MaxValue)
     val full = audit.join(scored, Seq("doc_id"))
       .withColumn("low_quality", col("v") > thr)
     val kept = full
