@@ -345,6 +345,22 @@ class PlanSpec extends SparkSpec {
     assert(gramExchanges <= 1, s"x99 shuffles grams $gramExchanges times:\n$plan")
   }
 
+  test("x114: removal keeps x99's gram bill — one gram exchange, dup set broadcasts") {
+    // same device as the x99 gate: collect the frame itself so AQE
+    // finalizes the plan the query actually runs
+    val df = graft.SparkEntry.queries("x114_remove_dup_spans")(spark, Sf)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), s"dup set not broadcast:\n$plan")
+    val gramExchanges = "Exchange hashpartitioning\\(gram".r.findAllIn(plan).size
+    assert(gramExchanges <= 1, s"x114 shuffles grams $gramExchanges times:\n$plan")
+    // hit positions reduce per doc BEFORE rejoining the corpus: the rows
+    // crossing the doc-keyed exchange are the dup-density-sized hits
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).nonEmpty,
+      s"expected a doc-keyed exchange for hit positions:\n$plan")
+  }
+
   test("x100: the components relation broadcasts into the corpus scan") {
     val (_, plan) = planOf("x100_best_keeper")
     // dup clusters are candidates-sized: the corpus side must never
