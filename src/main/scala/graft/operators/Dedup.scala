@@ -605,6 +605,15 @@ object Dedup {
     val hits = g.join(dup, Seq(gramKey), "left_semi")
       .groupBy(col("doc_id"))
       .agg(sort_array(flatten(collect_list(col("ps")))).as("ps"))
+    rewriteWithHits(docs, hits, k, textCol, idCol)
+  }
+
+  /** The rewrite map over docs left-joined with their sorted hit
+    * positions — shared by the corpus-wide removal ([[removeDupSpans]])
+    * and the incremental form ([[incrementalRemoveSpans]]).
+    */
+  private def rewriteWithHits(docs: DataFrame, hits: DataFrame, k: Int,
+                              textCol: String, idCol: String): DataFrame = {
     val rewriteU = udf((text: String, ps: Seq[Int]) =>
       Kernels.removeSpans(text, k,
         if (ps == null) Array.empty[Int] else ps.toArray))
@@ -617,6 +626,31 @@ object Dedup {
       .select(col("doc_id"), col("total_chars"),
         col("_rw._1").as("n_spans"), col("_rw._2").as("removed_chars"),
         col("_rw._3").as("text_clean"))
+  }
+
+  /** INCREMENTAL span removal (x118) — [[removeDupSpans]]' sibling in the
+    * x86/x102 incremental family, and [[incrementalDupGrams]]' REWRITE
+    * step: a NEW batch's documents are rewritten dropping every
+    * character-`k`-gram span whose gram ALREADY EXISTS in the ingested
+    * corpus ([[graft.sources.GramHistory]]) — the streaming-crawl form of
+    * Lee et al.'s removal, where boilerplate the corpus already holds is
+    * stripped from arrivals WITHOUT rescanning the corpus. When
+    * `historyGrams` scans the bucketed store, the membership semi-join
+    * rides the layout with NO history-side exchange (GramHistorySpec's
+    * contract): per-batch cost is batch-sized at any corpus size. Output
+    * one row per batch doc, [[removeDupSpans]]' schema; hash-membership
+    * collisions can only ADD a removed span (x102's accepted budget).
+    */
+  def incrementalRemoveSpans(batch: DataFrame, historyGrams: DataFrame,
+                             k: Int = 40, textCol: String = "text",
+                             idCol: String = "doc_id"): DataFrame = {
+    val gramsU = udf((t: String) => Kernels.charGramHashPositions(t, k))
+    val g = batch.select(col(idCol).as("doc_id"),
+      explode(gramsU(col(textCol))).as(Seq("gh", "ps")))
+    val hits = g.join(historyGrams.select(col("gh")), Seq("gh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(flatten(collect_list(col("ps")))).as("ps"))
+    rewriteWithHits(batch, hits, k, textCol, idCol)
   }
 
   /** Incremental substring audit: score a NEW batch's documents against a

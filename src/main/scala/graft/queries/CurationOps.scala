@@ -1381,10 +1381,14 @@ object CurationOps {
          |GROUP BY d.lang, t.vthr""".stripMargin,
       Seq("lang", "n_docs", "n_dropped", "n_kept", "nll_p90"))) { (s, d) =>
     val docs = Tables.documents(s, d)
+    // persisted: the scored relation feeds the threshold derivation's two
+    // jobs AND the final per-lang aggregate — without the pin the LM
+    // pipeline re-derives per consumer
     val scored = graft.operators.UnigramLm.selfScore(docs)
       .select(col("doc_id"),
         round(col("nll") * graft.operators.UnigramLm.LnScale.toDouble)
           .cast(LongType).as("v"))
+      .persist()
     // empty corpus: a percentile of nothing is None — every row joins
     // against zero scored docs anyway, so any sentinel yields the same
     // (empty) result; MaxValue documents "gate never trips"
@@ -1509,10 +1513,12 @@ object CurationOps {
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .persist()
     val audit = curationAudit(cleaned)
+    // persisted like `cleaned`: feeds the threshold jobs and the gate join
     val scored = graft.operators.UnigramLm.selfScore(cleaned)
       .select(col("doc_id"),
         round(col("nll") * graft.operators.UnigramLm.LnScale.toDouble)
           .cast(LongType).as("v"))
+      .persist()
     // empty corpus: a percentile of nothing is None — every row joins
     // against zero scored docs anyway, so any sentinel yields the same
     // (empty) result; MaxValue documents "gate never trips"

@@ -24,7 +24,7 @@ object TextOps {
       x81_winnow_fps, x82_shared_spans, x84_dup_components, x85_dedup_resolve,
       x86_incremental_dedup, x95_unigram_lm, x97_bigram_lm, x99_dupgrams,
       x100_best_keeper, x102_incremental_dupgrams, x105_bpe_train,
-      x106_bpe_encode, x114_remove_dup_spans)
+      x106_bpe_encode, x114_remove_dup_spans, x118_incremental_remove_spans)
 
   /** Distinct word-trigram shingles, exploded: (doc_id, lang, n_chars, sh).
     * Word n-grams (not character grams) are the dedup unit: on natural text
@@ -914,6 +914,80 @@ object TextOps {
       Seq("doc_id", "total_pos", "hist_pos", "hist_frac"))) { (s, d) =>
     val (history, batch) = x86Split(s, d)
     Canon(Dedup.incrementalDupGrams(batch,
+      graft.sources.GramHistory.scanOrCompute(s, d)(
+        graft.sources.GramHistory.gramHashes(history, DupGramK)),
+      k = DupGramK))
+  }
+
+  // ---------------------------------------------------------------- x118
+  /** INCREMENTAL span removal
+    * ([[graft.operators.Dedup.incrementalRemoveSpans]]) — x102's REWRITE
+    * step and x114's incremental sibling, completing the symmetry
+    * (audit x99 ↔ removal x114; incremental audit x102 ↔ THIS): a NEW
+    * batch's docs (x86's md5-bucket split) rewritten dropping every
+    * 40-gram span whose gram already exists in the ingested corpus,
+    * probed against the persisted gram store with no history-side
+    * exchange. Oracle: x102's split + string-gram history membership
+    * (vs the engine's xxhash64 keys — the same accepted collision
+    * budget), then x114's gaps-and-islands rewrite over the hit
+    * positions.
+    */
+  val x118_incremental_remove_spans: QueryDef = QueryDef(
+    "x118_incremental_remove_spans",
+    Sql.canon(
+      s"""WITH bkt AS (SELECT doc_id, text,
+         |  CAST(CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |       AS BIGINT) % 100 AS INT) AS bucket
+         |  FROM documents),
+         |batch AS (
+         |  SELECT doc_id, text FROM bkt WHERE bucket >= 60
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, text FROM bkt WHERE bucket < 60 AND bucket % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000000, text FROM bkt WHERE bucket >= 60 AND bucket % 11 = 0),
+         |hist AS (
+         |  SELECT DISTINCT SUBSTR(text, i, $DupGramK) AS gram
+         |  FROM (SELECT text,
+         |          UNNEST(generate_series(1, LENGTH(text) - ${DupGramK - 1})) AS i
+         |        FROM bkt WHERE bucket < 60 AND LENGTH(text) >= $DupGramK)),
+         |pos AS (
+         |  SELECT doc_id, i, SUBSTR(text, i, $DupGramK) AS gram
+         |  FROM (SELECT doc_id, text,
+         |          UNNEST(generate_series(1, LENGTH(text) - ${DupGramK - 1})) AS i
+         |        FROM batch WHERE LENGTH(text) >= $DupGramK)),
+         |hit AS (SELECT doc_id, i FROM pos JOIN hist USING (gram)),
+         |isl AS (
+         |  SELECT doc_id, i,
+         |    SUM(CASE WHEN prev_max IS NULL OR i > prev_max + 1
+         |             THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY i) AS isl_id
+         |  FROM (SELECT doc_id, i,
+         |          MAX(i + ${DupGramK - 1}) OVER (PARTITION BY doc_id ORDER BY i
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |        FROM hit)),
+         |spans AS (SELECT doc_id, MIN(i) AS s, MAX(i) + ${DupGramK - 1} AS e
+         |          FROM isl GROUP BY doc_id, isl_id),
+         |segs AS (SELECT doc_id, s, e,
+         |           COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS prev_e
+         |         FROM spans),
+         |agg AS (SELECT segs.doc_id,
+         |          STRING_AGG(SUBSTR(d2.text, prev_e + 1, s - prev_e - 1),
+         |                     '' ORDER BY s) AS mid,
+         |          MAX(e) AS max_e,
+         |          CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |          CAST(SUM(e - s + 1) AS BIGINT) AS removed_chars
+         |        FROM segs JOIN batch d2 ON segs.doc_id = d2.doc_id
+         |        GROUP BY segs.doc_id)
+         |SELECT d.doc_id, CAST(LENGTH(d.text) AS BIGINT) AS total_chars,
+         |  COALESCE(a.n_spans, 0) AS n_spans,
+         |  COALESCE(a.removed_chars, 0) AS removed_chars,
+         |  CASE WHEN a.doc_id IS NULL THEN d.text
+         |       ELSE COALESCE(a.mid, '') || SUBSTR(d.text, a.max_e + 1)
+         |  END AS text_clean
+         |FROM batch d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+      Seq("doc_id", "total_chars", "n_spans", "removed_chars", "text_clean"))) { (s, d) =>
+    val (history, batch) = x86Split(s, d)
+    Canon(Dedup.incrementalRemoveSpans(batch,
       graft.sources.GramHistory.scanOrCompute(s, d)(
         graft.sources.GramHistory.gramHashes(history, DupGramK)),
       k = DupGramK))

@@ -324,6 +324,59 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalRemoveSpans: corpus-known spans stripped, novel text untouched") {
+    import org.apache.spark.sql.functions.{col, explode, udf}
+    val histText = "abcdeabcde"   // the corpus already holds this content
+    val history = Seq((1L, histText)).toDF("doc_id", "text")
+    val histGrams = {
+      val u = udf((t: String) => Kernels.charGramHashCounts(t, 5).keys.toArray)
+      history.select(explode(u(col("text"))).as("gh"))
+    }
+    val batch = Seq(
+      (10L, "xx" + histText + "yy"),   // known span inside novel wrapper
+      (11L, histText),                 // wholly known
+      (12L, "entirely novel writing")) // nothing in history
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalRemoveSpans(batch, histGrams, k = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(10L) == ((1L, 10L, "xxyy")), got(10L).toString)
+    assert(got(11L) == ((1L, 10L, "")), got(11L).toString)
+    assert(got(12L) == ((0L, 0L, "entirely novel writing")), got(12L).toString)
+    // empty history: every batch doc passes through byte-identical
+    val none = Dedup.incrementalRemoveSpans(batch,
+        histGrams.filter(org.apache.spark.sql.functions.lit(false)), k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getString(4))).toMap
+    assert(none(10L) == ((0L, "xx" + histText + "yy")) &&
+      none(11L) == ((0L, histText)))
+  }
+
+  test("incrementalRemoveSpans is consistent with the x102 audit on the corpus split") {
+    // every batch doc the audit scores hist_frac=0 is unchanged; flagged
+    // docs remove at least one char per history-hit position
+    val (history, batch) = graft.queries.TextOps.x86Split(spark, Sf)
+    val k = graft.queries.TextOps.DupGramK
+    val hist = graft.sources.GramHistory.gramHashes(history, k)
+    val audit = Dedup.incrementalDupGrams(batch, hist, k)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val texts = batch.select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rw = Dedup.incrementalRemoveSpans(batch, hist, k).collect()
+    assert(rw.nonEmpty)
+    var flagged = 0
+    rw.foreach { r =>
+      val (id, removed, clean) = (r.getLong(0), r.getLong(3), r.getString(4))
+      val histPos = audit.getOrElse(id, 0L)
+      if (histPos == 0L) assert(clean == texts(id), s"clean doc $id rewritten")
+      else {
+        flagged += 1
+        assert(removed >= histPos, s"doc $id removed $removed < hits $histPos")
+        assert(clean.length == texts(id).length - removed, s"doc $id length")
+      }
+    }
+    assert(flagged > 0, "fixture split produced no history-overlapping docs")
+  }
+
   test("x100: the keeper is each cluster's longest member, ties to min doc id") {
     val membership = graft.SparkEntry.queries("x84_dup_components")(spark, Sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
