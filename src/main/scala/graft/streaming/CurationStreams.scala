@@ -597,11 +597,49 @@ object CurationStreams {
   private[graft] def gramAuditBatch(batch: DataFrame, batchId: Long,
       dir: String, k: Int, sink: DataFrame => Unit,
       appended: java.util.concurrent.atomic.AtomicLong, growStore: Boolean,
-      append: DataFrame => Unit): Unit = {
+      append: DataFrame => Unit): Unit =
+    gramStoreBatch(batch, batchId, dir, k, sink, appended, growStore, append,
+      graft.operators.Dedup.incrementalDupGrams(_, _, k))
+
+  /** Streaming incremental span REMOVAL — x118's streaming twin: each
+    * micro-batch's docs are REWRITTEN dropping spans whose grams the
+    * corpus already holds (the streaming-crawl form of the Lee et al.
+    * removal step), then the batch's own grams append so later batches
+    * also strip content THIS batch introduced. Same store, same replay
+    * watermark, same one-batch ≡ batch-operator contract as the audit
+    * twin — only the per-batch scoring differs.
+    */
+  def incrementalRemoveSpans(docs: DataFrame, dir: String, k: Int,
+                             sink: DataFrame => Unit,
+                             growStore: Boolean = true)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val appended = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      gramRemovalBatch(batch, batchId, dir, k, sink, appended, growStore,
+        inc => graft.sources.GramHistory.append(batch.sparkSession, dir, inc))
+    }
+  }
+
+  private[graft] def gramRemovalBatch(batch: DataFrame, batchId: Long,
+      dir: String, k: Int, sink: DataFrame => Unit,
+      appended: java.util.concurrent.atomic.AtomicLong, growStore: Boolean,
+      append: DataFrame => Unit): Unit =
+    gramStoreBatch(batch, batchId, dir, k, sink, appended, growStore, append,
+      graft.operators.Dedup.incrementalRemoveSpans(_, _, k))
+
+  /** Shared body of the gram-store twins (audit x102 / removal x118):
+    * score the micro-batch against the registered store, sink, then the
+    * batchId-guarded append behind the persisted replay watermark.
+    */
+  private def gramStoreBatch(batch: DataFrame, batchId: Long,
+      dir: String, k: Int, sink: DataFrame => Unit,
+      appended: java.util.concurrent.atomic.AtomicLong, growStore: Boolean,
+      append: DataFrame => Unit,
+      score: (DataFrame, DataFrame) => DataFrame): Unit = {
     val spark = batch.sparkSession
     val table = graft.sources.GramHistory.registeredTable(spark, dir)
       .getOrElse(throw new IllegalStateException(
-        s"streaming incrementalDupGrams: no gram store for $dir — " +
+        s"streaming gram-store twin: no gram store for $dir — " +
           "GramHistory.create() first (an empty corpus is fine)"))
     // restart recovery: resume the replay watermark persisted beside the
     // store so re-delivered already-committed epochs skip their appends
@@ -609,9 +647,7 @@ object CurationStreams {
       appended.compareAndSet(Long.MinValue, readBatchMark(spark, table)): Unit
     val hist = spark.table(table)
       .select(col(graft.sources.GramHistory.GramCol))
-    val scored = graft.operators.Dedup
-      .incrementalDupGrams(batch, hist, k)
-      .persist()
+    val scored = score(batch, hist).persist()
     try {
       scored.count(): Unit // pin pre-append values
       sink(scored)

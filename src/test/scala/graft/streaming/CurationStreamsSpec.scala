@@ -946,6 +946,44 @@ class CurationStreamsSpec extends SparkSpec {
     graft.sources.GramHistory.invalidate(spark, dir)
   }
 
+  test("streaming span removal: one micro-batch equals batch x118; later batches strip earlier content") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val k = 5
+    val dir = s"/tmp/gram_removal_spec_${System.nanoTime}"
+    val histText = "abcdeabcde"
+    val corpus = Seq((1L, histText)).toDF("doc_id", "text")
+    graft.sources.GramHistory.create(spark, dir, corpus, k, buckets = 4)
+    val out = scala.collection.mutable.ListBuffer[(Long, String)]()
+    val mem = MemoryStream[(Long, String)]
+    val q = CurationStreams.incrementalRemoveSpans(
+        mem.toDF().toDF("doc_id", "text"), dir, k,
+        df => out ++= df.select("doc_id", "text_clean")
+          .as[(Long, String)].collect())
+      .start()
+    try {
+      // batch 1: corpus-known span in a novel wrapper + novel content
+      mem.addData(Seq((10L, "xx" + histText + "yy"),
+        (11L, "pqrstpqrst")))
+      q.processAllAvailable()
+      val batch1 = out.toMap
+      // bit-identical to the batch operator against the same history
+      val want = graft.operators.Dedup.incrementalRemoveSpans(
+          Seq((10L, "xx" + histText + "yy"), (11L, "pqrstpqrst"))
+            .toDF("doc_id", "text"),
+          graft.sources.GramHistory.gramHashes(corpus, k), k)
+        .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+      assert(batch1 == want, s"stream $batch1 != batch $want")
+      assert(batch1(10L) == "xxyy" && batch1(11L) == "pqrstpqrst")
+      // batch 2: batch 1's novel content is now history — stripped
+      mem.addData(Seq((20L, "NN" + "pqrstpqrst" + "MM")))
+      q.processAllAvailable()
+      assert(out.toMap.apply(20L) == "NNMM",
+        s"batch-1 grams not visible to batch 2: ${out.toMap.apply(20L)}")
+    } finally q.stop()
+    graft.sources.GramHistory.invalidate(spark, dir)
+  }
+
   test("a RECREATED store starts a fresh lineage: the stale replay watermark is cleared") {
     import spark.implicits._
     val k = 8
