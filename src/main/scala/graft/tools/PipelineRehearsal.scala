@@ -102,12 +102,20 @@ object PipelineRehearsal {
     * shifted corpus to zero docs — the round-11 shakedown's first bug).
     */
   def qualityStage(deduped: DataFrame, pct: Double = 0.95): DataFrame = {
-    val nll = graft.operators.UnigramLm.selfScore(deduped)
-      .select(col("doc_id"), col("nll"))
-    val thr = nll.agg(expr(s"approx_percentile(nll, $pct)").as("max_nll"))
-    deduped.join(nll, Seq("doc_id"))
-      .crossJoin(broadcast(thr))
-      .filter(col("nll") <= col("max_nll"))
+    // the EXACT integer-scaled percentile (x115's two-phase device) —
+    // the registry-grade derivation, replacing the earlier
+    // approx_percentile: same contract, no approximation knob
+    val scored = graft.operators.UnigramLm.selfScore(deduped)
+      .select(col("doc_id"),
+        round(col("nll") * graft.operators.UnigramLm.LnScale.toDouble)
+          .cast("long").as("v"))
+      .persist()
+    val thr = graft.operators.Percentiles.exactThresholdOpt(
+        scored.select(col("v")), "v",
+        math.round(pct * 100), 100)
+      .getOrElse(Long.MaxValue)
+    deduped.join(scored, Seq("doc_id"))
+      .filter(col("v") <= thr)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("text"))
   }
 
