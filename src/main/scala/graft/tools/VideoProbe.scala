@@ -91,6 +91,36 @@ object VideoProbe {
       if (d == dirs.head) assert(recall >= MinRecall,
         f"VIDEO RECALL GATE FAILED at $d: $recall%.4f < $MinRecall")
       frames.unpersist(); pairs.unpersist(); ()
+
+      // x116 scale contract (the x113 device for the video axis): probe
+      // cost must be BATCH-sized — a FIXED base-corpus batch probed
+      // against this dir's (growing) persisted FrameHistory store. Wall
+      // should stay ~flat as the history grows 1× → 100×.
+      {
+        import graft.queries.VectorOps
+        graft.sources.MutationGuard.clear(spark, graft.sources.Bucketing
+          .guardBase(spark, graft.sources.FrameHistory.tableFor(d)))
+        graft.sources.FrameHistory.create(spark, d,
+          graft.operators.Multimodal.frameFingerprints(
+            VectorOps.x109Media(spark, d)))
+        val (hf, hs) = graft.sources.FrameHistory.scanOrCompute(spark, d)(
+          sys.error("unreachable"))
+        val baseDir = dirs.head
+        val batchFrames = graft.operators.Multimodal.frameFingerprints(
+          VectorOps.x109Media(spark, baseDir)
+            .filter(!VectorOps.x109IsOriginal ||
+              VectorOps.x109MediaBucket >= 60))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        batchFrames.count()
+        val t2 = System.nanoTime()
+        val nProbe = graft.operators.Multimodal
+          .incrementalVideoNearDups(batchFrames, hf, hs).count()
+        val wallProbe = (System.nanoTime() - t2) / 1e9
+        println(f"VIDEO-X116 $d fixed_batch=$baseDir " +
+          f"probe_rows=$nProbe wall_probe=$wallProbe%.2f s")
+        batchFrames.unpersist()
+        graft.sources.FrameHistory.invalidate(spark, d)
+      }
     }
     spark.stop()
   }
