@@ -46,36 +46,57 @@ object Percentiles {
 
   def exactThresholdOpt(scores: DataFrame, valueCol: String,
                         pNum: Long, pDen: Long,
-                        bucketShift: Int = 16): Option[Long] = {
-    require(pNum > 0 && pNum <= pDen, s"need 0 < $pNum/$pDen <= 1")
+                        bucketShift: Int = 16): Option[Long] =
+    exactQuantiles(scores, valueCol, Seq((pNum, pDen)), bucketShift)
+      .headOption.map(_._3)
+
+  /** SEVERAL exact order statistics from ONE histogram pass: the
+    * distinct-value histogram and the bucket-grid offsets are computed
+    * once (the corpus-scale work), then each requested rank costs one
+    * bucket-pruned scan of the persisted histogram — the profiling shape
+    * (p50/p90/p99 in one sweep). Returns (pNum, pDen, value) per
+    * requested fraction, empty when the input is empty.
+    */
+  def exactQuantiles(scores: DataFrame, valueCol: String,
+                     fractions: Seq[(Long, Long)],
+                     bucketShift: Int = 16): Seq[(Long, Long, Long)] = {
+    fractions.foreach { case (pNum, pDen) =>
+      require(pNum > 0 && pNum <= pDen, s"need 0 < $pNum/$pDen <= 1") }
     val hist = scores.groupBy(col(valueCol).as("v"))
       .agg(count(lit(1)).as("c"))
       .withColumn("bucket", shiftright(col("v"), bucketShift))
-    // bucket grid: tiny (range >> shift rows) — its global-ordered window
-    // is the x87 grid trade, nothing like a corpus- or histogram-wide sort
-    val gridW = Window.orderBy(col("obucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val off = hist.groupBy(col("bucket").as("obucket"))
-      .agg(sum(col("c")).as("t"))
-      .withColumn("off", coalesce(sum(col("t")).over(gridW), lit(0L)))
-    val offRows = off.select(col("obucket"), col("t"), col("off")).collect()
-    val n = offRows.map(_.getAs[Long]("t")).sum
-    if (n == 0) return None
-    val m = Math.floorDiv(pNum * n + pDen - 1, pDen) // ceil(pNum·N/pDen)
-    // the target rank lands in exactly one bucket: off < m <= off + t —
-    // scan ONLY that bucket's histogram slice (bucket-pruned by the
-    // filter), cumulative within it, smallest v reaching rank m
-    val tgt = offRows.find(r =>
-      r.getAs[Long]("off") < m &&
-        m <= r.getAs[Long]("off") + r.getAs[Long]("t")).get
-    val bucket = tgt.getAs[Long]("obucket")
-    val base = tgt.getAs[Long]("off")
-    val w = Window.partitionBy(col("bucket")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Some(hist.filter(col("bucket") === bucket)
-      .withColumn("cum", sum(col("c")).over(w) + base)
-      .filter(col("cum") >= m)
-      .agg(min(col("v")))
-      .collect().head.getLong(0))
+      .persist()
+    try {
+      // bucket grid: tiny (range >> shift rows) — its global-ordered
+      // window is the x87 grid trade, nothing like a corpus- or
+      // histogram-wide sort
+      val gridW = Window.orderBy(col("obucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = hist.groupBy(col("bucket").as("obucket"))
+        .agg(sum(col("c")).as("t"))
+        .withColumn("off", coalesce(sum(col("t")).over(gridW), lit(0L)))
+      val offRows = off.select(col("obucket"), col("t"), col("off")).collect()
+      val n = offRows.map(_.getAs[Long]("t")).sum
+      if (n == 0) return Seq.empty
+      val w = Window.partitionBy(col("bucket")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      fractions.map { case (pNum, pDen) =>
+        val m = Math.floorDiv(pNum * n + pDen - 1, pDen) // ceil(pNum·N/pDen)
+        // the target rank lands in exactly one bucket: off < m <= off + t
+        // — scan ONLY that bucket's histogram slice (bucket-pruned by the
+        // filter), cumulative within it, smallest v reaching rank m
+        val tgt = offRows.find(r =>
+          r.getAs[Long]("off") < m &&
+            m <= r.getAs[Long]("off") + r.getAs[Long]("t")).get
+        val bucket = tgt.getAs[Long]("obucket")
+        val base = tgt.getAs[Long]("off")
+        val v = hist.filter(col("bucket") === bucket)
+          .withColumn("cum", sum(col("c")).over(w) + base)
+          .filter(col("cum") >= m)
+          .agg(min(col("v")))
+          .collect().head.getLong(0)
+        (pNum, pDen, v)
+      }
+    } finally { hist.unpersist(false): Unit }
   }
 }

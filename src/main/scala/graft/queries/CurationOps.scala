@@ -34,7 +34,8 @@ object CurationOps {
       x88_train_order, x88b_train_order_sized, x90_curation_audit,
       x92_bm25, x94_hybrid_rrf, x94b_hybrid_rrf_store, x96_heavy_hitters,
       x98_source_kl,
-      x101_curation_v2, x115_percentile_gate, x117_curation_v3)
+      x101_curation_v2, x115_percentile_gate, x117_curation_v3,
+      x119_nll_quantiles)
 
   // ---------------------------------------------------------------- x90
   /** Gate thresholds the x90 REGISTRY entry pins (and its oracle replays);
@@ -1404,6 +1405,69 @@ object CurationOps {
       .select(col("lang"), col("n_docs"), col("n_dropped"), col("n_kept"),
         (lit(thr).cast(DoubleType) /
           graft.operators.UnigramLm.LnScale.toDouble).as("nll_p90")))
+  }
+
+  // ---------------------------------------------------------------- x119
+  /** Exact nll quantile PROFILE (p50/p90/p99) —
+    * [[graft.operators.Percentiles.exactQuantiles]]: several order
+    * statistics from ONE histogram pass (the corpus-scale work is the
+    * single map-combined distinct-value aggregation; each rank then costs
+    * one bucket-pruned scan of the persisted histogram). The profiling
+    * seat next to x115's gate: a curation operator reads the
+    * distribution before choosing the cut. Oracle replays each rank with
+    * the same one-window ROW_NUMBER device.
+    */
+  val x119_nll_quantiles: QueryDef = QueryDef(
+    "x119_nll_quantiles",
+    Sql.canon(
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, COUNT(*) AS tf
+         |  FROM (SELECT doc_id,
+         |          UNNEST(string_split_regex(LOWER(text), '\\s+')) AS tok
+         |        FROM documents)
+         |  WHERE LENGTH(tok) >= ${graft.operators.UnigramLm.MinTokenLen}
+         |  GROUP BY doc_id, tok),
+         |vocab AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY tok),
+         |scal AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total, COUNT(*) AS v FROM vocab),
+         |terms AS (
+         |  SELECT tf.doc_id, tf.tf,
+         |    ${graft.operators.UnigramLm.oracleTermSql("vocab.c", "scal.n_total", "scal.v")} AS lp
+         |  FROM tf LEFT JOIN vocab ON tf.tok = vocab.tok CROSS JOIN scal),
+         |nll AS (
+         |  SELECT doc_id,
+         |    ROUND(CAST(-SUM(tf * lp) AS DOUBLE) /
+         |          (CAST(SUM(tf) AS DOUBLE) * ${graft.operators.UnigramLm.LnScale}.0), 6) AS nll
+         |  FROM terms GROUP BY doc_id),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(ROUND(nll * ${graft.operators.UnigramLm.LnScale}) AS BIGINT) AS v
+         |  FROM nll),
+         |nn AS (SELECT COUNT(*) AS n FROM scored),
+         |ranked AS (
+         |  SELECT v, ROW_NUMBER() OVER (ORDER BY v, doc_id) AS rn
+         |  FROM scored)
+         |SELECT 'p50' AS pct,
+         |  CAST(MIN(v) AS DOUBLE) / ${graft.operators.UnigramLm.LnScale}.0 AS nll
+         |FROM ranked CROSS JOIN nn WHERE rn = (50 * nn.n + 99) // 100
+         |UNION ALL
+         |SELECT 'p90' AS pct,
+         |  CAST(MIN(v) AS DOUBLE) / ${graft.operators.UnigramLm.LnScale}.0 AS nll
+         |FROM ranked CROSS JOIN nn WHERE rn = (90 * nn.n + 99) // 100
+         |UNION ALL
+         |SELECT 'p99' AS pct,
+         |  CAST(MIN(v) AS DOUBLE) / ${graft.operators.UnigramLm.LnScale}.0 AS nll
+         |FROM ranked CROSS JOIN nn WHERE rn = (99 * nn.n + 99) // 100""".stripMargin,
+      Seq("pct", "nll"))) { (s, d) =>
+    import s.implicits._
+    val scored = graft.operators.UnigramLm
+      .selfScore(Tables.documents(s, d))
+      .select(round(col("nll") * graft.operators.UnigramLm.LnScale.toDouble)
+        .cast(LongType).as("v"))
+    val qs = graft.operators.Percentiles.exactQuantiles(
+      scored, "v", Seq((50L, 100L), (90L, 100L), (99L, 100L)))
+    Canon(qs.map { case (pn, _, v) =>
+      (s"p$pn", v.toDouble / graft.operators.UnigramLm.LnScale.toDouble)
+    }.toDF("pct", "nll"))
   }
 
   // ---------------------------------------------------------------- x117
