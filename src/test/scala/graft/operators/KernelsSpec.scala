@@ -146,6 +146,41 @@ class KernelsSpec extends SparkSpec {
       Seq.fill(1 + r.nextInt(7))(('a' + r.nextInt(4)).toChar).mkString
     ).mkString(" ")
 
+  test("charGramPositions: code-point positions match Spark substring on multi-byte text") {
+    // positions are 1-based CODE POINTS — the contract that makes the
+    // x114 oracle's SUBSTR(text, i, k) replay exact on non-ASCII text
+    for (t <- samples.filter(_.length >= 4); k <- Seq(2, 4)) {
+      val pos = Kernels.charGramPositions(t, k)
+      val cps = t.codePointCount(0, t.length)
+      val want = (1 to cps - k + 1).map { i =>
+        val a = t.offsetByCodePoints(0, i - 1)
+        val b = t.offsetByCodePoints(0, i - 1 + k)
+        (t.substring(a, b), i)
+      }.groupBy(_._1).map { case (g, ps) => g -> ps.map(_._2).toList }
+      assert(pos.view.mapValues(_.toList).toMap == want, s"'$t' k=$k")
+      // hashed twin: same position sets keyed by the gram's xxhash64
+      val hp = Kernels.charGramHashPositions(t, k)
+      assert(hp.values.map(_.toList).toSet == want.values.toSet, s"'$t' k=$k hashed")
+    }
+  }
+
+  test("removeSpans drops exactly the covered code points (multi-byte safe)") {
+    // CJK text: every char is 3 UTF-8 bytes — a byte-offset bug would
+    // split characters or shift spans
+    val t = "日本語のテキストです"   // 10 code points
+    // duplicated positions 2 and 5 at k=3 cover [2,4] and [5,7] —
+    // touching, so ONE merged span of 6 chars
+    val (n, removed, clean) = Kernels.removeSpans(t, 3, Array(2, 5))
+    assert(n == 1L && removed == 6L, s"$n $removed")
+    assert(clean == "日トです", clean)
+    // disjoint spans with a survivor between
+    val (n2, r2, c2) = Kernels.removeSpans("αβγδεζηθικ", 2, Array(1, 9))
+    assert(n2 == 2L && r2 == 4L && c2 == "γδεζηθ", s"$n2 $r2 '$c2'")
+    // whole-string cover and empty positions
+    assert(Kernels.removeSpans("abcd", 4, Array(1)) == ((1L, 4L, "")))
+    assert(Kernels.removeSpans("abcd", 2, Array.empty[Int]) == ((0L, 0L, "abcd")))
+  }
+
   test("tokenCounts sums to the number of qualifying tokens (property)") {
     forSeeded(300) { r =>
       val text = randText(r)
