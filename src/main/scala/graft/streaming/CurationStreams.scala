@@ -95,6 +95,72 @@ object CurationStreams {
       watermark)
   }
 
+  /** [[curateV2]] v3 — x117's DEPLOYABLE streaming form, in the Lee et
+    * al. order: each micro-batch's docs are REWRITTEN first against the
+    * persisted gram store (x118's probe — spans the corpus already holds
+    * are stripped before any scoring), then gated (length/punct on the
+    * CLEANED text) and scored by the FROZEN model against a threshold
+    * derived OFFLINE ([[graft.operators.Percentiles.exactThreshold]] over
+    * a reference window — production re-derives periodically; a live
+    * per-batch percentile would gate every batch against itself, exactly
+    * the non-transfer the rehearsal shakedown pinned). The batch's own
+    * grams append behind the shared replay watermark so later batches
+    * also strip content this batch introduced. Cross-batch exact dedup
+    * composes downstream via the existing twins (x86's stream /
+    * dedupWithinWatermark) — this stage's contract is rewrite + gate.
+    *
+    * Sinked columns: the input columns (text = CLEANED) plus n_tokens,
+    * punct_ratio, pred_lang, nll, removed_chars.
+    */
+  def curateV3(docs: DataFrame, dir: String, k: Int,
+               model: graft.operators.UnigramLm.FrozenModel,
+               maxNll: Double,
+               sink: DataFrame => Unit,
+               growStore: Boolean = true,
+               minTokens: Int = 5,
+               maxPunctRatio: Double = 0.2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val appended = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      curateV3Batch(batch, batchId, dir, k, model, maxNll, sink, appended,
+        growStore,
+        inc => graft.sources.GramHistory.append(batch.sparkSession, dir, inc),
+        minTokens, maxPunctRatio)
+    }
+  }
+
+  /** One micro-batch of [[curateV3]] (injectable append — the shared
+    * replay contract is already spec-gated on the sibling twins; the
+    * composition is what CurationStreamsSpec pins here).
+    */
+  private[graft] def curateV3Batch(batch: DataFrame, batchId: Long,
+      dir: String, k: Int,
+      model: graft.operators.UnigramLm.FrozenModel, maxNll: Double,
+      sink: DataFrame => Unit,
+      appended: java.util.concurrent.atomic.AtomicLong, growStore: Boolean,
+      append: DataFrame => Unit,
+      minTokens: Int = 5, maxPunctRatio: Double = 0.2): Unit =
+    gramStoreBatch(batch, batchId, dir, k, sink, appended, growStore, append,
+      (b, hist) => curateV3Frame(b, hist, k, model, maxNll,
+        minTokens, maxPunctRatio))
+
+  /** The batch-frame composition itself — shared by the streaming twin
+    * and its spec's batch-equivalence side.
+    */
+  private[graft] def curateV3Frame(batch: DataFrame, historyGrams: DataFrame,
+      k: Int, model: graft.operators.UnigramLm.FrozenModel, maxNll: Double,
+      minTokens: Int, maxPunctRatio: Double): DataFrame = {
+    val cleaned = graft.operators.Dedup
+      .incrementalRemoveSpans(batch, historyGrams, k)
+      .select(col("doc_id"), col("text_clean").as("text"),
+        col("removed_chars"))
+      .join(batch.drop("text"), Seq("doc_id"))
+    val nllU = udf((t: String) => model.nll(t))
+    curateGates(cleaned, minTokens, maxPunctRatio)
+      .withColumn("nll", nllU(col("text")))
+      .filter(col("nll").isNotNull && col("nll") <= maxNll)
+  }
+
   // ------------------------------------------------ streaming near-dup LSH
 
   final case class BucketHit(band: Int, bucket: Long, doc_id: Long,

@@ -434,6 +434,63 @@ class CurationStreamsSpec extends SparkSpec {
     assert(spark.table("curated_v2").columns.contains("nll"))
   }
 
+  test("curateV3: removal-first curation — strips corpus spans, gates the residual, grows the store") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.UnigramLm
+    val k = 5
+    val boiler = "abcdeabcdeabcde"
+    val quality = "alpha beta gamma delta epsilon zeta eta theta"
+    val quality2 = "omega kappa sigma lambda upsilon phi chi psi"
+    val fresh = "brand newly minted sentence nobody ever wrote"
+    val dir = s"/tmp/curate_v3_spec_${System.nanoTime}"
+    val corpus = Seq((1L, boiler)).toDF("doc_id", "text")
+    graft.sources.GramHistory.create(spark, dir, corpus, k, buckets = 4)
+    val train = Seq((1L, "s", quality), (2L, "s", quality2),
+      (3L, "s", fresh)).toDF("doc_id", "source", "text")
+    val (vocab, scalars) = UnigramLm.train(train)
+    val model = UnigramLm.freeze(vocab, scalars)
+    val maxNll = Seq(quality, quality2, fresh).map(model.nll(_)).max + 1.0
+    val out = scala.collection.mutable.ListBuffer[(Long, String, Long)]()
+    val mem = MemoryStream[Doc]
+    val q = CurationStreams.curateV3(mem.toDF(), dir, k, model, maxNll,
+        df => out ++= df.select("doc_id", "text", "removed_chars")
+          .as[(Long, String, Long)].collect())
+      .start()
+    try {
+      val b1 = Seq(
+        Doc(10, ts("10:00"), boiler + " " + quality, "en", "s"), // stripped, kept
+        Doc(11, ts("10:01"), boiler, "en", "s"),                 // fully stripped -> too short
+        Doc(12, ts("10:02"), quality2, "en", "s"),               // novel, kept untouched
+        Doc(13, ts("10:03"), "!!.. ,,;; ::!! ..,, ;;!!", "en", "s")) // punct gate
+      mem.addData(b1)
+      q.processAllAvailable()
+      val got1 = out.toList
+      assert(got1.map(_._1).toSet == Set(10L, 12L), s"admitted ${got1}")
+      val byId = got1.map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(byId(10L) == ((" " + quality, boiler.length.toLong)), byId(10L).toString)
+      assert(byId(12L) == ((quality2, 0L)), byId(12L).toString)
+      // the stream's micro-batch equals the batch composition exactly
+      val want1 = CurationStreams.curateV3Frame(
+          b1.map(d => (d.doc_id, d.ts, d.text, d.lang, d.source))
+            .toDF("doc_id", "ts", "text", "lang", "source"),
+          graft.sources.GramHistory.gramHashes(corpus, k),
+          k, model, maxNll, 5, 0.2)
+        .select("doc_id", "text", "removed_chars")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got1.toSet == want1, s"stream ${got1.toSet} != batch $want1")
+      // batch 2: doc 12's text is now corpus history (batch 1 appended) —
+      // a re-delivery is fully stripped and gated out; fresh text passes
+      mem.addData(Seq(Doc(20, ts("10:10"), quality2, "en", "s"),
+        Doc(21, ts("10:11"), fresh, "en", "s")))
+      q.processAllAvailable()
+      val got2 = out.toList.drop(got1.length)
+      assert(got2.map(_._1).toSet == Set(21L),
+        s"batch-1 content not stripped from batch 2: $got2")
+    } finally q.stop()
+    graft.sources.GramHistory.invalidate(spark, dir)
+  }
+
   test("streaming drift monitor equals batch x98 against the self-trained reference") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
