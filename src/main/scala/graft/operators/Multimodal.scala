@@ -473,6 +473,43 @@ object Multimodal {
     Dedup.hammingDupEdges64(payloadFingerprints(media), "media_id", "phash",
       "media_a", "media_b", maxDist, maxPerBucket, droppedAcc)
 
+  /** Payload DECONTAMINATION (x120) — the multimodal twin of x70's
+    * benchmark-overlap check: corpus media are flagged when their
+    * perceptual fingerprint sits within Hamming `maxDist` of ANY
+    * benchmark-suite fingerprint, so byte-identical AND re-encoded copies
+    * of eval items are caught before training (the published multimodal
+    * decontamination posture — eval images leak into crawls re-encoded,
+    * never bit-identical). Inputs are FINGERPRINT relations
+    * (media_id, phash — [[payloadFingerprints]]' shape).
+    *
+    * Plan: benchmark suites are small by nature, so the bench side's
+    * chunk relation BROADCASTS into the corpus' 16-bit-chunk explode
+    * (the x109 pigeonhole device, complete for d ≤ 3) — map-only over
+    * the corpus except the per-doc hit dedup/count; no corpus-side pair
+    * blowup is possible (hits are bounded by |bench| per corpus row).
+    * Output one row per corpus media:
+    * (media_id, n_bench_matches, contaminated).
+    */
+  def payloadDecontaminate(corpusFps: DataFrame, benchFps: DataFrame,
+                           maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-chunk banding is only complete for maxDist <= 3")
+    val c = graft.sources.PhashHistory.chunkKeys(corpusFps)
+    val b = graft.sources.PhashHistory.chunkKeys(benchFps)
+      .select(col(graft.sources.PhashHistory.KeyCol),
+        col("id").as("bench_id"), col("fp").as("bfp"))
+    val hits = c.join(broadcast(b), graft.sources.PhashHistory.KeyCol)
+      .filter(expr(s"CAST(bit_count(fp ^ bfp) AS INT) <= $maxDist"))
+      .select(col("id").as("media_id"), col("bench_id")).distinct()
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_bench_matches"))
+    corpusFps.select(col("media_id"))
+      .join(hits, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("n_bench_matches"), lit(0L)).as("n_bench_matches"),
+        when(coalesce(col("n_bench_matches"), lit(0L)) > 0, 1)
+          .otherwise(0).cast("int").as("contaminated"))
+  }
+
   /** INCREMENTAL payload near-dup probe — a NEW batch's payload
     * fingerprints vs the persisted [[graft.sources.PhashHistory]] store
     * (the payload member of the x86/x102 incremental family): the batch

@@ -23,7 +23,8 @@ object VectorOps {
       x104_payload_neardup, x104b_payload_dupedges, x107_frame_phash,
       x108_video_neardup, x109_incremental_payload_neardup,
       x110_payload_resolve, x111_audio_landmarks, x112_audio_neardup,
-      x113_incremental_audio_probe, x116_incremental_video_probe)
+      x113_incremental_audio_probe, x116_incremental_video_probe,
+      x120_payload_decontaminate)
 
   /** Oracle-checked half of the multimodal surface: the synthetic-media
     * metadata derivation and binary-column plumbing (payload byte length
@@ -523,6 +524,54 @@ object VectorOps {
     val store = graft.sources.LandmarkHistory.scanOrCompute(s, d)(
       graft.sources.LandmarkHistory.storeShape(x113HistoryLms(s, d)))
     Canon(Multimodal.incrementalAudioNearDups(batchLms, store))
+  }
+
+  // ---------------------------------------------------------------- x120
+  /** Payload decontamination
+    * ([[graft.operators.Multimodal.payloadDecontaminate]]) — the
+    * multimodal twin of x70: corpus media flagged when their dHash sits
+    * within Hamming 3 of any BENCHMARK-suite fingerprint (re-encoded
+    * eval leaks included). The benchmark suite is the md5-bucket device:
+    * originals in buckets < 10 (a deterministic ~10% holdout); the
+    * corpus is everything else INCLUDING every re-encoded variant — so a
+    * variant of a benchmark item is exactly the leak the operator must
+    * catch. Oracle: the same `__VERIFY_OUT__` replay as x109 — split,
+    * banded join, Hamming cut, per-media distinct-match count in plain
+    * SQL over x103's persisted fingerprints.
+    */
+  val x120_payload_decontaminate: QueryDef = QueryDef(
+    "x120_payload_decontaminate",
+    Sql.canon(
+      """WITH fp AS (SELECT media_id, phash
+        |            FROM read_parquet('__VERIFY_OUT__/x103_payload_phash/*.parquet')),
+        |b AS (SELECT media_id, phash,
+        |  CAST(CAST('0x' || SUBSTRING(MD5(CAST(media_id AS VARCHAR)), 1, 8)
+        |       AS BIGINT) % 100 AS INT) AS bucket
+        |  FROM fp),
+        |bench AS (SELECT media_id, phash FROM b
+        |          WHERE media_id % 1000000000 < 10000000 AND bucket < 10),
+        |corp AS (SELECT media_id, phash FROM b
+        |         WHERE media_id % 1000000000 >= 10000000 OR bucket >= 10),
+        |m AS (
+        |  SELECT DISTINCT c.media_id, bn.media_id AS bench_id
+        |  FROM corp c JOIN bench bn
+        |    ON (((c.phash >> 0) & 65535) = ((bn.phash >> 0) & 65535)
+        |     OR ((c.phash >> 16) & 65535) = ((bn.phash >> 16) & 65535)
+        |     OR ((c.phash >> 32) & 65535) = ((bn.phash >> 32) & 65535)
+        |     OR ((c.phash >> 48) & 65535) = ((bn.phash >> 48) & 65535))
+        |  WHERE bit_count(xor(c.phash, bn.phash)) <= 3),
+        |cnt AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM m GROUP BY media_id)
+        |SELECT c.media_id, COALESCE(cnt.n, 0) AS n_bench_matches,
+        |  CAST(CASE WHEN COALESCE(cnt.n, 0) > 0 THEN 1 ELSE 0 END AS INT)
+        |    AS contaminated
+        |FROM corp c LEFT JOIN cnt ON c.media_id = cnt.media_id""".stripMargin,
+      Seq("media_id", "n_bench_matches", "contaminated"))) { (s, d) =>
+    import graft.operators.Multimodal
+    val fps = Multimodal.payloadFingerprints(x109Media(s, d))
+    val isBench = x109IsOriginal && x109MediaBucket < 10
+    Canon(Multimodal.payloadDecontaminate(
+      fps.filter(!isBench), fps.filter(isBench)))
   }
 
   // ---------------------------------------------------------------- x43

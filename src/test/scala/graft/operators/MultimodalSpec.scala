@@ -169,6 +169,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("payloadDecontaminate flags exact and re-encoded benchmark leaks, distinct-counts matches") {
+    import graft.operators.Multimodal.Kernels
+    def ramp: Array[Byte] = Array.tabulate(600)(i => ((i / 3) % 200).toByte)
+    def other: Array[Byte] = Array.tabulate(600)(i => ((i * 37 + 97) % 251).toByte)
+    def novel: Array[Byte] = Array.tabulate(600)(i => ((i * i * 13 + 5) % 241).toByte)
+    val bench = Seq((1L, ramp), (2L, other)).toDF("media_id", "content")
+    val corpus = Seq(
+      (10L, ramp),                       // exact leak of bench 1
+      (11L, Kernels.stubReencode(ramp)), // re-encoded leak (d = 1)
+      (12L, novel)                       // clean
+    ).toDF("media_id", "content")
+    val got = graft.operators.Multimodal.payloadDecontaminate(
+        graft.operators.Multimodal.payloadFingerprints(corpus),
+        graft.operators.Multimodal.payloadFingerprints(bench))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got(10L) == ((1L, 1)) && got(11L) == ((1L, 1)), got.toString)
+    assert(got(12L) == ((0L, 0)), got.toString)
+    // distinct-match semantics: two bench copies of one payload count 2
+    // (distinct bench MEDIA, not distinct fingerprints)
+    val bench2 = Seq((1L, ramp), (2L, ramp)).toDF("media_id", "content")
+    val got2 = graft.operators.Multimodal.payloadDecontaminate(
+        graft.operators.Multimodal.payloadFingerprints(
+          Seq((10L, ramp)).toDF("media_id", "content")),
+        graft.operators.Multimodal.payloadFingerprints(bench2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2(10L) == 2L, got2.toString)
+  }
+
   // ------------------------------------------- video frame-level near-dup
 
   test("videoNearDups: variants above the overlap cut all pair with their originals") {
