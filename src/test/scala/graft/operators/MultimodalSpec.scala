@@ -349,6 +349,52 @@ class MultimodalSpec extends SparkSpec {
     } finally { lms.unpersist(); () }
   }
 
+  test("audio near-dup finds an embedded clip at a NONZERO offset where payload identity cannot") {
+    // the landmark matcher's unique value over the identity family: a
+    // track containing another track's content at an OFFSET is nothing
+    // like it at whole-payload level, but its landmarks agree at one
+    // coherent time shift (prefix bytes / hop windows)
+    val contentA = Array.tabulate(1200)(i =>
+      (((i * 2654435761L) >> 5) & 0xff).toByte)
+    val junk = Array.tabulate(400)(i =>
+      ((((i + 131) * 40503L) >> 3) & 0xff).toByte)
+    val contentB = junk ++ contentA
+    // premise 1: the payloads are NOT identity-matchable (dHash far)
+    val d = java.lang.Long.bitCount(
+      Multimodal.Kernels.dHash64(contentA) ^ Multimodal.Kernels.dHash64(contentB))
+    assert(d > 3, s"premise broken: payloads identity-match at d=$d")
+    val audio = Seq((1L, contentA), (2L, contentB))
+      .toDF("media_id", "content")
+      .select(col("media_id"), lit("audio").as("kind"), col("content"),
+        struct(lit(0).as("width"), lit(0).as("height"),
+          lit(16000).as("sampleRate"), lit(0).as("nFrames"),
+          lit("").as("mime")).as("meta"))
+    val lms = Multimodal.audioFingerprints(audio, window = 32, triples = true)
+    // premise 2: both tracks clear the material floor
+    val counts = lms.groupBy("media_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ >= Multimodal.Kernels.MinMatchableLandmarks3),
+      counts.toString)
+    val pairs = Multimodal.audioNearDups(lms, maxPerHash = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getInt(3))).toList
+    assert(pairs.map(p => (p._1, p._2)) == List((1L, 2L)),
+      s"embedded clip not matched: $pairs")
+    // off = t_a − t_b for matching hashes; B carries A's content shifted
+    // by prefixBytes/hop = 400/4 = 100 windows → best_off = −100
+    assert(pairs.head._4 == -100, s"wrong offset: ${pairs.head}")
+    assert(pairs.head._3 >= 5, s"too few votes: ${pairs.head}")
+    // ...and the payload identity stage indeed sees nothing
+    val idPairs = Multimodal.payloadNearDups(
+      Seq((1L, contentA), (2L, contentB)).toDF("media_id", "content")
+        .select(col("media_id"), lit("audio").as("kind"), col("content"),
+          struct(lit(0).as("width"), lit(0).as("height"),
+            lit(16000).as("sampleRate"), lit(0).as("nFrames"),
+            lit("").as("mime")).as("meta")),
+      maxPerBucket = 0).count()
+    assert(idPairs == 0L, "identity stage unexpectedly matched the clip")
+  }
+
   test("audioLandmarks3: deterministic, unique, zone-local, and ~2^20-packed") {
     val payload = ("pack my box with five dozen liquor jugs " * 10).getBytes("UTF-8")
     val lm = Multimodal.Kernels.audioLandmarks3(payload)
