@@ -38,6 +38,20 @@ object Canon {
     sel.orderBy(sel.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
   }
 
+  /** Eagerly evaluate a BOUNDED final frame (per-lang / per-group
+    * aggregates whose row count is group-cardinality-sized, never
+    * corpus-sized) into a local relation. Builders that `.persist()`
+    * intermediates for multi-consumer DAGs (x115/x117) use this to
+    * release the pins before returning: the caller gets finished values,
+    * so nothing downstream re-reads the unpersisted relations and the
+    * session's CacheManager holds no net entries per invocation
+    * (CompositionSpec gates exactly that).
+    */
+  def materialize(df: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    df.sparkSession.createDataFrame(rows, df.schema)
+  }
+
   /** Exact sum of a 2-decimal money column: sum(round(x*100)::long)/100.0. */
   def moneySum(c: Column): Column =
     sum(round(c * 100).cast(LongType)).cast(DoubleType) / 100.0

@@ -1382,29 +1382,34 @@ object CurationOps {
          |GROUP BY d.lang, t.vthr""".stripMargin,
       Seq("lang", "n_docs", "n_dropped", "n_kept", "nll_p90"))) { (s, d) =>
     val docs = Tables.documents(s, d)
-    // persisted: the scored relation feeds the threshold derivation's two
-    // jobs AND the final per-lang aggregate — without the pin the LM
-    // pipeline re-derives per consumer
+    // persisted for the BUILD only: the scored relation feeds the
+    // threshold derivation's two jobs AND the final per-lang aggregate —
+    // without the pin the LM pipeline re-derives per consumer. The final
+    // frame is per-lang (bounded), so it materializes eagerly and the pin
+    // is released in finally — a library caller composing this entry N
+    // times accumulates no cached relations (CompositionSpec gate).
     val scored = graft.operators.UnigramLm.selfScore(docs)
       .select(col("doc_id"),
         round(col("nll") * graft.operators.UnigramLm.LnScale.toDouble)
           .cast(LongType).as("v"))
       .persist()
-    // empty corpus: a percentile of nothing is None — every row joins
-    // against zero scored docs anyway, so any sentinel yields the same
-    // (empty) result; MaxValue documents "gate never trips"
-    val thr = graft.operators.Percentiles.exactThresholdOpt(
-      scored.select(col("v")), "v", GatePercentileNum, GatePercentileDen)
-      .getOrElse(Long.MaxValue)
-    Canon(docs.select(col("doc_id"), col("lang"))
-      .join(scored, Seq("doc_id"))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("v") > thr, 1L).otherwise(0L)).as("n_dropped"),
-        sum(when(col("v") > thr, 0L).otherwise(1L)).as("n_kept"))
-      .select(col("lang"), col("n_docs"), col("n_dropped"), col("n_kept"),
-        (lit(thr).cast(DoubleType) /
-          graft.operators.UnigramLm.LnScale.toDouble).as("nll_p90")))
+    try {
+      // empty corpus: a percentile of nothing is None — every row joins
+      // against zero scored docs anyway, so any sentinel yields the same
+      // (empty) result; MaxValue documents "gate never trips"
+      val thr = graft.operators.Percentiles.exactThresholdOpt(
+        scored.select(col("v")), "v", GatePercentileNum, GatePercentileDen)
+        .getOrElse(Long.MaxValue)
+      Canon.materialize(Canon(docs.select(col("doc_id"), col("lang"))
+        .join(scored, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("v") > thr, 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("v") > thr, 0L).otherwise(1L)).as("n_kept"))
+        .select(col("lang"), col("n_docs"), col("n_dropped"), col("n_kept"),
+          (lit(thr).cast(DoubleType) /
+            graft.operators.UnigramLm.LnScale.toDouble).as("nll_p90"))))
+    } finally scored.unpersist(): Unit
   }
 
   // ---------------------------------------------------------------- x119
@@ -1571,51 +1576,60 @@ object CurationOps {
       Seq("lang", "n_docs", "n_too_short", "n_too_long", "n_repetitive",
         "n_low_quality", "n_kept_docs", "kept_tokens", "nll_p90"))) { (s, d) =>
     val docs = Tables.documents(s, d)
+    // both pins are BUILD-scoped: `cleaned` feeds five consumers and
+    // `scored` the threshold jobs + the gate join, but the final frame is
+    // per-lang (bounded) — materialize it eagerly and release the pins in
+    // finally so N compositions of this entry leave no net cached
+    // relations (CompositionSpec gate)
     val cleaned = graft.operators.Dedup
       .removeDupSpans(docs, graft.queries.TextOps.DupGramK)
       .select(col("doc_id"), col("text_clean").as("text"))
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .persist()
     val audit = curationAudit(cleaned)
-    // persisted like `cleaned`: feeds the threshold jobs and the gate join
     val scored = graft.operators.UnigramLm.selfScore(cleaned)
       .select(col("doc_id"),
         round(col("nll") * graft.operators.UnigramLm.LnScale.toDouble)
           .cast(LongType).as("v"))
       .persist()
-    // empty corpus: a percentile of nothing is None — every row joins
-    // against zero scored docs anyway, so any sentinel yields the same
-    // (empty) result; MaxValue documents "gate never trips"
-    val thr = graft.operators.Percentiles.exactThresholdOpt(
-      scored.select(col("v")), "v", GatePercentileNum, GatePercentileDen)
-      .getOrElse(Long.MaxValue)
-    val full = audit.join(scored, Seq("doc_id"))
-      .withColumn("low_quality", col("v") > thr)
-    val kept = full
-      .filter(!(col("too_short") || col("too_long") || col("repetitive") ||
-        col("low_quality")))
-      .join(cleaned.select(col("doc_id"), col("text")), Seq("doc_id"))
-      .withColumn("th", md5(col("text")))
-    val keepers = kept.groupBy(col("th")).agg(min(col("doc_id")).as("keeper"))
-      .select(col("keeper").as("doc_id"))
-    val uniq = kept.join(keepers, Seq("doc_id"), "left_semi")
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_kept_docs"),
-        sum(col("n_tokens")).cast(LongType).as("kept_tokens"))
-    val b1 = (c: org.apache.spark.sql.Column) =>
-      sum(when(c, 1L).otherwise(0L))
-    Canon(full.groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        b1(col("too_short")).as("n_too_short"),
-        b1(col("too_long")).as("n_too_long"),
-        b1(col("repetitive")).as("n_repetitive"),
-        b1(col("low_quality")).as("n_low_quality"))
-      .join(uniq, Seq("lang"), "left")
-      .select(col("lang"), col("n_docs"), col("n_too_short"),
-        col("n_too_long"), col("n_repetitive"), col("n_low_quality"),
-        coalesce(col("n_kept_docs"), lit(0L)).as("n_kept_docs"),
-        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
-        (lit(thr).cast(DoubleType) /
-          graft.operators.UnigramLm.LnScale.toDouble).as("nll_p90")))
+    try {
+      // empty corpus: a percentile of nothing is None — every row joins
+      // against zero scored docs anyway, so any sentinel yields the same
+      // (empty) result; MaxValue documents "gate never trips"
+      val thr = graft.operators.Percentiles.exactThresholdOpt(
+        scored.select(col("v")), "v", GatePercentileNum, GatePercentileDen)
+        .getOrElse(Long.MaxValue)
+      val full = audit.join(scored, Seq("doc_id"))
+        .withColumn("low_quality", col("v") > thr)
+      val kept = full
+        .filter(!(col("too_short") || col("too_long") || col("repetitive") ||
+          col("low_quality")))
+        .join(cleaned.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .withColumn("th", md5(col("text")))
+      val keepers = kept.groupBy(col("th")).agg(min(col("doc_id")).as("keeper"))
+        .select(col("keeper").as("doc_id"))
+      val uniq = kept.join(keepers, Seq("doc_id"), "left_semi")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept_docs"),
+          sum(col("n_tokens")).cast(LongType).as("kept_tokens"))
+      val b1 = (c: org.apache.spark.sql.Column) =>
+        sum(when(c, 1L).otherwise(0L))
+      Canon.materialize(Canon(full.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          b1(col("too_short")).as("n_too_short"),
+          b1(col("too_long")).as("n_too_long"),
+          b1(col("repetitive")).as("n_repetitive"),
+          b1(col("low_quality")).as("n_low_quality"))
+        .join(uniq, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("n_too_short"),
+          col("n_too_long"), col("n_repetitive"), col("n_low_quality"),
+          coalesce(col("n_kept_docs"), lit(0L)).as("n_kept_docs"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+          (lit(thr).cast(DoubleType) /
+            graft.operators.UnigramLm.LnScale.toDouble).as("nll_p90"))))
+    } finally {
+      scored.unpersist(): Unit
+      cleaned.unpersist(): Unit
+    }
   }
 }

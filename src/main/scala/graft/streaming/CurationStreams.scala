@@ -105,9 +105,25 @@ object CurationStreams {
     * per-batch percentile would gate every batch against itself, exactly
     * the non-transfer the rehearsal shakedown pinned). The batch's own
     * grams append behind the shared replay watermark so later batches
-    * also strip content this batch introduced. Cross-batch exact dedup
-    * composes downstream via the existing twins (x86's stream /
-    * dedupWithinWatermark) — this stage's contract is rewrite + gate.
+    * also strip content this batch has SEEN.
+    *
+    * Gram-store semantics are CRAWL-SEEN, deliberately matching the x102
+    * audit twin: the append carries grams of the RAW batch text — docs
+    * the gates reject and spans the rewrite just stripped included — so
+    * the store tracks everything the crawl has encountered, not what the
+    * curated sink admitted. That is the production posture for a crawl
+    * pipeline: a re-fetch of boilerplate whose first copy failed the
+    * gates must NOT be re-admitted merely because no earlier copy
+    * survived curation (duplicated content is duplicated regardless of
+    * which copy the gates liked), and dedup-before-gating is the Lee et
+    * al. ordering this pipeline exists to preserve. A caller that instead
+    * wants the store to mirror the CURATED corpus (strip only against
+    * admitted content) should maintain a second store appended from the
+    * sink's kept rows — the append hook is injectable for exactly that.
+    *
+    * Cross-batch exact dedup composes downstream via the existing twins
+    * (x86's stream / dedupWithinWatermark) — this stage's contract is
+    * rewrite + gate.
     *
     * Sinked columns: the input columns (text = CLEANED) plus n_tokens,
     * punct_ratio, pred_lang, nll, removed_chars.
@@ -695,7 +711,10 @@ object CurationStreams {
 
   /** Shared body of the gram-store twins (audit x102 / removal x118):
     * score the micro-batch against the registered store, sink, then the
-    * batchId-guarded append behind the persisted replay watermark.
+    * batchId-guarded append behind the persisted replay watermark. The
+    * append hashes the RAW batch text (crawl-seen store semantics —
+    * rejected/stripped content still suppresses future arrivals; see
+    * [[curateV3]]'s scaladoc for why that is deliberate).
     */
   private def gramStoreBatch(batch: DataFrame, batchId: Long,
       dir: String, k: Int, sink: DataFrame => Unit,

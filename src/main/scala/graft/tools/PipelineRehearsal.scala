@@ -104,12 +104,18 @@ object PipelineRehearsal {
   def qualityStage(deduped: DataFrame, pct: Double = 0.95): DataFrame = {
     // the EXACT integer-scaled percentile (x115's two-phase device) —
     // the registry-grade derivation, replacing the earlier
-    // approx_percentile: same contract, no approximation knob
+    // approx_percentile: same contract, no approximation knob.
+    // localCheckpoint (not persist): the threshold jobs and the returned
+    // gate join share one materialization of the small (doc_id, v)
+    // relation, but the RETURNED plan escapes this scope — a CacheManager
+    // entry would outlive every caller (the x115/x117 leak shape), while
+    // the checkpointed RDD is released by the ContextCleaner as soon as
+    // callers drop the frame
     val scored = graft.operators.UnigramLm.selfScore(deduped)
       .select(col("doc_id"),
         round(col("nll") * graft.operators.UnigramLm.LnScale.toDouble)
           .cast("long").as("v"))
-      .persist()
+      .localCheckpoint(true)
     val thr = graft.operators.Percentiles.exactThresholdOpt(
         scored.select(col("v")), "v",
         math.round(pct * 100), 100)

@@ -122,4 +122,22 @@ class CompositionSpec extends SparkSpec {
       "filter-first leaves dedup nothing of the class to resolve")
     gated.unpersist(false)
   }
+
+  test("x117 composes leak-free: two evaluations leave no net cached relations") {
+    // the build-scoped persists (cleaned/scored, five consumers) must be
+    // released before the builder returns — a library caller composing
+    // the entry N times must not accumulate CacheManager entries (the
+    // round-13 ADVICE leak). The builders materialize their bounded
+    // per-lang result eagerly, so building IS evaluating.
+    def rddKeys = spark.sparkContext.getPersistentRDDs.keySet
+    val before = rddKeys
+    val r1 = graft.SparkEntry.queries("x117_curation_v3")(spark, Sf).collect()
+    val r2 = graft.SparkEntry.queries("x117_curation_v3")(spark, Sf).collect()
+    graft.SparkEntry.queries("x115_percentile_gate")(spark, Sf).collect(): Unit
+    val leaked = rddKeys -- before
+    assert(leaked.isEmpty,
+      s"x115/x117 builders leaked cached RDDs: $leaked")
+    assert(r1.map(_.toString).sorted.sameElements(r2.map(_.toString).sorted),
+      "repeated x117 evaluations must agree")
+  }
 }
