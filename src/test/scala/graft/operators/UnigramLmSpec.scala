@@ -79,4 +79,29 @@ class UnigramLmSpec extends SparkSpec {
     // distinct doc_ids (one score per doc)
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
   }
+
+  test("trainCached: a memo hit never re-trains and scores bit-identically to a fresh train") {
+    UnigramLm.invalidate()
+    val corpus = docs(1L -> "alpha beta alpha gamma",
+      2L -> "beta beta delta", 3L -> "gamma alpha epsilon zeta")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lmmemo").toString
+    // first call trains; fresh selfScore is the reference
+    val cached1 = UnigramLm.selfScoreCached(spark, dir, "t", corpus)
+      .collect().map(_.toString).sorted
+    val fresh = UnigramLm.selfScore(corpus)
+      .collect().map(_.toString).sorted
+    assert(cached1.sameElements(fresh), "first cached call != fresh train")
+    // second call MUST hit the memo: the by-name docs thunk would throw
+    val (vocab, scalars) = UnigramLm.trainCached(spark, dir, "t",
+      sys.error("memo miss: trainCached re-evaluated its docs thunk"))
+    val cached2 = UnigramLm.score(corpus, vocab, scalars)
+      .collect().map(_.toString).sorted
+    assert(cached2.sameElements(fresh), "memo-hit score != fresh train")
+    // distinct variant over the same dir is a different model
+    val (v2, s2) = UnigramLm.trainCached(spark, dir, "other",
+      docs(9L -> "iota iota"))
+    assert(v2.collect().map(_.getString(0)).toSet == Set("iota"))
+    assert(s2.collect().head.getLong(0) == 2L)
+    UnigramLm.invalidate()
+  }
 }
