@@ -19,7 +19,8 @@ object Relational {
   def defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q08b, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21a, q21b, q22, q22b,
-    x52_approx_distinct, x53_pivot, x54_unpivot, x55_percentiles,
+    x52_approx_distinct, x52b_approx_distinct_gate, x53_pivot,
+    x54_unpivot, x55_percentiles,
     x56_range_window, x59_stringagg, x60_argmax, x72_window_battery,
     x75_null_semantics, x78_salted_agg)
 
@@ -246,6 +247,43 @@ object Relational {
         .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
           approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("approx_supps")))
     }
+
+  /** x52's oracle seat — the registry-visible 5% gate: exact distinct
+    * counts per group (DuckDB-replayable) PLUS per-sketch within-5%-of-
+    * exact flags pinned to 1 on the oracle side, so an HLL estimate
+    * drifting past the pinned gate fails the driver's hash compare
+    * instead of hiding in a rows-only entry. The sketch VALUES stay in
+    * x52 (the two engines' sketches legitimately differ); what promotes
+    * here is the accuracy CONTRACT, checked at every SF by the driver
+    * rather than only at sf0.001 by ApproxSpec. HLL++ is hash-based and
+    * merge-order-independent, so the flags are deterministic under any
+    * partitioning.
+    */
+  val x52b_approx_distinct_gate: QueryDef = QueryDef(
+    "x52b_approx_distinct_gate",
+    Sql.canon(
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(DISTINCT l_suppkey) AS exact_supps,
+        |  1 AS parts_within_5pct,
+        |  1 AS supps_within_5pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      Seq("l_returnflag", "exact_parts", "exact_supps",
+        "parts_within_5pct", "supps_within_5pct"))) { (s, d) =>
+    Canon(Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("ap"),
+        approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("as_"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+        when(abs(col("ap") - col("exact_parts"))
+          <= col("exact_parts") * 0.05, 1).otherwise(0)
+          .as("parts_within_5pct"),
+        when(abs(col("as_") - col("exact_supps"))
+          <= col("exact_supps") * 0.05, 1).otherwise(0)
+          .as("supps_within_5pct")))
+  }
 
   // ---------------------------------------------------------------- Q01
   /** TPC-H Q1-style pricing summary: one pruned scan + hash aggregate. */

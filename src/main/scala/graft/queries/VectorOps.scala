@@ -18,7 +18,8 @@ object VectorOps {
   def defs: Seq[QueryDef] =
     Seq(q33, q35, x42_embed_neardup, x42b_embed_neardup_cell,
       x42c_embed_neardup_auto, x43_ann_lsh,
-      x43b_ann_ivf, x51_multimodal_features, x79_media_meta,
+      x43b_ann_ivf, x51_multimodal_features, x51b_feature_stats,
+      x79_media_meta,
       x89_semantic_dedup, x93_ann_pq, x103_payload_phash,
       x104_payload_neardup, x104b_payload_dupedges, x107_frame_phash,
       x108_video_neardup, x109_incremental_payload_neardup,
@@ -72,6 +73,41 @@ object VectorOps {
       Canon(feats.select(col("media_id"), col("kind"),
         round(sqrt(norm2(col("feature"))), 4).as("feature_norm")))
     }
+
+  /** x51's oracle seat — the x45/x104 replay device: per-kind aggregates
+    * of the feature relation, with the DuckDB side replaying the SAME
+    * aggregates over the x51 output the SAME Verify run persisted. The
+    * decode kernel stays outside the oracle (property-tested), but the
+    * Spark-side plumbing x51 exists to prove — one feature row per media
+    * row, ids distinct, norms finite and reproducible — is now
+    * hash-checked instead of rows-only: any drift between two evaluations
+    * of the extraction pipeline (or a norm that went NaN) breaks the
+    * match. Sum of the 4dp-rounded norms is integer-scaled (exact, order
+    * independent) on both sides.
+    */
+  val x51b_feature_stats: QueryDef = QueryDef(
+    "x51b_feature_stats",
+    Sql.canon(
+      s"""SELECT kind, COUNT(*) AS n,
+         |  COUNT(DISTINCT media_id) AS n_media,
+         |  ${Sql.scaledSum("feature_norm", 10000L)} AS sum_norm,
+         |  MIN(feature_norm) AS min_norm,
+         |  MAX(feature_norm) AS max_norm
+         |FROM read_parquet('__VERIFY_OUT__/x51_multimodal_features/*.parquet')
+         |GROUP BY kind""".stripMargin,
+      Seq("kind", "n", "n_media", "sum_norm", "min_norm", "max_norm"))) { (s, d) =>
+    import graft.operators.Multimodal
+    val feats = Multimodal.extractFeatures(
+      Multimodal.syntheticMedia(Tables.documents(s, d)))
+      .select(col("media_id"), col("kind"),
+        round(sqrt(norm2(col("feature"))), 4).as("feature_norm"))
+    Canon(feats.groupBy(col("kind")).agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("media_id")).as("n_media"),
+      Canon.scaledSum(col("feature_norm"), 10000L).as("sum_norm"),
+      min(col("feature_norm")).as("min_norm"),
+      max(col("feature_norm")).as("max_norm")))
+  }
 
   // ------------------------------------------------------------- x103/x104
   /** Payload perceptual fingerprints (dHash over the binary column) —
