@@ -480,4 +480,57 @@ class MultimodalSpec extends SparkSpec {
         assert(acc.value > 0, "votes lost without any counted bucket drop")
     } finally { lms.unpersist(); () }
   }
+
+  test("COMPOSED partial-overlap recovery: identity stage finds 0 planted clips, the landmark stage finds all at exact offsets") {
+    // the PartialOverlapProbe device at fixture size, through the FULL
+    // composed production posture (identity grouping → components →
+    // matcher on the residual) — regression-gates the round-14 scale
+    // measurement's mechanism: an embedded clip is invisible to payload
+    // identity (dHash far) and recoverable ONLY by offset-coherent voting
+    def junk(id: Long, len: Int): Array[Byte] = Array.tabulate(len)(i =>
+      ((((i + 131) * 40503L + id * 2654435761L) >> 3) & 0xff).toByte)
+    val base = media.filter(col("kind") === "audio")
+      .orderBy(length(col("content")).desc, col("media_id")).limit(8)
+      .select("media_id", "kind", "content", "meta").as[
+        (Long, String, Array[Byte], Multimodal.MediaMeta)].collect()
+    val plantedIds = base.take(2).map(_._1 + 40000000L).toSet
+    val plants = base.take(2).map { case (id, k, c, m) =>
+      // hop-aligned prefix (hop 4) — landmarks align at −prefix/4 windows
+      (id + 40000000L, k, junk(id, 400) ++ c, m)
+    }
+    val all = spark.createDataFrame((base ++ plants).toSeq)
+      .toDF("media_id", "kind", "content", "meta")
+    // stage 1: identity MUST see nothing for the planted pairs
+    val edges = Multimodal.payloadDupEdges(all)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+    val comp = Components.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    plants.foreach { case (pid, _, _, _) =>
+      val oid = pid - 40000000L
+      assert(!(comp.contains(pid) && comp.contains(oid) &&
+        comp(pid) == comp(oid)),
+        s"identity stage matched the planted clip $pid — premise broken")
+    }
+    // stage 2 on the residual: both planted pairs recovered, offset −100
+    val residual = all.select("media_id")
+      .join(spark.createDataset(comp.toSeq).toDF("media_id", "rep"),
+        Seq("media_id"), "left")
+      .select(coalesce(col("rep"), col("media_id")).as("media_id"))
+      .distinct()
+    val lms = Multimodal.audioFingerprints(all, triples = true)
+      .join(residual, Seq("media_id"), "left_semi")
+    val pairs = Multimodal.audioNearDups(lms, maxPerHash = 128)
+      .collect().map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"),
+        r.getAs[Int]("best_off")))
+    plantedIds.foreach { pid =>
+      val oid = pid - 40000000L
+      val hit = pairs.find(p => (p._1 == oid && p._2 == pid) ||
+        (p._1 == pid && p._2 == oid))
+      assert(hit.isDefined, s"landmark stage missed planted clip $pid: " +
+        pairs.mkString(", "))
+      val expOff = if (hit.get._1 == oid) -100 else 100
+      assert(hit.get._3 == expOff,
+        s"clip $pid matched at offset ${hit.get._3}, expected $expOff")
+    }
+  }
 }
