@@ -47,6 +47,36 @@ object TextAnalysis {
     docs.select(col(idCol), pred.as("pred_lang"), mx.as("score"))
   }
 
+  /** Per-doc stopword statistics against the doc's OWN language profile —
+    * the Gopher-style quality rule ("a natural-language document contains
+    * stopwords; keyword soup does not"): token count, stopword token
+    * count (with multiplicity), their ratio, and the ≥2-stopwords gate.
+    * One codegen'd map-only scan (the profile map is a literal; the token
+    * filter runs as array HOFs inside the projection — no explode, no
+    * shuffle). Languages without a profile score 0 hits — the gate then
+    * fails, the production posture for unprofiled langs (route to manual
+    * review, don't silently admit).
+    */
+  def stopwordStats(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id",
+                    langCol: String = "lang"): DataFrame = {
+    val profMap = map(LangProfiles.flatMap { case (l, ws) =>
+      Seq(lit(l), array(ws.map(lit): _*))
+    }: _*)
+    val toks = filter(split(lower(col(textCol)), " "), t => length(t) > 0)
+    val prof = coalesce(element_at(profMap, col(langCol)),
+      array().cast("array<string>"))
+    docs.select(col(idCol), col(langCol),
+        size(toks).as("n_tokens"),
+        size(filter(toks, t => array_contains(prof, t))).as("n_stop"))
+      .select(col(idCol), col(langCol), col("n_tokens"), col("n_stop"),
+        when(col("n_tokens") === 0, lit(null).cast(DoubleType))
+          .otherwise(col("n_stop").cast(DoubleType) / col("n_tokens"))
+          .as("stop_ratio"),
+        when(col("n_stop") >= 2, 1).otherwise(0)
+          .as("passes_stopword_gate"))
+  }
+
   /** Winnowing fingerprints (Schleimer-Wilkerson-Aiken): hash every k-gram,
     * then keep the minimum hash of each sliding window of w consecutive
     * k-grams; the distinct kept hashes are the document's fingerprint set.

@@ -19,7 +19,8 @@ import graft.operators.Dedup
 object TextOps {
 
   def defs: Seq[QueryDef] =
-    Seq(q31, q32, q34, q34b, x40_minhash_lsh, x41_quality, x44_simhash,
+    Seq(q31, q32, q34, q34b, x40_minhash_lsh, x41_quality,
+      x41b_stopword_gate, x44_simhash,
       x45_simhash_neardup, x48_langid, x49_fingerprint, x50_bpe_tokens,
       x81_winnow_fps, x82_shared_spans, x84_dup_components, x85_dedup_resolve,
       x86_incremental_dedup, x95_unigram_lm, x97_bigram_lm, x99_dupgrams,
@@ -620,6 +621,43 @@ object TextOps {
         (col("n_punct").cast(DoubleType) / col("len")).as("punct_ratio"),
         (col("n_space").cast(DoubleType) / col("len")).as("space_ratio"),
         ((col("len") - col("n_space")).cast(DoubleType) / col("n_tok")).as("mean_tok_len")))
+  }
+
+  /** Stopword-ratio quality gate ([[graft.operators.TextAnalysis
+    * .stopwordStats]]) — the Gopher-style rule x41's battery lacked:
+    * per-doc token count, stopword hits against the doc's OWN language
+    * profile (multiplicity counted), their ratio, and the ≥2-stopwords
+    * gate. Map-only codegen'd scan (profile map is a literal, token
+    * filters are array HOFs — no explode, no shuffle); the oracle
+    * replays the profile as a CASE over the same lists, generated from
+    * the one [[graft.operators.TextAnalysis.LangProfiles]] source.
+    */
+  val x41b_stopword_gate: QueryDef = {
+    val caseArms = graft.operators.TextAnalysis.LangProfiles.map {
+      case (l, ws) =>
+        s"WHEN '$l' THEN [${ws.map(w => s"'$w'").mkString(", ")}]"
+    }.mkString(" ")
+    QueryDef(
+      "x41b_stopword_gate",
+      Sql.canon(
+        s"""SELECT doc_id, lang,
+           |  CAST(n_tok AS INT) AS n_tokens,
+           |  CAST(n_stop AS INT) AS n_stop,
+           |  CASE WHEN n_tok = 0 THEN NULL
+           |       ELSE CAST(n_stop AS DOUBLE) / n_tok END AS stop_ratio,
+           |  CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS passes_stopword_gate
+           |FROM (
+           |  SELECT doc_id, lang,
+           |    LEN(list_filter(string_split(LOWER(text), ' '),
+           |        t -> LENGTH(t) > 0)) AS n_tok,
+           |    LEN(list_filter(string_split(LOWER(text), ' '),
+           |        t -> LENGTH(t) > 0 AND list_contains(
+           |          CASE lang $caseArms ELSE [] END, t))) AS n_stop
+           |  FROM documents)""".stripMargin,
+        Seq("doc_id", "lang", "n_tokens", "n_stop", "stop_ratio",
+          "passes_stopword_gate"))) { (s, d) =>
+      Canon(graft.operators.TextAnalysis.stopwordStats(Tables.documents(s, d)))
+    }
   }
 
   // ---------------------------------------------------------------- x95

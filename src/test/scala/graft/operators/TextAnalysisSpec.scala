@@ -86,4 +86,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getInt(1) == 7, s"expected 7 tokens, got ${r.getInt(1)}")
     assert(r.getInt(2) == 7)
   }
+
+  test("stopwordStats scores against the doc's OWN language profile with multiplicity") {
+    val docs = Seq(
+      (1L, "The cat and the dog", "en"),   // the×2 + and = 3 stop / 5 toks
+      (2L, "the cat and the dog", "de"),   // en stopwords, de profile -> 0
+      (3L, "keyword soup spark parquet", "en"), // natural-text gate fails
+      (4L, "", "en"),                      // empty -> 0 tokens, null ratio
+      (5L, "der hund ist nicht da", "xx")  // unprofiled lang -> 0 hits
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.stopwordStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        r.getInt(5)))).toMap
+    assert(got(1L) == ((5, 3, Some(3.0 / 5), 1)), got(1L).toString)
+    assert(got(2L) == ((5, 0, Some(0.0), 0)), got(2L).toString)
+    assert(got(3L) == ((4, 0, Some(0.0), 0)), got(3L).toString)
+    assert(got(4L) == ((0, 0, None, 0)), got(4L).toString)
+    assert(got(5L) == ((5, 0, Some(0.0), 0)), got(5L).toString)
+  }
 }
