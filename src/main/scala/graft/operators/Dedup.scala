@@ -596,6 +596,17 @@ object Dedup {
 
   /** Shared tail of the removal twins: duplicated-gram set → per-doc
     * sorted hit positions → map-only rewrite over ALL docs.
+    *
+    * COST SHAPE, measured (DupDensityProbe, BASELINE round-14): the gram
+    * relation `g` is derived twice — once for the dup set, once for the
+    * hits branch — so the removal's premium over the x99-shaped audit is
+    * ≈ one extra gram pass + the map-only rewrite, and is DUP-DENSITY-
+    * INDEPENDENT (x114 ≈ 2× x99 at 4% duplication and at ≈1.0 alike).
+    * What shrinks with density is the hits exchange's BYTES (dup-position
+    * payloads: 4% of corpus chars at 4% density vs corpus-sized at ≈1.0).
+    * The recompute-over-cache trade is deliberate: a cached gram explode
+    * is ~10 GB at local 100× and a spill monster at 100 TB, while the
+    * recompute is map-only work that scans parquet already in cache.
     */
   private def removeTail(docs: DataFrame, g: DataFrame, gramKey: String,
                          k: Int, minDocs: Int,
