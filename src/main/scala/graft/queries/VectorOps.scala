@@ -25,7 +25,7 @@ object VectorOps {
       x108_video_neardup, x109_incremental_payload_neardup,
       x110_payload_resolve, x111_audio_landmarks, x112_audio_neardup,
       x113_incremental_audio_probe, x116_incremental_video_probe,
-      x120_payload_decontaminate)
+      x120_payload_decontaminate, x121_resize_images)
 
   /** Oracle-checked half of the multimodal surface: the synthetic-media
     * metadata derivation and binary-column plumbing (payload byte length
@@ -107,6 +107,41 @@ object VectorOps {
       Canon.scaledSum(col("feature_norm"), 10000L).as("sum_norm"),
       min(col("feature_norm")).as("min_norm"),
       max(col("feature_norm")).as("max_norm")))
+  }
+
+  /** Image resize plumbing (x121) — the remaining multimodal verb from
+    * the brief (decode x51 / features x51b / frame-sample x107 / THIS):
+    * every image row resized to a fixed (w, h) through the batched
+    * typed-Dataset kernel ([[graft.operators.Multimodal.resizeImages]] —
+    * map-only, binary never shuffled), other kinds pass through
+    * untouched. The stub kernel truncates/zero-pads the payload to w·h
+    * bytes and rewrites the typed metadata, so the ENTIRE observable
+    * contract — per-row metadata rewrite, payload length, pass-through —
+    * is replayed by DuckDB directly from `documents` (the x79 device);
+    * the byte-level copy semantics are MultimodalSpec territory.
+    */
+  val x121_resize_images: QueryDef = QueryDef(
+    "x121_resize_images",
+    Sql.canon(
+      """SELECT media_id, kind,
+        |  CASE WHEN kind = 'image' THEN 64 ELSE w0 END AS width,
+        |  CASE WHEN kind = 'image' THEN 48 ELSE h0 END AS height,
+        |  CASE WHEN kind = 'image' THEN CAST(64 * 48 AS BIGINT)
+        |       ELSE n_bytes0 END AS n_bytes
+        |FROM (
+        |  SELECT doc_id AS media_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |    CAST(n_chars % 640 + 1 AS INT) AS w0,
+        |    CAST(n_chars % 480 + 1 AS INT) AS h0,
+        |    CAST(STRLEN(text) AS BIGINT) AS n_bytes0
+        |  FROM documents)""".stripMargin,
+      Seq("media_id", "kind", "width", "height", "n_bytes"))) { (s, d) =>
+    import graft.operators.Multimodal
+    Canon(Multimodal.resizeImages(
+        Multimodal.syntheticMedia(Tables.documents(s, d)), 64, 48)
+      .select(col("media_id"), col("kind"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        length(col("content")).cast("long").as("n_bytes")))
   }
 
   // ------------------------------------------------------------- x103/x104
