@@ -52,7 +52,10 @@ object Pq {
             iters: Int = 4, sampleSize: Int = 256): Codebooks = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val ds = dim / m
+    // null vectors cannot train codebooks — drop at ingress (the
+    // Similarity quantizer guard's twin)
     val sample: Array[Array[Double]] = corpus
+      .filter(col("embedding").isNotNull)
       .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
       .limit(sampleSize)
       .select("embedding")
@@ -233,10 +236,12 @@ object Pq {
     * scales where raw ADC@10 measures 0.55 on the near-isotropic corpus
     * (the quantization worst case).
     */
-  def pqTopKRefined(corpus: DataFrame, queries: DataFrame, k: Int,
+  def pqTopKRefined(corpus0: DataFrame, queries: DataFrame, k: Int,
                     shortlist: Int = 0, dim: Int = 64, m: Int = 16,
                     ksub: Int = 32, iters: Int = 4,
                     sampleSize: Int = 512): DataFrame = {
+    // null-vector rows can't be encoded or scored — drop at ingress
+    val corpus = corpus0.filter(col("embedding").isNotNull)
     val sl = if (shortlist > 0) shortlist
              else derivedShortlist(corpus.count())
     val cb = train(corpus, dim, m, ksub, iters, sampleSize)

@@ -150,7 +150,11 @@ object Similarity {
     // quality bar. Default false: the serving IVF (x43b) trains tiny
     // nlists where the exact full-corpus pass is cheap and its recall
     // numbers are pinned.
-    val sampleDf = corpus.orderBy(order: _*).limit(sampleSize).select("embedding")
+    // null vectors cannot train a quantizer — drop at ingress (production
+    // routes embedding-less rows to dead-letter; a null array NPEs the
+    // collect below otherwise)
+    val sampleDf = corpus.filter(col("embedding").isNotNull)
+      .orderBy(order: _*).limit(sampleSize).select("embedding")
     if (lloydOverSample) sampleDf.persist()
     val sample: Array[Array[Double]] = sampleDf.collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
@@ -312,7 +316,9 @@ object Similarity {
                            cents: Array[Array[Double]],
                            nprobe: Int = 4): DataFrame = {
     if (cents.isEmpty) return bruteForceTopK(corpus, queries, k) // empty corpus
-    val assigned = assignCells(corpus, cents)
+    // null-vector rows can't be assigned a cell (or scored) — drop at
+    // ingress, mirroring the quantizer-training guard
+    val assigned = assignCells(corpus.filter(col("embedding").isNotNull), cents)
     val probes = probeCells(queries, cents, nprobe)
     val scored = assigned.join(broadcast(probes), "cell")
       .withColumn("cos_sim", cosine(col("embedding"), col("qe")))
@@ -544,10 +550,11 @@ object Similarity {
     * BEFORE the cut and ties broken (cos desc, id_a asc, id_b asc), same as
     * the SQL oracle.
     */
-  def topPairsByLabel(emb: Dataset[(Long, Int, Array[Float])], k: Int,
+  def topPairsByLabel(emb0: Dataset[(Long, Int, Array[Float])], k: Int,
                       targetChunk: Int = 2048): DataFrame = {
-    val spark = emb.sparkSession
+    val spark = emb0.sparkSession
     import spark.implicits._
+    val emb = emb0.filter(_._3 != null) // null vectors: no similarity seat
     chunkPairTasks(emb, targetChunk)
       .groupByKey(_._1)
       .flatMapGroups { (key: (Int, Int, Int), it: Iterator[((Int, Int, Int), (Long, Boolean, Array[Float]))]) =>
@@ -589,13 +596,14 @@ object Similarity {
     * co-resident in two shared cells produces (kernel scores are
     * deterministic, so duplicates are bit-equal).
     */
-  def cellBoundedTopPairs(emb: Dataset[(Long, Int, Array[Float])], k: Int,
+  def cellBoundedTopPairs(emb0: Dataset[(Long, Int, Array[Float])], k: Int,
                           cents: Array[Array[Double]], probes: Int = 2,
                           targetChunk: Int = 256,
                           coarseProbes: Int = 8,
                           twoLevelThreshold: Int = 512): DataFrame = {
-    val spark = emb.sparkSession
+    val spark = emb0.sparkSession
     import spark.implicits._
+    val emb = emb0.filter(_._3 != null) // null vectors: no similarity seat
     if (cents.isEmpty) return topPairsByLabel(emb, k, targetChunk)
     val nlist = cents.length
     val p = math.min(math.max(probes, 1), nlist)
@@ -685,11 +693,12 @@ object Similarity {
     * (16/9 over probes=3, still linear); at derived nlist in the hundreds
     * that insurance is orders of magnitude below the cell dividend.
     */
-  def cellBoundedTopPairsAuto(emb: Dataset[(Long, Int, Array[Float])], k: Int,
+  def cellBoundedTopPairsAuto(emb0: Dataset[(Long, Int, Array[Float])], k: Int,
                               targetCellSize: Int = 128, probes: Int = 4,
                               kmeansIters: Int = 3,
                               targetChunk: Int = 256): DataFrame = {
     require(targetCellSize >= 1, s"targetCellSize must be >= 1")
+    val emb = emb0.filter(_._3 != null) // null vectors: no similarity seat
     val n = emb.count()
     val nlist = math.max(8L, (n + targetCellSize - 1) / targetCellSize).toInt
     // 8 training points per derived cell (FAISS-order density), bounded:

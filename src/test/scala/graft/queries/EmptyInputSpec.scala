@@ -56,4 +56,34 @@ class EmptyInputSpec extends SparkSpec {
       assert(n >= 0)
     }
   }
+
+  // null-payload twins: a single documents row whose text is NULL and a
+  // single embeddings row whose vector is NULL — the edge the other two
+  // batteries cannot reach (kernels and HOFs must null-propagate, not
+  // NPE; at 100 TB a crawl shard with null bodies is routine)
+  private lazy val nullPayloadDir: String = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nullpay").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      val one = spark.read.parquet(s"$Sf/$t.parquet").limit(1)
+      val out = t match {
+        case "documents" =>
+          one.withColumn("text", lit(null).cast("string"))
+        case "embeddings" =>
+          one.withColumn("embedding", lit(null).cast("array<float>"))
+        case _ => one
+      }
+      out.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  SparkEntry.queries.keys.filterNot(skip).foreach { name =>
+    test(s"$name runs on null-payload tables") {
+      val n = SparkEntry.queries(name)(spark, nullPayloadDir).count()
+      assert(n >= 0)
+    }
+  }
 }
