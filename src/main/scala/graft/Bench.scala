@@ -28,6 +28,17 @@ object Bench {
       b.result()
     } catch { case _: Exception => Map.empty }
 
+  /** Entries whose expensive train step hits a session memo
+    * (Bpe.trainCached warmed up front; UnigramLm.trainCached warmed by
+    * run 1), so their medians are STEADY-STATE numbers — annotated in the
+    * artifact so cross-round readers know the training cost is excluded,
+    * the same way producer timing is annotated (ADVICE round-14).
+    */
+  private[graft] val memoWarm = Seq(
+    "x105_bpe_train", "x106_bpe_encode", "x87b_token_budget_bpe",
+    "x69b_pack_bpe", "x115_percentile_gate", "x117_curation_v3",
+    "x119_nll_quantiles")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -152,7 +163,22 @@ object Bench {
       }.sorted
       times(runs / 2)
     }
-    val firstPass = SparkEntry.queries.map { case (name, fn) =>
+    // GRAFT_BENCH_ONLY: comma-separated entry names — a subset bench in a
+    // fresh JVM is the registry-growth/JIT forensics device (round 15);
+    // unknown names are reported, not silently dropped
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(s"[bench] GRAFT_BENCH_ONLY names not in the " +
+          s"registry (ignored): ${unknown.toSeq.sorted.mkString(",")}")
+    }
+    val benchEntries = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val firstPass = benchEntries.map { case (name, fn) =>
       name -> medianTime(name, fn)
     }
     // Requalification pass: a co-tenant box inflates individual queries
@@ -218,12 +244,18 @@ object Bench {
         "start — timings on this box are only comparable near-zero load; " +
         "treat regressions as noise until reproduced quiet (this run's " +
         "artifact is stamped load_quiet:false)")
+    // memo-warm annotation (see [[memoWarm]]): these medians exclude the
+    // memoized train step by design — recorded so cross-round comparisons
+    // read them as steady-state, like producer timing
+    val memoWarmJson = memoWarm.filter(results.contains)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
         s""","load_start":$loadStart,"load_end":$loadEnd""" +
         s""","load_quiet":${loadStart >= 0 && loadStart <= 0.5}""" +
         s""","requalified":$requalJson,"load_requal":$loadRequal""" +
         s""","n_queries":${results.size}""" +
+        s""","memo_warm":$memoWarmJson""" +
         s""","cpus":$cpus,"machine_cpus":${Runtime.getRuntime.availableProcessors}}"""
     // the one-line stdout contract for the driver: SAME object shape as
     // bench/last_run.json but ms-rounded values and requalified names
@@ -261,6 +293,20 @@ object Bench {
       java.nio.file.Files.writeString(dir.resolve("last_run.json"), json + "\n")
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write bench/last_run.json: ${e.getMessage}")
+    }
+    // CodeHeap occupancy at run end: the round-12 diffuse drift was JIT
+    // code-cache sweeping (fixed at 512m) — logging the end-state keeps
+    // that mechanism checkable against any future drift claim (round-15)
+    {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .foreach { p =>
+          val u = p.getUsage
+          System.err.println(f"[bench] ${p.getName}: " +
+            f"${u.getUsed / 1048576.0}%.1f MiB used / " +
+            f"${u.getMax / 1048576.0}%.1f MiB max")
+        }
     }
     spark.stop()
   }
