@@ -186,25 +186,78 @@ object UnigramLm {
     * the key does not fingerprint corpus CONTENT — within one application
     * a hit ignores later appends to `dir`; the model is frozen at
     * first-training time (the production posture: LM filters are
-    * versioned artifacts). Retrain = new application or [[invalidate]].
+    * versioned artifacts). Retrain = new application or [[invalidate]]
+    * (store-mutating callers invalidate their dir — the x86-family
+    * mutation verbs' posture; [[graft.server.TankServer.stop]] clears the
+    * lot). Two bounds close the round-14 hygiene nits:
+    *
+    *  - the memo is a 32-entry access-ordered LRU, so a long-lived server
+    *    session training many corpora cannot accumulate driver-resident
+    *    vocab rows without end (each entry is already bounded by
+    *    `vocabCap` when set);
+    *  - a memo HIT through [[selfScoreCached]] (the strict-frame path
+    *    every registry consumer uses) asserts the caller's
+    *    training-relation SCHEMA equals the one the model was trained
+    *    on — the key deliberately skips a content fingerprint (that
+    *    would re-scan the corpus and defeat the memo), so an aliased
+    *    (dir, variant) passing a differently-derived frame fails loudly
+    *    instead of silently sharing one model. [[trainCached]]'s by-name
+    *    thunk stays UNEVALUATED on a hit (its own spec-pinned contract),
+    *    so the guard cannot run there.
     */
-  private val models = new java.util.concurrent.ConcurrentHashMap[
-    String, (Array[org.apache.spark.sql.Row], StructType,
-             Array[org.apache.spark.sql.Row], StructType)]()
+  private final case class Memo(docsSchema: StructType,
+                                vocabRows: Array[org.apache.spark.sql.Row],
+                                vocabSchema: StructType,
+                                scalarRows: Array[org.apache.spark.sql.Row],
+                                scalarSchema: StructType)
+
+  private val MaxModels = 32
+
+  private val models = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Memo](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Memo]): Boolean = size() > MaxModels
+    })
 
   def trainCached(spark: org.apache.spark.sql.SparkSession, dir: String,
                   variant: String, docs: => DataFrame,
                   minLen: Int = MinTokenLen,
-                  vocabCap: Option[Int] = None): (DataFrame, DataFrame) = {
+                  vocabCap: Option[Int] = None): (DataFrame, DataFrame) =
+    trainCachedImpl(spark, dir, variant, docs, minLen, vocabCap, None)
+
+  private def trainCachedImpl(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, variant: String,
+                              docs: => DataFrame, minLen: Int,
+                              vocabCap: Option[Int],
+                              callerSchema: Option[StructType])
+      : (DataFrame, DataFrame) = {
     val key = spark.sparkContext.applicationId + "|" +
       new java.io.File(dir).getAbsolutePath + "|" + variant + "|" + minLen +
       "|" + vocabCap.getOrElse(-1)
-    val (vr, vs, sr, ss) = models.computeIfAbsent(key, _ => {
-      val (vocab, scalars) = train(docs, minLen, vocabCap)
-      (vocab.collect(), vocab.schema, scalars.collect(), scalars.schema)
-    })
-    (spark.createDataFrame(java.util.Arrays.asList(vr: _*), vs),
-      spark.createDataFrame(java.util.Arrays.asList(sr: _*), ss))
+    val hit = models.get(key)
+    val m = if (hit != null) {
+      // cheapest observable that catches (dir, variant) aliasing — only
+      // available on the strict-frame path (selfScoreCached); the by-name
+      // path never evaluates its thunk on a hit
+      callerSchema.foreach(cs => require(cs == hit.docsSchema,
+        s"UnigramLm memo hit for ($dir, $variant) with a training " +
+          s"relation of different schema — two call sites are aliasing " +
+          s"one (dir, variant) key; pick distinct variant strings. " +
+          s"memoized=${hit.docsSchema.simpleString} " +
+          s"caller=${cs.simpleString}"))
+      hit
+    } else {
+      val frame = docs
+      val (vocab, scalars) = train(frame, minLen, vocabCap)
+      val v = Memo(frame.schema, vocab.collect(), vocab.schema,
+        scalars.collect(), scalars.schema)
+      models.put(key, v)
+      v
+    }
+    (spark.createDataFrame(
+        java.util.Arrays.asList(m.vocabRows: _*), m.vocabSchema),
+      spark.createDataFrame(
+        java.util.Arrays.asList(m.scalarRows: _*), m.scalarSchema))
   }
 
   /** [[selfScore]] through the memo: train-on/score-on the same relation,
@@ -214,9 +267,23 @@ object UnigramLm {
                       variant: String, docs: DataFrame,
                       minLen: Int = MinTokenLen,
                       vocabCap: Option[Int] = None): DataFrame = {
-    val (vocab, scalars) = trainCached(spark, dir, variant, docs, minLen, vocabCap)
+    val (vocab, scalars) = trainCachedImpl(spark, dir, variant, docs,
+      minLen, vocabCap, Some(docs.schema))
     score(docs, vocab, scalars, minLen)
   }
 
   private[graft] def invalidate(): Unit = models.clear()
+
+  private[graft] def memoSize: Int = models.size()
+
+  /** Drop every memoized model trained over `dir` (all variants/params) —
+    * the hook a store-mutating verb calls so a post-append retrain sees
+    * the new content (UnigramLmSpec gates the retrain).
+    */
+  private[graft] def invalidate(dir: String): Unit = {
+    val seg = "|" + new java.io.File(dir).getAbsolutePath + "|"
+    models.synchronized {
+      models.keySet.removeIf(_.contains(seg)): Unit
+    }
+  }
 }

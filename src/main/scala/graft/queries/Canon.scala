@@ -47,9 +47,17 @@ object Canon {
     * session's CacheManager holds no net entries per invocation
     * (CompositionSpec gates exactly that).
     */
-  def materialize(df: DataFrame): DataFrame = {
-    val rows = java.util.Arrays.asList(df.collect(): _*)
-    df.sparkSession.createDataFrame(rows, df.schema)
+  def materialize(df: DataFrame, maxRows: Int = 100000): DataFrame = {
+    val rows = df.collect()
+    // defensive cap (ADVICE round-14): this collects to the DRIVER and is
+    // only for group-cardinality-sized final frames — a corpus-sized call
+    // must fail loudly, not OOM the driver
+    require(rows.length <= maxRows,
+      s"Canon.materialize collected ${rows.length} rows (max $maxRows): " +
+        "this helper is for bounded per-group final frames only — a " +
+        "corpus-sized relation must stay distributed")
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
   }
 
   /** Exact sum of a 2-decimal money column: sum(round(x*100)::long)/100.0. */

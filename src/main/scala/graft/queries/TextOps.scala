@@ -633,9 +633,13 @@ object TextOps {
     * the one [[graft.operators.TextAnalysis.LangProfiles]] source.
     */
   val x41b_stopword_gate: QueryDef = {
+    // profile words interpolate into single-quoted SQL literals — escape
+    // quotes so a future profile with apostrophes (French elisions) can't
+    // silently break the generated oracle (ADVICE round-14)
+    def sq(v: String): String = s"'${v.replace("'", "''")}'"
     val caseArms = graft.operators.TextAnalysis.LangProfiles.map {
       case (l, ws) =>
-        s"WHEN '$l' THEN [${ws.map(w => s"'$w'").mkString(", ")}]"
+        s"WHEN ${sq(l)} THEN [${ws.map(sq).mkString(", ")}]"
     }.mkString(" ")
     QueryDef(
       "x41b_stopword_gate",

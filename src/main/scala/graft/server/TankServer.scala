@@ -61,7 +61,14 @@ final class TankServer(spark: SparkSession, cfg: StoreConfig,
     server.getAddress.getPort
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    // session-memo hygiene: a stopped server releases its trained-model
+    // memos (UnigramLm/Bpe are keyed per application and otherwise live
+    // for the JVM — the round-14 unbounded-session-state nit)
+    graft.operators.UnigramLm.invalidate()
+    graft.operators.Bpe.invalidate()
+  }
 
   /** Co-located streaming ingest (the reference's poll-dir file runner,
     * FileWaitGroup.kt:19-73, as a Structured Streaming file source writing

@@ -104,4 +104,57 @@ class UnigramLmSpec extends SparkSpec {
     assert(s2.collect().head.getLong(0) == 2L)
     UnigramLm.invalidate()
   }
+
+  test("invalidate(dir): a post-append retrain sees the new content; other dirs keep their memo") {
+    UnigramLm.invalidate()
+    val dirA = java.nio.file.Files.createTempDirectory("graft-lminv-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-lminv-b").toString
+    val before = docs(1L -> "alpha beta alpha")
+    val after = docs(1L -> "alpha beta alpha", 2L -> "newword newword")
+    val (v0, _) = UnigramLm.trainCached(spark, dirA, "t", before)
+    assert(v0.collect().map(_.getString(0)).toSet == Set("alpha", "beta"))
+    UnigramLm.trainCached(spark, dirB, "t", before): Unit
+    // frozen-at-first-training: same key ignores the appended corpus
+    val (v1, _) = UnigramLm.trainCached(spark, dirA, "t", after)
+    assert(v1.collect().map(_.getString(0)).toSet == Set("alpha", "beta"),
+      "memo hit must return the frozen model")
+    // the store-mutation hook: dirA's models drop, dirB's survive
+    UnigramLm.invalidate(dirA)
+    val (v2, _) = UnigramLm.trainCached(spark, dirA, "t", after)
+    assert(v2.collect().map(_.getString(0)).toSet ==
+      Set("alpha", "beta", "newword"),
+      "post-invalidate retrain must see appended content")
+    val (vB, _) = UnigramLm.trainCached(spark, dirB, "t",
+      sys.error("dirB memo lost by invalidate(dirA)"))
+    assert(vB.collect().map(_.getString(0)).toSet == Set("alpha", "beta"))
+    UnigramLm.invalidate()
+  }
+
+  test("selfScoreCached memo hit fails loudly when an aliased (dir, variant) passes a different-schema relation") {
+    UnigramLm.invalidate()
+    val dir = java.nio.file.Files.createTempDirectory("graft-lmalias").toString
+    val corpus = docs(1L -> "alpha beta alpha", 2L -> "beta beta")
+    UnigramLm.selfScoreCached(spark, dir, "t", corpus).collect(): Unit
+    val derived = corpus.withColumn("lang", lit("en"))
+    val e = intercept[IllegalArgumentException] {
+      UnigramLm.selfScoreCached(spark, dir, "t", derived).collect()
+    }
+    assert(e.getMessage.contains("aliasing"), e.getMessage)
+    UnigramLm.invalidate()
+  }
+
+  test("the model memo is a bounded LRU") {
+    UnigramLm.invalidate()
+    val dir = java.nio.file.Files.createTempDirectory("graft-lmlru").toString
+    val corpus = docs(1L -> "alpha beta")
+    (0 until 40).foreach { i =>
+      UnigramLm.trainCached(spark, dir, s"v$i", corpus): Unit
+    }
+    assert(UnigramLm.memoSize <= 32,
+      s"memo grew past its bound: ${UnigramLm.memoSize}")
+    // most-recent variants survive (access-ordered eviction)
+    UnigramLm.trainCached(spark, dir, "v39",
+      sys.error("recent entry evicted")): Unit
+    UnigramLm.invalidate()
+  }
 }
