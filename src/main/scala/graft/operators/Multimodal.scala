@@ -634,6 +634,92 @@ object Multimodal {
       .distinct()
   }
 
+  /** One matcher-input member per DISTINCT fingerprint set per
+    * identity component — the stage-2 input form that keeps
+    * partial-overlap pairs anchored on ABSORBED members matchable.
+    *
+    * Why this exists: payload-identity clustering ([[payloadDupEdges]] →
+    * x110 components) absorbs dHash-close members whose frame/landmark
+    * sets DIVERGE (at clique density the chains even span unrelated
+    * payloads), and a residual-only matcher then sees only the
+    * representative's set — measured at 100× clique density as 106/106
+    * full-panel video misses (PartialOverlapProbe, BASELINE round-14).
+    * The three candidate forms, measured at 100× clique density
+    * (PartialOverlapProbe video full-panel recall / iso):
+    *  - residual-only (round ≤14): 0.588 — loses every pair on an
+    *    absorbed member;
+    *  - [[componentFingerprintUnion]]: 0.4553 / 0.75 — Jaccard's
+    *    set-size denominator becomes union-sized, which at clique
+    *    density DILUTES true pairs below the cut (the union is the
+    *    right form for the AUDIO axis, whose vote/coverage score is
+    *    intersection-based — see its scaladoc);
+    *  - THIS form: 0.9650 / 1.000.
+    * It keeps PER-MEMBER sets — x108 semantics and denominators
+    * exactly — but keeps only the min-id member of each (component,
+    * set-signature) group: true replicas (identical sets, the actual
+    * dup mass) collapse to one probe row, while divergent absorbed
+    * members survive as themselves. Matcher pairs then roll up to
+    * components downstream (pair-EXISTS feeds [[Components]], so a hit
+    * on ANY kept member resolves the pair — max-linkage).
+    *
+    * Plan: one map-combined per-media aggregate over the fingerprint
+    * relation (two independent order-free XOR set hashes + the row
+    * count), a component-keyed min, and a semi-join back — no payload
+    * re-read, all exchanges fingerprint-sized.
+    *
+    * `components` is the (node, component) relation from
+    * [[Components.connectedComponents]] over the identity edges (x110's
+    * map — clustered nodes only; singletons are their own group).
+    */
+  /** Per-component fingerprint UNION: every member's rows re-key to its
+    * component id, DISTINCT across members — the composed-posture
+    * default for the AUDIO axis (see [[componentSetRepresentatives]] for
+    * the per-axis measurement story). Tuple-level distinct collapses the
+    * near-duplicate mass gracefully: clustered dHash-close tracks share
+    * most (lhash, t) tuples exactly (same byte layout ⇒ same window
+    * grid), so bucket populations stay component-granular while an
+    * absorbed member's divergent landmarks remain matchable under the
+    * component's key. Offset-coherent voting survives the union because
+    * member timelines within a payload-identity cluster are aligned.
+    *
+    * Measured at 100× clique density (PartialOverlapProbe, round 15):
+    * audio composed recall 0.9899+ (iso 1.000) vs 0.971 residual-only
+    * and 0.8674 set-representatives (whose per-member bucket population
+    * saturates the landmark hash space — 27M capped drops). For VIDEO
+    * the ranking inverts — Jaccard's set-size denominator dilutes under
+    * a union (0.4553) — so the frame axis uses set-representatives.
+    */
+  def componentFingerprintUnion(fps: DataFrame,
+                                components: DataFrame): DataFrame = {
+    val comp = components
+      .select(col("node").as("media_id"), col("component"))
+    val rest = fps.columns.filter(_ != "media_id").map(col)
+    fps.join(comp, Seq("media_id"), "left")
+      .select(coalesce(col("component"), col("media_id")).as("media_id") +:
+        rest.toSeq: _*)
+      .distinct()
+  }
+
+  def componentSetRepresentatives(fps: DataFrame,
+                                  components: DataFrame): DataFrame = {
+    val comp = components
+      .select(col("node").as("media_id"), col("component"))
+    val rest = fps.columns.filter(_ != "media_id").map(col)
+    val sigs = fps
+      .join(comp, Seq("media_id"), "left")
+      .withColumn("_rep", coalesce(col("component"), col("media_id")))
+      .groupBy(col("media_id"), col("_rep"))
+      .agg(expr(s"bit_xor(xxhash64(${rest.map(_.toString).mkString(", ")}))")
+          .as("_s1"),
+        expr(s"bit_xor(xxhash64(7, ${rest.map(_.toString).mkString(", ")}))")
+          .as("_s2"),
+        count(lit(1)).as("_n"))
+    val keep = sigs.groupBy(col("_rep"), col("_s1"), col("_s2"), col("_n"))
+      .agg(min(col("media_id")).as("media_id"))
+      .select("media_id")
+    fps.join(keep, Seq("media_id"), "left_semi")
+  }
+
   /** Video-level near-dup pairs by sampled-frame fingerprint overlap — the
     * published video-dedup recipe (a video is its frame-hash SET; two
     * videos are near-dups when the sets overlap): exact-equality join on

@@ -12,11 +12,16 @@ import org.apache.spark.sql.functions._
   *  1. ingest   — synthetic media + re-encoded variants, written to
   *     parquet (the binary payload column through a real sink/scan).
   *  2. identity — x103 payload dHash → x104b linear dup edges → x110
-  *     components → one representative per identity cluster; residual =
-  *     representatives (the AudioPipelineProbe posture, all kinds).
-  *  3. residual matchers — x108 frame-overlap on the residual VIDEOS and
-  *     x112 landmark votes on the residual AUDIO (capped production
-  *     forms): the partial-match layer where identity cannot answer.
+  *     components → one representative per identity cluster (the
+  *     AudioPipelineProbe posture, all kinds).
+  *  3. cluster-aware matchers (the round-15 composed defaults, per-axis;
+  *     capped production forms) — x108 frame-overlap over one member per
+  *     DISTINCT frame set per component
+  *     ([[graft.operators.Multimodal.componentSetRepresentatives]]) and
+  *     x112 landmark votes over the per-component tuple-level union
+  *     ([[graft.operators.Multimodal.componentFingerprintUnion]]): the
+  *     partial-match layer where identity cannot answer, with absorbed
+  *     divergent members still matchable.
   *  4. resolve + summary — identity components ∪ both matcher pair
   *     relations → global components → final keepers; per-kind summary
   *     written as the artifact.
@@ -78,24 +83,35 @@ object MultimodalRehearsal {
       .select(col("media_id"), col("kind"),
         coalesce(col("component"), col("media_id")).as("rep"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val residual = media.join(
-        repOf.filter(col("media_id") === col("rep")).select("media_id"),
-        Seq("media_id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nResidual = residual.count()
+    val nResidual =
+      repOf.filter(col("media_id") === col("rep")).count()
 
-    // ---- stage 3: residual matchers (video frames, audio landmarks)
+    // ---- stage 3: matchers over one member per DISTINCT fingerprint
+    // set per component (the round-15 composed default —
+    // Multimodal.componentSetRepresentatives): absorbed members with
+    // divergent sets stay matchable as themselves — the round-14
+    // residual form lost every partial-overlap pair anchored on one
+    // (PartialOverlapProbe: video full-panel 0.588 at 100×) — while
+    // true replicas collapse to one probe row; member-level pairs feed
+    // stage 4's components, where the identity edges subsume the roll-up
     val vPairs = timed("video") {
       val p = Multimodal.videoNearDups(
-        Multimodal.frameFingerprints(residual), maxPerHash = 64)
+        Multimodal.componentSetRepresentatives(
+          Multimodal.frameFingerprints(media), comp), maxPerHash = 64)
         .select(col("media_a"), col("media_b"))
       p.write.mode("overwrite").parquet(s"$work/video_pairs")
       spark.read.parquet(s"$work/video_pairs")
     }
     val aPairs = timed("audio") {
+      // AUDIO takes the tuple-level union (votes are intersection-based;
+      // per-member inputs saturate the landmark space — helper scaladocs)
+      // cap 256 at the composed layer: union buckets are component-
+      // granular but still clique-sized at scale (PartialOverlapProbe:
+      // 0.9966 vs 0.9899 at 128, 100×)
       val p = Multimodal.audioNearDups(
-        Multimodal.audioFingerprints(residual, window = 32, triples = true),
-        maxPerHash = 128)
+        Multimodal.componentFingerprintUnion(
+          Multimodal.audioFingerprints(media, window = 32, triples = true),
+          comp), maxPerHash = 256)
         .select(col("media_a"), col("media_b"))
       p.write.mode("overwrite").parquet(s"$work/audio_pairs")
       spark.read.parquet(s"$work/audio_pairs")

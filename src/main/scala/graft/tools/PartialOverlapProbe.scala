@@ -25,9 +25,20 @@ import org.apache.spark.storage.StorageLevel
   *    payload dHash is far; only x108's frame-set matcher can recover.
   *
   * Both axes run the full COMPOSED production posture (x103/x104b/x110
-  * identity grouping → components → matcher on the residual), so the
-  * measured recall includes any interference from identity clustering
-  * and hot-bucket caps at scale. Composed recall over planted pairs is
+  * identity grouping → components → stage-2 matcher with pairs rolled up
+  * to component ids). The matcher input is PER-AXIS (the round-15
+  * default, each measured best at 100× clique density — scaladocs on the
+  * two helpers carry the numbers): VIDEO matches one member per DISTINCT
+  * frame set per component
+  * ([[graft.operators.Multimodal.componentSetRepresentatives]] — union
+  * dilutes Jaccard's set-size denominator); AUDIO matches the
+  * per-component tuple-level union
+  * ([[graft.operators.Multimodal.componentFingerprintUnion]] — votes are
+  * intersection-based, and per-member inputs saturate the landmark hash
+  * space). Round-14's residual-representative form lost every pair
+  * anchored on an absorbed member whose set diverged from its
+  * representative's. The measured recall includes any interference from
+  * identity clustering and hot-bucket caps at scale. Composed recall over planted pairs is
   * GATED ≥ [[MinComposedRecall]] on the non-100× dirs (the 100× row is
   * reported for BASELINE.md); the identity stage's planted-hit count is
   * gated == 0 (otherwise the fixture premise broke and the row says
@@ -56,7 +67,9 @@ object PartialOverlapProbe {
   private def hammingU = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
 
   /** Identity stage shared by both axes: dup edges → components → rep
-    * map + residual ids. Returns (repOf, residualIds, wall).
+    * map + component map. Returns (repOf, components, wall) —
+    * `components` is the clustered-nodes-only (node, component) relation
+    * [[graft.operators.Multimodal.componentFingerprints]] consumes.
     */
   private def identityStage(all: DataFrame): (DataFrame, DataFrame, Double) = {
     import graft.operators.{Components, Multimodal}
@@ -64,15 +77,14 @@ object PartialOverlapProbe {
     val edges = Multimodal.payloadDupEdges(all, maxPerBucket = 64)
       .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
     val comp = Components.connectedComponents(edges)
-      .select(col("node").as("media_id"), col("component").as("rep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val repOf = all.select(col("media_id"))
-      .join(comp, Seq("media_id"), "left")
+      .join(comp.select(col("node").as("media_id"),
+        col("component").as("rep")), Seq("media_id"), "left")
       .select(col("media_id"), coalesce(col("rep"), col("media_id")).as("rep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val residualIds = repOf.select(col("rep").as("media_id")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    residualIds.count(): Unit
-    (repOf, residualIds, (System.nanoTime() - t0) / 1e9)
+    repOf.count(): Unit
+    (repOf, comp, (System.nanoTime() - t0) / 1e9)
   }
 
   /** Planted-pair panel with both reps attached: (pid, oid, rp, ro). */
@@ -81,6 +93,21 @@ object PartialOverlapProbe {
       .withColumn("oid", col("pid") - PlantIdOffset)
       .join(repOf.select(col("media_id").as("pid"), col("rep").as("rp")), "pid")
       .join(repOf.select(col("media_id").as("oid"), col("rep").as("ro")), "oid")
+
+  /** Matcher pairs rolled up to component ids (pair-EXISTS between
+    * components is what feeds the downstream resolution), both
+    * directions, as (x, y) — for the recall joins.
+    */
+  private def rolledUndirected(pairs: DataFrame, repOf: DataFrame): DataFrame = {
+    val rolled = pairs
+      .join(repOf.select(col("media_id").as("media_a"),
+        col("rep").as("_ra")), "media_a")
+      .join(repOf.select(col("media_id").as("media_b"),
+        col("rep").as("_rb")), "media_b")
+      .filter(col("_ra") =!= col("_rb"))
+    rolled.select(col("_ra").as("x"), col("_rb").as("y"))
+      .unionByName(rolled.select(col("_rb").as("x"), col("_ra").as("y")))
+  }
 
   /** dHash-far fraction over the planted pairs (premise telemetry). */
   private def dhashFarFrac(all: DataFrame, spark: SparkSession): Double = {
@@ -118,12 +145,23 @@ object PartialOverlapProbe {
     val nAll = all.count()
     val farFrac = dhashFarFrac(all, spark)
 
-    val (repOf, residualIds, wallId) = identityStage(all)
+    val (repOf, comp, wallId) = identityStage(all)
     val panel = plantedReps(plants, repOf)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // stage 2: landmark matching on the residual, production sizing
-    val win = Multimodal.autoAudioWindow(all)
+    // stage 2: landmark matching over the per-component tuple-level
+    // UNION — the audio composed default (see
+    // Multimodal.componentFingerprintUnion's measurement story; the
+    // round-14 full-panel misses were representative substitution),
+    // production sizing. GRAFT_PO_WINDOW / GRAFT_PO_AUDIO_CAP override
+    // the derived window / hot-bucket cap for sizing experiments.
+    val win = sys.env.get("GRAFT_PO_WINDOW").map(_.toInt)
+      .getOrElse(Multimodal.autoAudioWindow(all))
+    // composed-layer audio cap 256 (vs x112's registry 128): the union's
+    // buckets are component-granular but still clique-sized at 100×
+    // density — 256 keeps true pairs sampled (measured 0.9966 vs 0.9899
+    // at 128, BASELINE round-15)
+    val cap = sys.env.get("GRAFT_PO_AUDIO_CAP").map(_.toInt).getOrElse(256)
     val t1 = System.nanoTime()
     val lms = Multimodal.audioFingerprints(all, window = win, triples = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -138,21 +176,20 @@ object PartialOverlapProbe {
     val total = eligible.count()
     val idHits = eligible.filter(col("rp") === col("ro")).count()
 
-    val lmsRes = lms.join(residualIds, Seq("media_id"), "left_semi")
+    val lmsRes = Multimodal.componentFingerprintUnion(lms, comp)
       .persist(StorageLevel.MEMORY_AND_DISK)
     lmsRes.count(): Unit
     val acc = spark.sparkContext.longAccumulator("poDropsAudio")
     val t2 = System.nanoTime()
-    val pairs = Multimodal.audioNearDups(lmsRes, maxPerHash = 128,
+    val pairs = Multimodal.audioNearDups(lmsRes, maxPerHash = cap,
         droppedAcc = Some(acc))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nPairs = pairs.count()
     val wallMatch = (System.nanoTime() - t2) / 1e9
 
-    // pair-EXISTS recall between reps (pairs feed Components downstream)
-    val undirected = pairs
-      .select(col("media_a").as("x"), col("media_b").as("y"))
-      .unionByName(pairs.select(col("media_b").as("x"), col("media_a").as("y")))
+    // pair-EXISTS recall between COMPONENTS (matcher pairs roll up to
+    // reps before feeding Components downstream)
+    val undirected = pairs.transform(rolledUndirected(_, repOf))
     val lmHits = eligible.filter(col("rp") =!= col("ro"))
       .join(undirected, col("rp") === col("x") && col("ro") === col("y"),
         "left_semi").count()
@@ -198,7 +235,7 @@ object PartialOverlapProbe {
     if (gate) assert(recall >= MinComposedRecall,
       f"AUDIO PARTIAL-OVERLAP RECALL GATE FAILED at $d: " +
         f"$recall%.4f < $MinComposedRecall")
-    Seq(pairs, lmsRes, eligible, lms, panel, residualIds, repOf, all)
+    Seq(pairs, lmsRes, eligible, lms, panel, comp, repOf, all)
       .foreach(_.unpersist())
   }
 
@@ -237,7 +274,7 @@ object PartialOverlapProbe {
     val nPlants = nAll - nVideo
     val farFrac = dhashFarFrac(all, spark)
 
-    val (repOf, residualIds, wallId) = identityStage(all)
+    val (repOf, comp, wallId) = identityStage(all)
 
     val t1 = System.nanoTime()
     val framesAll = Multimodal.frameFingerprints(all)
@@ -255,8 +292,11 @@ object PartialOverlapProbe {
     val total = panel.count()
     val idHits = panel.filter(col("rp") === col("ro")).count()
 
-    val frames = framesAll
-      .join(residualIds, Seq("media_id"), "left_semi")
+    // one member per DISTINCT frame set per component (the composed-
+    // posture default since round 15): absorbed members with divergent
+    // sets stay matchable as themselves with x108's per-member Jaccard
+    // denominators; true replicas collapse to one probe row
+    val frames = Multimodal.componentSetRepresentatives(framesAll, comp)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nFrames = frames.count()
     val wallFr = (System.nanoTime() - t1) / 1e9
@@ -267,9 +307,7 @@ object PartialOverlapProbe {
     val nPairs = pairs.count()
     val wallMatch = (System.nanoTime() - t2) / 1e9
 
-    val undirected = pairs
-      .select(col("media_a").as("x"), col("media_b").as("y"))
-      .unionByName(pairs.select(col("media_b").as("x"), col("media_a").as("y")))
+    val undirected = pairs.transform(rolledUndirected(_, repOf))
     val frHits = panel.filter(col("rp") =!= col("ro"))
       .join(undirected, col("rp") === col("x") && col("ro") === col("y"),
         "left_semi").count()
@@ -299,10 +337,7 @@ object PartialOverlapProbe {
       // text-byte corpus's collapsed frame entropy) or matcher-bounded?
       val t3 = System.nanoTime()
       val pairsWide = Multimodal.videoNearDups(frames, maxPerHash = 256)
-      val undirW = pairsWide
-        .select(col("media_a").as("x"), col("media_b").as("y"))
-        .unionByName(pairsWide.select(col("media_b").as("x"),
-          col("media_a").as("y")))
+      val undirW = rolledUndirected(pairsWide, repOf)
       val frHitsW = panel.filter(col("rp") =!= col("ro"))
         .join(undirW, col("rp") === col("x") && col("ro") === col("y"),
           "left_semi").count()
@@ -314,7 +349,7 @@ object PartialOverlapProbe {
     if (gate) assert(recall >= MinComposedRecall,
       f"VIDEO PARTIAL-OVERLAP RECALL GATE FAILED at $d: " +
         f"$recall%.4f < $MinComposedRecall")
-    Seq(pairs, frames, panel, framesAll, residualIds, repOf, all)
+    Seq(pairs, frames, panel, framesAll, comp, repOf, all)
       .foreach(_.unpersist())
   }
 

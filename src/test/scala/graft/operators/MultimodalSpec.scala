@@ -533,4 +533,92 @@ class MultimodalSpec extends SparkSpec {
         s"clip $pid matched at offset ${hit.get._3}, expected $expOff")
     }
   }
+
+  test("componentSetRepresentatives VIDEO: a partial-overlap pair anchored on an ABSORBED member is lost by the residual form and recovered per-member; identical-set replicas collapse") {
+    // the round-15 fix's mechanism at fixture size (PartialOverlapProbe's
+    // 100× finding: 106/106 full-panel video misses were representative
+    // substitution): identity clusters original O with a payload-close
+    // member V whose FRAME set diverges and V becomes the representative;
+    // the residual form loses the plant↔O pair, while the
+    // set-representative form keeps O matchable as itself (per-member
+    // x108 Jaccard denominators) and collapses W — a true replica with
+    // O's exact frame set — onto O.
+    def frameFill(seed: Long, len: Int): Array[Byte] = Array.tabulate(len)(
+      i => ((((i + 17) * 31337L + seed * 2654435761L) >> 2) & 0xff).toByte)
+    def video(id: Long, seeds: Seq[Long]) =
+      (id, "video", seeds.toArray.flatMap(s => frameFill(s, 64)),
+        Multimodal.MediaMeta(8, 8, 0, seeds.length, "video/x-raw"))
+    val v = video(10L, 900L to 903L)              // the representative
+    val o = video(20L, 100L to 111L)              // the absorbed member
+    val w = video(30L, 100L to 111L)              // true replica of O
+    val p = video(40000020L, Seq(800L, 801L) ++ (100L to 111L)) // plant on O
+    val all = spark.createDataFrame(Seq(v, o, w, p))
+      .toDF("media_id", "kind", "content", "meta")
+    val frames = Multimodal.frameFingerprints(all)
+    // fixture sanity: per-frame hashes stay distinct (stride-2 sampling:
+    // V 2 of 4, O/W 6 of 12, plant 1 junk + O's 6)
+    val sizes = frames.groupBy("media_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(sizes == Map(10L -> 2L, 20L -> 6L, 30L -> 6L, 40000020L -> 7L),
+      s"fixture frame sets collapsed: $sizes")
+    val comp = Seq((10L, 10L), (20L, 10L), (30L, 10L))
+      .toDF("node", "component")
+    def pairsOf(fps: org.apache.spark.sql.DataFrame) =
+      Multimodal.videoNearDups(fps, maxPerHash = 0)
+        .select("media_a", "media_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSeq
+    // round-14 residual form: the representative's own frames only — lost
+    val residual = pairsOf(
+      frames.filter(col("media_id") =!= 20L && col("media_id") =!= 30L))
+    assert(!residual.exists(r => r._2 == 40000020L),
+      s"residual form unexpectedly matched: $residual")
+    // round-15 form: O survives as itself (min id of its set group), W's
+    // identical set collapses onto it, V's divergent set survives
+    val kept = Multimodal.componentSetRepresentatives(frames, comp)
+    val keptIds = kept.select("media_id").distinct().as[Long].collect().toSet
+    assert(keptIds == Set(10L, 20L, 40000020L),
+      s"set representatives wrong: $keptIds")
+    val pairs = pairsOf(kept)
+    val hit = pairs.find(r => r._1 == 20L && r._2 == 40000020L)
+    assert(hit.isDefined, s"per-member form missed the absorbed pair: $pairs")
+    // x108's PER-MEMBER Jaccard denominator: 6 / (7 + 6 - 6)
+    assert(math.abs(hit.get._3 - 6.0 / 7.0) < 1e-3,
+      s"jaccard ${hit.get._3}, expected ${6.0 / 7.0}")
+  }
+
+  test("componentFingerprintUnion AUDIO: an embedded clip of an ABSORBED track is recovered under the component's key at the exact offset") {
+    def junk(id: Long, len: Int): Array[Byte] = Array.tabulate(len)(i =>
+      ((((i + 131) * 40503L + id * 2654435761L) >> 3) & 0xff).toByte)
+    val base = media.filter(col("kind") === "audio")
+      .orderBy(length(col("content")).desc, col("media_id")).limit(2)
+      .select("media_id", "kind", "content", "meta").as[
+        (Long, String, Array[Byte], Multimodal.MediaMeta)].collect()
+    val Array(vRow, oRow) = base
+    // O (absorbed) carries the content the plant embeds; V (representative)
+    // is an unrelated track; the plant's prefix is hop-aligned (hop 4)
+    val plant = (oRow._1 + 40000000L, oRow._2,
+      junk(oRow._1, 400) ++ oRow._3, oRow._4)
+    val all = spark.createDataFrame(Seq(vRow, oRow, plant))
+      .toDF("media_id", "kind", "content", "meta")
+    val lms = Multimodal.audioFingerprints(all, triples = true)
+    val comp = Seq((oRow._1, vRow._1), (vRow._1, vRow._1))
+      .toDF("node", "component")
+    def pairsOf(l: org.apache.spark.sql.DataFrame) =
+      Multimodal.audioNearDups(l, maxPerHash = 128)
+        .select("media_a", "media_b", "best_off")
+        .as[(Long, Long, Int)].collect().toSeq
+    val residual = pairsOf(lms.filter(col("media_id") =!= oRow._1))
+    assert(!residual.exists(r => r._1 == plant._1 || r._2 == plant._1),
+      s"residual form unexpectedly matched: $residual")
+    // the audio composed default (tuple-level union): O's landmarks stay
+    // matchable under V's component key with O's OWN timeline (members of
+    // a payload-identity cluster are byte-aligned), so the offset is
+    // still the exact −prefix/hop
+    val pairs = pairsOf(Multimodal.componentFingerprintUnion(lms, comp))
+    val hit = pairs.find(r => Set(r._1, r._2) == Set(vRow._1, plant._1))
+    assert(hit.isDefined, s"union form missed the absorbed clip: $pairs")
+    val expOff = if (hit.get._1 == vRow._1) -100 else 100
+    assert(hit.get._3 == expOff,
+      s"clip matched at offset ${hit.get._3}, expected $expOff")
+  }
 }
