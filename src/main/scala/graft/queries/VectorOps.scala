@@ -18,7 +18,8 @@ object VectorOps {
   def defs: Seq[QueryDef] =
     Seq(q33, q35, x42_embed_neardup, x42b_embed_neardup_cell,
       x42c_embed_neardup_auto, x43_ann_lsh,
-      x43b_ann_ivf, x51_multimodal_features, x51b_feature_stats,
+      x43b_ann_ivf, x43c_ann_lsh_planted, x43d_ann_ivf_planted,
+      x93b_ann_pq_planted, x51_multimodal_features, x51b_feature_stats,
       x79_media_meta,
       x89_semantic_dedup, x93_ann_pq, x103_payload_phash,
       x104_payload_neardup, x104b_payload_dupedges, x107_frame_phash,
@@ -691,6 +692,77 @@ object VectorOps {
     val q = emb.filter(col("vec_id") === 1)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     Canon(graft.operators.Pq.pqTopKRefined(emb, q, k = 10))
+  }
+
+  // ------------------------------------------- x43c/x43d/x93b (ANN seats)
+  /** Planted corpus + query for the ANN oracle seats — the x42c device
+    * applied to top-k search: TEN verbatim copies of query vector 1 at
+    * vec_id [[AnnPlantBase]]+0..9 over the near-isotropic background
+    * (max background cosine ≤ 0.60, measured per SF — x42c scaladoc), so
+    * the exact top-10 is the planted set at cos exactly 1.0, ranked
+    * 1..10 by vec_id among the ties ([[graft.operators.Similarity.rank]]
+    * orders (cos DESC, vec_id ASC) and excludes self). DuckDB
+    * reconstructs that answer arithmetically, so the hash compare IS a
+    * recall-1.0 gate THROUGH each approximate path:
+    *
+    *  - LSH (x43c): identical vectors share every band bucket with the
+    *    query, so all ten are always candidates.
+    *  - IVF (x43d): identical vectors take the query's own cell — the
+    *    query's nearest centroid — which probeCells always probes first.
+    *  - PQ (x93b): identical vectors take the query's codes, whose ADC
+    *    distance is the global minimum (per-subspace argmin), so the
+    *    ≥100-candidate shortlist always holds them; the exact re-rank
+    *    then puts them above any code-tied background row.
+    *
+    * One planted miss (or any false entrant) fails the row. Measured-
+    * threshold recall on NON-planted neighbors stays in SimilaritySpec /
+    * ScaleProbe — x43/x43b/x93 are unchanged (the round-14 verdict's
+    * directive #3).
+    */
+  private[graft] val AnnPlantBase = 9000000L
+
+  private def annPlantedCorpus(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id").cast(LongType), col("embedding"))
+    val q = emb.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val plants = q.crossJoin(s.range(10).toDF("i"))
+      .select((lit(AnnPlantBase) + col("i")).as("vec_id"),
+        col("qe").as("embedding"))
+    (emb.unionByName(plants), q)
+  }
+
+  private val annPlantedOracle: String = Sql.canon(
+    """SELECT CAST(1 AS BIGINT) AS query_id,
+      |  CAST(9000000 + i AS BIGINT) AS vec_id,
+      |  CAST(1.0 AS DOUBLE) AS cos_sim,
+      |  CAST(i + 1 AS INT) AS rnk
+      |FROM range(10) t(i)
+      |WHERE EXISTS (SELECT 1 FROM embeddings WHERE vec_id = 1)""".stripMargin,
+    Seq("query_id", "vec_id", "cos_sim", "rnk"))
+
+  /** LSH ANN over the planted corpus — x43's exact plan, oracle-seated. */
+  val x43c_ann_lsh_planted: QueryDef = QueryDef(
+    "x43c_ann_lsh_planted", annPlantedOracle) { (s, d) =>
+    val (corpus, q) = annPlantedCorpus(s, d)
+    Canon(graft.operators.Similarity.annTopK(corpus, q, k = 10))
+  }
+
+  /** IVF ANN over the planted corpus — x43b's tuned config, oracle-seated. */
+  val x43d_ann_ivf_planted: QueryDef = QueryDef(
+    "x43d_ann_ivf_planted", annPlantedOracle) { (s, d) =>
+    val (corpus, q) = annPlantedCorpus(s, d)
+    val cents = graft.operators.Similarity.kmeansCentroids(
+      corpus, nlist = 16, iters = 3, sampleSize = 512)
+    Canon(graft.operators.Similarity.ivfTopKWithCentroids(
+      corpus, q, k = 10, cents, nprobe = 8))
+  }
+
+  /** PQ ANN over the planted corpus — x93's refined path, oracle-seated. */
+  val x93b_ann_pq_planted: QueryDef = QueryDef(
+    "x93b_ann_pq_planted", annPlantedOracle) { (s, d) =>
+    val (corpus, q) = annPlantedCorpus(s, d)
+    Canon(graft.operators.Pq.pqTopKRefined(corpus, q, k = 10))
   }
 
   /** Sum of elementwise products, left-to-right over doubles — the native
