@@ -49,7 +49,10 @@ object AnnStore {
     rows.toDF("sub", "code", "cent")
       .repartition(1) // m×ksub rows: one tiny file, not #shuffle-partitions
       .write.mode("overwrite").parquet(codebooksPath(path))
-    Pq.encode(corpus, cb).write.mode("overwrite").parquet(codesPath(path))
+    // null/ragged rows dead-letter at ingest — an undropped ragged row
+    // would be SERVED with silently-wrong ADC distances forever after
+    Pq.encode(Similarity.dropInvalidVecs(corpus, dim, None), cb)
+      .write.mode("overwrite").parquet(codesPath(path))
     cb
   }
 
@@ -79,7 +82,9 @@ object AnnStore {
     */
   def append(spark: SparkSession, path: String, newCorpus: DataFrame): Unit =
     graft.sources.MutationGuard.withGuard(spark, path) {
-      Pq.encode(newCorpus, codebooks(spark, path))
+      val cb = codebooks(spark, path)
+      Pq.encode(
+          Similarity.dropInvalidVecs(newCorpus, cb.m * cb.ds, None), cb)
         .write.mode("append").parquet(codesPath(path))
     }
 
@@ -93,13 +98,16 @@ object AnnStore {
              queries: DataFrame, k: Int, shortlist: Int = 0): DataFrame = {
     val cb = codebooks(spark, path)
     val enc = codes(spark, path)
+    // ragged/null queries take no seat (prefix ADC would silently lie)
+    val q = queries.filter(col("qe").isNotNull &&
+      size(col("qe")) === cb.m * cb.ds)
     val sl = if (shortlist > 0) shortlist
              else Pq.derivedShortlist(enc.count())
-    val cands = Pq.adcTopK(enc, queries, cb, sl)
+    val cands = Pq.adcTopK(enc, q, cb, sl)
       .select(col("query_id"), col("vec_id"))
     val scored = corpus
       .join(broadcast(cands), "vec_id")
-      .join(broadcast(queries), "query_id")
+      .join(broadcast(q), "query_id")
       .withColumn("cos_sim", Similarity.cosine(col("embedding"), col("qe")))
       .select(col("query_id"), col("vec_id"), col("cos_sim"))
     Similarity.rank(scored, k)

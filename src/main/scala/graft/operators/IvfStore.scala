@@ -42,7 +42,12 @@ object IvfStore {
       .toSeq.toDF("cell", "ce")
       .repartition(1)
       .write.mode("overwrite").parquet(centroidsPath(path))
-    Similarity.assignCells(corpus, cents)
+    // null/ragged rows dead-letter at ingest — an unguarded null NPEs
+    // assignCells and a ragged row would be SERVED with silently-wrong
+    // prefix distances forever after (round-15 ragged battery)
+    val clean = if (cents.isEmpty) corpus
+      else Similarity.dropInvalidVecs(corpus, cents(0).length, None)
+    Similarity.assignCells(clean, cents)
       .write.mode("overwrite").partitionBy("cell").parquet(vectorsPath(path))
     cents
   }
@@ -63,7 +68,10 @@ object IvfStore {
   def append(spark: SparkSession, path: String, newCorpus: DataFrame,
              deltaPartitions: Int = 8): Unit =
     graft.sources.MutationGuard.withGuard(spark, path) {
-      Similarity.assignCells(newCorpus, centroids(spark, path))
+      val cents = centroids(spark, path)
+      val clean = if (cents.isEmpty) newCorpus
+        else Similarity.dropInvalidVecs(newCorpus, cents(0).length, None)
+      Similarity.assignCells(clean, cents)
         .coalesce(deltaPartitions)
         .write.mode("append").partitionBy("cell").parquet(vectorsPath(path))
     }
@@ -91,7 +99,11 @@ object IvfStore {
              k: Int, nprobe: Int = 4): DataFrame = {
     import spark.implicits._
     val cents = centroids(spark, path)
-    val probes = Similarity.probeCells(queries, cents, nprobe)
+    // ragged/null queries take no seat (prefix cosine would silently lie)
+    val q = if (cents.isEmpty) queries
+      else queries.filter(col("qe").isNotNull &&
+        size(col("qe")) === cents(0).length)
+    val probes = Similarity.probeCells(q, cents, nprobe)
     val probedCells = probes.select(col("cell")).distinct().as[Long].collect()
     val vecs = spark.read.parquet(vectorsPath(path))
       .filter(col("cell").isin(probedCells.toIndexedSeq: _*))

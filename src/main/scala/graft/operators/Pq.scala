@@ -49,13 +49,14 @@ object Pq {
     * go to the lowest code; empty clusters keep their previous centroid.
     */
   def train(corpus: DataFrame, dim: Int = 64, m: Int = 8, ksub: Int = 16,
-            iters: Int = 4, sampleSize: Int = 256): Codebooks = {
+            iters: Int = 4, sampleSize: Int = 256,
+            droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): Codebooks = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val ds = dim / m
-    // null vectors cannot train codebooks — drop at ingress (the
-    // Similarity quantizer guard's twin)
-    val sample: Array[Array[Double]] = corpus
-      .filter(col("embedding").isNotNull)
+    // null/ragged vectors cannot train codebooks — drop at ingress (the
+    // Similarity quantizer guard's twin), observable via droppedAcc
+    val sample: Array[Array[Double]] = Similarity
+      .dropInvalidVecs(corpus, dim, droppedAcc)
       .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
       .limit(sampleSize)
       .select("embedding")
@@ -239,17 +240,21 @@ object Pq {
   def pqTopKRefined(corpus0: DataFrame, queries: DataFrame, k: Int,
                     shortlist: Int = 0, dim: Int = 64, m: Int = 16,
                     ksub: Int = 32, iters: Int = 4,
-                    sampleSize: Int = 512): DataFrame = {
-    // null-vector rows can't be encoded or scored — drop at ingress
-    val corpus = corpus0.filter(col("embedding").isNotNull)
+                    sampleSize: Int = 512,
+                    droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    // null/ragged rows (and queries) can't be encoded or scored — drop
+    // at ingress, observable via droppedAcc (the train below sees the
+    // already-filtered relation, so drops count once)
+    val corpus = Similarity.dropInvalidVecs(corpus0, dim, droppedAcc)
+    val q = queries.filter(col("qe").isNotNull && size(col("qe")) === dim)
     val sl = if (shortlist > 0) shortlist
              else derivedShortlist(corpus.count())
     val cb = train(corpus, dim, m, ksub, iters, sampleSize)
-    val cands = adcTopK(encode(corpus, cb), queries, cb, sl)
+    val cands = adcTopK(encode(corpus, cb), q, cb, sl)
       .select(col("query_id"), col("vec_id"))
     val scored = corpus
       .join(broadcast(cands), "vec_id")
-      .join(broadcast(queries), "query_id")
+      .join(broadcast(q), "query_id")
       .withColumn("cos_sim", Similarity.cosine(col("embedding"), col("qe")))
       .select(col("query_id"), col("vec_id"), col("cos_sim"))
     Similarity.rank(scored, k)

@@ -49,6 +49,66 @@ object Similarity {
       GraftBridge.expression(a), GraftBridge.expression(b)))
   }
 
+  /** Invalid-embedding ingress: rows without a vector, or (when `dim` >
+    * 0) whose vector length differs from the corpus dimension, take no
+    * similarity seat (the dead-letter production posture) — dropped, and
+    * COUNTED in `acc` when the caller provides one, because silent row
+    * loss is indistinguishable from a clean corpus (ADVICE round-14).
+    * The RAGGED case matters as much as null: every distance kernel
+    * iterates min(lengths), so an undropped short vector would score a
+    * silently-wrong prefix cosine (round-15 ragged battery,
+    * RaggedInputSpec). Without an accumulator the filter stays plain
+    * codegen'd predicates. Counts are task-attempt totals (retries can
+    * overcount) — observability, not accounting.
+    */
+  private[graft] def dropInvalidVecs(df: DataFrame, dim: Int,
+      acc: Option[org.apache.spark.util.LongAccumulator]): DataFrame =
+    acc match {
+      case None =>
+        if (dim > 0) df.filter(col("embedding").isNotNull &&
+          size(col("embedding")) === dim)
+        else df.filter(col("embedding").isNotNull)
+      case Some(a) =>
+        val obs = udf { (v: Seq[Float]) =>
+          if (v == null || (dim > 0 && v.length != dim)) {
+            a.add(1L); false
+          } else true
+        }
+        df.filter(obs(col("embedding")))
+    }
+
+  private[graft] def dropNullVecs(df: DataFrame,
+      acc: Option[org.apache.spark.util.LongAccumulator]): DataFrame =
+    dropInvalidVecs(df, 0, acc)
+
+  /** [[dropInvalidVecs]] for the typed (id, label, vector) pair rows. */
+  private[graft] def dropInvalidVecsT(ds: Dataset[(Long, Int, Array[Float])],
+      dim: Int, acc: Option[org.apache.spark.util.LongAccumulator])
+      : Dataset[(Long, Int, Array[Float])] =
+    acc match {
+      case None => ds.filter(r =>
+        r._3 != null && (dim <= 0 || r._3.length == dim))
+      case Some(a) => ds.filter { r =>
+        if (r._3 == null || (dim > 0 && r._3.length != dim)) {
+          a.add(1L); false
+        } else true
+      }
+    }
+
+  /** The corpus embedding dimension by MODAL vector length (ties → the
+    * larger) — one map-combined aggregate over sizes, used by entry
+    * points with no explicit dim parameter to anchor the ragged-row
+    * guard. 0 on an empty/all-null corpus (guard degrades to null-drop).
+    */
+  private[graft] def inferDim(df: DataFrame): Int = {
+    val rows = df.filter(col("embedding").isNotNull)
+      .groupBy(size(col("embedding")).as("_d"))
+      .agg(count(lit(1)).as("_n"))
+      .orderBy(col("_n").desc, col("_d").desc)
+      .limit(1).collect()
+    if (rows.isEmpty) 0 else rows(0).getInt(0)
+  }
+
   /** Deterministic Gaussian hyperplanes (fixed-seed Box–Muller via
     * scala.util.Random — same planes on every run and every executor).
     */
@@ -87,8 +147,18 @@ object Similarity {
     * @param corpus (vec_id, embedding, ...) — scanned once
     * @param queries (query_id, qe) — broadcast
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     dim: Int = 0,
+                     droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    // null/ragged rows (and queries) take no seat: the cosine kernel
+    // iterates min(lengths), so an undropped short vector would score a
+    // silently-wrong prefix similarity. dim 0 anchors on the modal length.
+    val effDim = if (dim > 0) dim else inferDim(corpus)
+    val q = if (effDim > 0)
+      queries.filter(col("qe").isNotNull && size(col("qe")) === effDim)
+    else queries.filter(col("qe").isNotNull)
+    val scored = dropInvalidVecs(corpus, effDim, droppedAcc)
+      .crossJoin(broadcast(q))
       .withColumn("cos_sim", cosine(col("embedding"), col("qe")))
     rank(scored, k)
   }
@@ -96,10 +166,16 @@ object Similarity {
   /** LSH-pruned cosine top-k: only candidates sharing at least one
     * (band, bucket) with the query are scored, then reranked exactly.
     */
-  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+  def annTopK(corpus0: DataFrame, queries0: DataFrame, k: Int,
               numPlanes: Int = 64, bands: Int = 16, dim: Int = 64,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L,
+              droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val planes = gaussianPlanes(numPlanes, dim, seed)
+    // null/ragged rows and queries dead-letter at ingress (a short vector
+    // would both bucket AND score on a silently-truncated prefix)
+    val corpus = dropInvalidVecs(corpus0, dim, droppedAcc)
+    val queries = queries0.filter(col("qe").isNotNull &&
+      size(col("qe")) === dim)
     val c = corpus.select(col("vec_id"),
       posexplode(bandBuckets(col("embedding"), planes, bands)).as(Seq("band", "bucket")))
     val q = queries.select(col("query_id"),
@@ -125,7 +201,13 @@ object Similarity {
                       sampleSize: Int = 256,
                       hashOrderedSample: Boolean = true,
                       greedySeeding: Boolean = true,
-                      lloydOverSample: Boolean = false): Array[Array[Double]] = {
+                      lloydOverSample: Boolean = false,
+                      dim: Int = 0): Array[Array[Double]] = {
+    // null rows NPE the Lloyd scan and ragged rows corrupt the partial
+    // sums — both dead-letter at ingress; dim 0 anchors on the corpus's
+    // modal vector length (round-15 ragged battery)
+    val effDim = if (dim > 0) dim else inferDim(corpus)
+    val clean = dropInvalidVecs(corpus, effDim, None)
     def unit(v: Array[Double]): Array[Double] = {
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i) * v(i); i += 1 }
@@ -150,10 +232,7 @@ object Similarity {
     // quality bar. Default false: the serving IVF (x43b) trains tiny
     // nlists where the exact full-corpus pass is cheap and its recall
     // numbers are pinned.
-    // null vectors cannot train a quantizer — drop at ingress (production
-    // routes embedding-less rows to dead-letter; a null array NPEs the
-    // collect below otherwise)
-    val sampleDf = corpus.filter(col("embedding").isNotNull)
+    val sampleDf = clean
       .orderBy(order: _*).limit(sampleSize).select("embedding")
     if (lloydOverSample) sampleDf.persist()
     val sample: Array[Array[Double]] = sampleDf.collect()
@@ -194,7 +273,7 @@ object Similarity {
         seedIdx.map(normed).toArray
       }
 
-    val lloydScan = if (lloydOverSample) sampleDf else corpus.select("embedding")
+    val lloydScan = if (lloydOverSample) sampleDf else clean.select("embedding")
     for (_ <- 0 until iters) {
       val bc = corpus.sparkSession.sparkContext.broadcast(cents)
       val parts = lloydScan.rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -314,12 +393,16 @@ object Similarity {
     */
   def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame, k: Int,
                            cents: Array[Array[Double]],
-                           nprobe: Int = 4): DataFrame = {
+                           nprobe: Int = 4,
+                           droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     if (cents.isEmpty) return bruteForceTopK(corpus, queries, k) // empty corpus
-    // null-vector rows can't be assigned a cell (or scored) — drop at
-    // ingress, mirroring the quantizer-training guard
-    val assigned = assignCells(corpus.filter(col("embedding").isNotNull), cents)
-    val probes = probeCells(queries, cents, nprobe)
+    // null/ragged rows can't be assigned a cell (or scored) — drop at
+    // ingress, mirroring the quantizer-training guard; the centroid
+    // length IS the corpus dim
+    val assigned = assignCells(
+      dropInvalidVecs(corpus, cents(0).length, droppedAcc), cents)
+    val probes = probeCells(queries.filter(col("qe").isNotNull &&
+      size(col("qe")) === cents(0).length), cents, nprobe)
     val scored = assigned.join(broadcast(probes), "cell")
       .withColumn("cos_sim", cosine(col("embedding"), col("qe")))
     rank(scored, k)
@@ -551,10 +634,15 @@ object Similarity {
     * the SQL oracle.
     */
   def topPairsByLabel(emb0: Dataset[(Long, Int, Array[Float])], k: Int,
-                      targetChunk: Int = 2048): DataFrame = {
+                      targetChunk: Int = 2048,
+                      droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None,
+                      dim: Int = 0): DataFrame = {
     val spark = emb0.sparkSession
     import spark.implicits._
-    val emb = emb0.filter(_._3 != null) // null vectors: no similarity seat
+    // null/ragged vectors: no similarity seat (dim 0 = modal length)
+    val effDim = if (dim > 0) dim
+      else inferDim(emb0.toDF("vec_id", "label", "embedding"))
+    val emb = dropInvalidVecsT(emb0, effDim, droppedAcc)
     chunkPairTasks(emb, targetChunk)
       .groupByKey(_._1)
       .flatMapGroups { (key: (Int, Int, Int), it: Iterator[((Int, Int, Int), (Long, Boolean, Array[Float]))]) =>
@@ -600,10 +688,14 @@ object Similarity {
                           cents: Array[Array[Double]], probes: Int = 2,
                           targetChunk: Int = 256,
                           coarseProbes: Int = 8,
-                          twoLevelThreshold: Int = 512): DataFrame = {
+                          twoLevelThreshold: Int = 512,
+                          droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = emb0.sparkSession
     import spark.implicits._
-    val emb = emb0.filter(_._3 != null) // null vectors: no similarity seat
+    // null/ragged vectors: no similarity seat (centroid length = dim)
+    val emb =
+      if (cents.isEmpty) dropInvalidVecsT(emb0, 0, droppedAcc)
+      else dropInvalidVecsT(emb0, cents(0).length, droppedAcc)
     if (cents.isEmpty) return topPairsByLabel(emb, k, targetChunk)
     val nlist = cents.length
     val p = math.min(math.max(probes, 1), nlist)
@@ -696,9 +788,12 @@ object Similarity {
   def cellBoundedTopPairsAuto(emb0: Dataset[(Long, Int, Array[Float])], k: Int,
                               targetCellSize: Int = 128, probes: Int = 4,
                               kmeansIters: Int = 3,
-                              targetChunk: Int = 256): DataFrame = {
+                              targetChunk: Int = 256,
+                              droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     require(targetCellSize >= 1, s"targetCellSize must be >= 1")
-    val emb = emb0.filter(_._3 != null) // null vectors: no similarity seat
+    // null/ragged vectors: no similarity seat (modal-length anchor)
+    val effDim = inferDim(emb0.toDF("vec_id", "label", "embedding"))
+    val emb = dropInvalidVecsT(emb0, effDim, droppedAcc)
     val n = emb.count()
     val nlist = math.max(8L, (n + targetCellSize - 1) / targetCellSize).toInt
     // 8 training points per derived cell (FAISS-order density), bounded:
@@ -714,7 +809,8 @@ object Similarity {
       // cells this form derives; the hash-ordered sample is already a
       // uniform spread and Lloyd re-balances
       greedySeeding = nlist <= 64,
-      lloydOverSample = nlist > 64)
+      lloydOverSample = nlist > 64,
+      dim = effDim)
     cellBoundedTopPairs(emb, k, cents, probes, targetChunk)
   }
 

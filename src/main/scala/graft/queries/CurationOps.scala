@@ -981,8 +981,14 @@ object CurationOps {
       .filter(col("vec_id").isin(Bm25QuerySet.map(_._1.toLong): _*))
       .select(col("vec_id").cast(IntegerType).as("query_id"),
         col("embedding").as("qe"))
+    // null/ragged/empty rows take no dense seat (the library ingress
+    // posture; an unmatched length divides by zero or scores a wrong
+    // prefix cosine — RaggedInputSpec)
     val vecScored = emb
-      .crossJoin(broadcast(vq))
+      .filter(col("embedding").isNotNull)
+      .crossJoin(broadcast(vq.filter(col("qe").isNotNull)))
+      .filter(size(col("embedding")) === size(col("qe")) &&
+        size(col("embedding")) > 0)
       .select(col("query_id"), col("vec_id").as("doc_id"),
         round(round(VectorOps.dot(col("embedding"), col("qe")) /
           (sqrt(VectorOps.norm2(col("embedding"))) *

@@ -801,8 +801,14 @@ object VectorOps {
       Seq("vec_id", "label", "cos_sim"))) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") === 1).select(col("embedding").as("qe"))
-    Canon(emb.filter(col("vec_id") =!= 1)
-      .crossJoin(broadcast(q))
+    // null/ragged/empty rows take no seat (the library ingress posture,
+    // Similarity.dropInvalidVecs): a row only scores against a query of
+    // its OWN length — an unmatched length would divide by zero (empty)
+    // or score a silently-wrong prefix cosine (RaggedInputSpec)
+    Canon(emb.filter(col("vec_id") =!= 1 && col("embedding").isNotNull)
+      .crossJoin(broadcast(q.filter(col("qe").isNotNull)))
+      .filter(size(col("embedding")) === size(col("qe")) &&
+        size(col("embedding")) > 0)
       .withColumn("cos_sim",
         round(dot(col("embedding"), col("qe")) /
           (sqrt(norm2(col("embedding"))) * sqrt(norm2(col("qe")))), 4))
