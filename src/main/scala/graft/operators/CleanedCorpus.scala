@@ -1,0 +1,96 @@
+package graft.operators
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session-scoped materialization of the span-REMOVED corpus — the
+  * [[UnigramLm.trainCached]] producer device one level up (round-14
+  * verdict #5): x117 re-derives `cleaned` (removal → text_clean → lang
+  * join) on every invocation, and Verify/Bench invoke it repeatedly over
+  * the same corpus, so the removal bill (x114's gram exchange + rewrite,
+  * the pipeline's single most expensive step) re-runs per call even
+  * though its output is deterministic.
+  *
+  * Unlike the LM memo, the cleaned relation is CORPUS-sized — it cannot
+  * collect to the driver. The memo is therefore a DISK materialization
+  * (the published production posture: ExactSubstr pipelines write the
+  * deduplicated corpus once and every downstream stage reads the
+  * artifact — Lee et al. 2022 §4): first call per (application, dir, k)
+  * computes the removal and writes (doc_id, text, lang) parquet to a
+  * session temp dir; every call (including the first) returns a READ of
+  * that parquet, so all consumers in every invocation see one stable
+  * schema and bit-identical values (removal is deterministic). No Spark
+  * cache is pinned — CompositionSpec's zero-net-cached-RDDs gate holds
+  * by construction, and the 5-consumer fan-out inside x117 becomes five
+  * scans of a small columnar file instead of five evaluations of the
+  * removal DAG.
+  *
+  * STALENESS WINDOW — same contract as [[UnigramLm.trainCached]] /
+  * [[Bpe.trainCached]], deliberate: the key does not fingerprint corpus
+  * content; within one application a hit ignores later appends to `dir`
+  * (the cleaned corpus is a versioned pipeline artifact). Retrain = new
+  * application or [[invalidate]] (store-mutating callers invalidate
+  * their dir; [[graft.server.TankServer.stop]] clears the lot and
+  * deletes the temp dirs).
+  */
+object CleanedCorpus {
+
+  private final case class Entry(path: Path)
+
+  private val stores =
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+  /** The x117 `cleaned` relation — (doc_id, text, lang) with `text` the
+    * span-removed residual — materialized once per (application, dir, k)
+    * and served from parquet thereafter. `docs` must carry (doc_id, text,
+    * lang); it is only evaluated on a miss.
+    */
+  def cleanedCached(spark: SparkSession, dir: String, k: Int,
+                    docs: => DataFrame): DataFrame = {
+    val key = spark.sparkContext.applicationId + "|" +
+      new java.io.File(dir).getAbsolutePath + "|" + k
+    val e = stores.computeIfAbsent(key, _ => {
+      val frame = docs
+      val cleaned = Dedup.removeDupSpans(frame, k)
+        .select(col("doc_id"), col("text_clean").as("text"))
+        .join(frame.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val path = Files.createTempDirectory("graft-cleaned-")
+      // overwrite into the fresh temp dir (createTempDirectory pre-creates
+      // it, so errorifexists would refuse an empty directory)
+      cleaned.write.mode("overwrite").parquet(path.toString)
+      Entry(path)
+    })
+    spark.read.parquet(e.path.toString)
+  }
+
+  private[graft] def memoSize: Int = stores.size()
+
+  /** Drop every materialized cleaned corpus (all dirs) and delete the
+    * backing temp dirs — [[graft.server.TankServer.stop]]'s hook.
+    */
+  private[graft] def invalidate(): Unit = {
+    val it = stores.entrySet().iterator()
+    while (it.hasNext) { deleteRecursively(it.next().getValue.path); it.remove() }
+  }
+
+  /** Drop the materializations over `dir` (all k) — the store-mutating
+    * verbs' hook, mirroring [[UnigramLm.invalidate(dir:String)*]].
+    */
+  private[graft] def invalidate(dir: String): Unit = {
+    val seg = "|" + new java.io.File(dir).getAbsolutePath + "|"
+    val it = stores.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.contains(seg)) { deleteRecursively(e.getValue.path); it.remove() }
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.deleteIfExists(f): Unit })
+    }
+  }
+}

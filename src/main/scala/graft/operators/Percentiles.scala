@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
   * REGARDLESS of corpus size, so the histogram is bounded at 100 TB).
   * Phase 1 windows per-bucket subtotals over the tiny bucket grid
   * (`value >> bucketShift` — monotone, so bucket order = value order) into
-  * exclusive prefix offsets; phase 2 runs bucket-parallel within-bucket
-  * cumulative counts plus the offset. The threshold is the smallest value
-  * whose cumulative count reaches the target rank — no corpus-wide sort,
-  * no single-partition window over the histogram.
+  * exclusive prefix offsets; phase 2 collects only the TARGET buckets'
+  * histogram slices (one job for every requested rank; each slice is
+  * bounded by 2^bucketShift distinct values — value-range-bounded like
+  * the grid, never corpus-sized) and walks the within-bucket cumulative
+  * count driver-side. The threshold is the smallest value whose
+  * cumulative count reaches the target rank — no corpus-wide sort, no
+  * single-partition window over the histogram.
   *
   * Exactness: rank m = ceil(pNum/pDen · N) in pure integer arithmetic;
   * the value at rank m is well-defined under ties (any tie order yields
@@ -78,24 +81,39 @@ object Percentiles {
       val offRows = off.select(col("obucket"), col("t"), col("off")).collect()
       val n = offRows.map(_.getAs[Long]("t")).sum
       if (n == 0) return Seq.empty
-      val w = Window.partitionBy(col("bucket")).orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      fractions.map { case (pNum, pDen) =>
+      // each target rank lands in exactly one bucket: off < m <= off + t.
+      // Resolve ALL requested ranks from ONE job: collect just the target
+      // buckets' histogram slices (bounded — ≤ 2^bucketShift distinct
+      // values per bucket × the ≤|fractions| distinct target buckets,
+      // value-range-bounded like the grid itself, never corpus-sized) and
+      // walk each slice's cumulative count driver-side. One scan instead
+      // of one job per rank — the fixed job overhead dominated the
+      // per-rank cost, the arithmetic is unchanged.
+      val wanted = fractions.map { case (pNum, pDen) =>
         val m = Math.floorDiv(pNum * n + pDen - 1, pDen) // ceil(pNum·N/pDen)
-        // the target rank lands in exactly one bucket: off < m <= off + t
-        // — scan ONLY that bucket's histogram slice (bucket-pruned by the
-        // filter), cumulative within it, smallest v reaching rank m
         val tgt = offRows.find(r =>
           r.getAs[Long]("off") < m &&
             m <= r.getAs[Long]("off") + r.getAs[Long]("t")).get
-        val bucket = tgt.getAs[Long]("obucket")
-        val base = tgt.getAs[Long]("off")
-        val v = hist.filter(col("bucket") === bucket)
-          .withColumn("cum", sum(col("c")).over(w) + base)
-          .filter(col("cum") >= m)
-          .agg(min(col("v")))
-          .collect().head.getLong(0)
-        (pNum, pDen, v)
+        (pNum, pDen, m, tgt.getAs[Long]("obucket"), tgt.getAs[Long]("off"))
+      }
+      val buckets = wanted.map(_._4).distinct
+      val slices = hist.filter(col("bucket").isin(buckets: _*))
+        .select(col("bucket"), col("v"), col("c")).collect()
+        .groupBy(_.getAs[Long]("bucket"))
+        .map { case (b, rows) =>
+          b -> rows.map(r => (r.getAs[Long]("v"), r.getAs[Long]("c")))
+            .sortBy(_._1)
+        }
+      wanted.map { case (pNum, pDen, m, bucket, base) =>
+        // cumulative within the bucket + the grid offset; smallest v
+        // whose cumulative count reaches rank m
+        var cum = base
+        val slice = slices(bucket)
+        var i = 0
+        while (i < slice.length && cum + slice(i)._2 < m) {
+          cum += slice(i)._2; i += 1
+        }
+        (pNum, pDen, slice(i)._1)
       }
     } finally { hist.unpersist(false): Unit }
   }

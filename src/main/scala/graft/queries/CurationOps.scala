@@ -1498,11 +1498,13 @@ object CurationOps {
     * language with the derived scalar attached.
     *
     * Scale shape: x114's removal bill (one gram-keyed exchange + map
-    * rewrite) in front of v2's DAG; the cleaned relation is persisted for
-    * the build (it feeds the audit, the LM train/score, the threshold
-    * derivation AND the dedup — five consumers), which is the x87 cache
-    * device at pipeline scope. The oracle is the three entries' CTEs
-    * composed verbatim — every count exact in both engines.
+    * rewrite) in front of v2's DAG — paid ONCE per (application, corpus,
+    * k): the cleaned relation is a [[graft.operators.CleanedCorpus]]
+    * producer artifact (parquet materialization, the Lee et al. pipeline
+    * posture), so its five consumers (audit, LM train, LM score,
+    * threshold derivation, dedup) are five scans of a columnar file and
+    * re-invocations skip the removal entirely. The oracle is the three
+    * entries' CTEs composed verbatim — every count exact in both engines.
     */
   val x117_curation_v3: QueryDef = QueryDef(
     "x117_curation_v3",
@@ -1586,16 +1588,14 @@ object CurationOps {
       Seq("lang", "n_docs", "n_too_short", "n_too_long", "n_repetitive",
         "n_low_quality", "n_kept_docs", "kept_tokens", "nll_p90"))) { (s, d) =>
     val docs = Tables.documents(s, d)
-    // both pins are BUILD-scoped: `cleaned` feeds five consumers and
-    // `scored` the threshold jobs + the gate join, but the final frame is
-    // per-lang (bounded) — materialize it eagerly and release the pins in
-    // finally so N compositions of this entry leave no net cached
-    // relations (CompositionSpec gate)
-    val cleaned = graft.operators.Dedup
-      .removeDupSpans(docs, graft.queries.TextOps.DupGramK)
-      .select(col("doc_id"), col("text_clean").as("text"))
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .persist()
+    // the removal is a session-scoped PRODUCER step (round-14 verdict #5):
+    // the cleaned corpus materializes to parquet once per (app, dir, k)
+    // and every consumer — here and on re-invocation — reads the artifact
+    // (the Lee et al. posture: write the deduplicated corpus once). The
+    // `scored` pin stays BUILD-scoped and is released in finally, so N
+    // compositions leave no net cached relations (CompositionSpec gate).
+    val cleaned = graft.operators.CleanedCorpus.cleanedCached(
+      s, d, graft.queries.TextOps.DupGramK, docs)
     val audit = curationAudit(cleaned)
     // the LM self-trains on the span-REMOVED text — the memo variant key
     // pins the removal parameter so the raw-corpus model never collides
@@ -1642,7 +1642,6 @@ object CurationOps {
             graft.operators.UnigramLm.LnScale.toDouble).as("nll_p90"))))
     } finally {
       scored.unpersist(): Unit
-      cleaned.unpersist(): Unit
     }
   }
 }

@@ -19,7 +19,8 @@ object Relational {
   def defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q08b, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21a, q21b, q22, q22b,
-    x52_approx_distinct, x52b_approx_distinct_gate, x53_pivot,
+    x52_approx_distinct, x52b_approx_distinct_gate,
+    x122_approx_quantile_gate, x53_pivot,
     x54_unpivot, x55_percentiles,
     x56_range_window, x59_stringagg, x60_argmax, x72_window_battery,
     x75_null_semantics, x78_salted_agg)
@@ -283,6 +284,83 @@ object Relational {
         when(abs(col("as_") - col("exact_supps"))
           <= col("exact_supps") * 0.05, 1).otherwise(0)
           .as("supps_within_5pct")))
+  }
+
+  /** Mergeable approximate-quantile sketch with its rank-error contract
+    * pinned oracle-side — the third member of the sketch family (distinct
+    * count: HLL x52/x52b; heavy hitters: Misra–Gries x96; quantiles:
+    * THIS). Spark's `approx_percentile` is the Greenwald–Khanna-style
+    * mergeable summary (Spark's `QuantileSummaries`): O((1/ε)·log(εN))
+    * state per task, map-side partials + a tiny final merge — the shape
+    * that answers "p99 of a 100 TB column" in one pass where the exact
+    * histogram device ([[graft.operators.Percentiles]]) needs the
+    * distinct-value relation.
+    *
+    * The x52b promotion device: the sketch VALUES stay engine-side (GK
+    * summaries legitimately differ between engines and with merge order);
+    * what the oracle checks is the published CONTRACT — the returned
+    * value's rank is within ε·N of the target rank (ε = 1/accuracy; we
+    * gate at 2ε for merge slack, documented in SPARK-21184's fix). Both
+    * sides compute the exact order statistics at the bounding ranks
+    * (Spark via the bounded-histogram [[graft.operators.Percentiles
+    * .exactQuantiles]], DuckDB via the one-window ROW_NUMBER device), and
+    * the within-bound flag is pinned to 1 on the oracle side — a sketch
+    * drifting past its guarantee fails the driver's hash compare at every
+    * SF. Rank arithmetic is pure integers (ceil via (f·n+99)//100), so
+    * the bracketing ranks are bit-identical across engines.
+    */
+  val x122_approx_quantile_gate: QueryDef = QueryDef(
+    "x122_approx_quantile_gate",
+    Sql.canon(
+      """WITH v AS (
+        |  SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS v FROM lineitem),
+        |nn AS (SELECT COUNT(*) AS n, (2*COUNT(*) + 999) // 1000 AS delta FROM v),
+        |ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM v),
+        |ranks AS (
+        |  SELECT pct, n,
+        |    (f*n + 99) // 100 AS m,
+        |    GREATEST(1, (f*n + 99) // 100 - delta) AS lo_r,
+        |    LEAST(n, (f*n + 99) // 100 + delta) AS hi_r
+        |  FROM (SELECT UNNEST(['p50','p90','p99']) AS pct,
+        |               UNNEST([50, 90, 99]) AS f) CROSS JOIN nn)
+        |SELECT r.pct, r.n, a.v AS exact_cents, b.v AS lo_cents,
+        |  c.v AS hi_cents, 1 AS within_rank_bound
+        |FROM ranks r
+        |JOIN ranked a ON a.rn = r.m
+        |JOIN ranked b ON b.rn = r.lo_r
+        |JOIN ranked c ON c.rn = r.hi_r""".stripMargin,
+      Seq("pct", "n", "exact_cents", "lo_cents", "hi_cents",
+        "within_rank_bound"))) { (s, d) =>
+    import s.implicits._
+    val acc = 1000L
+    val v = Tables.lineitem(s, d)
+      .select(round(col("l_extendedprice") * 100).cast(LongType).as("v"))
+    val n = v.count()
+    // quantiles of nothing: the oracle's rank joins match zero rows too
+    val rows = if (n == 0) Seq.empty[(String, Long, Long, Long, Long, Int)]
+    else {
+      val delta = Math.floorDiv(2 * n + acc - 1, acc) // ceil(2n/acc) = 2εN
+      val pcts = Seq(("p50", 50L), ("p90", 90L), ("p99", 99L))
+      val ranks = pcts.map { case (nm, f) =>
+        val m = Math.floorDiv(f * n + 99, 100) // ceil(f·n/100), pure integers
+        (nm, m, math.max(1L, m - delta), math.min(n, m + delta))
+      }
+      // exact order statistics at all nine ranks from ONE histogram pass
+      // (rank r as the fraction r/n: ceil(r·n/n) = r exactly)
+      val ex = graft.operators.Percentiles.exactQuantiles(
+        v, "v", ranks.flatMap { case (_, m, lo, hi) =>
+          Seq((m, n), (lo, n), (hi, n)) })
+        .map { case (r, _, value) => r -> value }.toMap
+      val approx = v.agg(percentile_approx(col("v"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(acc.toInt)).as("a"))
+        .collect()(0).getSeq[Long](0)
+      ranks.zipWithIndex.map { case ((nm, m, lo, hi), i) =>
+        val within = if (approx(i) >= ex(lo) && approx(i) <= ex(hi)) 1 else 0
+        (nm, n, ex(m), ex(lo), ex(hi), within)
+      }
+    }
+    Canon(rows.toDF("pct", "n", "exact_cents", "lo_cents", "hi_cents",
+      "within_rank_bound"))
   }
 
   // ---------------------------------------------------------------- Q01

@@ -68,6 +68,7 @@ final class TankServer(spark: SparkSession, cfg: StoreConfig,
     // for the JVM — the round-14 unbounded-session-state nit)
     graft.operators.UnigramLm.invalidate()
     graft.operators.Bpe.invalidate()
+    graft.operators.CleanedCorpus.invalidate()
   }
 
   /** Co-located streaming ingest (the reference's poll-dir file runner,

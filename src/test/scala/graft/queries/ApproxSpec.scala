@@ -18,4 +18,18 @@ class ApproxSpec extends SparkSpec {
       assert(math.abs(a - e).toDouble / e < 0.05, s"$k: approx $a vs exact $e")
     }
   }
+
+  test("x122: GK sketch values sit within the pinned 2εN rank bounds") {
+    val rows = Relational.x122_approx_quantile_gate
+      .build(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("within_rank_bound") == 1,
+        s"${r.getAs[String]("pct")}: sketch outside its rank-error bound " +
+          s"(lo=${r.getAs[Long]("lo_cents")} hi=${r.getAs[Long]("hi_cents")})")
+      // the bracketing order statistics must themselves bracket the target
+      assert(r.getAs[Long]("lo_cents") <= r.getAs[Long]("exact_cents") &&
+        r.getAs[Long]("exact_cents") <= r.getAs[Long]("hi_cents"))
+    }
+  }
 }
