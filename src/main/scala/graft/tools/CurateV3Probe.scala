@@ -96,9 +96,15 @@ object CurateV3Probe {
         f"load=${graft.Bench.loadAvg()}%.2f")
       assert(equal,
         s"batch $b: store path diverged from the storeless composition")
-      histGrams = histGrams
-        .unionByName(graft.sources.GramHistory.gramHashes(batch, k))
-        .distinct().localCheckpoint(true)
+      // the twin's gram union only matters while there is a NEXT batch to
+      // check — the post-last-batch distinct+checkpoint is corpus-history-
+      // sized wasted work (and at 100× its block-manager pressure can
+      // evict the prior checkpoint mid-job)
+      if (b < nBatches - 1) {
+        histGrams = histGrams
+          .unionByName(graft.sources.GramHistory.gramHashes(batch, k))
+          .distinct().localCheckpoint(true)
+      }
     }
     val w = walls.result()
     println(f"CURATEV3-SUMMARY corpus=$corpusDir batches=$nBatches " +

@@ -86,4 +86,62 @@ class EmptyInputSpec extends SparkSpec {
       assert(n >= 0)
     }
   }
+
+  // duplicate-row twins: every table's first two rows repeated verbatim —
+  // the recrawl reality (overlapping crawl shards re-deliver identical
+  // rows with identical ids). Joins fan out, "unique key" assumptions
+  // break, groupBy cardinalities halve — none of it may throw
+  private lazy val dupRowDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-duprow").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      val two = spark.read.parquet(s"$Sf/$t.parquet").limit(2)
+      two.union(two).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  SparkEntry.queries.keys.filterNot(skip).foreach { name =>
+    test(s"$name runs on duplicate-row tables") {
+      val n = SparkEntry.queries(name)(spark, dupRowDir).count()
+      assert(n >= 0)
+    }
+  }
+
+  // hostile-text twins: a documents row whose text exercises the string
+  // edges a 100 TB web crawl actually contains — astral-plane code points
+  // (surrogate PAIRS in Java's UTF-16: any kernel indexing by char and
+  // slicing by code point is one off-by-one from a
+  // StringIndexOutOfBounds), ZWJ emoji sequences, RTL scripts, zero-width
+  // joiners, combining marks, control chars, CJK, and a long
+  // no-whitespace run (a "document" that is one giant token)
+  private lazy val hostileTextDir: String = {
+    import org.apache.spark.sql.functions._
+    val hostile = "𝔘𝔫𝔦 " + // 𝔘𝔫𝔦 astral
+      "👩‍👩‍👧 " + // ZWJ family
+      "مرحبا שלום " + // RTL
+      "étude café 中文测试 " + // combining+CJK
+      "​‍﻿ ctrlchars " +
+      ("x" * 5000) + " tail tokens after the run"
+    val dir = java.nio.file.Files.createTempDirectory("graft-hostile").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      val one = spark.read.parquet(s"$Sf/$t.parquet").limit(1)
+      val out = t match {
+        case "documents" => one.withColumn("text", lit(hostile))
+        case _ => one
+      }
+      out.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  SparkEntry.queries.keys.filterNot(skip).foreach { name =>
+    test(s"$name runs on hostile-text tables") {
+      val n = SparkEntry.queries(name)(spark, hostileTextDir).count()
+      assert(n >= 0)
+    }
+  }
 }
