@@ -42,7 +42,8 @@ object Verify {
         graft.sources.GramHistory.tableFor(sfDir),
         graft.sources.PhashHistory.tableFor(sfDir),
         graft.sources.LandmarkHistory.tableFor(sfDir),
-        graft.sources.FrameHistory.tableFor(sfDir))) {
+        graft.sources.FrameHistory.tableFor(sfDir),
+        graft.sources.MinHashHistory.tableFor(sfDir))) {
       graft.sources.MutationGuard.clear(
         spark, graft.sources.Bucketing.guardBase(spark, t))
       // ...and any streaming replay watermark a previous run persisted —
@@ -86,6 +87,14 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] frame store build failed " +
         s"(x116 falls back to derived history): ${e.getMessage}")
+    }
+    // x123's persisted MinHash-LSH index — same producer contract
+    try graft.sources.MinHashHistory.create(spark, sfDir,
+      graft.queries.TextOps.x123HistoryBands(spark, sfDir),
+      graft.queries.TextOps.x123HistoryShingles(spark, sfDir))
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] minhash store build failed " +
+        s"(x123 falls back to derived history): ${e.getMessage}")
     }
     // x94b's BM25 index store — same producer contract (store answers are
     // bit-identical to the transient chain, so the fallback is silent-safe)

@@ -143,7 +143,7 @@ object Dedup {
   }
 
   /** (band, bucket) membership rows for each doc: one row per band. */
-  private def bandedBuckets(sigs: DataFrame, bands: Int, numHashes: Int): DataFrame = {
+  private[graft] def bandedBuckets(sigs: DataFrame, bands: Int, numHashes: Int): DataFrame = {
     val rows = numHashes / bands
     sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
@@ -293,6 +293,90 @@ object Dedup {
     val materialized = graft.util.Materialize.eager(out)
     narrowed.unpersist(false)
     materialized
+  }
+
+  /** Incremental MinHash near-dup: a NEW batch's docs probed against a
+    * PERSISTED LSH index ([[graft.sources.MinHashHistory]]) — the text
+    * near-dup member of the incremental family (exact-doc
+    * [[incrementalStatusBinary]], substring [[incrementalDupGrams]],
+    * payload/audio/video siblings in VectorOps), and the published
+    * MinHash-LSH serving shape: batch signatures banded, each band bucket
+    * probed by ONE equi-join riding the store's bucket layout (no
+    * history-side exchange — MinHashHistorySpec gates the plan), then
+    * exact Jaccard against the store's per-doc shingle-hash rows, fetched
+    * candidates-only via a semi-join that rides the id-bucketed layout.
+    *
+    * Per-batch cost is batch+candidates-sized at any corpus size: the
+    * batch side shuffles INTO the store's layouts; the only aggregations
+    * (candidate DISTINCT, per-candidate intersection/denominator counts)
+    * are candidates-sized. Banding recall: a true Jaccard≥0.8 pair misses
+    * only if its signatures disagree on all `bands` bands — P ≈ 5e-8 at
+    * the x40 knobs, the same accepted coincidence budget. Shingle hashes
+    * are xxhash64 (8-byte rows; a collision only ADDS intersection —
+    * the x99/x102 4e-8 budget; the oracle replays string shingles).
+    *
+    * `batchArrs` = (doc_id, lang, n_chars, shs) distinct-shingle arrays
+    * (the [[graft.queries.TextOps.shingleArrays]] shape); `histBands` =
+    * (bucket, id, lang, n_chars); `histSh` = (id, shash). Output
+    * (doc_a = batch id, doc_b = history id, jaccard ≥ threshold).
+    */
+  def incrementalNearDups(batchArrs0: DataFrame, histBands: DataFrame,
+                          histSh: DataFrame, threshold: Double = 0.8,
+                          numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val batchArrs = batchArrs0
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("shs"))
+      .filter(size(col("shs")) > 0)
+    val sigs = minHashSignaturesFromArrays(
+      batchArrs.select(col("doc_id"), col("shs")), numHashes)
+    // batch band buckets with lang FOLDED INTO the bucket key (the store
+    // does the same — see TextOps.minHashBandsOf): the same-lang candidate
+    // restriction is structural, so the probe join has ONE key and the
+    // history side keeps its bucket co-location. The length window — x40's
+    // other scale-contract restriction — is a non-equi predicate and rides
+    // the join condition without becoming a key.
+    val bBands = bandedBuckets(sigs, bands, numHashes)
+      .join(batchArrs.select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id")
+      .select(col("doc_id").as("doc_a"),
+        xxhash64(col("bucket"), col("lang"))
+          .as(graft.sources.MinHashHistory.KeyCol),
+        col("n_chars").as("_nca"))
+    // the probe join: history side rides its bucket layout; a numeric
+    // bucket collision (across band indices or languages) yields a
+    // spurious candidate that exact verification discards
+    val cands = bBands
+      .join(histBands.select(col(graft.sources.MinHashHistory.KeyCol),
+        col("id").as("doc_b"), col("n_chars").as("_ncb")),
+        graft.sources.MinHashHistory.KeyCol)
+      .filter(abs(col("_nca") - col("_ncb")) * 2 <=
+        greatest(col("_nca"), col("_ncb")))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // verify fetch: candidate history docs' shingle rows, riding the
+    // id-bucketed layout (left-semi pushes INTO the scan side)
+    val slice = histSh
+      .join(cands.select(col("doc_b").as("id")).distinct(), Seq("id"),
+        "left_semi")
+    val nh = slice.groupBy(col("id").as("doc_b"))
+      .agg(count(lit(1)).as("_nh"))
+    val bSh = batchArrs
+      .join(cands.select(col("doc_a").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("doc_a"), explode(col("shs")).as("_sh"))
+      .select(col("doc_a"), xxhash64(col("_sh")).as("shash"))
+    val inter = cands
+      .join(bSh, "doc_a")
+      .join(slice.select(col("id").as("doc_b"), col("shash")),
+        Seq("doc_b", "shash"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("_inter"))
+    val na = batchArrs.select(col("doc_id").as("doc_a"),
+      size(col("shs")).cast(LongType).as("_na"))
+    inter
+      .join(na, "doc_a")
+      .join(nh, "doc_b")
+      .withColumn("jaccard", col("_inter").cast(DoubleType) /
+        (col("_na") + col("_nh") - col("_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** Distinct doc ids appearing on either side of the candidate pairs. */

@@ -25,7 +25,8 @@ object TextOps {
       x81_winnow_fps, x82_shared_spans, x84_dup_components, x85_dedup_resolve,
       x86_incremental_dedup, x95_unigram_lm, x97_bigram_lm, x99_dupgrams,
       x100_best_keeper, x102_incremental_dupgrams, x105_bpe_train,
-      x106_bpe_encode, x114_remove_dup_spans, x118_incremental_remove_spans)
+      x106_bpe_encode, x114_remove_dup_spans, x118_incremental_remove_spans,
+      x123_incremental_neardup)
 
   /** Distinct word-trigram shingles, exploded: (doc_id, lang, n_chars, sh).
     * Word n-grams (not character grams) are the dedup unit: on natural text
@@ -63,18 +64,21 @@ object TextOps {
     docs.select(col("doc_id"), trigU(col("text")).as("shs"))
   }
 
-  /** Oracle twin of [[shingles]] (zipped-UNNEST form: DuckDB 1.0 does not
-    * allow lateral column args to the generate_series table function).
+  /** Oracle twin of [[shingles]] over an arbitrary (doc_id, text, lang,
+    * n_chars) relation (zipped-UNNEST form: DuckDB 1.0 does not allow
+    * lateral column args to the generate_series table function).
     */
-  val ShinglesSql: String =
-    """SELECT DISTINCT doc_id, lang, n_chars,
-      |  toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
-      |FROM (
-      |  SELECT doc_id, lang, n_chars, toks,
-      |    UNNEST(generate_series(1, GREATEST(LEN(toks) - 2, 0))) AS i
-      |  FROM (SELECT doc_id, lang, n_chars, STR_SPLIT(text, ' ') AS toks
-      |        FROM documents)
-      |  WHERE LEN(toks) >= 3)""".stripMargin
+  def shinglesSqlOver(rel: String): String =
+    s"""SELECT DISTINCT doc_id, lang, n_chars,
+       |  toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+       |FROM (
+       |  SELECT doc_id, lang, n_chars, toks,
+       |    UNNEST(generate_series(1, GREATEST(LEN(toks) - 2, 0))) AS i
+       |  FROM (SELECT doc_id, lang, n_chars, STR_SPLIT(text, ' ') AS toks
+       |        FROM $rel)
+       |  WHERE LEN(toks) >= 3)""".stripMargin
+
+  val ShinglesSql: String = shinglesSqlOver("documents")
 
   /** Exact Jaccard >= 0.8 pairs among same-lang, similar-length docs.
     * Shared by q32 (shingle-join plan) and x40 (MinHash-LSH plan).
@@ -424,6 +428,125 @@ object TextOps {
     Canon(Dedup.incrementalStatusBinary(batch,
       graft.sources.HashHistory.scanOrCompute(s, d)(
         history.select(unhex(md5(col("text"))).as("th")))))
+  }
+
+  // ---------------------------------------------------------------- x123
+  /** x86's md5-bucket split carrying the near-dup restriction columns:
+    * (history, batch) with (doc_id, text, lang, n_chars). Same bucket
+    * arithmetic and the same recrawl/second-copy injections, so the two
+    * incremental text entries describe ONE crawl scenario — the +10M
+    * recrawls are verbatim copies of history docs and must surface here
+    * as Jaccard-1.0 near-dup pairs against their originals (the planted
+    * truth the oracle reconstructs).
+    */
+  private[graft] def x123Split(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val bucket = (conv(substring(md5(col("doc_id").cast(StringType)), 1, 8),
+      16, 10).cast(LongType) % 100).cast(IntegerType)
+    val cols = Seq(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    val bkt = Tables.documents(s, d).select(cols: _*).withColumn("bucket", bucket)
+    val history = bkt.filter(col("bucket") < 60).select(cols: _*)
+    val base = bkt.filter(col("bucket") >= 60)
+    val batch = base.select(cols: _*)
+      .unionAll(bkt.filter(col("bucket") < 60 && col("bucket") % 7 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+          col("lang"), col("n_chars")))
+      .unionAll(base.filter(col("bucket") % 11 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text"),
+          col("lang"), col("n_chars")))
+    (history, batch)
+  }
+
+  /** The [[graft.sources.MinHashHistory]] band layout of a (doc_id, text,
+    * lang, n_chars) frame: (bucket, id, lang, n_chars), one row per
+    * (doc, band).
+    */
+  private[graft] def minHashBandsOf(docs: DataFrame): DataFrame = {
+    val arrs = shingleArrays(docs)
+    graft.operators.Dedup.bandedBuckets(
+      graft.operators.Dedup.minHashSignaturesFromArrays(
+        arrs.select(col("doc_id"), col("shs"))), 32, 128)
+      .join(arrs.select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
+      // lang folds INTO the bucket key: the same-lang candidate restriction
+      // becomes structural (cross-lang rows meet only on a 64-bit hash
+      // coincidence, P ≈ 2⁻⁶⁴ — far below the 5e-8 banding budget), and
+      // the probe join keeps a SINGLE key — a separate lang equality would
+      // become a second join key and defeat the store's bucket-co-location
+      .select(xxhash64(col("bucket"), col("lang")).as("bucket"),
+        col("doc_id").as("id"), col("n_chars"))
+  }
+
+  /** The store's shingle-hash relation of a docs frame: (id, shash), one
+    * row per distinct word trigram per doc.
+    */
+  private[graft] def minHashShinglesOf(docs: DataFrame): DataFrame =
+    shingleArrays(docs)
+      .select(col("doc_id").as("id"), explode(col("shs")).as("_sh"))
+      .select(col("id"), xxhash64(col("_sh")).as("shash"))
+
+  /** x123's history in the two store layouts. */
+  private[graft] def x123HistoryBands(s: SparkSession, d: String): DataFrame =
+    minHashBandsOf(x123Split(s, d)._1)
+
+  private[graft] def x123HistoryShingles(s: SparkSession, d: String): DataFrame =
+    minHashShinglesOf(x123Split(s, d)._1)
+
+  /** Incremental text NEAR-DUP — the missing member of the incremental
+    * store family (exact-doc x86 / substring x102 / payload x109 / audio
+    * x113 / video x116 / text near-dup THIS): a NEW crawl batch's
+    * MinHash band buckets probed against the persisted
+    * [[graft.sources.MinHashHistory]] LSH index — the production
+    * deployment of text dedup (an all-corpus pair pass per crawl is the
+    * thing the index exists to avoid), then exact Jaccard ≥ 0.8 against
+    * the store's per-doc shingle-hash rows (candidates-only fetch riding
+    * the id-bucketed layout; [[graft.operators.Dedup.incrementalNearDups]]
+    * has the cost shape and the two accepted hash budgets). The oracle
+    * replays the split and the EXHAUSTIVE batch×history shingle join with
+    * string shingles — banding misses (P ≈ 5e-8) and xxhash64 collisions
+    * (4e-8) are the same coincidence budgets x40/q32 and x102 already
+    * carry. The +10M recrawls must pair with their originals at exactly
+    * 1.0.
+    */
+  val x123_incremental_neardup: QueryDef = QueryDef(
+    "x123_incremental_neardup",
+    Sql.canon(
+      s"""WITH bkt AS (SELECT doc_id, text, lang, n_chars,
+         |  CAST(CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |       AS BIGINT) % 100 AS INT) AS bucket
+         |  FROM documents),
+         |hist AS (SELECT doc_id, text, lang, n_chars FROM bkt WHERE bucket < 60),
+         |batch AS (
+         |  SELECT doc_id, text, lang, n_chars FROM bkt WHERE bucket >= 60
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, text, lang, n_chars FROM bkt
+         |  WHERE bucket < 60 AND bucket % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000000, text, lang, n_chars FROM bkt
+         |  WHERE bucket >= 60 AND bucket % 11 = 0),
+         |sb AS (${shinglesSqlOver("batch")}),
+         |sh AS (${shinglesSqlOver("hist")}),
+         |cb AS (SELECT doc_id, COUNT(*) AS n FROM sb GROUP BY doc_id),
+         |ch AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |p AS (
+         |  SELECT b.doc_id AS doc_a, h.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sb b JOIN sh h
+         |    ON b.sh = h.sh AND b.lang = h.lang
+         |   AND ABS(b.n_chars - h.n_chars) * 2 <= GREATEST(b.n_chars, h.n_chars)
+         |  GROUP BY b.doc_id, h.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(inter AS DOUBLE) / (ca.n + cb2.n - inter) AS jaccard
+         |FROM p JOIN cb ca ON p.doc_a = ca.doc_id
+         |       JOIN ch cb2 ON p.doc_b = cb2.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (ca.n + cb2.n - inter) >= 0.8""".stripMargin,
+      Seq("doc_a", "doc_b", "jaccard"))) { (s, d) =>
+    val (history, batch) = x123Split(s, d)
+    // history via the session store device: when a producer step persisted
+    // the bucketed LSH index for this dir, the probe rides its layouts
+    // (no history-side exchange); else the derived in-query plans —
+    // lazily, same values either way (the oracle replays the derivation)
+    val (bands, sh) = graft.sources.MinHashHistory.scanOrCompute(s, d)(
+      (x123HistoryBands(s, d), x123HistoryShingles(s, d)))
+    Canon(graft.operators.Dedup.incrementalNearDups(
+      shingleArrays(batch), bands, sh))
   }
 
   // ---------------------------------------------------------------- x44/x45

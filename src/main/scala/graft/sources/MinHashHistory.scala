@@ -1,0 +1,138 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH index — the text NEAR-DUP member of the
+  * incremental-dedup family, completing its symmetry ([[HashHistory]] =
+  * whole-doc EXACT, [[GramHistory]] = substring, [[PhashHistory]] =
+  * payload, [[LandmarkHistory]] = audio, [[FrameHistory]] = video; text
+  * near-dup had only the all-corpus batch form x40): a NEW crawl batch's
+  * MinHash band buckets are probed against the already-ingested corpus'
+  * persisted index WITHOUT re-running corpus-wide LSH — the production
+  * text-dedup deployment (nobody re-pairs 100 TB per crawl; the batch
+  * probes a signature index, the published MinHash-LSH serving shape).
+  *
+  * TWO bucketed relations, the [[FrameHistory]] device (candidates need
+  * one layout, exact verification another):
+  *
+  *  - `<table>`: `(bucket LONG, id, n_chars)` — one row per (doc, band):
+  *    xxhash64 of (banded-signature bucket, lang) — the band index AND
+  *    the language fold into the key, so the same-lang candidate
+  *    restriction (x40's scale contract) is structural and the probe
+  *    join keeps a SINGLE equi key riding the bucket layout (a separate
+  *    lang equality would become a second join key and force a history-
+  *    side exchange; a cross-band/cross-lang 64-bit coincidence admits a
+  *    spurious candidate at P ≈ 2⁻⁶⁴ — far below the banding budget).
+  *    n_chars rides along for the non-equi length-window condition.
+  *    32 rows × 24 B/doc.
+  *  - `<table>_sh`: `(id LONG, shash LONG)` — one row per distinct word
+  *    trigram per doc, xxhash64-keyed (8-byte keys; a collision can only
+  *    INFLATE an intersection — the x99/x102 accepted 4e-8 budget, and
+  *    the per-doc row count doubles as the exact Jaccard denominator),
+  *    bucketed on `id` so the verify fetch for candidate history docs
+  *    rides the layout with NO history-side exchange. Corpus-token-scale
+  *    like [[GramHistory]] — the documented store-as-state posture.
+  *
+  * Contracts shared with the sibling stores: session registry keyed by
+  * (application, dir); [[create]]/[[append]]/[[compact]] under ONE
+  * [[MutationGuard]] marker (both relations mutate together); [[create]]
+  * clears the [[StreamMark]] replay watermark. Append semantics: one
+  * doc's rows arrive in ONE batch; re-appending a doc duplicates its
+  * band rows (candidate dups — absorbed by the probe's pair DISTINCT)
+  * AND its shingle rows (inflating BOTH the intersection and the
+  * denominator until [[compact]] rebuilds distinct rows) — the multiset
+  * replay caveat of the family.
+  */
+object MinHashHistory {
+
+  val KeyCol = "bucket"
+
+  private val stores = new ConcurrentHashMap[String, (String, Int)]()
+
+  private def key(spark: SparkSession, dir: String): String =
+    spark.sparkContext.applicationId + "|" + new java.io.File(dir).getAbsolutePath
+
+  /** Deterministic table name for a source dir. */
+  def tableFor(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"graft_minhash_history_$hex"
+  }
+
+  def shTableFor(dir: String): String = tableFor(dir) + "_sh"
+
+  /** PRODUCER step: persist the corpus' band index + shingle-hash
+    * relation as the bucketed history tables for `dir` and register them.
+    * `bands` must be (bucket, id, n_chars); `shingles` (id, shash).
+    */
+  def create(spark: SparkSession, dir: String, bands: DataFrame,
+             shingles: DataFrame, buckets: Int = 8): Unit = {
+    val table = tableFor(dir)
+    MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
+      Bucketing.writeBucketed(bands, table, KeyCol, buckets)
+      Bucketing.writeBucketed(shingles, shTableFor(dir), "id", buckets)
+    }
+    // a recreated store is a NEW streaming lineage: drop any replay
+    // watermark a previous stream left or its appends are silently skipped
+    StreamMark.clear(spark, table)
+    stores.put(key(spark, dir), (table, buckets)): Unit
+  }
+
+  /** Append an increment's band + shingle rows as bucket-compatible
+    * files. One-batch-per-doc contract: see the object scaladoc.
+    */
+  def append(spark: SparkSession, dir: String, bands: DataFrame,
+             shingles: DataFrame): Unit = {
+    val (table, buckets) = Option(stores.get(key(spark, dir))).getOrElse(
+      throw new IllegalStateException(
+        s"MinHashHistory.append: no store registered for $dir — create() first"))
+    MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
+      bands.write.mode(SaveMode.Append)
+        .bucketBy(buckets, KeyCol).sortBy(KeyCol)
+        .format("parquet").saveAsTable(table)
+      shingles.write.mode(SaveMode.Append)
+        .bucketBy(buckets, "id").sortBy("id")
+        .format("parquet").saveAsTable(shTableFor(dir))
+    }
+  }
+
+  /** STORE-SIZED compaction to distinct rows in both relations — probes
+    * answer identically before and after on a clean store (and a replay
+    * double-append's inflation is undone), bucket layouts preserved.
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val (table, buckets) = Option(stores.get(key(spark, dir))).getOrElse(
+      throw new IllegalStateException(
+        s"MinHashHistory.compact: no store registered for $dir — create() first"))
+    MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
+      Bucketing.compactDistinct(spark, table, KeyCol, buckets,
+        allColumns = true)
+      Bucketing.compactDistinct(spark, shTableFor(dir), "id", buckets,
+        allColumns = true)
+    }
+  }
+
+  /** LAZY consumer entry: (bands, shingles) bucketed scans when a
+    * producer step ran for this (application, dir), else the caller's
+    * derived plans.
+    */
+  def scanOrCompute(spark: SparkSession, dir: String)
+                   (compute: => (DataFrame, DataFrame)): (DataFrame, DataFrame) =
+    Option(stores.get(key(spark, dir))) match {
+      case Some((table, _)) =>
+        (spark.table(table)
+          .select(col(KeyCol), col("id"), col("n_chars")),
+          spark.table(shTableFor(dir)).select(col("id"), col("shash")))
+      case None => compute
+    }
+
+  private[graft] def registeredTable(spark: SparkSession,
+                                     dir: String): Option[String] =
+    Option(stores.get(key(spark, dir))).map(_._1)
+
+  private[graft] def invalidate(spark: SparkSession, dir: String): Unit =
+    stores.remove(key(spark, dir)): Unit
+}

@@ -1,0 +1,187 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.{Dedup, Kernels}
+import graft.queries.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class MinHashHistorySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // 30-token docs: 28 trigrams, so a one-token tail edit shares 26 of 30
+  // distinct trigrams — Jaccard 26/30 ≈ 0.867, safely over the 0.8 cut
+  private val baseText =
+    (1 to 29).map(i => s"tok$i").mkString(" ") + " tail"
+  private val nearText =
+    (1 to 29).map(i => s"tok$i").mkString(" ") + " edited"
+  private val otherText =
+    (1 to 30).map(i => s"other$i").mkString(" ")
+  private val novelText =
+    (1 to 30).map(i => s"novel$i").mkString(" ")
+
+  private def doc(id: Long, text: String, lang: String = "en") =
+    (id, text, lang, text.length.toLong)
+
+  private def histDocs: DataFrame = Seq(
+    doc(1L, baseText), doc(2L, otherText), doc(3L, baseText, lang = "fr"))
+    .toDF("doc_id", "text", "lang", "n_chars")
+
+  private def batchDocs: DataFrame = Seq(
+    doc(10L, baseText),  // verbatim recrawl of 1 → jaccard 1.0
+    doc(11L, nearText),  // near-dup of 1 → 26/30
+    doc(12L, novelText), // no history match
+    doc(13L, baseText, lang = "de")) // text of 1, wrong lang → filtered
+    .toDF("doc_id", "text", "lang", "n_chars")
+
+  /** Engine-independent expected answer: exhaustive cross Jaccard over
+    * string trigram sets with the same-lang + length-window restriction.
+    */
+  private def naivePairs: Set[(Long, Long, Double)] = {
+    def rows(df: DataFrame) = df.collect().map(r =>
+      (r.getLong(0), Kernels.wordTrigramSet(r.getString(1)).toSet,
+        r.getString(2), r.getLong(3)))
+    (for {
+      (bi, bs, bl, bn) <- rows(batchDocs); (hi, hs, hl, hn) <- rows(histDocs)
+      if bl == hl && math.abs(bn - hn) * 2 <= math.max(bn, hn)
+      inter = (bs & hs).size
+      if bs.nonEmpty && hs.nonEmpty
+      j = inter.toDouble / (bs.size + hs.size - inter)
+      if j >= 0.8
+    } yield (bi, hi, j)).toSet
+  }
+
+  private def got(bands: DataFrame, sh: DataFrame): Set[(Long, Long, Double)] =
+    Dedup.incrementalNearDups(TextOps.shingleArrays(batchDocs), bands, sh)
+      .as[(Long, Long, Double)].collect().toSet
+
+  test("store probe equals the exhaustive cross-Jaccard answer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh").toString
+    try {
+      MinHashHistory.create(spark, dir,
+        TextOps.minHashBandsOf(histDocs), TextOps.minHashShinglesOf(histDocs))
+      val (bands, sh) = MinHashHistory.scanOrCompute(spark, dir)(
+        sys.error("unreachable"))
+      val want = naivePairs
+      assert(got(bands, sh) == want, s"got ${got(bands, sh)}, want $want")
+      // the fixture exercises a verbatim recrawl (exactly 1.0), a true
+      // near-dup strictly inside (0.8, 1), a novel doc and a lang mismatch
+      assert(want.contains((10L, 1L, 1.0)))
+      assert(want.exists(p => p._1 == 11L && p._3 > 0.8 && p._3 < 1.0))
+      assert(!want.exists(_._1 == 12L), "novel doc matched history")
+      assert(!want.exists(_._1 == 13L), "cross-lang twin escaped the filter")
+    } finally MinHashHistory.invalidate(spark, dir)
+  }
+
+  test("standalone fallback (no producer) answers identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-fb").toString
+    try {
+      val (bands, sh) = MinHashHistory.scanOrCompute(spark, dir)(
+        (TextOps.minHashBandsOf(histDocs), TextOps.minHashShinglesOf(histDocs)))
+      assert(got(bands, sh) == naivePairs)
+    } finally MinHashHistory.invalidate(spark, dir)
+  }
+
+  test("append extends the history; compact preserves answers and layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-app").toString
+    try {
+      MinHashHistory.create(spark, dir,
+        TextOps.minHashBandsOf(histDocs), TextOps.minHashShinglesOf(histDocs))
+      // fresh scans per probe: compaction rewrites the backing files, so a
+      // captured relation would hold a stale file listing
+      def probe() = {
+        val (bands, sh) = MinHashHistory.scanOrCompute(spark, dir)(
+          sys.error("unreachable"))
+        got(bands, sh)
+      }
+      assert(!probe().exists(_._1 == 12L))
+      // ingest the novel text as history doc 4 — the probe must now pair it
+      val newHist = Seq(doc(4L, novelText)).toDF("doc_id", "text", "lang", "n_chars")
+      MinHashHistory.append(spark, dir,
+        TextOps.minHashBandsOf(newHist), TextOps.minHashShinglesOf(newHist))
+      val after = probe()
+      assert(after.contains((12L, 4L, 1.0)), s"appended doc not visible: $after")
+      // a replay double-append inflates intersections AND denominators
+      // (multiset caveat); compact restores distinct rows and the answers
+      MinHashHistory.append(spark, dir,
+        TextOps.minHashBandsOf(histDocs), TextOps.minHashShinglesOf(histDocs))
+      val table = MinHashHistory.tableFor(dir)
+      val bloated = spark.table(MinHashHistory.shTableFor(dir)).count()
+      MinHashHistory.compact(spark, dir)
+      assert(spark.table(MinHashHistory.shTableFor(dir)).count() < bloated,
+        "compact did not shrink the bloated shingle relation")
+      assert(probe() == after, "compaction changed probe answers")
+      val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+        .collect().map(_.mkString(" ")).mkString("\n")
+      assert(desc.contains("Num Buckets") || desc.contains("bucket"),
+        s"bucket spec lost in compaction rename:\n$desc")
+    } finally MinHashHistory.invalidate(spark, dir)
+  }
+
+  test("probe plan: BOTH history scans ride their bucket layouts, no Exchange") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-plan").toString
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // the fixture store is broadcast-tiny; a 100 TB store is not — force
+    // the co-located join path the gate exists to protect
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      MinHashHistory.create(spark, dir,
+        TextOps.minHashBandsOf(histDocs), TextOps.minHashShinglesOf(histDocs))
+      val (bands, sh) = MinHashHistory.scanOrCompute(spark, dir)(
+        sys.error("unreachable"))
+      val probe = Dedup.incrementalNearDups(
+        TextOps.shingleArrays(batchDocs), bands, sh)
+      val exec = probe.queryExecution.executedPlan
+      val sides = exec.collect {
+        case j: SortMergeJoinExec => Seq(j.left, j.right)
+        case j: ShuffledHashJoinExec => Seq(j.left, j.right)
+      }.flatten
+      val histSides = sides.filter { side =>
+        val hasHist = side.collectFirst {
+          case s: FileSourceScanExec
+            if s.tableIdentifier.exists(_.table.startsWith("graft_minhash_history")) => s
+        }.isDefined
+        val crossesJoin = side.collect {
+          case j: SortMergeJoinExec => j
+          case j: ShuffledHashJoinExec => j
+        }.nonEmpty
+        hasHist && !crossesJoin
+      }
+      assert(histSides.nonEmpty,
+        s"probe joins do not scan the minhash-history tables:\n$exec")
+      histSides.foreach { side =>
+        val shuffles = side.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.isEmpty,
+          s"history side of a probe join shuffles:\n$side")
+      }
+      assert(exec.collect { case e: ShuffleExchangeExec => e }.nonEmpty,
+        s"expected a batch-side exchange:\n$exec")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      MinHashHistory.invalidate(spark, dir)
+    }
+  }
+
+  test("x123 registry entry probes the persisted store when one is registered") {
+    val d = Sf
+    try {
+      MinHashHistory.create(spark, d,
+        TextOps.x123HistoryBands(spark, d), TextOps.x123HistoryShingles(spark, d))
+      val stored = graft.queries.TextOps.x123_incremental_neardup
+        .build(spark, d).collect().map(_.toSeq).toSet
+      MinHashHistory.invalidate(spark, d)
+      val derived = graft.queries.TextOps.x123_incremental_neardup
+        .build(spark, d).collect().map(_.toSeq).toSet
+      assert(stored == derived,
+        "store-served probe diverges from the derived-history answer")
+      assert(stored.nonEmpty, "sf0.001 split produced no near-dup pairs")
+    } finally MinHashHistory.invalidate(spark, d)
+  }
+}
