@@ -808,6 +808,70 @@ object CurationStreams {
     } finally scored.unpersist(): Unit
   }
 
+  /** Streaming incremental text NEAR-DUP — x123's streaming twin, the
+    * text member of the store-as-state family: each micro-batch's docs
+    * are MinHash-banded map-only and probed against the PERSISTED
+    * [[graft.sources.MinHashHistory]] LSH index (`create()` it for `dir`
+    * first; an empty history is fine), then the batch's own band +
+    * shingle rows append so every LATER batch sees them. Within a
+    * micro-batch, docs pair against history only — exactly the x123
+    * batch contract, so a one-micro-batch stream is bit-identical to the
+    * batch operator (the spec asserts it).
+    *
+    * Same store-as-state rationale as the gram twin (the shingle-hash
+    * relation is corpus-token-scale — cross-batch state belongs in the
+    * bucketed on-disk store), and the [[incrementalAudioProbe]] replay
+    * caveat applies: shingle rows are COUNTED evidence (intersections
+    * and denominators), not membership, so a crashed-epoch replay that
+    * re-appends inflates both until
+    * [[graft.sources.MinHashHistory.compact]] restores distinct rows;
+    * committed epochs skip their appends via the persisted watermark.
+    * Input frame: (doc_id, text, lang, n_chars).
+    */
+  def incrementalNearDups(docs: DataFrame, dir: String,
+                          sink: DataFrame => Unit,
+                          growStore: Boolean = true)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val appended = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      nearDupBatch(batch, batchId, dir, sink, appended, growStore,
+        b => graft.sources.MinHashHistory.append(b.sparkSession, dir,
+          graft.queries.TextOps.minHashBandsOf(b),
+          graft.queries.TextOps.minHashShinglesOf(b)))
+    }
+  }
+
+  /** One micro-batch of [[incrementalNearDups]] — probe, sink, then the
+    * batchId-guarded append (injectable, like [[gramAuditBatch]], so the
+    * replay contract is directly spec-gated).
+    */
+  private[graft] def nearDupBatch(batch: DataFrame, batchId: Long,
+      dir: String, sink: DataFrame => Unit,
+      appended: java.util.concurrent.atomic.AtomicLong, growStore: Boolean,
+      append: DataFrame => Unit): Unit = {
+    val spark = batch.sparkSession
+    val table = graft.sources.MinHashHistory.registeredTable(spark, dir)
+      .getOrElse(throw new IllegalStateException(
+        s"streaming incrementalNearDups: no minhash store for $dir — " +
+          "MinHashHistory.create() first (an empty history is fine)"))
+    if (appended.get() == Long.MinValue)
+      appended.compareAndSet(Long.MinValue, readBatchMark(spark, table)): Unit
+    val (bands, sh) = graft.sources.MinHashHistory.scanOrCompute(spark, dir)(
+      sys.error(s"unreachable: $table is registered"))
+    val scored = graft.operators.Dedup.incrementalNearDups(
+      graft.queries.TextOps.shingleArrays(batch), bands, sh)
+      .persist()
+    try {
+      scored.count(): Unit // pin pre-append values
+      sink(scored)
+      if (growStore && appended.get() < batchId) {
+        append(batch)
+        writeBatchMark(spark, table, batchId)
+        appended.set(batchId)
+      }
+    } finally scored.unpersist(): Unit
+  }
+
   /** Streaming incremental audio probe — x113's streaming twin, the audio
     * member of the store-as-state family: each micro-batch's tracks are
     * landmark-fingerprinted map-only and probed against the PERSISTED

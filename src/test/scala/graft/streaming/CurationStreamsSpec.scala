@@ -1251,6 +1251,93 @@ class CurationStreamsSpec extends SparkSpec {
     graft.sources.LandmarkHistory.invalidate(spark, dir)
   }
 
+  // ------------------------------------- streaming incremental near-dup
+
+  private def ndText(tail: String): String =
+    (1 to 29).map(i => s"tok$i").mkString(" ") + " " + tail
+  private def ndNovel: String = (1 to 30).map(i => s"novel$i").mkString(" ")
+  private def ndDoc(id: Long, text: String): (Long, String, String, Long) =
+    (id, text, "en", text.length.toLong)
+
+  test("streaming near-dup probe: one micro-batch equals batch x123; growth visible") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.queries.TextOps
+    val dir = s"/tmp/neardup_probe_spec_${System.nanoTime}"
+    val hist = Seq(ndDoc(1L, ndText("tail")))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    graft.sources.MinHashHistory.create(spark, dir,
+      TextOps.minHashBandsOf(hist), TextOps.minHashShinglesOf(hist),
+      buckets = 4)
+    val out = scala.collection.mutable.ListBuffer[(Long, Long, Double)]()
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val q = CurationStreams.incrementalNearDups(
+        mem.toDF().toDF("doc_id", "text", "lang", "n_chars"), dir,
+        df => out ++= df.select("doc_a", "doc_b", "jaccard")
+          .as[(Long, Long, Double)].collect())
+      .start()
+    try {
+      // batch 1: a near-dup of history doc 1 + a novel doc
+      mem.addData(Seq(ndDoc(10L, ndText("edited")), ndDoc(11L, ndNovel)))
+      q.processAllAvailable()
+      val batch1 = out.toSet
+      // bit-identical to the batch operator against the same history
+      val want1 = graft.operators.Dedup.incrementalNearDups(
+          TextOps.shingleArrays(
+            Seq(ndDoc(10L, ndText("edited")), ndDoc(11L, ndNovel))
+              .toDF("doc_id", "text", "lang", "n_chars")),
+          TextOps.minHashBandsOf(hist), TextOps.minHashShinglesOf(hist))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(batch1 == want1, s"stream $batch1 != batch $want1")
+      assert(batch1.exists(p => p._1 == 10L && p._2 == 1L && p._3 > 0.8) &&
+        !batch1.exists(_._1 == 11L))
+      // batch 2: an exact copy of batch 1's novel doc — batch 1's append
+      // made it history, so it must now pair at exactly 1.0
+      mem.addData(Seq(ndDoc(20L, ndNovel)))
+      q.processAllAvailable()
+      val d2 = out.toSet -- batch1
+      assert(d2 == Set((20L, 11L, 1.0)),
+        s"batch-1 docs not visible to batch 2: $d2")
+    } finally q.stop()
+    graft.sources.MinHashHistory.invalidate(spark, dir)
+  }
+
+  test("streaming near-dup probe: failed append retried on replay, committed one skipped") {
+    import spark.implicits._
+    import graft.queries.TextOps
+    val dir = s"/tmp/neardup_probe_replay_${System.nanoTime}"
+    val hist = Seq(ndDoc(1L, ndText("tail")))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    graft.sources.MinHashHistory.create(spark, dir,
+      TextOps.minHashBandsOf(hist), TextOps.minHashShinglesOf(hist),
+      buckets = 4)
+    val batch = Seq(ndDoc(20L, ndNovel)).toDF("doc_id", "text", "lang", "n_chars")
+    val appended = new java.util.concurrent.atomic.AtomicLong(-1L)
+    var appendCalls = 0
+    var failNext = true
+    val flaky: org.apache.spark.sql.DataFrame => Unit = { b =>
+      appendCalls += 1
+      if (failNext) { failNext = false; throw new java.io.IOException("injected") }
+      graft.sources.MinHashHistory.append(spark, dir,
+        TextOps.minHashBandsOf(b), TextOps.minHashShinglesOf(b))
+    }
+    def run(guard: java.util.concurrent.atomic.AtomicLong): Unit =
+      CurationStreams.nearDupBatch(
+        batch, 0L, dir, _ => (), guard, growStore = true, flaky)
+    intercept[java.io.IOException](run(appended))
+    assert(appended.get() == -1L, "guard advanced before the append committed")
+    run(appended)
+    assert(appendCalls == 2 && appended.get() == 0L)
+    run(appended)
+    assert(appendCalls == 2, "committed epoch re-appended on replay")
+    // restart recovery honors the persisted watermark
+    val restarted = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    run(restarted)
+    assert(appendCalls == 2, "committed epoch re-appended after restart")
+    assert(restarted.get() == 0L, "persisted watermark not recovered")
+    graft.sources.MinHashHistory.invalidate(spark, dir)
+  }
+
   // ------------------------------------- streaming incremental video
 
   /** MediaRow-shaped video frame from (id, content, n_frames) rows. */
