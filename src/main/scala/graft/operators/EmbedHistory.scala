@@ -1,0 +1,69 @@
+package graft.operators
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped EMBEDDING history index — the embedding member of the
+  * incremental-dedup family's store layer (doc [[graft.sources
+  * .HashHistory]], substring [[graft.sources.GramHistory]], payload
+  * [[graft.sources.PhashHistory]], audio [[graft.sources
+  * .LandmarkHistory]], video [[graft.sources.FrameHistory]], text
+  * near-dup [[graft.sources.MinHashHistory]], THIS): a NEW crawl batch's
+  * vectors are probed for semantic near-dups against the already-ingested
+  * corpus WITHOUT an all-pairs pass — the SemDeDup serving posture at
+  * crawl cadence.
+  *
+  * The index itself is [[IvfStore]] (frozen coarse centroids + per-cell
+  * vector partitions; probes = files-not-read; create/append/compact
+  * under MutationGuard — the full lifecycle is IvfStoreSpec's surface).
+  * What this object adds is the family's SESSION REGISTRY: one store per
+  * (application, corpus dir), built lazily from the caller's derived
+  * history on first use and served from disk thereafter — the
+  * [[CleanedCorpus]] producer device. Same staleness contract: a hit
+  * ignores later appends to `dir` until [[invalidate]];
+  * [[graft.server.TankServer.stop]] clears the lot.
+  */
+object EmbedHistory {
+
+  private val stores =
+    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+
+  private def key(spark: SparkSession, dir: String): String =
+    spark.sparkContext.applicationId + "|" + new java.io.File(dir).getAbsolutePath
+
+  /** The IvfStore path for `dir` — created from `history` (vec_id,
+    * embedding) on first call per (application, dir), reused thereafter.
+    * `history` is only evaluated on a miss.
+    */
+  def cachedStore(spark: SparkSession, dir: String, history: => DataFrame,
+                  nlist: Int = 16, kmeansIters: Int = 2): String =
+    stores.computeIfAbsent(key(spark, dir), _ => {
+      val p = Files.createTempDirectory("graft-embhist-")
+      IvfStore.create(spark, p.toString, history, nlist, kmeansIters)
+      p
+    }).toString
+
+  private[graft] def memoSize: Int = stores.size()
+
+  private[graft] def invalidate(): Unit = {
+    val it = stores.entrySet().iterator()
+    while (it.hasNext) { deleteRecursively(it.next().getValue); it.remove() }
+  }
+
+  private[graft] def invalidate(dir: String): Unit = {
+    val seg = "|" + new java.io.File(dir).getAbsolutePath
+    val it = stores.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.endsWith(seg)) { deleteRecursively(e.getValue); it.remove() }
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.deleteIfExists(f): Unit })
+    }
+  }
+}

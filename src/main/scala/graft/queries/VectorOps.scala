@@ -26,7 +26,8 @@ object VectorOps {
       x108_video_neardup, x109_incremental_payload_neardup,
       x110_payload_resolve, x111_audio_landmarks, x112_audio_neardup,
       x113_incremental_audio_probe, x116_incremental_video_probe,
-      x120_payload_decontaminate, x121_resize_images)
+      x120_payload_decontaminate, x121_resize_images,
+      x124_incremental_embed_neardup)
 
   /** Oracle-checked half of the multimodal surface: the synthetic-media
     * metadata derivation and binary-column plumbing (payload byte length
@@ -976,6 +977,81 @@ object VectorOps {
         targetCellSize = 128, probes = 4, kmeansIters = 3, targetChunk = 256)
       .filter(col("cos_sim") >= 0.999)
       .select(col("id_a"), col("id_b"), col("label"), col("cos_sim")))
+  }
+
+  // ---------------------------------------------------------------- x124
+  /** The x124 history/batch split over `embeddings` — the x86/x109
+    * md5-bucket device on vec_ids: bucket < 60 is the ingested history;
+    * the batch is the rest PLUS verbatim recrawls of history vectors
+    * (bucket % 7 = 0, vec_id + 10M) — the planted truth: each recrawl
+    * must surface as a (batch, history) pair at cosine exactly 1.0.
+    */
+  private[graft] def x124Split(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val bucket = (conv(substring(md5(col("vec_id").cast(StringType)), 1, 8),
+      16, 10).cast(LongType) % 100).cast(IntegerType)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id").cast(LongType), col("label").cast(IntegerType),
+        col("embedding"))
+      .withColumn("bucket", bucket)
+    val history = emb.filter(col("bucket") < 60).drop("bucket")
+    val batch = emb.filter(col("bucket") >= 60).drop("bucket")
+      .unionAll(emb.filter(col("bucket") < 60 && col("bucket") % 7 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("label"),
+          col("embedding")))
+    (history, batch)
+  }
+
+  /** Incremental EMBEDDING near-dup — the embedding member of the
+    * incremental store family (doc x86 / substring x102 / payload x109 /
+    * audio x113 / video x116 / text near-dup x123 / THIS), and the
+    * SemDeDup serving posture at crawl cadence: a NEW batch's vectors
+    * probed against the ingested corpus' [[graft.operators.IvfStore]]
+    * index ([[graft.operators.EmbedHistory]] session registry — frozen
+    * coarse centroids, per-cell vector partitions, probes =
+    * files-not-read) instead of any all-pairs pass; per-batch cost is
+    * batch+probed-cells-sized at any corpus size.
+    *
+    * Oracle: the x42c planted-margin device through the STORE-SERVED
+    * path — the synthetic embedding corpus is near-isotropic (background
+    * cosine ≤ 0.60 at every SF, measured — x42c scaladoc), so the only
+    * pairs at cos ≥ 0.999 are the planted recrawls, which DuckDB
+    * reconstructs arithmetically; recall 1.0 is deterministic because a
+    * verbatim copy scores the identical cell argmax against the frozen
+    * centroids and its own cell is always the top probe. One missed
+    * probe (or one false positive) fails the hash compare.
+    */
+  val x124_incremental_embed_neardup: QueryDef = QueryDef(
+    "x124_incremental_embed_neardup",
+    Sql.canon(
+      """WITH bkt AS (SELECT vec_id, label,
+        |  CAST(CAST('0x' || SUBSTRING(MD5(CAST(vec_id AS VARCHAR)), 1, 8)
+        |       AS BIGINT) % 100 AS INT) AS bucket
+        |  FROM embeddings)
+        |SELECT CAST(vec_id + 10000000 AS BIGINT) AS batch_id,
+        |  CAST(vec_id AS BIGINT) AS hist_id,
+        |  CAST(label AS INT) AS label, CAST(1.0 AS DOUBLE) AS cos_sim
+        |FROM bkt WHERE bucket < 60 AND bucket % 7 = 0""".stripMargin,
+      Seq("batch_id", "hist_id", "label", "cos_sim"))) { (s, d) =>
+    import s.implicits._
+    val (history, batch) = x124Split(s, d)
+    // empty-history guard (the zero-row battery): no history, no pairs —
+    // and no store to lay out
+    val rows = if (history.limit(1).isEmpty)
+      Seq.empty[(Long, Long, Int, Double)]
+        .toDF("batch_id", "hist_id", "label", "cos_sim")
+    else {
+      val path = graft.operators.EmbedHistory.cachedStore(s, d,
+        history.select(col("vec_id"), col("embedding")))
+      graft.operators.IvfStore.search(s, path,
+          batch.select(col("vec_id").as("query_id"),
+            col("embedding").as("qe")), k = 4, nprobe = 4)
+        .filter(col("cos_sim") >= 0.999)
+        .join(batch.select(col("vec_id").as("query_id"), col("label")),
+          "query_id")
+        .select(col("query_id").as("batch_id"), col("vec_id").as("hist_id"),
+          col("label"), round(col("cos_sim"), 4).as("cos_sim"))
+    }
+    Canon(rows)
   }
 
   /** The x42 pair plan, un-canonicalized — shared by x42 and x89 (x89

@@ -69,6 +69,7 @@ final class TankServer(spark: SparkSession, cfg: StoreConfig,
     graft.operators.UnigramLm.invalidate()
     graft.operators.Bpe.invalidate()
     graft.operators.CleanedCorpus.invalidate()
+    graft.operators.EmbedHistory.invalidate()
   }
 
   /** Co-located streaming ingest (the reference's poll-dir file runner,
