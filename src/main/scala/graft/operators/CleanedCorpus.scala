@@ -30,17 +30,32 @@ import org.apache.spark.sql.functions._
   * STALENESS WINDOW — same contract as [[UnigramLm.trainCached]] /
   * [[Bpe.trainCached]], deliberate: the key does not fingerprint corpus
   * content; within one application a hit ignores later appends to `dir`
-  * (the cleaned corpus is a versioned pipeline artifact). Retrain = new
-  * application or [[invalidate]] (store-mutating callers invalidate
-  * their dir; [[graft.server.TankServer.stop]] clears the lot and
-  * deletes the temp dirs).
+  * (the cleaned corpus is a versioned pipeline artifact). The window
+  * ends only at an EXPLICIT [[invalidate]] (per-dir or global) or
+  * [[graft.server.TankServer.stop]], which clears the lot and deletes
+  * the temp dirs — no production verb invalidates automatically today;
+  * a caller that mutates `dir` and wants a fresh materialization must
+  * call [[invalidate(dir:String)*]] itself.
+  *
+  * The registry is a 32-entry access-ordered LRU (the
+  * [[UnigramLm.trainCached]] bound, round-14's hygiene device): a
+  * long-lived server session curating many corpora evicts the
+  * least-recently-served materialization AND deletes its temp dir, so
+  * temp space is bounded at 32 cleaned corpora.
   */
 object CleanedCorpus {
 
   private final case class Entry(path: Path)
 
-  private val stores =
-    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+  private val MaxStores = 32
+
+  private val stores = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Entry](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Entry]): Boolean =
+        if (size() > MaxStores) { deleteRecursively(e.getValue.path); true }
+        else false
+    })
 
   /** The x117 `cleaned` relation — (doc_id, text, lang) with `text` the
     * span-removed residual — materialized once per (application, dir, k)
@@ -58,8 +73,11 @@ object CleanedCorpus {
         .join(frame.select(col("doc_id"), col("lang")), Seq("doc_id"))
       val path = Files.createTempDirectory("graft-cleaned-")
       // overwrite into the fresh temp dir (createTempDirectory pre-creates
-      // it, so errorifexists would refuse an empty directory)
-      cleaned.write.mode("overwrite").parquet(path.toString)
+      // it, so errorifexists would refuse an empty directory). A failed
+      // write must not leak the dir: no entry is stored on throw, so
+      // nothing would ever delete it.
+      try cleaned.write.mode("overwrite").parquet(path.toString)
+      catch { case t: Throwable => deleteRecursively(path); throw t }
       Entry(path)
     })
     spark.read.parquet(e.path.toString)
@@ -70,15 +88,17 @@ object CleanedCorpus {
   /** Drop every materialized cleaned corpus (all dirs) and delete the
     * backing temp dirs — [[graft.server.TankServer.stop]]'s hook.
     */
-  private[graft] def invalidate(): Unit = {
+  private[graft] def invalidate(): Unit = stores.synchronized {
     val it = stores.entrySet().iterator()
     while (it.hasNext) { deleteRecursively(it.next().getValue.path); it.remove() }
   }
 
-  /** Drop the materializations over `dir` (all k) — the store-mutating
-    * verbs' hook, mirroring [[UnigramLm.invalidate(dir:String)*]].
+  /** Drop the materializations over `dir` (all k) — the hook a caller
+    * that mutated `dir` invokes for a fresh materialization, mirroring
+    * [[UnigramLm.invalidate(dir:String)*]]. NOT wired into any mutation
+    * verb automatically (see the staleness contract above).
     */
-  private[graft] def invalidate(dir: String): Unit = {
+  private[graft] def invalidate(dir: String): Unit = stores.synchronized {
     val seg = "|" + new java.io.File(dir).getAbsolutePath + "|"
     val it = stores.entrySet().iterator()
     while (it.hasNext) {

@@ -317,15 +317,21 @@ object Dedup {
     *
     * `batchArrs` = (doc_id, lang, n_chars, shs) distinct-shingle arrays
     * (the [[graft.queries.TextOps.shingleArrays]] shape); `histBands` =
-    * (bucket, id, lang, n_chars); `histSh` = (id, shash). Output
+    * (bucket, id, n_chars) with lang FOLDED into the bucket hash (the
+    * [[graft.queries.TextOps.minHashBandsOf]] layout — there is no lang
+    * column in the store); `histSh` = (id, shash). Output
     * (doc_a = batch id, doc_b = history id, jaccard ≥ threshold).
+    * Null-lang batch docs are dropped to match the store build and the
+    * oracle's lang-equality semantics (Spark's xxhash64 skips null
+    * inputs, so an unguarded fold would pair two null-lang docs the
+    * oracle never pairs).
     */
   def incrementalNearDups(batchArrs0: DataFrame, histBands: DataFrame,
                           histSh: DataFrame, threshold: Double = 0.8,
                           numHashes: Int = 128, bands: Int = 32): DataFrame = {
     val batchArrs = batchArrs0
       .select(col("doc_id"), col("lang"), col("n_chars"), col("shs"))
-      .filter(size(col("shs")) > 0)
+      .filter(size(col("shs")) > 0 && col("lang").isNotNull)
     val sigs = minHashSignaturesFromArrays(
       batchArrs.select(col("doc_id"), col("shs")), numHashes)
     // batch band buckets with lang FOLDED INTO the bucket key (the store

@@ -21,13 +21,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (application, corpus dir), built lazily from the caller's derived
   * history on first use and served from disk thereafter — the
   * [[CleanedCorpus]] producer device. Same staleness contract: a hit
-  * ignores later appends to `dir` until [[invalidate]];
-  * [[graft.server.TankServer.stop]] clears the lot.
+  * ignores later appends to `dir` until an EXPLICIT [[invalidate]]
+  * (per-dir or global) or [[graft.server.TankServer.stop]] — no
+  * production verb invalidates automatically; a caller that mutates
+  * `dir` calls [[invalidate(dir:String)*]] itself. The registry is a
+  * 32-entry access-ordered LRU (the [[UnigramLm]]/[[CleanedCorpus]]
+  * bound); eviction deletes the backing IvfStore temp dir, so temp
+  * space is bounded at 32 indexes.
   */
 object EmbedHistory {
 
-  private val stores =
-    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+  private val MaxStores = 32
+
+  private val stores = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Path](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Path]): Boolean =
+        if (size() > MaxStores) { deleteRecursively(e.getValue); true }
+        else false
+    })
 
   private def key(spark: SparkSession, dir: String): String =
     spark.sparkContext.applicationId + "|" + new java.io.File(dir).getAbsolutePath
@@ -40,18 +52,21 @@ object EmbedHistory {
                   nlist: Int = 16, kmeansIters: Int = 2): String =
     stores.computeIfAbsent(key(spark, dir), _ => {
       val p = Files.createTempDirectory("graft-embhist-")
-      IvfStore.create(spark, p.toString, history, nlist, kmeansIters)
+      // a failed create must not leak the dir: no entry is stored on
+      // throw, so nothing would ever delete it
+      try IvfStore.create(spark, p.toString, history, nlist, kmeansIters)
+      catch { case t: Throwable => deleteRecursively(p); throw t }
       p
     }).toString
 
   private[graft] def memoSize: Int = stores.size()
 
-  private[graft] def invalidate(): Unit = {
+  private[graft] def invalidate(): Unit = stores.synchronized {
     val it = stores.entrySet().iterator()
     while (it.hasNext) { deleteRecursively(it.next().getValue); it.remove() }
   }
 
-  private[graft] def invalidate(dir: String): Unit = {
+  private[graft] def invalidate(dir: String): Unit = stores.synchronized {
     val seg = "|" + new java.io.File(dir).getAbsolutePath
     val it = stores.entrySet().iterator()
     while (it.hasNext) {

@@ -90,7 +90,10 @@ object Percentiles {
       // of one job per rank — the fixed job overhead dominated the
       // per-rank cost, the arithmetic is unchanged.
       val wanted = fractions.map { case (pNum, pDen) =>
-        val m = Math.floorDiv(pNum * n + pDen - 1, pDen) // ceil(pNum·N/pDen)
+        // ceil(pNum·N/pDen) in BigInt: x122 passes rank-scale fractions
+        // (pNum≈pDen≈N), so the pNum·n product overflows Long past ~3e9
+        // rows — the 100 TB regime this derivation exists for.
+        val m = ((BigInt(pNum) * n + pDen - 1) / pDen).toLong
         val tgt = offRows.find(r =>
           r.getAs[Long]("off") < m &&
             m <= r.getAs[Long]("off") + r.getAs[Long]("t")).get

@@ -457,11 +457,15 @@ object TextOps {
   }
 
   /** The [[graft.sources.MinHashHistory]] band layout of a (doc_id, text,
-    * lang, n_chars) frame: (bucket, id, lang, n_chars), one row per
-    * (doc, band).
+    * lang, n_chars) frame: (bucket, id, n_chars), one row per (doc, band),
+    * with lang FOLDED into the bucket hash (not carried as a column).
+    * Null-lang docs are dropped: the oracle's `b.lang = h.lang` equality
+    * never pairs them, while Spark's xxhash64 SKIPS null inputs (the fold
+    * would degrade to hash-of-bucket-alone and pair two null-lang docs) —
+    * filtering both store and probe builds keeps the semantics identical.
     */
   private[graft] def minHashBandsOf(docs: DataFrame): DataFrame = {
-    val arrs = shingleArrays(docs)
+    val arrs = shingleArrays(docs).filter(col("lang").isNotNull)
     graft.operators.Dedup.bandedBuckets(
       graft.operators.Dedup.minHashSignaturesFromArrays(
         arrs.select(col("doc_id"), col("shs"))), 32, 128)

@@ -60,6 +60,28 @@ class CleanedCorpusSpec extends SparkSpec {
     CleanedCorpus.invalidate(dir)
   }
 
+  test("the registry is a bounded LRU and eviction deletes the temp dir") {
+    CleanedCorpus.invalidate()
+    val dir = freshDir()
+    val tiny = Seq((1L, "one short doc", "en")).toDF("doc_id", "text", "lang")
+    // k varies the memo key, so one dir fills the whole registry
+    val firstPath = java.nio.file.Paths.get(java.net.URI.create(
+      CleanedCorpus.cleanedCached(spark, dir, 1000, tiny).inputFiles.head))
+      .getParent.toFile
+    assert(firstPath.exists())
+    (1001 to 1032).foreach { k =>
+      CleanedCorpus.cleanedCached(spark, dir, k, tiny): Unit
+    }
+    assert(CleanedCorpus.memoSize <= 32,
+      s"registry grew past its bound: ${CleanedCorpus.memoSize}")
+    assert(!firstPath.exists(),
+      s"evicted entry's temp dir not deleted: $firstPath")
+    // the most-recent entry still serves (access-ordered eviction)
+    assert(CleanedCorpus.cleanedCached(spark, dir, 1032,
+      sys.error("recent entry evicted")).count() == 1L)
+    CleanedCorpus.invalidate()
+  }
+
   test("x117 memo-warm invocation returns the fresh invocation's rows") {
     // first build materializes the cleaned store; second is memo-warm —
     // same rows bit-for-bit (the steady-state Bench path)

@@ -62,6 +62,25 @@ class EmbedHistorySpec extends SparkSpec {
     } finally EmbedHistory.invalidate(dir)
   }
 
+  test("the registry is a bounded LRU and eviction deletes the store dir") {
+    EmbedHistory.invalidate()
+    def mkDir() = java.nio.file.Files.createTempDirectory("graft-ehlru").toString
+    val firstDir = mkDir()
+    val firstPath = new java.io.File(
+      EmbedHistory.cachedStore(spark, firstDir, histVecs, nlist = 1,
+        kmeansIters = 1))
+    assert(firstPath.exists())
+    (0 until 32).foreach { _ =>
+      EmbedHistory.cachedStore(spark, mkDir(), histVecs, nlist = 1,
+        kmeansIters = 1): Unit
+    }
+    assert(EmbedHistory.memoSize <= 32,
+      s"registry grew past its bound: ${EmbedHistory.memoSize}")
+    assert(!firstPath.exists(),
+      s"evicted entry's IvfStore dir not deleted: $firstPath")
+    EmbedHistory.invalidate()
+  }
+
   test("x124 registry entry: every planted recrawl pairs with its original at 1.0") {
     EmbedHistory.invalidate(Sf)
     try {

@@ -49,6 +49,20 @@ class PercentilesSpec extends SparkSpec {
     assert(thr(vs, 9, 10, shift = 62) == ref(vs, 9, 10))
   }
 
+  test("rank-scale fractions whose pNum*N product overflows Long stay exact") {
+    // x122 passes (m, n) fractions with pNum ≈ pDen ≈ corpus size; a
+    // Long pNum*N product overflows once pNum*N > 2^63. Huge same-ratio
+    // fractions reproduce the overflow at test-sized N: with the old
+    // Math.floorDiv(pNum * n + ...) arithmetic these produced a garbage
+    // rank; the BigInt ceil must give the same answer as the reduced
+    // fraction.
+    val vs = Seq.tabulate(100)(i => (i * 37 % 1009).toLong)
+    val big = Long.MaxValue / 128
+    assert(thr(vs, big, big) == ref(vs, 1, 1))              // p = 1 → max
+    assert(thr(vs, big / 2, big) == ref(vs, 1, 2))          // median
+    assert(thr(vs, big / 10 * 9, big / 10 * 10) == ref(vs, 9, 10))
+  }
+
   test("refuses empty input and invalid fractions") {
     intercept[IllegalArgumentException](
       thr(Seq.empty[Long], 9, 10))

@@ -169,6 +169,22 @@ class MinHashHistorySpec extends SparkSpec {
     }
   }
 
+  test("null-lang docs never pair (SQL lang-equality semantics)") {
+    // the oracle's b.lang = h.lang is three-valued: NULL = NULL is not
+    // TRUE, so two null-lang twins must NOT pair — while an unguarded
+    // xxhash64(bucket, lang) fold would skip the null and pair them
+    val hist = Seq(doc(1L, baseText), doc(2L, baseText, lang = null))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val batch = Seq(doc(10L, baseText), doc(11L, baseText, lang = null))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val pairs = Dedup.incrementalNearDups(
+      TextOps.shingleArrays(batch),
+      TextOps.minHashBandsOf(hist), TextOps.minHashShinglesOf(hist))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs == Set((10L, 1L, 1.0)),
+      s"null-lang docs leaked into the pair set: $pairs")
+  }
+
   test("x123 registry entry probes the persisted store when one is registered") {
     val d = Sf
     try {
