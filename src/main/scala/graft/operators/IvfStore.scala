@@ -37,6 +37,9 @@ object IvfStore {
              nlist: Int = 16, kmeansIters: Int = 2): Array[Array[Double]] =
       graft.sources.MutationGuard.withGuard(spark, path) {
     import spark.implicits._
+    // store lifetime and streaming-replay-mark lifetime are tied together
+    // (the StreamMark contract): a recreated store starts a fresh lineage
+    graft.sources.StreamMark.clearAt(spark, path)
     val cents = Similarity.kmeansCentroids(corpus, nlist, kmeansIters)
     cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
       .toSeq.toDF("cell", "ce")
@@ -79,14 +82,19 @@ object IvfStore {
   /** INDEX-SIZED compaction: re-cluster the vector partitions to ~one
     * file per cell dir (daily appends accumulate a file per touched cell
     * per batch) — one index-sized exchange, no corpus access, centroids
-    * untouched. Shares [[graft.sources.SwapDir]]'s write-sibling-then-swap
-    * device (and its single-mutating-writer contract) with
-    * [[Bm25Store.compact]]; search answers are bit-identical (spec-gated).
+    * untouched. Restores DISTINCT rows (the MinHashHistory.compact
+    * device): a crashed-epoch streaming replay re-appends a batch
+    * verbatim, and the duplicate (vec_id, embedding) rows each take a
+    * top-k seat until compaction collapses them. Shares
+    * [[graft.sources.SwapDir]]'s write-sibling-then-swap device (and its
+    * single-mutating-writer contract) with [[Bm25Store.compact]]; on a
+    * duplicate-free store search answers are bit-identical (spec-gated).
     */
   def compact(spark: SparkSession, path: String): Unit =
     graft.sources.MutationGuard.withGuard(spark, path) {
       graft.sources.SwapDir(spark, vectorsPath(path)) { tmp =>
         spark.read.parquet(vectorsPath(path))
+          .dropDuplicates()
           .repartition(col("cell"))
           .write.partitionBy("cell").parquet(tmp)
       }

@@ -18,17 +18,30 @@ import org.apache.spark.sql.SparkSession
   */
 object StreamMark {
 
+  /** Mark location for a store addressed by a raw base PATH (the
+    * [[graft.operators.IvfStore]] family — no catalog table): a
+    * `_stream_batch` sibling, like [[MutationGuard]]'s `_mutating`.
+    */
+  def markPathAt(base: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(base + "_stream_batch")
+
   def markPath(spark: SparkSession, table: String)
       : org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(
-      Bucketing.guardBase(spark, table) + "_stream_batch")
+    markPathAt(Bucketing.guardBase(spark, table))
 
   /** Last committed append's batchId, or -1 when no mark exists (fresh
     * lineage) or the mark is unreadable (degrade to replay-one-batch,
     * which the stores' membership semantics absorb).
     */
-  def read(spark: SparkSession, table: String): Long = {
-    val p = markPath(spark, table)
+  def read(spark: SparkSession, table: String): Long =
+    readMark(spark, markPath(spark, table))
+
+  /** [[read]] for a path-addressed store. */
+  def readAt(spark: SparkSession, base: String): Long =
+    readMark(spark, markPathAt(base))
+
+  private def readMark(spark: SparkSession,
+                       p: org.apache.hadoop.fs.Path): Long =
     try {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) -1L
@@ -38,7 +51,6 @@ object StreamMark {
         finally in.close()
       }
     } catch { case _: java.io.IOException | _: NumberFormatException => -1L }
-  }
 
   /** Best-effort persist (overwrite) of the last-committed append's
     * batchId; a failure degrades to the caller's in-session guard — the
@@ -46,14 +58,21 @@ object StreamMark {
     * replay contract for what a re-append means per store).
     */
   def write(spark: SparkSession, table: String, batchId: Long): Unit =
+    writeMark(spark, markPath(spark, table), table, batchId)
+
+  /** [[write]] for a path-addressed store. */
+  def writeAt(spark: SparkSession, base: String, batchId: Long): Unit =
+    writeMark(spark, markPathAt(base), base, batchId)
+
+  private def writeMark(spark: SparkSession, p: org.apache.hadoop.fs.Path,
+                        label: String, batchId: Long): Unit =
     try {
-      val p = markPath(spark, table)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val out = fs.create(p, true)
       try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
     } catch { case e: java.io.IOException =>
       System.err.println(s"[store-stream] could not persist replay " +
-        s"watermark for $table (restart will re-append batch $batchId — " +
+        s"watermark for $label (restart will re-append batch $batchId — " +
         s"see the twin's replay contract for semantics): ${e.getMessage}")
     }
 
@@ -62,8 +81,15 @@ object StreamMark {
     * would also have failed the guarded table write that follows).
     */
   def clear(spark: SparkSession, table: String): Unit =
+    clearMark(spark, markPath(spark, table))
+
+  /** [[clear]] for a path-addressed store. */
+  def clearAt(spark: SparkSession, base: String): Unit =
+    clearMark(spark, markPathAt(base))
+
+  private def clearMark(spark: SparkSession,
+                        p: org.apache.hadoop.fs.Path): Unit =
     try {
-      val p = markPath(spark, table)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(p, false): Unit
     } catch { case _: java.io.IOException => () }

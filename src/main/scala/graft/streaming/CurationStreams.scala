@@ -872,6 +872,81 @@ object CurationStreams {
     } finally scored.unpersist(): Unit
   }
 
+  /** Streaming incremental EMBEDDING near-dup — x124's streaming twin,
+    * the embedding member of the store-as-state family (and its LAST
+    * asymmetric member: every other incremental store already had its
+    * micro-batch form): each micro-batch's vectors probe the PERSISTED
+    * [[graft.operators.IvfStore]] index at `path`
+    * ([[graft.operators.IvfStore.create]] it first — an empty history is
+    * fine), exactly the x124 batch contract — frozen coarse centroids,
+    * exact cosine within `nprobe` probed cells, pairs at
+    * `cos_sim >= threshold` — then the batch's own vectors append behind
+    * the batchId-guarded persisted watermark so every LATER batch sees
+    * them. Within a micro-batch, vectors probe history only, so a
+    * one-micro-batch stream is bit-identical to the batch operator (the
+    * spec asserts it).
+    *
+    * Store-as-state rationale as the family's: the vector corpus is
+    * index-scale — cross-batch state belongs in the per-cell on-disk
+    * layout, not a state store. Replay contract: appended vector rows
+    * take top-k SEATS, so a crashed-epoch replay that re-appends leaves
+    * duplicate (vec_id, embedding) rows each holding a seat until
+    * [[graft.operators.IvfStore.compact]] restores distinct rows;
+    * committed epochs skip their appends via the persisted watermark
+    * (path-addressed [[graft.sources.StreamMark]] — the IvfStore family
+    * has no catalog table). Input frame: (vec_id, embedding); sink frame:
+    * (batch_id, hist_id, cos_sim) — x124's operator columns.
+    */
+  def incrementalEmbedProbe(vectors: DataFrame, path: String,
+                            sink: DataFrame => Unit,
+                            growStore: Boolean = true,
+                            k: Int = 4, nprobe: Int = 4,
+                            threshold: Double = 0.999)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val appended = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      embedProbeBatch(batch, batchId, path, sink, appended, growStore,
+        inc => graft.operators.IvfStore.append(batch.sparkSession, path, inc),
+        k, nprobe, threshold)
+    }
+  }
+
+  /** One micro-batch of [[incrementalEmbedProbe]] — probe, sink, then the
+    * batchId-guarded append (injectable, like [[gramAuditBatch]], so the
+    * replay contract is directly spec-gated).
+    */
+  private[graft] def embedProbeBatch(batch: DataFrame, batchId: Long,
+      path: String, sink: DataFrame => Unit,
+      appended: java.util.concurrent.atomic.AtomicLong, growStore: Boolean,
+      append: DataFrame => Unit, k: Int = 4, nprobe: Int = 4,
+      threshold: Double = 0.999): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "centroids")))
+      throw new IllegalStateException(
+        s"streaming incrementalEmbedProbe: no IvfStore at $path — " +
+          "IvfStore.create() first (an empty history is fine)")
+    if (appended.get() == Long.MinValue)
+      appended.compareAndSet(Long.MinValue, readBatchMarkAt(spark, path)): Unit
+    val scored = graft.operators.IvfStore.search(spark, path,
+        batch.select(col("vec_id").as("query_id"),
+          col("embedding").as("qe")), k, nprobe)
+      .filter(col("cos_sim") >= threshold)
+      .select(col("query_id").as("batch_id"), col("vec_id").as("hist_id"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+      .persist()
+    try {
+      scored.count(): Unit // pin pre-append values
+      sink(scored)
+      if (growStore && appended.get() < batchId) {
+        append(batch.select(col("vec_id"), col("embedding")))
+        writeBatchMarkAt(spark, path, batchId)
+        appended.set(batchId)
+      }
+    } finally scored.unpersist(): Unit
+  }
+
   /** Streaming incremental audio probe — x113's streaming twin, the audio
     * member of the store-as-state family: each micro-batch's tracks are
     * landmark-fingerprinted map-only and probed against the PERSISTED
@@ -1026,6 +1101,13 @@ object CurationStreams {
   private def writeBatchMark(spark: SparkSession, table: String,
                              batchId: Long): Unit =
     graft.sources.StreamMark.write(spark, table, batchId)
+
+  private def readBatchMarkAt(spark: SparkSession, base: String): Long =
+    graft.sources.StreamMark.readAt(spark, base)
+
+  private def writeBatchMarkAt(spark: SparkSession, base: String,
+                               batchId: Long): Unit =
+    graft.sources.StreamMark.writeAt(spark, base, batchId)
 
   // ------------------------------------------- streaming incremental dedup
 

@@ -93,6 +93,24 @@ class IvfStoreSpec extends SparkSpec {
     assert(nFiles < f0, s"compaction did not shrink file count: $f0 -> $nFiles")
   }
 
+  test("compact restores distinct rows after a replayed append (replay absorb)") {
+    import spark.implicits._
+    val path = tmpStore()
+    val vec = Array.fill(8)(0.5f)
+    IvfStore.create(spark, path,
+      Seq((1L, Array.fill(8)(-0.5f))).toDF("vec_id", "embedding"),
+      nlist = 1, kmeansIters = 1)
+    val delta = Seq((10L, vec)).toDF("vec_id", "embedding")
+    IvfStore.append(spark, path, delta)
+    IvfStore.append(spark, path, delta) // the crashed-epoch replay
+    def hits() = IvfStore.search(spark, path,
+        Seq((20L, vec)).toDF("query_id", "qe"), k = 4, nprobe = 1)
+      .filter(col("cos_sim") >= 0.999).collect().length
+    assert(hits() == 2, "duplicate rows should each take a top-k seat")
+    IvfStore.compact(spark, path)
+    assert(hits() == 1, "compact did not collapse the replayed rows")
+  }
+
   test("append assigns with the frozen centroids; a planted twin is found") {
     val path = tmpStore()
     IvfStore.create(spark, path, emb, nlist = 16)

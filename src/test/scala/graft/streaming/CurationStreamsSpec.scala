@@ -1338,6 +1338,101 @@ class CurationStreamsSpec extends SparkSpec {
     graft.sources.MinHashHistory.invalidate(spark, dir)
   }
 
+  // ------------------------------------- streaming incremental embedding
+
+  private def embVec(seed: Int): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(8)(r.nextFloat() * 2f - 1f)
+  }
+
+  test("streaming embed probe: one micro-batch equals batch x124 semantics; growth visible") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.IvfStore
+    val dir = {
+      val d = java.nio.file.Files.createTempDirectory("embed_probe_spec").toFile
+      d.deleteOnExit(); d.getAbsolutePath + "/idx"
+    }
+    val hist = Seq((1L, embVec(11)), (2L, embVec(23)), (3L, embVec(47)))
+      .toDF("vec_id", "embedding")
+    IvfStore.create(spark, dir, hist, nlist = 2, kmeansIters = 1)
+    // the batch-operator answer against the PRE-APPEND store: a verbatim
+    // recrawl of history vec 1 plus a novel vector
+    val b1 = Seq((10L, embVec(11)), (11L, embVec(997)))
+    val want1 = IvfStore.search(spark, dir,
+        b1.toDF("query_id", "qe"), k = 4, nprobe = 2)
+      .filter(col("cos_sim") >= 0.999)
+      .select(col("query_id"), col("vec_id"),
+        org.apache.spark.sql.functions.round(col("cos_sim"), 4))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(want1 == Set((10L, 1L, 1.0)), s"fixture drifted: $want1")
+    val out = scala.collection.mutable.ListBuffer[(Long, Long, Double)]()
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = CurationStreams.incrementalEmbedProbe(
+        mem.toDF().toDF("vec_id", "embedding"), dir,
+        df => out ++= df.select("batch_id", "hist_id", "cos_sim")
+          .as[(Long, Long, Double)].collect(),
+        nprobe = 2)
+      .start()
+    try {
+      mem.addData(b1)
+      q.processAllAvailable()
+      val batch1 = out.toSet
+      assert(batch1 == want1, s"stream $batch1 != batch $want1")
+      // batch 2: an exact copy of batch 1's novel vector — batch 1's
+      // append made it history, so it must now pair at exactly 1.0
+      mem.addData(Seq((20L, embVec(997))))
+      q.processAllAvailable()
+      val d2 = out.toSet -- batch1
+      assert(d2 == Set((20L, 11L, 1.0)),
+        s"batch-1 vectors not visible to batch 2: $d2")
+    } finally q.stop()
+  }
+
+  test("streaming embed probe: failed append retried on replay, committed one skipped") {
+    import spark.implicits._
+    import graft.operators.IvfStore
+    val dir = {
+      val d = java.nio.file.Files.createTempDirectory("embed_probe_replay").toFile
+      d.deleteOnExit(); d.getAbsolutePath + "/idx"
+    }
+    IvfStore.create(spark, dir,
+      Seq((1L, embVec(11))).toDF("vec_id", "embedding"),
+      nlist = 1, kmeansIters = 1)
+    val batch = Seq((20L, embVec(997))).toDF("vec_id", "embedding")
+    val appended = new java.util.concurrent.atomic.AtomicLong(-1L)
+    var appendCalls = 0
+    var failNext = true
+    val flaky: org.apache.spark.sql.DataFrame => Unit = { inc =>
+      appendCalls += 1
+      if (failNext) { failNext = false; throw new java.io.IOException("injected") }
+      IvfStore.append(spark, dir, inc)
+    }
+    def run(guard: java.util.concurrent.atomic.AtomicLong): Unit =
+      CurationStreams.embedProbeBatch(
+        batch, 0L, dir, _ => (), guard, growStore = true, flaky)
+    intercept[java.io.IOException](run(appended))
+    assert(appended.get() == -1L, "guard advanced before the append committed")
+    run(appended)
+    assert(appendCalls == 2 && appended.get() == 0L)
+    run(appended)
+    assert(appendCalls == 2, "committed epoch re-appended on replay")
+    // restart recovery honors the persisted watermark
+    val restarted = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    run(restarted)
+    assert(appendCalls == 2, "committed epoch re-appended after restart")
+    assert(restarted.get() == 0L, "persisted watermark not recovered")
+    // a recreated store starts a fresh lineage: the mark clears
+    IvfStore.create(spark, dir,
+      Seq((1L, embVec(11))).toDF("vec_id", "embedding"),
+      nlist = 1, kmeansIters = 1)
+    val fresh = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    failNext = false
+    run(fresh)
+    assert(appendCalls == 3 && fresh.get() == 0L,
+      "recreated store did not reset the replay watermark")
+  }
+
   // ------------------------------------- streaming incremental video
 
   /** MediaRow-shaped video frame from (id, content, n_frames) rows. */
