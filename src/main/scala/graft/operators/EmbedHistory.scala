@@ -47,6 +47,15 @@ object EmbedHistory {
   /** The IvfStore path for `dir` — created from `history` (vec_id,
     * embedding) on first call per (application, dir), reused thereafter.
     * `history` is only evaluated on a miss.
+    *
+    * KNOBS (nlist=16, kmeansIters=2) are the registry DEMO config for the
+    * narrow-margin synthetic corpus — NOT the production derivation. At
+    * production scale derive `nlist = ceil(n/targetCellSize)` and size
+    * probes per DEDUP_TUNING.md §5 (the CellPairTune-measured table: on
+    * a wide-margin corpus probes=2 suffices at any nlist; on a
+    * narrow-margin corpus recall decays with nlist, which is why the
+    * demo pins it low). The x42c scaladoc carries the same
+    * linear-regime measurement story.
     */
   def cachedStore(spark: SparkSession, dir: String, history: => DataFrame,
                   nlist: Int = 16, kmeansIters: Int = 2): String =

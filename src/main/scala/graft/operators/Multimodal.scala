@@ -700,6 +700,23 @@ object Multimodal {
       .distinct()
   }
 
+  /** One member per DISTINCT fingerprint set per component — the
+    * composed-posture default for the VIDEO axis (union dilutes Jaccard's
+    * set-size denominator; per-member keeps x108's denominators exact
+    * while true-replica mass collapses to one probe row per distinct
+    * set). Signature = two independent XOR-hashes + count per member;
+    * min-id per (component, signature) group survives.
+    *
+    * Measured at 100× clique density (PartialOverlapProbe): composed
+    * recall 0.9650 at the registry hot-hash cap 64 — and round-16's
+    * per-miss diagnosis showed ALL residual misses were hot-BUCKET
+    * truncation in the downstream matcher (a ≥0.5-Jaccard pair present
+    * in this relation whose every shared hash was capped out), not
+    * representative substitution; at the composed-layer cap 256 the
+    * form reaches **1.0000 at sf0.1, 10× and 100×** (BASELINE
+    * round-16), completing the audio-axis mechanism+fix symmetry
+    * (componentFingerprintUnion + cap 256 → 0.9966).
+    */
   def componentSetRepresentatives(fps: DataFrame,
                                   components: DataFrame): DataFrame = {
     val comp = components

@@ -301,8 +301,17 @@ object PartialOverlapProbe {
     val nFrames = frames.count()
     val wallFr = (System.nanoTime() - t1) / 1e9
     val acc = spark.sparkContext.longAccumulator("poDropsVideo")
+    // composed-layer video cap 256 (vs x108's registry 64): round-16's
+    // per-miss diagnosis (GRAFT_PO_DIAG below) showed ALL 9 residual
+    // 100× misses were hot-bucket truncation — a ≥0.5-Jaccard pair
+    // present in the probe relation whose shared hashes were all capped
+    // out — not representative substitution; 256 recovers recall 1.0000
+    // at every scale (BASELINE round-16), the exact audio mechanism+fix
+    // from round 15. GRAFT_PO_VIDEO_CAP overrides (0 = uncapped/exact).
+    val vcap = sys.env.get("GRAFT_PO_VIDEO_CAP").map(_.toInt).getOrElse(256)
     val t2 = System.nanoTime()
-    val pairs = Multimodal.videoNearDups(frames, droppedAcc = Some(acc))
+    val pairs = Multimodal.videoNearDups(frames, maxPerHash = vcap,
+        droppedAcc = Some(acc))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nPairs = pairs.count()
     val wallMatch = (System.nanoTime() - t2) / 1e9
@@ -332,6 +341,51 @@ object PartialOverlapProbe {
       f"miss_rep_substituted=$missSub")
     assert(idHits == 0,
       s"PREMISE BROKEN at $d: identity stage matched $idHits planted pairs")
+    // GRAFT_PO_DIAG=1: per-miss anatomy — for every missed planted pair,
+    // the EXACT (uncapped) Jaccard between the plant's probe row and (i)
+    // the original itself and (ii) the kept representative of the
+    // original's signature group, plus that group's membership — enough
+    // to separate cap truncation / signature collision / genuine set
+    // divergence without rerunning the probe
+    if (sys.env.get("GRAFT_PO_DIAG").contains("1")) {
+      val misses = panel
+        .join(undirected, col("rp") === col("x") && col("ro") === col("y"),
+          "left_anti")
+        .filter(col("rp") =!= col("ro"))
+        .select("pid", "oid", "rp", "ro").collect()
+      println(s"PARTIAL-OVERLAP VIDEO $d DIAG: ${misses.length} misses")
+      val setsOf = framesAll.groupBy("media_id")
+        .agg(collect_set(col("phash")).as("S"))
+      val probeIds = frames.select(col("media_id")).distinct()
+      misses.take(20).foreach { r =>
+        val (pid, oid, rp, ro) = (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))
+        // the plant-side probe row's id: the kept member of pid's
+        // signature group (pid itself when unclustered)
+        val pProbe = frames.filter(col("media_id") === pid).limit(1).count()
+        val compMembers = comp.filter(col("component") === ro)
+          .select(col("node")).collect().map(_.getLong(0))
+        val keptInComp = probeIds
+          .join(comp.filter(col("component") === ro)
+            .select(col("node").as("media_id")), "media_id")
+          .collect().map(_.getLong(0))
+        val sP = setsOf.filter(col("media_id") === pid)
+          .collect().headOption.map(_.getSeq[Long](1).toSet).getOrElse(Set())
+        val sO = setsOf.filter(col("media_id") === oid)
+          .collect().headOption.map(_.getSeq[Long](1).toSet).getOrElse(Set())
+        def jac(a: Set[Long], b: Set[Long]): Double =
+          if (a.isEmpty && b.isEmpty) 0.0
+          else (a & b).size.toDouble / (a | b).size
+        val keptJacs = keptInComp.map { k =>
+          val sK = setsOf.filter(col("media_id") === k)
+            .collect().headOption.map(_.getSeq[Long](1).toSet).getOrElse(Set())
+          (k, f"${jac(sP, sK)}%.3f", sK == sO)
+        }
+        println(s"  miss pid=$pid oid=$oid rp=$rp ro=$ro " +
+          f"plant_probe_present=${pProbe == 1} j(plant,orig)=${jac(sP, sO)}%.3f " +
+          s"comp_size=${compMembers.length} kept_in_comp=${keptJacs.toSeq}")
+      }
+    }
     if (recall < MinComposedRecall) {
       // diagnostic: is the miss cap-bounded (hot frame hashes under the
       // text-byte corpus's collapsed frame entropy) or matcher-bounded?
