@@ -26,7 +26,7 @@ object TextOps {
       x86_incremental_dedup, x95_unigram_lm, x97_bigram_lm, x99_dupgrams,
       x100_best_keeper, x102_incremental_dupgrams, x105_bpe_train,
       x106_bpe_encode, x114_remove_dup_spans, x118_incremental_remove_spans,
-      x123_incremental_neardup)
+      x123_incremental_neardup, x125_crawl_triage)
 
   /** Distinct word-trigram shingles, exploded: (doc_id, lang, n_chars, sh).
     * Word n-grams (not character grams) are the dedup unit: on natural text
@@ -553,6 +553,130 @@ object TextOps {
       shingleArrays(batch), bands, sh))
   }
 
+  // ---------------------------------------------------------------- x125
+  /** Crawl TRIAGE — the production verdict view a crawl pipeline actually
+    * emits per incoming document, composing the three text-side
+    * incremental probes over ONE batch (the shared md5-bucket split, the
+    * same crawl the x86/x102/x123 entries and the CrawlRehearsal drive):
+    * exact status (x86's hash-store probe), best history near-dup Jaccard
+    * (x123's LSH-index probe) and duplicated-substring fraction (x102's
+    * gram-store probe), resolved into one verdict —
+    *
+    *   `drop_exact`  — verbatim copy of history or of a batch sibling;
+    *   `drop_near`   — a history near-dup at Jaccard ≥ 0.8 (the MinHash
+    *                   cut: keep the history copy, drop the recrawl);
+    *   `strip_spans` — kept, but ≥ 30% of its 40-gram positions already
+    *                   exist in the corpus → route to x118's incremental
+    *                   span removal instead of ingesting verbatim;
+    *   `keep`        — novel content.
+    *
+    * Each leg rides its persisted store when a producer ran (no
+    * history-side exchange — the per-store plan gates) and falls back to
+    * the derived in-query history otherwise; the oracle replays all three
+    * derivations and the verdict CASE in one SQL. Thresholds are the
+    * registry pins (x40's 0.8; 0.3 for the strip route) — production
+    * derives its own, as x115 does for quality cuts.
+    */
+  val x125_crawl_triage: QueryDef = QueryDef(
+    "x125_crawl_triage",
+    Sql.canon(
+      s"""WITH bkt AS (SELECT doc_id, text, lang, n_chars,
+         |  CAST(CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |       AS BIGINT) % 100 AS INT) AS bucket
+         |  FROM documents),
+         |hist AS (SELECT doc_id, text, lang, n_chars FROM bkt WHERE bucket < 60),
+         |batch AS (
+         |  SELECT doc_id, text, lang, n_chars FROM bkt WHERE bucket >= 60
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, text, lang, n_chars FROM bkt
+         |  WHERE bucket < 60 AND bucket % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000000, text, lang, n_chars FROM bkt
+         |  WHERE bucket >= 60 AND bucket % 11 = 0),
+         |h86 AS (SELECT DISTINCT MD5(text) AS th FROM bkt WHERE bucket < 60),
+         |b86 AS (SELECT doc_id, MD5(text) AS th FROM batch),
+         |k86 AS (SELECT th, MIN(doc_id) AS keeper FROM b86 GROUP BY th),
+         |st AS (
+         |  SELECT b86.doc_id,
+         |    CASE WHEN h86.th IS NOT NULL THEN 'dup_of_history'
+         |         WHEN b86.doc_id <> k86.keeper THEN 'dup_in_batch'
+         |         ELSE 'kept' END AS status
+         |  FROM b86 LEFT JOIN h86 ON b86.th = h86.th
+         |  JOIN k86 ON b86.th = k86.th),
+         |hg AS (
+         |  SELECT DISTINCT SUBSTR(text, i, $DupGramK) AS gram
+         |  FROM (SELECT text,
+         |          UNNEST(generate_series(1, LENGTH(text) - ${DupGramK - 1})) AS i
+         |        FROM bkt WHERE bucket < 60 AND LENGTH(text) >= $DupGramK)),
+         |bg AS (
+         |  SELECT doc_id, SUBSTR(text, i, $DupGramK) AS gram, COUNT(*) AS pc
+         |  FROM (SELECT doc_id, text,
+         |          UNNEST(generate_series(1, LENGTH(text) - ${DupGramK - 1})) AS i
+         |        FROM batch WHERE LENGTH(text) >= $DupGramK)
+         |  GROUP BY doc_id, gram),
+         |hp AS (SELECT bg.doc_id, CAST(SUM(bg.pc) AS BIGINT) AS hist_pos
+         |       FROM bg JOIN hg USING (gram) GROUP BY bg.doc_id),
+         |gf AS (
+         |  SELECT doc_id, CAST(COALESCE(hp.hist_pos, 0) AS DOUBLE) /
+         |    (LENGTH(text) - ${DupGramK - 1}) AS hist_frac
+         |  FROM batch LEFT JOIN hp USING (doc_id)
+         |  WHERE LENGTH(text) >= $DupGramK),
+         |sb AS (${shinglesSqlOver("batch")}),
+         |sh AS (${shinglesSqlOver("hist")}),
+         |cb AS (SELECT doc_id, COUNT(*) AS n FROM sb GROUP BY doc_id),
+         |ch AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |p AS (
+         |  SELECT b.doc_id AS doc_a, h.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sb b JOIN sh h
+         |    ON b.sh = h.sh AND b.lang = h.lang
+         |   AND ABS(b.n_chars - h.n_chars) * 2 <= GREATEST(b.n_chars, h.n_chars)
+         |  GROUP BY b.doc_id, h.doc_id),
+         |jac AS (
+         |  SELECT doc_a AS doc_id,
+         |    MAX(CAST(inter AS DOUBLE) / (ca.n + cb2.n - inter)) AS best_jaccard
+         |  FROM p JOIN cb ca ON p.doc_a = ca.doc_id
+         |         JOIN ch cb2 ON p.doc_b = cb2.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb2.n - inter) >= 0.8
+         |  GROUP BY doc_a)
+         |SELECT s.doc_id, s.status,
+         |  COALESCE(j.best_jaccard, 0.0) AS best_jaccard,
+         |  COALESCE(g.hist_frac, 0.0) AS hist_frac,
+         |  CASE WHEN s.status <> 'kept' THEN 'drop_exact'
+         |       WHEN COALESCE(j.best_jaccard, 0.0) >= 0.8 THEN 'drop_near'
+         |       WHEN COALESCE(g.hist_frac, 0.0) >= 0.3 THEN 'strip_spans'
+         |       ELSE 'keep' END AS verdict
+         |FROM st s
+         |LEFT JOIN jac j ON s.doc_id = j.doc_id
+         |LEFT JOIN gf g ON s.doc_id = g.doc_id""".stripMargin,
+      Seq("doc_id", "status", "best_jaccard", "hist_frac", "verdict"))) { (s, d) =>
+    val (history, batch) = x86Split(s, d)
+    val status = Dedup.incrementalStatusBinary(batch,
+      graft.sources.HashHistory.scanOrCompute(s, d)(
+        history.select(unhex(md5(col("text"))).as("th"))))
+    val gramFrac = Dedup.incrementalDupGrams(batch,
+        graft.sources.GramHistory.scanOrCompute(s, d)(
+          graft.sources.GramHistory.gramHashes(history, DupGramK)),
+        k = DupGramK)
+      .select(col("doc_id"), col("hist_frac"))
+    val (bands, sh) = graft.sources.MinHashHistory.scanOrCompute(s, d)(
+      (x123HistoryBands(s, d), x123HistoryShingles(s, d)))
+    val best = graft.operators.Dedup.incrementalNearDups(
+        shingleArrays(x123Split(s, d)._2), bands, sh)
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(max(col("jaccard")).as("best_jaccard"))
+    Canon(status
+      .join(best, Seq("doc_id"), "left")
+      .join(gramFrac, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("status"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+        coalesce(col("hist_frac"), lit(0.0)).as("hist_frac"))
+      .withColumn("verdict",
+        when(col("status") =!= "kept", lit("drop_exact"))
+          .when(col("best_jaccard") >= 0.8, lit("drop_near"))
+          .when(col("hist_frac") >= 0.3, lit("strip_spans"))
+          .otherwise(lit("keep"))))
+  }
+
   // ---------------------------------------------------------------- x44/x45
   /** 64-bit SimHash fingerprints (rows-only: DuckDB has no xxhash64 twin). */
   val x44_simhash: QueryDef = QueryDef.rowsOnly("x44_simhash") { (s, d) =>
@@ -884,7 +1008,10 @@ object TextOps {
     * Lee et al. use 50 BPE tokens; 40 chars flags the planted near-dups
     * at every verify SF without saturating on common phrases).
     */
-  private[graft] val DupGramK = 40
+  // `final` so it is a compile-time constant: QueryDef vals interpolate
+  // it into their oracle SQL at object init, and a plain val would read 0
+  // in any entry declared ABOVE this line (x125 hit exactly that)
+  private[graft] final val DupGramK = 40
 
   /** Exact substring-duplication audit
     * ([[graft.operators.Dedup.dupGramFraction]]) — per doc, the fraction
