@@ -576,6 +576,15 @@ object TextOps {
     * derivations and the verdict CASE in one SQL. Thresholds are the
     * registry pins (x40's 0.8; 0.3 for the strip route) — production
     * derives its own, as x115 does for quality cuts.
+    *
+    * COST SHAPE, deliberate: this is the x90-style EXPLAINABLE audit —
+    * all three measures for EVERY batch doc (threshold tuning and "why
+    * was doc X dropped" need the full matrix), so its cost ≈ the three
+    * probes' sum. The production fast path CASCADES instead: exact
+    * status first (cheapest), near-dup probe only on `kept` survivors,
+    * gram audit only on near-dup survivors — batch-sized legs shrinking
+    * at each stage. The cascade emits the same verdicts; only the
+    * non-verdict columns differ (unprobed legs read 0).
     */
   val x125_crawl_triage: QueryDef = QueryDef(
     "x125_crawl_triage",
@@ -664,7 +673,19 @@ object TextOps {
         shingleArrays(x123Split(s, d)._2), bands, sh)
       .groupBy(col("doc_a").as("doc_id"))
       .agg(max(col("jaccard")).as("best_jaccard"))
-    Canon(status
+    Canon(triageFrame(status, best, gramFrac))
+  }
+
+  /** The x125 verdict frame from the three probe legs — shared verbatim
+    * by the registry builder and the streaming twin
+    * ([[graft.streaming.CurationStreams.crawlTriage]]), so the
+    * one-micro-batch ≡ batch contract holds structurally. `status` =
+    * (doc_id, status); `best` = (doc_id, best_jaccard); `gramFrac` =
+    * (doc_id, hist_frac).
+    */
+  private[graft] def triageFrame(status: DataFrame, best: DataFrame,
+                                 gramFrac: DataFrame): DataFrame =
+    status
       .join(best, Seq("doc_id"), "left")
       .join(gramFrac, Seq("doc_id"), "left")
       .select(col("doc_id"), col("status"),
@@ -674,8 +695,7 @@ object TextOps {
         when(col("status") =!= "kept", lit("drop_exact"))
           .when(col("best_jaccard") >= 0.8, lit("drop_near"))
           .when(col("hist_frac") >= 0.3, lit("strip_spans"))
-          .otherwise(lit("keep"))))
-  }
+          .otherwise(lit("keep")))
 
   // ---------------------------------------------------------------- x44/x45
   /** 64-bit SimHash fingerprints (rows-only: DuckDB has no xxhash64 twin). */

@@ -71,6 +71,10 @@ object HashHistory {
       Bucketing.writeBucketed(
         hashesBinary.select(col(HashCol)).distinct(), table, HashCol, buckets)
     }
+    // a recreated store is a NEW streaming lineage (the crawlTriage twin
+    // appends behind a persisted watermark): drop any stale mark or its
+    // appends are silently skipped
+    StreamMark.clear(spark, table)
     stores.put(key(spark, dir), (table, buckets)): Unit
   }
 

@@ -947,6 +947,112 @@ object CurationStreams {
     } finally scored.unpersist(): Unit
   }
 
+  /** Streaming crawl TRIAGE — x125's streaming twin, and the deployable
+    * crawl-cadence form of the composed text-side verdict: each
+    * micro-batch of documents (doc_id, text, lang, n_chars) is probed
+    * through ALL THREE text-side incremental stores at once — exact
+    * status against [[graft.sources.HashHistory]], best history
+    * near-dup Jaccard against [[graft.sources.MinHashHistory]],
+    * duplicated-substring fraction against [[graft.sources.GramHistory]]
+    * (create all three for `dir` first; empty histories are fine) —
+    * resolved to the x125 verdict
+    * (drop_exact / drop_near / strip_spans / keep) by the SAME
+    * [[graft.queries.TextOps.triageFrame]] the batch entry uses, so a
+    * one-micro-batch stream is bit-identical to the batch operator (the
+    * spec asserts it). Then the batch appends to all three stores, EACH
+    * behind its own batchId-guarded persisted watermark — the stores
+    * have independent lineages (the x86/x102/x123 twins share them), so
+    * a replay after a mid-sequence append failure retries ONLY the
+    * store whose append did not commit (spec-gated); re-appends carry
+    * each store's own replay semantics (membership for hash/gram,
+    * counted shingle evidence for minhash — compact() restores).
+    */
+  def crawlTriage(docs: DataFrame, dir: String,
+                  k: Int = graft.queries.TextOps.DupGramK,
+                  sink: DataFrame => Unit,
+                  growStore: Boolean = true)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val aHash = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val aGram = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val aMh = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      triageBatch(batch, batchId, dir, k, sink, aHash, aGram, aMh, growStore,
+        b => graft.sources.HashHistory.append(b.sparkSession, dir,
+          b.select(unhex(md5(col("text"))).as("th"))),
+        b => graft.sources.GramHistory.append(b.sparkSession, dir,
+          graft.sources.GramHistory.gramHashes(b, k)),
+        b => graft.sources.MinHashHistory.append(b.sparkSession, dir,
+          graft.queries.TextOps.minHashBandsOf(b),
+          graft.queries.TextOps.minHashShinglesOf(b)))
+    }
+  }
+
+  /** One micro-batch of [[crawlTriage]] — the three probes composed, the
+    * sink, then the three independently-guarded appends (injectable, so
+    * the per-store replay contract is directly spec-gated).
+    */
+  private[graft] def triageBatch(batch: DataFrame, batchId: Long,
+      dir: String, k: Int, sink: DataFrame => Unit,
+      aHash: java.util.concurrent.atomic.AtomicLong,
+      aGram: java.util.concurrent.atomic.AtomicLong,
+      aMh: java.util.concurrent.atomic.AtomicLong, growStore: Boolean,
+      appendHash: DataFrame => Unit, appendGram: DataFrame => Unit,
+      appendMh: DataFrame => Unit): Unit = {
+    val spark = batch.sparkSession
+    def tableOf(name: String, t: Option[String]): String =
+      t.getOrElse(throw new IllegalStateException(
+        s"streaming crawlTriage: no $name store for $dir — create() " +
+          "all three stores first (empty histories are fine)"))
+    val hashT = tableOf("hash",
+      graft.sources.HashHistory.registeredTable(spark, dir))
+    val gramT = tableOf("gram",
+      graft.sources.GramHistory.registeredTable(spark, dir))
+    val mhT = tableOf("minhash",
+      graft.sources.MinHashHistory.registeredTable(spark, dir))
+    if (aHash.get() == Long.MinValue)
+      aHash.compareAndSet(Long.MinValue, readBatchMark(spark, hashT)): Unit
+    if (aGram.get() == Long.MinValue)
+      aGram.compareAndSet(Long.MinValue, readBatchMark(spark, gramT)): Unit
+    if (aMh.get() == Long.MinValue)
+      aMh.compareAndSet(Long.MinValue, readBatchMark(spark, mhT)): Unit
+    val status = graft.operators.Dedup.incrementalStatusBinary(batch,
+      graft.sources.HashHistory.scanOrCompute(spark, dir)(
+        sys.error(s"unreachable: $hashT is registered")))
+    val gramFrac = graft.operators.Dedup.incrementalDupGrams(batch,
+        graft.sources.GramHistory.scanOrCompute(spark, dir)(
+          sys.error(s"unreachable: $gramT is registered")), k = k)
+      .select(col("doc_id"), col("hist_frac"))
+    val (bands, sh) = graft.sources.MinHashHistory.scanOrCompute(spark, dir)(
+      sys.error(s"unreachable: $mhT is registered"))
+    val best = graft.operators.Dedup.incrementalNearDups(
+        graft.queries.TextOps.shingleArrays(batch), bands, sh)
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(max(col("jaccard")).as("best_jaccard"))
+    val scored = graft.queries.TextOps.triageFrame(status, best, gramFrac)
+      .persist()
+    try {
+      scored.count(): Unit // pin pre-append values
+      sink(scored)
+      if (growStore) {
+        if (aHash.get() < batchId) {
+          appendHash(batch)
+          writeBatchMark(spark, hashT, batchId)
+          aHash.set(batchId)
+        }
+        if (aGram.get() < batchId) {
+          appendGram(batch)
+          writeBatchMark(spark, gramT, batchId)
+          aGram.set(batchId)
+        }
+        if (aMh.get() < batchId) {
+          appendMh(batch)
+          writeBatchMark(spark, mhT, batchId)
+          aMh.set(batchId)
+        }
+      }
+    } finally scored.unpersist(): Unit
+  }
+
   /** Streaming incremental audio probe — x113's streaming twin, the audio
     * member of the store-as-state family: each micro-batch's tracks are
     * landmark-fingerprinted map-only and probed against the PERSISTED

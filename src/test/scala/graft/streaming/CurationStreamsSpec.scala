@@ -1338,6 +1338,141 @@ class CurationStreamsSpec extends SparkSpec {
     graft.sources.MinHashHistory.invalidate(spark, dir)
   }
 
+  // ------------------------------------- streaming crawl triage (x125)
+
+  private def mkTriageStores(dir: String): Unit = {
+    import graft.queries.TextOps
+    import org.apache.spark.sql.functions.{md5 => smd5, unhex}
+    import spark.implicits._
+    val hist = Seq(ndDoc(1L, ndText("tail")))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    graft.sources.HashHistory.create(spark, dir,
+      hist.select(unhex(smd5(col("text"))).as("th")), buckets = 4)
+    graft.sources.GramHistory.create(spark, dir, hist,
+      TextOps.DupGramK, buckets = 4)
+    graft.sources.MinHashHistory.create(spark, dir,
+      TextOps.minHashBandsOf(hist), TextOps.minHashShinglesOf(hist),
+      buckets = 4)
+  }
+
+  private def triageInvalidate(dir: String): Unit = {
+    graft.sources.HashHistory.invalidate(spark, dir)
+    graft.sources.GramHistory.invalidate(spark, dir)
+    graft.sources.MinHashHistory.invalidate(spark, dir)
+  }
+
+  test("streaming crawl triage: one micro-batch equals batch x125 semantics; copy drops exact") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.queries.TextOps
+    val dir = s"/tmp/triage_spec_${System.nanoTime}"
+    mkTriageStores(dir)
+    // four verdicts in one batch: near-dup of history (drop_near), novel
+    // (keep), verbatim history copy (drop_exact), and a doc whose prefix
+    // copies history verbatim but whose novel tail pushes trigram Jaccard
+    // under 0.8 AND the near-dup length window (so only the gram leg can
+    // catch it: strip_spans)
+    val stripText = ndText("tail") + " " +
+      (1 to 30).map(i => s"zfresh$i").mkString(" ")
+    val b1 = Seq(ndDoc(10L, ndText("edited")), ndDoc(11L, ndNovel),
+      ndDoc(12L, ndText("tail")), ndDoc(13L, stripText))
+    val out = scala.collection.mutable.ListBuffer[(Long, String, Double, Double, String)]()
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val q = CurationStreams.crawlTriage(
+        mem.toDF().toDF("doc_id", "text", "lang", "n_chars"), dir,
+        sink = df => out ++= df
+          .select("doc_id", "status", "best_jaccard", "hist_frac", "verdict")
+          .as[(Long, String, Double, Double, String)].collect())
+      .start()
+    try {
+      mem.addData(b1)
+      q.processAllAvailable()
+      val verdicts = out.map(r => r._1 -> r._5).toMap
+      assert(verdicts == Map(10L -> "drop_near", 11L -> "keep",
+        12L -> "drop_exact", 13L -> "strip_spans"), s"got $verdicts")
+      // bit-identical to the batch composition against the same
+      // (pre-append) derived history
+      val hist = Seq(ndDoc(1L, ndText("tail")))
+        .toDF("doc_id", "text", "lang", "n_chars")
+      val batchDf = b1.toDF("doc_id", "text", "lang", "n_chars")
+      val status = graft.operators.Dedup.incrementalStatusBinary(batchDf,
+        hist.select(org.apache.spark.sql.functions.unhex(
+          org.apache.spark.sql.functions.md5(col("text"))).as("th")))
+      val gramFrac = graft.operators.Dedup.incrementalDupGrams(batchDf,
+          graft.sources.GramHistory.gramHashes(hist, TextOps.DupGramK),
+          k = TextOps.DupGramK)
+        .select(col("doc_id"), col("hist_frac"))
+      val best = graft.operators.Dedup.incrementalNearDups(
+          TextOps.shingleArrays(batchDf),
+          TextOps.minHashBandsOf(hist), TextOps.minHashShinglesOf(hist))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(org.apache.spark.sql.functions.max(col("jaccard"))
+          .as("best_jaccard"))
+      val want = TextOps.triageFrame(status, best, gramFrac)
+        .select("doc_id", "status", "best_jaccard", "hist_frac", "verdict")
+        .as[(Long, String, Double, Double, String)].collect().toSet
+      assert(out.toSet == want, s"stream ${out.toSet} != batch $want")
+      // batch 2: a verbatim copy of batch 1's novel doc — batch 1's
+      // appends made it history in ALL THREE stores, so it must now be
+      // drop_exact with a 1.0 near-dup and 1.0 gram fraction attached
+      mem.addData(Seq(ndDoc(20L, ndNovel)))
+      q.processAllAvailable()
+      val d2 = out.filter(_._1 == 20L)
+      assert(d2.size == 1 && d2.head._5 == "drop_exact" &&
+        d2.head._3 == 1.0 && d2.head._4 == 1.0,
+        s"batch-1 docs not history to batch 2: $d2")
+    } finally q.stop()
+    triageInvalidate(dir)
+  }
+
+  test("streaming crawl triage: a failed middle append retries alone; committed stores skip") {
+    import spark.implicits._
+    import graft.queries.TextOps
+    val dir = s"/tmp/triage_replay_${System.nanoTime}"
+    mkTriageStores(dir)
+    val batch = Seq(ndDoc(20L, ndNovel)).toDF("doc_id", "text", "lang", "n_chars")
+    val (aH, aG, aM) = (new java.util.concurrent.atomic.AtomicLong(-1L),
+      new java.util.concurrent.atomic.AtomicLong(-1L),
+      new java.util.concurrent.atomic.AtomicLong(-1L))
+    var (nH, nG, nM) = (0, 0, 0)
+    var failGram = true
+    def run(): Unit = CurationStreams.triageBatch(batch, 0L, dir,
+      TextOps.DupGramK, _ => (), aH, aG, aM, growStore = true,
+      appendHash = b => { nH += 1
+        graft.sources.HashHistory.append(spark, dir,
+          b.select(org.apache.spark.sql.functions.unhex(
+            org.apache.spark.sql.functions.md5(col("text"))).as("th"))) },
+      appendGram = b => { nG += 1
+        if (failGram) { failGram = false; throw new java.io.IOException("injected") }
+        graft.sources.GramHistory.append(spark, dir,
+          graft.sources.GramHistory.gramHashes(b, TextOps.DupGramK)) },
+      appendMh = b => { nM += 1
+        graft.sources.MinHashHistory.append(spark, dir,
+          TextOps.minHashBandsOf(b), TextOps.minHashShinglesOf(b)) })
+    intercept[java.io.IOException](run())
+    assert((nH, nG, nM) == (1, 1, 0) && aH.get() == 0L &&
+      aG.get() == -1L && aM.get() == -1L,
+      s"pre-retry state: $nH $nG $nM ${aG.get()}")
+    run() // the replay: hash committed -> skipped; gram retried; mh runs
+    assert((nH, nG, nM) == (1, 2, 1),
+      s"replay did not retry exactly the failed store: $nH $nG $nM")
+    assert(aH.get() == 0L && aG.get() == 0L && aM.get() == 0L)
+    run() // fully committed epoch: nothing re-appends
+    assert((nH, nG, nM) == (1, 2, 1), "committed epoch re-appended")
+    // restart recovery: fresh guards read all three persisted marks
+    val (rH, rG, rM) = (new java.util.concurrent.atomic.AtomicLong(Long.MinValue),
+      new java.util.concurrent.atomic.AtomicLong(Long.MinValue),
+      new java.util.concurrent.atomic.AtomicLong(Long.MinValue))
+    CurationStreams.triageBatch(batch, 0L, dir, TextOps.DupGramK, _ => (),
+      rH, rG, rM, growStore = true,
+      appendHash = _ => nH += 1, appendGram = _ => nG += 1,
+      appendMh = _ => nM += 1)
+    assert((nH, nG, nM) == (1, 2, 1), "committed epoch re-appended after restart")
+    assert(rH.get() == 0L && rG.get() == 0L && rM.get() == 0L,
+      "persisted watermarks not recovered")
+    triageInvalidate(dir)
+  }
+
   // ------------------------------------- streaming incremental embedding
 
   private def embVec(seed: Int): Array[Float] = {
