@@ -31,14 +31,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object EmbedHistory {
 
+  /** `owned` = the registry created the dir (a temp dir) and therefore
+    * deletes it on eviction/invalidate; an [[attach]]ed external store is
+    * NEVER deleted — the registry did not create it.
+    */
+  private final case class Entry(path: Path, owned: Boolean)
+
   private val MaxStores = 32
 
   private val stores = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, Path](16, 0.75f, true) {
+    new java.util.LinkedHashMap[String, Entry](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Path]): Boolean =
-        if (size() > MaxStores) { deleteRecursively(e.getValue); true }
-        else false
+          e: java.util.Map.Entry[String, Entry]): Boolean =
+        if (size() > MaxStores) {
+          if (e.getValue.owned) deleteRecursively(e.getValue.path)
+          true
+        } else false
     })
 
   private def key(spark: SparkSession, dir: String): String =
@@ -65,14 +73,32 @@ object EmbedHistory {
       // throw, so nothing would ever delete it
       try IvfStore.create(spark, p.toString, history, nlist, kmeansIters)
       catch { case t: Throwable => deleteRecursively(p); throw t }
-      p
-    }).toString
+      Entry(p, owned = true)
+    }).path.toString
+
+  /** Re-attach to an already-created [[IvfStore]] (new application) —
+    * the restart path the table-backed stores get via their `attach`
+    * verbs: register `storePath` for `dir` without refitting centroids
+    * or relaying the corpus. Fails loudly when no store exists there.
+    */
+  def attach(spark: SparkSession, dir: String, storePath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storePath, "centroids")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"EmbedHistory.attach: no IvfStore at $storePath - IvfStore.create() first")
+    stores.put(key(spark, dir),
+      Entry(java.nio.file.Paths.get(storePath), owned = false)): Unit
+  }
 
   private[graft] def memoSize: Int = stores.size()
 
   private[graft] def invalidate(): Unit = stores.synchronized {
     val it = stores.entrySet().iterator()
-    while (it.hasNext) { deleteRecursively(it.next().getValue); it.remove() }
+    while (it.hasNext) {
+      val e = it.next().getValue
+      if (e.owned) deleteRecursively(e.path)
+      it.remove()
+    }
   }
 
   private[graft] def invalidate(dir: String): Unit = stores.synchronized {
@@ -80,7 +106,10 @@ object EmbedHistory {
     val it = stores.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getKey.endsWith(seg)) { deleteRecursively(e.getValue); it.remove() }
+      if (e.getKey.endsWith(seg)) {
+        if (e.getValue.owned) deleteRecursively(e.getValue.path)
+        it.remove()
+      }
     }
   }
 

@@ -83,6 +83,22 @@ object FrameHistory {
     stores.put(key(spark, dir), (table, buckets)): Unit
   }
 
+
+  /** Re-attach to an already-created store (new application, shared
+    * metastore) — the restart path: at store scale a rebuild is exactly
+    * what the persisted table exists to avoid. `buckets` must match the
+    * created layout (appends write bucket-compatible segments). Fails
+    * loudly if the table does not exist.
+    */
+  def attach(spark: SparkSession, dir: String, buckets: Int = 8): Unit = {
+    val table = tableFor(dir)
+    require(spark.catalog.tableExists(table),
+      s"FrameHistory.attach: table $table does not exist - run create() first")
+    require(spark.catalog.tableExists(sizesTableFor(dir)),
+      s"FrameHistory.attach: sizes table missing - run create() first")
+    stores.put(key(spark, dir), (table, buckets)): Unit
+  }
+
   /** Append an increment's frames (+ their sizes rows) as
     * bucket-compatible files. One-batch-per-video contract: see the
     * object scaladoc.

@@ -67,6 +67,20 @@ object GramHistory {
     stores.put(key(spark, dir), (table, buckets)): Unit
   }
 
+
+  /** Re-attach to an already-created store (new application, shared
+    * metastore) — the restart path: at store scale a rebuild is exactly
+    * what the persisted table exists to avoid. `buckets` must match the
+    * created layout (appends write bucket-compatible segments). Fails
+    * loudly if the table does not exist.
+    */
+  def attach(spark: SparkSession, dir: String, buckets: Int = 8): Unit = {
+    val table = tableFor(dir)
+    require(spark.catalog.tableExists(table),
+      s"GramHistory.attach: table $table does not exist - run create() first")
+    stores.put(key(spark, dir), (table, buckets)): Unit
+  }
+
   /** Append an increment's gram hashes as bucket-compatible files. */
   def append(spark: SparkSession, dir: String, increment: DataFrame): Unit = {
     val (table, buckets) = Option(stores.get(key(spark, dir))).getOrElse(

@@ -81,6 +81,22 @@ object MinHashHistory {
     stores.put(key(spark, dir), (table, buckets)): Unit
   }
 
+
+  /** Re-attach to an already-created store (new application, shared
+    * metastore) — the restart path: at store scale a rebuild is exactly
+    * what the persisted table exists to avoid. `buckets` must match the
+    * created layout (appends write bucket-compatible segments). Fails
+    * loudly if the table does not exist.
+    */
+  def attach(spark: SparkSession, dir: String, buckets: Int = 8): Unit = {
+    val table = tableFor(dir)
+    require(spark.catalog.tableExists(table),
+      s"MinHashHistory.attach: table $table does not exist - run create() first")
+    require(spark.catalog.tableExists(shTableFor(dir)),
+      s"MinHashHistory.attach: shingle table missing - run create() first")
+    stores.put(key(spark, dir), (table, buckets)): Unit
+  }
+
   /** Append an increment's band + shingle rows as bucket-compatible
     * files. One-batch-per-doc contract: see the object scaladoc.
     */
