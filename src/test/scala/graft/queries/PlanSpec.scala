@@ -160,6 +160,71 @@ class PlanSpec extends SparkSpec {
     assert(hits.isEmpty, s"undeclared cartesian products in: ${hits.mkString(", ")}")
   }
 
+  test("x125: the composed triage plan never shuffles ANY history store") {
+    // the triage rides all THREE text-side stores in ONE plan; the
+    // per-store no-history-exchange gates (HashHistory/GramHistory/
+    // MinHashHistory specs) must survive the composition — an exchange
+    // above any history scan here would mean the composed optimizer
+    // output re-shuffles a corpus-scale relation per crawl batch
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // fixture stores are broadcast-tiny; a 100 TB store is not — force
+    // the co-located join paths the gate exists to protect
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.sources.HashHistory.create(spark, Sf,
+        graft.queries.TextOps.x86HistoryHashes(spark, Sf))
+      graft.sources.GramHistory.create(spark, Sf,
+        graft.queries.TextOps.x86Split(spark, Sf)._1,
+        graft.queries.TextOps.DupGramK)
+      graft.sources.MinHashHistory.create(spark, Sf,
+        graft.queries.TextOps.x123HistoryBands(spark, Sf),
+        graft.queries.TextOps.x123HistoryShingles(spark, Sf))
+      val df = graft.SparkEntry.queries("x125_crawl_triage")(spark, Sf)
+      df.count()
+      val exec = df.queryExecution.executedPlan
+      def isHistScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case s: FileSourceScanExec => s.tableIdentifier.exists(t =>
+            t.table.startsWith("graft_hash_history") ||
+              t.table.startsWith("graft_gram_history") ||
+              t.table.startsWith("graft_minhash_history"))
+          case _ => false
+        }
+      // the property the per-store specs gate, surviving composition:
+      // every history scan reaches its FIRST join without crossing an
+      // exchange (downstream exchanges — the verdict joins, Canon's
+      // final sort — legitimately sit above joined results). Walk each
+      // exchange's child; a history scan reachable without passing a
+      // join means the store relation itself was re-shuffled.
+      import org.apache.spark.sql.execution.joins.{BaseJoinExec}
+      def scanBeforeJoin(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case _: BaseJoinExec => false
+          case s if isHistScan(s) => true
+          case other => other.children.exists(scanBeforeJoin)
+        }
+      val offenders = exec.collect {
+        case e: ShuffleExchangeExec if scanBeforeJoin(e.child) => e
+      }
+      assert(offenders.isEmpty,
+        s"history store shuffled before its probe join in the composed " +
+          s"triage plan:\n${offenders.mkString("\n")}")
+      assert(exec.collectFirst {
+        case s: FileSourceScanExec if isHistScan(s) => s
+      }.isDefined, "triage plan does not scan the stores at all")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      graft.sources.HashHistory.invalidate(spark, Sf)
+      graft.sources.GramHistory.invalidate(spark, Sf)
+      graft.sources.MinHashHistory.invalidate(spark, Sf)
+    }
+  }
+
   test("x42: blocked pair search — no cartesian, bounded shuffles, TakeOrdered merge") {
     // gate the PRODUCER plan: with no producer step run, the registry
     // builder returns the real blocked pair-search pipeline (scanOrCompute
