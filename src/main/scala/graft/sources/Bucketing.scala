@@ -49,6 +49,17 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** The table's declared bucket count from the catalog (None when the
+    * DESCRIBE output carries no bucket spec) — the `attach()` verbs
+    * validate against it: an attach with the wrong count would write
+    * layout-incompatible append segments and silently corrupt the
+    * no-exchange probe plan.
+    */
+  def bucketCountOf(spark: SparkSession, table: String): Option[Int] =
+    spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
+      .find(r => r.getString(0).trim.equalsIgnoreCase("Num Buckets"))
+      .flatMap(r => scala.util.Try(r.getString(1).trim.toInt).toOption)
+
   /** The [[MutationGuard]] anchor for a table's mutating verbs: the
     * resolved table location string — a warehouse path derived from the
     * table NAME, so the `<base>_mutating` marker lives beside the table

@@ -96,6 +96,9 @@ object FrameHistory {
       s"FrameHistory.attach: table $table does not exist - run create() first")
     require(spark.catalog.tableExists(sizesTableFor(dir)),
       s"FrameHistory.attach: sizes table missing - run create() first")
+    Bucketing.bucketCountOf(spark, table).foreach(n => require(n == buckets,
+      s"FrameHistory.attach: table $table was created with $n buckets, " +
+        s"attach got $buckets - appends would corrupt the layout"))
     stores.put(key(spark, dir), (table, buckets)): Unit
   }
 

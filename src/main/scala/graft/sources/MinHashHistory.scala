@@ -94,6 +94,9 @@ object MinHashHistory {
       s"MinHashHistory.attach: table $table does not exist - run create() first")
     require(spark.catalog.tableExists(shTableFor(dir)),
       s"MinHashHistory.attach: shingle table missing - run create() first")
+    Bucketing.bucketCountOf(spark, table).foreach(n => require(n == buckets,
+      s"MinHashHistory.attach: table $table was created with $n buckets, " +
+        s"attach got $buckets - appends would corrupt the layout"))
     stores.put(key(spark, dir), (table, buckets)): Unit
   }
 

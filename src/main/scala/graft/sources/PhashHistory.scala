@@ -82,6 +82,9 @@ object PhashHistory {
     val table = tableFor(dir)
     require(spark.catalog.tableExists(table),
       s"PhashHistory.attach: table $table does not exist - run create() first")
+    Bucketing.bucketCountOf(spark, table).foreach(n => require(n == buckets,
+      s"PhashHistory.attach: table $table was created with $n buckets, " +
+        s"attach got $buckets - appends would corrupt the layout"))
     stores.put(key(spark, dir), (table, buckets)): Unit
   }
 

@@ -181,6 +181,19 @@ class AttachSpec extends SparkSpec {
     LandmarkHistory.invalidate(spark, dir)
   }
 
+  test("attach with the wrong bucket count fails loudly (layout protection)") {
+    val dir = freshDir("buckets")
+    HashHistory.create(spark, dir,
+      docs(1L -> baseText).select(unhex(md5(col("text"))).as("th")),
+      buckets = 4)
+    HashHistory.invalidate(spark, dir)
+    val e = intercept[IllegalArgumentException](
+      HashHistory.attach(spark, dir, buckets = 8))
+    assert(e.getMessage.contains("corrupt"), e.getMessage)
+    HashHistory.attach(spark, dir, buckets = 4) // the matching count works
+    HashHistory.invalidate(spark, dir)
+  }
+
   test("attach on a store that was never created fails loudly") {
     val dir = freshDir("missing")
     intercept[IllegalArgumentException](HashHistory.attach(spark, dir))
