@@ -744,15 +744,44 @@ object Dedup {
     */
   def incrementalRemoveSpans(batch: DataFrame, historyGrams: DataFrame,
                              k: Int = 40, textCol: String = "text",
-                             idCol: String = "doc_id"): DataFrame = {
+                             idCol: String = "doc_id",
+                             broadcastProbe: Boolean = true): DataFrame = {
     val gramsU = udf((t: String) => Kernels.charGramHashPositions(t, k))
     val g = batch.select(col(idCol).as("doc_id"),
       explode(gramsU(col(textCol))).as(Seq("gh", "ps")))
-    val hits = g.join(historyGrams.select(col("gh")), Seq("gh"), "left_semi")
+    val hits = g.join(probeHistorySet(g, historyGrams, broadcastProbe),
+        Seq("gh"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(sort_array(flatten(collect_list(col("ps")))).as("ps"))
     rewriteWithHits(batch, hits, k, textCol, idCol)
   }
+
+  /** The history side of an incremental gram probe's semi-join.
+    *
+    * `broadcastProbe = true` (default — the incremental family's
+    * contract is batch ≪ store): reduce the history to the BATCH's own
+    * distinct key set and broadcast it, so the probe join is a
+    * broadcast-hash semi over a map-only history scan — no history-side
+    * exchange and, unlike the bucketed sort-merge shape, NO history-side
+    * SORT (a multi-segment bucketed store loses write-time sortedness to
+    * Spark's one-file-per-bucket rule, so the SMJ re-sorted the ENTIRE
+    * store per probe — the one incremental-probe cost that grew with
+    * history; measured in TriageScaleProbe/BASELINE round-16). The
+    * reduction is membership-transparent: gh ∈ (H ⋉ K) ⟺ gh ∈ H for
+    * every gh ∈ K, and the semi-join only ever asks about keys in K.
+    *
+    * `broadcastProbe = false`: pass `historyGrams` through untouched —
+    * for callers that already hold a probe-reduced relation
+    * ([[graft.sources.GramHistory.probeHistory]], which also applies the
+    * sidecar-bloom pre-cut), or whose "batch" rivals the store and needs
+    * the co-located bucket join instead of a broadcast build.
+    */
+  private def probeHistorySet(g: DataFrame, historyGrams: DataFrame,
+                              broadcastProbe: Boolean): DataFrame =
+    if (!broadcastProbe) historyGrams.select(col("gh"))
+    else broadcast(historyGrams.select(col("gh"))
+      .join(broadcast(g.select(col("gh")).distinct()), Seq("gh"), "left_semi")
+      .distinct())
 
   /** Incremental substring audit: score a NEW batch's documents against a
     * persisted corpus gram history ([[graft.sources.GramHistory]]) — per
@@ -769,12 +798,14 @@ object Dedup {
     */
   def incrementalDupGrams(batch: DataFrame, historyGrams: DataFrame,
                           k: Int = 40, textCol: String = "text",
-                          idCol: String = "doc_id"): DataFrame = {
+                          idCol: String = "doc_id",
+                          broadcastProbe: Boolean = true): DataFrame = {
     val gramsU = udf((t: String) => Kernels.charGramHashCounts(t, k))
     val g = batch.select(col(idCol).as("doc_id"),
       explode(gramsU(col(textCol))).as(Seq("gh", "pc")))
     val hits = g
-      .join(historyGrams.select(col("gh")), Seq("gh"), "left_semi")
+      .join(probeHistorySet(g, historyGrams, broadcastProbe),
+        Seq("gh"), "left_semi")
       .groupBy(col("doc_id")).agg(sum(col("pc")).as("hist_pos"))
     batch.filter(length(col(textCol)) >= k)
       .select(col(idCol).as("doc_id"),

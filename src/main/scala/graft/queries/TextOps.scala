@@ -663,9 +663,10 @@ object TextOps {
       graft.sources.HashHistory.scanOrCompute(s, d)(
         history.select(unhex(md5(col("text"))).as("th"))))
     val gramFrac = Dedup.incrementalDupGrams(batch,
-        graft.sources.GramHistory.scanOrCompute(s, d)(
+        graft.sources.GramHistory.probeHistory(s, d,
+          graft.sources.GramHistory.gramHashes(batch, DupGramK))(
           graft.sources.GramHistory.gramHashes(history, DupGramK)),
-        k = DupGramK)
+        k = DupGramK, broadcastProbe = false)
       .select(col("doc_id"), col("hist_frac"))
     val (bands, sh) = graft.sources.MinHashHistory.scanOrCompute(s, d)(
       (x123HistoryBands(s, d), x123HistoryShingles(s, d)))
@@ -1230,9 +1231,10 @@ object TextOps {
       Seq("doc_id", "total_pos", "hist_pos", "hist_frac"))) { (s, d) =>
     val (history, batch) = x86Split(s, d)
     Canon(Dedup.incrementalDupGrams(batch,
-      graft.sources.GramHistory.scanOrCompute(s, d)(
+      graft.sources.GramHistory.probeHistory(s, d,
+        graft.sources.GramHistory.gramHashes(batch, DupGramK))(
         graft.sources.GramHistory.gramHashes(history, DupGramK)),
-      k = DupGramK))
+      k = DupGramK, broadcastProbe = false))
   }
 
   // ---------------------------------------------------------------- x118
@@ -1304,8 +1306,9 @@ object TextOps {
       Seq("doc_id", "total_chars", "n_spans", "removed_chars", "text_clean"))) { (s, d) =>
     val (history, batch) = x86Split(s, d)
     Canon(Dedup.incrementalRemoveSpans(batch,
-      graft.sources.GramHistory.scanOrCompute(s, d)(
+      graft.sources.GramHistory.probeHistory(s, d,
+        graft.sources.GramHistory.gramHashes(batch, DupGramK))(
         graft.sources.GramHistory.gramHashes(history, DupGramK)),
-      k = DupGramK))
+      k = DupGramK, broadcastProbe = false))
   }
 }

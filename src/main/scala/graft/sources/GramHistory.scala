@@ -1,8 +1,10 @@
 package graft.sources
 
 import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Persisted character-GRAM history store — [[HashHistory]]'s substring-
   * level sibling, completing the incremental pair: x86 answers "is this
@@ -30,6 +32,12 @@ object GramHistory {
   val GramCol = "gh"
 
   private val stores = new ConcurrentHashMap[String, (String, Int)]()
+
+  // memoized sidecar-bloom broadcasts, validated by sidecar mtime so the
+  // (possibly large) bloom ships to executors once per store VERSION, not
+  // once per probe; mutating verbs also invalidate in-process
+  private val blooms =
+    new ConcurrentHashMap[String, (Long, Broadcast[BloomFilter])]()
 
   private def key(spark: SparkSession, dir: String): String =
     spark.sparkContext.applicationId + "|" + new java.io.File(dir).getAbsolutePath
@@ -60,12 +68,38 @@ object GramHistory {
     val table = tableFor(dir)
     MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
       Bucketing.writeBucketed(gramHashes(corpus, k), table, GramCol, buckets)
+      rebuildBloom(spark, table)
     }
     // a recreated store is a NEW streaming lineage: drop any replay
     // watermark a previous stream left or its appends are silently skipped
     StreamMark.clear(spark, table)
     stores.put(key(spark, dir), (table, buckets)): Unit
   }
+
+  /** (Re)build the [[KeyBloom]] sidecar from the table's current keys —
+    * one extra store pass at producer time (the bucketed read bounds the
+    * per-task bloom partials at `buckets` concurrent allocations). Sized
+    * with [[KeyBloom.Headroom]] so appends have capacity; failures only
+    * lose the accelerator (probes fall back to the plain scan), never
+    * the store, so they degrade loudly-but-nonfatally.
+    */
+  private def rebuildBloom(spark: SparkSession, table: String): Unit =
+    try {
+      val n = spark.table(table).count()
+      val expected = math.max(1024L, KeyBloom.Headroom * n)
+      val bloom = spark.table(table).stat
+        .bloomFilter(GramCol, expected, KeyBloom.DefaultFpp)
+      KeyBloom.write(spark, Bucketing.guardBase(spark, table), bloom,
+        KeyBloom.Meta(expected, KeyBloom.DefaultFpp, n))
+      blooms.remove(table): Unit
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        KeyBloom.delete(spark, Bucketing.guardBase(spark, table))
+        blooms.remove(table): Unit
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"GramHistory: bloom sidecar build failed for $table — probes " +
+            s"fall back to the plain store scan: ${e.getMessage}")
+    }
 
 
   /** Re-attach to an already-created store (new application, shared
@@ -90,6 +124,38 @@ object GramHistory {
       throw new IllegalStateException(
         s"GramHistory.append: no store registered for $dir — create() first"))
     MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
+      // fold the increment into the bloom sidecar BEFORE the table
+      // append: a crash between the two steps then leaves the bloom with
+      // phantom keys (false positives — verified away, harmless), never
+      // the table with keys the bloom misses (false negatives — silently
+      // wrong probes). An increment bloom built with the SAME
+      // (expected, fpp) has an identical layout, so the merge is a
+      // bit-OR. Past-capacity growth only raises the fpp (probe
+      // selectivity degrades, answers stay exact); compact() re-sizes. A
+      // legacy store without a sidecar stays legacy — a rebuild here
+      // would cost a full store scan per append.
+      val base = Bucketing.guardBase(spark, table)
+      KeyBloom.read(spark, base).foreach { case (bloom, meta) =>
+        try {
+          val incKeys = increment.select(col(GramCol))
+          val incBloom = incKeys.stat
+            .bloomFilter(GramCol, meta.expected, meta.fpp)
+          bloom.mergeInPlace(incBloom)
+          KeyBloom.write(spark, base, bloom,
+            meta.copy(inserted = meta.inserted + incKeys.count()))
+          blooms.remove(table): Unit
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            // a sidecar that may be missing the increment's keys would
+            // give FALSE NEGATIVES — delete it rather than risk that
+            KeyBloom.delete(spark, base)
+            blooms.remove(table): Unit
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"GramHistory: bloom sidecar update failed for $table — " +
+                s"sidecar dropped, probes fall back to the plain scan: " +
+                s"${e.getMessage}")
+        }
+      }
       increment.select(col(GramCol))
         .write.mode(SaveMode.Append)
         .bucketBy(buckets, GramCol)
@@ -114,6 +180,10 @@ object GramHistory {
         s"GramHistory.compact: no store registered for $dir — create() first"))
     MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
       Bucketing.compactDistinct(spark, table, GramCol, buckets)
+      // re-size the bloom sidecar to the compacted key count (this is
+      // also the upgrade path: a legacy or saturated store gains a
+      // right-sized sidecar at its next compaction)
+      rebuildBloom(spark, table)
     }
   }
 
@@ -127,10 +197,84 @@ object GramHistory {
       case None => compute
     }
 
+  /** PROBE consumer entry — the relation a batch probe should semi-join
+    * instead of the raw store scan: the store's keys REDUCED to the
+    * batch's own key set (gh-membership over `batchKeys` is identical to
+    * the full history's, which is all a membership semi-join observes),
+    * returned broadcast-hinted so the downstream probe join is a
+    * broadcast-hash semi over a map-only store scan — no store-side
+    * exchange AND no store-side sort (the pre-round-17 bucketed
+    * sort-merge shape re-SORTED the multi-segment store per probe; that
+    * sort was the one incremental-probe cost that grew with history).
+    *
+    * With a [[KeyBloom]] sidecar, batch keys are pre-cut to bloom-hit
+    * CANDIDATES first (no false negatives — a bloom miss is definitively
+    * absent), so the broadcast build set is dup-density-sized plus an
+    * fpp sliver of the fresh keys, and a fully-novel batch short-circuits
+    * to an EMPTY relation with ZERO store files read (spec-gated).
+    * Without a sidecar (legacy store) the reduction still runs against
+    * all batch keys — the sort-free scan win stands.
+    *
+    * Contract: `batchKeys` is batch-bounded (the incremental family's
+    * premise — a probe batch is orders smaller than the store); a caller
+    * whose "batch" rivals the store should use [[scanOrCompute]] and the
+    * operators' co-located join path instead. Falls back to `compute`
+    * when no producer step registered this (application, dir).
+    */
+  def probeHistory(spark: SparkSession, dir: String, batchKeys: DataFrame)
+                  (compute: => DataFrame): DataFrame =
+    Option(stores.get(key(spark, dir))) match {
+      case None =>
+        // no producer step: the derived in-query history, reduced the
+        // same way so the caller sees ONE contract (always probe-reduced)
+        broadcast(compute.select(col(GramCol))
+          .join(broadcast(batchKeys.select(col(GramCol))), Seq(GramCol),
+            "left_semi")
+          .distinct())
+      case Some((table, _)) =>
+        val store = spark.table(table).select(col(GramCol))
+        val keys = bloomBroadcast(spark, table) match {
+          case None => batchKeys.select(col(GramCol))
+          case Some(bc) =>
+            val mightContain = udf((gh: Long) => bc.value.mightContainLong(gh))
+            batchKeys.select(col(GramCol)).filter(mightContain(col(GramCol)))
+        }
+        if (keys.isEmpty)
+          // nothing can match: zero store files read this probe
+          spark.range(0).select(col("id").as(GramCol))
+        else
+          broadcast(store.join(broadcast(keys), Seq(GramCol), "left_semi")
+            .distinct())
+    }
+
+  /** The memoized sidecar-bloom broadcast for a store table, revalidated
+    * by sidecar mtime (mutating verbs also invalidate in-process) — the
+    * bloom ships to executors once per store version, not once per probe.
+    */
+  private def bloomBroadcast(spark: SparkSession,
+                             table: String): Option[Broadcast[BloomFilter]] = {
+    val base = Bucketing.guardBase(spark, table)
+    val mt = KeyBloom.mtime(spark, base)
+    if (mt == 0L) { blooms.remove(table); None }
+    else Option(blooms.get(table)) match {
+      case Some((v, bc)) if v == mt => Some(bc)
+      case stale =>
+        stale.foreach(_._2.unpersist())
+        KeyBloom.read(spark, base).map { case (bloom, _) =>
+          val bc = spark.sparkContext.broadcast(bloom)
+          blooms.put(table, (mt, bc))
+          bc
+        }
+    }
+  }
+
   private[graft] def registeredTable(spark: SparkSession,
                                      dir: String): Option[String] =
     Option(stores.get(key(spark, dir))).map(_._1)
 
-  private[graft] def invalidate(spark: SparkSession, dir: String): Unit =
+  private[graft] def invalidate(spark: SparkSession, dir: String): Unit = {
+    Option(stores.get(key(spark, dir)))
+      .foreach(t => Option(blooms.remove(t._1)).foreach(_._2.unpersist()))
     stores.remove(key(spark, dir)): Unit
+  }
 }

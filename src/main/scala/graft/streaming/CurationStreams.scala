@@ -158,16 +158,20 @@ object CurationStreams {
       minTokens: Int = 5, maxPunctRatio: Double = 0.2): Unit =
     gramStoreBatch(batch, batchId, dir, k, sink, appended, growStore, append,
       (b, hist) => curateV3Frame(b, hist, k, model, maxNll,
-        minTokens, maxPunctRatio))
+        minTokens, maxPunctRatio, broadcastProbe = false))
 
   /** The batch-frame composition itself — shared by the streaming twin
-    * and its spec's batch-equivalence side.
+    * (which passes the probe-reduced store relation, broadcastProbe =
+    * false) and its spec's batch-equivalence side (raw derived history,
+    * default reduction).
     */
   private[graft] def curateV3Frame(batch: DataFrame, historyGrams: DataFrame,
       k: Int, model: graft.operators.UnigramLm.FrozenModel, maxNll: Double,
-      minTokens: Int, maxPunctRatio: Double): DataFrame = {
+      minTokens: Int, maxPunctRatio: Double,
+      broadcastProbe: Boolean = true): DataFrame = {
     val cleaned = graft.operators.Dedup
-      .incrementalRemoveSpans(batch, historyGrams, k)
+      .incrementalRemoveSpans(batch, historyGrams, k,
+        broadcastProbe = broadcastProbe)
       .select(col("doc_id"), col("text_clean").as("text"),
         col("removed_chars"))
       .join(batch.drop("text"), Seq("doc_id"))
@@ -681,7 +685,8 @@ object CurationStreams {
       appended: java.util.concurrent.atomic.AtomicLong, growStore: Boolean,
       append: DataFrame => Unit): Unit =
     gramStoreBatch(batch, batchId, dir, k, sink, appended, growStore, append,
-      graft.operators.Dedup.incrementalDupGrams(_, _, k))
+      (b, hist) => graft.operators.Dedup.incrementalDupGrams(b, hist, k,
+        broadcastProbe = false))
 
   /** Streaming incremental span REMOVAL — x118's streaming twin: each
     * micro-batch's docs are REWRITTEN dropping spans whose grams the
@@ -707,7 +712,8 @@ object CurationStreams {
       appended: java.util.concurrent.atomic.AtomicLong, growStore: Boolean,
       append: DataFrame => Unit): Unit =
     gramStoreBatch(batch, batchId, dir, k, sink, appended, growStore, append,
-      graft.operators.Dedup.incrementalRemoveSpans(_, _, k))
+      (b, hist) => graft.operators.Dedup.incrementalRemoveSpans(b, hist, k,
+        broadcastProbe = false))
 
   /** Shared body of the gram-store twins (audit x102 / removal x118):
     * score the micro-batch against the registered store, sink, then the
@@ -730,8 +736,12 @@ object CurationStreams {
     // store so re-delivered already-committed epochs skip their appends
     if (appended.get() == Long.MinValue)
       appended.compareAndSet(Long.MinValue, readBatchMark(spark, table)): Unit
-    val hist = spark.table(table)
-      .select(col(graft.sources.GramHistory.GramCol))
+    // the probe-reduced store relation (sidecar-bloom pre-cut + sort-free
+    // broadcast-semi verify — GramHistory.probeHistory's contract); the
+    // score functions pass broadcastProbe=false, the already-reduced form
+    val hist = graft.sources.GramHistory.probeHistory(spark, dir,
+      graft.sources.GramHistory.gramHashes(batch, k))(
+      sys.error(s"unreachable: $table is registered"))
     val scored = score(batch, hist).persist()
     try {
       scored.count(): Unit // pin pre-append values
@@ -1019,8 +1029,10 @@ object CurationStreams {
       graft.sources.HashHistory.scanOrCompute(spark, dir)(
         sys.error(s"unreachable: $hashT is registered")))
     val gramFrac = graft.operators.Dedup.incrementalDupGrams(batch,
-        graft.sources.GramHistory.scanOrCompute(spark, dir)(
-          sys.error(s"unreachable: $gramT is registered")), k = k)
+        graft.sources.GramHistory.probeHistory(spark, dir,
+          graft.sources.GramHistory.gramHashes(batch, k))(
+          sys.error(s"unreachable: $gramT is registered")),
+        k = k, broadcastProbe = false)
       .select(col("doc_id"), col("hist_frac"))
     val (bands, sh) = graft.sources.MinHashHistory.scanOrCompute(spark, dir)(
       sys.error(s"unreachable: $mhT is registered"))

@@ -142,8 +142,10 @@ object CrawlRehearsal {
           GramHistory.create(spark, d, TextOps.x86Split(spark, d)._1,
             TextOps.DupGramK) },
         probe = d => Dedup.incrementalDupGrams(batchDocs,
-          GramHistory.scanOrCompute(spark, d)(sys.error("unreachable")),
-          k = TextOps.DupGramK),
+          GramHistory.probeHistory(spark, d,
+            GramHistory.gramHashes(batchDocs, TextOps.DupGramK))(
+            sys.error("unreachable")),
+          k = TextOps.DupGramK, broadcastProbe = false),
         derived = d => Dedup.incrementalDupGrams(batchDocs,
           GramHistory.gramHashes(TextOps.x86Split(spark, d)._1,
             TextOps.DupGramK), k = TextOps.DupGramK),

@@ -54,8 +54,10 @@ object TriageScaleProbe {
       val status = Dedup.incrementalStatusBinary(batchDocs,
         HashHistory.scanOrCompute(spark, dir)(sys.error("unreachable")))
       val gramFrac = Dedup.incrementalDupGrams(batchDocs,
-          GramHistory.scanOrCompute(spark, dir)(sys.error("unreachable")),
-          k = TextOps.DupGramK)
+          GramHistory.probeHistory(spark, dir,
+            GramHistory.gramHashes(batchDocs, TextOps.DupGramK))(
+            sys.error("unreachable")),
+          k = TextOps.DupGramK, broadcastProbe = false)
         .select(col("doc_id"), col("hist_frac"))
       val (bands, sh) = MinHashHistory.scanOrCompute(spark, dir)(
         sys.error("unreachable"))

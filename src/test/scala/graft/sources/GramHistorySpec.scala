@@ -106,52 +106,131 @@ class GramHistorySpec extends SparkSpec {
     } finally GramHistory.invalidate(spark, dir)
   }
 
-  test("probe plan: history side rides the bucket layout with NO Exchange") {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+  test("probe plan: store scan is map-only — no Exchange, no Sort, never " +
+      "broadcast raw") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
     val dir = java.nio.file.Files.createTempDirectory("graft-gh-plan").toString
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    // the fixture store is broadcast-tiny; a 100 TB store is not — force
-    // the co-located join path the gate exists to protect
+    // the fixture store is broadcast-tiny; a 100 TB store is not — the
+    // auto-broadcast kill verifies only the EXPLICIT batch-bounded hints
+    // broadcast (raw-store broadcast is asserted absent below)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       GramHistory.create(spark, dir, corpusDocs, K)
-      val store = GramHistory.scanOrCompute(spark, dir)(sys.error("unreachable"))
-      val probe = Dedup.incrementalDupGrams(
+      val batch =
         Seq((30L, "the quick brown fox jumps over the lazy dog every single morning"))
-          .toDF("doc_id", "text"), store, K)
+          .toDF("doc_id", "text")
+      val probe = Dedup.incrementalDupGrams(batch,
+        GramHistory.probeHistory(spark, dir,
+          GramHistory.gramHashes(batch, K))(sys.error("unreachable")),
+        K, broadcastProbe = false)
       val exec = probe.queryExecution.executedPlan
-      val sides = exec.collect {
-        case j: SortMergeJoinExec => Seq(j.left, j.right)
-        case j: ShuffledHashJoinExec => Seq(j.left, j.right)
-      }.flatten
-      val histSides = sides.filter { side =>
-        val hasHist = side.collectFirst {
-          case s: FileSourceScanExec
-            if s.tableIdentifier.exists(_.table.startsWith("graft_gram_history")) => s
-        }.isDefined
-        val crossesJoin = side.collect {
-          case j: SortMergeJoinExec => j
-          case j: ShuffledHashJoinExec => j
-        }.nonEmpty
-        hasHist && !crossesJoin
+      // a hist scan reachable without crossing a join = the raw store
+      // relation itself (downstream of a join it is already probe-reduced)
+      def isHistScan(p: SparkPlan): Boolean = p match {
+        case s: FileSourceScanExec => s.tableIdentifier.exists(
+          _.table.startsWith("graft_gram_history"))
+        case _ => false
       }
-      assert(histSides.nonEmpty,
-        s"probe join does not scan the gram-history table:\n$exec")
-      histSides.foreach { side =>
-        val shuffles = side.collect { case e: ShuffleExchangeExec => e }
-        assert(shuffles.isEmpty,
-          s"history side of the probe join shuffles:\n$side")
+      def rawScanBeneath(p: SparkPlan): Boolean = p match {
+        case _: BaseJoinExec => false
+        case s if isHistScan(s) => true
+        case other => other.children.exists(rawScanBeneath)
       }
-      assert(exec.collect { case e: ShuffleExchangeExec => e }.nonEmpty,
-        s"expected a batch-side exchange:\n$exec")
+      assert(exec.collectFirst {
+        case s: FileSourceScanExec if isHistScan(s) => s
+      }.isDefined, s"probe does not scan the gram-history table:\n$exec")
+      // no exchange above the raw store scan: the scan streams map-side
+      // into the broadcast-semi verify (the pre-round-17 shape shuffled
+      // nothing either, but SORTED the whole store per probe — gone too)
+      val shuffled = exec.collect {
+        case e: ShuffleExchangeExec if rawScanBeneath(e.child) => e
+      }
+      assert(shuffled.isEmpty, s"raw store relation shuffles:\n$exec")
+      val sorted = exec.collect {
+        case s: SortExec if rawScanBeneath(s.child) => s
+      }
+      assert(sorted.isEmpty,
+        s"store side re-sorts per probe (the cost that grew with " +
+          s"history):\n$exec")
+      // the store itself must never be the broadcast side (only the
+      // batch-bounded key set and the probe-reduced result may ship)
+      val rawBroadcast = exec.collect {
+        case b: BroadcastExchangeExec if rawScanBeneath(b.child) => b
+      }
+      assert(rawBroadcast.isEmpty, s"raw store relation broadcasts:\n$exec")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       GramHistory.invalidate(spark, dir)
     }
+  }
+
+  test("bloom sidecar: a fully-disjoint batch probes ZERO store files") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft-gh-bloom").toString
+    try {
+      GramHistory.create(spark, dir, corpusDocs, K)
+      val table = GramHistory.tableFor(dir)
+      assert(KeyBloom.read(spark, Bucketing.guardBase(spark, table)).isDefined,
+        "create() must write the bloom sidecar")
+      val batch = Seq(
+        (50L, "zq xv jw kf yb zq xv jw kf yb zq xv jw kf yb zq xv jw kf yb"))
+        .toDF("doc_id", "text")
+      val probe = Dedup.incrementalDupGrams(batch,
+        GramHistory.probeHistory(spark, dir,
+          GramHistory.gramHashes(batch, K))(sys.error("unreachable")),
+        K, broadcastProbe = false)
+      val rows = probe.collect()
+      assert(rows.length == 1 && rows.head.getDouble(3) == 0.0,
+        s"disjoint batch must score 0.0: ${rows.mkString}")
+      // every batch key missed the bloom (no false negatives exist, and
+      // this fixture's keys are deterministic), so the probe plan must
+      // not touch the store at all — the zero-read short-circuit
+      val histScans = probe.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec if s.tableIdentifier.exists(
+          _.table.startsWith("graft_gram_history")) => s
+      }
+      assert(histScans.isEmpty,
+        s"disjoint probe still scans the store:\n" +
+          probe.queryExecution.executedPlan)
+    } finally GramHistory.invalidate(spark, dir)
+  }
+
+  test("bloom sidecar: appends fold in (no false negatives), compact " +
+      "re-sizes, a dropped sidecar degrades to the plain scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gh-bloom2").toString
+    try {
+      GramHistory.create(spark, dir, corpusDocs, K)
+      val table = GramHistory.tableFor(dir)
+      val base = Bucketing.guardBase(spark, table)
+      val novel = "completely novel material sharing nothing whatsoever with history"
+      GramHistory.append(spark, dir,
+        GramHistory.gramHashes(Seq((99L, novel)).toDF("doc_id", "text"), K))
+      // the appended grams MUST be bloom-visible: a probe for them goes
+      // through candidates (a stale sidecar here would silently zero it)
+      val batch = Seq((60L, novel)).toDF("doc_id", "text")
+      def frac(): Double = Dedup.incrementalDupGrams(batch,
+        GramHistory.probeHistory(spark, dir,
+          GramHistory.gramHashes(batch, K))(sys.error("unreachable")),
+        K, broadcastProbe = false).collect().head.getDouble(3)
+      assert(frac() == 1.0, "append not visible through the bloom path")
+      // compact re-sizes the sidecar to the surviving distinct keys
+      GramHistory.compact(spark, dir)
+      val meta = KeyBloom.read(spark, base).map(_._2)
+      assert(meta.isDefined, "compact must rebuild the sidecar")
+      assert(meta.get.inserted == spark.table(table).count(),
+        s"compact sidecar sized to ${meta.get.inserted}, " +
+          s"table has ${spark.table(table).count()}")
+      assert(frac() == 1.0, "probe answers changed across compact")
+      // sidecar dropped (legacy store): probe falls back to the plain
+      // scan and still answers exactly
+      KeyBloom.delete(spark, base)
+      assert(frac() == 1.0, "legacy fallback path broke the probe")
+    } finally GramHistory.invalidate(spark, dir)
   }
 }
