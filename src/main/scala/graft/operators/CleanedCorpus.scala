@@ -61,6 +61,16 @@ object CleanedCorpus {
     * span-removed residual — materialized once per (application, dir, k)
     * and served from parquet thereafter. `docs` must carry (doc_id, text,
     * lang); it is only evaluated on a miss.
+    *
+    * LIFETIME: the returned frame reads the entry's temp files LAZILY and
+    * is only valid while the entry is RESIDENT — eviction (32 newer
+    * materializations) or [[invalidate]] deletes the files, and a held
+    * frame then fails its next action with FileNotFoundException (loud,
+    * never silently wrong). A caller that defers the action re-calls this
+    * (a hit is a map lookup) instead of caching the frame. Deferring
+    * deletion to invalidate()/stop was considered and rejected: unbounded
+    * temp space for long-lived curation servers is the failure mode this
+    * LRU exists to prevent.
     */
   def cleanedCached(spark: SparkSession, dir: String, k: Int,
                     docs: => DataFrame): DataFrame = {

@@ -332,36 +332,14 @@ object Dedup {
     val batchArrs = batchArrs0
       .select(col("doc_id"), col("lang"), col("n_chars"), col("shs"))
       .filter(size(col("shs")) > 0 && col("lang").isNotNull)
-    val sigs = minHashSignaturesFromArrays(
-      batchArrs.select(col("doc_id"), col("shs")), numHashes)
-    // batch band buckets with lang FOLDED INTO the bucket key (the store
-    // does the same — see TextOps.minHashBandsOf): the same-lang candidate
-    // restriction is structural, so the probe join has ONE key and the
-    // history side keeps its bucket co-location. The length window — x40's
-    // other scale-contract restriction — is a non-equi predicate and rides
-    // the join condition without becoming a key.
-    val bBands = bandedBuckets(sigs, bands, numHashes)
-      .join(batchArrs.select(col("doc_id"), col("lang"), col("n_chars")),
-        "doc_id")
-      .select(col("doc_id").as("doc_a"),
-        xxhash64(col("bucket"), col("lang"))
-          .as(graft.sources.MinHashHistory.KeyCol),
-        col("n_chars").as("_nca"))
-    // the probe join: history side rides its bucket layout; a numeric
-    // bucket collision (across band indices or languages) yields a
-    // spurious candidate that exact verification discards
-    val cands = bBands
-      .join(histBands.select(col(graft.sources.MinHashHistory.KeyCol),
-        col("id").as("doc_b"), col("n_chars").as("_ncb")),
-        graft.sources.MinHashHistory.KeyCol)
-      .filter(abs(col("_nca") - col("_ncb")) * 2 <=
-        greatest(col("_nca"), col("_ncb")))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    // verify fetch: candidate history docs' shingle rows, riding the
-    // id-bucketed layout (left-semi pushes INTO the scan side)
-    val slice = histSh
-      .join(cands.select(col("doc_b").as("id")).distinct(), Seq("id"),
-        "left_semi")
+    // MATERIALIZED once (candidates-sized): three downstream joins
+    // consume the pairs — and TWO consume the verify slice — and lazy,
+    // each consumer would re-scan its store (3× the band store + 2× the
+    // shingle store per probe; measured as most of the grown-store
+    // probe's wall in TriageScaleProbe, BASELINE round-17)
+    val cands = graft.util.Materialize.eager(
+      nearDupCandidates(batchArrs, histBands, numHashes, bands))
+    val slice = graft.util.Materialize.eager(verifySliceOf(histSh, cands))
     val nh = slice.groupBy(col("id").as("doc_b"))
       .agg(count(lit(1)).as("_nh"))
     val bSh = batchArrs
@@ -384,6 +362,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** The candidate-pair plan of [[incrementalNearDups]], pre-
+    * materialization (package-visible so MinHashHistorySpec gates its
+    * shape): batch band buckets with lang FOLDED INTO the bucket key (the
+    * store does the same — see TextOps.minHashBandsOf), broadcast —
+    * batch × bands rows, broadcast-bounded by the family's batch ≪ store
+    * premise — into a MAP-ONLY scan of the band store: no store-side
+    * exchange and no store-side sort (the bucketed SMJ shape re-sorted
+    * the grown multi-segment store per probe). The length window — x40's
+    * other scale-contract restriction — is a non-equi predicate and
+    * rides the join condition without becoming a key.
+    */
+  private[graft] def nearDupCandidates(batchArrs: DataFrame,
+      histBands: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val sigs = minHashSignaturesFromArrays(
+      batchArrs.select(col("doc_id"), col("shs")), numHashes)
+    val bBands = bandedBuckets(sigs, bands, numHashes)
+      .join(batchArrs.select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id")
+      .select(col("doc_id").as("doc_a"),
+        xxhash64(col("bucket"), col("lang"))
+          .as(graft.sources.MinHashHistory.KeyCol),
+        col("n_chars").as("_nca"))
+    broadcast(bBands)
+      .join(histBands.select(col(graft.sources.MinHashHistory.KeyCol),
+        col("id").as("doc_b"), col("n_chars").as("_ncb")),
+        graft.sources.MinHashHistory.KeyCol)
+      .filter(abs(col("_nca") - col("_ncb")) * 2 <=
+        greatest(col("_nca"), col("_ncb")))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** The verify-fetch plan of [[incrementalNearDups]] (package-visible
+    * for the same plan gate): candidate history docs' shingle rows — the
+    * candidates-sized id set broadcasts into a map-only scan of the
+    * shingle store.
+    */
+  private[graft] def verifySliceOf(histSh: DataFrame,
+                                   cands: DataFrame): DataFrame =
+    histSh.join(broadcast(cands.select(col("doc_b").as("id")).distinct()),
+      Seq("id"), "left_semi")
 
   /** Distinct doc ids appearing on either side of the candidate pairs. */
   private[graft] def candidateIds(cands: DataFrame): DataFrame =

@@ -28,6 +28,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * 32-entry access-ordered LRU (the [[UnigramLm]]/[[CleanedCorpus]]
   * bound); eviction deletes the backing IvfStore temp dir, so temp
   * space is bounded at 32 indexes.
+  *
+  * LIFETIME: a store path (or a frame built over it) is only valid while
+  * its entry is RESIDENT — eviction after 32 newer materializations
+  * deletes an owned dir, and a held reference then fails loudly on its
+  * next read. Callers re-call [[cachedStore]] (a hit is a map lookup)
+  * rather than holding paths across many materializations; attached
+  * external stores are exempt (never deleted — not owned).
   */
 object EmbedHistory {
 

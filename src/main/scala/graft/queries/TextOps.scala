@@ -26,7 +26,7 @@ object TextOps {
       x86_incremental_dedup, x95_unigram_lm, x97_bigram_lm, x99_dupgrams,
       x100_best_keeper, x102_incremental_dupgrams, x105_bpe_train,
       x106_bpe_encode, x114_remove_dup_spans, x118_incremental_remove_spans,
-      x123_incremental_neardup, x125_crawl_triage)
+      x123_incremental_neardup, x125_crawl_triage, x126_crawl_triage_cascade)
 
   /** Distinct word-trigram shingles, exploded: (doc_id, lang, n_chars, sh).
     * Word n-grams (not character grams) are the dedup unit: on natural text
@@ -480,10 +480,13 @@ object TextOps {
   }
 
   /** The store's shingle-hash relation of a docs frame: (id, shash), one
-    * row per distinct word trigram per doc.
+    * row per distinct word trigram per doc. Null-lang docs are dropped to
+    * MATCH the band relation ([[minHashBandsOf]]'s filter): without a
+    * band row they can never become candidates, so their shingle rows
+    * would be dead weight every build/append/compact carries.
     */
   private[graft] def minHashShinglesOf(docs: DataFrame): DataFrame =
-    shingleArrays(docs)
+    shingleArrays(docs).filter(col("lang").isNotNull)
       .select(col("doc_id").as("id"), explode(col("shs")).as("_sh"))
       .select(col("id"), xxhash64(col("_sh")).as("shash"))
 
@@ -675,6 +678,146 @@ object TextOps {
       .groupBy(col("doc_a").as("doc_id"))
       .agg(max(col("jaccard")).as("best_jaccard"))
     Canon(triageFrame(status, best, gramFrac))
+  }
+
+  // ---------------------------------------------------------------- x126
+  /** Crawl triage, CASCADE form — the production fast path x125's
+    * scaladoc specifies: exact status first (the cheapest leg, over the
+    * whole batch), the near-dup probe only on `kept` survivors, the gram
+    * audit only on near-dup survivors. The VERDICT relation is provably
+    * identical to x125's (each leg is per-doc independent, and the
+    * verdict CASE consults a leg's measure only where the cascade ran
+    * it); the non-verdict columns read 0 for unprobed legs —
+    * best_jaccard = 0 on exact drops, hist_frac = 0 on exact and
+    * near-dup drops — which is exactly what a crawl pipeline wants:
+    * measure only what can still change the outcome. x125 remains the
+    * EXPLAINABLE form (all measures for every doc — threshold tuning and
+    * audits); this is the steady-state form, where most arrivals resolve
+    * at the cheap exact leg and the expensive shingle/gram legs see
+    * shrinking slices. The oracle replays the same gating in SQL.
+    */
+  val x126_crawl_triage_cascade: QueryDef = QueryDef(
+    "x126_crawl_triage_cascade",
+    Sql.canon(
+      s"""WITH bkt AS (SELECT doc_id, text, lang, n_chars,
+         |  CAST(CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |       AS BIGINT) % 100 AS INT) AS bucket
+         |  FROM documents),
+         |hist AS (SELECT doc_id, text, lang, n_chars FROM bkt WHERE bucket < 60),
+         |batch AS (
+         |  SELECT doc_id, text, lang, n_chars FROM bkt WHERE bucket >= 60
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, text, lang, n_chars FROM bkt
+         |  WHERE bucket < 60 AND bucket % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000000, text, lang, n_chars FROM bkt
+         |  WHERE bucket >= 60 AND bucket % 11 = 0),
+         |h86 AS (SELECT DISTINCT MD5(text) AS th FROM bkt WHERE bucket < 60),
+         |b86 AS (SELECT doc_id, MD5(text) AS th FROM batch),
+         |k86 AS (SELECT th, MIN(doc_id) AS keeper FROM b86 GROUP BY th),
+         |st AS (
+         |  SELECT b86.doc_id,
+         |    CASE WHEN h86.th IS NOT NULL THEN 'dup_of_history'
+         |         WHEN b86.doc_id <> k86.keeper THEN 'dup_in_batch'
+         |         ELSE 'kept' END AS status
+         |  FROM b86 LEFT JOIN h86 ON b86.th = h86.th
+         |  JOIN k86 ON b86.th = k86.th),
+         |kept AS (SELECT doc_id FROM st WHERE status = 'kept'),
+         |sb AS (SELECT s0.* FROM (${shinglesSqlOver("batch")}) s0
+         |       JOIN kept ON s0.doc_id = kept.doc_id),
+         |sh AS (${shinglesSqlOver("hist")}),
+         |cb AS (SELECT doc_id, COUNT(*) AS n FROM sb GROUP BY doc_id),
+         |ch AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |p AS (
+         |  SELECT b.doc_id AS doc_a, h.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sb b JOIN sh h
+         |    ON b.sh = h.sh AND b.lang = h.lang
+         |   AND ABS(b.n_chars - h.n_chars) * 2 <= GREATEST(b.n_chars, h.n_chars)
+         |  GROUP BY b.doc_id, h.doc_id),
+         |jac AS (
+         |  SELECT doc_a AS doc_id,
+         |    MAX(CAST(inter AS DOUBLE) / (ca.n + cb2.n - inter)) AS best_jaccard
+         |  FROM p JOIN cb ca ON p.doc_a = ca.doc_id
+         |         JOIN ch cb2 ON p.doc_b = cb2.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb2.n - inter) >= 0.8
+         |  GROUP BY doc_a),
+         |surv AS (SELECT doc_id FROM kept
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM jac)),
+         |hg AS (
+         |  SELECT DISTINCT SUBSTR(text, i, $DupGramK) AS gram
+         |  FROM (SELECT text,
+         |          UNNEST(generate_series(1, LENGTH(text) - ${DupGramK - 1})) AS i
+         |        FROM bkt WHERE bucket < 60 AND LENGTH(text) >= $DupGramK)),
+         |bg AS (
+         |  SELECT doc_id, SUBSTR(text, i, $DupGramK) AS gram, COUNT(*) AS pc
+         |  FROM (SELECT b2.doc_id, b2.text,
+         |          UNNEST(generate_series(1, LENGTH(b2.text) - ${DupGramK - 1})) AS i
+         |        FROM batch b2 JOIN surv USING (doc_id)
+         |        WHERE LENGTH(b2.text) >= $DupGramK)
+         |  GROUP BY doc_id, gram),
+         |hp AS (SELECT bg.doc_id, CAST(SUM(bg.pc) AS BIGINT) AS hist_pos
+         |       FROM bg JOIN hg USING (gram) GROUP BY bg.doc_id),
+         |gf AS (
+         |  SELECT b3.doc_id, CAST(COALESCE(hp.hist_pos, 0) AS DOUBLE) /
+         |    (LENGTH(b3.text) - ${DupGramK - 1}) AS hist_frac
+         |  FROM batch b3 JOIN surv USING (doc_id) LEFT JOIN hp USING (doc_id)
+         |  WHERE LENGTH(b3.text) >= $DupGramK)
+         |SELECT s.doc_id, s.status,
+         |  COALESCE(j.best_jaccard, 0.0) AS best_jaccard,
+         |  COALESCE(g.hist_frac, 0.0) AS hist_frac,
+         |  CASE WHEN s.status <> 'kept' THEN 'drop_exact'
+         |       WHEN COALESCE(j.best_jaccard, 0.0) >= 0.8 THEN 'drop_near'
+         |       WHEN COALESCE(g.hist_frac, 0.0) >= 0.3 THEN 'strip_spans'
+         |       ELSE 'keep' END AS verdict
+         |FROM st s
+         |LEFT JOIN jac j ON s.doc_id = j.doc_id
+         |LEFT JOIN gf g ON s.doc_id = g.doc_id""".stripMargin,
+      Seq("doc_id", "status", "best_jaccard", "hist_frac", "verdict"))) { (s, d) =>
+    Canon(triageCascade(s, d,
+      x86Split(s, d)._2, shingleArrays(x123Split(s, d)._2),
+      x86Split(s, d)._1))
+  }
+
+  /** The cascade composition itself, from leg INPUTS — shared by the
+    * registry builder and the measurement probes (which pass
+    * checkpointed batch frames and rely on the store fallbacks never
+    * firing). Each history relation resolves through the session store
+    * device: persisted stores when a producer ran, else the `history`
+    * derivations (by-name — never evaluated when stores serve).
+    */
+  private[graft] def triageCascade(s: SparkSession, d: String,
+      batchDocs: DataFrame, batchArrs: DataFrame,
+      history: => DataFrame): DataFrame = {
+    // each stage's output is batch-bounded-small (ids + a verdict/measure
+    // column) and feeds SEVERAL downstream stages — materialize them, or
+    // lazy evaluation re-runs every earlier leg inside every later one
+    // (measured: the lazy cascade cost MORE than the all-legs x125)
+    val status = graft.util.Materialize.eager(
+      Dedup.incrementalStatusBinary(batchDocs,
+        graft.sources.HashHistory.scanOrCompute(s, d)(
+          history.select(unhex(md5(col("text"))).as("th")))))
+    val keptIds = status.filter(col("status") === "kept").select(col("doc_id"))
+    // near-dup probe: kept survivors only
+    val (bands, sh) = graft.sources.MinHashHistory.scanOrCompute(s, d)(
+      (x123HistoryBands(s, d), x123HistoryShingles(s, d)))
+    val best = graft.util.Materialize.eager(
+      graft.operators.Dedup.incrementalNearDups(
+          batchArrs.join(broadcast(keptIds), Seq("doc_id"), "left_semi"),
+          bands, sh)
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(max(col("jaccard")).as("best_jaccard")))
+    // gram audit: near-dup survivors only
+    val survivors = keptIds.join(best.select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val gramBatch = batchDocs.join(broadcast(survivors), Seq("doc_id"),
+      "left_semi")
+    val gramFrac = Dedup.incrementalDupGrams(gramBatch,
+        graft.sources.GramHistory.probeHistory(s, d,
+          graft.sources.GramHistory.gramHashes(gramBatch, DupGramK))(
+          graft.sources.GramHistory.gramHashes(history, DupGramK)),
+        k = DupGramK, broadcastProbe = false)
+      .select(col("doc_id"), col("hist_frac"))
+    triageFrame(status, best, gramFrac)
   }
 
   /** The x125 verdict frame from the three probe legs — shared verbatim

@@ -60,6 +60,25 @@ object Bucketing {
       .find(r => r.getString(0).trim.equalsIgnoreCase("Num Buckets"))
       .flatMap(r => scala.util.Try(r.getString(1).trim.toInt).toOption)
 
+  /** attach()-side layout validation, shared by every history store: the
+    * table MUST carry a parseable bucket spec equal to `expected`. A
+    * MISSING spec fails just as loudly as a mismatched one — an
+    * unbucketed (or catalog-drifted) table would silently accept
+    * bucket-incompatible append segments, which is exactly the corruption
+    * this check exists to block.
+    */
+  def requireBuckets(spark: SparkSession, table: String, expected: Int,
+                     who: String): Unit = {
+    val n = bucketCountOf(spark, table).getOrElse(
+      throw new IllegalStateException(
+        s"$who: table $table carries no parseable bucket spec — it is not " +
+          "the bucketed layout appends require (unbucketed or " +
+          "catalog-drifted); recreate the store"))
+    require(n == expected,
+      s"$who: table $table was created with $n buckets, attach got " +
+        s"$expected - appends would corrupt the layout")
+  }
+
   /** The [[MutationGuard]] anchor for a table's mutating verbs: the
     * resolved table location string — a warehouse path derived from the
     * table NAME, so the `<base>_mutating` marker lives beside the table
@@ -114,6 +133,24 @@ object Bucketing {
     loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table"): Unit
   }
+
+  /** Plain-parquet read of a bucketed table's files — the PROBE-side scan
+    * for broadcast-semi consumers. A bucketed table scan is pinned to one
+    * partition per bucket, which caps a pure membership scan at
+    * `buckets`-way parallelism (8 tasks over a 100×-grown store on a
+    * 32-core box — measured as the dominant gram-probe cost once the
+    * store-side sort was gone); reading the same files as plain parquet
+    * restores size-based splits. Layout-free by design: only valid where
+    * the consumer does NOT rely on bucket co-location (broadcast probes,
+    * full-scan aggregations) — co-located joins must keep
+    * `spark.table(...)`. Schema is pinned from the catalog so an empty
+    * store (no part files yet) still reads as an empty relation instead
+    * of failing schema inference.
+    */
+  def probeScan(spark: SparkSession, table: String): DataFrame =
+    spark.read.schema(spark.table(table).schema).parquet(
+      new org.apache.hadoop.fs.Path(
+        org.apache.spark.sql.GraftBridge.tableLocation(spark, table)).toString)
 
   /** Join two same-bucket-count tables on their bucket key; with bucketing
     * enabled (default) Catalyst plans a SortMergeJoin with NO Exchange.

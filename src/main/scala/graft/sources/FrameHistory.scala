@@ -96,9 +96,8 @@ object FrameHistory {
       s"FrameHistory.attach: table $table does not exist - run create() first")
     require(spark.catalog.tableExists(sizesTableFor(dir)),
       s"FrameHistory.attach: sizes table missing - run create() first")
-    Bucketing.bucketCountOf(spark, table).foreach(n => require(n == buckets,
-      s"FrameHistory.attach: table $table was created with $n buckets, " +
-        s"attach got $buckets - appends would corrupt the layout"))
+    Bucketing.requireBuckets(spark, table, buckets, "FrameHistory.attach")
+    Bucketing.requireBuckets(spark, sizesTableFor(dir), buckets, "FrameHistory.attach")
     stores.put(key(spark, dir), (table, buckets)): Unit
   }
 

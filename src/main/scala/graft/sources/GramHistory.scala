@@ -112,9 +112,7 @@ object GramHistory {
     val table = tableFor(dir)
     require(spark.catalog.tableExists(table),
       s"GramHistory.attach: table $table does not exist - run create() first")
-    Bucketing.bucketCountOf(spark, table).foreach(n => require(n == buckets,
-      s"GramHistory.attach: table $table was created with $n buckets, " +
-        s"attach got $buckets - appends would corrupt the layout"))
+    Bucketing.requireBuckets(spark, table, buckets, "GramHistory.attach")
     stores.put(key(spark, dir), (table, buckets)): Unit
   }
 
@@ -232,19 +230,31 @@ object GramHistory {
             "left_semi")
           .distinct())
       case Some((table, _)) =>
-        val store = spark.table(table).select(col(GramCol))
-        val keys = bloomBroadcast(spark, table) match {
-          case None => batchKeys.select(col(GramCol))
+        // plain-parquet probe scan: the reduce below is a broadcast semi,
+        // so bucket co-location buys nothing and the bucketed scan's
+        // one-partition-per-bucket split caps a grown store's read at
+        // `buckets`-way parallelism
+        val store = Bucketing.probeScan(spark, table).select(col(GramCol))
+        // materialized once (batch-bounded): the bloom cut, the emptiness
+        // short-circuit and the broadcast build all consume it — lazy,
+        // each would re-run the batch gram derivation (measured ~1 s per
+        // extra pass at sf0.1)
+        val keys0 = graft.util.Materialize.eager(
+          batchKeys.select(col(GramCol)))
+        bloomBroadcast(spark, table) match {
+          case None =>
+            broadcast(store.join(broadcast(keys0), Seq(GramCol), "left_semi")
+              .distinct())
           case Some(bc) =>
             val mightContain = udf((gh: Long) => bc.value.mightContainLong(gh))
-            batchKeys.select(col(GramCol)).filter(mightContain(col(GramCol)))
+            val keys = keys0.filter(mightContain(col(GramCol)))
+            if (keys.isEmpty)
+              // nothing can match: zero store files read this probe
+              spark.range(0).select(col("id").as(GramCol))
+            else
+              broadcast(store.join(broadcast(keys), Seq(GramCol), "left_semi")
+                .distinct())
         }
-        if (keys.isEmpty)
-          // nothing can match: zero store files read this probe
-          spark.range(0).select(col("id").as(GramCol))
-        else
-          broadcast(store.join(broadcast(keys), Seq(GramCol), "left_semi")
-            .distinct())
     }
 
   /** The memoized sidecar-bloom broadcast for a store table, revalidated

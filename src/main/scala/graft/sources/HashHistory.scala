@@ -85,9 +85,7 @@ object HashHistory {
     val table = tableFor(dir)
     require(spark.catalog.tableExists(table),
       s"HashHistory.attach: table $table does not exist — run create() first")
-    Bucketing.bucketCountOf(spark, table).foreach(n => require(n == buckets,
-      s"HashHistory.attach: table $table was created with $n buckets, " +
-        s"attach got $buckets - appends would corrupt the layout"))
+    Bucketing.requireBuckets(spark, table, buckets, "HashHistory.attach")
     stores.put(key(spark, dir), (table, buckets)): Unit
   }
 

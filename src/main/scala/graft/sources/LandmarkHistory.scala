@@ -97,9 +97,7 @@ object LandmarkHistory {
     val table = tableFor(dir)
     require(spark.catalog.tableExists(table),
       s"LandmarkHistory.attach: table $table does not exist - run create() first")
-    Bucketing.bucketCountOf(spark, table).foreach(n => require(n == buckets,
-      s"LandmarkHistory.attach: table $table was created with $n buckets, " +
-        s"attach got $buckets - appends would corrupt the layout"))
+    Bucketing.requireBuckets(spark, table, buckets, "LandmarkHistory.attach")
     stores.put(key(spark, dir), (table, buckets)): Unit
   }
 

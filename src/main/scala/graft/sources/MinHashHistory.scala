@@ -94,9 +94,8 @@ object MinHashHistory {
       s"MinHashHistory.attach: table $table does not exist - run create() first")
     require(spark.catalog.tableExists(shTableFor(dir)),
       s"MinHashHistory.attach: shingle table missing - run create() first")
-    Bucketing.bucketCountOf(spark, table).foreach(n => require(n == buckets,
-      s"MinHashHistory.attach: table $table was created with $n buckets, " +
-        s"attach got $buckets - appends would corrupt the layout"))
+    Bucketing.requireBuckets(spark, table, buckets, "MinHashHistory.attach")
+    Bucketing.requireBuckets(spark, shTableFor(dir), buckets, "MinHashHistory.attach")
     stores.put(key(spark, dir), (table, buckets)): Unit
   }
 
@@ -134,17 +133,22 @@ object MinHashHistory {
     }
   }
 
-  /** LAZY consumer entry: (bands, shingles) bucketed scans when a
-    * producer step ran for this (application, dir), else the caller's
-    * derived plans.
+  /** LAZY consumer entry: (bands, shingles) store scans when a producer
+    * step ran for this (application, dir), else the caller's derived
+    * plans. The store scans read the tables' FILES as plain parquet
+    * ([[Bucketing.probeScan]]): the probe joins broadcast the batch side
+    * into map-only store scans, so bucket co-location buys nothing there
+    * and the bucketed scan's one-partition-per-bucket split would cap a
+    * grown store's read at `buckets`-way parallelism.
     */
   def scanOrCompute(spark: SparkSession, dir: String)
                    (compute: => (DataFrame, DataFrame)): (DataFrame, DataFrame) =
     Option(stores.get(key(spark, dir))) match {
       case Some((table, _)) =>
-        (spark.table(table)
+        (Bucketing.probeScan(spark, table)
           .select(col(KeyCol), col("id"), col("n_chars")),
-          spark.table(shTableFor(dir)).select(col("id"), col("shash")))
+          Bucketing.probeScan(spark, shTableFor(dir))
+            .select(col("id"), col("shash")))
       case None => compute
     }
 

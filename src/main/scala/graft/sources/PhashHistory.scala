@@ -82,9 +82,7 @@ object PhashHistory {
     val table = tableFor(dir)
     require(spark.catalog.tableExists(table),
       s"PhashHistory.attach: table $table does not exist - run create() first")
-    Bucketing.bucketCountOf(spark, table).foreach(n => require(n == buckets,
-      s"PhashHistory.attach: table $table was created with $n buckets, " +
-        s"attach got $buckets - appends would corrupt the layout"))
+    Bucketing.requireBuckets(spark, table, buckets, "PhashHistory.attach")
     stores.put(key(spark, dir), (table, buckets)): Unit
   }
 

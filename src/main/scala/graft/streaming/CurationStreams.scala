@@ -939,6 +939,12 @@ object CurationStreams {
           "IvfStore.create() first (an empty history is fine)")
     if (appended.get() == Long.MinValue)
       appended.compareAndSet(Long.MinValue, readBatchMarkAt(spark, path)): Unit
+    // FULLY-committed epoch replay: the append committed, which only
+    // happens after the original sink() returned — re-probing now would
+    // score the batch against a store that already CONTAINS it (every
+    // batch vector self-pairs at cos 1.0) and re-emit changed rows for a
+    // batchId the sink already consumed. Skip the whole body instead.
+    if (appended.get() >= batchId) return
     val scored = graft.operators.IvfStore.search(spark, path,
         batch.select(col("vec_id").as("query_id"),
           col("embedding").as("qe")), k, nprobe)
@@ -976,6 +982,16 @@ object CurationStreams {
     * store whose append did not commit (spec-gated); re-appends carry
     * each store's own replay semantics (membership for hash/gram,
     * counted shingle evidence for minhash — compact() restores).
+    *
+    * Replay EMISSION contract: a replay of a FULLY-committed epoch (all
+    * three watermarks ≥ batchId) skips probe, sink and appends outright —
+    * the commits prove the original sink() returned, and re-probing would
+    * re-emit the batchId with every verdict flipped to drop_exact (the
+    * stores now contain the batch itself). A PARTIAL replay still runs
+    * (the uncommitted appends need their retry) and therefore re-emits
+    * this batch's verdicts WITH the committed stores' self-hits visible —
+    * pair `sink` with a batchId-keyed idempotent write if downstream
+    * consumes verdicts transactionally.
     */
   def crawlTriage(docs: DataFrame, dir: String,
                   k: Int = graft.queries.TextOps.DupGramK,
@@ -1025,6 +1041,17 @@ object CurationStreams {
       aGram.compareAndSet(Long.MinValue, readBatchMark(spark, gramT)): Unit
     if (aMh.get() == Long.MinValue)
       aMh.compareAndSet(Long.MinValue, readBatchMark(spark, mhT)): Unit
+    // FULLY-committed epoch replay: all three appends committed, which
+    // only happens after the original sink() returned — re-probing now
+    // would triage the batch against stores that already CONTAIN it
+    // (everything flips to drop_exact) and re-emit changed verdicts for a
+    // batchId the sink already consumed. Skip the whole body. A PARTIAL
+    // replay (some store committed, some not) must still run — the
+    // uncommitted appends need their retry — and re-emits this batch's
+    // verdicts with the committed stores' self-hits visible: pair `sink`
+    // with a batchId-keyed idempotent write if downstream cares.
+    if (aHash.get() >= batchId && aGram.get() >= batchId &&
+        aMh.get() >= batchId) return
     val status = graft.operators.Dedup.incrementalStatusBinary(batch,
       graft.sources.HashHistory.scanOrCompute(spark, dir)(
         sys.error(s"unreachable: $hashT is registered")))

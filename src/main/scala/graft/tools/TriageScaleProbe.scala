@@ -50,21 +50,33 @@ object TriageScaleProbe {
     val batchArrs = TextOps.shingleArrays(TextOps.x123Split(spark, baseSf)._2)
       .localCheckpoint(true)
 
-    def triage(dir: String): DataFrame = {
-      val status = Dedup.incrementalStatusBinary(batchDocs,
+    def statusLeg(dir: String): DataFrame =
+      Dedup.incrementalStatusBinary(batchDocs,
         HashHistory.scanOrCompute(spark, dir)(sys.error("unreachable")))
-      val gramFrac = Dedup.incrementalDupGrams(batchDocs,
+    def gramLeg(dir: String, docs: DataFrame): DataFrame =
+      Dedup.incrementalDupGrams(docs,
           GramHistory.probeHistory(spark, dir,
-            GramHistory.gramHashes(batchDocs, TextOps.DupGramK))(
+            GramHistory.gramHashes(docs, TextOps.DupGramK))(
             sys.error("unreachable")),
           k = TextOps.DupGramK, broadcastProbe = false)
         .select(col("doc_id"), col("hist_frac"))
+    def nearDupLeg(dir: String, arrs: DataFrame): DataFrame = {
       val (bands, sh) = MinHashHistory.scanOrCompute(spark, dir)(
         sys.error("unreachable"))
-      val best = Dedup.incrementalNearDups(batchArrs, bands, sh)
+      Dedup.incrementalNearDups(arrs, bands, sh)
         .groupBy(col("doc_a").as("doc_id"))
         .agg(max(col("jaccard")).as("best_jaccard"))
-      TextOps.triageFrame(status, best, gramFrac)
+    }
+    def triage(dir: String): DataFrame =
+      TextOps.triageFrame(statusLeg(dir), nearDupLeg(dir, batchArrs),
+        gramLeg(dir, batchDocs))
+    def cascade(dir: String): DataFrame =
+      TextOps.triageCascade(spark, dir, batchDocs, batchArrs,
+        sys.error("unreachable"))
+    def wall(df: => DataFrame): Double = {
+      val t = System.nanoTime()
+      df.collect().length: Unit
+      (System.nanoTime() - t) / 1e9
     }
 
     var baseline: Set[Seq[Any]] = null
@@ -88,21 +100,29 @@ object TriageScaleProbe {
       // run 1 warms; run 2 is steady-state. Time the FULL materialization
       // (collect, 2.7k small rows) — a bare count() lets Catalyst
       // eliminate the distinct-keyed left joins and skip two legs
-      val walls = (1 to 2).map { _ =>
-        val t = System.nanoTime()
-        val n = triage(dir).collect().length
-        ((System.nanoTime() - t) / 1e9, n)
-      }
+      val walls = (1 to 2).map(_ => wall(triage(dir)))
+      // per-leg steady-state breakdown (each leg warmed by the runs above)
+      val legStatus = wall(statusLeg(dir))
+      val legNear = wall(nearDupLeg(dir, batchArrs))
+      val legGram = wall(gramLeg(dir, batchDocs))
+      // the x126 production fast path: same verdicts, shrinking legs
+      val cascWalls = (1 to 2).map(_ => wall(cascade(dir)))
       val rows = triage(dir).collect().map(_.toSeq).toSet
       if (baseline == null) baseline = rows
       else assert(rows == baseline,
         s"$dir: triage relation diverged from base " +
           s"(${rows.size} vs ${baseline.size} rows)")
+      val cascVerdicts = cascade(dir).groupBy("verdict").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val verdicts = triage(dir).groupBy("verdict").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(cascVerdicts == verdicts,
+        s"$dir: cascade verdicts diverge: $cascVerdicts vs $verdicts")
       println(f"TRIAGE-SCALE dir=$dir store_rows=$storeRows " +
-        f"build=$build%.1f s triage1=${walls(0)._1}%.2f s " +
-        f"triage2=${walls(1)._1}%.2f s docs=${walls(0)._2} " +
+        f"build=$build%.1f s triage1=${walls(0)}%.2f s " +
+        f"triage2=${walls(1)}%.2f s " +
+        f"legs(status=$legStatus%.2f near=$legNear%.2f gram=$legGram%.2f) " +
+        f"cascade1=${cascWalls(0)}%.2f s cascade2=${cascWalls(1)}%.2f s " +
         f"verdicts=$verdicts identical_to_base=${rows == baseline} " +
         f"load=${graft.Bench.loadAvg()}%.2f")
     }

@@ -188,10 +188,17 @@ class PlanSpec extends SparkSpec {
       val exec = df.queryExecution.executedPlan
       def isHistScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
         p match {
-          case s: FileSourceScanExec => s.tableIdentifier.exists(t =>
-            t.table.startsWith("graft_hash_history") ||
-              t.table.startsWith("graft_gram_history") ||
-              t.table.startsWith("graft_minhash_history"))
+          case s: FileSourceScanExec =>
+            s.tableIdentifier.exists(t =>
+              t.table.startsWith("graft_hash_history") ||
+                t.table.startsWith("graft_gram_history") ||
+                t.table.startsWith("graft_minhash_history")) ||
+              // the gram probe reads the store FILES as plain parquet
+              // (Bucketing.probeScan) — match by location too
+              s.relation.location.rootPaths.exists(p0 =>
+                p0.toString.contains("graft_hash_history") ||
+                  p0.toString.contains("graft_gram_history") ||
+                  p0.toString.contains("graft_minhash_history"))
           case _ => false
         }
       // the property the per-store specs gate, surviving composition:

@@ -130,10 +130,14 @@ class GramHistorySpec extends SparkSpec {
         K, broadcastProbe = false)
       val exec = probe.queryExecution.executedPlan
       // a hist scan reachable without crossing a join = the raw store
-      // relation itself (downstream of a join it is already probe-reduced)
+      // relation itself (downstream of a join it is already probe-reduced).
+      // The probe reads the store FILES as plain parquet (Bucketing
+      // .probeScan), so match by location too, not just catalog identity
       def isHistScan(p: SparkPlan): Boolean = p match {
-        case s: FileSourceScanExec => s.tableIdentifier.exists(
-          _.table.startsWith("graft_gram_history"))
+        case s: FileSourceScanExec =>
+          s.tableIdentifier.exists(_.table.startsWith("graft_gram_history")) ||
+            s.relation.location.rootPaths.exists(
+              _.toString.contains("graft_gram_history"))
         case _ => false
       }
       def rawScanBeneath(p: SparkPlan): Boolean = p match {
@@ -192,8 +196,11 @@ class GramHistorySpec extends SparkSpec {
       // this fixture's keys are deterministic), so the probe plan must
       // not touch the store at all — the zero-read short-circuit
       val histScans = probe.queryExecution.executedPlan.collect {
-        case s: FileSourceScanExec if s.tableIdentifier.exists(
-          _.table.startsWith("graft_gram_history")) => s
+        case s: FileSourceScanExec
+          if s.tableIdentifier.exists(
+            _.table.startsWith("graft_gram_history")) ||
+            s.relation.location.rootPaths.exists(
+              _.toString.contains("graft_gram_history")) => s
       }
       assert(histScans.isEmpty,
         s"disjoint probe still scans the store:\n" +

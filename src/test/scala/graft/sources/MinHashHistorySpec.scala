@@ -119,49 +119,63 @@ class MinHashHistorySpec extends SparkSpec {
     } finally MinHashHistory.invalidate(spark, dir)
   }
 
-  test("probe plan: BOTH history scans ride their bucket layouts, no Exchange") {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+  test("probe plans: store scans are map-only — no Exchange, no Sort, " +
+      "never broadcast raw") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
     val dir = java.nio.file.Files.createTempDirectory("graft-mh-plan").toString
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    // the fixture store is broadcast-tiny; a 100 TB store is not — force
-    // the co-located join path the gate exists to protect
+    // the fixture store is broadcast-tiny; a 100 TB store is not — the
+    // auto-broadcast kill verifies only the EXPLICIT batch-bounded hints
+    // broadcast (raw-store broadcast is asserted absent below)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // a probe scan reads the store FILES as plain parquet
+    // (Bucketing.probeScan) — match by location, not catalog identity
+    def isHistScan(p: SparkPlan): Boolean = p match {
+      case s: FileSourceScanExec =>
+        s.tableIdentifier.exists(
+          _.table.startsWith("graft_minhash_history")) ||
+          s.relation.location.rootPaths.exists(
+            _.toString.contains("graft_minhash_history"))
+      case _ => false
+    }
+    def rawScanBeneath(p: SparkPlan): Boolean = p match {
+      case _: BaseJoinExec => false
+      case s if isHistScan(s) => true
+      case other => other.children.exists(rawScanBeneath)
+    }
+    def gate(label: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.count()
+      val exec = df.queryExecution.executedPlan
+      assert(exec.collectFirst {
+        case s: FileSourceScanExec if isHistScan(s) => s
+      }.isDefined, s"$label does not scan its store:\n$exec")
+      assert(exec.collect {
+        case e: ShuffleExchangeExec if rawScanBeneath(e.child) => e
+      }.isEmpty, s"$label: raw store relation shuffles:\n$exec")
+      assert(exec.collect {
+        case s: SortExec if rawScanBeneath(s.child) => s
+      }.isEmpty, s"$label: store side re-sorts per probe:\n$exec")
+      assert(exec.collect {
+        case b: BroadcastExchangeExec if rawScanBeneath(b.child) => b
+      }.isEmpty, s"$label: raw store relation broadcasts:\n$exec")
+    }
     try {
       MinHashHistory.create(spark, dir,
         TextOps.minHashBandsOf(histDocs), TextOps.minHashShinglesOf(histDocs))
       val (bands, sh) = MinHashHistory.scanOrCompute(spark, dir)(
         sys.error("unreachable"))
-      val probe = Dedup.incrementalNearDups(
-        TextOps.shingleArrays(batchDocs), bands, sh)
-      val exec = probe.queryExecution.executedPlan
-      val sides = exec.collect {
-        case j: SortMergeJoinExec => Seq(j.left, j.right)
-        case j: ShuffledHashJoinExec => Seq(j.left, j.right)
-      }.flatten
-      val histSides = sides.filter { side =>
-        val hasHist = side.collectFirst {
-          case s: FileSourceScanExec
-            if s.tableIdentifier.exists(_.table.startsWith("graft_minhash_history")) => s
-        }.isDefined
-        val crossesJoin = side.collect {
-          case j: SortMergeJoinExec => j
-          case j: ShuffledHashJoinExec => j
-        }.nonEmpty
-        hasHist && !crossesJoin
-      }
-      assert(histSides.nonEmpty,
-        s"probe joins do not scan the minhash-history tables:\n$exec")
-      histSides.foreach { side =>
-        val shuffles = side.collect { case e: ShuffleExchangeExec => e }
-        assert(shuffles.isEmpty,
-          s"history side of a probe join shuffles:\n$side")
-      }
-      assert(exec.collect { case e: ShuffleExchangeExec => e }.nonEmpty,
-        s"expected a batch-side exchange:\n$exec")
+      // the two store-scanning stages of incrementalNearDups, pre-
+      // materialization (the operator checkpoints their small results, so
+      // the final frame's executed plan no longer shows the store scans)
+      val batchArrs = TextOps.shingleArrays(batchDocs)
+        .filter(org.apache.spark.sql.functions.col("lang").isNotNull)
+      val cands = Dedup.nearDupCandidates(batchArrs, bands, 128, 32)
+      gate("candidate probe", cands)
+      gate("verify fetch", Dedup.verifySliceOf(sh, cands))
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)

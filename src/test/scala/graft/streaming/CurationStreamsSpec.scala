@@ -1435,9 +1435,10 @@ class CurationStreamsSpec extends SparkSpec {
       new java.util.concurrent.atomic.AtomicLong(-1L),
       new java.util.concurrent.atomic.AtomicLong(-1L))
     var (nH, nG, nM) = (0, 0, 0)
+    var nSink = 0
     var failGram = true
     def run(): Unit = CurationStreams.triageBatch(batch, 0L, dir,
-      TextOps.DupGramK, _ => (), aH, aG, aM, growStore = true,
+      TextOps.DupGramK, _ => nSink += 1, aH, aG, aM, growStore = true,
       appendHash = b => { nH += 1
         graft.sources.HashHistory.append(spark, dir,
           b.select(org.apache.spark.sql.functions.unhex(
@@ -1457,8 +1458,12 @@ class CurationStreamsSpec extends SparkSpec {
     assert((nH, nG, nM) == (1, 2, 1),
       s"replay did not retry exactly the failed store: $nH $nG $nM")
     assert(aH.get() == 0L && aG.get() == 0L && aM.get() == 0L)
-    run() // fully committed epoch: nothing re-appends
+    assert(nSink == 2, s"sink must run on the partial replay: $nSink")
+    run() // fully committed epoch: nothing re-appends AND the sink is
+    // skipped — re-probing against stores that already contain the batch
+    // would re-emit this batchId with every verdict flipped to drop_exact
     assert((nH, nG, nM) == (1, 2, 1), "committed epoch re-appended")
+    assert(nSink == 2, s"committed-epoch replay re-emitted to the sink: $nSink")
     // restart recovery: fresh guards read all three persisted marks
     val (rH, rG, rM) = (new java.util.concurrent.atomic.AtomicLong(Long.MinValue),
       new java.util.concurrent.atomic.AtomicLong(Long.MinValue),
