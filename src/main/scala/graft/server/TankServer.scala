@@ -87,6 +87,20 @@ final class TankServer(spark: SparkSession, cfg: StoreConfig,
       maxFilesPerTrigger,
       onTouched = hs => { cache.invalidateTouched(hs); () })
 
+  /** Warm the tile cache for a whole PANEL in one Spark job
+    * ([[TileService.panel]]) instead of one job per cold tile — the
+    * viewer-pan/ops-preload verb (ServingLatencyProbe's cold row measured
+    * ~490 ms/tile × panel sequential jobs). Only unfiltered tiles are
+    * cached (the same cacheability rule as the GET route); tiles outside
+    * the cache's zoom window are computed but not retained. Returns the
+    * number of tiles cached.
+    */
+  def warmPanel(z: Int, tiles: Seq[(Int, Int)]): Int = {
+    val bytes = TileService.panel(features, z, tiles, None, tileCfg)
+    bytes.foreach { case ((x, y), b) => cache.put("tile", z, x, y, b) }
+    bytes.size
+  }
+
   // ------------------------------------------------------------- routing
 
   private def handle(ex: HttpExchange): Unit = try {

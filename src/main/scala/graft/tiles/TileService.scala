@@ -95,6 +95,84 @@ object TileService {
     Mvt.encode(feats, cfg.baseLayer, cfg.extent)
   }
 
+  /** BATCH panel read — N tiles at one zoom from ONE Spark job (the
+    * cold-panel fix: ServingLatencyProbe measured one job per cold tile
+    * at ~490 ms p50, so a 64-tile viewer panel paid 64 sequential jobs
+    * where a single pruned scan covering the panel's merged Z-ranges
+    * serves them all). Pipeline: merged-range pruned scan → per-feature
+    * candidate-tile fan-out (buffered envelope vs the requested tile set —
+    * a feature clips into EVERY tile whose clip-buffer halo its envelope
+    * reaches, exactly [[tileDf]]'s membership) → per-(feature, tile) clip
+    * → driver-side group + MVT encode (driver rows are panel-bounded: the
+    * same rows the N single-tile reads would each collect). Returns bytes
+    * for EVERY requested tile — an empty tile encodes the empty layer,
+    * byte-identical to [[tile]]'s answer for it.
+    */
+  def panel(features: DataFrame, z: Int, tiles: Seq[(Int, Int)],
+            filter: Option[(String, Any)] = None,
+            cfg: TileConfig = TileConfig()): Map[(Int, Int), Array[Byte]] = {
+    if (tiles.isEmpty) return Map.empty
+    val bufFrac = cfg.buffer.toDouble / cfg.extent.toDouble
+    val ranges = mergeRanges(tiles.flatMap { case (x, y) =>
+      ZRange.coverWithBuffer(z, x, y, cfg.hashLevel, bufFrac)
+    })
+    val pruned = features.filter(balancedOr(
+      ranges.map { case (lo, hi) => col("hash").between(lo, hi) }))
+    val filtered = filter match {
+      case Some((attr, v)) => pruned.filter(col(attr) === lit(v))
+      case None => pruned
+    }
+    // candidate tiles of a feature: envelope (in tile units at z, expanded
+    // by the clip-buffer halo) ∩ the requested set; packed (x << 32 | y)
+    val tileSet = tiles.toSet
+    val zz = z; val bf = bufFrac
+    val candU = udf((wkt: String) => {
+      val env = GeomUdfs.parse(wkt).getEnvelopeInternal
+      val scale = (1L << zz).toDouble
+      val x0 = math.floor(graft.core.WebMercator.projX(env.getMinX) * scale - bf).toInt
+      val x1 = math.floor(graft.core.WebMercator.projX(env.getMaxX) * scale + bf).toInt
+      val y0 = math.floor(graft.core.WebMercator.projY(env.getMaxY) * scale - bf).toInt
+      val y1 = math.floor(graft.core.WebMercator.projY(env.getMinY) * scale + bf).toInt
+      (for {
+        x <- x0 to x1; y <- y0 to y1; if tileSet((x, y))
+      } yield (x.toLong << 32) | (y & 0xffffffffL)).toArray
+    })
+    val zc = z; val ext = cfg.extent; val buf = cfg.buffer
+    val clipU = udf((wkt: String, t: Long) =>
+      GeomUdfs.clipToTile(wkt, zc, (t >> 32).toInt, t.toInt, ext, buf))
+    val rows = filtered
+      .select((col("uid") +: cfg.attributes.map(col)) :+ col("geometry") :+
+        explode(candU(col("geometry"))).as("_t"): _*)
+      .withColumn("tgeom", clipU(col("geometry"), col("_t")))
+      .filter(col("tgeom").isNotNull)
+      .drop("geometry")
+      .collect()
+    val byTile = rows.groupBy { r =>
+      val t = r.getAs[Long]("_t"); ((t >> 32).toInt, t.toInt)
+    }
+    tiles.map { case (x, y) =>
+      val feats = byTile.getOrElse((x, y), Array.empty[Row]).toSeq.map { r =>
+        val (gt, rings, roles) = GeomUdfs.toMvtRingsRoles(r.getAs[String]("tgeom"))
+        val props = cfg.attributes.flatMap { a =>
+          Option(r.getAs[Any](a)).map(a -> _)
+        }
+        Mvt.Feature(None, gt, rings, props, exteriors = Some(roles))
+      }
+      (x, y) -> Mvt.encode(feats, cfg.baseLayer, cfg.extent)
+    }.toMap
+  }
+
+  /** Sorted, overlap-merged hash ranges — the panel predicate stays
+    * O(perimeter) sized even when adjacent tiles' covers abut or overlap
+    * (their buffered halos always do).
+    */
+  private def mergeRanges(rs: Seq[(Int, Int)]): Seq[(Int, Int)] =
+    rs.sorted.foldLeft(List.empty[(Int, Int)]) {
+      case ((plo, phi) :: t, (lo, hi)) if lo <= phi + 1 =>
+        (plo, math.max(phi, hi)) :: t
+      case (acc, r) => r :: acc
+    }.reverse
+
   /** Heatmap grid size: 24 for z in 1..9 else 16 (application.kt:549-553). */
   def gridN(z: Int): Int = if (z >= 1 && z <= 9) 24 else 16
 

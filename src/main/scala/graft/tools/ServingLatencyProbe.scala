@@ -108,6 +108,21 @@ object ServingLatencyProbe {
     assert(nonEmpty == paths.size,
       s"panel drifted: only $nonEmpty/${paths.size} tiles have features")
 
+    // phase 1b: the warmPanel verb on a FRESH server over the same store
+    // (empty cache) — ONE Spark job for the whole panel, vs the cold
+    // phase's one job per tile
+    val server2 = new graft.server.TankServer(spark, cfg,
+      graft.tiles.TileService.TileConfig(
+        mainAttr = "class", attributes = Seq("class", "value")))
+    val tiles = (0 until panel).map(i => (tx0 + i, ty))
+    val tp0 = System.nanoTime()
+    val warmed = server2.warmPanel(z, tiles)
+    val panelWall = (System.nanoTime() - tp0) / 1e9
+    println(f"SERVING-LATENCY phase=panel_warm tiles=$warmed " +
+      f"wall=$panelWall%.2f s cold_sum=${cold.map(_._1).sum / 1e6}%.2f s " +
+      f"load=${graft.Bench.loadAvg()}%.2f")
+    server2.stop()
+
     // phase 2: warm sequential (cache hits)
     val warm = paths.flatMap(p => Seq.fill(4)(get(port, p)._1))
     val (w50, w95, w99) = pcts(warm)

@@ -73,6 +73,31 @@ class TileServiceSpec extends SparkSpec {
     assert(fs.forall(f => Set(1, 2, 3).contains(f.geomType)))
   }
 
+  test("panel(): the one-job batch read equals per-tile reads, empty tiles included") {
+    // 3×3 neighborhood around the anchor: exercises features clipping into
+    // MULTIPLE panel tiles (the straddling polygon, the 3-cell linestring)
+    // and at least one empty member
+    val tiles = for { dx <- -1 to 1; dy <- -1 to 1 } yield (ax + dx, ay + dy)
+    val got = panel(feats, 13, tiles)
+    assert(got.keySet == tiles.toSet)
+    tiles.foreach { case (x, y) =>
+      val single = tile(feats, 13, x, y)
+      assert(GoldenTiles.canonical(got((x, y))) == GoldenTiles.canonical(single),
+        s"panel tile ($x,$y) diverges from the single-tile read")
+    }
+    // the filtered form matches too (panel is cacheable-unfiltered in the
+    // server, but the service-level contract covers filters)
+    val fTiles = Seq((ax, ay))
+    val fGot = panel(feats, 13, fTiles, filter = Some("class" -> "water"))
+    assert(GoldenTiles.canonical(fGot((ax, ay))) ==
+      GoldenTiles.canonical(tile(feats, 13, ax, ay, Some("class" -> "water"))))
+    // a far-away empty tile still answers with the single read's empty layer
+    val farT = (ax + 100, ay + 100)
+    val far = panel(feats, 13, Seq(farT))
+    assert(java.util.Arrays.equals(far(farT), tile(feats, 13, farT._1, farT._2)),
+      "empty panel tile diverges from the single-tile empty answer")
+  }
+
   test("heatmap counts equal the per-cell centroid counts, one groupBy") {
     val z = 6
     // densest z=6 tile by customer-point centroid
