@@ -100,6 +100,60 @@ object IvfStore {
       }
     }
 
+  /** REBALANCE: retrain the coarse quantizer on the store's CURRENT
+    * vectors and reassign them map-only, rewriting the cell directories —
+    * the drift verb the append contract needs: appends assign against
+    * FROZEN centroids, so after sustained growth into a region the
+    * original fit never saw, a few cells absorb most new vectors and the
+    * `nprobe/nlist` files-not-read ratio decays toward a full scan.
+    * Rebalance restores balanced cells WITHOUT the source corpus: the
+    * store's own vectors are the training set (bounded hash-ordered
+    * sample — create()'s fitting path) and the reassignment is one
+    * index-sized exchange, exactly [[compact]]'s bill (which it also
+    * subsumes: the rewrite restores distinct rows and ~one file per
+    * cell). `nlist` defaults to the store's current centroid count; pass
+    * a larger one when the corpus outgrew it (cells should stay
+    * ~targetCellSize — DEDUP_TUNING.md §5).
+    *
+    * Search semantics: still exact cosine within probed cells — moved
+    * cell BOUNDARIES change which cells a query probes (recall profile,
+    * spec-gated on a deliberately-skewed grown store), never the scores.
+    * Appends after rebalance assign against the NEW centroids (they
+    * re-read the centroids file). Crash residue: centroids are written
+    * BEFORE the vector swap, so a crash between the two leaves new
+    * centroids over old assignments — a pure recall degradation (the
+    * approximate index's benign failure direction, never wrong scores)
+    * plus the held [[graft.sources.MutationGuard]] marker making the
+    * half-rebalance loud; rerun to finish.
+    */
+  def rebalance(spark: SparkSession, path: String, nlist: Int = 0,
+                kmeansIters: Int = 2,
+                sampleSize: Int = 256): Array[Array[Double]] =
+    graft.sources.MutationGuard.withGuard(spark, path) {
+      import spark.implicits._
+      val vecs = spark.read.parquet(vectorsPath(path))
+        .select(col("vec_id"), col("embedding"))
+        .dropDuplicates()
+      val effNlist = if (nlist > 0) nlist else centroids(spark, path).length
+      // lloydOverSample: a grown store makes full-corpus Lloyd passes
+      // O(n·nlist·dim) per iteration; the bounded-sample fit is the
+      // production form (create()'s tiny-nlist default trains exact)
+      val cents = Similarity.kmeansCentroids(vecs, effNlist, kmeansIters,
+        sampleSize = sampleSize, lloydOverSample = true)
+      cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+        .toSeq.toDF("cell", "ce")
+        .repartition(1)
+        .write.mode("overwrite").parquet(centroidsPath(path))
+      val clean = if (cents.isEmpty) vecs
+        else Similarity.dropInvalidVecs(vecs, cents(0).length, None)
+      graft.sources.SwapDir(spark, vectorsPath(path)) { tmp =>
+        Similarity.assignCells(clean, cents)
+          .repartition(col("cell"))
+          .write.partitionBy("cell").parquet(tmp)
+      }
+      cents
+    }
+
   /** Top-k by exact cosine within each query's `nprobe` probed cells,
     * reading ONLY those cells' directories.
     */

@@ -111,6 +111,74 @@ class IvfStoreSpec extends SparkSpec {
     assert(hits() == 1, "compact did not collapse the replayed rows")
   }
 
+  test("rebalance: a skew-grown store regains balanced cells; answers stay " +
+      "exact-in-probed-cells; appends follow the new centroids") {
+    import spark.implicits._
+    val dim = 8
+    def vec(c: Array[Double], seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      c.map(x => (x + r.nextGaussian() * 0.02).toFloat)
+    }
+    def axis(i: Int, sign: Double) =
+      Array.tabulate(dim)(j => if (j == i) sign else 0.0)
+    // original corpus: 4 tight clusters near +e_0..+e_3 — the fit sees these
+    val base = (0 until 200).map(i => ((i + 1).toLong, vec(axis(i % 4, 1.0), i)))
+    // drift: 2× as many vectors in a region the FROZEN quantizer never
+    // saw. The region center is UNIQUELY nearest to ONE frozen centroid
+    // (asymmetric components — a symmetric center ties and spreads), so
+    // every drift vector piles into that cell; its four sub-clusters
+    // live in dims 4..7 the base never uses, giving the retrain real
+    // structure to split.
+    val driftC = Array(-2.0, -1.0, 0.7, 0.3, 0.0, 0.0, 0.0, 0.0)
+    def driftSub(j: Int) =
+      driftC.zipWithIndex.map { case (x, d) => if (d == 4 + j) x + 0.5 else x }
+    val grown = (0 until 400).map(i =>
+      ((1000 + i).toLong, vec(driftSub(i % 4), 7777 + i)))
+    val path = tmpStore()
+    IvfStore.create(spark, path, base.toDF("vec_id", "embedding"),
+      nlist = 4, kmeansIters = 4)
+    IvfStore.append(spark, path, grown.toDF("vec_id", "embedding"))
+    def cellSizes(): Map[Long, Long] = spark.read.parquet(path + "/vectors")
+      .groupBy("cell").count().as[(Long, Long)].collect().toMap
+    val before = cellSizes()
+    // the skew fixture must be real: one frozen cell absorbed the whole
+    // drift region, so a probe of it reads drift-sized bytes
+    assert(before.values.max >= 400,
+      s"fixture not skewed: $before")
+    val cents = IvfStore.rebalance(spark, path, nlist = 8, kmeansIters = 4)
+    val after = cellSizes()
+    assert(after.keySet.size == 8 && after.values.sum == 600,
+      s"rebalance lost rows or cells: $after")
+    assert(after.values.max <= before.values.max / 2,
+      s"cells still skewed after rebalance: $after vs $before")
+    // answers: bit-identical to the transient IVF on the NEW centroids,
+    // and nprobe=2 recall vs brute force is exact on this margin
+    val qs = (0 until 4).map(i => ((i + 1).toLong,
+      driftSub(i).map(_.toFloat))).toDF("query_id", "qe")
+    val all = (base ++ grown).toDF("vec_id", "embedding")
+    val fromStore = IvfStore.search(spark, path, qs, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val transient = Similarity
+      .ivfTopKWithCentroids(all, qs, k = 10, cents, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromStore == transient,
+      s"store-only: ${fromStore -- transient}; transient-only: ${transient -- fromStore}")
+    val exact = Similarity.bruteForceTopK(all, qs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromStore == exact,
+      s"nprobe=2 recall lost on the rebalanced layout: missing ${exact -- fromStore}")
+    // appends now assign against the NEW centroids: a planted twin of a
+    // drift-region vector is found at cos 1.0
+    val twin = Seq((999999L, grown.head._2)).toDF("vec_id", "embedding")
+    IvfStore.append(spark, path, twin)
+    val top = IvfStore.search(spark, path,
+        Seq((50L, grown.head._2)).toDF("query_id", "qe"), k = 3, nprobe = 1)
+      .collect()
+    assert(top.exists(r => r.getLong(1) == 999999L &&
+      math.abs(r.getDouble(2) - 1.0) < 1e-9),
+      s"post-rebalance append missing: ${top.mkString(", ")}")
+  }
+
   test("append assigns with the frozen centroids; a planted twin is found") {
     val path = tmpStore()
     IvfStore.create(spark, path, emb, nlist = 16)
