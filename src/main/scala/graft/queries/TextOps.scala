@@ -26,7 +26,8 @@ object TextOps {
       x86_incremental_dedup, x95_unigram_lm, x97_bigram_lm, x99_dupgrams,
       x100_best_keeper, x102_incremental_dupgrams, x105_bpe_train,
       x106_bpe_encode, x114_remove_dup_spans, x118_incremental_remove_spans,
-      x123_incremental_neardup, x125_crawl_triage, x126_crawl_triage_cascade)
+      x123_incremental_neardup, x125_crawl_triage, x126_crawl_triage_cascade,
+      x127_crawl_triage_derived)
 
   /** Distinct word-trigram shingles, exploded: (doc_id, lang, n_chars, sh).
     * Word n-grams (not character grams) are the dedup unit: on natural text
@@ -661,6 +662,18 @@ object TextOps {
          |LEFT JOIN jac j ON s.doc_id = j.doc_id
          |LEFT JOIN gf g ON s.doc_id = g.doc_id""".stripMargin,
       Seq("doc_id", "status", "best_jaccard", "hist_frac", "verdict"))) { (s, d) =>
+    val (status, best, gramFrac) = x125Legs(s, d)
+    Canon(triageFrame(status, best, gramFrac))
+  }
+
+  /** The three x125 probe legs over the shared crawl split — exact status
+    * (x86's hash store), best history near-dup Jaccard (x123's LSH index),
+    * duplicated-gram fraction (x102's gram store) — each riding its
+    * persisted store when a producer ran. Shared by the explainable (x125)
+    * and derived-threshold (x127) triage forms.
+    */
+  private[graft] def x125Legs(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val (history, batch) = x86Split(s, d)
     val status = Dedup.incrementalStatusBinary(batch,
       graft.sources.HashHistory.scanOrCompute(s, d)(
@@ -677,7 +690,7 @@ object TextOps {
         shingleArrays(x123Split(s, d)._2), bands, sh)
       .groupBy(col("doc_a").as("doc_id"))
       .agg(max(col("jaccard")).as("best_jaccard"))
-    Canon(triageFrame(status, best, gramFrac))
+    (status, best, gramFrac)
   }
 
   // ---------------------------------------------------------------- x126
@@ -820,6 +833,156 @@ object TextOps {
     triageFrame(status, best, gramFrac)
   }
 
+  // ---------------------------------------------------------------- x127
+  /** Crawl triage with a DERIVED strip threshold — closes x125's
+    * documented gap the way x115 closed x101's: production derives its
+    * cuts from the corpus distribution, not registry pins. The strip cut
+    * here is the EXACT p90 of the integer-scaled (6 dp) positive
+    * `hist_frac` over the strip-ELIGIBLE population (status `kept`, below
+    * the near-dup cut) — "among contaminated survivors, route the worst
+    * decile to span removal" — computed with the same two-phase
+    * order-statistic device ([[graft.operators.Percentiles
+    * .exactThresholdOpt]]: distinct-value histogram → bucket-pruned rank
+    * scan, bounded at any corpus size) and compared on SCALED INTEGERS so
+    * the gate is exact in both engines. The oracle replays the derivation
+    * with the one-window ROW_NUMBER rank device (the x115/x88b seat) and
+    * the derived scalar is a checked output column.
+    *
+    * The NEAR-DUP cut stays pinned at 0.8 deliberately: it is not a free
+    * tunable — the persisted LSH index's banding (32 bands × 4 rows) was
+    * sized for that Jaccard operating point (the S-curve midpoint
+    * (1/b)^(1/r)), so a query-time cut derived away from it would
+    * desynchronize threshold and index (candidates below the band curve
+    * are never generated regardless of the cut). Retargeting near-dup
+    * sensitivity means re-banding the store, not moving this constant.
+    *
+    * Empty eligible population (every arrival dropped exact/near, or a
+    * gram-clean crawl): the percentile of nothing is None → the gate
+    * never trips (`Long.MaxValue` sentinel, the x115 convention); the
+    * oracle's rank CTE yields NULL and its CASE falls through to `keep`
+    * identically, with `strip_thr` coalesced to the same sentinel.
+    */
+  private[graft] val StripPercentileNum = 9L
+  private[graft] val StripPercentileDen = 10L
+  private[graft] val FracScale = 1000000L
+
+  val x127_crawl_triage_derived: QueryDef = QueryDef(
+    "x127_crawl_triage_derived",
+    Sql.canon(
+      s"""WITH bkt AS (SELECT doc_id, text, lang, n_chars,
+         |  CAST(CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |       AS BIGINT) % 100 AS INT) AS bucket
+         |  FROM documents),
+         |hist AS (SELECT doc_id, text, lang, n_chars FROM bkt WHERE bucket < 60),
+         |batch AS (
+         |  SELECT doc_id, text, lang, n_chars FROM bkt WHERE bucket >= 60
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, text, lang, n_chars FROM bkt
+         |  WHERE bucket < 60 AND bucket % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000000, text, lang, n_chars FROM bkt
+         |  WHERE bucket >= 60 AND bucket % 11 = 0),
+         |h86 AS (SELECT DISTINCT MD5(text) AS th FROM bkt WHERE bucket < 60),
+         |b86 AS (SELECT doc_id, MD5(text) AS th FROM batch),
+         |k86 AS (SELECT th, MIN(doc_id) AS keeper FROM b86 GROUP BY th),
+         |st AS (
+         |  SELECT b86.doc_id,
+         |    CASE WHEN h86.th IS NOT NULL THEN 'dup_of_history'
+         |         WHEN b86.doc_id <> k86.keeper THEN 'dup_in_batch'
+         |         ELSE 'kept' END AS status
+         |  FROM b86 LEFT JOIN h86 ON b86.th = h86.th
+         |  JOIN k86 ON b86.th = k86.th),
+         |hg AS (
+         |  SELECT DISTINCT SUBSTR(text, i, $DupGramK) AS gram
+         |  FROM (SELECT text,
+         |          UNNEST(generate_series(1, LENGTH(text) - ${DupGramK - 1})) AS i
+         |        FROM bkt WHERE bucket < 60 AND LENGTH(text) >= $DupGramK)),
+         |bg AS (
+         |  SELECT doc_id, SUBSTR(text, i, $DupGramK) AS gram, COUNT(*) AS pc
+         |  FROM (SELECT doc_id, text,
+         |          UNNEST(generate_series(1, LENGTH(text) - ${DupGramK - 1})) AS i
+         |        FROM batch WHERE LENGTH(text) >= $DupGramK)
+         |  GROUP BY doc_id, gram),
+         |hp AS (SELECT bg.doc_id, CAST(SUM(bg.pc) AS BIGINT) AS hist_pos
+         |       FROM bg JOIN hg USING (gram) GROUP BY bg.doc_id),
+         |gf AS (
+         |  SELECT doc_id, CAST(COALESCE(hp.hist_pos, 0) AS DOUBLE) /
+         |    (LENGTH(text) - ${DupGramK - 1}) AS hist_frac
+         |  FROM batch LEFT JOIN hp USING (doc_id)
+         |  WHERE LENGTH(text) >= $DupGramK),
+         |sb AS (${shinglesSqlOver("batch")}),
+         |sh AS (${shinglesSqlOver("hist")}),
+         |cb AS (SELECT doc_id, COUNT(*) AS n FROM sb GROUP BY doc_id),
+         |ch AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |p AS (
+         |  SELECT b.doc_id AS doc_a, h.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sb b JOIN sh h
+         |    ON b.sh = h.sh AND b.lang = h.lang
+         |   AND ABS(b.n_chars - h.n_chars) * 2 <= GREATEST(b.n_chars, h.n_chars)
+         |  GROUP BY b.doc_id, h.doc_id),
+         |jac AS (
+         |  SELECT doc_a AS doc_id,
+         |    MAX(CAST(inter AS DOUBLE) / (ca.n + cb2.n - inter)) AS best_jaccard
+         |  FROM p JOIN cb ca ON p.doc_a = ca.doc_id
+         |         JOIN ch cb2 ON p.doc_b = cb2.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb2.n - inter) >= 0.8
+         |  GROUP BY doc_a),
+         |m AS (
+         |  SELECT s.doc_id, s.status,
+         |    COALESCE(j.best_jaccard, 0.0) AS best_jaccard,
+         |    COALESCE(g.hist_frac, 0.0) AS hist_frac
+         |  FROM st s
+         |  LEFT JOIN jac j ON s.doc_id = j.doc_id
+         |  LEFT JOIN gf g ON s.doc_id = g.doc_id),
+         |sc AS (
+         |  SELECT doc_id, CAST(ROUND(hist_frac * $FracScale) AS BIGINT) AS v
+         |  FROM m
+         |  WHERE status = 'kept' AND best_jaccard < 0.8 AND hist_frac > 0),
+         |nn AS (SELECT COUNT(*) AS n FROM sc),
+         |thr AS (
+         |  SELECT MIN(v) AS vthr FROM (
+         |      SELECT v, ROW_NUMBER() OVER (ORDER BY v, doc_id) AS rn
+         |      FROM sc) r CROSS JOIN nn
+         |  WHERE r.rn = ($StripPercentileNum * nn.n + $StripPercentileDen - 1)
+         |                  // $StripPercentileDen)
+         |SELECT m.doc_id, m.status, m.best_jaccard, m.hist_frac,
+         |  CASE WHEN m.status <> 'kept' THEN 'drop_exact'
+         |       WHEN m.best_jaccard >= 0.8 THEN 'drop_near'
+         |       WHEN CAST(ROUND(m.hist_frac * $FracScale) AS BIGINT) > t.vthr
+         |         THEN 'strip_spans'
+         |       ELSE 'keep' END AS verdict,
+         |  CAST(COALESCE(t.vthr, 9223372036854775807) AS DOUBLE) / $FracScale.0
+         |    AS strip_thr
+         |FROM m CROSS JOIN thr t""".stripMargin,
+      Seq("doc_id", "status", "best_jaccard", "hist_frac", "verdict",
+        "strip_thr"))) { (s, d) =>
+    val (status, best, gramFrac) = x125Legs(s, d)
+    // persisted for the BUILD only (the x115 convention): the measure
+    // matrix feeds the threshold derivation's two jobs AND the final
+    // verdict frame; without the pin all three legs re-probe per
+    // consumer. Released in finally — composing callers accumulate no
+    // cached relations.
+    val m = triageMeasures(status, best, gramFrac).persist()
+    try {
+      val thr = graft.operators.Percentiles.exactThresholdOpt(
+        m.filter(col("status") === "kept" && col("best_jaccard") < 0.8 &&
+            col("hist_frac") > 0.0)
+          .select(round(col("hist_frac") * FracScale.toDouble)
+            .cast(LongType).as("v")),
+        "v", StripPercentileNum, StripPercentileDen)
+        .getOrElse(Long.MaxValue)
+      Canon.materialize(Canon(m
+        .withColumn("verdict",
+          when(col("status") =!= "kept", lit("drop_exact"))
+            .when(col("best_jaccard") >= 0.8, lit("drop_near"))
+            .when(round(col("hist_frac") * FracScale.toDouble)
+              .cast(LongType) > thr, lit("strip_spans"))
+            .otherwise(lit("keep")))
+        .withColumn("strip_thr",
+          lit(thr).cast(DoubleType) / FracScale.toDouble)))
+    } finally m.unpersist(): Unit
+  }
+
   /** The x125 verdict frame from the three probe legs — shared verbatim
     * by the registry builder and the streaming twin
     * ([[graft.streaming.CurationStreams.crawlTriage]]), so the
@@ -829,17 +992,26 @@ object TextOps {
     */
   private[graft] def triageFrame(status: DataFrame, best: DataFrame,
                                  gramFrac: DataFrame): DataFrame =
+    triageMeasures(status, best, gramFrac)
+      .withColumn("verdict",
+        when(col("status") =!= "kept", lit("drop_exact"))
+          .when(col("best_jaccard") >= 0.8, lit("drop_near"))
+          .when(col("hist_frac") >= 0.3, lit("strip_spans"))
+          .otherwise(lit("keep")))
+
+  /** The pre-verdict measure matrix — (doc_id, status, best_jaccard,
+    * hist_frac) with absent legs coalesced to 0 — shared by the pinned
+    * verdict ([[triageFrame]]) and the derived-threshold form (x127),
+    * which must see the measures BEFORE a cut is chosen.
+    */
+  private[graft] def triageMeasures(status: DataFrame, best: DataFrame,
+                                    gramFrac: DataFrame): DataFrame =
     status
       .join(best, Seq("doc_id"), "left")
       .join(gramFrac, Seq("doc_id"), "left")
       .select(col("doc_id"), col("status"),
         coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
         coalesce(col("hist_frac"), lit(0.0)).as("hist_frac"))
-      .withColumn("verdict",
-        when(col("status") =!= "kept", lit("drop_exact"))
-          .when(col("best_jaccard") >= 0.8, lit("drop_near"))
-          .when(col("hist_frac") >= 0.3, lit("strip_spans"))
-          .otherwise(lit("keep")))
 
   // ---------------------------------------------------------------- x44/x45
   /** 64-bit SimHash fingerprints (rows-only: DuckDB has no xxhash64 twin). */

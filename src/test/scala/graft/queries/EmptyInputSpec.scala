@@ -144,4 +144,42 @@ class EmptyInputSpec extends SparkSpec {
       assert(n >= 0)
     }
   }
+
+  // null-LANG twins: the near-dup leg drops null-lang docs BY DESIGN
+  // (three-valued-logic parity with the oracle's lang equi-join) — but a
+  // crawl doc with no language tag must still receive a TRIAGE VERDICT
+  // through the status/gram legs, never vanish from the verdict relation
+  private lazy val nullLangDir: String = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nulllang").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      val in = spark.read.parquet(s"$Sf/$t.parquet")
+      val out = if (t == "documents")
+        in.withColumn("lang", lit(null).cast("string")) else in
+      out.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  Seq("x125_crawl_triage", "x126_crawl_triage_cascade",
+      "x127_crawl_triage_derived").foreach { name =>
+    test(s"$name: null-lang batch docs still receive a verdict " +
+        "(status leg), not silence") {
+      val out = SparkEntry.queries(name)(spark, nullLangDir)
+        .select("doc_id", "verdict", "best_jaccard").collect()
+      val batchIds = TextOps.x86Split(spark, nullLangDir)._2
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(batchIds.nonEmpty, "fixture produced an empty crawl batch")
+      assert(out.map(_.getLong(0)).toSet == batchIds,
+        "triage dropped docs instead of giving every batch doc a verdict")
+      val verdicts = Set("drop_exact", "drop_near", "strip_spans", "keep")
+      assert(out.forall(r => verdicts(r.getString(1))))
+      // the near-dup leg is silent on null-lang docs (design pin):
+      // best_jaccard reads 0 everywhere, never null
+      assert(out.forall(r => r.getDouble(2) == 0.0),
+        "null-lang docs produced near-dup scores")
+    }
+  }
 }
