@@ -125,21 +125,37 @@ object IvfStore {
     * approximate index's benign failure direction, never wrong scores)
     * plus the held [[graft.sources.MutationGuard]] marker making the
     * half-rebalance loud; rerun to finish.
+    *
+    * Frame lifetime: the vector swap replaces the store's files, so any
+    * DataFrame a caller constructed over the store BEFORE rebalance()
+    * reads dead paths afterwards (standard Spark file-index semantics —
+    * the [[graft.operators.CleanedCorpus]] hazard). Re-read through
+    * [[search]]/fresh `spark.read` after the verb returns.
     */
   def rebalance(spark: SparkSession, path: String, nlist: Int = 0,
                 kmeansIters: Int = 2,
-                sampleSize: Int = 256): Array[Array[Double]] =
+                sampleSize: Int = 0): Array[Array[Double]] =
     graft.sources.MutationGuard.withGuard(spark, path) {
       import spark.implicits._
       val vecs = spark.read.parquet(vectorsPath(path))
         .select(col("vec_id"), col("embedding"))
         .dropDuplicates()
       val effNlist = if (nlist > 0) nlist else centroids(spark, path).length
-      // lloydOverSample: a grown store makes full-corpus Lloyd passes
-      // O(n·nlist·dim) per iteration; the bounded-sample fit is the
-      // production form (create()'s tiny-nlist default trains exact)
+      // training sizing follows cellBoundedTopPairsAuto's convention:
+      // 8 sample points per cell bounded at 16384 (sampleSize > 0
+      // overrides), greedy seeding only at serving-index cell counts —
+      // a grown store's nlist can sit far above create()'s tiny serving
+      // defaults, and k-means can never mint more centroids than it has
+      // training points, so a FIXED sample would silently cap the
+      // retrain. lloydOverSample: a grown store makes full-corpus Lloyd
+      // passes O(n·nlist·dim) per iteration; the bounded-sample fit is
+      // the production form.
+      val effSample =
+        if (sampleSize > 0) sampleSize
+        else math.min(math.max(512, 8 * effNlist), 16384)
       val cents = Similarity.kmeansCentroids(vecs, effNlist, kmeansIters,
-        sampleSize = sampleSize, lloydOverSample = true)
+        sampleSize = effSample, greedySeeding = effNlist <= 64,
+        lloydOverSample = true)
       cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
         .toSeq.toDF("cell", "ce")
         .repartition(1)
