@@ -157,11 +157,25 @@ object PartialOverlapProbe {
     // the derived window / hot-bucket cap for sizing experiments.
     val win = sys.env.get("GRAFT_PO_WINDOW").map(_.toInt)
       .getOrElse(Multimodal.autoAudioWindow(all))
-    // composed-layer audio cap 256 (vs x112's registry 128): the union's
-    // buckets are component-granular but still clique-sized at 100×
-    // density — 256 keeps true pairs sampled (measured 0.9966 vs 0.9899
-    // at 128, BASELINE round-15)
-    val cap = sys.env.get("GRAFT_PO_AUDIO_CAP").map(_.toInt).getOrElse(256)
+    // composed-layer audio sizing (vs x112's registry 128/no-df):
+    // df 512 + cap 1024, the round-17 per-miss outcome. Round 15/16 ran
+    // cap 256 / no df (0.9966 at 100×, 909,940 capped drops); the
+    // round-17 diagnostic showed every residual miss passed the uncapped
+    // cut, cap escalation alone was quadratic-cost-for-one-pair (512 →
+    // 0.9975 at +36% wall), and the df filter alone over-cut (256 →
+    // 0.9941). COMPOSED, the df filter removes the collapsed-entropy
+    // junk hashes that were consuming the cap's slots and the cap then
+    // never binds: df 512 / cap 1024 → recall 0.9992 at the cap-256
+    // wall with ZERO capped drops (BASELINE round-17 table). The one
+    // residual miss is a track whose ENTIRE constellation sits in
+    // > 512-component hashes — no identity signal under the scheme
+    // (DF_FILTERED in the diag below), the measured form ceiling.
+    val cap = sys.env.get("GRAFT_PO_AUDIO_CAP").map(_.toInt).getOrElse(1024)
+    // GRAFT_PO_AUDIO_MAXDF overrides the df cut (0 disables): hashes in
+    // more than maxDf DISTINCT tracks/components carry no identity
+    // signal but dominate in-bucket pair generation (audioNearDups' df
+    // filter — the production hot-hash posture)
+    val mdf = sys.env.get("GRAFT_PO_AUDIO_MAXDF").map(_.toInt).getOrElse(512)
     val t1 = System.nanoTime()
     val lms = Multimodal.audioFingerprints(all, window = win, triples = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -182,7 +196,7 @@ object PartialOverlapProbe {
     val acc = spark.sparkContext.longAccumulator("poDropsAudio")
     val t2 = System.nanoTime()
     val pairs = Multimodal.audioNearDups(lmsRes, maxPerHash = cap,
-        droppedAcc = Some(acc))
+        maxDf = mdf, droppedAcc = Some(acc))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nPairs = pairs.count()
     val wallMatch = (System.nanoTime() - t2) / 1e9
@@ -232,6 +246,73 @@ object PartialOverlapProbe {
       f"miss_rep_substituted=$missSub offset_exact=$offOk")
     assert(idHits == 0,
       s"PREMISE BROKEN at $d: identity stage matched $idHits planted pairs")
+    // GRAFT_PO_DIAG=1: per-miss anatomy (the audio twin of the video
+    // device that closed round-16's 9 misses) — for every missed planted
+    // pair, replay the matcher's EXACT uncapped vote histogram between
+    // the two components' union fingerprints driver-side (bounded: the
+    // tuple-level union is distinct-(lhash,t) and misses are ≤ a handful)
+    // and apply the same minVotes/minCoverage cut. A miss that PASSES
+    // uncapped is hot-bucket truncation (cap recoverable); one that fails
+    // even uncapped is landmark divergence (the corpus/window ceiling).
+    if (sys.env.get("GRAFT_PO_DIAG").contains("1")) {
+      val misses = eligible.filter(col("rp") =!= col("ro"))
+        .join(undirected, col("rp") === col("x") && col("ro") === col("y"),
+          "left_anti")
+        .select("pid", "oid", "rp", "ro").collect()
+      println(s"PARTIAL-OVERLAP AUDIO $d DIAG: ${misses.length} misses")
+      def tuplesOf(id: Long): Array[(Long, Int)] = lmsRes
+        .filter(col("media_id") === id)
+        .select(col("lhash").cast("long"), col("t").cast("int"))
+        .collect().map(x => (x.getLong(0), x.getInt(1)))
+      // audioNearDups defaults: minVotes=5, minCoverage=0.25 (kept==raw
+      // denominators uncapped)
+      def bestVote(tp: Array[(Long, Int)], to: Array[(Long, Int)])
+          : (Int, Int, Double) = {
+        val byHashO = to.groupBy(_._1)
+        val votes = scala.collection.mutable.Map.empty[Int, Int]
+        tp.foreach { case (lh, ta) =>
+          byHashO.getOrElse(lh, Array.empty[(Long, Int)]).foreach {
+            case (_, tb) =>
+              val off = ta - tb
+              votes(off) = votes.getOrElse(off, 0) + 1
+          }
+        }
+        val (bestOff, bestV) =
+          if (votes.isEmpty) (0, 0) else votes.minBy(t => (-t._2, t._1))
+        val covDen = math.min(tp.length, to.length)
+        (bestOff, bestV, if (covDen == 0) 0.0 else bestV.toDouble / covDen)
+      }
+      def passes(v: Int, cv: Double): Boolean = v >= 5 && cv >= 0.25
+      misses.take(20).foreach { r =>
+        val (pid, oid, rp, ro) = (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))
+        val tp = tuplesOf(rp)
+        val to = tuplesOf(ro)
+        // df filter replay: a pair can be lost to the DF CUT, not the
+        // cap — its aligned hashes all sit in > maxDf-component buckets
+        // (no identity signal under the scheme, the junk profile)
+        val dfMap: Map[Long, Long] =
+          if (mdf <= 0) Map.empty
+          else {
+            val hs = (tp.map(_._1) ++ to.map(_._1)).distinct.toSeq
+            lmsRes.filter(col("lhash").isin(hs: _*))
+              .groupBy("lhash").agg(countDistinct(col("media_id")).as("d"))
+              .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+          }
+        def keep(lh: Long) = mdf <= 0 || dfMap.getOrElse(lh, 0L) <= mdf
+        val (bestOff, bestV, cv) = bestVote(tp, to)
+        val (_, fV, fCv) =
+          if (mdf <= 0) (bestOff, bestV, cv)
+          else bestVote(tp.filter(t => keep(t._1)), to.filter(t => keep(t._1)))
+        val label =
+          if (passes(fV, fCv)) "CAP_TRUNCATION(passes_filtered_uncapped)"
+          else if (passes(bestV, cv)) "DF_FILTERED(no_sub-df_signal)"
+          else "LANDMARK_DIVERGENCE(fails_uncapped)"
+        println(f"  miss pid=$pid oid=$oid rp=$rp ro=$ro nP=${tp.length} " +
+          f"nO=${to.length} best_off=$bestOff votes=$bestV coverage=$cv%.4f " +
+          f"df_votes=$fV df_coverage=$fCv%.4f -> $label")
+      }
+    }
     if (gate) assert(recall >= MinComposedRecall,
       f"AUDIO PARTIAL-OVERLAP RECALL GATE FAILED at $d: " +
         f"$recall%.4f < $MinComposedRecall")
