@@ -32,6 +32,24 @@ object IvfStore {
   private def centroidsPath(path: String) = s"$path/centroids"
   private def vectorsPath(path: String) = s"$path/vectors"
 
+  /** The vectors relation's pinned schema. Reads must NOT infer it: a
+    * store created from an EMPTY corpus writes no part files under the
+    * partitioned `vectors/` dir (Spark writes nothing for an empty
+    * partitionBy write), and schema inference then throws
+    * UNABLE_TO_INFER_SCHEMA on the first search/compact/rebalance —
+    * the pinned schema makes the empty store answer empty instead.
+    */
+  private val VectorsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("cell", LongType)))
+  }
+
+  private def readVectors(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(VectorsSchema).parquet(vectorsPath(path))
+
   /** Fit + assign + lay out; returns the fitted centroids. */
   def create(spark: SparkSession, path: String, corpus: DataFrame,
              nlist: Int = 16, kmeansIters: Int = 2): Array[Array[Double]] =
@@ -93,7 +111,7 @@ object IvfStore {
   def compact(spark: SparkSession, path: String): Unit =
     graft.sources.MutationGuard.withGuard(spark, path) {
       graft.sources.SwapDir(spark, vectorsPath(path)) { tmp =>
-        spark.read.parquet(vectorsPath(path))
+        readVectors(spark, path)
           .dropDuplicates()
           .repartition(col("cell"))
           .write.partitionBy("cell").parquet(tmp)
@@ -137,7 +155,7 @@ object IvfStore {
                 sampleSize: Int = 0): Array[Array[Double]] =
     graft.sources.MutationGuard.withGuard(spark, path) {
       import spark.implicits._
-      val vecs = spark.read.parquet(vectorsPath(path))
+      val vecs = readVectors(spark, path)
         .select(col("vec_id"), col("embedding"))
         .dropDuplicates()
       val effNlist = if (nlist > 0) nlist else centroids(spark, path).length
@@ -183,7 +201,7 @@ object IvfStore {
         size(col("qe")) === cents(0).length)
     val probes = Similarity.probeCells(q, cents, nprobe)
     val probedCells = probes.select(col("cell")).distinct().as[Long].collect()
-    val vecs = spark.read.parquet(vectorsPath(path))
+    val vecs = readVectors(spark, path)
       .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
     val scored = vecs.join(broadcast(probes), "cell")
       .withColumn("cos_sim", Similarity.cosine(col("embedding"), col("qe")))

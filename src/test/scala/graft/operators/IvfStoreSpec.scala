@@ -111,6 +111,16 @@ class IvfStoreSpec extends SparkSpec {
     assert(hits() == 1, "compact did not collapse the replayed rows")
   }
 
+  test("rebalance on an empty store neither throws nor breaks search") {
+    val path = tmpStore()
+    IvfStore.create(spark, path, emb.limit(0), nlist = 4)
+    assert(IvfStore.search(spark, path, queries, k = 5, nprobe = 2)
+      .count() == 0, "empty store must answer empty before rebalance")
+    IvfStore.rebalance(spark, path)
+    assert(IvfStore.search(spark, path, queries, k = 5, nprobe = 2)
+      .count() == 0, "empty store must answer empty after rebalance")
+  }
+
   test("rebalance: a skew-grown store regains balanced cells; answers stay " +
       "exact-in-probed-cells; appends follow the new centroids") {
     import spark.implicits._
