@@ -53,6 +53,33 @@ object Bm25Store {
   private def dfPath(path: String) = s"$path/df"
   private def metaPath(path: String) = s"$path/meta"
 
+  /** Pinned schemas for the two PARTITIONED relations (the IvfStore
+    * device): an empty-corpus store writes no part files under a
+    * partitionBy dir, and inference then throws UNABLE_TO_INFER_SCHEMA
+    * on the first query — the pinned layout makes an empty store answer
+    * empty. `meta` needs no pin: its global aggregate always emits one
+    * row, even over an empty corpus.
+    */
+  private val PostingsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("dl", LongType),
+      StructField("tok", StringType), StructField("tf", LongType),
+      StructField("bucket", LongType)))
+  }
+  private val DfSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("tok", StringType), StructField("df", LongType),
+      StructField("bucket", LongType)))
+  }
+
+  private def readPostings(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(PostingsSchema).parquet(postingsPath(path))
+
+  private def readDf(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(DfSchema).parquet(dfPath(path))
+
   // ---- session registry (the HashHistory/PairStore device, path-shaped):
   // a producer step (createFor) builds the index ONCE per (application,
   // corpus dir); query entries then answer from the store and fall back to
@@ -106,7 +133,7 @@ object Bm25Store {
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets)))
     postings.write.mode("overwrite")
       .partitionBy("bucket").parquet(postingsPath(path))
-    val p = spark.read.parquet(postingsPath(path))
+    val p = readPostings(spark, path)
     p.groupBy(col("bucket"), col("tok")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dfPath(path))
     // stats from the postings' per-doc dl (first row per doc); n_docs from
@@ -183,12 +210,12 @@ object Bm25Store {
     swap(postingsPath(path)) { tmp =>
       // hash-cluster by bucket so each task owns whole buckets -> ~one
       // file per bucket dir (an index-sized exchange, the compaction bill)
-      spark.read.parquet(postingsPath(path))
+      readPostings(spark, path)
         .repartition(col("bucket"))
         .write.partitionBy("bucket").parquet(tmp)
     }
     swap(dfPath(path)) { tmp =>
-      spark.read.parquet(dfPath(path))
+      readDf(spark, path)
         .groupBy(col("bucket"), col("tok")).agg(sum(col("df")).as("df"))
         .repartition(col("bucket"))
         .write.partitionBy("bucket").parquet(tmp)
@@ -226,13 +253,13 @@ object Bm25Store {
     def pruned(base: DataFrame): DataFrame = base
       .filter(col("bucket").isin(termBuckets: _*) &&
         col("tok").isin(termSet: _*))
-    val tf = pruned(spark.read.parquet(postingsPath(path)))
+    val tf = pruned(readPostings(spark, path))
       .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
     // segment-merge at query time: df rows are per-(segment, token)
     // deltas, summed here over the PRUNED buckets only — query-terms-sized
     // work, never an index-wide pass (one segment → sum of one row, the
     // pre-append value exactly)
-    val dfRel = pruned(spark.read.parquet(dfPath(path)))
+    val dfRel = pruned(readDf(spark, path))
       .groupBy(col("tok")).agg(sum(col("df")).as("df"))
     val stats = meta(spark, path).select(col("n_docs"), col("sum_dl"))
     val qRel = qterms.toDF("query_id", "tok")

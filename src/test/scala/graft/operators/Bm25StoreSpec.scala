@@ -14,6 +14,16 @@ class Bm25StoreSpec extends SparkSpec {
   private lazy val docs = graft.queries.Tables.documents(spark, Sf).cache()
   private val qs = graft.queries.CurationOps.Bm25QuerySet
 
+  test("an empty-corpus store creates, queries and compacts without throwing") {
+    val path = tmpStore()
+    Bm25Store.create(spark, path, docs.limit(0))
+    assert(Bm25Store.query(spark, path, qs, k = 5).count() == 0,
+      "empty store must answer empty")
+    Bm25Store.compact(spark, path)
+    assert(Bm25Store.query(spark, path, qs, k = 5).count() == 0,
+      "empty store must answer empty after compact")
+  }
+
   test("queryTerms normalization equals the postings-side lower() on locale-adversarial input") {
     import spark.implicits._
     // the index is built with Spark's locale-independent lower(); the ONE
