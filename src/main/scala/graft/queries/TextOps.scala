@@ -800,7 +800,7 @@ object TextOps {
     */
   private[graft] def triageCascade(s: SparkSession, d: String,
       batchDocs: DataFrame, batchArrs: DataFrame,
-      history: => DataFrame): DataFrame = {
+      history: => DataFrame, k: Int = DupGramK): DataFrame = {
     // each stage's output is batch-bounded-small (ids + a verdict/measure
     // column) and feeds SEVERAL downstream stages — materialize them, or
     // lazy evaluation re-runs every earlier leg inside every later one
@@ -826,9 +826,9 @@ object TextOps {
       "left_semi")
     val gramFrac = Dedup.incrementalDupGrams(gramBatch,
         graft.sources.GramHistory.probeHistory(s, d,
-          graft.sources.GramHistory.gramHashes(gramBatch, DupGramK))(
-          graft.sources.GramHistory.gramHashes(history, DupGramK)),
-        k = DupGramK, broadcastProbe = false)
+          graft.sources.GramHistory.gramHashes(gramBatch, k))(
+          graft.sources.GramHistory.gramHashes(history, k)),
+        k = k, broadcastProbe = false)
       .select(col("doc_id"), col("hist_frac"))
     triageFrame(status, best, gramFrac)
   }

@@ -992,11 +992,21 @@ object CurationStreams {
     * this batch's verdicts WITH the committed stores' self-hits visible —
     * pair `sink` with a batchId-keyed idempotent write if downstream
     * consumes verdicts transactionally.
+    *
+    * `cascade = true` runs each micro-batch through x126's steady-state
+    * form instead ([[graft.queries.TextOps.triageCascade]]: exact status
+    * first, the near-dup probe on `kept` survivors only, the gram audit
+    * on near-dup survivors only — unprobed legs read 0). The verdict
+    * relation is identical either way (legs are per-doc independent), so
+    * the watermark/append/replay machinery is shared; a crawl stream
+    * where most arrivals resolve at the cheap exact leg should run the
+    * cascade (the measured 100× delta is ~2×, BASELINE round-17).
     */
   def crawlTriage(docs: DataFrame, dir: String,
                   k: Int = graft.queries.TextOps.DupGramK,
                   sink: DataFrame => Unit,
-                  growStore: Boolean = true)
+                  growStore: Boolean = true,
+                  cascade: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val aHash = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     val aGram = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
@@ -1009,7 +1019,8 @@ object CurationStreams {
           graft.sources.GramHistory.gramHashes(b, k)),
         b => graft.sources.MinHashHistory.append(b.sparkSession, dir,
           graft.queries.TextOps.minHashBandsOf(b),
-          graft.queries.TextOps.minHashShinglesOf(b)))
+          graft.queries.TextOps.minHashShinglesOf(b)),
+        cascade)
     }
   }
 
@@ -1023,7 +1034,7 @@ object CurationStreams {
       aGram: java.util.concurrent.atomic.AtomicLong,
       aMh: java.util.concurrent.atomic.AtomicLong, growStore: Boolean,
       appendHash: DataFrame => Unit, appendGram: DataFrame => Unit,
-      appendMh: DataFrame => Unit): Unit = {
+      appendMh: DataFrame => Unit, cascade: Boolean = false): Unit = {
     val spark = batch.sparkSession
     def tableOf(name: String, t: Option[String]): String =
       t.getOrElse(throw new IllegalStateException(
@@ -1052,23 +1063,38 @@ object CurationStreams {
     // with a batchId-keyed idempotent write if downstream cares.
     if (aHash.get() >= batchId && aGram.get() >= batchId &&
         aMh.get() >= batchId) return
-    val status = graft.operators.Dedup.incrementalStatusBinary(batch,
-      graft.sources.HashHistory.scanOrCompute(spark, dir)(
-        sys.error(s"unreachable: $hashT is registered")))
-    val gramFrac = graft.operators.Dedup.incrementalDupGrams(batch,
-        graft.sources.GramHistory.probeHistory(spark, dir,
-          graft.sources.GramHistory.gramHashes(batch, k))(
-          sys.error(s"unreachable: $gramT is registered")),
-        k = k, broadcastProbe = false)
-      .select(col("doc_id"), col("hist_frac"))
-    val (bands, sh) = graft.sources.MinHashHistory.scanOrCompute(spark, dir)(
-      sys.error(s"unreachable: $mhT is registered"))
-    val best = graft.operators.Dedup.incrementalNearDups(
-        graft.queries.TextOps.shingleArrays(batch), bands, sh)
-      .groupBy(col("doc_a").as("doc_id"))
-      .agg(max(col("jaccard")).as("best_jaccard"))
-    val scored = graft.queries.TextOps.triageFrame(status, best, gramFrac)
-      .persist()
+    // cascade = x126's steady-state form per micro-batch (exact status
+    // first, near-dup only on kept survivors, gram audit only on
+    // near-dup survivors — unprobed legs read 0); default = x125's
+    // explainable all-legs form. Same verdict relation either way (the
+    // cascade's legs are per-doc independent — TriageCascadeSpec), so
+    // the append/replay machinery below is shared untouched.
+    val scored0 =
+      if (cascade)
+        graft.queries.TextOps.triageCascade(spark, dir, batch,
+          graft.queries.TextOps.shingleArrays(batch),
+          sys.error(s"unreachable: $hashT/$gramT/$mhT are registered"),
+          k = k)
+      else {
+        val status = graft.operators.Dedup.incrementalStatusBinary(batch,
+          graft.sources.HashHistory.scanOrCompute(spark, dir)(
+            sys.error(s"unreachable: $hashT is registered")))
+        val gramFrac = graft.operators.Dedup.incrementalDupGrams(batch,
+            graft.sources.GramHistory.probeHistory(spark, dir,
+              graft.sources.GramHistory.gramHashes(batch, k))(
+              sys.error(s"unreachable: $gramT is registered")),
+            k = k, broadcastProbe = false)
+          .select(col("doc_id"), col("hist_frac"))
+        val (bands, sh) =
+          graft.sources.MinHashHistory.scanOrCompute(spark, dir)(
+            sys.error(s"unreachable: $mhT is registered"))
+        val best = graft.operators.Dedup.incrementalNearDups(
+            graft.queries.TextOps.shingleArrays(batch), bands, sh)
+          .groupBy(col("doc_a").as("doc_id"))
+          .agg(max(col("jaccard")).as("best_jaccard"))
+        graft.queries.TextOps.triageFrame(status, best, gramFrac)
+      }
+    val scored = scored0.persist()
     try {
       scored.count(): Unit // pin pre-append values
       sink(scored)

@@ -1425,6 +1425,62 @@ class CurationStreamsSpec extends SparkSpec {
     triageInvalidate(dir)
   }
 
+  test("streaming crawl triage CASCADE: verdicts identical, unprobed legs read 0, " +
+      "stream equals the batch cascade on the same pre-append stores") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.queries.TextOps
+    val dir = s"/tmp/triage_casc_${System.nanoTime}"
+    mkTriageStores(dir)
+    val stripText = ndText("tail") + " " +
+      (1 to 30).map(i => s"zfresh$i").mkString(" ")
+    val b1 = Seq(ndDoc(10L, ndText("edited")), ndDoc(11L, ndNovel),
+      ndDoc(12L, ndText("tail")), ndDoc(13L, stripText))
+    val batchDf = b1.toDF("doc_id", "text", "lang", "n_chars")
+    // batch cascade against the SAME pre-append stores, computed BEFORE
+    // the stream grows them (the fallback never fires — stores are
+    // registered)
+    val want = TextOps.triageCascade(spark, dir, batchDf,
+        TextOps.shingleArrays(batchDf),
+        sys.error("unreachable: stores registered"))
+      .select("doc_id", "status", "best_jaccard", "hist_frac", "verdict")
+      .as[(Long, String, Double, Double, String)].collect().toSet
+    val out = scala.collection.mutable.ListBuffer[(Long, String, Double, Double, String)]()
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val q = CurationStreams.crawlTriage(
+        mem.toDF().toDF("doc_id", "text", "lang", "n_chars"), dir,
+        sink = df => out ++= df
+          .select("doc_id", "status", "best_jaccard", "hist_frac", "verdict")
+          .as[(Long, String, Double, Double, String)].collect(),
+        cascade = true)
+      .start()
+    try {
+      mem.addData(b1)
+      q.processAllAvailable()
+      // same verdicts as the all-legs twin's fixture expectation
+      val verdicts = out.map(r => r._1 -> r._5).toMap
+      assert(verdicts == Map(10L -> "drop_near", 11L -> "keep",
+        12L -> "drop_exact", 13L -> "strip_spans"), s"got $verdicts")
+      assert(out.toSet == want, s"stream ${out.toSet} != batch cascade $want")
+      // the cascade's defining shape: unprobed legs read 0 — the exact
+      // drop carries no near-dup/gram measures, the near drop no gram
+      val d12 = out.find(_._1 == 12L).get
+      assert(d12._3 == 0.0 && d12._4 == 0.0,
+        s"exact drop probed downstream legs: $d12")
+      val d10 = out.find(_._1 == 10L).get
+      assert(d10._4 == 0.0, s"near drop probed the gram leg: $d10")
+      // batch 2: a verbatim copy of batch 1's novel doc resolves at the
+      // exact leg (batch 1's appends made it history), measures 0
+      mem.addData(Seq(ndDoc(20L, ndNovel)))
+      q.processAllAvailable()
+      val d2 = out.filter(_._1 == 20L)
+      assert(d2.size == 1 && d2.head._5 == "drop_exact" &&
+        d2.head._3 == 0.0 && d2.head._4 == 0.0,
+        s"cascade copy not resolved at the exact leg: $d2")
+    } finally q.stop()
+    triageInvalidate(dir)
+  }
+
   test("streaming crawl triage: a failed middle append retries alone; committed stores skip") {
     import spark.implicits._
     import graft.queries.TextOps
