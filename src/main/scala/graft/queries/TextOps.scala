@@ -578,8 +578,9 @@ object TextOps {
     * history-side exchange — the per-store plan gates) and falls back to
     * the derived in-query history otherwise; the oracle replays all three
     * derivations and the verdict CASE in one SQL. Thresholds are the
-    * registry pins (x40's 0.8; 0.3 for the strip route) — production
-    * derives its own, as x115 does for quality cuts.
+    * registry pins (x40's 0.8; 0.3 for the strip route) — the
+    * quantile-DERIVED strip cut is x127 (the x115 device; the near-dup
+    * cut stays pinned by banding design, see x127's scaladoc).
     *
     * COST SHAPE, deliberate: this is the x90-style EXPLAINABLE audit —
     * all three measures for EVERY batch doc (threshold tuning and "why
@@ -588,7 +589,9 @@ object TextOps {
     * status first (cheapest), near-dup probe only on `kept` survivors,
     * gram audit only on near-dup survivors — batch-sized legs shrinking
     * at each stage. The cascade emits the same verdicts; only the
-    * non-verdict columns differ (unprobed legs read 0).
+    * non-verdict columns differ (unprobed legs read 0). That form is
+    * x126 (batch) and `CurationStreams.crawlTriage(cascade = true)`
+    * (streaming).
     */
   val x125_crawl_triage: QueryDef = QueryDef(
     "x125_crawl_triage",
