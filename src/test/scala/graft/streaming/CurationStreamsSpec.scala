@@ -1084,6 +1084,112 @@ class CurationStreamsSpec extends SparkSpec {
     graft.sources.GramHistory.invalidate(spark, dir)
   }
 
+  test("replay watermarks are scoped to the streaming-query lineage: a " +
+      "fresh checkpoint over a surviving store skips NOTHING") {
+    import spark.implicits._
+    val k = 8
+    val QidKey = "sql.streaming.queryId"
+    val dir = s"/tmp/gram_audit_spec_lineage_${System.nanoTime}"
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    graft.sources.GramHistory.create(spark, dir, corpus, k, buckets = 4)
+    val table = graft.sources.GramHistory.registeredTable(spark, dir).get
+    try {
+      // lineage A (simulated stream thread): three committed epochs
+      spark.sparkContext.setLocalProperty(QidKey, "lineage-A")
+      val guardA = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+      for (b <- 0L to 2L)
+        CurationStreams.gramAuditBatch(
+          Seq((100L + b, s"lineage A text number $b entirely fresh"))
+            .toDF("doc_id", "text"),
+          b, dir, k, _ => (), guardA, growStore = true,
+          inc => graft.sources.GramHistory.append(spark, dir, inc))
+      assert(graft.sources.StreamMark.read(spark, table) == 2L,
+        "same-lineage read must see its own high-water mark")
+      // lineage B: a FRESH checkpoint's batchIds restart at 0 — the old
+      // mark must not be honored, or batches 0..2 silently skip probe,
+      // sink AND appends (the round-17 regression this test pins)
+      spark.sparkContext.setLocalProperty(QidKey, "lineage-B")
+      assert(graft.sources.StreamMark.read(spark, table) == -1L,
+        "another lineage's watermark leaked across checkpoints")
+      var sinks = 0
+      var appends = 0
+      val guardB = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+      CurationStreams.gramAuditBatch(
+        Seq((200L, "lineage B sentence nobody wrote before"))
+          .toDF("doc_id", "text"),
+        0L, dir, k, _ => sinks += 1, guardB, growStore = true,
+        inc => { appends += 1
+          graft.sources.GramHistory.append(spark, dir, inc) })
+      assert(sinks == 1, "fresh lineage's batch 0 sink was skipped")
+      assert(appends == 1, "fresh lineage's batch 0 append was skipped")
+      // lineage B's commit overwrote the mark; A's view is gone, and a
+      // DIRECT (non-streaming) read never honors a real stream's mark
+      spark.sparkContext.setLocalProperty(QidKey, null)
+      assert(graft.sources.StreamMark.read(spark, table) == -1L,
+        "a streaming lineage's mark leaked into non-streaming reads")
+    } finally {
+      spark.sparkContext.setLocalProperty(QidKey, null)
+      graft.sources.GramHistory.invalidate(spark, dir)
+    }
+  }
+
+  test("triage full-epoch skip is lineage-scoped: a fresh checkpoint's " +
+      "batch 0 still probes and sinks over committed stores") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{md5, unhex}
+    import graft.queries.TextOps
+    val QidKey = "sql.streaming.queryId"
+    val dir = s"/tmp/triage_lineage_${System.nanoTime}"
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta",
+      "en", 44)).toDF("doc_id", "text", "lang", "n_chars")
+    graft.sources.HashHistory.create(spark, dir,
+      corpus.select(unhex(md5(col("text"))).as("th")), buckets = 4)
+    graft.sources.GramHistory.create(spark, dir, corpus, TextOps.DupGramK,
+      buckets = 4)
+    graft.sources.MinHashHistory.create(spark, dir,
+      TextOps.minHashBandsOf(corpus), TextOps.minHashShinglesOf(corpus),
+      buckets = 4)
+    val batch = Seq((10L, "a wholly novel lineage-test document body here",
+      "en", 46)).toDF("doc_id", "text", "lang", "n_chars")
+    def guards() = (new java.util.concurrent.atomic.AtomicLong(Long.MinValue),
+      new java.util.concurrent.atomic.AtomicLong(Long.MinValue),
+      new java.util.concurrent.atomic.AtomicLong(Long.MinValue))
+    try {
+      // lineage A commits epochs 0..3 (marks at 3 on all three stores)
+      spark.sparkContext.setLocalProperty(QidKey, "lineage-A")
+      val (h1, g1, m1) = guards()
+      for (b <- 0L to 3L)
+        CurationStreams.triageBatch(
+          Seq((20L + b, s"lineage A novel body number $b", "en", 27))
+            .toDF("doc_id", "text", "lang", "n_chars"),
+          b, dir, TextOps.DupGramK, _ => (), h1, g1, m1, growStore = true,
+          bh => graft.sources.HashHistory.append(spark, dir,
+            bh.select(unhex(md5(col("text"))).as("th"))),
+          bg => graft.sources.GramHistory.append(spark, dir,
+            graft.sources.GramHistory.gramHashes(bg, TextOps.DupGramK)),
+          bm => graft.sources.MinHashHistory.append(spark, dir,
+            TextOps.minHashBandsOf(bm), TextOps.minHashShinglesOf(bm)))
+      // lineage B (fresh checkpoint, batchIds restart at 0): before the
+      // fix the three marks (all >= 0) skipped probe, sink AND appends
+      spark.sparkContext.setLocalProperty(QidKey, "lineage-B")
+      var sinks = 0
+      var appends = 0
+      val (h2, g2, m2) = guards()
+      CurationStreams.triageBatch(batch, 0L, dir, TextOps.DupGramK,
+        _ => sinks += 1, h2, g2, m2, growStore = true,
+        _ => appends += 1, _ => appends += 1, _ => appends += 1)
+      assert(sinks == 1, "fresh lineage's triage batch 0 was fully skipped")
+      assert(appends == 3,
+        s"fresh lineage's triage appends skipped: $appends of 3 ran")
+    } finally {
+      spark.sparkContext.setLocalProperty(QidKey, null)
+      graft.sources.HashHistory.invalidate(spark, dir)
+      graft.sources.GramHistory.invalidate(spark, dir)
+      graft.sources.MinHashHistory.invalidate(spark, dir)
+    }
+  }
+
   // ------------------------------------- streaming incremental payload
 
   // monotone ramp payload: the stub re-encode's one-cell dropout flips
