@@ -368,24 +368,44 @@ object Dedup {
     * shape): batch band buckets with lang FOLDED INTO the bucket key (the
     * store does the same — see TextOps.minHashBandsOf), broadcast —
     * batch × bands rows, broadcast-bounded by the family's batch ≪ store
-    * premise — into a MAP-ONLY scan of the band store: no store-side
-    * exchange and no store-side sort (the bucketed SMJ shape re-sorted
-    * the grown multi-segment store per probe). The length window — x40's
-    * other scale-contract restriction — is a non-equi predicate and
-    * rides the join condition without becoming a key.
+    * premise, ENFORCED by [[graft.util.ProbeBudget]]: the band relation
+    * is materialized once (it feeds the count and the join — the
+    * signature pipeline never re-runs), counted, and broadcast only
+    * within budget — into a MAP-ONLY scan of the band store: no
+    * store-side exchange and no store-side sort (the bucketed SMJ shape
+    * re-sorted the grown multi-segment store per probe). Over budget —
+    * the contract violated — the join degrades to the non-broadcast
+    * shape (bounded memory) with a named warning instead of an opaque
+    * broadcast OOM. The length window — x40's other scale-contract
+    * restriction — is a non-equi predicate and rides the join condition
+    * without becoming a key.
     */
   private[graft] def nearDupCandidates(batchArrs: DataFrame,
       histBands: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    import graft.util.ProbeBudget
     val sigs = minHashSignaturesFromArrays(
       batchArrs.select(col("doc_id"), col("shs")), numHashes)
-    val bBands = bandedBuckets(sigs, bands, numHashes)
-      .join(batchArrs.select(col("doc_id"), col("lang"), col("n_chars")),
-        "doc_id")
-      .select(col("doc_id").as("doc_a"),
-        xxhash64(col("bucket"), col("lang"))
-          .as(graft.sources.MinHashHistory.KeyCol),
-        col("n_chars").as("_nca"))
-    broadcast(bBands)
+    val bBands = graft.util.Materialize.eager(
+      bandedBuckets(sigs, bands, numHashes)
+        .join(batchArrs.select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id")
+        .select(col("doc_id").as("doc_a"),
+          xxhash64(col("bucket"), col("lang"))
+            .as(graft.sources.MinHashHistory.KeyCol),
+          col("n_chars").as("_nca")))
+    val nBands = bBands.count()
+    val spark = batchArrs.sparkSession
+    val probe =
+      if (ProbeBudget.within(spark, nBands, ProbeBudget.BytesPerBandRow))
+        broadcast(bBands)
+      else {
+        ProbeBudget.warnExceeded(
+          org.slf4j.LoggerFactory.getLogger(getClass),
+          "Dedup.nearDupCandidates batch band relation", nBands,
+          ProbeBudget.BytesPerBandRow, spark)
+        bBands
+      }
+    probe
       .join(histBands.select(col(graft.sources.MinHashHistory.KeyCol),
         col("id").as("doc_b"), col("n_chars").as("_ncb")),
         graft.sources.MinHashHistory.KeyCol)
@@ -794,13 +814,36 @@ object Dedup {
     * ([[graft.sources.GramHistory.probeHistory]], which also applies the
     * sidecar-bloom pre-cut), or whose "batch" rivals the store and needs
     * the co-located bucket join instead of a broadcast build.
+    *
+    * The batch key set is materialized (it feeds the budget count and
+    * the reduce join — the gram-explode UDF never re-runs) and the
+    * broadcasts apply only within [[graft.util.ProbeBudget]]; over
+    * budget the reduce degrades to the non-broadcast join with a named
+    * warning (the enforced batch ≪ store contract).
     */
   private def probeHistorySet(g: DataFrame, historyGrams: DataFrame,
                               broadcastProbe: Boolean): DataFrame =
     if (!broadcastProbe) historyGrams.select(col("gh"))
-    else broadcast(historyGrams.select(col("gh"))
-      .join(broadcast(g.select(col("gh")).distinct()), Seq("gh"), "left_semi")
-      .distinct())
+    else {
+      import graft.util.ProbeBudget
+      val keys = graft.util.Materialize.eager(
+        g.select(col("gh")).distinct())
+      val spark = g.sparkSession
+      val n = keys.count()
+      if (ProbeBudget.within(spark, n, ProbeBudget.BytesPerKeyRow))
+        broadcast(historyGrams.select(col("gh"))
+          .join(broadcast(keys), Seq("gh"), "left_semi")
+          .distinct())
+      else {
+        ProbeBudget.warnExceeded(
+          org.slf4j.LoggerFactory.getLogger(getClass),
+          "Dedup.probeHistorySet batch gram key set", n,
+          ProbeBudget.BytesPerKeyRow, spark)
+        historyGrams.select(col("gh"))
+          .join(keys, Seq("gh"), "left_semi")
+          .distinct()
+      }
+    }
 
   /** Incremental substring audit: score a NEW batch's documents against a
     * persisted corpus gram history ([[graft.sources.GramHistory]]) — per

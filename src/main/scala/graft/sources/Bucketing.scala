@@ -148,9 +148,55 @@ object Bucketing {
     * of failing schema inference.
     */
   def probeScan(spark: SparkSession, table: String): DataFrame =
-    spark.read.schema(spark.table(table).schema).parquet(
-      new org.apache.hadoop.fs.Path(
-        org.apache.spark.sql.GraftBridge.tableLocation(spark, table)).toString)
+    probeScan(spark, table, None)
+
+  /** [[probeScan]] restricted to a set of TABLE BUCKETS: only those
+    * buckets' part files are read (Spark writers encode the bucket id in
+    * the file name — `part-…_NNNNN.…`), so a probe whose candidate keys
+    * map to k of n buckets scans k/n of the store's bytes. Sound because
+    * a key can only live in its own bucket (`pmod(murmur3(key), n)` — the
+    * routing `bucketBy` applied at write time; the layout gate in
+    * GramHistorySpec pins the convention): rows outside the candidate
+    * buckets cannot match any candidate key. A file whose name carries no
+    * parseable bucket id is INCLUDED regardless (foreign files can only
+    * add rows to a membership semi-join, never lose them). `Some(empty)`
+    * reads nothing.
+    */
+  def probeScan(spark: SparkSession, table: String,
+                bucketIds: Option[Set[Int]]): DataFrame = {
+    val schema = spark.table(table).schema
+    val loc = new org.apache.hadoop.fs.Path(
+      org.apache.spark.sql.GraftBridge.tableLocation(spark, table))
+    bucketIds match {
+      case None => spark.read.schema(schema).parquet(loc.toString)
+      case Some(bids) =>
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val files = fs.listStatus(loc).iterator
+          .filter(_.isFile)
+          .map(_.getPath.toString)
+          .filterNot { p =>
+            val name = p.substring(p.lastIndexOf('/') + 1)
+            name.startsWith("_") || name.startsWith(".")
+          }
+          .filter(p => bucketIdOfFile(p).forall(bids.contains))
+          .toSeq
+        if (files.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.schema(schema).parquet(files: _*)
+    }
+  }
+
+  /** The bucket id encoded in a Spark bucketed part-file name
+    * (`part-…_NNNNN.c000…` — the LAST `_ddddd.` group), or None when the
+    * name carries none.
+    */
+  private[graft] def bucketIdOfFile(path: String): Option[Int] = {
+    val m = BucketFilePattern.findAllMatchIn(path).toSeq.lastOption
+    m.map(_.group(1).toInt)
+  }
+
+  private val BucketFilePattern = """_(\d{5})\.""".r
 
   /** Join two same-bucket-count tables on their bucket key; with bucketing
     * enabled (default) Catalyst plans a SortMergeJoin with NO Exchange.

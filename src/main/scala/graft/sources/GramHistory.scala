@@ -33,11 +33,25 @@ object GramHistory {
 
   private val stores = new ConcurrentHashMap[String, (String, Int)]()
 
-  // memoized sidecar-bloom broadcasts, validated by sidecar mtime so the
-  // (possibly large) bloom ships to executors once per store VERSION, not
-  // once per probe; mutating verbs also invalidate in-process
-  private val blooms =
-    new ConcurrentHashMap[String, (Long, Broadcast[BloomFilter])]()
+  // memoized sidecar-bloom broadcasts, validated by the sidecar's
+  // GENERATION counter (monotonic, bumped by every committed write — NOT
+  // mtime, whose 1 s/1 ms granularity can alias a rewrite by another
+  // application sharing the store and silently serve a stale bloom with
+  // FALSE NEGATIVES) so the (possibly large) bloom array ships to
+  // executors once per store version, not once per probe; mutating verbs
+  // also invalidate in-process
+  private val blooms = new ConcurrentHashMap[String,
+    (Long, Broadcast[Array[BloomFilter]], KeyBloom.Meta)]()
+
+  /** Broadcast-budget conf for the probe-reduce build side — the shared
+    * incremental-family knob ([[graft.util.ProbeBudget]]): when a probe's
+    * bloom-hit candidate keyset exceeds it, [[probeHistory]] falls back
+    * to the co-located bucketed join instead of an unbounded broadcast —
+    * the batch ≪ store contract, ENFORCED rather than documented: a
+    * caller whose "batch" rivals the store degrades to the graceful
+    * sort-merge shape, never to a driver OOM / 8 GB broadcast error.
+    */
+  val ProbeBudgetConf: String = graft.util.ProbeBudget.Conf
 
   private def key(spark: SparkSession, dir: String): String =
     spark.sparkContext.applicationId + "|" + new java.io.File(dir).getAbsolutePath
@@ -68,7 +82,7 @@ object GramHistory {
     val table = tableFor(dir)
     MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
       Bucketing.writeBucketed(gramHashes(corpus, k), table, GramCol, buckets)
-      rebuildBloom(spark, table)
+      rebuildBloom(spark, table, buckets)
     }
     // a recreated store is a NEW streaming lineage: drop any replay
     // watermark a previous stream left or its appends are silently skipped
@@ -77,20 +91,18 @@ object GramHistory {
   }
 
   /** (Re)build the [[KeyBloom]] sidecar from the table's current keys —
-    * one extra store pass at producer time (the bucketed read bounds the
-    * per-task bloom partials at `buckets` concurrent allocations). Sized
-    * with [[KeyBloom.Headroom]] so appends have capacity; failures only
-    * lose the accelerator (probes fall back to the plain scan), never
-    * the store, so they degrade loudly-but-nonfatally.
+    * one extra store pass at producer time, per-bucket task-local
+    * ([[KeyBloom.build]]: each task writes ONE bucket's bloom; no
+    * driver-side bloom bytes). Sized with [[KeyBloom.Headroom]] so
+    * appends have capacity; failures only lose the accelerator (probes
+    * fall back to the plain scan), never the store, so they degrade
+    * loudly-but-nonfatally.
     */
-  private def rebuildBloom(spark: SparkSession, table: String): Unit =
+  private def rebuildBloom(spark: SparkSession, table: String,
+                           buckets: Int): Unit =
     try {
-      val n = spark.table(table).count()
-      val expected = math.max(1024L, KeyBloom.Headroom * n)
-      val bloom = spark.table(table).stat
-        .bloomFilter(GramCol, expected, KeyBloom.DefaultFpp)
-      KeyBloom.write(spark, Bucketing.guardBase(spark, table), bloom,
-        KeyBloom.Meta(expected, KeyBloom.DefaultFpp, n))
+      KeyBloom.build(spark, Bucketing.guardBase(spark, table),
+        spark.table(table).select(col(GramCol)), GramCol, buckets)
       blooms.remove(table): Unit
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -126,33 +138,30 @@ object GramHistory {
       // append: a crash between the two steps then leaves the bloom with
       // phantom keys (false positives — verified away, harmless), never
       // the table with keys the bloom misses (false negatives — silently
-      // wrong probes). An increment bloom built with the SAME
-      // (expected, fpp) has an identical layout, so the merge is a
-      // bit-OR. Past-capacity growth only raises the fpp (probe
-      // selectivity degrades, answers stay exact); compact() re-sizes. A
-      // legacy store without a sidecar stays legacy — a rebuild here
-      // would cost a full store scan per append.
+      // wrong probes). The fold is per-bucket task-local
+      // ([[KeyBloom.fold]]): only touched buckets' blooms are read,
+      // updated and rewritten, in ONE distributed job that also returns
+      // the folded count — no driver-side bloom bytes, no separate
+      // count() job (the round-17 monolith paid both per micro-batch).
+      // Past-capacity growth only raises the fpp (probe selectivity
+      // degrades, answers stay exact); compact() re-sizes. A legacy
+      // store without a sidecar stays legacy — a rebuild here would
+      // cost a full store scan per append.
       val base = Bucketing.guardBase(spark, table)
-      KeyBloom.read(spark, base).foreach { case (bloom, meta) =>
-        try {
-          val incKeys = increment.select(col(GramCol))
-          val incBloom = incKeys.stat
-            .bloomFilter(GramCol, meta.expected, meta.fpp)
-          bloom.mergeInPlace(incBloom)
-          KeyBloom.write(spark, base, bloom,
-            meta.copy(inserted = meta.inserted + incKeys.count()))
+      try {
+        if (KeyBloom.fold(spark, base,
+            increment.select(col(GramCol)), GramCol).exists(_ > 0L))
           blooms.remove(table): Unit
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            // a sidecar that may be missing the increment's keys would
-            // give FALSE NEGATIVES — delete it rather than risk that
-            KeyBloom.delete(spark, base)
-            blooms.remove(table): Unit
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"GramHistory: bloom sidecar update failed for $table — " +
-                s"sidecar dropped, probes fall back to the plain scan: " +
-                s"${e.getMessage}")
-        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // a sidecar that may be missing the increment's keys would
+          // give FALSE NEGATIVES — delete it rather than risk that
+          KeyBloom.delete(spark, base)
+          blooms.remove(table): Unit
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"GramHistory: bloom sidecar update failed for $table — " +
+              s"sidecar dropped, probes fall back to the plain scan: " +
+              s"${e.getMessage}")
       }
       increment.select(col(GramCol))
         .write.mode(SaveMode.Append)
@@ -179,9 +188,10 @@ object GramHistory {
     MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
       Bucketing.compactDistinct(spark, table, GramCol, buckets)
       // re-size the bloom sidecar to the compacted key count (this is
-      // also the upgrade path: a legacy or saturated store gains a
-      // right-sized sidecar at its next compaction)
-      rebuildBloom(spark, table)
+      // also the upgrade path: a legacy, saturated or pre-per-bucket
+      // store gains a right-sized per-bucket sidecar at its next
+      // compaction)
+      rebuildBloom(spark, table, buckets)
     }
   }
 
@@ -207,16 +217,24 @@ object GramHistory {
     *
     * With a [[KeyBloom]] sidecar, batch keys are pre-cut to bloom-hit
     * CANDIDATES first (no false negatives — a bloom miss is definitively
-    * absent), so the broadcast build set is dup-density-sized plus an
-    * fpp sliver of the fresh keys, and a fully-novel batch short-circuits
-    * to an EMPTY relation with ZERO store files read (spec-gated).
-    * Without a sidecar (legacy store) the reduction still runs against
-    * all batch keys — the sort-free scan win stands.
+    * absent; the cut is the codegen'd
+    * [[graft.functions.BloomBucketMightContain]], not an interpreted
+    * UDF), so the broadcast build set is dup-density-sized plus an fpp
+    * sliver of the fresh keys; a fully-novel batch short-circuits to an
+    * EMPTY relation with ZERO store files read, and a partially-novel
+    * one PRUNES the store scan to the candidate keys' BUCKETS (a key can
+    * only live in its own bucket — [[Bucketing.probeScan]]'s pruned
+    * form). Both spec-gated. Without a sidecar (legacy store) the
+    * reduction still runs against all batch keys — the sort-free scan
+    * win stands.
     *
-    * Contract: `batchKeys` is batch-bounded (the incremental family's
-    * premise — a probe batch is orders smaller than the store); a caller
-    * whose "batch" rivals the store should use [[scanOrCompute]] and the
-    * operators' co-located join path instead. Falls back to `compute`
+    * Contract — ENFORCED: `batchKeys` is batch-bounded (the incremental
+    * family's premise — a probe batch is orders smaller than the store).
+    * When the (bloom-cut) keyset's estimated broadcast footprint exceeds
+    * [[ProbeBudgetConf]], the probe degrades to the co-located bucketed
+    * sort-merge join (the graceful pre-round-17 shape: store-side sort,
+    * no exchange, no unbounded broadcast) with a named warning, instead
+    * of an opaque 8 GB-limit/driver-OOM failure. Falls back to `compute`
     * when no producer step registered this (application, dir).
     */
   def probeHistory(spark: SparkSession, dir: String, batchKeys: DataFrame)
@@ -230,50 +248,89 @@ object GramHistory {
             "left_semi")
           .distinct())
       case Some((table, _)) =>
-        // plain-parquet probe scan: the reduce below is a broadcast semi,
-        // so bucket co-location buys nothing and the bucketed scan's
-        // one-partition-per-bucket split caps a grown store's read at
-        // `buckets`-way parallelism
-        val store = Bucketing.probeScan(spark, table).select(col(GramCol))
         // materialized once (batch-bounded): the bloom cut, the emptiness
-        // short-circuit and the broadcast build all consume it — lazy,
-        // each would re-run the batch gram derivation (measured ~1 s per
-        // extra pass at sf0.1)
+        // short-circuit, the budget count and the broadcast build all
+        // consume it — lazy, each would re-run the batch gram derivation
+        // (measured ~1 s per extra pass at sf0.1)
         val keys0 = graft.util.Materialize.eager(
           batchKeys.select(col(GramCol)))
         bloomBroadcast(spark, table) match {
           case None =>
-            broadcast(store.join(broadcast(keys0), Seq(GramCol), "left_semi")
-              .distinct())
-          case Some(bc) =>
-            val mightContain = udf((gh: Long) => bc.value.mightContainLong(gh))
-            val keys = keys0.filter(mightContain(col(GramCol)))
-            if (keys.isEmpty)
+            // plain-parquet probe scan: the reduce is a broadcast semi,
+            // so bucket co-location buys nothing and the bucketed scan's
+            // one-partition-per-bucket split caps a grown store's read
+            // at `buckets`-way parallelism
+            reduceOrFallback(spark, table, keys0, keys0.count(),
+              Bucketing.probeScan(spark, table).select(col(GramCol)))
+          case Some((bc, meta)) =>
+            val keyExpr = org.apache.spark.sql.GraftBridge.expression(
+              col(GramCol))
+            val bidExpr = org.apache.spark.sql.GraftBridge.expression(
+              KeyBloom.bucketIdCol(GramCol, meta.buckets))
+            val cand = graft.util.Materialize.eager(keys0.filter(
+              org.apache.spark.sql.GraftBridge.column(
+                graft.functions.BloomBucketMightContain(
+                  keyExpr, bidExpr, bc))))
+            val n = cand.count()
+            if (n == 0L)
               // nothing can match: zero store files read this probe
               spark.range(0).select(col("id").as(GramCol))
-            else
-              broadcast(store.join(broadcast(keys), Seq(GramCol), "left_semi")
-                .distinct())
+            else {
+              // candidate buckets are ≤ `buckets` driver-side ints; the
+              // store scan reads ONLY their files
+              val bids = cand
+                .select(KeyBloom.bucketIdCol(GramCol, meta.buckets).as("_b"))
+                .distinct().collect().map(_.getInt(0)).toSet
+              reduceOrFallback(spark, table, cand, n,
+                Bucketing.probeScan(spark, table, Some(bids))
+                  .select(col(GramCol)))
+            }
         }
     }
 
-  /** The memoized sidecar-bloom broadcast for a store table, revalidated
-    * by sidecar mtime (mutating verbs also invalidate in-process) — the
-    * bloom ships to executors once per store version, not once per probe.
+  /** The probe-reduce tail under the broadcast budget: within budget,
+    * the batch-bounded keyset broadcasts into a map-only scan of
+    * `store` (the pruned plain-parquet read) and the reduced result
+    * broadcasts onward; over budget — the batch ≪ store contract
+    * violated — degrade to the co-located bucketed join (store-side
+    * sort, no store exchange, bounded memory) with a named warning.
     */
-  private def bloomBroadcast(spark: SparkSession,
-                             table: String): Option[Broadcast[BloomFilter]] = {
+  private def reduceOrFallback(spark: SparkSession, table: String,
+      keys: DataFrame, nKeys: Long, store: DataFrame): DataFrame = {
+    import graft.util.ProbeBudget
+    if (!ProbeBudget.within(spark, nKeys, ProbeBudget.BytesPerKeyRow)) {
+      ProbeBudget.warnExceeded(
+        org.slf4j.LoggerFactory.getLogger(getClass),
+        s"GramHistory.probeHistory candidate keyset for $table", nKeys,
+        ProbeBudget.BytesPerKeyRow, spark)
+      spark.table(table).select(col(GramCol))
+        .join(keys, Seq(GramCol), "left_semi")
+        .distinct()
+    } else
+      broadcast(store.join(broadcast(keys), Seq(GramCol), "left_semi")
+        .distinct())
+  }
+
+  /** The memoized sidecar-bloom broadcast (per-bucket array) + meta for
+    * a store table, revalidated by the sidecar's GENERATION counter
+    * (mutating verbs also invalidate in-process) — the bloom array ships
+    * to executors once per store version, not once per probe.
+    */
+  private[graft] def bloomBroadcast(spark: SparkSession, table: String)
+      : Option[(Broadcast[Array[BloomFilter]], KeyBloom.Meta)] = {
     val base = Bucketing.guardBase(spark, table)
-    val mt = KeyBloom.mtime(spark, base)
-    if (mt == 0L) { blooms.remove(table); None }
-    else Option(blooms.get(table)) match {
-      case Some((v, bc)) if v == mt => Some(bc)
-      case stale =>
-        stale.foreach(_._2.unpersist())
-        KeyBloom.read(spark, base).map { case (bloom, _) =>
-          val bc = spark.sparkContext.broadcast(bloom)
-          blooms.put(table, (mt, bc))
-          bc
+    KeyBloom.readMeta(spark, base) match {
+      case None => blooms.remove(table); None
+      case Some(meta) =>
+        Option(blooms.get(table)) match {
+          case Some((g, bc, m)) if g == meta.gen => Some((bc, m))
+          case stale =>
+            stale.foreach(_._2.unpersist())
+            KeyBloom.readAll(spark, base).map { case (arr, m) =>
+              val bc = spark.sparkContext.broadcast(arr)
+              blooms.put(table, (m.gen, bc, m))
+              (bc, m)
+            }
         }
     }
   }

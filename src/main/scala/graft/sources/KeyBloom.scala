@@ -1,8 +1,10 @@
 package graft.sources
 
 import java.io.{DataInputStream, DataOutputStream}
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Persisted key-membership bloom SIDECAR for a bucketed history store —
@@ -13,7 +15,7 @@ import org.apache.spark.util.sketch.BloomFilter
   * saturated by construction), and per-file blooms die combinatorially
   * for large batches (a file survives pruning iff ANY of m probe keys
   * false-positives into it: 1 − (1 − fpp)^m → 1 already at m ≈ 1/fpp).
-  * What DOES work at every scale is one STORE-LEVEL bloom consulted on
+  * What DOES work at every scale is a store-level bloom consulted on
   * the BATCH side: a key the bloom misses is definitively absent
   * (blooms have no false negatives), so the exact store verify runs
   * only over bloom-hit candidates — dup-density-sized plus an fpp
@@ -21,91 +23,294 @@ import org.apache.spark.util.sketch.BloomFilter
   * store files. False positives cost nothing but verify work; answers
   * stay exact ([[GramHistory]]'s probe semantics are unchanged).
   *
-  * Layout: `<tableLocation>_zones/keybloom.bin` =
-  * [expected: Long][fpp: Double][inserted: Long][spark BloomFilter
-  * bytes]. The sidecar lives BESIDE the table directory so
-  * [[Bucketing.compactDistinct]]'s drop-and-rename never touches it
-  * (compaction rebuilds it anyway). Writes go through a `.tmp` +
-  * rename, so a reader never sees a torn file; all mutating callers
-  * already hold the store's [[MutationGuard]].
+  * LAYOUT — one bloom PER TABLE BUCKET (the 100 TB form the round-17
+  * monolith's scaladoc specified): under `<tableLocation>_zones/keybloom/`
+  *  - `manifest.bin` = [magic Int][gen Long][buckets Int]
+  *    [expectedPerBucket Long][fpp Double][inserted Long] — tiny, read
+  *    per probe to validate memoized broadcasts;
+  *  - `bucket-NNNNN.bin` = raw Spark BloomFilter bytes for table bucket
+  *    N, where a key's bucket is `pmod(murmur3(key), buckets)` — the
+  *    SAME function Spark's `bucketBy` uses to route rows to bucket
+  *    files (gated in GramHistorySpec), so bloom locality rides the
+  *    table's existing bucket split: builds and append-folds are
+  *    task-local (each task loads, updates and rewrites ONE bucket's
+  *    bloom — no driver-side bloom I/O at any store size), and a probe
+  *    can PRUNE the store scan to the candidate keys' buckets. At
+  *    10^11 grams a monolithic bloom is ~150 GB and stops being
+  *    loadable anywhere; per-bucket files keep every unit at
+  *    store/buckets bytes.
   *
-  * Sizing: created at `headroom ×` the current key count so appends
-  * have room; `inserted` tracks growth past capacity — saturation only
-  * RAISES the false-positive rate (probe degrades toward the plain
-  * scan, never toward a wrong answer) and `compact()` re-sizes. At
-  * 100 TB (~10^11 grams) one monolithic bloom is ~150 GB and stops
-  * being broadcastable — the layout extends to one sidecar per bucket
-  * (same format, task-local loads riding the existing bucket split);
-  * the single-file form is the ≤10^9-key tier this repo's scales
-  * exercise.
+  * The sidecar lives BESIDE the table directory so
+  * [[Bucketing.compactDistinct]]'s drop-and-rename never touches it
+  * (compaction rebuilds it anyway). Every file goes through write-tmp-
+  * then-rename and the manifest is written LAST with a bumped
+  * GENERATION counter, so a reader never validates a torn state: bucket
+  * files newer than the manifest only ever hold EXTRA keys (phantom
+  * candidates — verified away, harmless), never fewer. The generation —
+  * not mtime, whose 1 s/1 ms granularity can alias a rewrite by another
+  * application sharing the store — is the memo-validity token for
+  * broadcast caching ([[GramHistory]]'s `blooms` map). All mutating
+  * callers hold the store's [[MutationGuard]].
+  *
+  * Sizing: each bucket's bloom is created at `Headroom ×` its share of
+  * the build-time key count so appends have room; `inserted` tracks
+  * growth past capacity — saturation only RAISES the false-positive
+  * rate (probe degrades toward the plain scan, never toward a wrong
+  * answer) and `compact()` re-sizes.
   */
 object KeyBloom {
 
   /** Default false-positive rate: ~8.5 bits/key — a 10^8-key store's
-    * sidecar is ~107 MB (broadcast-viable), and an fpp miss only adds
-    * a verified-and-discarded candidate.
+    * sidecar totals ~107 MB across buckets (broadcast-viable at this
+    * tier), and an fpp miss only adds a verified-and-discarded candidate.
     */
   val DefaultFpp = 0.02
 
   /** Creation headroom: capacity = 2× the keys present at (re)build. */
   val Headroom = 2L
 
-  final case class Meta(expected: Long, fpp: Double, inserted: Long)
+  private val Magic = 0x4742_4b32 // "GBK2" — the per-bucket format
 
-  def pathFor(base: String): Path = new Path(base + "_zones/keybloom.bin")
+  /** `expected`/`fpp` are PER-BUCKET creation parameters; `inserted`
+    * counts keys folded in across the whole sidecar; `gen` increments on
+    * every committed write (build or fold) and is the broadcast-memo
+    * validity token.
+    */
+  final case class Meta(gen: Long, buckets: Int, expected: Long,
+                        fpp: Double, inserted: Long)
+
+  def dirFor(base: String): Path = new Path(base + "_zones/keybloom")
+  def manifestPath(base: String): Path = new Path(dirFor(base), "manifest.bin")
+  def bucketPath(base: String, bucket: Int): Path =
+    new Path(dirFor(base), f"bucket-$bucket%05d.bin")
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Atomically (write-tmp-then-rename) persist the bloom + meta. */
-  def write(spark: SparkSession, base: String, bloom: BloomFilter,
-            meta: Meta): Unit = {
-    val p = pathFor(base)
+  /** The bucket-routing column for a LONG key — `pmod(murmur3, n)`,
+    * byte-identical to the function `bucketBy(n, key)` routes rows with
+    * (HashPartitioning's partition-id expression; spec-gated against the
+    * actual bucket file names), so bloom buckets align with table
+    * buckets and candidate buckets map to prunable files.
+    */
+  def bucketIdCol(keyCol: String, buckets: Int): org.apache.spark.sql.Column =
+    pmod(hash(col(keyCol)), lit(buckets)).cast("int")
+
+  // ------------------------------------------------------------- manifest
+
+  /** Read the manifest; None when absent (legacy store — probes fall
+    * back to the plain scan) or unreadable/foreign (ANY failure degrades
+    * to the fallback, never to a wrong answer).
+    */
+  def readMeta(spark: SparkSession, base: String): Option[Meta] =
+    readMetaConf(spark.sparkContext.hadoopConfiguration, base)
+
+  private def readMetaConf(conf: Configuration, base: String): Option[Meta] = {
+    val p = manifestPath(base)
+    try {
+      val f = p.getFileSystem(conf)
+      if (!f.exists(p)) None
+      else {
+        val in = new DataInputStream(f.open(p))
+        try {
+          if (in.readInt() != Magic) None
+          else Some(Meta(in.readLong(), in.readInt(), in.readLong(),
+            in.readDouble(), in.readLong()))
+        } finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Persist the manifest (write-tmp-then-rename; the LAST step of every
+    * committed sidecar write, so a torn multi-file write is only ever
+    * visible as bucket files AHEAD of the manifest — supersets).
+    */
+  private def writeManifest(spark: SparkSession, base: String,
+                            meta: Meta): Unit = {
+    val p = manifestPath(base)
     val f = fs(spark, p)
     val tmp = new Path(p.toString + ".tmp")
     val out = new DataOutputStream(f.create(tmp, true))
     try {
+      out.writeInt(Magic)
+      out.writeLong(meta.gen)
+      out.writeInt(meta.buckets)
       out.writeLong(meta.expected)
       out.writeDouble(meta.fpp)
       out.writeLong(meta.inserted)
-      bloom.writeTo(out)
     } finally out.close()
     if (f.exists(p)) f.delete(p, false): Unit
     if (!f.rename(tmp, p))
       throw new java.io.IOException(s"KeyBloom: rename $tmp -> $p failed")
   }
 
-  /** Load the sidecar; None when absent (legacy store — probes fall back
-    * to the plain scan) or unreadable (torn/foreign bytes degrade to the
-    * fallback, never to a wrong answer).
+  // --------------------------------------------------------- bucket files
+
+  /** Task-local load of one bucket's bloom; None when absent or
+    * unreadable (NonFatal-caught: torn/foreign bytes can throw beyond
+    * IOException — unknown-version IllegalArgumentException, garbage-
+    * length NegativeArraySizeException — and every one of them must
+    * degrade, not fail the probe/append).
     */
-  def read(spark: SparkSession, base: String): Option[(BloomFilter, Meta)] = {
-    val p = pathFor(base)
-    val f = fs(spark, p)
-    if (!f.exists(p)) None
-    else {
-      val in = new DataInputStream(f.open(p))
-      try {
-        val meta = Meta(in.readLong(), in.readDouble(), in.readLong())
-        Some((BloomFilter.readFrom(in), meta))
-      } catch {
-        case _: java.io.IOException => None
-      } finally in.close()
-    }
+  def readBucket(conf: Configuration, base: String,
+                 bucket: Int): Option[BloomFilter] = {
+    val p = bucketPath(base, bucket)
+    try {
+      val f = p.getFileSystem(conf)
+      if (!f.exists(p)) None
+      else {
+        val in = new DataInputStream(f.open(p))
+        try Some(BloomFilter.readFrom(in)) finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  private def writeBucketTmp(conf: Configuration, base: String, bucket: Int,
+                             bloom: BloomFilter): Path = {
+    val p = bucketPath(base, bucket)
+    val tmp = new Path(p.toString + ".tmp")
+    val f = p.getFileSystem(conf)
+    val out = new DataOutputStream(f.create(tmp, true))
+    try bloom.writeTo(out) finally out.close()
+    tmp
+  }
+
+  private def commitBucket(spark: SparkSession, base: String,
+                           bucket: Int): Unit = {
+    val p = bucketPath(base, bucket)
+    val f = fs(spark, p)
+    val tmp = new Path(p.toString + ".tmp")
+    if (f.exists(p)) f.delete(p, false): Unit
+    if (!f.rename(tmp, p))
+      throw new java.io.IOException(s"KeyBloom: rename $tmp -> $p failed")
+  }
+
+  /** Driver-side load of ALL bucket blooms + meta — the broadcast build
+    * for probe-side candidate cuts at the ≤10^9-key tier (the array
+    * totals what the monolith did; past that tier, probes should move to
+    * task-local per-bucket loads). None when no valid sidecar. A bucket
+    * file missing under a valid manifest means a torn foreign write —
+    * treated as no sidecar (plain-scan fallback), never as absent keys.
+    */
+  def readAll(spark: SparkSession,
+              base: String): Option[(Array[BloomFilter], Meta)] =
+    readMeta(spark, base).flatMap { meta =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      val arr = new Array[BloomFilter](meta.buckets)
+      var i = 0
+      var torn = false
+      while (i < meta.buckets && !torn) {
+        readBucket(conf, base, i) match {
+          case Some(b) => arr(i) = b
+          case None => torn = true
+        }
+        i += 1
+      }
+      if (torn) None else Some((arr, meta))
+    }
 
   def delete(spark: SparkSession, base: String): Unit = {
-    val p = pathFor(base)
-    val f = fs(spark, p)
-    if (f.exists(p)) f.delete(p, false): Unit
+    val d = dirFor(base)
+    val f = fs(spark, d)
+    if (f.exists(d)) f.delete(d, true): Unit
   }
 
-  /** Modification time of the sidecar (0 when absent) — the cross-verb
-    * cache validity check for memoized broadcasts.
+  // ------------------------------------------------- build / fold verbs
+
+  /** (Re)build the sidecar from a single-LONG-column key relation — one
+    * pass, per-bucket task-local: keys shuffle to their table bucket
+    * (the one exchange; producer-time only), each task builds and writes
+    * its bucket's bloom, the driver commits renames and the manifest.
+    * The generation continues from any previous sidecar's so memoized
+    * broadcasts can never validate across a rebuild.
     */
-  def mtime(spark: SparkSession, base: String): Long = {
-    val p = pathFor(base)
-    val f = fs(spark, p)
-    if (f.exists(p)) f.getFileStatus(p).getModificationTime else 0L
+  def build(spark: SparkSession, base: String, keys: DataFrame,
+            keyCol: String, buckets: Int): Unit = {
+    val n = keys.count()
+    val expected = math.max(1024L, Headroom * n / buckets)
+    val fpp = DefaultFpp
+    val nextGen = readMeta(spark, base).map(_.gen).getOrElse(0L) + 1L
+    delete(spark, base)
+    fs(spark, dirFor(base)).mkdirs(dirFor(base)): Unit
+    val written = foldPartitions(spark, base, keys, keyCol, buckets,
+      expected, fpp, requireExisting = false)
+    written.foreach { case (b, _) => commitBucket(spark, base, b) }
+    // buckets no key routed to still need a (empty) bloom: readAll treats
+    // a missing bucket file as a torn sidecar
+    val covered = written.map(_._1).toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    (0 until buckets).filterNot(covered).foreach { b =>
+      writeBucketTmp(conf, base, b, BloomFilter.create(expected, fpp))
+      commitBucket(spark, base, b)
+    }
+    writeManifest(spark, base, Meta(nextGen, buckets, expected, fpp, n))
+  }
+
+  /** Fold an increment's keys into the sidecar IN PLACE — the append
+    * path: per-bucket task-local read-update-rewrite of ONLY the buckets
+    * the increment touches (one distributed job, no driver-side bloom
+    * bytes, no separate count job — the fold returns the folded key
+    * count from the same pass). Returns None when no valid sidecar
+    * exists (legacy store — caller leaves it legacy). An EMPTY increment
+    * folds nothing, bumps nothing and keeps the sidecar intact.
+    *
+    * Failure contract (caller catches): a bucket file missing mid-fold
+    * throws — a sidecar that may be missing increment keys would give
+    * FALSE NEGATIVES, so the caller must drop it rather than risk that.
+    * Crash residue between bucket renames and the manifest write is a
+    * superset sidecar under the old generation: phantom candidates only.
+    */
+  def fold(spark: SparkSession, base: String, increment: DataFrame,
+           keyCol: String): Option[Long] =
+    readMeta(spark, base).map { meta =>
+      val written = foldPartitions(spark, base, increment, keyCol,
+        meta.buckets, meta.expected, meta.fpp, requireExisting = true)
+      if (written.isEmpty) 0L
+      else {
+        written.foreach { case (b, _) => commitBucket(spark, base, b) }
+        val added = written.map(_._2).sum
+        writeManifest(spark, base,
+          meta.copy(gen = meta.gen + 1L, inserted = meta.inserted + added))
+        added
+      }
+    }
+
+  /** The shared distributed pass: route keys to their table bucket,
+    * update/create that bucket's bloom task-locally, write `.tmp` files;
+    * returns (bucket, keyCount) for every bucket that received keys.
+    * `requireExisting` = fold semantics (a missing bucket bloom is a
+    * torn sidecar → throw); build starts fresh blooms.
+    */
+  private def foldPartitions(spark: SparkSession, base: String,
+      keys: DataFrame, keyCol: String, buckets: Int, expected: Long,
+      fpp: Double, requireExisting: Boolean): Array[(Int, Long)] = {
+    val confBc = spark.sparkContext.broadcast(
+      new graft.util.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration))
+    val keyed = keys
+      .select(bucketIdCol(keyCol, buckets).as("_b"), col(keyCol))
+      .filter(col(keyCol).isNotNull)
+      .rdd.map(r => (r.getInt(0), r.getLong(1)))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = buckets
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+    keyed.mapPartitionsWithIndex { (bucket, iter) =>
+      if (iter.isEmpty) Iterator.empty
+      else {
+        val conf = confBc.value.value
+        val bloom = readBucket(conf, base, bucket) match {
+          case Some(b) => b
+          case None if requireExisting => throw new IllegalStateException(
+            s"KeyBloom.fold: bucket $bucket bloom missing under a valid " +
+              "manifest — torn sidecar; rebuild it (compact) or drop it")
+          case None => BloomFilter.create(expected, fpp)
+        }
+        var c = 0L
+        iter.foreach { case (_, k) => bloom.putLong(k); c += 1L }
+        writeBucketTmp(conf, base, bucket, bloom)
+        Iterator.single((bucket, c))
+      }
+    }.collect()
   }
 }

@@ -177,10 +177,15 @@ class GramHistorySpec extends SparkSpec {
   test("bloom sidecar: a fully-disjoint batch probes ZERO store files") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = java.nio.file.Files.createTempDirectory("graft-gh-bloom").toString
+    // AQE wraps the executed plan in an adaptive node that hides the
+    // scans from collect() — the file-scan assertion below would pass
+    // VACUOUSLY with it on
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       GramHistory.create(spark, dir, corpusDocs, K)
       val table = GramHistory.tableFor(dir)
-      assert(KeyBloom.read(spark, Bucketing.guardBase(spark, table)).isDefined,
+      assert(KeyBloom.readMeta(spark, Bucketing.guardBase(spark, table)).isDefined,
         "create() must write the bloom sidecar")
       val batch = Seq(
         (50L, "zq xv jw kf yb zq xv jw kf yb zq xv jw kf yb zq xv jw kf yb"))
@@ -205,7 +210,10 @@ class GramHistorySpec extends SparkSpec {
       assert(histScans.isEmpty,
         s"disjoint probe still scans the store:\n" +
           probe.queryExecution.executedPlan)
-    } finally GramHistory.invalidate(spark, dir)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      GramHistory.invalidate(spark, dir)
+    }
   }
 
   test("bloom sidecar: appends fold in (no false negatives), compact " +
@@ -228,7 +236,7 @@ class GramHistorySpec extends SparkSpec {
       assert(frac() == 1.0, "append not visible through the bloom path")
       // compact re-sizes the sidecar to the surviving distinct keys
       GramHistory.compact(spark, dir)
-      val meta = KeyBloom.read(spark, base).map(_._2)
+      val meta = KeyBloom.readMeta(spark, base)
       assert(meta.isDefined, "compact must rebuild the sidecar")
       assert(meta.get.inserted == spark.table(table).count(),
         s"compact sidecar sized to ${meta.get.inserted}, " +
@@ -238,6 +246,177 @@ class GramHistorySpec extends SparkSpec {
       // scan and still answers exactly
       KeyBloom.delete(spark, base)
       assert(frac() == 1.0, "legacy fallback path broke the probe")
+    } finally GramHistory.invalidate(spark, dir)
+  }
+
+  test("bloom-bucket routing matches the table's bucketBy layout: every " +
+      "key's pmod(murmur3) bucket is its part file's encoded bucket id") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gh-route").toString
+    try {
+      GramHistory.create(spark, dir, corpusDocs, K)
+      val table = GramHistory.tableFor(dir)
+      val loc = Bucketing.guardBase(spark, table)
+      val fs = new org.apache.hadoop.fs.Path(loc)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(loc))
+        .filter(_.isFile).map(_.getPath.toString)
+        .filterNot(p => p.substring(p.lastIndexOf('/') + 1).startsWith("_"))
+      assert(parts.nonEmpty)
+      val withBid = parts.flatMap(p =>
+        Bucketing.bucketIdOfFile(p).map(b => (p, b)))
+      assert(withBid.length == parts.length,
+        s"unparseable bucket ids among: ${parts.mkString(", ")}")
+      withBid.foreach { case (p, fileBid) =>
+        val bad = spark.read.parquet(p)
+          .select(KeyBloom.bucketIdCol(GramHistory.GramCol, 8).as("_b"))
+          .filter(org.apache.spark.sql.functions.col("_b") =!= fileBid)
+          .count()
+        assert(bad == 0L,
+          s"$bad keys in bucket-$fileBid file route elsewhere — the " +
+            "pruned probe scan would LOSE them ($p)")
+      }
+    } finally GramHistory.invalidate(spark, dir)
+  }
+
+  test("per-bucket pruning: a small candidate batch reads ONLY its " +
+      "candidate buckets' files, and answers stay exact") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gh-prune").toString
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      GramHistory.create(spark, dir, corpusDocs, K)
+      val table = GramHistory.tableFor(dir)
+      val corpusTexts = corpusDocs.select("text").as[String].collect().toSeq
+      // a K+2-char slice of a corpus doc: 3 grams — at most 3 of the 8
+      // buckets are candidates, so ≥5 bucket files must be pruned
+      val slice = corpusTexts.head.substring(0, K + 2)
+      val batch = Seq((70L, slice)).toDF("doc_id", "text")
+      val probe = graft.operators.Dedup.incrementalDupGrams(batch,
+        GramHistory.probeHistory(spark, dir,
+          GramHistory.gramHashes(batch, K))(sys.error("unreachable")),
+        K, broadcastProbe = false)
+      val row = probe.collect().head
+      assert(row.getDouble(3) == 1.0,
+        s"recrawled slice must saturate: $row")
+      val scannedFiles = probe.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("graft_gram_history")) =>
+          s.relation.location.inputFiles.length
+      }.sum
+      val allFiles = Bucketing.probeScan(spark, table)
+        .inputFiles.length
+      assert(scannedFiles > 0, "probe read no store files at all")
+      assert(scannedFiles <= 3 && scannedFiles < allFiles,
+        s"pruning read $scannedFiles of $allFiles store files for a " +
+          "3-gram batch (expected <= 3)")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      GramHistory.invalidate(spark, dir)
+    }
+  }
+
+  test("broadcast budget guard: an over-budget candidate keyset degrades " +
+      "to the co-located join — no broadcast anywhere, answers exact") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gh-budget").toString
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(GramHistory.ProbeBudgetConf, "1")
+    try {
+      GramHistory.create(spark, dir, corpusDocs, K)
+      val batch = Seq(
+        (80L, corpusDocs.select("text").as[String].collect().head),
+        (81L, "completely novel material sharing nothing whatsoever with history"))
+        .toDF("doc_id", "text")
+      val probe = graft.operators.Dedup.incrementalDupGrams(batch,
+        GramHistory.probeHistory(spark, dir,
+          GramHistory.gramHashes(batch, K))(sys.error("unreachable")),
+        K, broadcastProbe = false)
+      val got = probe.collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(got(80L) == 1.0 && got(81L) == 0.0,
+        s"over-budget fallback changed answers: $got")
+      val bcasts = probe.queryExecution.executedPlan.collect {
+        case b: BroadcastExchangeExec => b
+      }
+      assert(bcasts.isEmpty,
+        s"over-budget probe still broadcasts:\n" +
+          probe.queryExecution.executedPlan)
+    } finally {
+      spark.conf.unset(GramHistory.ProbeBudgetConf)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      GramHistory.invalidate(spark, dir)
+    }
+  }
+
+  test("sidecar generation: appends bump it (memo can never serve a " +
+      "stale bloom), an EMPTY increment leaves the sidecar intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gh-gen").toString
+    try {
+      GramHistory.create(spark, dir, corpusDocs, K)
+      val base = Bucketing.guardBase(spark, GramHistory.tableFor(dir))
+      val g0 = KeyBloom.readMeta(spark, base).get.gen
+      GramHistory.append(spark, dir, GramHistory.gramHashes(
+        Seq((99L, "completely novel material sharing nothing whatsoever"))
+          .toDF("doc_id", "text"), K))
+      val m1 = KeyBloom.readMeta(spark, base).get
+      assert(m1.gen > g0, "append did not bump the sidecar generation")
+      // an empty increment (e.g. a micro-batch of sub-K texts) must not
+      // drop or churn the sidecar (the round-17 fold NPE'd here and the
+      // failure path deleted the whole accelerator)
+      GramHistory.append(spark, dir, GramHistory.gramHashes(
+        Seq((100L, "tiny")).toDF("doc_id", "text"), K))
+      val m2 = KeyBloom.readMeta(spark, base)
+      assert(m2.isDefined, "empty increment dropped the sidecar")
+      assert(m2.get.gen == m1.gen && m2.get.inserted == m1.inserted,
+        s"empty increment churned the sidecar: ${m2.get} vs $m1")
+      // compact rebuilds with a CONTINUED generation — a memoized
+      // broadcast from before can never validate against the rebuild
+      GramHistory.compact(spark, dir)
+      val m3 = KeyBloom.readMeta(spark, base).get
+      assert(m3.gen > m2.get.gen,
+        s"compact rebuilt the sidecar without advancing gen: $m3 vs ${m2.get}")
+    } finally GramHistory.invalidate(spark, dir)
+  }
+
+  test("a sidecar rewritten OUT-OF-PROCESS (same mtime tick) is " +
+      "revalidated by generation: new keys become visible immediately") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gh-xapp").toString
+    try {
+      GramHistory.create(spark, dir, corpusDocs, K)
+      val table = GramHistory.tableFor(dir)
+      val base = Bucketing.guardBase(spark, table)
+      val novel = "completely novel material sharing nothing whatsoever with history"
+      val batch = Seq((90L, novel)).toDF("doc_id", "text")
+      def frac(): Double = graft.operators.Dedup.incrementalDupGrams(batch,
+        GramHistory.probeHistory(spark, dir,
+          GramHistory.gramHashes(batch, K))(sys.error("unreachable")),
+        K, broadcastProbe = false).collect().head.getDouble(3)
+      // memoize the current bloom broadcast: novel batch reads 0
+      assert(frac() == 0.0)
+      // simulate ANOTHER APPLICATION appending to the shared store:
+      // table rows + sidecar fold through KeyBloom directly (bypassing
+      // this process's memo invalidation)
+      val inc = GramHistory.gramHashes(batch, K)
+      KeyBloom.fold(spark, base, inc, GramHistory.GramCol)
+      inc.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(8, GramHistory.GramCol).sortBy(GramHistory.GramCol)
+        .format("parquet").saveAsTable(table)
+      // the mtime-validated memo could alias this rewrite within one
+      // timestamp tick and serve the stale bloom → frac 0.0 (FALSE
+      // NEGATIVES); the generation token cannot
+      assert(frac() == 1.0,
+        "stale memoized bloom served after an out-of-process rewrite")
     } finally GramHistory.invalidate(spark, dir)
   }
 }

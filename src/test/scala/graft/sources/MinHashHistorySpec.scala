@@ -199,6 +199,38 @@ class MinHashHistorySpec extends SparkSpec {
       s"null-lang docs leaked into the pair set: $pairs")
   }
 
+  test("broadcast budget guard: an over-budget band relation degrades to " +
+      "the non-broadcast join — answers unchanged, no broadcast anywhere") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-budget").toString
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(graft.util.ProbeBudget.Conf, "1")
+    try {
+      MinHashHistory.create(spark, dir,
+        TextOps.minHashBandsOf(histDocs), TextOps.minHashShinglesOf(histDocs))
+      val (bands, sh) = MinHashHistory.scanOrCompute(spark, dir)(
+        sys.error("unreachable"))
+      assert(got(bands, sh) == naivePairs,
+        "over-budget fallback changed near-dup answers")
+      val probe = Dedup.incrementalNearDups(
+        TextOps.shingleArrays(batchDocs), bands, sh)
+      val bcasts = probe.queryExecution.executedPlan.collect {
+        case b: BroadcastExchangeExec => b
+      }
+      assert(bcasts.isEmpty,
+        s"over-budget probe still broadcasts:\n" +
+          probe.queryExecution.executedPlan)
+    } finally {
+      spark.conf.unset(graft.util.ProbeBudget.Conf)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      MinHashHistory.invalidate(spark, dir)
+    }
+  }
+
   test("x123 registry entry probes the persisted store when one is registered") {
     val d = Sf
     try {
