@@ -88,6 +88,102 @@ object AnnStore {
         .write.mode("append").parquet(codesPath(path))
     }
 
+  /** RETRAIN the codebooks on the live corpus' CURRENT distribution and
+    * re-encode — the PQ-level drift verb, completing the pair
+    * [[IvfStore.rebalance]] started one level down: append() encodes
+    * against codebooks FROZEN at create(), so after sustained growth into
+    * a region the original fit never saw, the quantization cells sit off
+    * the data manifold and ADC distances (hence shortlist recall) decay.
+    * Retraining keeps the store's GEOMETRY (m, ds, ksub — changing those
+    * means a new store) but refits every subspace codebook with
+    * [[Pq.train]]'s bounded hash-ordered sample over the live corpus,
+    * then re-encodes map-only — create()'s bill, minus having to know the
+    * training parameters again.
+    *
+    * ATOMICITY — stricter than the IVF verb's: codebooks and codes are
+    * one ENCODING PAIR (codes are meaningless under any other codebooks —
+    * a mixed-generation read would serve silently-wrong ADC distances,
+    * not a recall dip), so both relations are written into a sibling and
+    * swapped in with ONE rename ([[graft.sources.SwapDir]] over the whole
+    * store dir). Crash residue is a missing store dir — loud, rebuildable
+    * — never a torn pair. Runs under [[graft.sources.MutationGuard]]
+    * (marker lives beside the store dir and survives the swap).
+    *
+    * Answers: search() after retrain is bit-identical to the transient
+    * [[Pq.pqTopKRefined]] run with the retrained parameters over the same
+    * corpus (AnnStoreSpec gates it) — the store/transient equivalence
+    * contract, preserved across the drift verb. An EMPTY store (created
+    * from an empty corpus) has no geometry to preserve: retrain is a
+    * no-op returning the empty codebooks.
+    *
+    * When to run: [[skewStat]]'s code-occupancy entropy ratio drifting
+    * well below 1 (DEDUP_TUNING.md §5 thresholds) — codes piling into few
+    * codewords is exactly ADC resolution decaying.
+    */
+  def retrainCodebooks(spark: SparkSession, path: String, corpus: DataFrame,
+                       iters: Int = 4,
+                       sampleSize: Int = 512): Pq.Codebooks =
+    graft.sources.MutationGuard.withGuard(spark, path) {
+      import spark.implicits._
+      val old = codebooks(spark, path)
+      if (old.m == 0) old
+      else {
+        val dim = old.m * old.ds
+        val cb = Pq.train(corpus, dim, old.m, old.ksub, iters, sampleSize)
+        val rows = for {
+          s <- cb.cents.indices
+          c <- cb.cents(s).indices
+        } yield (s, c, cb.cents(s)(c).toSeq)
+        graft.sources.SwapDir(spark, path) { tmp =>
+          rows.toDF("sub", "code", "cent")
+            .repartition(1)
+            .write.parquet(s"$tmp/codebooks")
+          Pq.encode(Similarity.dropInvalidVecs(corpus, dim, None), cb)
+            .write.parquet(s"$tmp/codes")
+        }
+        cb
+      }
+    }
+
+  /** Code-occupancy drift statistic — the no-data-read trigger for
+    * [[retrainCodebooks]] (the [[IvfStore.skewStat]] analog one level
+    * up): per subspace, the normalized entropy of the code histogram
+    * (1.0 = codes used evenly — the k-means operating point on the
+    * distribution it was fit on; → 0 = everything quantizes to a few
+    * codewords, i.e. the corpus has moved off the codebook manifold and
+    * ADC distances have lost resolution). Returns (minEntropyRatio,
+    * meanEntropyRatio, codes) over subspaces — min is the trigger (one
+    * dead subspace already costs recall). One aggregation over the codes
+    * relation (index-sized, never the corpus); no vectors are read.
+    * Thresholds: DEDUP_TUNING.md §5.
+    */
+  def skewStat(spark: SparkSession, path: String): (Double, Double, Long) = {
+    val cb = codebooks(spark, path)
+    if (cb.m == 0) return (1.0, 1.0, 0L)
+    val enc = codes(spark, path)
+    val n = enc.count()
+    if (n == 0L) return (1.0, 1.0, 0L)
+    // per (subspace, codeword) counts in ONE pass: explode the m-byte
+    // BINARY code column with its position (binary is not an SQL array —
+    // the widening map is the one row-level function here, off any hot
+    // path: skewStat is a monitoring verb, not a query stage)
+    val widen = udf((b: Array[Byte]) =>
+      if (b == null) Array.empty[Int] else b.map(_.toInt & 0xff))
+    val perCode = enc
+      .select(posexplode(widen(col("codes"))).as(Seq("sub", "code")))
+      .groupBy(col("sub"), col("code")).agg(count(lit(1)).as("c"))
+      .collect()
+    val maxH = math.log(cb.ksub.toDouble)
+    val ratios = perCode.groupBy(_.getInt(0)).map { case (_, rows) =>
+      val h = rows.map { r =>
+        val p = r.getLong(2).toDouble / n
+        -p * math.log(p)
+      }.sum
+      if (maxH == 0.0) 1.0 else h / maxH
+    }.toSeq
+    (ratios.min, ratios.sum / ratios.size, n)
+  }
+
   /** x93's refined search against the persisted index: ADC scan of the
     * stored codes nominates a (size-derived) shortlist, raw vectors are
     * fetched from `corpus` for that id set only and re-ranked by exact

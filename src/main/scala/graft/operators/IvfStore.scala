@@ -188,6 +188,39 @@ object IvfStore {
       cents
     }
 
+  /** Cell-occupancy skew snapshot from the DIRECTORY LISTING only — no
+    * vector bytes read: per `cell=N` partition dir, the summed part-file
+    * size; reported as (cells, max, mean, p99, skew = max/mean). The
+    * no-cost trigger statistic for [[rebalance]]: appends assign against
+    * frozen centroids, so drift piles bytes into the few cells nearest
+    * the new region LONG before recall measurably decays — a skew ratio
+    * drifting far above its create()-time value (a balanced fit sits
+    * within small multiples of 1; DEDUP_TUNING.md §5 pins thresholds)
+    * says "rebalance now", without running a recall probe. Listing cost
+    * is one RPC per cell dir (nlist total), driver-side; empty store →
+    * all zeros.
+    */
+  final case class CellSkew(cells: Long, maxBytes: Long, meanBytes: Double,
+                            p99Bytes: Long) {
+    def skew: Double = if (meanBytes > 0.0) maxBytes / meanBytes else 0.0
+  }
+
+  def skewStat(spark: SparkSession, path: String): CellSkew = {
+    val root = new org.apache.hadoop.fs.Path(vectorsPath(path))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return CellSkew(0L, 0L, 0.0, 0L)
+    val sizes = fs.listStatus(root).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .map(d => fs.listStatus(d.getPath).iterator
+        .filter(_.isFile).map(_.getLen).sum)
+      .toArray
+      .sorted
+    if (sizes.isEmpty) CellSkew(0L, 0L, 0.0, 0L)
+    else CellSkew(sizes.length.toLong, sizes.last,
+      sizes.sum.toDouble / sizes.length,
+      sizes(math.min(sizes.length - 1, (0.99 * sizes.length).toInt)))
+  }
+
   /** Top-k by exact cosine within each query's `nprobe` probed cells,
     * reading ONLY those cells' directories.
     */

@@ -557,6 +557,118 @@ object TextOps {
       shingleArrays(batch), bands, sh))
   }
 
+  // ------------------------------------------- shared triage oracle SQL
+  // The three triage oracles (x125 all-legs / x126 cascade / x127
+  // derived-threshold) replay the SAME crawl split, exact-status
+  // derivation, gram-contamination measure and shingle-Jaccard verify;
+  // round 17 carried that ~60-line prologue verbatim in each, which is
+  // exactly how sibling oracles drift. ONE definition per shared block
+  // (the shinglesSqlOver precedent); each oracle template composes the
+  // blocks plus only its genuinely-variant CTEs (x126's survivor-gated
+  // gram/shingle slices, x127's threshold derivation). Extraction is
+  // byte-identical to the round-17 strings (snapshot-diffed).
+
+  /** `WITH` prologue: md5-bucket crawl split (bkt/hist/batch) + x86 exact
+    * status (h86/b86/k86/st) — identical in all three oracles.
+    */
+  private def triageSplitStatusSql: String =
+    s"""WITH bkt AS (SELECT doc_id, text, lang, n_chars,
+       |  CAST(CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+       |       AS BIGINT) % 100 AS INT) AS bucket
+       |  FROM documents),
+       |hist AS (SELECT doc_id, text, lang, n_chars FROM bkt WHERE bucket < 60),
+       |batch AS (
+       |  SELECT doc_id, text, lang, n_chars FROM bkt WHERE bucket >= 60
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, text, lang, n_chars FROM bkt
+       |  WHERE bucket < 60 AND bucket % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 20000000, text, lang, n_chars FROM bkt
+       |  WHERE bucket >= 60 AND bucket % 11 = 0),
+       |h86 AS (SELECT DISTINCT MD5(text) AS th FROM bkt WHERE bucket < 60),
+       |b86 AS (SELECT doc_id, MD5(text) AS th FROM batch),
+       |k86 AS (SELECT th, MIN(doc_id) AS keeper FROM b86 GROUP BY th),
+       |st AS (
+       |  SELECT b86.doc_id,
+       |    CASE WHEN h86.th IS NOT NULL THEN 'dup_of_history'
+       |         WHEN b86.doc_id <> k86.keeper THEN 'dup_in_batch'
+       |         ELSE 'kept' END AS status
+       |  FROM b86 LEFT JOIN h86 ON b86.th = h86.th
+       |  JOIN k86 ON b86.th = k86.th)""".stripMargin
+
+  /** History gram set (hg) — identical in all three. */
+  private def triageHgSql: String =
+    s"""hg AS (
+       |  SELECT DISTINCT SUBSTR(text, i, $DupGramK) AS gram
+       |  FROM (SELECT text,
+       |          UNNEST(generate_series(1, LENGTH(text) - ${DupGramK - 1})) AS i
+       |        FROM bkt WHERE bucket < 60 AND LENGTH(text) >= $DupGramK))""".stripMargin
+
+  /** Per-doc duplicated-position sum (hp) — identical in all three. */
+  private def triageHpSql: String =
+    s"""hp AS (SELECT bg.doc_id, CAST(SUM(bg.pc) AS BIGINT) AS hist_pos
+       |       FROM bg JOIN hg USING (gram) GROUP BY bg.doc_id)""".stripMargin
+
+  /** Whole-batch gram leg (hg/bg/hp/gf) — shared by x125 and x127 (x126
+    * gates bg/gf on the cascade's survivors instead).
+    */
+  private def triageGramSql: String =
+    s"""$triageHgSql,
+       |bg AS (
+       |  SELECT doc_id, SUBSTR(text, i, $DupGramK) AS gram, COUNT(*) AS pc
+       |  FROM (SELECT doc_id, text,
+       |          UNNEST(generate_series(1, LENGTH(text) - ${DupGramK - 1})) AS i
+       |        FROM batch WHERE LENGTH(text) >= $DupGramK)
+       |  GROUP BY doc_id, gram),
+       |$triageHpSql,
+       |gf AS (
+       |  SELECT doc_id, CAST(COALESCE(hp.hist_pos, 0) AS DOUBLE) /
+       |    (LENGTH(text) - ${DupGramK - 1}) AS hist_frac
+       |  FROM batch LEFT JOIN hp USING (doc_id)
+       |  WHERE LENGTH(text) >= $DupGramK)""".stripMargin
+
+  /** Whole-batch shingle slice (sb) — shared by x125 and x127 (x126's is
+    * kept-gated).
+    */
+  private def triageSbSql: String =
+    s"""sb AS (${shinglesSqlOver("batch")})"""
+
+  /** Shingle-Jaccard verify tail (sh/cb/ch/p/jac over whatever `sb` the
+    * template defined) — identical in all three.
+    */
+  private def triageJaccardSql: String =
+    s"""sh AS (${shinglesSqlOver("hist")}),
+       |cb AS (SELECT doc_id, COUNT(*) AS n FROM sb GROUP BY doc_id),
+       |ch AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |p AS (
+       |  SELECT b.doc_id AS doc_a, h.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM sb b JOIN sh h
+       |    ON b.sh = h.sh AND b.lang = h.lang
+       |   AND ABS(b.n_chars - h.n_chars) * 2 <= GREATEST(b.n_chars, h.n_chars)
+       |  GROUP BY b.doc_id, h.doc_id),
+       |jac AS (
+       |  SELECT doc_a AS doc_id,
+       |    MAX(CAST(inter AS DOUBLE) / (ca.n + cb2.n - inter)) AS best_jaccard
+       |  FROM p JOIN cb ca ON p.doc_a = ca.doc_id
+       |         JOIN ch cb2 ON p.doc_b = cb2.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb2.n - inter) >= 0.8
+       |  GROUP BY doc_a)""".stripMargin
+
+  /** Pinned-cut verdict SELECT — shared by x125 and x126 (x127's derives
+    * the strip cut and emits it as a checked column).
+    */
+  private def triageVerdictSql: String =
+    """SELECT s.doc_id, s.status,
+      |  COALESCE(j.best_jaccard, 0.0) AS best_jaccard,
+      |  COALESCE(g.hist_frac, 0.0) AS hist_frac,
+      |  CASE WHEN s.status <> 'kept' THEN 'drop_exact'
+      |       WHEN COALESCE(j.best_jaccard, 0.0) >= 0.8 THEN 'drop_near'
+      |       WHEN COALESCE(g.hist_frac, 0.0) >= 0.3 THEN 'strip_spans'
+      |       ELSE 'keep' END AS verdict
+      |FROM st s
+      |LEFT JOIN jac j ON s.doc_id = j.doc_id
+      |LEFT JOIN gf g ON s.doc_id = g.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- x125
   /** Crawl TRIAGE — the production verdict view a crawl pipeline actually
     * emits per incoming document, composing the three text-side
@@ -596,74 +708,11 @@ object TextOps {
   val x125_crawl_triage: QueryDef = QueryDef(
     "x125_crawl_triage",
     Sql.canon(
-      s"""WITH bkt AS (SELECT doc_id, text, lang, n_chars,
-         |  CAST(CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
-         |       AS BIGINT) % 100 AS INT) AS bucket
-         |  FROM documents),
-         |hist AS (SELECT doc_id, text, lang, n_chars FROM bkt WHERE bucket < 60),
-         |batch AS (
-         |  SELECT doc_id, text, lang, n_chars FROM bkt WHERE bucket >= 60
-         |  UNION ALL
-         |  SELECT doc_id + 10000000, text, lang, n_chars FROM bkt
-         |  WHERE bucket < 60 AND bucket % 7 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 20000000, text, lang, n_chars FROM bkt
-         |  WHERE bucket >= 60 AND bucket % 11 = 0),
-         |h86 AS (SELECT DISTINCT MD5(text) AS th FROM bkt WHERE bucket < 60),
-         |b86 AS (SELECT doc_id, MD5(text) AS th FROM batch),
-         |k86 AS (SELECT th, MIN(doc_id) AS keeper FROM b86 GROUP BY th),
-         |st AS (
-         |  SELECT b86.doc_id,
-         |    CASE WHEN h86.th IS NOT NULL THEN 'dup_of_history'
-         |         WHEN b86.doc_id <> k86.keeper THEN 'dup_in_batch'
-         |         ELSE 'kept' END AS status
-         |  FROM b86 LEFT JOIN h86 ON b86.th = h86.th
-         |  JOIN k86 ON b86.th = k86.th),
-         |hg AS (
-         |  SELECT DISTINCT SUBSTR(text, i, $DupGramK) AS gram
-         |  FROM (SELECT text,
-         |          UNNEST(generate_series(1, LENGTH(text) - ${DupGramK - 1})) AS i
-         |        FROM bkt WHERE bucket < 60 AND LENGTH(text) >= $DupGramK)),
-         |bg AS (
-         |  SELECT doc_id, SUBSTR(text, i, $DupGramK) AS gram, COUNT(*) AS pc
-         |  FROM (SELECT doc_id, text,
-         |          UNNEST(generate_series(1, LENGTH(text) - ${DupGramK - 1})) AS i
-         |        FROM batch WHERE LENGTH(text) >= $DupGramK)
-         |  GROUP BY doc_id, gram),
-         |hp AS (SELECT bg.doc_id, CAST(SUM(bg.pc) AS BIGINT) AS hist_pos
-         |       FROM bg JOIN hg USING (gram) GROUP BY bg.doc_id),
-         |gf AS (
-         |  SELECT doc_id, CAST(COALESCE(hp.hist_pos, 0) AS DOUBLE) /
-         |    (LENGTH(text) - ${DupGramK - 1}) AS hist_frac
-         |  FROM batch LEFT JOIN hp USING (doc_id)
-         |  WHERE LENGTH(text) >= $DupGramK),
-         |sb AS (${shinglesSqlOver("batch")}),
-         |sh AS (${shinglesSqlOver("hist")}),
-         |cb AS (SELECT doc_id, COUNT(*) AS n FROM sb GROUP BY doc_id),
-         |ch AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |p AS (
-         |  SELECT b.doc_id AS doc_a, h.doc_id AS doc_b, COUNT(*) AS inter
-         |  FROM sb b JOIN sh h
-         |    ON b.sh = h.sh AND b.lang = h.lang
-         |   AND ABS(b.n_chars - h.n_chars) * 2 <= GREATEST(b.n_chars, h.n_chars)
-         |  GROUP BY b.doc_id, h.doc_id),
-         |jac AS (
-         |  SELECT doc_a AS doc_id,
-         |    MAX(CAST(inter AS DOUBLE) / (ca.n + cb2.n - inter)) AS best_jaccard
-         |  FROM p JOIN cb ca ON p.doc_a = ca.doc_id
-         |         JOIN ch cb2 ON p.doc_b = cb2.doc_id
-         |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb2.n - inter) >= 0.8
-         |  GROUP BY doc_a)
-         |SELECT s.doc_id, s.status,
-         |  COALESCE(j.best_jaccard, 0.0) AS best_jaccard,
-         |  COALESCE(g.hist_frac, 0.0) AS hist_frac,
-         |  CASE WHEN s.status <> 'kept' THEN 'drop_exact'
-         |       WHEN COALESCE(j.best_jaccard, 0.0) >= 0.8 THEN 'drop_near'
-         |       WHEN COALESCE(g.hist_frac, 0.0) >= 0.3 THEN 'strip_spans'
-         |       ELSE 'keep' END AS verdict
-         |FROM st s
-         |LEFT JOIN jac j ON s.doc_id = j.doc_id
-         |LEFT JOIN gf g ON s.doc_id = g.doc_id""".stripMargin,
+      s"""$triageSplitStatusSql,
+         |$triageGramSql,
+         |$triageSbSql,
+         |$triageJaccardSql
+         |$triageVerdictSql""".stripMargin,
       Seq("doc_id", "status", "best_jaccard", "hist_frac", "verdict"))) { (s, d) =>
     val (status, best, gramFrac) = x125Legs(s, d)
     Canon(triageFrame(status, best, gramFrac))
@@ -715,55 +764,14 @@ object TextOps {
   val x126_crawl_triage_cascade: QueryDef = QueryDef(
     "x126_crawl_triage_cascade",
     Sql.canon(
-      s"""WITH bkt AS (SELECT doc_id, text, lang, n_chars,
-         |  CAST(CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
-         |       AS BIGINT) % 100 AS INT) AS bucket
-         |  FROM documents),
-         |hist AS (SELECT doc_id, text, lang, n_chars FROM bkt WHERE bucket < 60),
-         |batch AS (
-         |  SELECT doc_id, text, lang, n_chars FROM bkt WHERE bucket >= 60
-         |  UNION ALL
-         |  SELECT doc_id + 10000000, text, lang, n_chars FROM bkt
-         |  WHERE bucket < 60 AND bucket % 7 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 20000000, text, lang, n_chars FROM bkt
-         |  WHERE bucket >= 60 AND bucket % 11 = 0),
-         |h86 AS (SELECT DISTINCT MD5(text) AS th FROM bkt WHERE bucket < 60),
-         |b86 AS (SELECT doc_id, MD5(text) AS th FROM batch),
-         |k86 AS (SELECT th, MIN(doc_id) AS keeper FROM b86 GROUP BY th),
-         |st AS (
-         |  SELECT b86.doc_id,
-         |    CASE WHEN h86.th IS NOT NULL THEN 'dup_of_history'
-         |         WHEN b86.doc_id <> k86.keeper THEN 'dup_in_batch'
-         |         ELSE 'kept' END AS status
-         |  FROM b86 LEFT JOIN h86 ON b86.th = h86.th
-         |  JOIN k86 ON b86.th = k86.th),
+      s"""$triageSplitStatusSql,
          |kept AS (SELECT doc_id FROM st WHERE status = 'kept'),
          |sb AS (SELECT s0.* FROM (${shinglesSqlOver("batch")}) s0
          |       JOIN kept ON s0.doc_id = kept.doc_id),
-         |sh AS (${shinglesSqlOver("hist")}),
-         |cb AS (SELECT doc_id, COUNT(*) AS n FROM sb GROUP BY doc_id),
-         |ch AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |p AS (
-         |  SELECT b.doc_id AS doc_a, h.doc_id AS doc_b, COUNT(*) AS inter
-         |  FROM sb b JOIN sh h
-         |    ON b.sh = h.sh AND b.lang = h.lang
-         |   AND ABS(b.n_chars - h.n_chars) * 2 <= GREATEST(b.n_chars, h.n_chars)
-         |  GROUP BY b.doc_id, h.doc_id),
-         |jac AS (
-         |  SELECT doc_a AS doc_id,
-         |    MAX(CAST(inter AS DOUBLE) / (ca.n + cb2.n - inter)) AS best_jaccard
-         |  FROM p JOIN cb ca ON p.doc_a = ca.doc_id
-         |         JOIN ch cb2 ON p.doc_b = cb2.doc_id
-         |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb2.n - inter) >= 0.8
-         |  GROUP BY doc_a),
+         |$triageJaccardSql,
          |surv AS (SELECT doc_id FROM kept
          |         WHERE doc_id NOT IN (SELECT doc_id FROM jac)),
-         |hg AS (
-         |  SELECT DISTINCT SUBSTR(text, i, $DupGramK) AS gram
-         |  FROM (SELECT text,
-         |          UNNEST(generate_series(1, LENGTH(text) - ${DupGramK - 1})) AS i
-         |        FROM bkt WHERE bucket < 60 AND LENGTH(text) >= $DupGramK)),
+         |$triageHgSql,
          |bg AS (
          |  SELECT doc_id, SUBSTR(text, i, $DupGramK) AS gram, COUNT(*) AS pc
          |  FROM (SELECT b2.doc_id, b2.text,
@@ -771,23 +779,13 @@ object TextOps {
          |        FROM batch b2 JOIN surv USING (doc_id)
          |        WHERE LENGTH(b2.text) >= $DupGramK)
          |  GROUP BY doc_id, gram),
-         |hp AS (SELECT bg.doc_id, CAST(SUM(bg.pc) AS BIGINT) AS hist_pos
-         |       FROM bg JOIN hg USING (gram) GROUP BY bg.doc_id),
+         |$triageHpSql,
          |gf AS (
          |  SELECT b3.doc_id, CAST(COALESCE(hp.hist_pos, 0) AS DOUBLE) /
          |    (LENGTH(b3.text) - ${DupGramK - 1}) AS hist_frac
          |  FROM batch b3 JOIN surv USING (doc_id) LEFT JOIN hp USING (doc_id)
          |  WHERE LENGTH(b3.text) >= $DupGramK)
-         |SELECT s.doc_id, s.status,
-         |  COALESCE(j.best_jaccard, 0.0) AS best_jaccard,
-         |  COALESCE(g.hist_frac, 0.0) AS hist_frac,
-         |  CASE WHEN s.status <> 'kept' THEN 'drop_exact'
-         |       WHEN COALESCE(j.best_jaccard, 0.0) >= 0.8 THEN 'drop_near'
-         |       WHEN COALESCE(g.hist_frac, 0.0) >= 0.3 THEN 'strip_spans'
-         |       ELSE 'keep' END AS verdict
-         |FROM st s
-         |LEFT JOIN jac j ON s.doc_id = j.doc_id
-         |LEFT JOIN gf g ON s.doc_id = g.doc_id""".stripMargin,
+         |$triageVerdictSql""".stripMargin,
       Seq("doc_id", "status", "best_jaccard", "hist_frac", "verdict"))) { (s, d) =>
     Canon(triageCascade(s, d,
       x86Split(s, d)._2, shingleArrays(x123Split(s, d)._2),
@@ -803,7 +801,8 @@ object TextOps {
     */
   private[graft] def triageCascade(s: SparkSession, d: String,
       batchDocs: DataFrame, batchArrs: DataFrame,
-      history: => DataFrame, k: Int = DupGramK): DataFrame = {
+      history: => DataFrame, k: Int = DupGramK,
+      stripThrScaled: Option[Long] = None): DataFrame = {
     // each stage's output is batch-bounded-small (ids + a verdict/measure
     // column) and feeds SEVERAL downstream stages — materialize them, or
     // lazy evaluation re-runs every earlier leg inside every later one
@@ -833,7 +832,7 @@ object TextOps {
           graft.sources.GramHistory.gramHashes(history, k)),
         k = k, broadcastProbe = false)
       .select(col("doc_id"), col("hist_frac"))
-    triageFrame(status, best, gramFrac)
+    triageFrame(status, best, gramFrac, stripThrScaled)
   }
 
   // ---------------------------------------------------------------- x127
@@ -872,64 +871,10 @@ object TextOps {
   val x127_crawl_triage_derived: QueryDef = QueryDef(
     "x127_crawl_triage_derived",
     Sql.canon(
-      s"""WITH bkt AS (SELECT doc_id, text, lang, n_chars,
-         |  CAST(CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
-         |       AS BIGINT) % 100 AS INT) AS bucket
-         |  FROM documents),
-         |hist AS (SELECT doc_id, text, lang, n_chars FROM bkt WHERE bucket < 60),
-         |batch AS (
-         |  SELECT doc_id, text, lang, n_chars FROM bkt WHERE bucket >= 60
-         |  UNION ALL
-         |  SELECT doc_id + 10000000, text, lang, n_chars FROM bkt
-         |  WHERE bucket < 60 AND bucket % 7 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 20000000, text, lang, n_chars FROM bkt
-         |  WHERE bucket >= 60 AND bucket % 11 = 0),
-         |h86 AS (SELECT DISTINCT MD5(text) AS th FROM bkt WHERE bucket < 60),
-         |b86 AS (SELECT doc_id, MD5(text) AS th FROM batch),
-         |k86 AS (SELECT th, MIN(doc_id) AS keeper FROM b86 GROUP BY th),
-         |st AS (
-         |  SELECT b86.doc_id,
-         |    CASE WHEN h86.th IS NOT NULL THEN 'dup_of_history'
-         |         WHEN b86.doc_id <> k86.keeper THEN 'dup_in_batch'
-         |         ELSE 'kept' END AS status
-         |  FROM b86 LEFT JOIN h86 ON b86.th = h86.th
-         |  JOIN k86 ON b86.th = k86.th),
-         |hg AS (
-         |  SELECT DISTINCT SUBSTR(text, i, $DupGramK) AS gram
-         |  FROM (SELECT text,
-         |          UNNEST(generate_series(1, LENGTH(text) - ${DupGramK - 1})) AS i
-         |        FROM bkt WHERE bucket < 60 AND LENGTH(text) >= $DupGramK)),
-         |bg AS (
-         |  SELECT doc_id, SUBSTR(text, i, $DupGramK) AS gram, COUNT(*) AS pc
-         |  FROM (SELECT doc_id, text,
-         |          UNNEST(generate_series(1, LENGTH(text) - ${DupGramK - 1})) AS i
-         |        FROM batch WHERE LENGTH(text) >= $DupGramK)
-         |  GROUP BY doc_id, gram),
-         |hp AS (SELECT bg.doc_id, CAST(SUM(bg.pc) AS BIGINT) AS hist_pos
-         |       FROM bg JOIN hg USING (gram) GROUP BY bg.doc_id),
-         |gf AS (
-         |  SELECT doc_id, CAST(COALESCE(hp.hist_pos, 0) AS DOUBLE) /
-         |    (LENGTH(text) - ${DupGramK - 1}) AS hist_frac
-         |  FROM batch LEFT JOIN hp USING (doc_id)
-         |  WHERE LENGTH(text) >= $DupGramK),
-         |sb AS (${shinglesSqlOver("batch")}),
-         |sh AS (${shinglesSqlOver("hist")}),
-         |cb AS (SELECT doc_id, COUNT(*) AS n FROM sb GROUP BY doc_id),
-         |ch AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |p AS (
-         |  SELECT b.doc_id AS doc_a, h.doc_id AS doc_b, COUNT(*) AS inter
-         |  FROM sb b JOIN sh h
-         |    ON b.sh = h.sh AND b.lang = h.lang
-         |   AND ABS(b.n_chars - h.n_chars) * 2 <= GREATEST(b.n_chars, h.n_chars)
-         |  GROUP BY b.doc_id, h.doc_id),
-         |jac AS (
-         |  SELECT doc_a AS doc_id,
-         |    MAX(CAST(inter AS DOUBLE) / (ca.n + cb2.n - inter)) AS best_jaccard
-         |  FROM p JOIN cb ca ON p.doc_a = ca.doc_id
-         |         JOIN ch cb2 ON p.doc_b = cb2.doc_id
-         |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb2.n - inter) >= 0.8
-         |  GROUP BY doc_a),
+      s"""$triageSplitStatusSql,
+         |$triageGramSql,
+         |$triageSbSql,
+         |$triageJaccardSql,
          |m AS (
          |  SELECT s.doc_id, s.status,
          |    COALESCE(j.best_jaccard, 0.0) AS best_jaccard,
@@ -967,13 +912,7 @@ object TextOps {
     // cached relations.
     val m = triageMeasures(status, best, gramFrac).persist()
     try {
-      val thr = graft.operators.Percentiles.exactThresholdOpt(
-        m.filter(col("status") === "kept" && col("best_jaccard") < 0.8 &&
-            col("hist_frac") > 0.0)
-          .select(round(col("hist_frac") * FracScale.toDouble)
-            .cast(LongType).as("v")),
-        "v", StripPercentileNum, StripPercentileDen)
-        .getOrElse(Long.MaxValue)
+      val thr = deriveStripThrScaled(m).getOrElse(Long.MaxValue)
       Canon.materialize(Canon(m
         .withColumn("verdict",
           when(col("status") =!= "kept", lit("drop_exact"))
@@ -992,15 +931,51 @@ object TextOps {
     * one-micro-batch ≡ batch contract holds structurally. `status` =
     * (doc_id, status); `best` = (doc_id, best_jaccard); `gramFrac` =
     * (doc_id, hist_frac).
+    *
+    * `stripThrScaled`: None = the registry-pinned 0.3 strip cut (x125's
+    * gate, `hist_frac >= 0.3`); Some(t) = an OFFLINE-DERIVED scaled-
+    * integer cut compared exactly as x127 compares it
+    * (`round(hist_frac × 10^6) > t` — scaled integers, so batch and
+    * stream gate bit-identically regardless of double formatting). The
+    * production posture (x118's curateV3 precedent): derive t
+    * periodically offline ([[deriveStripThrScaled]]) and feed the scalar
+    * to the stream; a live per-batch percentile would gate every batch
+    * against itself.
     */
   private[graft] def triageFrame(status: DataFrame, best: DataFrame,
-                                 gramFrac: DataFrame): DataFrame =
+                                 gramFrac: DataFrame,
+                                 stripThrScaled: Option[Long] = None)
+      : DataFrame = {
+    val stripGate = stripThrScaled match {
+      case None => col("hist_frac") >= 0.3
+      case Some(t) =>
+        round(col("hist_frac") * FracScale.toDouble).cast(LongType) > t
+    }
     triageMeasures(status, best, gramFrac)
       .withColumn("verdict",
         when(col("status") =!= "kept", lit("drop_exact"))
           .when(col("best_jaccard") >= 0.8, lit("drop_near"))
-          .when(col("hist_frac") >= 0.3, lit("strip_spans"))
+          .when(stripGate, lit("strip_spans"))
           .otherwise(lit("keep")))
+  }
+
+  /** x127's threshold derivation as a standalone verb — the exact p90 of
+    * the integer-scaled positive `hist_frac` over the strip-ELIGIBLE
+    * population (status `kept`, below the near-dup cut) of a measured
+    * matrix ([[triageMeasures]]' shape). None = empty eligible
+    * population (the gate should never trip — callers use the
+    * `Long.MaxValue` sentinel, the x115 convention). Run it OFFLINE over
+    * a reference window and feed the scalar to
+    * [[graft.streaming.CurationStreams.crawlTriage]].
+    */
+  private[graft] def deriveStripThrScaled(measures: DataFrame)
+      : Option[Long] =
+    graft.operators.Percentiles.exactThresholdOpt(
+      measures.filter(col("status") === "kept" &&
+          col("best_jaccard") < 0.8 && col("hist_frac") > 0.0)
+        .select(round(col("hist_frac") * FracScale.toDouble)
+          .cast(LongType).as("v")),
+      "v", StripPercentileNum, StripPercentileDen)
 
   /** The pre-verdict measure matrix — (doc_id, status, best_jaccard,
     * hist_frac) with absent legs coalesced to 0 — shared by the pinned

@@ -1001,12 +1001,24 @@ object CurationStreams {
     * the watermark/append/replay machinery is shared; a crawl stream
     * where most arrivals resolve at the cheap exact leg should run the
     * cascade (the measured 100× delta is ~2×, BASELINE round-17).
+    *
+    * `stripThrScaled` — the production strip cut (x118's curateV3
+    * precedent: derived OFFLINE, fed to the stream as a scalar): an
+    * x127-style scaled-integer threshold
+    * ([[graft.queries.TextOps.deriveStripThrScaled]] over a reference
+    * window's measure matrix — re-derive periodically). The stream then
+    * gates exactly as the x127 batch form does
+    * (`round(hist_frac × 10^6) > t`, exact in scaled integers); None
+    * keeps x125's pinned 0.3 cut. A live per-batch percentile is
+    * deliberately NOT offered — it would gate every batch against
+    * itself, the non-transfer the rehearsal shakedown pinned.
     */
   def crawlTriage(docs: DataFrame, dir: String,
                   k: Int = graft.queries.TextOps.DupGramK,
                   sink: DataFrame => Unit,
                   growStore: Boolean = true,
-                  cascade: Boolean = false)
+                  cascade: Boolean = false,
+                  stripThrScaled: Option[Long] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val aHash = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     val aGram = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
@@ -1020,7 +1032,7 @@ object CurationStreams {
         b => graft.sources.MinHashHistory.append(b.sparkSession, dir,
           graft.queries.TextOps.minHashBandsOf(b),
           graft.queries.TextOps.minHashShinglesOf(b)),
-        cascade)
+        cascade, stripThrScaled)
     }
   }
 
@@ -1034,7 +1046,8 @@ object CurationStreams {
       aGram: java.util.concurrent.atomic.AtomicLong,
       aMh: java.util.concurrent.atomic.AtomicLong, growStore: Boolean,
       appendHash: DataFrame => Unit, appendGram: DataFrame => Unit,
-      appendMh: DataFrame => Unit, cascade: Boolean = false): Unit = {
+      appendMh: DataFrame => Unit, cascade: Boolean = false,
+      stripThrScaled: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     def tableOf(name: String, t: Option[String]): String =
       t.getOrElse(throw new IllegalStateException(
@@ -1074,7 +1087,7 @@ object CurationStreams {
         graft.queries.TextOps.triageCascade(spark, dir, batch,
           graft.queries.TextOps.shingleArrays(batch),
           sys.error(s"unreachable: $hashT/$gramT/$mhT are registered"),
-          k = k)
+          k = k, stripThrScaled = stripThrScaled)
       else {
         val status = graft.operators.Dedup.incrementalStatusBinary(batch,
           graft.sources.HashHistory.scanOrCompute(spark, dir)(
@@ -1092,7 +1105,8 @@ object CurationStreams {
             graft.queries.TextOps.shingleArrays(batch), bands, sh)
           .groupBy(col("doc_a").as("doc_id"))
           .agg(max(col("jaccard")).as("best_jaccard"))
-        graft.queries.TextOps.triageFrame(status, best, gramFrac)
+        graft.queries.TextOps.triageFrame(status, best, gramFrac,
+          stripThrScaled)
       }
     val scored = scored0.persist()
     try {

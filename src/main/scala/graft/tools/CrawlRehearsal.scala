@@ -51,7 +51,8 @@ object CrawlRehearsal {
       selfMisses: (String, DataFrame) => Long, // eligible items NOT self-recognized
       exactAtScale: Boolean,            // gate-2 form: identity vs no-misses
       reprobe: Option[String => DataFrame] = None, // gate-3 probe override
-      extrasValid: Set[Seq[Any]] => Boolean = _ => true) // gate-2 extras check
+      extrasValid: Set[Seq[Any]] => Boolean = _ => true, // gate-2 extras check
+      driftStat: Option[String => String] = None) // listing-level skew, post-append
 
   private def rows(df: DataFrame): Set[Seq[Any]] =
     df.collect().map(_.toSeq).toSet
@@ -274,7 +275,14 @@ object CrawlRehearsal {
           .filter(col("cos_sim") >= 0.999)
           .select(col("query_id").as("batch_id"),
             col("vec_id").as("hist_id"),
-            round(col("cos_sim"), 4).as("cos_sim"))))
+            round(col("cos_sim"), 4).as("cos_sim"))),
+        // drift loudness: the rebalance trigger (DEDUP_TUNING §5.1) is
+        // printed every rehearsal round, so a store drifting toward the
+        // skew threshold is visible BEFORE any recall gate trips
+        driftStat = Some { d =>
+          val s = IvfStore.skewStat(spark, ivfPath(d))
+          f"cells=${s.cells} skew=${s.skew}%.2f p99B=${s.p99Bytes}"
+        })
     )
 
     val baseAnswers = scala.collection.mutable.Map[String, Set[Seq[Any]]]()
@@ -325,11 +333,12 @@ object CrawlRehearsal {
         assert(misses == 0L,
           s"${m.name}@$dir: $misses batch items not self-recognized " +
             "after their own append committed")
+        val drift = m.driftStat.map(f => " drift[" + f(dir) + "]").getOrElse("")
         println(f"CRAWL-REHEARSAL dir=$dir member=${m.name} " +
           f"build=$build%.2f s store_before=$before probe1=${w1._1}%.2f s " +
           f"probe2=$w2%.2f s rows=${w1._2} extras=$extras " +
           f"append=$append%.2f s store_after=$after reprobe=$w3%.2f s " +
-          f"self_ok=true load=${graft.Bench.loadAvg()}%.2f")
+          f"self_ok=true load=${graft.Bench.loadAvg()}%.2f$drift")
       }
       println(f"CRAWL-REHEARSAL dir=$dir COMBINED " +
         f"wall=${(System.nanoTime() - dirT0) / 1e9}%.1f s " +

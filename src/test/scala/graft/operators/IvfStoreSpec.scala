@@ -119,6 +119,9 @@ class IvfStoreSpec extends SparkSpec {
     IvfStore.rebalance(spark, path)
     assert(IvfStore.search(spark, path, queries, k = 5, nprobe = 2)
       .count() == 0, "empty store must answer empty after rebalance")
+    val stat = IvfStore.skewStat(spark, path)
+    assert(stat.cells == 0L && stat.skew == 0.0,
+      s"empty store must report zero skew: $stat")
   }
 
   test("rebalance: a skew-grown store regains balanced cells; answers stay " +
@@ -155,8 +158,20 @@ class IvfStoreSpec extends SparkSpec {
     // drift region, so a probe of it reads drift-sized bytes
     assert(before.values.max >= 400,
       s"fixture not skewed: $before")
+    // skewStat sees the drift from the LISTING alone (the rebalance
+    // trigger — no vector bytes read): max/mean across cell dirs reflects
+    // the 400-row cell against the ~50-row base cells
+    val statBefore = IvfStore.skewStat(spark, path)
+    assert(statBefore.cells == before.keySet.size.toLong)
+    assert(statBefore.skew >= 2.0,
+      s"listing-level skew stat missed the drift: $statBefore")
     val cents = IvfStore.rebalance(spark, path, nlist = 8, kmeansIters = 4)
     val after = cellSizes()
+    val statAfter = IvfStore.skewStat(spark, path)
+    assert(statAfter.cells == 8L)
+    assert(statAfter.skew < statBefore.skew,
+      s"rebalance did not reduce the listing-level skew: " +
+        s"$statAfter vs $statBefore")
     assert(after.keySet.size == 8 && after.values.sum == 600,
       s"rebalance lost rows or cells: $after")
     assert(after.values.max <= before.values.max / 2,

@@ -1587,6 +1587,68 @@ class CurationStreamsSpec extends SparkSpec {
     triageInvalidate(dir)
   }
 
+  test("streaming cascade with a DERIVED strip threshold gates exactly as " +
+      "x127's scaled-integer comparison; stream equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.queries.TextOps
+    val dir = s"/tmp/triage_derived_${System.nanoTime}"
+    mkTriageStores(dir)
+    val stripText = ndText("tail") + " " +
+      (1 to 30).map(i => s"zfresh$i").mkString(" ")
+    val b1 = Seq(ndDoc(10L, ndText("edited")), ndDoc(11L, ndNovel),
+      ndDoc(12L, ndText("tail")), ndDoc(13L, stripText))
+    val batchDf = b1.toDF("doc_id", "text", "lang", "n_chars")
+    // doc 13's exact hist_frac against the (pre-append) store history
+    val hist = Seq(ndDoc(1L, ndText("tail")))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val frac13 = graft.operators.Dedup.incrementalDupGrams(batchDf,
+        graft.sources.GramHistory.gramHashes(hist, TextOps.DupGramK),
+        k = TextOps.DupGramK)
+      .filter(col("doc_id") === 13L)
+      .select("hist_frac").as[Double].collect().head
+    assert(frac13 > 0.0 && frac13 < 1.0)
+    val v13 = math.round(frac13 * 1000000.0)
+    def drive(thr: Long): Map[Long, String] = {
+      val out = scala.collection.mutable.ListBuffer[(Long, String)]()
+      val mem = MemoryStream[(Long, String, String, Long)]
+      // growStore = false: both drives must see the SAME store state
+      val q = CurationStreams.crawlTriage(
+          mem.toDF().toDF("doc_id", "text", "lang", "n_chars"), dir,
+          sink = df => out ++= df.select("doc_id", "verdict")
+            .as[(Long, String)].collect(),
+          growStore = false, cascade = true, stripThrScaled = Some(thr))
+        .start()
+      try {
+        mem.addData(b1); q.processAllAvailable()
+      } finally q.stop()
+      out.toMap
+    }
+    // thr just BELOW doc 13's scaled measure: the strict > gate trips
+    val below = drive(v13 - 1)
+    assert(below == Map(10L -> "drop_near", 11L -> "keep",
+      12L -> "drop_exact", 13L -> "strip_spans"), s"got $below")
+    // thr AT doc 13's scaled measure: x127's comparison is strictly
+    // greater-than — the gate must NOT trip (a >= gate would diverge
+    // from the batch x127 form exactly here)
+    val at = drive(v13)
+    assert(at(13L) == "keep",
+      s"scaled-integer gate is not strict-greater: $at")
+    // full-tuple equality with the batch cascade fed the same scalar
+    val want = TextOps.triageCascade(spark, dir, batchDf,
+        TextOps.shingleArrays(batchDf),
+        sys.error("unreachable: stores registered"),
+        stripThrScaled = Some(v13 - 1))
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(below == want, s"stream $below != batch twin $want")
+    // the derivation helper matches the x127 inline device on a measured
+    // matrix: p90 over ONE eligible row is that row's own value
+    val measures = Seq((13L, "kept", 0.0, frac13))
+      .toDF("doc_id", "status", "best_jaccard", "hist_frac")
+    assert(TextOps.deriveStripThrScaled(measures).contains(v13))
+    triageInvalidate(dir)
+  }
+
   test("streaming crawl triage: a failed middle append retries alone; committed stores skip") {
     import spark.implicits._
     import graft.queries.TextOps
