@@ -4,12 +4,13 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, IntegerType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Native codegen'd membership probe against a BROADCAST array of
   * per-bucket bloom filters ([[graft.sources.KeyBloom]]'s layout):
-  * `left` = the LONG key, `right` = its table-bucket id
+  * `left` = the key (LONG — the gram store — or BINARY — the md5 hash
+  * store), `right` = its table-bucket id
   * ([[graft.sources.KeyBloom.bucketIdCol]] — itself codegen'd
   * `pmod(murmur3, n)`), result = whether bucket `right`'s bloom might
   * contain `left`.
@@ -32,16 +33,22 @@ case class BloomBucketMightContain(left: Expression, right: Expression,
   override def prettyName: String = "keybloom_might_contain"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == LongType && right.dataType == IntegerType)
+    if ((left.dataType == LongType || left.dataType == BinaryType) &&
+        right.dataType == IntegerType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (BIGINT key, INT bucket), got " +
+      s"$prettyName requires (BIGINT|BINARY key, INT bucket), got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
 
   @transient private lazy val arr: Array[BloomFilter] = blooms.value
 
   override protected def nullSafeEval(key: Any, bucket: Any): Any =
-    arr(bucket.asInstanceOf[Int]).mightContainLong(key.asInstanceOf[Long])
+    left.dataType match {
+      case LongType => arr(bucket.asInstanceOf[Int])
+        .mightContainLong(key.asInstanceOf[Long])
+      case _ => arr(bucket.asInstanceOf[Int])
+        .mightContainBinary(key.asInstanceOf[Array[Byte]])
+    }
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
@@ -51,8 +58,11 @@ case class BloomBucketMightContain(left: Expression, right: Expression,
       "org.apache.spark.util.sketch.BloomFilter[]", "keyblooms",
       v => s"$v = (org.apache.spark.util.sketch.BloomFilter[]) " +
         s"$bcRef.value();")
+    val call =
+      if (left.dataType == LongType) "mightContainLong"
+      else "mightContainBinary"
     nullSafeCodeGen(ctx, ev, (k, b) =>
-      s"${ev.value} = $arrVar[$b].mightContainLong($k);")
+      s"${ev.value} = $arrVar[$b].$call($k);")
   }
 
   override protected def withNewChildrenInternal(

@@ -935,6 +935,20 @@ object Multimodal {
     * hash-space × cap) and derives votes AND denominators from it —
     * single landmark pass, which is the shape that matters at 100 TB
     * where the upstream reads payload bytes.
+    *
+    * RECALL CEILING of the scheme (PartialOverlapProbe, BASELINE
+    * round-17): at 100× clique density the composed df-512/cap-1024
+    * sizing measures 0.9992 (1191/1192 planted pairs) with zero capped
+    * drops, and the one residual miss is STRUCTURAL, not a sizing
+    * artifact — a track whose entire constellation lands in hashes
+    * shared by >512 distinct components, i.e. every one of its landmark
+    * keys is corpus-degenerate and carries no identity signal under
+    * ANY df cut (dropping the cut re-admits the quadratic junk
+    * pair-generation the filter exists to prevent; raising the cap was
+    * measured quadratic-cost-for-one-pair). Recovering that track class
+    * means a different anchor GEOMETRY (wider windows / more fan-out —
+    * new hash space, a re-fingerprint of the corpus), not a knob on
+    * this one: treat 0.9992 as this scheme's ceiling at that density.
     */
   def audioNearDups(landmarks: DataFrame, minVotes: Int = 5,
                     minCoverage: Double = 0.25,

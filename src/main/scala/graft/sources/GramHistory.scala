@@ -40,8 +40,7 @@ object GramHistory {
   // FALSE NEGATIVES) so the (possibly large) bloom array ships to
   // executors once per store version, not once per probe; mutating verbs
   // also invalidate in-process
-  private val blooms = new ConcurrentHashMap[String,
-    (Long, Broadcast[Array[BloomFilter]], KeyBloom.Meta)]()
+  private val blooms: ProbeReduce.BloomMemo = new ConcurrentHashMap()
 
   /** Broadcast-budget conf for the probe-reduce build side — the shared
     * incremental-family knob ([[graft.util.ProbeBudget]]): when a probe's
@@ -248,92 +247,15 @@ object GramHistory {
             "left_semi")
           .distinct())
       case Some((table, _)) =>
-        // materialized once (batch-bounded): the bloom cut, the emptiness
-        // short-circuit, the budget count and the broadcast build all
-        // consume it — lazy, each would re-run the batch gram derivation
-        // (measured ~1 s per extra pass at sf0.1)
-        val keys0 = graft.util.Materialize.eager(
-          batchKeys.select(col(GramCol)))
-        bloomBroadcast(spark, table) match {
-          case None =>
-            // plain-parquet probe scan: the reduce is a broadcast semi,
-            // so bucket co-location buys nothing and the bucketed scan's
-            // one-partition-per-bucket split caps a grown store's read
-            // at `buckets`-way parallelism
-            reduceOrFallback(spark, table, keys0, keys0.count(),
-              Bucketing.probeScan(spark, table).select(col(GramCol)))
-          case Some((bc, meta)) =>
-            val keyExpr = org.apache.spark.sql.GraftBridge.expression(
-              col(GramCol))
-            val bidExpr = org.apache.spark.sql.GraftBridge.expression(
-              KeyBloom.bucketIdCol(GramCol, meta.buckets))
-            val cand = graft.util.Materialize.eager(keys0.filter(
-              org.apache.spark.sql.GraftBridge.column(
-                graft.functions.BloomBucketMightContain(
-                  keyExpr, bidExpr, bc))))
-            val n = cand.count()
-            if (n == 0L)
-              // nothing can match: zero store files read this probe
-              spark.range(0).select(col("id").as(GramCol))
-            else {
-              // candidate buckets are ≤ `buckets` driver-side ints; the
-              // store scan reads ONLY their files
-              val bids = cand
-                .select(KeyBloom.bucketIdCol(GramCol, meta.buckets).as("_b"))
-                .distinct().collect().map(_.getInt(0)).toSet
-              reduceOrFallback(spark, table, cand, n,
-                Bucketing.probeScan(spark, table, Some(bids))
-                  .select(col(GramCol)))
-            }
-        }
+        ProbeReduce.probe(spark, table, GramCol, batchKeys, blooms,
+          "GramHistory.probeHistory",
+          spark.range(0).select(col("id").as(GramCol)))
     }
 
-  /** The probe-reduce tail under the broadcast budget: within budget,
-    * the batch-bounded keyset broadcasts into a map-only scan of
-    * `store` (the pruned plain-parquet read) and the reduced result
-    * broadcasts onward; over budget — the batch ≪ store contract
-    * violated — degrade to the co-located bucketed join (store-side
-    * sort, no store exchange, bounded memory) with a named warning.
-    */
-  private def reduceOrFallback(spark: SparkSession, table: String,
-      keys: DataFrame, nKeys: Long, store: DataFrame): DataFrame = {
-    import graft.util.ProbeBudget
-    if (!ProbeBudget.within(spark, nKeys, ProbeBudget.BytesPerKeyRow)) {
-      ProbeBudget.warnExceeded(
-        org.slf4j.LoggerFactory.getLogger(getClass),
-        s"GramHistory.probeHistory candidate keyset for $table", nKeys,
-        ProbeBudget.BytesPerKeyRow, spark)
-      spark.table(table).select(col(GramCol))
-        .join(keys, Seq(GramCol), "left_semi")
-        .distinct()
-    } else
-      broadcast(store.join(broadcast(keys), Seq(GramCol), "left_semi")
-        .distinct())
-  }
-
-  /** The memoized sidecar-bloom broadcast (per-bucket array) + meta for
-    * a store table, revalidated by the sidecar's GENERATION counter
-    * (mutating verbs also invalidate in-process) — the bloom array ships
-    * to executors once per store version, not once per probe.
-    */
+  /** Spec hook: the generation-validated memoized bloom broadcast. */
   private[graft] def bloomBroadcast(spark: SparkSession, table: String)
-      : Option[(Broadcast[Array[BloomFilter]], KeyBloom.Meta)] = {
-    val base = Bucketing.guardBase(spark, table)
-    KeyBloom.readMeta(spark, base) match {
-      case None => blooms.remove(table); None
-      case Some(meta) =>
-        Option(blooms.get(table)) match {
-          case Some((g, bc, m)) if g == meta.gen => Some((bc, m))
-          case stale =>
-            stale.foreach(_._2.unpersist())
-            KeyBloom.readAll(spark, base).map { case (arr, m) =>
-              val bc = spark.sparkContext.broadcast(arr)
-              blooms.put(table, (m.gen, bc, m))
-              (bc, m)
-            }
-        }
-    }
-  }
+      : Option[(Broadcast[Array[BloomFilter]], KeyBloom.Meta)] =
+    ProbeReduce.bloomBroadcast(spark, table, blooms)
 
   private[graft] def registeredTable(spark: SparkSession,
                                      dir: String): Option[String] =

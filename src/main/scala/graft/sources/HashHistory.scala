@@ -47,6 +47,10 @@ object HashHistory {
   /** (appId|dir) -> (table, buckets), present after create/attach. */
   private val stores = new ConcurrentHashMap[String, (String, Int)]()
 
+  // memoized sidecar-bloom broadcasts, generation-validated (the
+  // GramHistory device — see [[ProbeReduce]])
+  private val blooms: ProbeReduce.BloomMemo = new ConcurrentHashMap()
+
   private def key(spark: SparkSession, dir: String): String =
     spark.sparkContext.applicationId + "|" + new java.io.File(dir).getAbsolutePath
 
@@ -70,6 +74,7 @@ object HashHistory {
     MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
       Bucketing.writeBucketed(
         hashesBinary.select(col(HashCol)).distinct(), table, HashCol, buckets)
+      rebuildBloom(spark, table, buckets)
     }
     // a recreated store is a NEW streaming lineage (the crawlTriage twin
     // appends behind a persisted watermark): drop any stale mark or its
@@ -98,6 +103,23 @@ object HashHistory {
       throw new IllegalStateException(
         s"HashHistory.append: no store registered for $dir — create()/attach() first"))
     MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
+      // fold BEFORE the table append (the GramHistory ordering: crash
+      // residue is phantom bloom keys — harmless — never table keys the
+      // bloom misses); failures drop the sidecar, not the store
+      val base = Bucketing.guardBase(spark, table)
+      try {
+        if (KeyBloom.fold(spark, base,
+            hashesBinary.select(col(HashCol)), HashCol).exists(_ > 0L))
+          blooms.remove(table): Unit
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          KeyBloom.delete(spark, base)
+          blooms.remove(table): Unit
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"HashHistory: bloom sidecar update failed for $table — " +
+              s"sidecar dropped, probes fall back to the plain scan: " +
+              s"${e.getMessage}")
+      }
       hashesBinary.select(col(HashCol))
         .write.mode(SaveMode.Append)
         .bucketBy(buckets, HashCol)
@@ -106,6 +128,24 @@ object HashHistory {
         .saveAsTable(table)
     }
   }
+
+  /** (Re)build the [[KeyBloom]] sidecar — per-bucket task-local, failure
+    * degrades to the plain scan (the GramHistory contract).
+    */
+  private def rebuildBloom(spark: SparkSession, table: String,
+                           buckets: Int): Unit =
+    try {
+      KeyBloom.build(spark, Bucketing.guardBase(spark, table),
+        spark.table(table).select(col(HashCol)), HashCol, buckets)
+      blooms.remove(table): Unit
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        KeyBloom.delete(spark, Bucketing.guardBase(spark, table))
+        blooms.remove(table): Unit
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"HashHistory: bloom sidecar build failed for $table — probes " +
+            s"fall back to the plain store scan: ${e.getMessage}")
+    }
 
   /** STORE-SIZED compaction — recrawl-heavy streams re-append hashes the
     * store already holds (the probe's distinct() absorbs them, but bytes
@@ -121,6 +161,9 @@ object HashHistory {
         s"HashHistory.compact: no store registered for $dir — create() first"))
     MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
       Bucketing.compactDistinct(spark, table, HashCol, buckets)
+      // re-size the sidecar to the compacted key count (also the legacy
+      // store's upgrade path)
+      rebuildBloom(spark, table, buckets)
     }
   }
 
@@ -136,12 +179,40 @@ object HashHistory {
       case None => compute
     }
 
+  /** PROBE consumer entry — the history relation REDUCED to the batch's
+    * own key set (membership-transparent for the probe's left join: a
+    * batch hash is in (H ⋉ K) iff it is in H), bloom-gated, bucket-
+    * pruned and budget-guarded ([[ProbeReduce]] — the GramHistory
+    * device): a fully-NOVEL batch — the steady-state crawl case — reads
+    * ZERO store files instead of co-located-scanning the whole hash
+    * store per micro-batch (16 B/doc still reads corpus-sized bytes at
+    * crawl cadence). Falls back to `compute` when no producer step
+    * registered this (application, dir). `batchKeys` = one BINARY
+    * [[HashCol]] column, batch-bounded (the enforced contract).
+    */
+  def probeHistory(spark: SparkSession, dir: String, batchKeys: DataFrame)
+                  (compute: => DataFrame): DataFrame =
+    Option(stores.get(key(spark, dir))) match {
+      case None =>
+        broadcast(compute.select(col(HashCol))
+          .join(broadcast(batchKeys.select(col(HashCol))), Seq(HashCol),
+            "left_semi")
+          .distinct())
+      case Some((table, _)) =>
+        ProbeReduce.probe(spark, table, HashCol, batchKeys, blooms,
+          "HashHistory.probeHistory",
+          spark.range(0).select(lit(null).cast("binary").as(HashCol)))
+    }
+
   /** The registered table name, if a producer step ran (spec hook). */
   private[graft] def registeredTable(spark: SparkSession,
                                      dir: String): Option[String] =
     Option(stores.get(key(spark, dir))).map(_._1)
 
   /** Drop the registration (spec isolation; the table itself remains). */
-  private[graft] def invalidate(spark: SparkSession, dir: String): Unit =
+  private[graft] def invalidate(spark: SparkSession, dir: String): Unit = {
+    Option(stores.get(key(spark, dir)))
+      .foreach(t => Option(blooms.remove(t._1)).foreach(_._2.unpersist()))
     stores.remove(key(spark, dir)): Unit
+  }
 }

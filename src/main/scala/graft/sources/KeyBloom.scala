@@ -87,11 +87,12 @@ object KeyBloom {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The bucket-routing column for a LONG key — `pmod(murmur3, n)`,
-    * byte-identical to the function `bucketBy(n, key)` routes rows with
-    * (HashPartitioning's partition-id expression; spec-gated against the
-    * actual bucket file names), so bloom buckets align with table
-    * buckets and candidate buckets map to prunable files.
+  /** The bucket-routing column for a LONG or BINARY key —
+    * `pmod(murmur3, n)`, byte-identical to the function `bucketBy(n,
+    * key)` routes rows with (HashPartitioning's partition-id expression;
+    * spec-gated against the actual bucket file names), so bloom buckets
+    * align with table buckets and candidate buckets map to prunable
+    * files.
     */
   def bucketIdCol(keyCol: String, buckets: Int): org.apache.spark.sql.Column =
     pmod(hash(col(keyCol)), lit(buckets)).cast("int")
@@ -279,7 +280,9 @@ object KeyBloom {
     * update/create that bucket's bloom task-locally, write `.tmp` files;
     * returns (bucket, keyCount) for every bucket that received keys.
     * `requireExisting` = fold semantics (a missing bucket bloom is a
-    * torn sidecar → throw); build starts fresh blooms.
+    * torn sidecar → throw); build starts fresh blooms. Key column may be
+    * LONG (gram store) or BINARY (hash store) — the insert dispatches
+    * once per partition, not per row.
     */
   private def foldPartitions(spark: SparkSession, base: String,
       keys: DataFrame, keyCol: String, buckets: Int, expected: Long,
@@ -287,10 +290,13 @@ object KeyBloom {
     val confBc = spark.sparkContext.broadcast(
       new graft.util.SerializableHadoopConf(
         spark.sparkContext.hadoopConfiguration))
-    val keyed = keys
+    val projected = keys
       .select(bucketIdCol(keyCol, buckets).as("_b"), col(keyCol))
       .filter(col(keyCol).isNotNull)
-      .rdd.map(r => (r.getInt(0), r.getLong(1)))
+    val isLong = projected.schema(keyCol).dataType ==
+      org.apache.spark.sql.types.LongType
+    val keyed = projected
+      .rdd.map(r => (r.getInt(0), r.get(1)))
       .partitionBy(new org.apache.spark.Partitioner {
         override def numPartitions: Int = buckets
         override def getPartition(key: Any): Int = key.asInstanceOf[Int]
@@ -306,8 +312,11 @@ object KeyBloom {
               "manifest — torn sidecar; rebuild it (compact) or drop it")
           case None => BloomFilter.create(expected, fpp)
         }
+        val put: Any => Unit =
+          if (isLong) k => { bloom.putLong(k.asInstanceOf[Long]): Unit }
+          else k => { bloom.putBinary(k.asInstanceOf[Array[Byte]]): Unit }
         var c = 0L
-        iter.foreach { case (_, k) => bloom.putLong(k); c += 1L }
+        iter.foreach { case (_, k) => put(k); c += 1L }
         writeBucketTmp(conf, base, bucket, bloom)
         Iterator.single((bucket, c))
       }

@@ -1090,7 +1090,8 @@ object CurationStreams {
           k = k, stripThrScaled = stripThrScaled)
       else {
         val status = graft.operators.Dedup.incrementalStatusBinary(batch,
-          graft.sources.HashHistory.scanOrCompute(spark, dir)(
+          graft.sources.HashHistory.probeHistory(spark, dir,
+            batch.select(unhex(md5(col("text"))).as("th")))(
             sys.error(s"unreachable: $hashT is registered")))
         val gramFrac = graft.operators.Dedup.incrementalDupGrams(batch,
             graft.sources.GramHistory.probeHistory(spark, dir,

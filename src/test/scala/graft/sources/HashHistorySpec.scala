@@ -154,4 +154,60 @@ class HashHistorySpec extends SparkSpec {
         "store-backed x86 diverged from the in-query derivation")
     } finally HashHistory.invalidate(spark, Sf)
   }
+
+  test("bloom sidecar (binary keys): a fully-novel batch probes ZERO " +
+      "store files; appends fold in; dropped sidecar degrades exactly") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hh-bloom").toString
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val h1 = docs.filter(col("doc_id") % 3 === 0)
+      HashHistory.create(spark, dir, hashesOf(h1), buckets = 4)
+      val table = HashHistory.tableFor(dir)
+      val base = Bucketing.guardBase(spark, table)
+      assert(KeyBloom.readMeta(spark, base).isDefined,
+        "create() must write the bloom sidecar")
+      // fully-novel batch: every md5 misses the bloom → zero store files
+      val novel = Seq((900000001L, "a wholly novel document body one"),
+        (900000002L, "a wholly novel document body two"))
+        .toDF("doc_id", "text")
+      def statusOf(batch: org.apache.spark.sql.DataFrame) =
+        Dedup.incrementalStatusBinary(batch,
+          HashHistory.probeHistory(spark, dir, hashesOf(batch))(
+            sys.error("unreachable")))
+      val probe = statusOf(novel)
+      val rows = probe.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(rows == Map(900000001L -> "kept", 900000002L -> "kept"),
+        s"novel batch misclassified: $rows")
+      val histScans = probe.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec
+          if s.tableIdentifier.exists(_.table.startsWith("graft_hash_history")) ||
+            s.relation.location.rootPaths.exists(
+              _.toString.contains("graft_hash_history")) => s
+      }
+      assert(histScans.isEmpty,
+        s"novel batch still scans the hash store:\n" +
+          probe.queryExecution.executedPlan)
+      // appended hashes are bloom-visible (no false negatives)
+      HashHistory.append(spark, dir, hashesOf(novel))
+      val recrawl = statusOf(novel.select(
+        (col("doc_id") + 5L).as("doc_id"), col("text")))
+      assert(recrawl.collect().forall(_.getString(1) == "dup_of_history"),
+        "appended hashes not visible through the bloom path")
+      // compact rebuilds; probe answers unchanged; dropped sidecar
+      // degrades to the plain scan with identical answers
+      HashHistory.compact(spark, dir)
+      assert(recrawl.collect().forall(_.getString(1) == "dup_of_history"))
+      KeyBloom.delete(spark, base)
+      assert(statusOf(novel.select((col("doc_id") + 5L).as("doc_id"),
+          col("text")))
+        .collect().forall(_.getString(1) == "dup_of_history"),
+        "legacy fallback path broke the hash probe")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      HashHistory.invalidate(spark, dir)
+    }
+  }
 }
