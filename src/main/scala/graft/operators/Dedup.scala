@@ -328,7 +328,9 @@ object Dedup {
     */
   def incrementalNearDups(batchArrs0: DataFrame, histBands: DataFrame,
                           histSh: DataFrame, threshold: Double = 0.8,
-                          numHashes: Int = 128, bands: Int = 32): DataFrame = {
+                          numHashes: Int = 128, bands: Int = 32,
+                          bandReducer: Option[DataFrame => DataFrame] = None)
+      : DataFrame = {
     val batchArrs = batchArrs0
       .select(col("doc_id"), col("lang"), col("n_chars"), col("shs"))
       .filter(size(col("shs")) > 0 && col("lang").isNotNull)
@@ -338,7 +340,18 @@ object Dedup {
     // shingle store per probe; measured as most of the grown-store
     // probe's wall in TriageScaleProbe, BASELINE round-17)
     val cands = graft.util.Materialize.eager(
-      nearDupCandidates(batchArrs, histBands, numHashes, bands))
+      nearDupCandidates(batchArrs, histBands, numHashes, bands, bandReducer))
+    // NO candidates — the fully-novel-batch steady state: return the
+    // empty pair relation without ever constructing the shingle-store
+    // verify (with a bloom-gated bandReducer the band store read zero
+    // files too — the near-dup leg's zero-read short-circuit)
+    if (cands.isEmpty)
+      return cands.sparkSession.createDataFrame(
+        cands.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_a", LongType),
+          org.apache.spark.sql.types.StructField("doc_b", LongType),
+          org.apache.spark.sql.types.StructField("jaccard", DoubleType))))
     val slice = graft.util.Materialize.eager(verifySliceOf(histSh, cands))
     val nh = slice.groupBy(col("id").as("doc_b"))
       .agg(count(lit(1)).as("_nh"))
@@ -381,7 +394,8 @@ object Dedup {
     * without becoming a key.
     */
   private[graft] def nearDupCandidates(batchArrs: DataFrame,
-      histBands: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+      histBands: DataFrame, numHashes: Int, bands: Int,
+      bandReducer: Option[DataFrame => DataFrame] = None): DataFrame = {
     import graft.util.ProbeBudget
     val sigs = minHashSignaturesFromArrays(
       batchArrs.select(col("doc_id"), col("shs")), numHashes)
@@ -395,6 +409,16 @@ object Dedup {
           col("n_chars").as("_nca")))
     val nBands = bBands.count()
     val spark = batchArrs.sparkSession
+    // store-aware band relation: a bloom-gated reducer
+    // ([[graft.sources.MinHashHistory.bandScanReducer]]) receives the
+    // MATERIALIZED batch band keys (no signature re-derivation) and
+    // returns the band-store scan pruned to the candidate keys' bucket
+    // files — pure file pruning; the probe join below is unchanged
+    val hist = bandReducer match {
+      case Some(reduce) => reduce(bBands
+        .select(col(graft.sources.MinHashHistory.KeyCol)).distinct())
+      case None => histBands
+    }
     val probe =
       if (ProbeBudget.within(spark, nBands, ProbeBudget.BytesPerBandRow))
         broadcast(bBands)
@@ -406,7 +430,7 @@ object Dedup {
         bBands
       }
     probe
-      .join(histBands.select(col(graft.sources.MinHashHistory.KeyCol),
+      .join(hist.select(col(graft.sources.MinHashHistory.KeyCol),
         col("id").as("doc_b"), col("n_chars").as("_ncb")),
         graft.sources.MinHashHistory.KeyCol)
       .filter(abs(col("_nca") - col("_ncb")) * 2 <=

@@ -554,7 +554,8 @@ object TextOps {
     val (bands, sh) = graft.sources.MinHashHistory.scanOrCompute(s, d)(
       (x123HistoryBands(s, d), x123HistoryShingles(s, d)))
     Canon(graft.operators.Dedup.incrementalNearDups(
-      shingleArrays(batch), bands, sh))
+      shingleArrays(batch), bands, sh,
+      bandReducer = graft.sources.MinHashHistory.bandScanReducer(s, d)))
   }
 
   // ------------------------------------------- shared triage oracle SQL
@@ -743,7 +744,8 @@ object TextOps {
     val (bands, sh) = graft.sources.MinHashHistory.scanOrCompute(s, d)(
       (x123HistoryBands(s, d), x123HistoryShingles(s, d)))
     val best = graft.operators.Dedup.incrementalNearDups(
-        shingleArrays(x123Split(s, d)._2), bands, sh)
+        shingleArrays(x123Split(s, d)._2), bands, sh,
+        bandReducer = graft.sources.MinHashHistory.bandScanReducer(s, d))
       .groupBy(col("doc_a").as("doc_id"))
       .agg(max(col("jaccard")).as("best_jaccard"))
     (status, best, gramFrac)
@@ -827,7 +829,8 @@ object TextOps {
     val best = graft.util.Materialize.eager(
       graft.operators.Dedup.incrementalNearDups(
           batchArrs.join(broadcast(keptIds), Seq("doc_id"), "left_semi"),
-          bands, sh)
+          bands, sh,
+          bandReducer = graft.sources.MinHashHistory.bandScanReducer(s, d))
         .groupBy(col("doc_a").as("doc_id"))
         .agg(max(col("jaccard")).as("best_jaccard")))
     // gram audit: near-dup survivors only

@@ -51,6 +51,10 @@ object MinHashHistory {
 
   private val stores = new ConcurrentHashMap[String, (String, Int)]()
 
+  // memoized band-table sidecar-bloom broadcasts, generation-validated
+  // (the GramHistory device — see [[ProbeReduce]]/[[KeyBloom]])
+  private val blooms: ProbeReduce.BloomMemo = new ConcurrentHashMap()
+
   private def key(spark: SparkSession, dir: String): String =
     spark.sparkContext.applicationId + "|" + new java.io.File(dir).getAbsolutePath
 
@@ -74,6 +78,7 @@ object MinHashHistory {
     MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
       Bucketing.writeBucketed(bands, table, KeyCol, buckets)
       Bucketing.writeBucketed(shingles, shTableFor(dir), "id", buckets)
+      rebuildBloom(spark, table, buckets)
     }
     // a recreated store is a NEW streaming lineage: drop any replay
     // watermark a previous stream left or its appends are silently skipped
@@ -108,6 +113,23 @@ object MinHashHistory {
       throw new IllegalStateException(
         s"MinHashHistory.append: no store registered for $dir — create() first"))
     MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
+      // fold BEFORE the table append (the GramHistory ordering: crash
+      // residue is phantom bloom keys — harmless — never band keys the
+      // bloom misses); failures drop the sidecar, not the store
+      val base = Bucketing.guardBase(spark, table)
+      try {
+        if (KeyBloom.fold(spark, base,
+            bands.select(col(KeyCol)).distinct(), KeyCol).exists(_ > 0L))
+          blooms.remove(table): Unit
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          KeyBloom.delete(spark, base)
+          blooms.remove(table): Unit
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"MinHashHistory: bloom sidecar update failed for $table — " +
+              s"sidecar dropped, probes fall back to the full band scan: " +
+              s"${e.getMessage}")
+      }
       bands.write.mode(SaveMode.Append)
         .bucketBy(buckets, KeyCol).sortBy(KeyCol)
         .format("parquet").saveAsTable(table)
@@ -116,6 +138,26 @@ object MinHashHistory {
         .format("parquet").saveAsTable(shTableFor(dir))
     }
   }
+
+  /** (Re)build the band table's [[KeyBloom]] sidecar — per-bucket
+    * task-local; failure degrades to the full band scan (the family
+    * contract). Keyed on the DISTINCT band-bucket hashes (the band
+    * table's rows repeat a bucket across docs; membership is per key).
+    */
+  private def rebuildBloom(spark: SparkSession, table: String,
+                           buckets: Int): Unit =
+    try {
+      KeyBloom.build(spark, Bucketing.guardBase(spark, table),
+        spark.table(table).select(col(KeyCol)).distinct(), KeyCol, buckets)
+      blooms.remove(table): Unit
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        KeyBloom.delete(spark, Bucketing.guardBase(spark, table))
+        blooms.remove(table): Unit
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"MinHashHistory: bloom sidecar build failed for $table — " +
+            s"probes fall back to the full band scan: ${e.getMessage}")
+    }
 
   /** STORE-SIZED compaction to distinct rows in both relations — probes
     * answer identically before and after on a clean store (and a replay
@@ -130,6 +172,9 @@ object MinHashHistory {
         allColumns = true)
       Bucketing.compactDistinct(spark, shTableFor(dir), "id", buckets,
         allColumns = true)
+      // re-size the band sidecar to the surviving distinct keys (also
+      // the legacy store's upgrade path)
+      rebuildBloom(spark, table, buckets)
     }
   }
 
@@ -152,10 +197,53 @@ object MinHashHistory {
       case None => compute
     }
 
+  /** Bloom-gated band-scan reducer for
+    * [[graft.operators.Dedup.incrementalNearDups]] — PURE FILE PRUNING
+    * (no broadcast, no semi-join: the downstream probe join already
+    * reduces rows; what grows with history is the band-store BYTES READ
+    * per probe): given the batch's materialized band-key relation, cut
+    * it to [[KeyBloom]]-hit candidates (codegen'd, no false negatives)
+    * and return the band-store scan restricted to the candidate keys'
+    * BUCKET files — a fully-novel batch reads ZERO band-store files,
+    * and with no band candidates the operator's early exit skips the
+    * shingle store too, closing the all-legs zero-read story for a
+    * novel crawl batch (hash + gram + near-dup). None when no producer
+    * step registered this (application, dir) — callers keep their
+    * derived-history relation.
+    */
+  def bandScanReducer(spark: SparkSession, dir: String)
+      : Option[DataFrame => DataFrame] =
+    Option(stores.get(key(spark, dir))).map { case (table, _) => keys =>
+      val cols = Seq(col(KeyCol), col("id"), col("n_chars"))
+      ProbeReduce.bloomBroadcast(spark, table, blooms) match {
+        case None => Bucketing.probeScan(spark, table).select(cols: _*)
+        case Some((bc, meta)) =>
+          val keyExpr = org.apache.spark.sql.GraftBridge.expression(
+            col(KeyCol))
+          val bidExpr = org.apache.spark.sql.GraftBridge.expression(
+            KeyBloom.bucketIdCol(KeyCol, meta.buckets))
+          val cand = graft.util.Materialize.eager(keys.filter(
+            org.apache.spark.sql.GraftBridge.column(
+              graft.functions.BloomBucketMightContain(keyExpr, bidExpr, bc))))
+          if (cand.isEmpty)
+            Bucketing.probeScan(spark, table, Some(Set.empty[Int]))
+              .select(cols: _*)
+          else {
+            val bids = cand
+              .select(KeyBloom.bucketIdCol(KeyCol, meta.buckets).as("_b"))
+              .distinct().collect().map(_.getInt(0)).toSet
+            Bucketing.probeScan(spark, table, Some(bids)).select(cols: _*)
+          }
+      }
+    }
+
   private[graft] def registeredTable(spark: SparkSession,
                                      dir: String): Option[String] =
     Option(stores.get(key(spark, dir))).map(_._1)
 
-  private[graft] def invalidate(spark: SparkSession, dir: String): Unit =
+  private[graft] def invalidate(spark: SparkSession, dir: String): Unit = {
+    Option(stores.get(key(spark, dir)))
+      .foreach(t => Option(blooms.remove(t._1)).foreach(_._2.unpersist()))
     stores.remove(key(spark, dir)): Unit
+  }
 }

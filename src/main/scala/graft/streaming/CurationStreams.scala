@@ -869,7 +869,8 @@ object CurationStreams {
     val (bands, sh) = graft.sources.MinHashHistory.scanOrCompute(spark, dir)(
       sys.error(s"unreachable: $table is registered"))
     val scored = graft.operators.Dedup.incrementalNearDups(
-      graft.queries.TextOps.shingleArrays(batch), bands, sh)
+      graft.queries.TextOps.shingleArrays(batch), bands, sh,
+      bandReducer = graft.sources.MinHashHistory.bandScanReducer(spark, dir))
       .persist()
     try {
       scored.count(): Unit // pin pre-append values
@@ -1103,7 +1104,9 @@ object CurationStreams {
           graft.sources.MinHashHistory.scanOrCompute(spark, dir)(
             sys.error(s"unreachable: $mhT is registered"))
         val best = graft.operators.Dedup.incrementalNearDups(
-            graft.queries.TextOps.shingleArrays(batch), bands, sh)
+            graft.queries.TextOps.shingleArrays(batch), bands, sh,
+            bandReducer =
+              graft.sources.MinHashHistory.bandScanReducer(spark, dir))
           .groupBy(col("doc_a").as("doc_id"))
           .agg(max(col("jaccard")).as("best_jaccard"))
         graft.queries.TextOps.triageFrame(status, best, gramFrac,

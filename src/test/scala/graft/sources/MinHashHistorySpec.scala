@@ -231,6 +231,52 @@ class MinHashHistorySpec extends SparkSpec {
     }
   }
 
+  test("bloom-gated band reducer: a fully-novel batch reads ZERO band-store " +
+      "AND zero shingle-store files; store answers unchanged with it") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-bloom").toString
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      MinHashHistory.create(spark, dir,
+        TextOps.minHashBandsOf(histDocs), TextOps.minHashShinglesOf(histDocs))
+      val (bands, sh) = MinHashHistory.scanOrCompute(spark, dir)(
+        sys.error("unreachable"))
+      val reducer = MinHashHistory.bandScanReducer(spark, dir)
+      assert(reducer.isDefined, "registered store must offer a reducer")
+      // the store-served answer is unchanged by the reducer (the bloom
+      // cut has no false negatives; pruning only drops non-candidate
+      // bucket FILES)
+      val gotReduced = Dedup.incrementalNearDups(
+          TextOps.shingleArrays(batchDocs), bands, sh,
+          bandReducer = reducer)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(gotReduced == naivePairs,
+        s"reducer changed answers: $gotReduced vs $naivePairs")
+      // fully-novel batch: every band key misses the bloom — the probe
+      // plan touches NEITHER store relation (band leg bloom-gated, the
+      // shingle verify skipped by the operator's empty-candidates exit)
+      val novel = Seq(
+        doc(30L, (1 to 30).map(i => s"fresh$i").mkString(" ")),
+        doc(31L, (1 to 30).map(i => s"unseen$i").mkString(" ")))
+        .toDF("doc_id", "text", "lang", "n_chars")
+      val probe = Dedup.incrementalNearDups(
+        TextOps.shingleArrays(novel), bands, sh, bandReducer = reducer)
+      assert(probe.collect().isEmpty)
+      val histScans = probe.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("graft_minhash_history")) => s
+      }
+      assert(histScans.isEmpty,
+        s"novel batch still scans a minhash store relation:\n" +
+          probe.queryExecution.executedPlan)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      MinHashHistory.invalidate(spark, dir)
+    }
+  }
+
   test("x123 registry entry probes the persisted store when one is registered") {
     val d = Sf
     try {
