@@ -211,7 +211,8 @@ object CrawlRehearsal {
         probe = { d =>
           val (bands, sh) = MinHashHistory.scanOrCompute(spark, d)(
             sys.error("unreachable"))
-          Dedup.incrementalNearDups(batchArrs, bands, sh) },
+          Dedup.incrementalNearDups(batchArrs, bands, sh,
+            bandReducer = MinHashHistory.bandScanReducer(spark, d)) },
         derived = { d =>
           val hist = TextOps.x123Split(spark, d)._1
           Dedup.incrementalNearDups(batchArrs,

@@ -51,8 +51,12 @@ object TriageScaleProbe {
       .localCheckpoint(true)
 
     def statusLeg(dir: String): DataFrame =
+      // the round-18 registry shape: bloom-gated + bucket-pruned hash
+      // probe (x125Legs' status leg), not the co-located full scan
       Dedup.incrementalStatusBinary(batchDocs,
-        HashHistory.scanOrCompute(spark, dir)(sys.error("unreachable")))
+        HashHistory.probeHistory(spark, dir,
+          batchDocs.select(unhex(md5(col("text"))).as("th")))(
+          sys.error("unreachable")))
     def gramLeg(dir: String, docs: DataFrame): DataFrame =
       Dedup.incrementalDupGrams(docs,
           GramHistory.probeHistory(spark, dir,
@@ -63,7 +67,8 @@ object TriageScaleProbe {
     def nearDupLeg(dir: String, arrs: DataFrame): DataFrame = {
       val (bands, sh) = MinHashHistory.scanOrCompute(spark, dir)(
         sys.error("unreachable"))
-      Dedup.incrementalNearDups(arrs, bands, sh)
+      Dedup.incrementalNearDups(arrs, bands, sh,
+          bandReducer = MinHashHistory.bandScanReducer(spark, dir))
         .groupBy(col("doc_a").as("doc_id"))
         .agg(max(col("jaccard")).as("best_jaccard"))
     }
