@@ -188,10 +188,12 @@ object KeyBloom {
 
   /** Driver-side load of ALL bucket blooms + meta — the broadcast build
     * for probe-side candidate cuts at the ≤10^9-key tier (the array
-    * totals what the monolith did; past that tier, probes should move to
-    * task-local per-bucket loads). None when no valid sidecar. A bucket
-    * file missing under a valid manifest means a torn foreign write —
-    * treated as no sidecar (plain-scan fallback), never as absent keys.
+    * totals what the monolith did; past [[graft.util.ProbeBudget
+    * .BloomConf]] the probes flip to [[taskLocalCut]] — the tier switch
+    * lives in [[ProbeReduce.bloomCut]]). None when no valid sidecar. A
+    * bucket file missing under a valid manifest means a torn foreign
+    * write — treated as no sidecar (plain-scan fallback), never as
+    * absent keys.
     */
   def readAll(spark: SparkSession,
               base: String): Option[(Array[BloomFilter], Meta)] =
@@ -214,6 +216,61 @@ object KeyBloom {
     val d = dirFor(base)
     val f = fs(spark, d)
     if (f.exists(d)) f.delete(d, true): Unit
+  }
+
+  /** Total bucket-file bytes of the sidecar (manifest excluded) — the
+    * tier decision input for the probe's bloom cut: under
+    * [[graft.util.ProbeBudget.BloomConf]] the whole array broadcasts;
+    * past it, [[taskLocalCut]]. One directory listing; 0 when absent.
+    */
+  def sidecarBytes(spark: SparkSession, base: String): Long = {
+    val d = dirFor(base)
+    val f = fs(spark, d)
+    if (!f.exists(d)) 0L
+    else f.listStatus(d).iterator
+      .filter(s => s.isFile && s.getPath.getName.startsWith("bucket-"))
+      .map(_.getLen).sum
+  }
+
+  /** The bloom candidate cut with TASK-LOCAL per-bucket loads — the
+    * >broadcast-budget tier (at 10^11 grams the sidecar is ~100 GB; no
+    * single process may hold it): batch keys shuffle to their table
+    * bucket (batch-bounded — the one exchange), each task loads ONLY its
+    * bucket's bloom (sidecar/buckets bytes) and keeps bloom-hit keys.
+    * Same no-false-negatives contract as the broadcast cut; a missing
+    * bucket file under a valid manifest (torn foreign write) degrades by
+    * keeping that bucket's keys UNCUT — candidates may grow, answers
+    * never lose a key.
+    */
+  def taskLocalCut(spark: SparkSession, base: String, keys: DataFrame,
+                   keyCol: String, buckets: Int): DataFrame = {
+    val confBc = spark.sparkContext.broadcast(
+      new graft.util.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration))
+    val keyType = keys.schema(keyCol).dataType
+    val isLong = keyType == org.apache.spark.sql.types.LongType
+    val keyed = keys
+      .select(bucketIdCol(keyCol, buckets).as("_b"), col(keyCol))
+      .filter(col(keyCol).isNotNull)
+      .rdd.map(r => (r.getInt(0), r.get(1)))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = buckets
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+    val cut = keyed.mapPartitionsWithIndex { (bucket, iter) =>
+      if (iter.isEmpty) Iterator.empty
+      else readBucket(confBc.value.value, base, bucket) match {
+        case None => iter.map(_._2) // torn bucket: keep (never lose) keys
+        case Some(bloom) =>
+          val hit: Any => Boolean =
+            if (isLong) k => bloom.mightContainLong(k.asInstanceOf[Long])
+            else k => bloom.mightContainBinary(k.asInstanceOf[Array[Byte]])
+          iter.collect { case (_, k) if hit(k) => k }
+      }
+    }.map(org.apache.spark.sql.Row(_))
+    spark.createDataFrame(cut,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(keyCol, keyType))))
   }
 
   // ------------------------------------------------- build / fold verbs

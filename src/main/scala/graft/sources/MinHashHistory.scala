@@ -215,16 +215,10 @@ object MinHashHistory {
       : Option[DataFrame => DataFrame] =
     Option(stores.get(key(spark, dir))).map { case (table, _) => keys =>
       val cols = Seq(col(KeyCol), col("id"), col("n_chars"))
-      ProbeReduce.bloomBroadcast(spark, table, blooms) match {
+      ProbeReduce.bloomCut(spark, table, KeyCol, keys, blooms) match {
         case None => Bucketing.probeScan(spark, table).select(cols: _*)
-        case Some((bc, meta)) =>
-          val keyExpr = org.apache.spark.sql.GraftBridge.expression(
-            col(KeyCol))
-          val bidExpr = org.apache.spark.sql.GraftBridge.expression(
-            KeyBloom.bucketIdCol(KeyCol, meta.buckets))
-          val cand = graft.util.Materialize.eager(keys.filter(
-            org.apache.spark.sql.GraftBridge.column(
-              graft.functions.BloomBucketMightContain(keyExpr, bidExpr, bc))))
+        case Some((cut, meta)) =>
+          val cand = graft.util.Materialize.eager(cut)
           if (cand.isEmpty)
             Bucketing.probeScan(spark, table, Some(Set.empty[Int]))
               .select(cols: _*)

@@ -53,6 +53,40 @@ private[sources] object ProbeReduce {
     }
   }
 
+  /** The bloom candidate cut of `keys` at the right TIER: under
+    * [[graft.util.ProbeBudget.BloomConf]] the sidecar ships as one
+    * generation-memoized broadcast array and the cut is the codegen'd
+    * [[graft.functions.BloomBucketMightContain]] filter; past it — the
+    * ≳10^9-key tier where no single process should hold the sidecar —
+    * the cut is [[KeyBloom.taskLocalCut]] (batch keys shuffle to their
+    * bucket, each task loads only its bucket's bloom). Identical
+    * no-false-negatives semantics either way (spec-gated: the zero-read
+    * and exactness gates re-run with the budget forced to 1). None when
+    * no valid sidecar. The returned plan is NOT materialized.
+    */
+  def bloomCut(spark: SparkSession, table: String, keyCol: String,
+               keys: DataFrame, memo: BloomMemo)
+      : Option[(DataFrame, KeyBloom.Meta)] = {
+    val base = Bucketing.guardBase(spark, table)
+    KeyBloom.readMeta(spark, base).flatMap { meta =>
+      if (KeyBloom.sidecarBytes(spark, base) <=
+          graft.util.ProbeBudget.bloomBytes(spark))
+        bloomBroadcast(spark, table, memo).map { case (bc, m) =>
+          val keyExpr = org.apache.spark.sql.GraftBridge.expression(
+            col(keyCol))
+          val bidExpr = org.apache.spark.sql.GraftBridge.expression(
+            KeyBloom.bucketIdCol(keyCol, m.buckets))
+          (keys.select(col(keyCol)).filter(
+            org.apache.spark.sql.GraftBridge.column(
+              graft.functions.BloomBucketMightContain(keyExpr, bidExpr, bc))),
+            m)
+        }
+      else
+        Some((KeyBloom.taskLocalCut(spark, base, keys.select(col(keyCol)),
+          keyCol, meta.buckets), meta))
+    }
+  }
+
   /** The probe reduce against a REGISTERED store table. `batchKeys` must
     * already be the single-`keyCol` batch key relation; `emptyKeys` is
     * the store's empty relation (schema'd — the zero-read short-circuit
@@ -60,28 +94,29 @@ private[sources] object ProbeReduce {
     */
   def probe(spark: SparkSession, table: String, keyCol: String,
             batchKeys: DataFrame, memo: BloomMemo, who: String,
-            emptyKeys: => DataFrame): DataFrame = {
-    // materialized once (batch-bounded): the bloom cut, the emptiness
-    // short-circuit, the budget count and the broadcast build all consume
-    // it — lazy, each would re-run the batch key derivation (measured
-    // ~1 s per extra pass at sf0.1 for the gram store)
-    val keys0 = graft.util.Materialize.eager(batchKeys.select(col(keyCol)))
-    bloomBroadcast(spark, table, memo) match {
+            emptyKeys: => DataFrame): DataFrame =
+    bloomCut(spark, table, keyCol, batchKeys, memo) match {
       case None =>
-        // legacy store (no sidecar): plain-parquet probe scan — the
-        // reduce is a broadcast semi, so bucket co-location buys nothing
-        // and the bucketed scan's one-partition-per-bucket split caps a
+        // legacy store (no sidecar): materialize the batch keys once
+        // (the emptiness/budget count and the broadcast build both
+        // consume them — lazy, each would re-run the batch key
+        // derivation; measured ~1 s per extra pass at sf0.1 for the
+        // gram store), then the plain-parquet probe scan — the reduce
+        // is a broadcast semi, so bucket co-location buys nothing and
+        // the bucketed scan's one-partition-per-bucket split caps a
         // grown store's read at `buckets`-way parallelism
+        val keys0 = graft.util.Materialize.eager(
+          batchKeys.select(col(keyCol)))
         reduceOrFallback(spark, table, keyCol, keys0, keys0.count(),
           Bucketing.probeScan(spark, table).select(col(keyCol)), who)
-      case Some((bc, meta)) =>
-        val keyExpr = org.apache.spark.sql.GraftBridge.expression(
-          col(keyCol))
-        val bidExpr = org.apache.spark.sql.GraftBridge.expression(
-          KeyBloom.bucketIdCol(keyCol, meta.buckets))
-        val cand = graft.util.Materialize.eager(keys0.filter(
-          org.apache.spark.sql.GraftBridge.column(
-            graft.functions.BloomBucketMightContain(keyExpr, bidExpr, bc))))
+      case Some((cut, meta)) =>
+        // ONE materialization, of the bloom-CUT candidates directly: the
+        // batch key derivation runs once into this checkpoint (the cut
+        // rides the same pass), and the count, bucket collect and
+        // broadcast build all read it — checkpointing the uncut keys
+        // first (the round-17 shape) paid a second write + job for a
+        // relation nothing else consumes
+        val cand = graft.util.Materialize.eager(cut)
         val n = cand.count()
         if (n == 0L)
           // nothing can match: zero store files read this probe
@@ -98,7 +133,6 @@ private[sources] object ProbeReduce {
               .select(col(keyCol)), who)
         }
     }
-  }
 
   /** The reduce tail under the broadcast budget: within budget, the
     * batch-bounded keyset broadcasts into a map-only scan of `store`

@@ -22,6 +22,19 @@ object ProbeBudget {
   val Conf = "spark.graft.probe.broadcastBudgetBytes"
   val Default: Long = 512L << 20
 
+  /** Separate budget for shipping a store's [[graft.sources.KeyBloom]]
+    * sidecar as ONE broadcast array (the ≤10^9-key tier): past it, the
+    * probe's bloom cut flips to task-local per-bucket loads — each task
+    * reads only its bucket's bloom (sidecar/buckets bytes), so no single
+    * process ever holds the whole sidecar. ~10^9 keys at 8.5 bits/key is
+    * ~1 GiB, the default cut-over.
+    */
+  val BloomConf = "spark.graft.probe.bloomBroadcastBudgetBytes"
+  val BloomDefault: Long = 1L << 30
+
+  def bloomBytes(spark: SparkSession): Long =
+    spark.conf.getOption(BloomConf).map(_.toLong).getOrElse(BloomDefault)
+
   /** Estimated broadcast bytes/row for a narrow (≤3-column fixed-width)
     * build side in a HashedRelation.
     */

@@ -388,6 +388,64 @@ class GramHistorySpec extends SparkSpec {
     } finally GramHistory.invalidate(spark, dir)
   }
 
+  test("task-local bloom tier (sidecar over the broadcast budget): " +
+      "answers exact, zero files for a disjoint batch, pruning intact") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gh-tier").toString
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // force the >10^9-key tier: every sidecar is now "too big to
+    // broadcast" and the cut must flip to task-local per-bucket loads
+    spark.conf.set(graft.util.ProbeBudget.BloomConf, "1")
+    try {
+      GramHistory.create(spark, dir, corpusDocs, K)
+      val corpusTexts = corpusDocs.select("text").as[String].collect().toSeq
+      def probe(batch: org.apache.spark.sql.DataFrame) =
+        graft.operators.Dedup.incrementalDupGrams(batch,
+          GramHistory.probeHistory(spark, dir,
+            GramHistory.gramHashes(batch, K))(sys.error("unreachable")),
+          K, broadcastProbe = false)
+      // exactness: identical to the naive computation through this tier
+      val batch = Seq(
+        (210L, corpusTexts.head),
+        (211L, "completely novel material sharing nothing whatsoever"),
+        (212L, corpusTexts.head.substring(0, K + 2)))
+        .toDF("doc_id", "text")
+      val got = probe(batch).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      batch.as[(Long, String)].collect().foreach { case (id, t) =>
+        val hist = corpusTexts
+          .flatMap(x => graft.operators.Kernels.charGramHashCounts(x, K).keys)
+          .toSet
+        val grams = graft.operators.Kernels.charGramHashCounts(t, K)
+        val want = (t.length.toLong - K + 1,
+          grams.collect { case (g, pc) if hist(g) => pc }.sum.toLong)
+        assert(got(id) == want, s"doc $id through the task-local tier: " +
+          s"${got(id)} != $want")
+      }
+      // zero-read short-circuit survives the tier: a disjoint batch
+      // still touches no store file
+      val novel = Seq(
+        (220L, "zq xv jw kf yb zq xv jw kf yb zq xv jw kf yb zq xv jw kf yb"))
+        .toDF("doc_id", "text")
+      val p = probe(novel)
+      assert(p.collect().head.getDouble(3) == 0.0)
+      val scans = p.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("graft_gram_history")) => s
+      }
+      assert(scans.isEmpty,
+        s"disjoint probe scans the store on the task-local tier:\n" +
+          p.queryExecution.executedPlan)
+    } finally {
+      spark.conf.unset(graft.util.ProbeBudget.BloomConf)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      GramHistory.invalidate(spark, dir)
+    }
+  }
+
   test("a sidecar rewritten OUT-OF-PROCESS (same mtime tick) is " +
       "revalidated by generation: new keys become visible immediately") {
     import spark.implicits._
