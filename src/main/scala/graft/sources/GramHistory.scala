@@ -77,11 +77,12 @@ object GramHistory {
     * bucketed history table for `dir` and register it.
     */
   def create(spark: SparkSession, dir: String, corpus: DataFrame, k: Int,
-             buckets: Int = 8): Unit = {
+             buckets: Int = 8,
+             bloomFpp: Double = KeyBloom.DefaultFpp): Unit = {
     val table = tableFor(dir)
     MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
       Bucketing.writeBucketed(gramHashes(corpus, k), table, GramCol, buckets)
-      rebuildBloom(spark, table, buckets)
+      rebuildBloom(spark, table, buckets, bloomFpp)
     }
     // a recreated store is a NEW streaming lineage: drop any replay
     // watermark a previous stream left or its appends are silently skipped
@@ -98,10 +99,11 @@ object GramHistory {
     * loudly-but-nonfatally.
     */
   private def rebuildBloom(spark: SparkSession, table: String,
-                           buckets: Int): Unit =
+                           buckets: Int,
+                           fpp: Double = KeyBloom.DefaultFpp): Unit =
     try {
       KeyBloom.build(spark, Bucketing.guardBase(spark, table),
-        spark.table(table).select(col(GramCol)), GramCol, buckets)
+        spark.table(table).select(col(GramCol)), GramCol, buckets, fpp)
       blooms.remove(table): Unit
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -180,7 +182,8 @@ object GramHistory {
     * answer identically and the bucket layout (and therefore the
     * no-history-exchange probe plan) is preserved (spec-gated).
     */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(spark: SparkSession, dir: String,
+              bloomFpp: Double = KeyBloom.DefaultFpp): Unit = {
     val (table, buckets) = Option(stores.get(key(spark, dir))).getOrElse(
       throw new IllegalStateException(
         s"GramHistory.compact: no store registered for $dir — create() first"))
@@ -189,8 +192,9 @@ object GramHistory {
       // re-size the bloom sidecar to the compacted key count (this is
       // also the upgrade path: a legacy, saturated or pre-per-bucket
       // store gains a right-sized per-bucket sidecar at its next
-      // compaction)
-      rebuildBloom(spark, table, buckets)
+      // compaction; bloomFpp re-tunes the zero-read batch ceiling —
+      // see create())
+      rebuildBloom(spark, table, buckets, bloomFpp)
     }
   }
 

@@ -69,12 +69,13 @@ object HashHistory {
     * 2^8–2^12 buckets; testdata uses 8.
     */
   def create(spark: SparkSession, dir: String, hashesBinary: DataFrame,
-             buckets: Int = 8): Unit = {
+             buckets: Int = 8,
+             bloomFpp: Double = KeyBloom.DefaultFpp): Unit = {
     val table = tableFor(dir)
     MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
       Bucketing.writeBucketed(
         hashesBinary.select(col(HashCol)).distinct(), table, HashCol, buckets)
-      rebuildBloom(spark, table, buckets)
+      rebuildBloom(spark, table, buckets, bloomFpp)
     }
     // a recreated store is a NEW streaming lineage (the crawlTriage twin
     // appends behind a persisted watermark): drop any stale mark or its
@@ -133,10 +134,11 @@ object HashHistory {
     * degrades to the plain scan (the GramHistory contract).
     */
   private def rebuildBloom(spark: SparkSession, table: String,
-                           buckets: Int): Unit =
+                           buckets: Int,
+                           fpp: Double = KeyBloom.DefaultFpp): Unit =
     try {
       KeyBloom.build(spark, Bucketing.guardBase(spark, table),
-        spark.table(table).select(col(HashCol)), HashCol, buckets)
+        spark.table(table).select(col(HashCol)), HashCol, buckets, fpp)
       blooms.remove(table): Unit
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -164,6 +166,8 @@ object HashHistory {
       // re-size the sidecar to the compacted key count (also the legacy
       // store's upgrade path)
       rebuildBloom(spark, table, buckets)
+      // (compact keeps the default fpp; re-tune via create() — the
+      // compacted store's keys are identical, only bits/key change)
     }
   }
 

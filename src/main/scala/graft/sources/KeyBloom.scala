@@ -63,6 +63,18 @@ object KeyBloom {
   /** Default false-positive rate: ~8.5 bits/key — a 10^8-key store's
     * sidecar totals ~107 MB across buckets (broadcast-viable at this
     * tier), and an fpp miss only adds a verified-and-discarded candidate.
+    *
+    * SIZING LAW for the store `bloomFpp` knob (NovelBatchProbe measures
+    * it): a fully-novel batch short-circuits to ZERO store reads only
+    * while its distinct probe keys number ≲ 1/fpp (expected false
+    * positives < 1); past that, it reads the fp candidates' buckets —
+    * a fraction ≈ min(1, keys × fpp / buckets) of the store. At the
+    * default 0.02 that ceiling is ~50 keys — right for the 1-key/doc
+    * HASH store at micro-batch cadence, far too low for the ~100-keys/
+    * doc GRAM store. A crawl pipeline that wants novel-batch zero-reads
+    * on the gram/band legs should create those stores at fpp ≈
+    * 1/(10 × batch_keys) and pay the ~1.5–2× sidecar bytes (bits/key
+    * grows as log2(1/fpp) × 1.44).
     */
   val DefaultFpp = 0.02
 
@@ -283,10 +295,10 @@ object KeyBloom {
     * broadcasts can never validate across a rebuild.
     */
   def build(spark: SparkSession, base: String, keys: DataFrame,
-            keyCol: String, buckets: Int): Unit = {
+            keyCol: String, buckets: Int,
+            fpp: Double = DefaultFpp): Unit = {
     val n = keys.count()
     val expected = math.max(1024L, Headroom * n / buckets)
-    val fpp = DefaultFpp
     val nextGen = readMeta(spark, base).map(_.gen).getOrElse(0L) + 1L
     delete(spark, base)
     fs(spark, dirFor(base)).mkdirs(dirFor(base)): Unit

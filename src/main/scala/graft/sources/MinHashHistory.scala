@@ -73,12 +73,13 @@ object MinHashHistory {
     * `bands` must be (bucket, id, n_chars); `shingles` (id, shash).
     */
   def create(spark: SparkSession, dir: String, bands: DataFrame,
-             shingles: DataFrame, buckets: Int = 8): Unit = {
+             shingles: DataFrame, buckets: Int = 8,
+             bloomFpp: Double = KeyBloom.DefaultFpp): Unit = {
     val table = tableFor(dir)
     MutationGuard.withGuard(spark, Bucketing.guardBase(spark, table)) {
       Bucketing.writeBucketed(bands, table, KeyCol, buckets)
       Bucketing.writeBucketed(shingles, shTableFor(dir), "id", buckets)
-      rebuildBloom(spark, table, buckets)
+      rebuildBloom(spark, table, buckets, bloomFpp)
     }
     // a recreated store is a NEW streaming lineage: drop any replay
     // watermark a previous stream left or its appends are silently skipped
@@ -145,10 +146,12 @@ object MinHashHistory {
     * table's rows repeat a bucket across docs; membership is per key).
     */
   private def rebuildBloom(spark: SparkSession, table: String,
-                           buckets: Int): Unit =
+                           buckets: Int,
+                           fpp: Double = KeyBloom.DefaultFpp): Unit =
     try {
       KeyBloom.build(spark, Bucketing.guardBase(spark, table),
-        spark.table(table).select(col(KeyCol)).distinct(), KeyCol, buckets)
+        spark.table(table).select(col(KeyCol)).distinct(), KeyCol, buckets,
+        fpp)
       blooms.remove(table): Unit
     } catch {
       case scala.util.control.NonFatal(e) =>
