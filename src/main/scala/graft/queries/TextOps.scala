@@ -704,7 +704,12 @@ object TextOps {
     * at each stage. The cascade emits the same verdicts; only the
     * non-verdict columns differ (unprobed legs read 0). That form is
     * x126 (batch) and `CurationStreams.crawlTriage(cascade = true)`
-    * (streaming).
+    * (streaming). Round-18 cost regime (BASELINE NovelBatchProbe/
+    * TriageScaleProbe rows): fully-novel batches short-circuit BOTH
+    * forms to zero store reads through the bloom-gated probes; on
+    * store-scale dup-heavy batches the cascade wins 2.3×; on small
+    * dup-heavy batches the forms tie (the all-legs form got cheap on
+    * exactly the slices the cascade used to skip).
     */
   val x125_crawl_triage: QueryDef = QueryDef(
     "x125_crawl_triage",

@@ -1000,8 +1000,11 @@ object CurationStreams {
     * on near-dup survivors only — unprobed legs read 0). The verdict
     * relation is identical either way (legs are per-doc independent), so
     * the watermark/append/replay machinery is shared; a crawl stream
-    * where most arrivals resolve at the cheap exact leg should run the
-    * cascade (the measured 100× delta is ~2×, BASELINE round-17).
+    * should run the cascade — it wins 2.3× on store-scale dup-heavy
+    * batches and never loses more than its fixed materialization cost
+    * (BASELINE round-18; on fully-novel batches BOTH forms now
+    * short-circuit to zero store reads via the bloom-gated probes, so
+    * the forms tie there).
     *
     * `stripThrScaled` — the production strip cut (x118's curateV3
     * precedent: derived OFFLINE, fed to the stream as a scalar): an
