@@ -1,0 +1,133 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Property battery for the per-bucket bloom sidecar — the probe
+  * exactness story rests on ONE invariant: after any build/fold
+  * sequence, every key present in the store is bloom-HIT (no false
+  * negatives — a miss is definitively absent). The deterministic
+  * pseudo-random key sets below exercise it across both tiers
+  * (broadcast cut and task-local cut), plus the manifest round-trip,
+  * generation monotonicity and the torn-sidecar degradations.
+  */
+class KeyBloomSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val Buckets = 4
+
+  private def keysDf(seed: Long, n: Int) =
+    spark.range(n.toLong)
+      .select(xxhash64(col("id") + lit(seed)).as("k"))
+
+  private def tmpBase(): String =
+    java.nio.file.Files.createTempDirectory("graft-kb").toString + "/store"
+
+  test("no false negatives across build + folds, through BOTH cut tiers") {
+    val base = tmpBase()
+    val built = keysDf(1L, 500)
+    KeyBloom.build(spark, base, built, "k", Buckets)
+    KeyBloom.fold(spark, base, keysDf(2L, 300), "k")
+    KeyBloom.fold(spark, base, keysDf(3L, 1), "k")
+    val all = built.union(keysDf(2L, 300)).union(keysDf(3L, 1))
+    val meta = KeyBloom.readMeta(spark, base).get
+    assert(meta.buckets == Buckets && meta.inserted == 801L)
+    // broadcast tier: every inserted key must pass the expression cut
+    val (arr, _) = KeyBloom.readAll(spark, base).get
+    // compute each key's bucket exactly as the cut does (pmod(murmur3))
+    // in ONE pass, then check the per-bucket blooms driver-side
+    val withBid = all
+      .select(KeyBloom.bucketIdCol("k", Buckets).as("b"), col("k"))
+      .as[(Int, Long)].collect()
+    val missesB = withBid.count { case (b, k) => !arr(b).mightContainLong(k) }
+    assert(missesB == 0, s"$missesB inserted keys bloom-MISS (broadcast tier)")
+    // task-local tier: the cut must return every inserted key
+    val cut = KeyBloom.taskLocalCut(spark, base, all, "k", Buckets)
+      .as[Long].collect().toSet
+    val want = all.as[Long].collect().toSet
+    assert((want -- cut).isEmpty,
+      s"task-local cut lost ${(want -- cut).size} inserted keys")
+    KeyBloom.delete(spark, base)
+  }
+
+  test("generation is strictly monotonic across build/fold/rebuild") {
+    val base = tmpBase()
+    KeyBloom.build(spark, base, keysDf(10L, 100), "k", Buckets)
+    val g1 = KeyBloom.readMeta(spark, base).get.gen
+    KeyBloom.fold(spark, base, keysDf(11L, 50), "k")
+    val g2 = KeyBloom.readMeta(spark, base).get.gen
+    KeyBloom.build(spark, base, keysDf(12L, 100), "k", Buckets)
+    val g3 = KeyBloom.readMeta(spark, base).get.gen
+    assert(g1 < g2 && g2 < g3, s"generations not monotonic: $g1 $g2 $g3")
+    KeyBloom.delete(spark, base)
+  }
+
+  test("torn sidecar degradations: missing bucket file fails fold loudly, " +
+      "reads to None, keeps task-local keys uncut") {
+    val base = tmpBase()
+    KeyBloom.build(spark, base, keysDf(20L, 200), "k", Buckets)
+    val fs = KeyBloom.bucketPath(base, 1)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(KeyBloom.bucketPath(base, 1), false)
+    // fold over the torn sidecar must throw (a silent fold could leave
+    // bucket-1 keys bloom-invisible = false negatives)
+    val boom = intercept[org.apache.spark.SparkException] {
+      KeyBloom.fold(spark, base, keysDf(21L, 200), "k")
+    }
+    assert(boom.getMessage.contains("torn") ||
+      Option(boom.getCause).exists(_.getMessage.contains("torn")) ||
+      boom.toString.contains("KeyBloom.fold"),
+      s"fold over a torn sidecar failed for the wrong reason: $boom")
+    // driver-side readAll refuses the torn sidecar entirely
+    assert(KeyBloom.readAll(spark, base).isEmpty,
+      "readAll served a sidecar with a missing bucket")
+    // the task-local cut keeps the torn bucket's keys UNCUT (supersets
+    // are safe; losing keys is not)
+    val probe = keysDf(99L, 400)
+    val cut = KeyBloom.taskLocalCut(spark, base, probe, "k", Buckets)
+      .as[Long].collect().toSet
+    val tornBucketKeys = probe
+      .filter(KeyBloom.bucketIdCol("k", Buckets) === 1)
+      .as[Long].collect().toSet
+    assert(tornBucketKeys.subsetOf(cut),
+      "task-local cut dropped keys of a torn bucket")
+    KeyBloom.delete(spark, base)
+  }
+
+  test("binary keys: build + fold + both cut tiers keep every key") {
+    val base = tmpBase()
+    def binKeys(seed: Long, n: Int) =
+      spark.range(n.toLong)
+        .select(unhex(md5((col("id") + lit(seed)).cast("string"))).as("k"))
+    KeyBloom.build(spark, base, binKeys(30L, 300), "k", Buckets)
+    KeyBloom.fold(spark, base, binKeys(31L, 100), "k")
+    val all = binKeys(30L, 300).union(binKeys(31L, 100))
+    val (arr, _) = KeyBloom.readAll(spark, base).get
+    val rows = all.select(KeyBloom.bucketIdCol("k", Buckets).as("b"),
+      col("k")).collect()
+    val misses = rows.count(r =>
+      !arr(r.getInt(0)).mightContainBinary(r.getAs[Array[Byte]](1)))
+    assert(misses == 0, s"$misses binary keys bloom-MISS")
+    val cut = KeyBloom.taskLocalCut(spark, base, all, "k", Buckets)
+      .select(hex(col("k"))).as[String].collect().toSet
+    val want = all.select(hex(col("k"))).as[String].collect().toSet
+    assert((want -- cut).isEmpty,
+      s"binary task-local cut lost ${(want -- cut).size} keys")
+    KeyBloom.delete(spark, base)
+  }
+
+  test("empty build: manifest valid, every bucket file present, probes " +
+      "of anything miss everywhere") {
+    val base = tmpBase()
+    KeyBloom.build(spark, base, keysDf(40L, 0), "k", Buckets)
+    val meta = KeyBloom.readMeta(spark, base).get
+    assert(meta.inserted == 0L && meta.buckets == Buckets)
+    assert(KeyBloom.readAll(spark, base).isDefined,
+      "empty build left a torn sidecar (missing bucket files)")
+    val cut = KeyBloom.taskLocalCut(spark, base, keysDf(41L, 200), "k",
+      Buckets)
+    assert(cut.count() == 0L, "keys hit an empty store's blooms")
+    KeyBloom.delete(spark, base)
+  }
+}
