@@ -155,6 +155,23 @@ class HashHistorySpec extends SparkSpec {
     } finally HashHistory.invalidate(spark, Sf)
   }
 
+  test("EMPTY store: create from no hashes, bloom-gated probe answers " +
+      "all-kept without touching a file") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hh-empty").toString
+    try {
+      HashHistory.create(spark, dir, hashesOf(docs.limit(0)), buckets = 4)
+      val batch = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+        .toDF("doc_id", "text")
+      val got = Dedup.incrementalStatusBinary(batch,
+          HashHistory.probeHistory(spark, dir, hashesOf(batch))(
+            sys.error("unreachable")))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got == Map(1L -> "kept", 2L -> "kept", 3L -> "dup_in_batch"),
+        s"empty store misclassified: $got")
+    } finally HashHistory.invalidate(spark, dir)
+  }
+
   test("bloom sidecar (binary keys): a fully-novel batch probes ZERO " +
       "store files; appends fold in; dropped sidecar degrades exactly") {
     import org.apache.spark.sql.execution.FileSourceScanExec

@@ -231,6 +231,23 @@ class MinHashHistorySpec extends SparkSpec {
     }
   }
 
+  test("EMPTY store: create from no docs, reducer-gated probe pairs " +
+      "nothing and throws nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-empty").toString
+    try {
+      val none = histDocs.limit(0)
+      MinHashHistory.create(spark, dir,
+        TextOps.minHashBandsOf(none), TextOps.minHashShinglesOf(none))
+      val (bands, sh) = MinHashHistory.scanOrCompute(spark, dir)(
+        sys.error("unreachable"))
+      val pairs = Dedup.incrementalNearDups(
+          TextOps.shingleArrays(batchDocs), bands, sh,
+          bandReducer = MinHashHistory.bandScanReducer(spark, dir))
+        .collect()
+      assert(pairs.isEmpty, s"empty store produced pairs: ${pairs.toSeq}")
+    } finally MinHashHistory.invalidate(spark, dir)
+  }
+
   test("bloom-gated band reducer: a fully-novel batch reads ZERO band-store " +
       "AND zero shingle-store files; store answers unchanged with it") {
     import org.apache.spark.sql.execution.FileSourceScanExec
