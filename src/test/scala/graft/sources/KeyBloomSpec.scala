@@ -17,9 +17,13 @@ class KeyBloomSpec extends SparkSpec {
 
   private val Buckets = 4
 
+  // seed-DISJOINT key sets: hashing (seed, id) as two inputs keeps
+  // different seeds' ranges from colliding (xxhash64(id + seed) would
+  // make seed 52's ids a subset of seed 51's — "foreign" keys that are
+  // genuinely present)
   private def keysDf(seed: Long, n: Int) =
     spark.range(n.toLong)
-      .select(xxhash64(col("id") + lit(seed)).as("k"))
+      .select(xxhash64(lit(seed), col("id")).as("k"))
 
   private def tmpBase(): String =
     java.nio.file.Files.createTempDirectory("graft-kb").toString + "/store"
@@ -114,6 +118,40 @@ class KeyBloomSpec extends SparkSpec {
     val want = all.select(hex(col("k"))).as[String].collect().toSet
     assert((want -- cut).isEmpty,
       s"binary task-local cut lost ${(want -- cut).size} keys")
+    KeyBloom.delete(spark, base)
+  }
+
+  test("saturation: folding far past capacity keeps exactness (no false " +
+      "negatives), only selectivity decays; a rebuild restores it") {
+    val base = tmpBase()
+    // capacity floor is 1024/bucket; fold 40× that total
+    KeyBloom.build(spark, base, keysDf(50L, 100), "k", Buckets)
+    val expected = KeyBloom.readMeta(spark, base).get.expected
+    KeyBloom.fold(spark, base, keysDf(51L, 40 * 1024 * Buckets), "k")
+    val meta = KeyBloom.readMeta(spark, base).get
+    assert(meta.expected == expected && meta.inserted > 40L * 1024 * Buckets,
+      s"saturation bookkeeping off: $meta")
+    // exactness through saturation: EVERY inserted key still bloom-hits
+    val all = keysDf(50L, 100).union(keysDf(51L, 40 * 1024 * Buckets))
+    val lost = all.except(
+      KeyBloom.taskLocalCut(spark, base, all, "k", Buckets)).count()
+    assert(lost == 0L, s"saturated sidecar LOST $lost keys")
+    // selectivity: a saturated bloom passes most foreign keys (the
+    // degradation direction is toward the plain scan)...
+    val foreign = keysDf(52L, 2000)
+    val satHits = KeyBloom.taskLocalCut(spark, base, foreign, "k", Buckets)
+      .count()
+    assert(satHits > 1000L,
+      s"fixture not saturated enough to demonstrate decay: $satHits/2000")
+    // ...and the compact-time rebuild (same keys, re-sized capacity)
+    // restores it
+    KeyBloom.build(spark, base, all, "k", Buckets)
+    val freshHits = KeyBloom.taskLocalCut(spark, base, foreign, "k", Buckets)
+      .count()
+    assert(freshHits < satHits / 2,
+      s"re-sized rebuild did not restore selectivity: $freshHits vs $satHits")
+    assert(KeyBloom.taskLocalCut(spark, base, all, "k", Buckets).count() ==
+      all.count(), "rebuild lost inserted keys")
     KeyBloom.delete(spark, base)
   }
 
