@@ -261,6 +261,18 @@ object GramHistory {
       : Option[(Broadcast[Array[BloomFilter]], KeyBloom.Meta)] =
     ProbeReduce.bloomBroadcast(spark, table, blooms)
 
+  /** Sidecar-saturation trigger statistic (DEDUP_TUNING §5.1): the
+    * manifest-only stat that says WHEN to [[compact]] — appends fold keys
+    * into blooms sized at create(), so growth past capacity decays probe
+    * SELECTIVITY (never exactness) and collapses the novel-batch
+    * zero-read ceiling. None when no store is registered for `dir` or
+    * the store is legacy (no sidecar).
+    */
+  def bloomStat(spark: SparkSession,
+                dir: String): Option[KeyBloom.Saturation] =
+    registeredTable(spark, dir).flatMap(t =>
+      KeyBloom.saturationStat(spark, Bucketing.guardBase(spark, t)))
+
   private[graft] def registeredTable(spark: SparkSession,
                                      dir: String): Option[String] =
     Option(stores.get(key(spark, dir))).map(_._1)

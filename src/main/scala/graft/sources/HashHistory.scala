@@ -208,6 +208,15 @@ object HashHistory {
           spark.range(0).select(lit(null).cast("binary").as(HashCol)))
     }
 
+  /** Sidecar-saturation trigger statistic (DEDUP_TUNING §5.1) — see
+    * [[GramHistory.bloomStat]]; manifest-only, None when unregistered or
+    * legacy.
+    */
+  def bloomStat(spark: SparkSession,
+                dir: String): Option[KeyBloom.Saturation] =
+    registeredTable(spark, dir).flatMap(t =>
+      KeyBloom.saturationStat(spark, Bucketing.guardBase(spark, t)))
+
   /** The registered table name, if a producer step ran (spec hook). */
   private[graft] def registeredTable(spark: SparkSession,
                                      dir: String): Option[String] =

@@ -91,6 +91,62 @@ object KeyBloom {
   final case class Meta(gen: Long, buckets: Int, expected: Long,
                         fpp: Double, inserted: Long)
 
+  /** The saturation TRIGGER STATISTIC for the sidecar — the text-store
+    * analog of `IvfStore.skewStat`/`AnnStore.skewStat` one axis over
+    * (DEDUP_TUNING §5.1): appends fold keys into blooms sized at build
+    * time, so sustained growth past capacity decays the probe's
+    * SELECTIVITY silently — answers stay exact (saturation has no false
+    * negatives; KeyBloomSpec's saturation gate), but the false-positive
+    * rate climbs toward 1 and the zero-read novel-batch ceiling
+    * (`≈ 1/fpp` distinct probe keys, §4.1's sizing law) collapses, until
+    * the probe costs what the plain scan does. This statistic says WHEN
+    * to `compact()` (which re-sizes the sidecar to the surviving keys),
+    * from the MANIFEST alone — no bloom bytes, no store data.
+    *
+    *  - `fill` = inserted / (buckets × expected): 0.5 at build (the
+    *    [[Headroom]]), 1.0 at design capacity;
+    *  - `effFpp` = the per-bucket false-positive estimate at the current
+    *    fill, from the standard bloom occupancy model with the SAME
+    *    bits/hashes sizing Spark's `BloomFilter.create` uses
+    *    (m = −n·ln p/(ln 2)², k = max(1, round(m/n·ln 2)));
+    *  - `zeroReadCeiling` = ≈ 1/effFpp — the distinct-probe-key count a
+    *    fully-novel batch can carry and still expect to read zero store
+    *    files.
+    *
+    * CONSERVATIVE by construction: `inserted` counts folded key
+    * INSTANCES, and cross-append repeats re-count (a repeat sets no new
+    * bloom bits), so the stat can only overestimate saturation — it
+    * trips early, never late, and `compact()` resets it exactly.
+    * Trigger (DEDUP_TUNING §5.1): effFpp ≥ ~10× the created `fpp`, or
+    * zeroReadCeiling below the pipeline's per-batch distinct keys.
+    */
+  final case class Saturation(fill: Double, effFpp: Double,
+                              zeroReadCeiling: Long)
+
+  /** [[Saturation]] from a manifest — pure arithmetic, no I/O. */
+  def saturation(meta: Meta): Saturation = {
+    val capacity = meta.buckets.toLong * meta.expected
+    val fill =
+      if (capacity <= 0L) 0.0 else meta.inserted.toDouble / capacity
+    val ln2 = math.log(2.0)
+    // per-bucket sizing, mirroring BloomFilter.create(expected, fpp)
+    val mBits = math.max(1.0, -meta.expected * math.log(meta.fpp) / (ln2 * ln2))
+    val k = math.max(1L, math.round(mBits / meta.expected * ln2)).toDouble
+    val insertedPerBucket = meta.inserted.toDouble / math.max(1, meta.buckets)
+    val effFpp = math.min(1.0,
+      math.pow(1.0 - math.exp(-k * insertedPerBucket / mBits), k))
+    val ceiling =
+      if (effFpp <= 1e-18) Long.MaxValue else (1.0 / effFpp).toLong
+    Saturation(fill, effFpp, ceiling)
+  }
+
+  /** [[Saturation]] for a store's sidecar — one manifest read; None when
+    * no valid sidecar (legacy store: there is nothing to saturate, the
+    * probe is already the plain scan).
+    */
+  def saturationStat(spark: SparkSession, base: String): Option[Saturation] =
+    readMeta(spark, base).map(saturation)
+
   def dirFor(base: String): Path = new Path(base + "_zones/keybloom")
   def manifestPath(base: String): Path = new Path(dirFor(base), "manifest.bin")
   def bucketPath(base: String, bucket: Int): Path =
@@ -287,10 +343,12 @@ object KeyBloom {
 
   // ------------------------------------------------- build / fold verbs
 
-  /** (Re)build the sidecar from a single-LONG-column key relation — one
-    * pass, per-bucket task-local: keys shuffle to their table bucket
-    * (the one exchange; producer-time only), each task builds and writes
-    * its bucket's bloom, the driver commits renames and the manifest.
+  /** (Re)build the sidecar from a single-key-column relation — two jobs,
+    * both producer-time only: a sizing `count()` (per-bucket capacity
+    * derives from it), then the per-bucket task-local fold pass (keys
+    * shuffle to their table bucket — the one exchange — and each task
+    * builds and writes its bucket's bloom); the driver commits renames
+    * and the manifest, never holding bloom bytes.
     * The generation continues from any previous sidecar's so memoized
     * broadcasts can never validate across a rebuild.
     */

@@ -234,6 +234,15 @@ object MinHashHistory {
       }
     }
 
+  /** Sidecar-saturation trigger statistic for the BAND sidecar
+    * (DEDUP_TUNING §5.1) — see [[GramHistory.bloomStat]]; manifest-only,
+    * None when unregistered or legacy.
+    */
+  def bloomStat(spark: SparkSession,
+                dir: String): Option[KeyBloom.Saturation] =
+    registeredTable(spark, dir).flatMap(t =>
+      KeyBloom.saturationStat(spark, Bucketing.guardBase(spark, t)))
+
   private[graft] def registeredTable(spark: SparkSession,
                                      dir: String): Option[String] =
     Option(stores.get(key(spark, dir))).map(_._1)

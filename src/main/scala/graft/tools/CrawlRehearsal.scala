@@ -137,7 +137,13 @@ object CrawlRehearsal {
         storeCount = d => spark.table(HashHistory.tableFor(d)).count(),
         selfMisses = (_, re) =>
           re.filter(col("status") =!= "dup_of_history").count(),
-        exactAtScale = true),
+        exactAtScale = true,
+        // saturation loudness (DEDUP_TUNING §5.1): the compact() trigger
+        // printed per round, like the IVF member's skew stat
+        driftStat = Some(d => HashHistory.bloomStat(spark, d)
+          .map(s => f"fill=${s.fill}%.2f effFpp=${s.effFpp}%.2g " +
+            s"ceiling=${s.zeroReadCeiling}")
+          .getOrElse("no-sidecar"))),
       Member("x102_gram",
         build = { d => clearTable(GramHistory.tableFor(d))
           GramHistory.create(spark, d, TextOps.x86Split(spark, d)._1,
@@ -154,7 +160,11 @@ object CrawlRehearsal {
           GramHistory.gramHashes(batchDocs, TextOps.DupGramK)),
         storeCount = d => spark.table(GramHistory.tableFor(d)).count(),
         selfMisses = (_, re) => re.filter(col("hist_frac") =!= 1.0).count(),
-        exactAtScale = true),
+        exactAtScale = true,
+        driftStat = Some(d => GramHistory.bloomStat(spark, d)
+          .map(s => f"fill=${s.fill}%.2f effFpp=${s.effFpp}%.2g " +
+            s"ceiling=${s.zeroReadCeiling}")
+          .getOrElse("no-sidecar"))),
       Member("x109_payload",
         build = { d => clearTable(PhashHistory.tableFor(d))
           PhashHistory.create(spark, d, VectorOps.x109HistoryFps(spark, d)) },
@@ -229,7 +239,11 @@ object CrawlRehearsal {
             .select(col("doc_id").as("doc_a")), "doc_a",
           re.filter(col("doc_a") === col("doc_b") &&
             col("jaccard") === 1.0)),
-        exactAtScale = true),
+        exactAtScale = true,
+        driftStat = Some(d => MinHashHistory.bloomStat(spark, d)
+          .map(s => f"fill=${s.fill}%.2f effFpp=${s.effFpp}%.2g " +
+            s"ceiling=${s.zeroReadCeiling}")
+          .getOrElse("no-sidecar"))),
       Member("x124_embed",
         build = { d =>
           IvfStore.create(spark, ivfPath(d),

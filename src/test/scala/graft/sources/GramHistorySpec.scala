@@ -24,6 +24,21 @@ class GramHistorySpec extends SparkSpec {
     (total.toLong, hit)
   }
 
+  test("bloomStat: the saturation trigger statistic reads healthy on a " +
+      "fresh store and disappears with the registration") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gh").toString
+    try {
+      GramHistory.create(spark, dir, corpusDocs, K)
+      val s = GramHistory.bloomStat(spark, dir).getOrElse(
+        fail("no saturation stat for a store created WITH a sidecar"))
+      assert(s.fill > 0.0 && s.fill <= 0.51 &&
+        s.effFpp < KeyBloom.DefaultFpp,
+        s"fresh gram store's saturation stat out of band: $s")
+    } finally GramHistory.invalidate(spark, dir)
+    assert(GramHistory.bloomStat(spark, dir).isEmpty,
+      "stat served for an unregistered store")
+  }
+
   test("batch probe equals the naive corpus-membership computation") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gh").toString
     try {

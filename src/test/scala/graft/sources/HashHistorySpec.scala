@@ -172,6 +172,20 @@ class HashHistorySpec extends SparkSpec {
     } finally HashHistory.invalidate(spark, dir)
   }
 
+  test("bloomStat: healthy on a fresh store, None once unregistered") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hh-stat").toString
+    try {
+      HashHistory.create(spark, dir, hashesOf(docs.limit(50)), buckets = 4)
+      val s = HashHistory.bloomStat(spark, dir).getOrElse(
+        fail("no saturation stat for a store created WITH a sidecar"))
+      assert(s.fill > 0.0 && s.fill <= 0.51 &&
+        s.effFpp < KeyBloom.DefaultFpp,
+        s"fresh hash store's saturation stat out of band: $s")
+    } finally HashHistory.invalidate(spark, dir)
+    assert(HashHistory.bloomStat(spark, dir).isEmpty,
+      "stat served for an unregistered store")
+  }
+
   test("bloom sidecar (binary keys): a fully-novel batch probes ZERO " +
       "store files; appends fold in; dropped sidecar degrades exactly") {
     import org.apache.spark.sql.execution.FileSourceScanExec

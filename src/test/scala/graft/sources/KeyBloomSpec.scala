@@ -155,6 +155,50 @@ class KeyBloomSpec extends SparkSpec {
     KeyBloom.delete(spark, base)
   }
 
+  test("saturation statistic: manifest-only, conservative, collapses past " +
+      "capacity, reset by the compact-shaped rebuild") {
+    // pure model gates (no I/O): empty sidecar → unbounded ceiling;
+    // design capacity → effFpp ≈ the created fpp (the bloom contract);
+    // far past capacity → effFpp ≈ 1, ceiling collapses to ~1 key;
+    // effFpp monotone in inserted
+    val empty = KeyBloom.saturation(KeyBloom.Meta(1L, 4, 1024L, 0.02, 0L))
+    assert(empty.effFpp == 0.0 && empty.zeroReadCeiling == Long.MaxValue,
+      s"empty-sidecar stat off: $empty")
+    val atCap = KeyBloom.saturation(
+      KeyBloom.Meta(1L, 1, 1000000L, 0.02, 1000000L))
+    assert(atCap.fill == 1.0 && atCap.effFpp > 0.01 && atCap.effFpp < 0.04,
+      s"design-capacity effFpp should sit near the created fpp: $atCap")
+    val over = KeyBloom.saturation(
+      KeyBloom.Meta(1L, 1, 1000000L, 0.02, 40000000L))
+    assert(over.effFpp > 0.9 && over.zeroReadCeiling <= 2L,
+      s"40x-capacity stat should read saturated: $over")
+    val ladder = Seq(1L, 10L, 100L, 1000L).map(f => KeyBloom.saturation(
+      KeyBloom.Meta(1L, 1, 100000L, 0.02, f * 10000L)).effFpp)
+    assert(ladder == ladder.sorted && ladder.distinct.size == ladder.size,
+      s"effFpp not strictly monotone in inserted: $ladder")
+
+    // I/O form rides the manifest through the store lifecycle
+    val base = tmpBase()
+    KeyBloom.build(spark, base, keysDf(60L, 100), "k", Buckets)
+    val fresh = KeyBloom.saturationStat(spark, base).get
+    assert(fresh.fill > 0.0 && fresh.fill < 0.5 &&
+      fresh.effFpp < KeyBloom.DefaultFpp,
+      s"fresh-build stat out of band: $fresh")
+    KeyBloom.fold(spark, base, keysDf(61L, 40 * 1024 * Buckets), "k")
+    val sat = KeyBloom.saturationStat(spark, base).get
+    assert(sat.fill > 10.0 && sat.effFpp > 0.5 && sat.zeroReadCeiling < 10L,
+      s"saturated stat should be loud: $sat")
+    // compact() rebuilds from the surviving keys at re-sized capacity
+    KeyBloom.build(spark, base,
+      keysDf(60L, 100).union(keysDf(61L, 40 * 1024 * Buckets)), "k", Buckets)
+    val reset = KeyBloom.saturationStat(spark, base).get
+    assert(reset.fill <= 0.51 && reset.effFpp < KeyBloom.DefaultFpp,
+      s"rebuild did not reset the stat: $reset")
+    // no sidecar → no stat (legacy store: the probe is already the scan)
+    assert(KeyBloom.saturationStat(spark, tmpBase()).isEmpty)
+    KeyBloom.delete(spark, base)
+  }
+
   test("empty build: manifest valid, every bucket file present, probes " +
       "of anything miss everywhere") {
     val base = tmpBase()

@@ -74,6 +74,21 @@ class MinHashHistorySpec extends SparkSpec {
     } finally MinHashHistory.invalidate(spark, dir)
   }
 
+  test("bloomStat: healthy on a fresh store, None once unregistered") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-stat").toString
+    try {
+      MinHashHistory.create(spark, dir,
+        TextOps.minHashBandsOf(histDocs), TextOps.minHashShinglesOf(histDocs))
+      val s = MinHashHistory.bloomStat(spark, dir).getOrElse(
+        fail("no saturation stat for a store created WITH a sidecar"))
+      assert(s.fill > 0.0 && s.fill <= 0.51 &&
+        s.effFpp < KeyBloom.DefaultFpp,
+        s"fresh band store's saturation stat out of band: $s")
+    } finally MinHashHistory.invalidate(spark, dir)
+    assert(MinHashHistory.bloomStat(spark, dir).isEmpty,
+      "stat served for an unregistered store")
+  }
+
   test("standalone fallback (no producer) answers identically") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mh-fb").toString
     try {
