@@ -28,6 +28,36 @@ private[sources] object ProbeReduce {
   type BloomMemo = ConcurrentHashMap[String,
     (Long, Broadcast[Array[BloomFilter]], KeyBloom.Meta)]
 
+  /** Saturation trip wire for the DEDUP_TUNING §5.1 trigger (effective
+    * fpp ≥ [[SaturationWarnFactor]] × the created fpp): the probe
+    * already reads the manifest, so the decayed-selectivity warning
+    * costs nothing — it names the stat, the store and the verb
+    * (`compact()`) instead of letting the bloom cut silently degrade
+    * toward the plain scan. Pure so the spec can pin the threshold.
+    */
+  val SaturationWarnFactor = 10.0
+
+  def saturationWarning(table: String,
+                        meta: KeyBloom.Meta): Option[String] = {
+    val s = KeyBloom.saturation(meta)
+    if (s.effFpp >= SaturationWarnFactor * meta.fpp)
+      Some(f"$table: bloom sidecar saturated — fill=${s.fill}%.2f " +
+        f"effFpp=${s.effFpp}%.2g (created ${meta.fpp}%.2g), novel-batch " +
+        s"zero-read ceiling down to ~${s.zeroReadCeiling} keys; " +
+        "compact() re-sizes the sidecar (DEDUP_TUNING §5.1)")
+    else None
+  }
+
+  // warn once per (table, generation): the condition only clears on a
+  // rebuild, which bumps the generation
+  private val warned = ConcurrentHashMap.newKeySet[(String, Long)]()
+
+  private def warnIfSaturated(table: String, meta: KeyBloom.Meta): Unit =
+    saturationWarning(table, meta).foreach { msg =>
+      if (warned.add((table, meta.gen)))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
+
   /** The memoized sidecar-bloom broadcast (per-bucket array) + meta for
     * a store table, revalidated by the sidecar's generation counter —
     * the bloom array ships to executors once per store version, not once
@@ -69,6 +99,7 @@ private[sources] object ProbeReduce {
       : Option[(DataFrame, KeyBloom.Meta)] = {
     val base = Bucketing.guardBase(spark, table)
     KeyBloom.readMeta(spark, base).flatMap { meta =>
+      warnIfSaturated(table, meta)
       if (KeyBloom.sidecarBytes(spark, base) <=
           graft.util.ProbeBudget.bloomBytes(spark))
         bloomBroadcast(spark, table, memo).map { case (bc, m) =>

@@ -199,6 +199,20 @@ class KeyBloomSpec extends SparkSpec {
     KeyBloom.delete(spark, base)
   }
 
+  test("probe-time saturation trip wire: silent at design capacity, named " +
+      "warning past the 10x-created-fpp trigger") {
+    // at design capacity effFpp ≈ the created fpp — no warning
+    val healthy = KeyBloom.Meta(1L, 1, 1000000L, 0.02, 1000000L)
+    assert(ProbeReduce.saturationWarning("graft_t", healthy).isEmpty,
+      "design-capacity store tripped the saturation warning")
+    // at 3x capacity effFpp ≈ 0.5 ≥ 10 × 0.02 — warn, naming store + verb
+    val sat = KeyBloom.Meta(2L, 1, 1000000L, 0.02, 3000000L)
+    val msg = ProbeReduce.saturationWarning("graft_t", sat).getOrElse(
+      fail("3x-capacity store did not trip the saturation warning"))
+    assert(msg.contains("graft_t") && msg.contains("compact()"),
+      s"warning must name the store and the verb: $msg")
+  }
+
   test("empty build: manifest valid, every bucket file present, probes " +
       "of anything miss everywhere") {
     val base = tmpBase()
