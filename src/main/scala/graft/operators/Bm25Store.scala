@@ -225,6 +225,44 @@ object Bm25Store {
     }
   }
 
+  /** Segment-count TRIGGER STATISTIC for [[compact]] — the store-health
+    * axis the object scaladoc names (appends accumulate a postings file
+    * per touched bucket per batch and a df/meta segment row per batch;
+    * readers merge segments at query time, so per-query work grows
+    * linearly in segments until a compact): per-bucket postings FILE
+    * counts from one directory listing — no data read — plus the meta
+    * segment count (one tiny scalar relation, one row per
+    * create/append). `meanFilesPerBucket` ≈ appends since the last
+    * compact + 1; DEDUP_TUNING §5.1 documents the threshold
+    * (mean ≥ ~8 → compact). A fresh or just-compacted store reads ~1
+    * file per bucket.
+    */
+  final case class SegmentStat(buckets: Long, postingsFiles: Long,
+      maxFilesPerBucket: Long, meanFilesPerBucket: Double,
+      metaSegments: Long)
+
+  def segmentStat(spark: SparkSession, path: String): SegmentStat = {
+    val p = new org.apache.hadoop.fs.Path(postingsPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val perBucket: Seq[Long] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        .map(d => fs.listStatus(d.getPath)
+          .count(f => f.isFile && f.getPath.getName.startsWith("part-")).toLong)
+    val files = perBucket.sum
+    val nb = perBucket.size.toLong
+    // raw segment ROWS (one per create/append) — meta() would aggregate
+    // them to its one-row broadcast frame
+    val mp = new org.apache.hadoop.fs.Path(metaPath(path))
+    val metaSegments =
+      if (fs.exists(mp)) spark.read.parquet(metaPath(path)).count() else 0L
+    SegmentStat(nb, files,
+      if (perBucket.isEmpty) 0L else perBucket.max,
+      if (nb == 0L) 0.0 else files.toDouble / nb,
+      metaSegments)
+  }
+
   /** (n_buckets, n_docs, sum_dl) as a one-row broadcastable frame —
     * n_docs/sum_dl summed over the create + append segment rows (a
     * single-segment store reads back exactly what create wrote).

@@ -147,6 +147,29 @@ class Bm25StoreSpec extends SparkSpec {
     assert(Bm25Store.query(spark, path, probe, k = 5).collect().nonEmpty)
   }
 
+  test("segmentStat: listing-only trigger grows with appends, resets on " +
+      "compact") {
+    val path = tmpStore()
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    Bm25Store.create(spark, path, b0, nBuckets = 16)
+    val fresh = Bm25Store.segmentStat(spark, path)
+    assert(fresh.buckets > 0 && fresh.metaSegments == 1L,
+      s"fresh store stat off: $fresh")
+    Bm25Store.append(spark, path, docs.filter(col("doc_id") % 3 === 1))
+    Bm25Store.append(spark, path, docs.filter(col("doc_id") % 3 === 2))
+    val grown = Bm25Store.segmentStat(spark, path)
+    assert(grown.metaSegments == 3L &&
+      grown.postingsFiles > fresh.postingsFiles &&
+      grown.meanFilesPerBucket > fresh.meanFilesPerBucket,
+      s"appends did not grow the stat: $fresh -> $grown")
+    Bm25Store.compact(spark, path)
+    val post = Bm25Store.segmentStat(spark, path)
+    assert(post.metaSegments == 1L &&
+      post.postingsFiles < grown.postingsFiles &&
+      post.maxFilesPerBucket <= 2L,
+      s"compact did not reset the stat: $grown -> $post")
+  }
+
   test("x94b with a registered store serves the hybrid query with NO corpus scan, same answers as x94") {
     Bm25Store.invalidate()
     val x94 = graft.queries.CurationOps.x94_hybrid_rrf.build(spark, Sf)
