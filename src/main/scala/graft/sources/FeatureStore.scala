@@ -675,9 +675,19 @@ object FeatureStore {
         s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
       val out = fs.create(tmp, true)
       try out.write(next.mkString("\n").getBytes("UTF-8")) finally out.close()
-      // rename refuses an existing target: a second writer racing this
-      // commit surfaces as a loud failure, never a silently-lost snapshot
-      require(fs.rename(tmp, new org.apache.hadoop.fs.Path(dir(cfg), s"m_$n")),
+      // a second writer racing this commit to the same snapshot id must
+      // surface as a loud failure, never a silently-lost snapshot. HDFS
+      // rename refuses an existing target, but POSIX rename(2) — and so
+      // Hadoop's local filesystem — OVERWRITES it: a writer that stalled
+      // past its lease TTL between reading `latest` and renaming would
+      // clobber the thief's committed manifest with a list that lacks its
+      // files (a lost update the lease storm caught under load). The
+      // explicit exists() check runs at rename time — after any stall —
+      // so that schedule now fails the require; the residual window
+      // (a stall landing between exists() and rename()) is the same
+      // check-then-act instant the lease protocol documents elsewhere.
+      val target = new org.apache.hadoop.fs.Path(dir(cfg), s"m_$n")
+      require(!fs.exists(target) && fs.rename(tmp, target),
         s"manifest commit m_$n failed (concurrent writer?): ${cfg.path}")
     }
 

@@ -293,6 +293,16 @@ object StreamingCrawlRehearsal {
       println(f"STREAMING-CRAWL batch2 wall=$wall2%.1f s " +
         s"gateB=all-copies-recognized×${twins.size} " +
         f"load=${graft.Bench.loadAvg()}%.2f")
+      // post-run saturation loudness (DEDUP_TUNING §5.1): the streaming
+      // appends fold into the same sidecars the batch rehearsal monitors
+      def satLine(name: String, s: Option[graft.sources.KeyBloom.Saturation])
+          : String = s.map(v => f"$name[fill=${v.fill}%.2f " +
+        f"effFpp=${v.effFpp}%.2g ceiling=${v.zeroReadCeiling}]")
+        .getOrElse(s"$name[no-sidecar]")
+      println("STREAMING-CRAWL drift " +
+        satLine("hash", HashHistory.bloomStat(spark, baseSf)) + " " +
+        satLine("gram", GramHistory.bloomStat(spark, baseSf)) + " " +
+        satLine("band", MinHashHistory.bloomStat(spark, baseSf)))
     } finally {
       twins.foreach(t => try t.q.stop() catch { case _: Throwable => () })
     }

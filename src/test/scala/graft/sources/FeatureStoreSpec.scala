@@ -479,6 +479,37 @@ class FeatureStoreSpec extends SparkSpec {
       "grace did not scale with the TTL")
   }
 
+  test("a commit whose snapshot id was taken mid-write fails loudly — " +
+      "never overwrites the racer's manifest (POSIX rename overwrites)") {
+    // deterministic re-run of the schedule the lease storm caught under
+    // load: a writer stalls between reading `latest` and renaming, a
+    // second writer commits the same snapshot id, the first wakes and
+    // renames — on HDFS the rename refuses, but POSIX rename(2)
+    // silently clobbers the racer's committed manifest. The update
+    // function runs exactly in that window, so a nested commit inside it
+    // IS the race.
+    val dir = tmpDir()
+    val cfg = StoreConfig(path = s"$dir/store",
+      attrs = Seq(AttrField("v", "int")))
+    val fs = new org.apache.hadoop.fs.Path(cfg.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FeatureStore.Manifests.commit(fs, cfg, _ :+ "part-base.parquet")
+    val boom = intercept[IllegalArgumentException] {
+      FeatureStore.Manifests.commit(fs, cfg, { base =>
+        // the "stall": another writer takes our snapshot id right here
+        FeatureStore.Manifests.commit(fs, cfg, _ :+ "part-racer.parquet")
+        base :+ "part-stale.parquet"
+      })
+    }
+    assert(boom.getMessage.contains("concurrent writer"),
+      s"wrong failure: $boom")
+    val fin = FeatureStore.Manifests.latest(fs, cfg).map(_._2).getOrElse(Nil)
+    assert(fin.contains("part-racer.parquet"),
+      s"racer's committed file lost from the snapshot: $fin")
+    assert(!fin.contains("part-stale.parquet"),
+      s"the stale writer's file reached the snapshot anyway: $fin")
+  }
+
   test("lease storm: concurrent writers with random crashes — liveness and integrity") {
     // N threads x M lease-guarded commits; ~25% of ops "crash" after
     // acquiring (no commit, no release) so successors must STEAL after the
