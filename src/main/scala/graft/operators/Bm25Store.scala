@@ -253,10 +253,16 @@ object Bm25Store {
     val files = perBucket.sum
     val nb = perBucket.size.toLong
     // raw segment ROWS (one per create/append) — meta() would aggregate
-    // them to its one-row broadcast frame
+    // them to its one-row broadcast frame. A health stat must describe a
+    // broken store, not crash on it: a meta dir with no parquet yet
+    // (crash between mkdir and commit) reads as 0 segments, not an
+    // unable-to-infer-schema failure
     val mp = new org.apache.hadoop.fs.Path(metaPath(path))
     val metaSegments =
-      if (fs.exists(mp)) spark.read.parquet(metaPath(path)).count() else 0L
+      if (!fs.exists(mp)) 0L
+      else
+        try spark.read.parquet(metaPath(path)).count()
+        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
     SegmentStat(nb, files,
       if (perBucket.isEmpty) 0L else perBucket.max,
       if (nb == 0L) 0.0 else files.toDouble / nb,

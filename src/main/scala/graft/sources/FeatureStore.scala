@@ -687,8 +687,15 @@ object FeatureStore {
       // (a stall landing between exists() and rename()) is the same
       // check-then-act instant the lease protocol documents elsewhere.
       val target = new org.apache.hadoop.fs.Path(dir(cfg), s"m_$n")
-      require(!fs.exists(target) && fs.rename(tmp, target),
-        s"manifest commit m_$n failed (concurrent writer?): ${cfg.path}")
+      if (!(!fs.exists(target) && fs.rename(tmp, target))) {
+        // lost race: clean our tmp (invisible to listManifests but
+        // otherwise permanent) before the loud failure
+        try { fs.delete(tmp, false): Unit }
+        catch { case _: java.io.IOException => () }
+        throw new IllegalArgumentException(
+          s"requirement failed: manifest commit m_$n failed " +
+            s"(concurrent writer?): ${cfg.path}")
+      }
     }
 
     /** Drop every manifest and start a fresh history at snapshot 1 (full

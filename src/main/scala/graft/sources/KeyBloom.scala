@@ -121,7 +121,13 @@ object KeyBloom {
     * zeroReadCeiling below the pipeline's per-batch distinct keys.
     */
   final case class Saturation(fill: Double, effFpp: Double,
-                              zeroReadCeiling: Long)
+                              zeroReadCeiling: Long) {
+    /** The one drift-line rendering every monitor shares
+      * (CrawlRehearsal / StreamingCrawlRehearsal / the probe trip wire).
+      */
+    def render: String =
+      f"fill=$fill%.2f effFpp=$effFpp%.2g ceiling=$zeroReadCeiling"
+  }
 
   /** [[Saturation]] from a manifest — pure arithmetic, no I/O. */
   def saturation(meta: Meta): Saturation = {

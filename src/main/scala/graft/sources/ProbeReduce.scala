@@ -28,34 +28,43 @@ private[sources] object ProbeReduce {
   type BloomMemo = ConcurrentHashMap[String,
     (Long, Broadcast[Array[BloomFilter]], KeyBloom.Meta)]
 
-  /** Saturation trip wire for the DEDUP_TUNING §5.1 trigger (effective
-    * fpp ≥ [[SaturationWarnFactor]] × the created fpp): the probe
-    * already reads the manifest, so the decayed-selectivity warning
-    * costs nothing — it names the stat, the store and the verb
-    * (`compact()`) instead of letting the bloom cut silently degrade
-    * toward the plain scan. Pure so the spec can pin the threshold.
+  /** Saturation trip wire for the DEDUP_TUNING §5.1 trigger: effective
+    * fpp ≥ [[SaturationWarnFactor]] × the created fpp, CAPPED at
+    * [[SaturationWarnCeiling]] so stores created with a loose fpp
+    * (> 1/factor — effFpp can never reach 10× them, it tops out at 1.0)
+    * still warn when genuinely saturated. The probe already reads the
+    * manifest, so the decayed-selectivity warning costs nothing — it
+    * names the stat, the store and the verb (`compact()`) instead of
+    * letting the bloom cut silently degrade toward the plain scan. Pure
+    * so the spec can pin the threshold.
     */
   val SaturationWarnFactor = 10.0
+  val SaturationWarnCeiling = 0.5
 
   def saturationWarning(table: String,
                         meta: KeyBloom.Meta): Option[String] = {
     val s = KeyBloom.saturation(meta)
-    if (s.effFpp >= SaturationWarnFactor * meta.fpp)
-      Some(f"$table: bloom sidecar saturated — fill=${s.fill}%.2f " +
-        f"effFpp=${s.effFpp}%.2g (created ${meta.fpp}%.2g), novel-batch " +
-        s"zero-read ceiling down to ~${s.zeroReadCeiling} keys; " +
+    if (s.effFpp >= math.min(SaturationWarnFactor * meta.fpp,
+        SaturationWarnCeiling))
+      Some(f"$table: bloom sidecar saturated — ${s.render} " +
+        f"(created fpp ${meta.fpp}%.2g); " +
         "compact() re-sizes the sidecar (DEDUP_TUNING §5.1)")
     else None
   }
 
-  // warn once per (table, generation): the condition only clears on a
-  // rebuild, which bumps the generation
-  private val warned = ConcurrentHashMap.newKeySet[(String, Long)]()
+  // warn once per saturation EPISODE, not per generation: every append
+  // fold bumps the generation, so a gen-keyed memo would re-warn each
+  // append-probe cycle (and grow forever); keying by table and clearing
+  // on a healthy reading warns on the unhealthy TRANSITION and re-arms
+  // after the compact that fixes it
+  private val warned = ConcurrentHashMap.newKeySet[String]()
 
   private def warnIfSaturated(table: String, meta: KeyBloom.Meta): Unit =
-    saturationWarning(table, meta).foreach { msg =>
-      if (warned.add((table, meta.gen)))
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    saturationWarning(table, meta) match {
+      case Some(msg) =>
+        if (warned.add(table))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+      case None => warned.remove(table): Unit
     }
 
   /** The memoized sidecar-bloom broadcast (per-bucket array) + meta for

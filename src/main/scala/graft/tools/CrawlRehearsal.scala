@@ -141,9 +141,7 @@ object CrawlRehearsal {
         // saturation loudness (DEDUP_TUNING §5.1): the compact() trigger
         // printed per round, like the IVF member's skew stat
         driftStat = Some(d => HashHistory.bloomStat(spark, d)
-          .map(s => f"fill=${s.fill}%.2f effFpp=${s.effFpp}%.2g " +
-            s"ceiling=${s.zeroReadCeiling}")
-          .getOrElse("no-sidecar"))),
+          .map(_.render).getOrElse("no-sidecar"))),
       Member("x102_gram",
         build = { d => clearTable(GramHistory.tableFor(d))
           GramHistory.create(spark, d, TextOps.x86Split(spark, d)._1,
@@ -162,9 +160,7 @@ object CrawlRehearsal {
         selfMisses = (_, re) => re.filter(col("hist_frac") =!= 1.0).count(),
         exactAtScale = true,
         driftStat = Some(d => GramHistory.bloomStat(spark, d)
-          .map(s => f"fill=${s.fill}%.2f effFpp=${s.effFpp}%.2g " +
-            s"ceiling=${s.zeroReadCeiling}")
-          .getOrElse("no-sidecar"))),
+          .map(_.render).getOrElse("no-sidecar"))),
       Member("x109_payload",
         build = { d => clearTable(PhashHistory.tableFor(d))
           PhashHistory.create(spark, d, VectorOps.x109HistoryFps(spark, d)) },
@@ -241,9 +237,7 @@ object CrawlRehearsal {
             col("jaccard") === 1.0)),
         exactAtScale = true,
         driftStat = Some(d => MinHashHistory.bloomStat(spark, d)
-          .map(s => f"fill=${s.fill}%.2f effFpp=${s.effFpp}%.2g " +
-            s"ceiling=${s.zeroReadCeiling}")
-          .getOrElse("no-sidecar"))),
+          .map(_.render).getOrElse("no-sidecar"))),
       Member("x124_embed",
         build = { d =>
           IvfStore.create(spark, ivfPath(d),

@@ -40,11 +40,8 @@ import org.apache.spark.sql.functions._
   */
 object NovelBatchProbe {
 
-  private def loadAvg(): Double =
-    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-
   def main(args: Array[String]): Unit = {
-    val load0 = loadAvg()
+    val load0 = graft.Bench.loadAvg()
     val storeDir = if (args.length > 0) args(0) else "/tmp/graft_scale100"
     val nDocs = if (args.length > 1) args(1).toInt else 2702
     val spark = SparkSession.builder()
@@ -59,23 +56,12 @@ object NovelBatchProbe {
     import graft.queries.TextOps
     import graft.sources._
 
-    // STORE bytes measured from the executed plan's scan nodes: the sum
-    // of file bytes each store relation SELECTED for read (post bucket
-    // pruning / post zero-read short-circuit) — the design claim itself,
-    // load-immune and free of counter pollution (task input metrics
-    // count localCheckpoint block reads; hadoop-fs counters are flaky
-    // across the vectorized reader). AQE off so scans are collectible.
+    // STORE bytes from the executed plan ([[ProbeMeters]]); AQE off so
+    // the scans are collectible
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     def storeBytes(df: DataFrame): Long =
-      df.queryExecution.executedPlan.collect {
-        case s: org.apache.spark.sql.execution.FileSourceScanExec
-          if s.relation.location.rootPaths.exists { p =>
-            val t = p.toString
-            t.contains("graft_hash_history") ||
-              t.contains("graft_gram_history") ||
-              t.contains("graft_minhash_history")
-          } => s.relation.location.sizeInBytes
-      }.sum
+      ProbeMeters.selectedStoreBytes(df, Seq("graft_hash_history",
+        "graft_gram_history", "graft_minhash_history"))
 
     println(s"[novel-batch] loadavg $load0 store=$storeDir n=$nDocs")
 
@@ -187,7 +173,7 @@ object NovelBatchProbe {
       f""""composed":{"novel":{"wall_s":$wCompNovel%.2f,"bytes":$bCompNovel},"mixed":{"wall_s":$wCompMixed%.2f,"bytes":$bCompMixed}},""" +
       f""""cascade":{"novel":{"wall_s":$wCascNovel%.2f,"bytes":$bCascNovel},"mixed":{"wall_s":$wCascMixed%.2f,"bytes":$bCascMixed}},""" +
       f""""mixed_verdicts":${vCompMixed.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")},""" +
-      f""""load_start":$load0%.2f,"load_end":${loadAvg()}%.2f}""")
+      f""""load_start":$load0%.2f,"load_end":${graft.Bench.loadAvg()}%.2f}""")
     spark.stop()
   }
 }

@@ -32,11 +32,8 @@ import org.apache.spark.sql.functions._
   */
 object SaturationProbe {
 
-  private def loadAvg(): Double =
-    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-
   def main(args: Array[String]): Unit = {
-    val load0 = loadAvg()
+    val load0 = graft.Bench.loadAvg()
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val nNovel = if (args.length > 1) args(1).toInt else 500
     val spark = SparkSession.builder()
@@ -54,12 +51,7 @@ object SaturationProbe {
     import graft.sources._
 
     def storeBytes(df: DataFrame): Long =
-      df.queryExecution.executedPlan.collect {
-        case s: org.apache.spark.sql.execution.FileSourceScanExec
-          if s.relation.location.rootPaths.exists(
-            _.toString.contains("graft_gram_history")) =>
-          s.relation.location.sizeInBytes
-      }.sum
+      ProbeMeters.selectedStoreBytes(df, Seq("graft_gram_history"))
 
     println(s"[saturation] loadavg $load0 dir=$dir nNovel=$nNovel")
 
@@ -153,7 +145,7 @@ object SaturationProbe {
       f""""novel":{"wall_s":$wNovSat%.2f,"bytes":$bNovSat},"recrawl":{"wall_s":$wDupSat%.2f,"bytes":$bDupSat}},""" +
       f""""compacted":{"fill":${statPost.fill}%.3f,"effFpp":${statPost.effFpp}%.3g,"compact_s":$compactS%.1f,""" +
       f""""novel":{"wall_s":$wNovPost%.2f,"bytes":$bNovPost},"recrawl":{"wall_s":$wDupPost%.2f,"bytes":$bDupPost}},""" +
-      f""""load_start":$load0%.2f,"load_end":${loadAvg()}%.2f}""")
+      f""""load_start":$load0%.2f,"load_end":${graft.Bench.loadAvg()}%.2f}""")
     spark.stop()
   }
 }

@@ -293,14 +293,14 @@ object StreamingCrawlRehearsal {
       println(f"STREAMING-CRAWL batch2 wall=$wall2%.1f s " +
         s"gateB=all-copies-recognized×${twins.size} " +
         f"load=${graft.Bench.loadAvg()}%.2f")
-      // post-run saturation loudness (DEDUP_TUNING §5.1): the streaming
-      // appends fold into the same sidecars the batch rehearsal monitors
+      // post-run saturation loudness (DEDUP_TUNING §5.1) for the two
+      // bloom-sidecar stores THIS rehearsal's twins append to (gram
+      // x102, band x123 — exact-doc x86's twin is the bounded-state
+      // variant and builds no HashHistory here)
       def satLine(name: String, s: Option[graft.sources.KeyBloom.Saturation])
-          : String = s.map(v => f"$name[fill=${v.fill}%.2f " +
-        f"effFpp=${v.effFpp}%.2g ceiling=${v.zeroReadCeiling}]")
+          : String = s.map(v => s"$name[${v.render}]")
         .getOrElse(s"$name[no-sidecar]")
       println("STREAMING-CRAWL drift " +
-        satLine("hash", HashHistory.bloomStat(spark, baseSf)) + " " +
         satLine("gram", GramHistory.bloomStat(spark, baseSf)) + " " +
         satLine("band", MinHashHistory.bloomStat(spark, baseSf)))
     } finally {

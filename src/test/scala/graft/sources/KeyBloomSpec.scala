@@ -211,6 +211,16 @@ class KeyBloomSpec extends SparkSpec {
       fail("3x-capacity store did not trip the saturation warning"))
     assert(msg.contains("graft_t") && msg.contains("compact()"),
       s"warning must name the store and the verb: $msg")
+    // a LOOSE-fpp store (10x its fpp exceeds 1.0 — unreachable, effFpp
+    // caps at 1.0) must still warn when genuinely saturated, via the
+    // threshold ceiling ...
+    val looseSat = KeyBloom.Meta(3L, 1, 1000000L, 0.2, 40000000L)
+    assert(ProbeReduce.saturationWarning("graft_t", looseSat).isDefined,
+      "saturated loose-fpp store never able to warn (threshold > 1.0)")
+    // ... and stay silent at its design capacity
+    val looseOk = KeyBloom.Meta(3L, 1, 1000000L, 0.2, 1000000L)
+    assert(ProbeReduce.saturationWarning("graft_t", looseOk).isEmpty,
+      "design-capacity loose-fpp store tripped the warning")
   }
 
   test("empty build: manifest valid, every bucket file present, probes " +
