@@ -19,6 +19,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // advisory-sized AQE coalescing (the Bench session's setting — see
+      // the rationale there; kept identical so Verify executes the same
+      // physical plans the bench times)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

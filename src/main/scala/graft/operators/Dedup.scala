@@ -331,9 +331,19 @@ object Dedup {
                           numHashes: Int = 128, bands: Int = 32,
                           bandReducer: Option[DataFrame => DataFrame] = None)
       : DataFrame = {
-    val batchArrs = batchArrs0
+    // MATERIALIZED batch-sized (the family's batch ≪ store premise):
+    // three consumers read the arrays — the signature/banding pipeline,
+    // the candidate-narrowed shingle explode (bSh) and the denominator
+    // (na) — and lazily each would re-run the per-doc trigram kernel
+    // over the whole batch (round-18 profiling: the kernel re-derivation
+    // inside every broadcast-build job was most of the probe's fixed
+    // cost at small batches; at scale it is 2 extra batch-wide UDF
+    // passes). One checkpoint of (ids, lang, n_chars, shingle arrays) ≈
+    // the batch text itself — bounded by the same contract that bounds
+    // every probe-side relation here.
+    val batchArrs = graft.util.Materialize.eager(batchArrs0
       .select(col("doc_id"), col("lang"), col("n_chars"), col("shs"))
-      .filter(size(col("shs")) > 0 && col("lang").isNotNull)
+      .filter(size(col("shs")) > 0 && col("lang").isNotNull))
     // MATERIALIZED once (candidates-sized): three downstream joins
     // consume the pairs — and TWO consume the verify slice — and lazy,
     // each consumer would re-scan its store (3× the band store + 2× the

@@ -732,7 +732,18 @@ object TextOps {
     */
   private[graft] def x125Legs(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val (history, batch) = x86Split(s, d)
+    // ONE materialization of the crawl batch (round 18, guide §2.4/§5:
+    // don't recompute, truncate lineage): the md5-bucket split union is
+    // consumed by all three legs — and inside every broadcast-build job
+    // of every probe — so lazily it re-scanned documents and re-derived
+    // the split ~a dozen times per build (profiled as most of the
+    // triage's fixed cost). The batch is batch-bounded by the family
+    // contract; `history` stays LAZY (corpus-scale, and never evaluated
+    // when the persisted stores serve). x123Split's batch projected to
+    // (doc_id, text) is row-identical to x86Split's batch.
+    val batchFull = graft.util.Materialize.eager(x123Split(s, d)._2)
+    val history = x86Split(s, d)._1
+    val batch = batchFull.select(col("doc_id"), col("text"))
     // probe-reduced like the gram leg (round 18): bloom-gated +
     // bucket-pruned, so a novel-heavy batch reads a fraction of the hash
     // store instead of co-located-scanning all of it per triage
@@ -749,7 +760,7 @@ object TextOps {
     val (bands, sh) = graft.sources.MinHashHistory.scanOrCompute(s, d)(
       (x123HistoryBands(s, d), x123HistoryShingles(s, d)))
     val best = graft.operators.Dedup.incrementalNearDups(
-        shingleArrays(x123Split(s, d)._2), bands, sh,
+        shingleArrays(batchFull), bands, sh,
         bandReducer = graft.sources.MinHashHistory.bandScanReducer(s, d))
       .groupBy(col("doc_a").as("doc_id"))
       .agg(max(col("jaccard")).as("best_jaccard"))
@@ -798,8 +809,13 @@ object TextOps {
          |  WHERE LENGTH(b3.text) >= $DupGramK)
          |$triageVerdictSql""".stripMargin,
       Seq("doc_id", "status", "best_jaccard", "hist_frac", "verdict"))) { (s, d) =>
+    // ONE materialization of the crawl batch, shared by the exact-status
+    // leg (text projection) and the near-dup leg (shingle arrays) — the
+    // x125Legs rationale; `history` stays lazy (store-served in
+    // production, corpus-scale as a derived plan)
+    val batchFull = graft.util.Materialize.eager(x123Split(s, d)._2)
     Canon(triageCascade(s, d,
-      x86Split(s, d)._2, shingleArrays(x123Split(s, d)._2),
+      batchFull.select(col("doc_id"), col("text")), shingleArrays(batchFull),
       x86Split(s, d)._1))
   }
 
@@ -1370,7 +1386,16 @@ object TextOps {
          |FROM documents LEFT JOIN dp USING (doc_id)
          |WHERE LENGTH(text) >= $DupGramK""".stripMargin,
       Seq("doc_id", "total_pos", "dup_pos", "dup_frac"))) { (s, d) =>
-    Canon(graft.operators.Dedup.dupGramFraction(Tables.documents(s, d), DupGramK))
+    // round 18: the registry seat runs the HASHED production twin (8-byte
+    // xxhash64 exchange keys instead of 40-char window strings — ~5×
+    // fewer exchange bytes and no window-string allocations, guide §2.3
+    // "narrower types"). Output is bit-equal to the string form unless
+    // two distinct grams collide (P ≈ 4e-8 at sf0.1 density — the same
+    // accepted budget the oracle-checked x102/x118/x123 probes already
+    // carry); DedupSpec pins hashed ≡ string on the fixtures and the
+    // DuckDB oracle (string grams) stays the external arbiter.
+    Canon(graft.operators.Dedup.dupGramFractionHashed(
+      Tables.documents(s, d), DupGramK))
   }
 
   // ---------------------------------------------------------------- x100
@@ -1485,7 +1510,12 @@ object TextOps {
          |  text AS text_clean
          |FROM cleaned""".stripMargin,
       Seq("doc_id", "total_chars", "n_spans", "removed_chars", "text_clean"))) { (s, d) =>
-    Canon(graft.operators.Dedup.removeDupSpans(Tables.documents(s, d), DupGramK))
+    // round 18: the HASHED production twin serves the registry seat (the
+    // x99 rationale — 8-byte gram keys across the one map-combined
+    // exchange; a collision can only ADD a removed span, P ≈ 4e-8);
+    // DedupSpec pins hashed ≡ string, the string-gram oracle arbitrates.
+    Canon(graft.operators.Dedup.removeDupSpansHashed(
+      Tables.documents(s, d), DupGramK))
   }
 
   // ---------------------------------------------------------------- x102
@@ -1539,7 +1569,11 @@ object TextOps {
          |FROM batch LEFT JOIN hp USING (doc_id)
          |WHERE LENGTH(text) >= $DupGramK""".stripMargin,
       Seq("doc_id", "total_pos", "hist_pos", "hist_frac"))) { (s, d) =>
-    val (history, batch) = x86Split(s, d)
+    // the batch side is consumed three times (probe keyset, the gram
+    // relation g, the total_pos frame) — materialize the split union once
+    // (batch-bounded by the family contract); history stays lazy
+    val (history, batch0) = x86Split(s, d)
+    val batch = graft.util.Materialize.eager(batch0)
     Canon(Dedup.incrementalDupGrams(batch,
       graft.sources.GramHistory.probeHistory(s, d,
         graft.sources.GramHistory.gramHashes(batch, DupGramK))(
@@ -1614,7 +1648,9 @@ object TextOps {
          |  END AS text_clean
          |FROM batch d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
       Seq("doc_id", "total_chars", "n_spans", "removed_chars", "text_clean"))) { (s, d) =>
-    val (history, batch) = x86Split(s, d)
+    // same three-consumer batch shape as x102 — one materialization
+    val (history, batch0) = x86Split(s, d)
+    val batch = graft.util.Materialize.eager(batch0)
     Canon(Dedup.incrementalRemoveSpans(batch,
       graft.sources.GramHistory.probeHistory(s, d,
         graft.sources.GramHistory.gramHashes(batch, DupGramK))(

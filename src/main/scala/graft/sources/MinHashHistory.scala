@@ -221,16 +221,15 @@ object MinHashHistory {
       ProbeReduce.bloomCut(spark, table, KeyCol, keys, blooms) match {
         case None => Bucketing.probeScan(spark, table).select(cols: _*)
         case Some((cut, meta)) =>
-          val cand = graft.util.Materialize.eager(cut)
-          if (cand.isEmpty)
-            Bucketing.probeScan(spark, table, Some(Set.empty[Int]))
-              .select(cols: _*)
-          else {
-            val bids = cand
-              .select(KeyBloom.bucketIdCol(KeyCol, meta.buckets).as("_b"))
-              .distinct().collect().map(_.getInt(0)).toSet
-            Bucketing.probeScan(spark, table, Some(bids)).select(cols: _*)
-          }
+          // the cut is consumed exactly ONCE (this bucket-id collect):
+          // one grouped-aggregation job over the (already-materialized)
+          // batch band keys replaces the round-17 eager-checkpoint +
+          // isEmpty + distinct-collect trio — same bucket set, two fewer
+          // scheduler round-trips per probe
+          val bids = cut
+            .groupBy(KeyBloom.bucketIdCol(KeyCol, meta.buckets).as("_b"))
+            .agg(count(lit(1))).collect().map(_.getInt(0)).toSet
+          Bucketing.probeScan(spark, table, Some(bids)).select(cols: _*)
       }
     }
 

@@ -157,7 +157,14 @@ private[sources] object ProbeReduce {
         // first (the round-17 shape) paid a second write + job for a
         // relation nothing else consumes
         val cand = graft.util.Materialize.eager(cut)
-        val n = cand.count()
+        // candidate count AND candidate buckets from ONE per-bucket
+        // aggregation job (≤ `buckets` driver-side rows) — the separate
+        // count() + distinct-bucket collect() of the round-17 shape paid
+        // two scheduler round-trips for numbers one grouped scan yields
+        val bidCounts = cand
+          .groupBy(KeyBloom.bucketIdCol(keyCol, meta.buckets).as("_b"))
+          .agg(count(lit(1)).as("_c")).collect()
+        val n = bidCounts.map(_.getLong(1)).sum
         if (n == 0L)
           // nothing can match: zero store files read this probe
           emptyKeys
@@ -165,9 +172,7 @@ private[sources] object ProbeReduce {
           // candidate buckets are ≤ `buckets` driver-side ints; the
           // store scan reads ONLY their files (a key can only live in
           // its own bucket)
-          val bids = cand
-            .select(KeyBloom.bucketIdCol(keyCol, meta.buckets).as("_b"))
-            .distinct().collect().map(_.getInt(0)).toSet
+          val bids = bidCounts.map(_.getInt(0)).toSet
           reduceOrFallback(spark, table, keyCol, cand, n,
             Bucketing.probeScan(spark, table, Some(bids))
               .select(col(keyCol)), who)
