@@ -28,16 +28,26 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ListMap(registry.collect { case QueryDef(n, _, Some(sql)) => n -> sql }: _*)
 
-  /** Registry entries that PRODUCE a persisted pair relation
-    * ([[graft.operators.PairStore]]) consumed by later resolution entries
-    * (x84/x85 consume x40's pairs; x89 consumes x42's). Building any
+  /** Registry entries that PRODUCE a persisted relation
+    * ([[graft.operators.PairStore]]) consumed by later entries: verified
+    * pairs (x84/x85 consume x40's; x89 consumes x42's; x110 consumes
+    * x104b's edges) and the multimodal fingerprint/landmark kernels
+    * (x104/x104b/x120 consume x103's payload fingerprints, x108 consumes
+    * x107's frame fingerprints, x112 consumes x111's audio landmarks —
+    * round 18: each consumer's oracle already replays the producer's
+    * persisted `__VERIFY_OUT__` parquet, so consuming the SAME
+    * materialization on the Spark side is the production posture —
+    * fingerprint once, resolve many — not a cache trick). Building any
     * registry frame is side-effect-free; a harness that wants the
     * composition (resolution = scan of one materialization, never a
     * pipeline re-run) runs `PairStore.refresh(spark, name, sfDir)(
     * queries(name)(spark, sfDir))` for these BEFORE the consumers — as
-    * [[Bench]] does — or registers its own written copy of the producer's
-    * output — as [[Verify]] does. Declared here (not discovered) so
-    * Verify/Bench/tests share one list.
+    * [[Bench]] does, timing each producer WITH its write — or registers
+    * its own written copy of the producer's output — as [[Verify]] does.
+    * Declared here (not discovered) so Verify/Bench/tests share one list.
     */
-  val pairProducers: Seq[String] = Seq("x40_minhash_lsh", "x42_embed_neardup")
+  val pairProducers: Seq[String] =
+    Seq("x40_minhash_lsh", "x42_embed_neardup", "x44_simhash",
+      "x81_winnow_fps", "x103_payload_phash", "x104b_payload_dupedges",
+      "x107_frame_phash", "x111_audio_landmarks")
 }

@@ -502,7 +502,19 @@ object Dedup {
   def simHashNearDups(docs: DataFrame, maxDist: Int = 3,
                       maxPerBucket: Int = 64,
                       droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
-    hammingNearDups64(simHashFingerprints(docs), "doc_id", "simhash",
+    simHashNearDupsFromFps(simHashFingerprints(docs), maxDist, maxPerBucket,
+      droppedAcc)
+
+  /** [[simHashNearDups]] over an ALREADY-FINGERPRINTED relation
+    * (doc_id, simhash) — the fingerprint-once entry point (round 18):
+    * pipelines that persisted [[simHashFingerprints]] (x44's registry
+    * seat) feed the banded search from 16-byte rows instead of re-running
+    * the SimHash kernel over the corpus text.
+    */
+  def simHashNearDupsFromFps(fps: DataFrame, maxDist: Int = 3,
+                             maxPerBucket: Int = 64,
+                             droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
+    hammingNearDups64(fps, "doc_id", "simhash",
       "doc_a", "doc_b", maxDist, maxPerBucket, droppedAcc)
 
   /** Generic 64-bit-fingerprint Hamming near-dup pairs — the banding

@@ -456,7 +456,19 @@ object Multimodal {
   def payloadNearDups(media: DataFrame, maxDist: Int = 3,
                       maxPerBucket: Int = 64,
                       droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
-    Dedup.hammingNearDups64(payloadFingerprints(media), "media_id", "phash",
+    payloadNearDupsFromFps(payloadFingerprints(media), maxDist, maxPerBucket,
+      droppedAcc)
+
+  /** [[payloadNearDups]] over an ALREADY-FINGERPRINTED relation
+    * (media_id, phash) — the fingerprint-once/resolve-many entry point
+    * (round 18): pipelines that persist [[payloadFingerprints]] as a
+    * producer artifact (x103's registry seat) feed the banded search from
+    * the store instead of re-decoding payload bytes per consumer.
+    */
+  def payloadNearDupsFromFps(fps: DataFrame, maxDist: Int = 3,
+                             maxPerBucket: Int = 64,
+                             droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
+    Dedup.hammingNearDups64(fps, "media_id", "phash",
       "media_a", "media_b", maxDist, maxPerBucket, droppedAcc)
 
   /** COMPONENT-form payload near-dup edges — [[payloadNearDups]]'s
@@ -470,7 +482,16 @@ object Multimodal {
   def payloadDupEdges(media: DataFrame, maxDist: Int = 3,
                       maxPerBucket: Int = 64,
                       droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
-    Dedup.hammingDupEdges64(payloadFingerprints(media), "media_id", "phash",
+    payloadDupEdgesFromFps(payloadFingerprints(media), maxDist, maxPerBucket,
+      droppedAcc)
+
+  /** [[payloadDupEdges]] over an already-fingerprinted relation — the
+    * edge-form twin of [[payloadNearDupsFromFps]].
+    */
+  def payloadDupEdgesFromFps(fps: DataFrame, maxDist: Int = 3,
+                             maxPerBucket: Int = 64,
+                             droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
+    Dedup.hammingDupEdges64(fps, "media_id", "phash",
       "media_a", "media_b", maxDist, maxPerBucket, droppedAcc)
 
   /** Payload DECONTAMINATION (x120) — the multimodal twin of x70's

@@ -133,7 +133,27 @@ object TextAnalysis {
     */
   def sharedSpanStats(docs: DataFrame, minDocs: Int = 2,
                       k: Int = 8, w: Int = 4): DataFrame =
-    scoreAgainstVocab(docs, sharedSpanVocab(docs, minDocs, k, w), k, w)
+    sharedSpanStatsFromFps(winnowingFingerprints(docs, k, w), minDocs)
+
+  /** [[sharedSpanStats]] over an ALREADY-FINGERPRINTED relation
+    * (doc_id, fp) — the fingerprint-once entry point (round 18): both the
+    * vocabulary and the scored side derive from ONE fp relation, so a
+    * pipeline that persisted [[winnowingFingerprints]] (x81's registry
+    * seat) pays two scans of 16-byte rows instead of two runs of the
+    * winnowing kernel over the corpus text.
+    */
+  def sharedSpanStatsFromFps(fps: DataFrame, minDocs: Int = 2): DataFrame = {
+    val vocab = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("fp"), lit(1).as("_sh"))
+    fps.join(broadcast(vocab), Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_fp"),
+        sum(coalesce(col("_sh"), lit(0))).cast(IntegerType).as("n_shared"))
+      .withColumn("shared_ratio",
+        round(col("n_shared").cast(DoubleType) / col("n_fp"), 4))
+  }
 
   /** The shared-fingerprint vocabulary of a (reference) corpus: every
     * fingerprint appearing in >= `minDocs` distinct docs, as (fp, _sh=1)

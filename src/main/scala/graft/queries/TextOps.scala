@@ -744,26 +744,38 @@ object TextOps {
     val batchFull = graft.util.Materialize.eager(x123Split(s, d)._2)
     val history = x86Split(s, d)._1
     val batch = batchFull.select(col("doc_id"), col("text"))
+    // The three legs OVERLAP (round 18, guide §2.6 "overlap independent
+    // jobs"): each leg's construction runs its own chain of small eager
+    // store-probe jobs (bloom-cut checkpoint, bucket collect, broadcast
+    // builds) that individually leave most of local[N]/the cluster idle —
+    // profiled at sf0.1 as ~40 sequential sub-0.5 s jobs per triage.
+    // The legs are independent per-doc probes over the ONE materialized
+    // batch (shared input, probed stores disjoint), so submitting them
+    // from three driver threads interleaves the chains (FIFO back-fill)
+    // without changing any leg's plan or answer.
     // probe-reduced like the gram leg (round 18): bloom-gated +
     // bucket-pruned, so a novel-heavy batch reads a fraction of the hash
     // store instead of co-located-scanning all of it per triage
-    val status = Dedup.incrementalStatusBinary(batch,
-      graft.sources.HashHistory.probeHistory(s, d,
-        batch.select(unhex(md5(col("text"))).as("th")))(
-        history.select(unhex(md5(col("text"))).as("th"))))
-    val gramFrac = Dedup.incrementalDupGrams(batch,
-        graft.sources.GramHistory.probeHistory(s, d,
-          graft.sources.GramHistory.gramHashes(batch, DupGramK))(
-          graft.sources.GramHistory.gramHashes(history, DupGramK)),
-        k = DupGramK, broadcastProbe = false)
-      .select(col("doc_id"), col("hist_frac"))
-    val (bands, sh) = graft.sources.MinHashHistory.scanOrCompute(s, d)(
-      (x123HistoryBands(s, d), x123HistoryShingles(s, d)))
-    val best = graft.operators.Dedup.incrementalNearDups(
-        shingleArrays(batchFull), bands, sh,
-        bandReducer = graft.sources.MinHashHistory.bandScanReducer(s, d))
-      .groupBy(col("doc_a").as("doc_id"))
-      .agg(max(col("jaccard")).as("best_jaccard"))
+    val Seq(status, gramFrac, best) = graft.util.Par.all(
+      () => Dedup.incrementalStatusBinary(batch,
+        graft.sources.HashHistory.probeHistory(s, d,
+          batch.select(unhex(md5(col("text"))).as("th")))(
+          history.select(unhex(md5(col("text"))).as("th")))),
+      () => Dedup.incrementalDupGrams(batch,
+          graft.sources.GramHistory.probeHistory(s, d,
+            graft.sources.GramHistory.gramHashes(batch, DupGramK))(
+            graft.sources.GramHistory.gramHashes(history, DupGramK)),
+          k = DupGramK, broadcastProbe = false)
+        .select(col("doc_id"), col("hist_frac")),
+      () => {
+        val (bands, sh) = graft.sources.MinHashHistory.scanOrCompute(s, d)(
+          (x123HistoryBands(s, d), x123HistoryShingles(s, d)))
+        graft.operators.Dedup.incrementalNearDups(
+            shingleArrays(batchFull), bands, sh,
+            bandReducer = graft.sources.MinHashHistory.bandScanReducer(s, d))
+          .groupBy(col("doc_a").as("doc_id"))
+          .agg(max(col("jaccard")).as("best_jaccard"))
+      })
     (status, best, gramFrac)
   }
 
@@ -1067,7 +1079,14 @@ object TextOps {
         |     OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535))
         |SELECT doc_a, doc_b, CAST(h AS INT) AS hamming FROM p WHERE h <= 3""".stripMargin,
       Seq("doc_a", "doc_b", "hamming"))) { (s, d) =>
-    Canon(Dedup.simHashNearDups(Tables.documents(s, d), maxPerBucket = 0))
+    // consumes the PERSISTED x44 fingerprints when their producer step ran
+    // (the x103/x104 composition, round 18): the banded search reads
+    // 16-byte (doc_id, simhash) rows instead of re-running the SimHash
+    // kernel — the same relation the oracle replays.
+    Canon(Dedup.simHashNearDupsFromFps(
+      graft.operators.PairStore.scanOrCompute(s, "x44_simhash", d)(
+        Dedup.simHashFingerprints(Tables.documents(s, d))),
+      maxPerBucket = 0))
   }
 
   // ---------------------------------------------------------------- x48
@@ -1133,7 +1152,13 @@ object TextOps {
         |FROM fp f LEFT JOIN sh s ON f.fp = s.fp
         |GROUP BY f.doc_id""".stripMargin,
       Seq("doc_id", "n_fp", "n_shared", "shared_ratio"))) { (s, d) =>
-    Canon(graft.operators.TextAnalysis.sharedSpanStats(Tables.documents(s, d)))
+    // consumes the PERSISTED x81 fingerprints when their producer step ran
+    // (round 18): vocabulary AND score side derive from one persisted fp
+    // relation — lazily each re-ran the winnowing kernel corpus-wide.
+    Canon(graft.operators.TextAnalysis.sharedSpanStatsFromFps(
+      graft.operators.PairStore.scanOrCompute(s, "x81_winnow_fps", d)(
+        graft.operators.TextAnalysis.winnowingFingerprints(
+          Tables.documents(s, d)))))
   }
 
   // ---------------------------------------------------------------- x50
@@ -1395,7 +1420,7 @@ object TextOps {
     // carry); DedupSpec pins hashed ≡ string on the fixtures and the
     // DuckDB oracle (string grams) stays the external arbiter.
     Canon(graft.operators.Dedup.dupGramFractionHashed(
-      Tables.documents(s, d), DupGramK))
+      Tables.fanOutForKernels(Tables.documents(s, d)), DupGramK))
   }
 
   // ---------------------------------------------------------------- x100
@@ -1515,7 +1540,7 @@ object TextOps {
     // exchange; a collision can only ADD a removed span, P ≈ 4e-8);
     // DedupSpec pins hashed ≡ string, the string-gram oracle arbitrates.
     Canon(graft.operators.Dedup.removeDupSpansHashed(
-      Tables.documents(s, d), DupGramK))
+      Tables.fanOutForKernels(Tables.documents(s, d)), DupGramK))
   }
 
   // ---------------------------------------------------------------- x102

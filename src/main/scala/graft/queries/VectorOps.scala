@@ -155,9 +155,7 @@ object VectorOps {
   val x103_payload_phash: QueryDef =
     QueryDef.rowsOnly("x103_payload_phash") { (s, d) =>
       import graft.operators.Multimodal
-      Canon(Multimodal.payloadFingerprints(
-        Multimodal.withReencodedVariants(
-          Multimodal.syntheticMedia(Tables.documents(s, d)))))
+      Canon(Multimodal.payloadFingerprints(x109Media(s, d)))
     }
 
   /** Payload-level near-dup pairs at Hamming <= 3 over the dHash
@@ -186,10 +184,16 @@ object VectorOps {
         |     OR ((a.phash >> 48) & 65535) = ((b.phash >> 48) & 65535))
         |SELECT media_a, media_b, CAST(h AS INT) AS hamming FROM p WHERE h <= 3""".stripMargin,
       Seq("media_a", "media_b", "hamming"))) { (s, d) =>
-    import graft.operators.Multimodal
-    Canon(Multimodal.payloadNearDups(
-      Multimodal.withReencodedVariants(
-        Multimodal.syntheticMedia(Tables.documents(s, d))), maxPerBucket = 0))
+    import graft.operators.{Multimodal, PairStore}
+    // consumes the PERSISTED x103 fingerprints when their producer step
+    // ran (round 18 — fingerprint once, resolve many): the banded search
+    // reads 8-byte hashes from parquet instead of re-synthesizing media
+    // and re-running the dHash kernel; standalone use still derives them
+    // lazily, and the oracle replays the same persisted rows.
+    Canon(Multimodal.payloadNearDupsFromFps(
+      PairStore.scanOrCompute(s, "x103_payload_phash", d)(
+        Multimodal.payloadFingerprints(x109Media(s, d))),
+      maxPerBucket = 0))
   }
 
   /** Component-form payload dup EDGES (x104's linear-scale sibling): star
@@ -228,10 +232,15 @@ object VectorOps {
         |SELECT media_a, media_b, CAST(h AS INT) AS hamming FROM rp
         |WHERE h <= 3""".stripMargin,
       Seq("media_a", "media_b", "hamming"))) { (s, d) =>
-    import graft.operators.Multimodal
-    Canon(Multimodal.payloadDupEdges(
-      Multimodal.withReencodedVariants(
-        Multimodal.syntheticMedia(Tables.documents(s, d))), maxPerBucket = 0))
+    import graft.operators.{Multimodal, PairStore}
+    // x104's composition (see there): the edge form reads the persisted
+    // x103 fingerprints; this entry is itself the producer x110 resolves
+    // over, so the chain is kernel → fingerprints → edges → components
+    // with each stage materialized exactly once per corpus.
+    Canon(Multimodal.payloadDupEdgesFromFps(
+      PairStore.scanOrCompute(s, "x103_payload_phash", d)(
+        Multimodal.payloadFingerprints(x109Media(s, d))),
+      maxPerBucket = 0))
   }
 
   // ------------------------------------------------------------- x107/x108
@@ -243,9 +252,7 @@ object VectorOps {
   val x107_frame_phash: QueryDef =
     QueryDef.rowsOnly("x107_frame_phash") { (s, d) =>
       import graft.operators.Multimodal
-      Canon(Multimodal.frameFingerprints(
-        Multimodal.withReencodedVariants(
-          Multimodal.syntheticMedia(Tables.documents(s, d)))))
+      Canon(Multimodal.frameFingerprints(x109Media(s, d)))
     }
 
   /** Video-level near-dup pairs by sampled-frame fingerprint overlap
@@ -279,11 +286,16 @@ object VectorOps {
         |JOIN sz sb ON sb.media_id = m.media_b
         |WHERE CAST(n_match AS DOUBLE) / (sa.n + sb.n - n_match) >= 0.5""".stripMargin,
       Seq("media_a", "media_b", "n_match", "jaccard"))) { (s, d) =>
-    import graft.operators.Multimodal
+    import graft.operators.{Multimodal, PairStore}
+    // consumes the PERSISTED x107 frame fingerprints when their producer
+    // step ran (x104's composition rationale): the overlap join reads
+    // (media_id, phash) rows from parquet instead of re-running the
+    // media-synthesis + per-frame dHash kernel — which the UNCAPPED
+    // oracle form would otherwise evaluate twice (members + denominators).
     Canon(Multimodal.videoNearDups(
-      Multimodal.frameFingerprints(
-        Multimodal.withReencodedVariants(
-          Multimodal.syntheticMedia(Tables.documents(s, d)))), maxPerHash = 0))
+      PairStore.scanOrCompute(s, "x107_frame_phash", d)(
+        Multimodal.frameFingerprints(x109Media(s, d))),
+      maxPerHash = 0))
   }
 
   // ---------------------------------------------------------------- x109
@@ -301,8 +313,12 @@ object VectorOps {
 
   private[graft] def x109Media(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Multimodal
+    // kernel-dominated chain (synthesize payload bytes, then dHash/DFT
+    // per row) — fan the unsplittable testdata scan out to the session
+    // cores (Tables.fanOutForKernels: adaptive, no-op on split inputs)
     Multimodal.withReencodedVariants(
-      Multimodal.syntheticMedia(Tables.documents(s, d)))
+      Multimodal.syntheticMedia(Tables.fanOutForKernels(
+        Tables.documents(s, d))))
   }
 
   /** ORIGINAL-media predicate that survives ScaleProbe's replica ids
@@ -392,8 +408,17 @@ object VectorOps {
         |         FROM reach GROUP BY node)
         |SELECT media_id, component FROM comp""".stripMargin,
       Seq("media_id", "component"))) { (s, d) =>
-    import graft.operators.{Components, Multimodal}
-    val edges = Multimodal.payloadDupEdges(x109Media(s, d), maxPerBucket = 0)
+    import graft.operators.{Components, Multimodal, PairStore}
+    // resolution consumes the PERSISTED x104b edge relation when its
+    // producer step ran (round 18 — the x40→x84/x85 composition device,
+    // guide §2.4 "don't recompute"): x104b derives the identical edge set
+    // from the same media corpus, so standalone use still pays the
+    // pipeline lazily, while a Verify/Bench/production run resolves over
+    // one candidates-sized parquet scan instead of re-running the
+    // fingerprint kernel + banding per resolution — which is also the
+    // relation x110's oracle replays (__VERIFY_OUT__/x104b).
+    val edges = PairStore.scanOrCompute(s, "x104b_payload_dupedges", d)(
+        Multimodal.payloadDupEdges(x109Media(s, d), maxPerBucket = 0))
       .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
     Canon(Components.connectedComponents(edges)
       .select(col("node").as("media_id"), col("component")))
@@ -414,10 +439,7 @@ object VectorOps {
       // 134 vs the pair form's 1,046), which is what makes x112's
       // UNCAPPED oracle-form pair generation cheap (13.3 s -> ~2 s at
       // sf0.1); the pair form stays available + spec/probe-gated
-      Canon(Multimodal.audioFingerprints(
-        Multimodal.withReencodedVariants(
-          Multimodal.syntheticMedia(Tables.documents(s, d))),
-        triples = true))
+      Canon(Multimodal.audioFingerprints(x109Media(s, d), triples = true))
     }
 
   /** Audio near-dup pairs by offset-coherent landmark voting (the published
@@ -461,12 +483,15 @@ object VectorOps {
         |       JOIN cnt cb ON cb.media_id = e.media_b
         |WHERE CAST(e.n_votes AS DOUBLE) / LEAST(ca.n, cb.n) >= 0.25""".stripMargin,
       Seq("media_a", "media_b", "n_votes", "best_off", "coverage"))) { (s, d) =>
-    import graft.operators.Multimodal
+    import graft.operators.{Multimodal, PairStore}
+    // consumes the PERSISTED x111 landmarks when their producer step ran
+    // (x104's composition rationale): the vote join reads (media_id,
+    // lhash, t) rows from parquet instead of re-running the windowed-DFT
+    // landmark kernel — which the UNCAPPED oracle form would otherwise
+    // evaluate twice (vote members + coverage denominators).
     Canon(Multimodal.audioNearDups(
-      Multimodal.audioFingerprints(
-        Multimodal.withReencodedVariants(
-          Multimodal.syntheticMedia(Tables.documents(s, d))),
-        triples = true),
+      PairStore.scanOrCompute(s, "x111_audio_landmarks", d)(
+        Multimodal.audioFingerprints(x109Media(s, d), triples = true)),
       maxPerHash = 0))
   }
 
@@ -640,8 +665,13 @@ object VectorOps {
         |    AS contaminated
         |FROM corp c LEFT JOIN cnt ON c.media_id = cnt.media_id""".stripMargin,
       Seq("media_id", "n_bench_matches", "contaminated"))) { (s, d) =>
-    import graft.operators.Multimodal
-    val fps = Multimodal.payloadFingerprints(x109Media(s, d))
+    import graft.operators.{Multimodal, PairStore}
+    // persisted x103 fingerprints (x104's composition rationale): both
+    // decontamination sides slice ONE fingerprint relation, so deriving
+    // it lazily re-ran the media kernel twice — the store makes each
+    // side a pruned parquet scan.
+    val fps = PairStore.scanOrCompute(s, "x103_payload_phash", d)(
+      Multimodal.payloadFingerprints(x109Media(s, d)))
     val isBench = x109IsOriginal && x109MediaBucket < 10
     Canon(Multimodal.payloadDecontaminate(
       fps.filter(!isBench), fps.filter(isBench)))
