@@ -267,9 +267,15 @@ object UnigramLm {
                       variant: String, docs: DataFrame,
                       minLen: Int = MinTokenLen,
                       vocabCap: Option[Int] = None): DataFrame = {
-    val (vocab, scalars) = trainCachedImpl(spark, dir, variant, docs,
+    // corpus-kernel fan-out (round 18, util.Scans): every caller passes a
+    // corpus-scale relation (raw documents or the cleaned-corpus
+    // artifact), and both the memo-miss train pass and the per-call score
+    // pass run the tokenize kernel over it — on the single-row-group
+    // testdata that was 1 of N cores; a no-op on split inputs
+    val fanned = graft.util.Scans.fanOutForKernels(docs)
+    val (vocab, scalars) = trainCachedImpl(spark, dir, variant, fanned,
       minLen, vocabCap, Some(docs.schema))
-    score(docs, vocab, scalars, minLen)
+    score(fanned, vocab, scalars, minLen)
   }
 
   private[graft] def invalidate(): Unit = models.clear()

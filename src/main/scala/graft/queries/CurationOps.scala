@@ -1161,7 +1161,8 @@ object CurationOps {
          |FROM ranked WHERE rn <= $HhTopK""".stripMargin,
       Seq("tok", "cnt", "rn"))) { (s, d) =>
     Canon(graft.operators.HeavyHitters.exactTopK(
-      graft.operators.UnigramLm.docTermFreqs(Tables.documents(s, d), minLen = 4),
+      graft.operators.UnigramLm.docTermFreqs(
+        Tables.fanOutForKernels(Tables.documents(s, d)), minLen = 4),
       k = HhTopK, sketchK = HhSketchK))
   }
 
@@ -1202,7 +1203,8 @@ object CurationOps {
          |FROM terms GROUP BY slice""".stripMargin,
       Seq("source", "n_toks", "kl"))) { (s, d) =>
     Canon(graft.operators.DistributionDrift
-      .sourceKl(Tables.documents(s, d), sliceCol = "source")
+      .sourceKl(Tables.fanOutForKernels(Tables.documents(s, d)),
+        sliceCol = "source")
       .withColumnRenamed("slice", "source"))
   }
 
@@ -1297,37 +1299,52 @@ object CurationOps {
          |GROUP BY f.lang""".stripMargin,
       Seq("lang", "n_docs", "n_too_short", "n_too_long", "n_repetitive",
         "n_low_quality", "n_kept_docs", "kept_tokens"))) { (s, d) =>
-    val docs = Tables.documents(s, d)
+    // corpus-kernel fan-out: audit (trigram kernel) and the LM's two
+    // tokenize passes all run over this frame (util.Scans rationale)
+    val docs = Tables.fanOutForKernels(Tables.documents(s, d))
     val audit = curationAudit(docs)
     val nll = graft.operators.UnigramLm.selfScore(docs)
       .select(col("doc_id"), col("nll"))
+    // PERSISTED once for the build (round 18, guide §2.4 "don't
+    // recompute"): the per-doc gate matrix feeds TWO final branches (the
+    // per-lang gate counts and the kept→keeper→uniq chain), whose
+    // differing projections defeat ReuseExchange — lazily the whole
+    // audit+LM subtree (the before-plan: 14 corpus scans, 0 reused
+    // exchanges) ran once per branch. The pin is a NARROW per-doc
+    // relation (~40 B/doc) and is released in finally below (the
+    // x115/x117 convention: the bounded per-lang result materializes
+    // eagerly, so nothing downstream re-reads the unpersisted relation
+    // and N compositions leave no net cached relations).
     val full = audit.join(nll, Seq("doc_id"))
       .withColumn("low_quality", col("nll") > MaxNll)
-    val kept = full
-      .filter(!(col("too_short") || col("too_long") || col("repetitive") ||
-        col("low_quality")))
-      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
-      .withColumn("th", md5(col("text")))
-    val keepers = kept.groupBy(col("th")).agg(min(col("doc_id")).as("keeper"))
-      .select(col("keeper").as("doc_id"))
-    val uniq = kept.join(keepers, Seq("doc_id"), "left_semi")
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_kept_docs"),
-        sum(col("n_tokens")).cast(org.apache.spark.sql.types.LongType)
-          .as("kept_tokens"))
-    val b1 = (c: org.apache.spark.sql.Column) =>
-      sum(when(c, 1L).otherwise(0L))
-    Canon(full.groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        b1(col("too_short")).as("n_too_short"),
-        b1(col("too_long")).as("n_too_long"),
-        b1(col("repetitive")).as("n_repetitive"),
-        b1(col("low_quality")).as("n_low_quality"))
-      .join(uniq, Seq("lang"), "left")
-      .select(col("lang"), col("n_docs"), col("n_too_short"),
-        col("n_too_long"), col("n_repetitive"), col("n_low_quality"),
-        coalesce(col("n_kept_docs"), lit(0L)).as("n_kept_docs"),
-        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens")))
+      .persist()
+    try {
+      val kept = full
+        .filter(!(col("too_short") || col("too_long") || col("repetitive") ||
+          col("low_quality")))
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .withColumn("th", md5(col("text")))
+      val keepers = kept.groupBy(col("th")).agg(min(col("doc_id")).as("keeper"))
+        .select(col("keeper").as("doc_id"))
+      val uniq = kept.join(keepers, Seq("doc_id"), "left_semi")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept_docs"),
+          sum(col("n_tokens")).cast(org.apache.spark.sql.types.LongType)
+            .as("kept_tokens"))
+      val b1 = (c: org.apache.spark.sql.Column) =>
+        sum(when(c, 1L).otherwise(0L))
+      Canon.materialize(Canon(full.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          b1(col("too_short")).as("n_too_short"),
+          b1(col("too_long")).as("n_too_long"),
+          b1(col("repetitive")).as("n_repetitive"),
+          b1(col("low_quality")).as("n_low_quality"))
+        .join(uniq, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("n_too_short"),
+          col("n_too_long"), col("n_repetitive"), col("n_low_quality"),
+          coalesce(col("n_kept_docs"), lit(0L)).as("n_kept_docs"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))))
+    } finally full.unpersist(): Unit
   }
 
   // ---------------------------------------------------------------- x115
@@ -1594,8 +1611,9 @@ object CurationOps {
     // (the Lee et al. posture: write the deduplicated corpus once). The
     // `scored` pin stays BUILD-scoped and is released in finally, so N
     // compositions leave no net cached relations (CompositionSpec gate).
-    val cleaned = graft.operators.CleanedCorpus.cleanedCached(
-      s, d, graft.queries.TextOps.DupGramK, docs)
+    val cleaned = Tables.fanOutForKernels(
+      graft.operators.CleanedCorpus.cleanedCached(
+        s, d, graft.queries.TextOps.DupGramK, docs))
     val audit = curationAudit(cleaned)
     // the LM self-trains on the span-REMOVED text — the memo variant key
     // pins the removal parameter so the raw-corpus model never collides
@@ -1612,34 +1630,43 @@ object CurationOps {
       val thr = graft.operators.Percentiles.exactThresholdOpt(
         scored.select(col("v")), "v", GatePercentileNum, GatePercentileDen)
         .getOrElse(Long.MaxValue)
+      // persisted once for the build — the x101 rationale: two final
+      // branches, no exchange reuse between them, so lazily the audit
+      // kernel pass over the cleaned corpus ran per branch (the scored
+      // side is pinned above, but the trigram/token audit is map-only
+      // and has no exchange to reuse). Narrow per-doc pin (~40 B/doc),
+      // released in the finally below with `scored`.
       val full = audit.join(scored, Seq("doc_id"))
         .withColumn("low_quality", col("v") > thr)
-      val kept = full
-        .filter(!(col("too_short") || col("too_long") || col("repetitive") ||
-          col("low_quality")))
-        .join(cleaned.select(col("doc_id"), col("text")), Seq("doc_id"))
-        .withColumn("th", md5(col("text")))
-      val keepers = kept.groupBy(col("th")).agg(min(col("doc_id")).as("keeper"))
-        .select(col("keeper").as("doc_id"))
-      val uniq = kept.join(keepers, Seq("doc_id"), "left_semi")
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_kept_docs"),
-          sum(col("n_tokens")).cast(LongType).as("kept_tokens"))
-      val b1 = (c: org.apache.spark.sql.Column) =>
-        sum(when(c, 1L).otherwise(0L))
-      Canon.materialize(Canon(full.groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          b1(col("too_short")).as("n_too_short"),
-          b1(col("too_long")).as("n_too_long"),
-          b1(col("repetitive")).as("n_repetitive"),
-          b1(col("low_quality")).as("n_low_quality"))
-        .join(uniq, Seq("lang"), "left")
-        .select(col("lang"), col("n_docs"), col("n_too_short"),
-          col("n_too_long"), col("n_repetitive"), col("n_low_quality"),
-          coalesce(col("n_kept_docs"), lit(0L)).as("n_kept_docs"),
-          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
-          (lit(thr).cast(DoubleType) /
-            graft.operators.UnigramLm.LnScale.toDouble).as("nll_p90"))))
+        .persist()
+      try {
+        val kept = full
+          .filter(!(col("too_short") || col("too_long") || col("repetitive") ||
+            col("low_quality")))
+          .join(cleaned.select(col("doc_id"), col("text")), Seq("doc_id"))
+          .withColumn("th", md5(col("text")))
+        val keepers = kept.groupBy(col("th")).agg(min(col("doc_id")).as("keeper"))
+          .select(col("keeper").as("doc_id"))
+        val uniq = kept.join(keepers, Seq("doc_id"), "left_semi")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept_docs"),
+            sum(col("n_tokens")).cast(LongType).as("kept_tokens"))
+        val b1 = (c: org.apache.spark.sql.Column) =>
+          sum(when(c, 1L).otherwise(0L))
+        Canon.materialize(Canon(full.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            b1(col("too_short")).as("n_too_short"),
+            b1(col("too_long")).as("n_too_long"),
+            b1(col("repetitive")).as("n_repetitive"),
+            b1(col("low_quality")).as("n_low_quality"))
+          .join(uniq, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"), col("n_too_short"),
+            col("n_too_long"), col("n_repetitive"), col("n_low_quality"),
+            coalesce(col("n_kept_docs"), lit(0L)).as("n_kept_docs"),
+            coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+            (lit(thr).cast(DoubleType) /
+              graft.operators.UnigramLm.LnScale.toDouble).as("nll_p90"))))
+      } finally full.unpersist(): Unit
     } finally {
       scored.unpersist(): Unit
     }

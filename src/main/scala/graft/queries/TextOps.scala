@@ -136,7 +136,9 @@ object TextOps {
     * variant is x40.)
     */
   val q32: QueryDef = QueryDef("q32_neardup", NearDupOracle) { (s, d) =>
-    val sh = shingles(Tables.documents(s, d)).cache()
+    // corpus-kernel fan-out: the shingle explode + cache build ran on 1
+    // of 32 cores over the single-row-group scan (util.Scans rationale)
+    val sh = shingles(Tables.fanOutForKernels(Tables.documents(s, d))).cache()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // self-join sides carry fully DISTINCT column names: referencing the
     // shared parent's columns from both sides (a("sh") === b("sh")) makes
@@ -229,7 +231,10 @@ object TextOps {
     * cluster-resolution queries x84/x85 that consume the pairs.
     */
   def lshNearDupPairs(s: SparkSession, d: String): DataFrame =
-    lshNearDupPairsOf(Tables.documents(s, d))
+    // corpus-kernel fan-out: the MinHash signature kernel (128 seeded
+    // hashes over every shingle of every doc — the heaviest per-doc
+    // kernel in the engine) ran on 1 core over the single-row-group scan
+    lshNearDupPairsOf(Tables.fanOutForKernels(Tables.documents(s, d)))
 
   /** The x40 pipeline over an arbitrary docs frame (doc_id, lang, n_chars,
     * text) — the registry entry binds it to the `documents` table; the
@@ -1322,7 +1327,9 @@ object TextOps {
          |        (CAST(SUM(tf) AS DOUBLE) * ${graft.operators.UnigramLm.LnScale}.0), 6) AS nll
          |FROM terms GROUP BY doc_id""".stripMargin,
       Seq("doc_id", "n_toks", "nll"))) { (s, d) =>
-    Canon(graft.operators.UnigramLm.selfScore(Tables.documents(s, d)))
+    // corpus-kernel fan-out (util.Scans): train+score tokenize passes
+    Canon(graft.operators.UnigramLm.selfScore(
+      Tables.fanOutForKernels(Tables.documents(s, d))))
   }
 
   // ---------------------------------------------------------------- x97
@@ -1372,7 +1379,8 @@ object TextOps {
          |        (CAST(SUM(tf) AS DOUBLE) * ${graft.operators.UnigramLm.LnScale}.0), 6) AS nll
          |FROM terms GROUP BY doc_id""".stripMargin,
       Seq("doc_id", "n_bigrams", "nll"))) { (s, d) =>
-    Canon(graft.operators.BigramLm.selfScore(Tables.documents(s, d)))
+    Canon(graft.operators.BigramLm.selfScore(
+      Tables.fanOutForKernels(Tables.documents(s, d))))
   }
 
   // ---------------------------------------------------------------- x99

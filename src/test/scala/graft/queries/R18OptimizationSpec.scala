@@ -8,16 +8,25 @@ import graft.SparkSpec
   *  - [[graft.util.Par]]: result order, exception propagation (the triage
   *    legs now build concurrently — a swapped or swallowed leg would be a
   *    silent wrong verdict, not a perf bug).
-  *  - Scan fan-out ([[Tables.documents]]/[[Tables.embeddings]]): the
-  *    single-row-group testdata scan fans out to the session default
-  *    parallelism with IDENTICAL rows (the repartition is round-robin —
-  *    pure placement, no semantics).
+  *  - Scan fan-out ([[graft.util.Scans.fanOutForKernels]], opt-in per
+  *    kernel-heavy builder): the single-row-group testdata scan fans out
+  *    to the session default parallelism with IDENTICAL rows (the
+  *    repartition is round-robin — pure placement, no semantics), no-ops
+  *    on already-split inputs, and keeps predicate pushdown.
   *  - Fingerprint/edge producer composition (x103→x104/x104b/x120,
   *    x107→x108, x111→x112, x104b→x110): with a warm producer store the
   *    consumer plans a parquet scan and returns the SAME rows as the
   *    standalone (cold) pipeline.
   */
 class R18OptimizationSpec extends SparkSpec {
+
+  /** Private session (own SQLConf, shared SparkContext): sbt runs suites
+    * in parallel on ONE shared session, and several suites toggle
+    * session confs mid-test (AQE, broadcast threshold — GramHistorySpec,
+    * PlanSpec, …); partition-count and plan-shape assertions here must
+    * not race those flips.
+    */
+  private lazy val sess = spark.newSession()
 
   test("Par.all preserves thunk order and rethrows the first failure as-is") {
     val Seq(a, b, c) = graft.util.Par.all(
@@ -34,13 +43,13 @@ class R18OptimizationSpec extends SparkSpec {
   }
 
   test("fanOutForKernels splits an unsplittable scan, no-ops a split one, keeps rows") {
-    val raw = spark.read.parquet(s"$Sf/documents.parquet")
+    val raw = sess.read.parquet(s"$Sf/documents.parquet")
     assert(raw.rdd.getNumPartitions <
-      spark.sparkContext.defaultParallelism,
+      sess.sparkContext.defaultParallelism,
       "fixture no longer single-split — fan-out untestable here")
-    val fanned = Tables.fanOutForKernels(Tables.documents(spark, Sf))
+    val fanned = Tables.fanOutForKernels(Tables.documents(sess, Sf))
     assert(fanned.rdd.getNumPartitions ==
-      spark.sparkContext.defaultParallelism,
+      sess.sparkContext.defaultParallelism,
       "kernel fan-out did not reach default parallelism")
     // identical multiset of rows (order is placement, not semantics)
     assert(fanned.select("doc_id", "text").orderBy("doc_id").collect().toSeq ==
@@ -52,7 +61,7 @@ class R18OptimizationSpec extends SparkSpec {
     // predicate pushdown survives the repartition: the point-lookup filter
     // must still reach the parquet scan (guide §6 — a fan-out that
     // swallowed pushdown would turn every lookup into a full scan)
-    val look = Tables.fanOutForKernels(Tables.documents(spark, Sf))
+    val look = Tables.fanOutForKernels(Tables.documents(sess, Sf))
       .filter(col("doc_id") === 7L)
     val scan = look.queryExecution.executedPlan.collectLeaves().mkString("\n")
     assert(scan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)"),
@@ -68,19 +77,19 @@ class R18OptimizationSpec extends SparkSpec {
       "x104_payload_neardup", "x104b_payload_dupedges",
       "x108_video_neardup", "x112_audio_neardup", "x110_payload_resolve",
       "x120_payload_decontaminate")
-    producers.foreach(PairStore.invalidate(spark, _, Sf))
+    producers.foreach(PairStore.invalidate(sess, _, Sf))
     try {
       // COLD: standalone answers (no producer ran)
       val cold = consumers.map { n =>
-        n -> graft.SparkEntry.queries(n)(spark, Sf).collect().toSeq
+        n -> graft.SparkEntry.queries(n)(sess, Sf).collect().toSeq
       }.toMap
       // WARM: explicit producer steps in registry order, then re-consume
       producers.foreach { n =>
-        PairStore.refresh(spark, n, Sf)(
-          graft.SparkEntry.queries(n)(spark, Sf)): Unit
+        PairStore.refresh(sess, n, Sf)(
+          graft.SparkEntry.queries(n)(sess, Sf)): Unit
       }
       consumers.foreach { n =>
-        val warm = graft.SparkEntry.queries(n)(spark, Sf)
+        val warm = graft.SparkEntry.queries(n)(sess, Sf)
         // x110's returned frame is propagation output (checkpoint-backed
         // ExistingRDD), so the store scan is not visible in ITS plan; the
         // eager components loop already consumed the store while building
@@ -91,6 +100,6 @@ class R18OptimizationSpec extends SparkSpec {
         assert(warm.collect().toSeq == cold(n),
           s"$n: store-served answer differs from the standalone pipeline")
       }
-    } finally producers.foreach(PairStore.invalidate(spark, _, Sf))
+    } finally producers.foreach(PairStore.invalidate(sess, _, Sf))
   }
 }
